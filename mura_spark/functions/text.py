@@ -1,0 +1,140 @@
+"""Text-analysis functions for large-scale document pipelines.
+
+All pure ``pyspark.sql.functions`` compositions (JVM-side, codegen-friendly;
+no Python UDFs in the hot path), and each has a 1:1 ANSI-SQL rendering used
+by the DuckDB oracle (see ``mura_spark/oracle.py``): tokenization, n-gram
+shingling, quality metrics, stopword-based language ID, fingerprinting.
+
+The reference has no text functions at all (its ``ScalarFunction`` shell
+names zero functions — /root/reference/src/planner/logicalplan.rs:63-71);
+this module is part of the north-star extension surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mura_spark.functions.hashing import md5_hash48
+
+#: Minimal per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and hard-coded: the heuristic must be
+#: reproducible in the SQL oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "ein", "zu"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "un", "que"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase + collapse runs of whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(normalize(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: count regex pieces (letter runs, digit
+    runs, punctuation singletons), the standard pre-tokenizer shape used to
+    approximate BPE token counts without a vocab."""
+    pieces = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (joined by a single space) → array<string>.
+
+    Built from ``transform(sequence(...))`` + ``slice`` so the whole thing is
+    one codegen'd expression; documents shorter than ``n`` tokens yield their
+    full text as the single shingle.
+    """
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length in characters (total non-space chars / tokens)."""
+    norm = normalize(text)
+    t = F.split(norm, " ")
+    chars = F.length(F.regexp_replace(norm, " ", ""))
+    return chars.cast("double") / F.size(t)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars — a standard quality signal."""
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return p.cast("double") / n
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    d = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return d.cast("double") / n
+
+
+def stopword_count(toks: Column, words: list[str]) -> Column:
+    """Number of tokens that appear in ``words`` (multiset count)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column, words: list[str] | None = None) -> Column:
+    t = tokens(text)
+    words = words if words is not None else LANG_STOPWORDS["en"]
+    return stopword_count(t, words).cast("double") / F.size(t)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    t = tokens(text)
+    return {lang: stopword_count(t, words)
+            for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Predict language = argmax of stopword hits; ties break to the
+    lexicographically-smallest language code; all-zero scores → 'und'
+    (undetermined). Matches the oracle SQL rendering exactly."""
+    return _lang_argmax(lang_scores(text))
+
+
+def _lang_argmax(scores: dict[str, Column]) -> Column:
+    """argmax with deterministic lexicographic tie-break, zero → 'und'."""
+    m = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(scores, reverse=True):  # earliest code wins ties
+        expr = F.when((m > 0) & (scores[lang] == m), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: MD5 over the sorted distinct token
+    list — invariant to word order and repetition (catches scramble-style
+    near-dups as *exact* fingerprint collisions)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    return F.md5(canon)
+
+
+def rolling_hash(text: Column) -> Column:
+    """Order-sensitive 48-bit content hash (normalized text) — the cheap
+    exact-dup key."""
+    return md5_hash48(normalize(text))

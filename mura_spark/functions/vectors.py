@@ -1,0 +1,46 @@
+"""Vector math over ``array<float/double>`` embedding columns.
+
+Pure higher-order-function compositions (``zip_with`` / ``aggregate``) so dot
+products and norms run JVM-side with no Python crossing — the recommended
+fast path for embedding columns at scale. Accumulation is in double,
+left-to-right over the array, which is deterministic (bit-stable) for a given
+input — the property the DuckDB-oracle comparisons rely on.
+
+The reference has no array types at all (SURVEY.md §1.3: "No arrays, maps, or
+nested types reachable from SQL"); this module is north-star extension
+surface (similarity search over an embedding column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, accumulated in double, element order left-to-right."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    """Euclidean (L2) norm."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero vectors rather than null/NaN."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def normalize_unit(a: Column) -> Column:
+    """Scale to unit L2 norm (zero vectors pass through unchanged)."""
+    n = norm(a)
+    return F.when(n == 0, a.cast("array<double>")).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n))

@@ -1,0 +1,15 @@
+"""Relational + LLM-pipeline operators, each a DataFrame → DataFrame function.
+
+Design stance (SURVEY.md §4/§7): operators are *library-level compositions*
+of Spark's declarative API, not custom Catalyst nodes — Catalyst then owns
+pushdown, join strategy, AQE re-planning. Python never touches the row path
+except where explicitly noted (multimodal decode stubs).
+
+- :mod:`mura_spark.operators.dedup` — exact / MinHash-LSH / SimHash /
+  n-gram-Jaccard document deduplication
+- :mod:`mura_spark.operators.similarity` — embedding cosine top-k
+  (brute-force baseline + hyperplane-LSH scale path), embedding near-dup
+- :mod:`mura_spark.operators.topk` — order-by + limit (TakeOrderedAndProject)
+"""
+
+from mura_spark.operators import dedup, similarity, topk  # noqa: F401
