@@ -29,9 +29,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 for zero vectors rather than null/NaN."""
+    """Cosine similarity; 0.0 for zero vectors rather than null/NaN.
+    Clamped to [-1, 1]: rounding can push identical vectors to 1+2⁻⁵²
+    (and DuckDB's list_cosine_similarity clamps, which the oracle
+    comparisons rely on)."""
     denom = norm(a) * norm(b)
-    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    raw = F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
 
 
 def l2_distance(a: Column, b: Column) -> Column:

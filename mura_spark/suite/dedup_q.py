@@ -1,0 +1,118 @@
+"""Deduplication queries over the documents table (north-star extension).
+
+Oracles are brute-force set-similarity computations in DuckDB; the Spark
+side uses the scalable blocked operators from mura_spark.operators.dedup.
+They agree exactly because every blocking strategy used is lossless
+(shared-shingle join, AllPairs prefix, SimHash pigeonhole bands) or has
+negligible miss probability with exact verification (MinHash at 16×2 bands:
+< 1e-11 per true pair at J ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mura_spark.functions import text as TX
+from mura_spark.functions.hashing import SIMHASH_BITS
+from mura_spark.operators import dedup
+from mura_spark.suite.common import sql_hash48, sql_shingles, sql_tokens, table
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+_SHINGLES = sql_shingles(sql_tokens("text"), 3)
+
+#: shared oracle CTE: per-doc distinct 3-gram shingle sets
+_SH_CTE = f"WITH d AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
+
+_JACCARD_PAIRS = (
+    f"{_SH_CTE} "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard "
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {t}")
+
+
+@q("dedup_exact_groups",
+   "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+   "AS dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size "
+   "FROM documents GROUP BY 1")
+def dedup_exact_groups(spark, sf):
+    d = table(spark, sf, "documents")
+    return dedup.exact_dup_groups(d, "doc_id",
+                                  F.md5(TX.normalize(F.col("text"))))
+
+
+@q("dedup_jaccard_pairs", _JACCARD_PAIRS.format(t=0.8))
+def dedup_jaccard_pairs(spark, sf):
+    """Exact set-similarity join (shared-shingle blocking + AllPairs prefix
+    filter); brute-force oracle."""
+    d = table(spark, sf, "documents")
+    return dedup.jaccard_dup_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@q("dedup_minhash_pairs", _JACCARD_PAIRS.format(t=0.8))
+def dedup_minhash_pairs(spark, sf):
+    """MinHash-LSH candidates + exact verification — same oracle as the
+    exact join (recall at these parameters is 1 - ~1e-11 per pair)."""
+    d = table(spark, sf, "documents")
+    return dedup.minhash_dup_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+def _simhash_oracle(hd_max: int) -> str:
+    """Brute-force SimHash in DuckDB with the identical bit arithmetic."""
+    h = sql_hash48("s.sh")
+    bit_sums = ", ".join(
+        f"SUM(({h} >> {b}) & 1) AS ones_{b}" for b in range(SIMHASH_BITS))
+    sig_terms = " + ".join(
+        f"(CASE WHEN ones_{b} * 2 > n_el THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    return (
+        f"{_SH_CTE}, "
+        f"ex AS (SELECT doc_id, unnest(sh) AS sh FROM d), "
+        f"counted AS (SELECT s.doc_id, COUNT(*) AS n_el, {bit_sums} "
+        f"FROM ex s GROUP BY s.doc_id), "
+        f"sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash "
+        f"FROM counted) "
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"bit_count(xor(a.simhash, b.simhash)) AS hamming "
+        f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {hd_max}")
+
+
+@q("dedup_simhash_pairs", _simhash_oracle(8))
+def dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs, Hamming ≤ 8 (9-segment pigeonhole blocking,
+    lossless). Threshold sits in the measured gap of the corpus (true dups
+    ≤ 8 bits apart, unrelated docs ≫)."""
+    d = table(spark, sf, "documents")
+    return dedup.simhash_dup_pairs(d, "doc_id", "text", hd_max=8)
+
+
+@q("dedup_embedding_pairs",
+   "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+   "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+   "CAST(b.embedding AS DOUBLE[])) AS sim "
+   "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+   "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+   "CAST(b.embedding AS DOUBLE[])) >= 0.4")
+def dedup_embedding_pairs(spark, sf):
+    """Embedding near-dup: cosine ≥ 0.4 over all pairs (exact method — the
+    oracle-checkable baseline; the LSH-blocked method is recall-tested in
+    pytest). DuckDB DOUBLE[] cosine is bit-identical to the Spark
+    zip_with/aggregate double accumulation (verified experimentally)."""
+    from mura_spark.operators.similarity import embedding_dup_pairs
+    e = table(spark, sf, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.4, method="exact")

@@ -1,0 +1,90 @@
+"""Event-stream queries (events table): windowed aggregation, gap
+sessionization, JSON extraction — the batch faces of the streaming module
+(mura_spark.streaming.windows), so the DuckDB oracle verifies the exact
+logic the streaming path runs incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mura_spark.streaming import windows as W
+from mura_spark.suite.common import sql_dsum, table
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+@q("events_window_hourly",
+   "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
+   "COUNT(*) AS n_events, "
+   f"{sql_dsum('value')} AS total_value "
+   "FROM events GROUP BY 1, 2")
+def events_window_hourly(spark, sf):
+    """Tumbling 1-hour windows — same function the streaming path uses.
+    value sums run decimal-exact (value carries 2 decimals)."""
+    ev = table(spark, sf, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value"))
+              .select(F.col("w.start").alias("window_start"),
+                      "event_type", "n_events", "total_value"))
+
+
+@q("events_sessionize",
+   "WITH flagged AS (SELECT user_id, ts, event_id, "
+   "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+   "WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+   "AS new_session FROM events "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+   "sess AS (SELECT user_id, ts, "
+   "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+   "FROM flagged) "
+   "SELECT user_id, session_id, MIN(ts) AS session_start, "
+   "MAX(ts) AS session_end, COUNT(*) AS n_events "
+   "FROM sess GROUP BY user_id, session_id")
+def events_sessionize(spark, sf):
+    """Gap-based sessionization (30-minute gap) — the SQL-expressible batch
+    twin of streaming session_window."""
+    ev = table(spark, sf, "events")
+    return W.sessionize(ev, gap="30 minutes")
+
+
+@q("events_json_extract",
+   "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 "
+   "AS k_bucket, COUNT(*) AS n, "
+   "SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum "
+   "FROM events GROUP BY 1")
+def events_json_extract(spark, sf):
+    """JSON property extraction + aggregation (props is a JSON string)."""
+    ev = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+              .groupBy("k_bucket")
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum")))
+
+
+@q("events_type_value_stats",
+   "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
+   "MIN(value) AS min_value, MAX(value) AS max_value, "
+   f"{sql_dsum('value')} AS sum_value "
+   "FROM events GROUP BY event_type")
+def events_type_value_stats(spark, sf):
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n_users"),
+                   F.min("value").alias("min_value"),
+                   F.max("value").alias("max_value"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("sum_value")))

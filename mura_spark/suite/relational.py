@@ -1,0 +1,532 @@
+"""Relational queries: reference-parity surface (SURVEY.md §2) + Phase-2 gap
+operators (aggregation, joins, set ops, windows — absent from the reference).
+
+Parity queries exercise, one per inventory row: Scan, Projection (incl.
+Wildcard), Selection with each of the eight binary operators
+(reference Operator enum, logicalplan.rs:132-149), Not / IsNull / IsNotNull,
+Cast (logicalplan.rs:49-55), Sort, Limit, EmptyRelation, CreateTable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mura_spark.operators.topk import topk, topk_per_group
+from mura_spark.plan import PlanBuilder
+from mura_spark.suite.common import davg, dsum, sql_davg, sql_dsum, table
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# parity: scan / projection / wildcard  (SURVEY §2.1 #1-2, §2.2 #12)
+# ---------------------------------------------------------------------------
+
+@q("scan_region", "SELECT * FROM region")
+def scan_region(spark, sf):
+    # bare Scan with no projection — mura's only wired SQL SELECT shape
+    # (queryplanner.rs:54-60 always emits full scan)
+    return table(spark, sf, "region")
+
+
+@q("projection_lineitem",
+   "SELECT l_orderkey, l_extendedprice FROM lineitem")
+def projection_lineitem(spark, sf):
+    # Projection node (logicalplan.rs:209-216); pushes into ReadSchema
+    return (PlanBuilder.from_df(table(spark, sf, "lineitem"))
+            .project(["l_orderkey", "l_extendedprice"]).build())
+
+
+@q("wildcard_lineitem", "SELECT * FROM lineitem")
+def wildcard_lineitem(spark, sf):
+    # Wildcard expansion (logicalplan.rs:406-418)
+    return PlanBuilder.from_df(table(spark, sf, "lineitem")).project(["*"]).build()
+
+
+# ---------------------------------------------------------------------------
+# parity: selection, one query per Operator variant (logicalplan.rs:132-149)
+# ---------------------------------------------------------------------------
+
+@q("filter_eq",
+   "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+   "WHERE c_mktsegment = 'BUILDING'")
+def filter_eq(spark, sf):
+    return (table(spark, sf, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@q("filter_noteq",
+   "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'")
+def filter_noteq(spark, sf):
+    return (table(spark, sf, "orders")
+            .filter(F.col("o_orderstatus") != "F")
+            .select("o_orderkey", "o_orderstatus"))
+
+
+@q("filter_lt",
+   "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+   "WHERE l_quantity < 10")
+def filter_lt(spark, sf):
+    return (table(spark, sf, "lineitem")
+            .filter(F.col("l_quantity") < 10)
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+@q("filter_lteq",
+   "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem "
+   "WHERE l_discount <= 0.02")
+def filter_lteq(spark, sf):
+    return (table(spark, sf, "lineitem")
+            .filter(F.col("l_discount") <= 0.02)
+            .select("l_orderkey", "l_linenumber", "l_discount"))
+
+
+@q("filter_gt",
+   "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000")
+def filter_gt(spark, sf):
+    return (table(spark, sf, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey", "o_totalprice"))
+
+
+@q("filter_gteq",
+   "SELECT l_orderkey, l_linenumber, l_tax FROM lineitem WHERE l_tax >= 0.07")
+def filter_gteq(spark, sf):
+    return (table(spark, sf, "lineitem")
+            .filter(F.col("l_tax") >= 0.07)
+            .select("l_orderkey", "l_linenumber", "l_tax"))
+
+
+@q("filter_and_or",
+   "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority "
+   "FROM orders WHERE (o_orderstatus = 'F' AND o_totalprice > 300000) "
+   "OR o_orderpriority = '1-URGENT'")
+def filter_and_or(spark, sf):
+    return (table(spark, sf, "orders")
+            .filter(((F.col("o_orderstatus") == "F")
+                     & (F.col("o_totalprice") > 300000))
+                    | (F.col("o_orderpriority") == "1-URGENT"))
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    "o_orderpriority"))
+
+
+@q("filter_not",
+   "SELECT c_custkey, c_acctbal FROM customer WHERE NOT (c_acctbal < 0)")
+def filter_not(spark, sf):
+    return (table(spark, sf, "customer")
+            .filter(~(F.col("c_acctbal") < 0))
+            .select("c_custkey", "c_acctbal"))
+
+
+@q("filter_isnull",
+   "SELECT doc_id, NULLIF(lang, 'en') AS lang_or_null FROM documents "
+   "WHERE NULLIF(lang, 'en') IS NULL")
+def filter_isnull(spark, sf):
+    # test data has no stored NULLs (FIXTURES.md) — synthesize via NULLIF so
+    # IS NULL filters a real null-bearing column
+    d = table(spark, sf, "documents").withColumn(
+        "lang_or_null", F.nullif(F.col("lang"), F.lit("en")))
+    return (d.filter(F.col("lang_or_null").isNull())
+             .select("doc_id", "lang_or_null"))
+
+
+@q("filter_isnotnull",
+   "SELECT doc_id, NULLIF(lang, 'en') AS lang_or_null FROM documents "
+   "WHERE NULLIF(lang, 'en') IS NOT NULL")
+def filter_isnotnull(spark, sf):
+    d = table(spark, sf, "documents").withColumn(
+        "lang_or_null", F.nullif(F.col("lang"), F.lit("en")))
+    return (d.filter(F.col("lang_or_null").isNotNull())
+             .select("doc_id", "lang_or_null"))
+
+
+# ---------------------------------------------------------------------------
+# parity: cast / sort / limit / empty / create-table
+# ---------------------------------------------------------------------------
+
+@q("cast_types",
+   "SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS qty_int, "
+   "CAST(l_orderkey AS VARCHAR) AS okey_str, "
+   "CAST(l_linenumber AS BIGINT) AS line_big, "
+   "CAST(l_quantity AS SMALLINT) AS qty_small "
+   "FROM lineitem WHERE l_linenumber = 1")
+def cast_types(spark, sf):
+    # Cast across the reference DDL type table (queryplanner.rs:176-191);
+    # l_quantity is integral in the data so double→int is rounding-free in
+    # both engines.
+    li = table(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("okey_str"),
+        F.col("l_linenumber").cast("bigint").alias("line_big"),
+        F.col("l_quantity").cast("smallint").alias("qty_small"))
+
+
+@q("sort_limit_topk",
+   "SELECT o_orderkey, o_totalprice FROM orders "
+   "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50")
+def sort_limit_topk(spark, sf):
+    # Sort + Limit (logicalplan.rs:225-232, 251-259) → TakeOrderedAndProject;
+    # unique-key tiebreak keeps the top-50 set deterministic
+    return topk(table(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+                [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 50)
+
+
+@q("empty_relation",
+   "SELECT CAST(NULL AS INTEGER) AS id, CAST(NULL AS VARCHAR) AS name "
+   "WHERE 1 = 0")
+def empty_relation(spark, sf):
+    # EmptyRelation leaf (logicalplan.rs:246-250)
+    schema = T.StructType([T.StructField("id", T.IntegerType()),
+                           T.StructField("name", T.StringType())])
+    return PlanBuilder.empty(spark, schema).build()
+
+
+@q("create_table_roundtrip", "SELECT s_suppkey, s_name, s_acctbal FROM supplier")
+def create_table_roundtrip(spark, sf):
+    # CREATE EXTERNAL TABLE ... STORED AS PARQUET LOCATION (queryplanner.rs:
+    # 73-95) then SELECT back through the session catalog — the flow the
+    # reference's empty DummySchemaCatalog could never complete (main.rs:41)
+    from mura_spark.session import MuraSession
+    ms = MuraSession(spark)
+    ms.create_external_table("suite_supplier", f"{sf}/supplier.parquet")
+    return ms.sql("SELECT s_suppkey, s_name, s_acctbal FROM suite_supplier")
+
+
+# ---------------------------------------------------------------------------
+# additions beyond the eight reference operators: arithmetic, IN/BETWEEN/LIKE,
+# CASE, scalar string/date functions (all rejected or absent in the reference
+# — queryplanner.rs:131, SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@q("arithmetic_expr",
+   "SELECT l_orderkey, l_linenumber, "
+   "l_extendedprice * (1 - l_discount) AS disc_price, "
+   "l_quantity + l_tax AS q_plus_t, "
+   "l_extendedprice / l_quantity AS unit_price, "
+   "CAST(l_orderkey % 7 AS BIGINT) AS okey_mod "
+   "FROM lineitem WHERE l_quantity >= 30")
+def arithmetic_expr(spark, sf):
+    # per-row IEEE double arithmetic — deterministic, no aggregation
+    li = table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 30)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (F.col("l_quantity") + F.col("l_tax")).alias("q_plus_t"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("okey_mod"))
+
+
+@q("in_between_like",
+   "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+   "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
+   "AND o_totalprice BETWEEN 100000 AND 200000 "
+   "AND CAST(o_orderkey AS VARCHAR) LIKE '%7'")
+def in_between_like(spark, sf):
+    return (table(spark, sf, "orders")
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                    & F.col("o_totalprice").between(100000, 200000)
+                    & F.col("o_orderkey").cast("string").like("%7"))
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+
+
+@q("case_when_buckets",
+   "SELECT CASE WHEN o_totalprice < 100000 THEN 'low' "
+   "WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket, "
+   "COUNT(*) AS n FROM orders GROUP BY 1")
+def case_when_buckets(spark, sf):
+    bucket = (F.when(F.col("o_totalprice") < 100000, "low")
+               .when(F.col("o_totalprice") < 300000, "mid")
+               .otherwise("high")).alias("bucket")
+    return (table(spark, sf, "orders").select(bucket)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("scalar_functions",
+   "SELECT o_orderkey, upper(o_orderpriority) AS prio_upper, "
+   "length(o_orderpriority) AS prio_len, substr(o_orderpriority, 1, 1) AS prio_code, "
+   "concat(o_orderstatus, '-', o_orderpriority) AS status_prio, "
+   "year(o_orderdate) AS order_year, month(o_orderdate) AS order_month, "
+   "abs(o_totalprice - 200000) AS dist_from_200k, "
+   "floor(o_totalprice) AS price_floor, ceil(o_totalprice) AS price_ceil "
+   "FROM orders WHERE o_orderkey < 1000")
+def scalar_functions(spark, sf):
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"),
+                 F.col("o_orderpriority")).alias("status_prio"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.abs(F.col("o_totalprice") - 200000).alias("dist_from_200k"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"))
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: aggregation (the operation the reference rejects, logicalplan.rs:88)
+# ---------------------------------------------------------------------------
+
+@q("q1_pricing_summary",
+   "SELECT l_returnflag, l_linestatus, "
+   f"{sql_dsum('l_quantity')} AS sum_qty, "
+   f"{sql_dsum('l_extendedprice')} AS sum_base_price, "
+   "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, "
+   "CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, "
+   f"{sql_davg('l_quantity')} AS avg_qty, "
+   f"{sql_davg('l_extendedprice')} AS avg_price, "
+   f"{sql_davg('l_discount')} AS avg_disc, "
+   "COUNT(*) AS count_order "
+   "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+   "GROUP BY l_returnflag, l_linestatus")
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape — the flagship aggregation. All money sums run in
+    exact decimal (order-independent) and surface as double."""
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(18,2)")
+    tax_d = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = (price_d * (1 - disc_d)).cast("decimal(18,4)")
+    charge = (disc_price * (1 + tax_d)).cast("decimal(18,6)")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order")))
+
+
+@q("agg_stats",
+   "SELECT l_returnflag, COUNT(*) AS n, "
+   "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, "
+   "COUNT(DISTINCT l_partkey) AS n_parts, "
+   f"{sql_dsum('l_extendedprice')} AS sum_price "
+   "FROM lineitem GROUP BY l_returnflag")
+def agg_stats(spark, sf):
+    return (table(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        dsum("l_extendedprice").alias("sum_price")))
+
+
+@q("agg_having",
+   "SELECT l_partkey, COUNT(*) AS n_lines FROM lineitem "
+   "GROUP BY l_partkey HAVING COUNT(*) >= 40")
+def agg_having(spark, sf):
+    return (table(spark, sf, "lineitem").groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"))
+            .filter(F.col("n_lines") >= 40))
+
+
+@q("distinct_flags",
+   "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def distinct_flags(spark, sf):
+    return (PlanBuilder.from_df(
+        table(spark, sf, "lineitem").select("l_returnflag", "l_linestatus"))
+        .distinct().build())
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: joins (no join of any kind exists in the reference — SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@q("q3_shipping_priority",
+   "SELECT l_orderkey, "
+   "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+   "o_orderdate, o_orderpriority "
+   "FROM customer JOIN orders ON c_custkey = o_custkey "
+   "JOIN lineitem ON l_orderkey = o_orderkey "
+   "WHERE c_mktsegment = 'BUILDING' "
+   "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+   "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+   "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10")
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: selective dim side broadcast, fact side streamed."""
+    cust = F.broadcast(table(spark, sf, "customer")
+                       .filter(F.col("c_mktsegment") == "BUILDING")
+                       .select("c_custkey"))
+    orders = (table(spark, sf, "orders")
+              .filter(F.col("o_orderdate")
+                      < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    li = table(spark, sf, "lineitem")
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,2)")
+                  * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                  ).cast("decimal(18,4)")
+    joined = (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+                  .join(li, F.col("l_orderkey") == F.col("o_orderkey")))
+    agg = (joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+                 .agg(F.sum(disc_price).cast("double").alias("revenue")))
+    return topk(agg.select("l_orderkey", "revenue", "o_orderdate",
+                           "o_orderpriority"),
+                [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10)
+
+
+@q("q5_region_volume",
+   "SELECT n_name, "
+   "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue "
+   "FROM customer JOIN orders ON c_custkey = o_custkey "
+   "JOIN lineitem ON l_orderkey = o_orderkey "
+   "JOIN supplier ON l_suppkey = s_suppkey "
+   "JOIN nation ON s_nationkey = n_nationkey "
+   "JOIN region ON n_regionkey = r_regionkey "
+   "WHERE r_name = 'ASIA' GROUP BY n_name")
+def q5_region_volume(spark, sf):
+    """TPC-H Q5 shape: star join — every dimension broadcast, single shuffle
+    for the final aggregation."""
+    cust = table(spark, sf, "customer").select("c_custkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = F.broadcast(table(spark, sf, "supplier")
+                       .select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(table(spark, sf, "nation"))
+    region = F.broadcast(table(spark, sf, "region")
+                         .filter(F.col("r_name") == "ASIA"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,2)")
+                  * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                  ).cast("decimal(18,4)")
+    joined = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+                .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(region, F.col("n_regionkey") == F.col("r_regionkey")))
+    return joined.groupBy("n_name").agg(
+        F.sum(disc_price).cast("double").alias("revenue"))
+
+
+@q("join_left_outer",
+   "SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders "
+   "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+   "GROUP BY c_custkey, c_name")
+def join_left_outer(spark, sf):
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    return (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey", "c_name")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@q("join_semi",
+   "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+   "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+   "AND o_totalprice > 400000)")
+def join_semi(spark, sf):
+    cust = table(spark, sf, "customer")
+    big = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (cust.join(big, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_semi")
+                .select("c_custkey", "c_name"))
+
+
+@q("join_anti",
+   "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+   "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)")
+def join_anti(spark, sf):
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    return (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+                .select("c_custkey", "c_name"))
+
+
+@q("join_cross_small",
+   "SELECT r_name, n_name FROM region CROSS JOIN nation")
+def join_cross_small(spark, sf):
+    return (table(spark, sf, "region").select("r_name")
+            .crossJoin(table(spark, sf, "nation").select("n_name")))
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: set operations (absent from reference — queryplanner.rs:69 rejects)
+# ---------------------------------------------------------------------------
+
+@q("setop_union",
+   "SELECT c_custkey FROM customer WHERE c_acctbal > 9000 "
+   "UNION SELECT o_custkey AS c_custkey FROM orders "
+   "WHERE o_totalprice > 450000")
+def setop_union(spark, sf):
+    rich = (table(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+            .select("c_custkey"))
+    big = (table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+           .select(F.col("o_custkey").alias("c_custkey")))
+    return rich.union(big).distinct()
+
+
+@q("setop_intersect",
+   "SELECT c_custkey FROM customer WHERE c_acctbal > 5000 "
+   "INTERSECT SELECT o_custkey AS c_custkey FROM orders "
+   "WHERE o_orderpriority = '1-URGENT'")
+def setop_intersect(spark, sf):
+    a = (table(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+         .select("c_custkey"))
+    b = (table(spark, sf, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return a.intersect(b)
+
+
+@q("setop_except",
+   "SELECT c_custkey FROM customer "
+   "EXCEPT SELECT o_custkey AS c_custkey FROM orders "
+   "WHERE o_orderstatus = 'O'")
+def setop_except(spark, sf):
+    a = table(spark, sf, "customer").select("c_custkey")
+    b = (table(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: window functions (absent from reference — SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@q("window_topk_per_group",
+   "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+   "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+   "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank "
+   "FROM orders) WHERE rank <= 3")
+def window_topk_per_group(spark, sf):
+    return topk_per_group(
+        table(spark, sf, "orders").select("o_custkey", "o_orderkey",
+                                          "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3)
+
+
+@q("window_running_sum",
+   "SELECT o_custkey, o_orderkey, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+   "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+   "AS running_total FROM orders")
+def window_running_sum(spark, sf):
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (table(spark, sf, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .over(w).cast("double").alias("running_total")))

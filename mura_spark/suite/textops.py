@@ -1,0 +1,93 @@
+"""Text-analysis queries over the documents table (north-star extension).
+
+Each Spark query is built from mura_spark.functions.text; each oracle is the
+literal ANSI-SQL rendering of the same arithmetic, so the comparison pins
+the *functions*, not just the queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mura_spark.functions import text as TX
+from mura_spark.suite.common import sql_tokens, table
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+_TOKS = sql_tokens("text")
+
+
+@q("text_token_stats",
+   f"SELECT doc_id, len({_TOKS}) AS n_tokens, "
+   f"len(list_distinct({_TOKS})) AS n_distinct, "
+   "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) "
+   "AS n_bpe_ish FROM documents")
+def text_token_stats(spark, sf):
+    d = table(spark, sf, "documents")
+    t = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"))
+
+
+@q("text_quality",
+   f"SELECT doc_id, "
+   f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) "
+   "AS distinct_ratio, "
+   f"CAST(length(replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', '')) AS DOUBLE) "
+   f"/ len({_TOKS}) AS avg_token_len, "
+   f"CAST(len(list_filter({_TOKS}, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
+   f"/ len({_TOKS}) AS stopword_ratio "
+   "FROM documents")
+def text_quality(spark, sf):
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.distinct_token_ratio(F.col("text")).alias("distinct_ratio"),
+        TX.avg_token_len(F.col("text")).alias("avg_token_len"),
+        TX.stopword_ratio(F.col("text")).alias("stopword_ratio"))
+
+
+def _langid_oracle() -> str:
+    score = {lang: (f"len(list_filter({_TOKS}, t -> list_contains("
+                    f"[{', '.join(repr(w) for w in words)}], t)))")
+             for lang, words in TX.LANG_STOPWORDS.items()}
+    m = "greatest(" + ", ".join(score.values()) + ")"
+    cases = " ".join(f"WHEN {score[lang]} = {m} THEN '{lang}'"
+                     for lang in sorted(score))
+    return (f"SELECT doc_id, lang AS lang_declared, "
+            f"CASE WHEN {m} = 0 THEN 'und' {cases} ELSE 'und' END "
+            f"AS lang_pred FROM documents")
+
+
+@q("text_langid", _langid_oracle())
+def text_langid(spark, sf):
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", F.col("lang").alias("lang_declared"),
+                    TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q("text_fingerprint",
+   f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) "
+   "AS fingerprint, "
+   f"CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 12) AS BIGINT) "
+   "AS content_hash FROM documents")
+def text_fingerprint(spark, sf):
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+        TX.rolling_hash(F.col("text")).alias("content_hash"))

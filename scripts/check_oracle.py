@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column names,
+and order-insensitive values. Usage::
+
+    python scripts/check_oracle.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.01 and all queries.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+    if v is None:
+        return None
+    if isinstance(v, (bool,)):
+        return bool(v)
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [c for _, c in sorted(zip(cols, cols))], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    import __spark_entry__ as entrymod
+    from mura_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    n_pass = n_fail = n_rowsonly = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            n_rowsonly += 1
+            print(f"rows-only {name}: {len(srows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        _, s_n = norm_rows(scols, srows)
+        _, o_n = norm_rows(ocols, orows)
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        ok_vals = s_n == o_n
+        if ok_cols and ok_count and ok_vals:
+            n_pass += 1
+            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: cols_match={ok_cols} "
+                  f"count {len(srows)} vs {len(orows)} vals_match={ok_vals}")
+            if ok_cols and ok_count and not ok_vals:
+                diffs = [(a, b) for a, b in zip(s_n, o_n) if a != b][:3]
+                for a, b in diffs:
+                    print(f"   spark : {a}\n   oracle: {b}")
+            elif not ok_cols:
+                print(f"   spark cols : {sorted(scols)}")
+                print(f"   oracle cols: {sorted(ocols)}")
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    if failures:
+        print("failures:", " ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
