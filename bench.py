@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side materialization cost). Timings are per-query wall clock after a
+shared session warm-up query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+#: Headline set: the flagship aggregation, join-heavy TPC-H shapes, window
+#: functions, every dedup family, ANN, and the event-stream batch queries.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "agg_stats",
+    "join_left_outer",
+    "window_topk_per_group",
+    "window_running_sum",
+    "projection_lineitem",
+    "filter_lt",
+    "text_token_stats",
+    "text_langid",
+    "dedup_exact_groups",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+    "ann_topk_bruteforce",
+    "events_window_hourly",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mura_spark.session import get_spark
+    from mura_spark.suite import SPARK_QUERIES
+
+    spark = get_spark("mura-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths once (not timed)
+    SPARK_QUERIES["scan_region"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    out = {
+        "metric": "total wall-clock sec for headline query set (noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

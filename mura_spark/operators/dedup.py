@@ -3,28 +3,32 @@
 Four families, all shuffle-disciplined for the 100 TB case:
 
 - **exact** — hash-groupBy on a content key. One shuffle, map-side partial
-  aggregation; the key is a 48-bit portable hash (collision-checked variant
-  keeps the full MD5).
+  aggregation; the key is a portable MD5-derived hash.
 - **n-gram Jaccard** — exact set-similarity self-join with *lossless*
-  blocking: candidate pairs must share a shingle (any pair with J ≥ t > 0
-  shares one), plus optional AllPairs-style prefix filtering (Bayardo et al.,
-  WWW'07) under a global shingle order to shrink the candidate space while
-  preserving exactness.
+  pruning: candidate pairs must share a shingle (any pair with J ≥ t > 0
+  shares one), plus the AllPairs prefix filter (Bayardo et al., WWW'07)
+  under a global shingle order, plus the length filter
+  (min(|a|,|b|) ≥ ⌈t·max(|a|,|b|)⌉, since J ≤ min/max). All three preserve
+  exactness while shrinking the candidate space.
 - **MinHash-LSH** — k=32 permutations, 16 bands × 2 rows, candidates from
   band-bucket equi-joins, then *exact* Jaccard verification of candidates.
   Miss probability per true pair at J ≥ 0.8 is < 1e-11, so on any realistic
   data the verified output equals the brute-force answer.
 - **SimHash** — 48-bit signatures over shingle hashes; banded into
   ``hd_max + 1`` segments so any pair within Hamming distance ``hd_max``
-  shares a whole band (pigeonhole) → blocking is lossless, then the exact
-  Hamming filter runs only on bucket-mates.
+  shares a whole band (pigeonhole) → blocking is lossless; the Hamming
+  filter runs *before* the pair-dedup so the distinct only sees survivors.
+
+Verification strategy: candidates carry doc ids only; exact Jaccard is then
+computed by joining each side to the per-doc shingle *array* and taking
+``array_intersect`` sizes — two hash joins + an O(|set|) per-pair kernel,
+instead of re-exploding and re-aggregating the full corpus.
 
 Scale notes: every self-join here is an equi-join on a derived key (shingle /
 band bucket), so Spark shuffles both sides on that key — no cross joins, no
 driver collects. Skewed buckets (a shingle shared by millions of docs) are
-the classic hazard; ``max_bucket_size`` drops pathological buckets the same
-way production MinHash pipelines do, and AQE skew-join splitting handles
-moderate skew.
+the classic hazard; AQE skew-join splitting handles moderate skew, and the
+prefix/length filters bound the quadratic blowup frequent shingles cause.
 """
 
 from __future__ import annotations
@@ -37,7 +41,6 @@ from mura_spark.functions.hashing import (
     BANDS,
     MINHASH_SEEDS,
     MERSENNE_P,
-    NUM_PERM,
     ROWS_PER_BAND,
     SIMHASH_BITS,
     md5_hash48,
@@ -69,41 +72,47 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
 # shingle machinery shared by jaccard / minhash / simhash
 # --------------------------------------------------------------------------
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct word-n-gram table + per-doc count.
-
-    Columns: ``id_col``, ``shingle`` (string), ``n_shingles`` (per-doc
-    distinct count). This is the one explode in the pipeline; everything
-    downstream is equi-joins/groupBys on its columns.
-    """
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """(id, shset: array<string> of distinct word-n-grams, n_shingles)."""
     sh = df.select(
         F.col(id_col),
         TX.shingles(TX.tokens(F.col(text_col)), n).alias("shset"))
-    return (sh.select(id_col, F.size("shset").alias("n_shingles"),
-                      F.explode("shset").alias("shingle")))
+    return sh.withColumn("n_shingles", F.size("shset"))
 
 
-def _pair_jaccard(sh: DataFrame, id_col: str,
-                  candidates: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for pairs sharing ≥1 shingle (optionally restricted to
-    a candidate pair set). Returns (id_a, id_b, inter, n_a, n_b, jaccard)."""
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"),
-                  "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"),
-                  "shingle")
-    joined = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
-    if candidates is not None:
-        joined = joined.join(candidates, ["id_a", "id_b"], "left_semi")
-    inter = (joined.groupBy("id_a", "id_b", "n_a", "n_b")
-                   .agg(F.count(F.lit(1)).alias("inter")))
-    return inter.withColumn(
-        "jaccard",
-        F.col("inter").cast("double") /
-        (F.col("n_a") + F.col("n_b") - F.col("inter")))
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, n_shingles, shingle) exploded form — the one explode in the
+    pipeline; everything downstream is equi-joins/groupBys on its columns."""
+    return (shingle_sets(df, id_col, text_col, n)
+            .select(id_col, "n_shingles", F.explode("shset").alias("shingle")))
+
+
+def _length_compatible(threshold: float) -> Column:
+    """Lossless size prune: J(a,b) ≤ min/max ⇒ J ≥ t requires
+    min ≥ ceil(t·max)."""
+    lo = F.least(F.col("n_a"), F.col("n_b"))
+    hi = F.greatest(F.col("n_a"), F.col("n_b"))
+    return lo >= F.ceil(F.lit(threshold) * hi)
+
+
+def _verify_jaccard(sets: DataFrame, id_col: str,
+                    candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard for (id_a, id_b) candidate pairs via per-doc shingle
+    arrays: two equi-joins + array_intersect. Returns
+    (id_a, id_b, jaccard)."""
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
+    paired = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return paired.select(
+        "id_a", "id_b",
+        (inter.cast("double") / union).alias("jaccard"))
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard set-similarity join (exact, lossless blocking)
+# n-gram Jaccard set-similarity join (exact, lossless pruning)
 # --------------------------------------------------------------------------
 
 def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -111,30 +120,47 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                       prefix_filter: bool = True) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold — *exact* result.
 
-    Blocking is the shared-shingle equi-join (lossless for t > 0). With
-    ``prefix_filter`` the join probes only each doc's AllPairs prefix
-    (|d| - ceil(t·|d|) + 1 shingles under a global hash order), which keeps
-    the result exact while cutting candidate pairs by ~t² on skew-free data.
-    Output: (id_a, id_b, jaccard).
+    Candidates come from the shared-shingle equi-join (lossless for t > 0);
+    with ``prefix_filter`` the join probes only each doc's AllPairs prefix
+    (|d| - ceil(t·|d|) + 1 shingles under a global hash order), and the
+    length filter prunes size-incompatible pairs — both exactness-
+    preserving. Output: (id_a, id_b, jaccard).
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # Materialize the shingle computation once: the candidate join reads it
+    # twice and verification twice more; recomputing the tokenize+shingle
+    # expression per consumer would dominate the runtime. MEMORY_AND_DISK —
+    # at scale this spills rather than OOMs (the classic shape: production
+    # MinHash pipelines checkpoint the shingle/signature table).
+    sets = shingle_sets(df, id_col, text_col, n).persist()
     if prefix_filter:
-        from pyspark.sql.window import Window
-        w = (Window.partitionBy(id_col)
-                   .orderBy(md5_hash48(F.col("shingle")), F.col("shingle")))
-        ranked = sh.withColumn("pos", F.row_number().over(w))
+        # AllPairs prefix computed inside the array (sort by the global
+        # hash order, slice |d| - ceil(t·|d|) + 1) — a narrow map, no
+        # window shuffle over the exploded corpus.
+        ordered = F.transform(
+            F.array_sort(F.transform(
+                F.col("shset"),
+                lambda s: F.struct(md5_hash48(s).alias("h"),
+                                   s.alias("s")))),
+            lambda p: p["s"])
         prefix_len = (F.col("n_shingles")
                       - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
-        probe = ranked.filter(F.col("pos") <= prefix_len).drop("pos")
-        a = probe.select(F.col(id_col).alias("id_a"), "shingle")
-        b = probe.select(F.col(id_col).alias("id_b"), "shingle")
-        cand = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b").distinct())
-        pairs = _pair_jaccard(sh, id_col, candidates=cand)
+        probe = (sets.select(
+            id_col, "n_shingles",
+            F.explode(F.slice(ordered, F.lit(1),
+                              prefix_len.cast("int"))).alias("shingle")))
     else:
-        pairs = _pair_jaccard(sh, id_col)
-    return (pairs.filter(F.col("jaccard") >= threshold)
-                 .select("id_a", "id_b", "jaccard"))
+        probe = sets.select(id_col, "n_shingles",
+                            F.explode("shset").alias("shingle"))
+    a = probe.select(F.col(id_col).alias("id_a"),
+                     F.col("n_shingles").alias("n_a"), "shingle")
+    b = probe.select(F.col(id_col).alias("id_b"),
+                     F.col("n_shingles").alias("n_b"), "shingle")
+    cand = (a.join(b, "shingle")
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & _length_compatible(threshold))
+             .select("id_a", "id_b").distinct())
+    verified = _verify_jaccard(sets, id_col, cand)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------
@@ -176,12 +202,15 @@ def minhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     candidates are verified exactly, precision is 1.0; recall at J ≥ 0.8
     with 16×2 banding is 1 - ~1e-11 per pair.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n)
+    sets = shingle_sets(df, id_col, text_col, n).persist()
+    sh = sets.select(id_col, "n_shingles", F.explode("shset").alias("shingle"))
+    h = (md5_hash48(F.col("shingle")) % MERSENNE_P).alias("h")
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(MINHASH_SEEDS)]
+    sigs = sh.select(id_col, h).groupBy(id_col).agg(*aggs)
     cand = minhash_candidate_pairs(sigs, id_col)
-    sh = shingle_table(df, id_col, text_col, n)
-    verified = _pair_jaccard(sh, id_col, candidates=cand)
-    return (verified.filter(F.col("jaccard") >= threshold)
-                    .select("id_a", "id_b", "jaccard"))
+    verified = _verify_jaccard(sets, id_col, cand)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------
@@ -212,7 +241,9 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Blocking: split the signature into ``hd_max + 1`` bit-segments; a pair
     with ≤ hd_max differing bits must agree on ≥1 whole segment (pigeonhole),
-    so the segment equi-join is lossless. Output: (id_a, id_b, hamming).
+    so the segment equi-join is lossless. The Hamming filter runs on the raw
+    join output; only survivors reach the pair-distinct.
+    Output: (id_a, id_b, hamming).
     """
     sigs = simhash_signatures(df, id_col, text_col, n)
     n_bands = hd_max + 1
@@ -228,9 +259,10 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                         F.col("simhash").alias("sig_a"), "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"),
                         F.col("simhash").alias("sig_b"), "band_key")
-    pairs = (a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b",
-                      F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-                       .alias("hamming"))
-              .distinct())
-    return pairs.filter(F.col("hamming") <= hd_max)
+    return (a.join(b, "band_key")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                      .alias("hamming"))
+             .filter(F.col("hamming") <= hd_max)
+             .distinct())

@@ -26,11 +26,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mura_spark.functions.vectors import cosine, dot, normalize_unit
+from mura_spark.functions.vectors import cosine, dot, norm
 
 #: Hyperplane count for sign-LSH (signature bits). 16 bits / 4 bands of 4.
 LSH_PLANES = 16
 LSH_BANDS = 4
+
+
+def _paired_cosine(dot_col, norm_a, norm_b):
+    """cosine from a pair dot + precomputed per-row norms. Identical
+    arithmetic to functions.vectors.cosine (dot / (sqrt·sqrt), clamped) —
+    precomputing the norms changes the *cost* (1 array traversal per pair
+    instead of 3), not the values, so oracle bit-exactness is preserved."""
+    denom = norm_a * norm_b
+    raw = F.when(denom == 0, F.lit(0.0)).otherwise(dot_col / denom)
+    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
 
 
 def _hyperplanes(dim: int, count: int = LSH_PLANES,
@@ -51,13 +61,16 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
     neighbor id for determinism. Output: (query_id, neighbor_id, rank, sim).
     """
     q = F.broadcast(queries.select(F.col(query_id).alias("__qid"),
-                                   F.col(vec_col).alias("__qvec")))
+                                   F.col(vec_col).alias("__qvec"),
+                                   norm(F.col(vec_col)).alias("__qn")))
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cvec"))
+                      F.col(vec_col).alias("__cvec"),
+                      norm(F.col(vec_col)).alias("__cn"))
     scored = q.join(c).select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("sim"))
+        _paired_cosine(dot(F.col("__qvec"), F.col("__cvec")),
+                       F.col("__qn"), F.col("__cn")).alias("sim"))
     w = (Window.partitionBy(query_id)
                .orderBy(F.col("sim").desc(), F.col("neighbor_id").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -120,8 +133,10 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
     then exact cosine verification — near-exact at scale (recall tested
     against the exact path). Output: (id_a, id_b, sim).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                  norm(F.col(vec_col)).alias("__na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                  norm(F.col(vec_col)).alias("__nb"))
     if method == "exact":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
@@ -129,14 +144,19 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
         planes = _hyperplanes(dim, LSH_PLANES)
         ea = (df.select(F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("__va"),
+                        norm(F.col(vec_col)).alias("__na"),
                         F.explode(_signature(df, vec_col, planes)).alias("bk")))
         eb = (df.select(F.col(id_col).alias("id_b"),
                         F.col(vec_col).alias("__vb"),
+                        norm(F.col(vec_col)).alias("__nb"),
                         F.explode(_signature(df, vec_col, planes)).alias("bk")))
         pairs = (ea.join(eb, "bk").filter(F.col("id_a") < F.col("id_b"))
-                   .select("id_a", "id_b", "__va", "__vb").distinct())
+                   .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
+                   .distinct())
     else:
         raise ValueError(f"unknown method {method!r}")
     return (pairs.select("id_a", "id_b",
-                         cosine(F.col("__va"), F.col("__vb")).alias("sim"))
+                         _paired_cosine(dot(F.col("__va"), F.col("__vb")),
+                                        F.col("__na"), F.col("__nb"))
+                         .alias("sim"))
                  .filter(F.col("sim") >= threshold))

@@ -1,0 +1,93 @@
+"""Expression-surface tests: the reference's Operator enum, null tests,
+casts, and type tables (SURVEY.md §1.3/§2.2)."""
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from mura_spark import expressions as E
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "x", None), (2, 20.0, "y", "v"), (3, None, "x", "w")],
+        T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("n", T.StringType()),
+        ]))
+
+
+@pytest.mark.parametrize("op,rhs,expected", [
+    ("Eq", 2, [2]), ("NotEq", 2, [1, 3]), ("Lt", 3, [1, 2]),
+    ("LtEq", 2, [1, 2]), ("Gt", 1, [2, 3]), ("GtEq", 2, [2, 3]),
+])
+def test_comparison_operators(df, op, rhs, expected):
+    out = df.filter(E.binary_expr(E.col("k"), op, E.lit(rhs)))
+    assert sorted(r.k for r in out.collect()) == expected
+
+
+def test_and_or_not(df):
+    cond = E.binary_expr(
+        E.binary_expr(E.col("k"), "Gt", E.lit(1)), "And",
+        E.binary_expr(E.col("s"), "Eq", E.lit("x")))
+    assert [r.k for r in df.filter(cond).collect()] == [3]
+    cond_or = E.binary_expr(
+        E.binary_expr(E.col("k"), "Eq", E.lit(1)), "Or",
+        E.binary_expr(E.col("k"), "Eq", E.lit(3)))
+    assert sorted(r.k for r in df.filter(cond_or).collect()) == [1, 3]
+    assert sorted(r.k for r in df.filter(E.not_(cond_or)).collect()) == [2]
+
+
+def test_null_semantics_three_valued(df):
+    """NULL comparisons are UNKNOWN → filtered (SQL three-valued logic,
+    SURVEY.md §5 item 4)."""
+    assert sorted(r.k for r in
+                  df.filter(E.binary_expr(E.col("v"), "Gt", E.lit(5))).collect()
+                  ) == [1, 2]  # k=3 has v NULL → excluded
+    assert [r.k for r in df.filter(E.is_null(E.col("v"))).collect()] == [3]
+    assert sorted(r.k for r in
+                  df.filter(E.is_not_null(E.col("n"))).collect()) == [2, 3]
+
+
+def test_cast_ddl_types(df):
+    out = df.select(
+        E.cast(E.col("k"), "BIGINT").alias("b"),
+        E.cast(E.col("k"), "VARCHAR(10)").alias("s2"),
+        E.cast(E.col("v"), "INT").alias("i"))
+    row = out.filter(F.col("b") == 2).first()
+    assert row.b == 2 and row.s2 == "2" and row.i == 20
+    assert dict(out.dtypes) == {"b": "bigint", "s2": "string", "i": "int"}
+
+
+def test_ddl_type_table():
+    assert E.ddl_type("SMALLINT") == T.ShortType()
+    assert E.ddl_type("double") == T.DoubleType()
+    assert E.ddl_type("CHAR(4)") == T.StringType()
+    assert E.ddl_type("TIMESTAMP") == T.TimestampType()
+    assert E.ddl_type("decimal(12,3)") == T.DecimalType(12, 3)
+    with pytest.raises(ValueError):
+        E.ddl_type("NOT_A_TYPE")
+
+
+def test_unsigned_widening_table():
+    assert E.SCALAR_TYPES["UInt8"] == T.ShortType()
+    assert E.SCALAR_TYPES["UInt16"] == T.IntegerType()
+    assert E.SCALAR_TYPES["UInt32"] == T.LongType()
+    assert E.SCALAR_TYPES["UInt64"] == T.DecimalType(20, 0)
+
+
+def test_unknown_operator_rejected(df):
+    with pytest.raises(ValueError, match="Plus"):
+        E.binary_expr(E.col("k"), "Plus", E.lit(1))
+
+
+def test_scalar_function_dispatch(df):
+    out = df.select(E.scalar_function("upper", E.col("s")).alias("u"))
+    assert sorted(r.u for r in out.collect()) == ["X", "X", "Y"]
+
+
+def test_positional_column(df):
+    assert E.col_index(df, 2)._jc.toString().endswith("s")

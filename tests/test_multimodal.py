@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: schema, batch shape, null handling, and
+deterministic stub features (real decoders are stubbed per module docs)."""
+
+import pytest
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from mura_spark.multimodal import binary_ops as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"\x00" * 16, ("image", "image/png", 4, 4, None, None)),
+        (2, b"\xff" * 8, ("image", "image/png", 2, 2, None, None)),
+        (3, None, ("video", "video/mp4", 8, 8, None, 25)),
+        (4, bytes(range(256)), ("audio", "audio/wav", None, None, 16000, None)),
+    ]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("content_meta", MM.CONTENT_META_TYPE),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_extract_features_schema_and_shape(media):
+    out = MM.extract_features(media)
+    assert out.schema == MM.FEATURE_SCHEMA
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert all(len(r.features) == MM.FEATURE_DIM for r in rows.values())
+
+
+def test_feature_determinism_and_values(media):
+    rows = {r.id: r for r in MM.extract_features(media).collect()}
+    assert rows[1].features[0] == 1.0          # all bytes in bucket 0
+    assert rows[2].features[15] == 1.0         # all bytes in bucket 15
+    assert rows[3].n_bytes == 0 and rows[3].features == [0.0] * MM.FEATURE_DIM
+    assert all(abs(f - 1 / 16) < 1e-12 for f in rows[4].features)  # uniform
+    again = {r.id: r for r in MM.extract_features(media).collect()}
+    assert all(rows[i].features == again[i].features for i in rows)
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(media):
+    out = {r.id: r.sample_frames
+           for r in MM.frame_sample_plan(media, every_n=10).collect()}
+    assert out[3] == [0, 10, 20]   # 25 frames, every 10th
+    assert out[1] == []            # no frame count → empty plan

@@ -1,0 +1,120 @@
+"""Plan-builder parity tests, anchored to the reference's only unit test
+(test_simple_plan_builder, /root/reference/src/planner/logicalplan.rs:470-499)
+plus the plan-shape assertions SURVEY.md §5 calls for: pushdown and pruning
+must actually reach the Parquet scan — the rules the reference reserved
+slots for but never wired.
+"""
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from mura_spark import MuraSession, PlanBuilder
+from mura_spark import expressions as E
+
+EMPLOYEE_SCHEMA = T.StructType([
+    T.StructField("id", T.IntegerType(), False),
+    T.StructField("first_name", T.StringType(), False),
+    T.StructField("last_name", T.StringType(), False),
+    T.StructField("state", T.StringType(), False),
+    T.StructField("salary", T.IntegerType(), False),
+])
+
+EMPLOYEES = [
+    (1, "Ada", "Lovelace", "CO", 100),
+    (2, "Grace", "Hopper", "CA", 120),
+    (3, "Alan", "Turing", "CO", 90),
+    (4, "Edsger", "Dijkstra", "NY", 110),
+    (5, "Barbara", "Liskov", "CO", 130),
+]
+
+
+@pytest.fixture(scope="module")
+def employee(spark):
+    df = spark.createDataFrame(EMPLOYEES, EMPLOYEE_SCHEMA)
+    df.createOrReplaceTempView("employee")
+    return df
+
+
+def test_reference_plan_pipeline(employee):
+    """The reference test's pipeline: scan employee → filter state='CO' →
+    project id (logicalplan.rs:470-488) — executed, not just printed."""
+    out = (PlanBuilder.from_df(employee)
+           .filter(E.eq(E.col("state"), E.lit("CO")))
+           .project([E.col("id")])
+           .build())
+    assert out.columns == ["id"]
+    assert sorted(r.id for r in out.collect()) == [1, 3, 5]
+
+
+def test_full_verb_chain(employee):
+    out = (PlanBuilder.from_df(employee)
+           .filter(F.col("salary") >= 100)
+           .project([F.col("id"), F.col("salary")])
+           .sort(F.col("salary").desc())
+           .limit(2)
+           .build())
+    assert [(r.id, r.salary) for r in out.collect()] == [(5, 130), (2, 120)]
+
+
+def test_wildcard_expansion(employee):
+    out = PlanBuilder.from_df(employee).project(["*"]).build()
+    assert out.columns == employee.columns
+
+
+def test_empty_relation(spark):
+    b = PlanBuilder.empty(spark, EMPLOYEE_SCHEMA)
+    assert b.build().count() == 0
+    assert b.build().schema == EMPLOYEE_SCHEMA
+
+
+def test_aggregate_and_join(employee):
+    counts = (PlanBuilder.from_df(employee)
+              .aggregate([F.col("state")], [F.count(F.lit(1)).alias("n")])
+              .build())
+    got = {r.state: r.n for r in counts.collect()}
+    assert got == {"CO": 3, "CA": 1, "NY": 1}
+
+
+# ---- plan-shape assertions (SURVEY.md §5 item 1) ----
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet(session, sf_dir):
+    session.create_external_table("pp_lineitem", f"{sf_dir}/lineitem.parquet")
+    df = (session.scan("pp_lineitem")
+          .filter(F.col("l_quantity") < 5)
+          .project([F.col("l_orderkey")])
+          .build())
+    plan = _formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)]" in plan
+
+
+def test_projection_prunes_read_schema(session, sf_dir):
+    session.create_external_table("pp_li2", f"{sf_dir}/lineitem.parquet")
+    df = session.scan("pp_li2", projection=["l_orderkey", "l_tax"]).build()
+    plan = _formatted_plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_tax:double>" in plan
+
+
+def test_sort_limit_becomes_top_k(session, sf_dir):
+    session.create_external_table("pp_orders", f"{sf_dir}/orders.parquet")
+    df = (session.scan("pp_orders")
+          .sort(F.col("o_totalprice").desc())
+          .limit(5)
+          .build())
+    assert "TakeOrderedAndProject" in _formatted_plan(df)
+
+
+def test_broadcast_join_strategy(session, sf_dir):
+    session.create_external_table("pp_li3", f"{sf_dir}/lineitem.parquet")
+    session.create_external_table("pp_part", f"{sf_dir}/part.parquet")
+    df = (session.scan("pp_li3")
+          .join(PlanBuilder.from_df(session.table("pp_part")),
+                F.col("l_partkey") == F.col("p_partkey"),
+                broadcast_other=True)
+          .build())
+    assert "BroadcastHashJoin" in _formatted_plan(df)

@@ -1,0 +1,57 @@
+"""Structured Streaming tests: the streaming execution of the window
+operators must agree with their batch twins (batch/stream symmetry is the
+module's design contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mura_spark.streaming import windows as W
+from mura_spark.suite.common import table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def _run_stream(spark, stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_equals_batch(spark, events, sf_dir, tmp_path):
+    # stage the events as a parquet *directory* (file-source streams need one)
+    src = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src)
+    stream = W.read_events_stream(spark, src, events.schema)
+    assert stream.isStreaming
+    got = _run_stream(spark, W.tumbling_counts(stream, streaming=True),
+                      "stream_tumbling")
+    want = W.tumbling_counts(events)
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
+
+
+def test_streaming_session_window_counts(spark, events, tmp_path):
+    """session_window totals must cover every event exactly once, and the
+    per-user session event counts must match the batch lag/cumsum
+    sessionization."""
+    src = str(tmp_path / "events_stream2")
+    events.write.mode("overwrite").parquet(src)
+    stream = W.read_events_stream(spark, src, events.schema)
+    got = _run_stream(spark, W.sessionize_stream(stream, gap="30 minutes"),
+                      "stream_sessions")
+    batch = W.sessionize(events, gap="30 minutes")
+    g = sorted((r.user_id, r.session_start, r.n_events) for r in got.collect())
+    b = sorted((r.user_id, r.session_start, r.n_events) for r in batch.collect())
+    assert g == b
+
+
+def test_watermark_is_set(spark, events, tmp_path):
+    src = str(tmp_path / "events_stream3")
+    events.limit(10).write.mode("overwrite").parquet(src)
+    stream = W.read_events_stream(spark, src, events.schema)
+    agg = W.tumbling_counts(stream, watermark="1 hour", streaming=True)
+    assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()

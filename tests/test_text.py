@@ -1,0 +1,87 @@
+"""Text-function unit tests on hand-built strings (the oracle differential
+covers the full corpus; these pin edge semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mura_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick  brown fox"),
+        (2, "the the the a a of"),
+        (3, "der hund und die katze und der vogel"),
+        (4, "el perro y la casa de que"),
+        (5, "xyzzy plugh"),
+        (6, "one"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def _one(df, col, id_):
+    return df.filter(F.col("id") == id_).select(col.alias("v")).first().v
+
+
+def test_normalize_and_tokens(docs):
+    assert _one(docs, TX.normalize(F.col("text")), 1) == "the quick brown fox"
+    assert _one(docs, TX.token_count(F.col("text")), 1) == 4
+    assert _one(docs, TX.token_count(F.col("text")), 6) == 1
+
+
+def test_shingles_and_short_doc(docs):
+    sh = _one(docs, TX.shingles(TX.tokens(F.col("text")), 3), 1)
+    assert sorted(sh) == ["quick brown fox", "the quick brown"]
+    # doc shorter than n → single whole-text shingle
+    assert _one(docs, TX.shingles(TX.tokens(F.col("text")), 3), 6) == ["one"]
+
+
+def test_quality_metrics(docs):
+    assert _one(docs, TX.distinct_token_ratio(F.col("text")), 2) == 0.5
+    assert _one(docs, TX.stopword_ratio(F.col("text")), 2) == 1.0
+    assert _one(docs, TX.avg_token_len(F.col("text")), 6) == 3.0
+
+
+def test_punct_and_digit_ratio(spark):
+    df = spark.createDataFrame([(1, "ab, cd! 12")], ["id", "text"])
+    assert _one(df, TX.punct_ratio(F.col("text")), 1) == 0.2
+    assert _one(df, TX.digit_ratio(F.col("text")), 1) == 0.2
+
+
+def test_lang_id(docs):
+    assert _one(docs, TX.lang_id(F.col("text")), 1) == "en"
+    assert _one(docs, TX.lang_id(F.col("text")), 3) == "de"
+    assert _one(docs, TX.lang_id(F.col("text")), 4) == "es"
+    assert _one(docs, TX.lang_id(F.col("text")), 5) == "und"  # no stopwords
+
+
+def test_lang_id_tie_breaks_to_smallest_code(spark):
+    # 'la' is in both es and fr lists → tie → lexicographically smallest: es
+    df = spark.createDataFrame([(1, "la la")], ["id", "text"])
+    assert _one(df, TX.lang_id(F.col("text")), 1) == "es"
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta beta")],
+        ["id", "text"])
+    fps = [r.fp for r in
+           df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]  # same distinct-token set → same fingerprint
+
+
+def test_rolling_hash_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "Alpha  beta")],
+        ["id", "text"])
+    hs = {r.id: r.h for r in
+          df.select("id", TX.rolling_hash(F.col("text")).alias("h")).collect()}
+    assert hs[1] != hs[2]      # order-sensitive
+    assert hs[1] == hs[3]      # normalization-insensitive
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(1, "hello, world42!")], ["id", "text"])
+    # pieces: hello , world 42 ! → 5
+    assert _one(df, TX.bpe_ish_token_count(F.col("text")), 1) == 5
