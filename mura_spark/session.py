@@ -46,8 +46,9 @@ DEFAULT_CONF: dict[str, str] = {
 
 
 def _default_parallelism() -> int:
+    """Explicit SPARK_GRAFT_CPUS, else 0 (caller falls back to cpu count)."""
     try:
-        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+        return max(0, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
     except ValueError:
         return 0
 

@@ -29,6 +29,24 @@ def scan(spark: SparkSession, path: str, schema: StructType | None = None,
     return df
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan has fewer partitions than the
+    cluster has slots.
+
+    Single-row-group (or few-file) inputs scan as one task, which serializes
+    every downstream per-row computation onto one core; production pipelines
+    repartition right after such reads. Gated at runtime so it is a no-op at
+    scale, where inputs carry hundreds of thousands of splits and an extra
+    full shuffle would be the bug rather than the fix. Catalyst still pushes
+    filters and pruning through the Repartition node, so scan-side pushdown
+    is unaffected.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write(df: DataFrame, path: str, mode: str = "error",
           partition_by: list[str] | None = None,
           target_file_rows: int | None = None) -> None:

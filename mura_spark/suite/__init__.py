@@ -13,9 +13,16 @@ sorts columns by name before hashing).
 
 from __future__ import annotations
 
-from mura_spark.suite import dedup_q, events_q, relational, similarity_q, textops
+from mura_spark.suite import (
+    dedup_q,
+    events_q,
+    multimodal_q,
+    relational,
+    similarity_q,
+    textops,
+)
 
-_MODULES = [relational, textops, dedup_q, similarity_q, events_q]
+_MODULES = [relational, textops, dedup_q, similarity_q, events_q, multimodal_q]
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}

@@ -109,10 +109,9 @@ def dedup_simhash_pairs(spark, sf):
    "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
    "CAST(b.embedding AS DOUBLE[])) >= 0.4")
 def dedup_embedding_pairs(spark, sf):
-    """Embedding near-dup: cosine ≥ 0.4 over all pairs (exact method — the
-    oracle-checkable baseline; the LSH-blocked method is recall-tested in
-    pytest). DuckDB DOUBLE[] cosine is bit-identical to the Spark
-    zip_with/aggregate double accumulation (verified experimentally)."""
+    """Embedding near-dup: cosine ≥ 0.4 over all pairs — exact, via the
+    blocked applyInPandas path (bit-identical to the HOF 'exact' method and
+    to DuckDB's DOUBLE[] cosine; equivalence pinned in pytest)."""
     from mura_spark.operators.similarity import embedding_dup_pairs
     e = table(spark, sf, "embeddings")
-    return embedding_dup_pairs(e, threshold=0.4, method="exact")
+    return embedding_dup_pairs(e, threshold=0.4, method="blocked")

@@ -1,0 +1,97 @@
+"""Multimodal-column queries (north-star extension; no reference analog —
+mura has no binary/media surface at all, /root/reference/src/planner).
+
+The driver test data has no media table, so payloads are derived from the
+``documents`` table: the UTF-8 bytes of ``text`` stand in for an encoded
+media blob (documents are pure ASCII, so byte position == char position and
+the byte-level feature arithmetic is renderable as ANSI SQL for the DuckDB
+oracle). The *pipeline* under test is the real multimodal surface from
+``mura_spark.multimodal``: binary + metadata-struct column convention,
+Arrow-batched ``mapInPandas`` feature extraction, and the JVM-side
+frame-sampling plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mura_spark.multimodal import binary_ops as MM
+from mura_spark.suite.common import table
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def _null_int():
+    return F.lit(None).cast("int")
+
+
+#: byte-bucket fractions (high nibble 2/6/7) — the SQL rendering of the
+#: stub decode kernel's 16-bucket byte histogram at the checked indices.
+def _sql_bucket_frac(lo: str, hi: str) -> str:
+    return (f"CAST(length(text) - length(regexp_replace(text,"
+            f" '[\\x{lo}-\\x{hi}]', '', 'g')) AS DOUBLE)"
+            f" / CAST(strlen(text) AS DOUBLE)")
+
+
+@q("mm_feature_extract",
+   "SELECT doc_id, 'text' AS modality, "
+   "CAST(strlen(text) AS BIGINT) AS n_bytes, "
+   f"{_sql_bucket_frac('20', '2f')} AS f2, "
+   f"{_sql_bucket_frac('60', '6f')} AS f6, "
+   f"{_sql_bucket_frac('70', '7f')} AS f7 "
+   "FROM documents")
+def mm_feature_extract(spark, sf):
+    """documents.text → binary payload + meta struct → mapInPandas feature
+    extraction (Arrow batches) → three histogram buckets as scalars."""
+    d = table(spark, sf, "documents")
+    payload = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.lit("text/plain").alias("mime"),
+            _null_int().alias("width"), _null_int().alias("height"),
+            _null_int().alias("sample_rate"), _null_int().alias("n_frames"),
+        ).alias("content_meta"))
+    feats = MM.extract_features(payload)
+    return feats.select(
+        F.col("id").alias("doc_id"), "modality", "n_bytes",
+        F.element_at("features", 3).alias("f2"),
+        F.element_at("features", 7).alias("f6"),
+        F.element_at("features", 8).alias("f7"))
+
+
+@q("mm_frame_sample",
+   "SELECT doc_id, CAST((n_chars % 120) + 1 AS INT) AS n_frames, "
+   "CAST((n_chars % 120) // 7 + 1 AS INT) AS n_sampled, "
+   "CAST(0 AS INT) AS first_frame, "
+   "CAST(7 * ((n_chars % 120) // 7) AS INT) AS last_frame "
+   "FROM documents")
+def mm_frame_sample(spark, sf):
+    """Synthetic video metadata (n_frames from n_chars) → JVM-side frame
+    sampling plan (every 7th frame); oracle is the closed form of the
+    arithmetic progression."""
+    d = table(spark, sf, "documents")
+    meta = F.struct(
+        F.lit("video").alias("modality"), F.lit("video/mp4").alias("mime"),
+        _null_int().alias("width"), _null_int().alias("height"),
+        _null_int().alias("sample_rate"),
+        ((F.col("n_chars") % 120) + 1).cast("int").alias("n_frames"))
+    sampled = MM.frame_sample_plan(
+        d.select("doc_id", meta.alias("content_meta")), every_n=7)
+    return sampled.select(
+        "doc_id",
+        F.col("content_meta.n_frames").alias("n_frames"),
+        F.size("sample_frames").alias("n_sampled"),
+        F.element_at("sample_frames", 1).alias("first_frame"),
+        F.element_at("sample_frames", -1).alias("last_frame"))

@@ -70,3 +70,17 @@ def test_embedding_dup_methods_agree_on_high_threshold(spark):
                                                    method="lsh").collect()}
     assert exact == {(i, 100 + i) for i in range(5)}
     assert lsh == exact
+
+
+def test_blocked_pairs_bit_identical_to_exact(embeddings):
+    """The blocked applyInPandas path must reproduce the HOF 'exact' path
+    bit-for-bit (same pairs, same sim doubles) — the property the oracle
+    comparison relies on."""
+    exact = {(r.id_a, r.id_b): r.sim
+             for r in similarity.embedding_dup_pairs(
+                 embeddings, 0.4, method="exact").collect()}
+    blocked = {(r.id_a, r.id_b): r.sim
+               for r in similarity.embedding_dup_pairs(
+                   embeddings, 0.4, method="blocked").collect()}
+    assert len(exact) > 0
+    assert blocked == exact

@@ -23,15 +23,23 @@ def _run_stream(spark, stream_df, name):
 
 def test_streaming_tumbling_equals_batch(spark, events, sf_dir, tmp_path):
     # stage the events as a parquet *directory* (file-source streams need one)
+    # single file → single micro-batch: multi-file sources advance the
+    # watermark between batches and (correctly) drop cross-file late events,
+    # which would break the batch-equality check below
     src = str(tmp_path / "events_stream")
-    events.write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
     stream = W.read_events_stream(spark, src, events.schema)
     assert stream.isStreaming
     got = _run_stream(spark, W.tumbling_counts(stream, streaming=True),
                       "stream_tumbling")
     want = W.tumbling_counts(events)
-    assert (sorted(map(tuple, got.collect()))
-            == sorted(map(tuple, want.collect())))
+
+    def norm(rows):
+        # double sums are partition-order dependent → compare at tolerance
+        return sorted((r.window_start, r.event_type, r.n_events,
+                       round(r.total_value, 6)) for r in rows)
+
+    assert norm(got.collect()) == norm(want.collect())
 
 
 def test_streaming_session_window_counts(spark, events, tmp_path):
@@ -39,7 +47,7 @@ def test_streaming_session_window_counts(spark, events, tmp_path):
     per-user session event counts must match the batch lag/cumsum
     sessionization."""
     src = str(tmp_path / "events_stream2")
-    events.write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("overwrite").parquet(src)  # one batch, see above
     stream = W.read_events_stream(spark, src, events.schema)
     got = _run_stream(spark, W.sessionize_stream(stream, gap="30 minutes"),
                       "stream_sessions")

@@ -37,6 +37,26 @@ def test_shingles_and_short_doc(docs):
     assert _one(docs, TX.shingles(TX.tokens(F.col("text")), 3), 6) == ["one"]
 
 
+def test_shingle_udf_matches_native(spark, sf_dir):
+    """The Arrow-batched shingle kernel must equal the native HOF expression
+    element-for-element (order included) on the real corpus."""
+    from mura_spark.suite.common import table
+    d = table(spark, sf_dir, "documents")
+    both = d.select(
+        TX.shingles(TX.tokens(F.col("text")), 3).alias("native"),
+        TX.shingle_text_udf(3)(F.col("text")).alias("udf"))
+    assert both.filter(F.col("native") != F.col("udf")).count() == 0
+    # edge cases: short doc, empty-ish doc, repeated-gram doc
+    edge = spark.createDataFrame(
+        [(1, "one"), (2, "a b"), (3, "x y z x y z x y z"), (4, "  ")],
+        ["id", "text"])
+    rows = edge.select(
+        TX.shingles(TX.tokens(F.col("text")), 3).alias("native"),
+        TX.shingle_text_udf(3)(F.col("text")).alias("udf")).collect()
+    for r in rows:
+        assert r.native == r.udf
+
+
 def test_quality_metrics(docs):
     assert _one(docs, TX.distinct_token_ratio(F.col("text")), 2) == 0.5
     assert _one(docs, TX.stopword_ratio(F.col("text")), 2) == 1.0
