@@ -171,13 +171,70 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH
+# signature kernels (narrow maps — zero shuffle)
 # --------------------------------------------------------------------------
+#
+# Signatures are per-document reductions of per-document shingle sets, so
+# they are embarrassingly parallel. The explode → groupBy formulation (kept
+# below as ``_*_signatures_expr`` — the 1:1 analog of the SQL-oracle
+# rendering) shuffles the exploded corpus (~10× the input) just to reunite
+# rows that started on the same document; at 100 TB that shuffle IS the
+# cost. The Arrow-batched kernel computes the same md5/modular arithmetic
+# document-locally: no shuffle, one Python crossing, numpy-vectorized.
+# Kernel ≡ expression equivalence is pinned in tests/test_dedup.py.
+
+def _signature_kernel(id_col: str, text_col: str, n: int, kind: str):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    seeds = np.asarray(MINHASH_SEEDS, dtype=np.int64)
+    a_col = seeds[:, 0][:, None]
+    b_col = seeds[:, 1][:, None]
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, vals = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sh = TX.shingle_list(t, n)
+                if sh is None:
+                    continue  # explode(null) emits no rows in the expr form
+                h = np.array(
+                    [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+                     for s in sh], dtype=np.int64)
+                if kind == "minhash":
+                    r = h % MERSENNE_P
+                    vals.append(((a_col * r + b_col) % MERSENNE_P)
+                                .min(axis=1).tolist())
+                else:
+                    ones = ((h[:, None] >> bit_idx) & 1).sum(axis=0)
+                    vals.append(int(((ones * 2 > len(h)).astype(np.int64)
+                                     << bit_idx).sum()))
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "__val": vals})
+
+    return run
+
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: columns mh_0..mh_{k-1}. One explode + one
-    groupBy with k map-side min-combines — the canonical scalable shape."""
+    """Per-doc MinHash signature: columns mh_0..mh_{k-1}. Narrow-map Arrow
+    kernel — no shuffle (see the kernel note above)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    raw = df.select(id_col, text_col).mapInPandas(
+        _signature_kernel(id_col, text_col, n, "minhash"),
+        schema=f"{id_col} {id_type}, __val array<bigint>")
+    return raw.select(
+        id_col, *[F.element_at("__val", i + 1).alias(f"mh_{i}")
+                  for i in range(len(MINHASH_SEEDS))])
+
+
+def _minhash_signatures_expr(df: DataFrame, id_col: str, text_col: str,
+                             n: int = 3) -> DataFrame:
+    """Explode + groupBy expression form (the SQL-oracle analog; used to pin
+    kernel equivalence)."""
     sh = shingle_table(df, id_col, text_col, n)
     h = (md5_hash48(F.col("shingle")) % MERSENNE_P).alias("h")
     hashed = sh.select(id_col, h)
@@ -210,11 +267,7 @@ def minhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     with 16×2 banding is 1 - ~1e-11 per pair.
     """
     sets = shingle_sets(df, id_col, text_col, n)  # un-persisted: see jaccard
-    sh = sets.select(id_col, "n_shingles", F.explode("shset").alias("shingle"))
-    h = (md5_hash48(F.col("shingle")) % MERSENNE_P).alias("h")
-    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(MINHASH_SEEDS)]
-    sigs = sh.select(id_col, h).groupBy(id_col).agg(*aggs)
+    sigs = minhash_signatures(df, id_col, text_col, n)
     cand = minhash_candidate_pairs(sigs, id_col)
     verified = _verify_jaccard(sets, id_col, cand)
     return verified.filter(F.col("jaccard") >= threshold)
@@ -227,8 +280,19 @@ def minhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3) -> DataFrame:
     """48-bit SimHash per doc: majority vote per bit over distinct shingle
-    hashes. Explode + one groupBy with 48 conditional-count aggregates (all
-    map-side combinable). Output: (id, simhash)."""
+    hashes. Narrow-map Arrow kernel — no shuffle (see the kernel note).
+    Output: (id, simhash)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (df.select(id_col, text_col)
+              .mapInPandas(_signature_kernel(id_col, text_col, n, "simhash"),
+                           schema=f"{id_col} {id_type}, __val bigint")
+              .withColumnRenamed("__val", "simhash"))
+
+
+def _simhash_signatures_expr(df: DataFrame, id_col: str, text_col: str,
+                             n: int = 3) -> DataFrame:
+    """Explode + groupBy expression form (the SQL-oracle analog; used to pin
+    kernel equivalence)."""
     sh = shingle_table(df, id_col, text_col, n)
     hashed = sh.select(id_col, md5_hash48(F.col("shingle")).alias("h"))
     aggs = [F.sum(F.shiftright("h", bit) % 2).alias(f"ones_{bit}")

@@ -94,3 +94,18 @@ def test_short_document_shingles(spark):
                                 (3, "hello")], ["doc_id", "text"])
     pairs = dedup.jaccard_dup_pairs(df, "doc_id", "text", 0.9).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_signature_kernels_match_expression_forms(documents):
+    """The narrow-map signature kernels must equal the explode+groupBy
+    expression forms value-for-value (the SQL-oracle analogs)."""
+    mh_k = {tuple(r) for r in
+            dedup.minhash_signatures(documents, "doc_id", "text").collect()}
+    mh_e = {tuple(r) for r in
+            dedup._minhash_signatures_expr(documents, "doc_id", "text").collect()}
+    assert mh_k == mh_e
+    sh_k = {tuple(r) for r in
+            dedup.simhash_signatures(documents, "doc_id", "text").collect()}
+    sh_e = {tuple(r) for r in
+            dedup._simhash_signatures_expr(documents, "doc_id", "text").collect()}
+    assert sh_k == sh_e
