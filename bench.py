@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
+    "q18_large_orders",
+    "agg_rollup",
     "agg_stats",
     "join_left_outer",
     "window_topk_per_group",

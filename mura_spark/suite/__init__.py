@@ -20,9 +20,11 @@ from mura_spark.suite import (
     relational,
     similarity_q,
     textops,
+    tpch_more,
 )
 
-_MODULES = [relational, textops, dedup_q, similarity_q, events_q, multimodal_q]
+_MODULES = [relational, tpch_more, textops, dedup_q, similarity_q, events_q,
+            multimodal_q]
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}

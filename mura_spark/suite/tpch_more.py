@@ -1,0 +1,156 @@
+"""Additional TPC-H-shaped analytics queries (extension surface — the
+reference has no joins, aggregation, or grouping sets at all, SURVEY.md §2.3).
+
+Each query exercises a distinct physical-plan shape worth pinning:
+pushdown-heavy global agg (Q6), selective-fact star join with top-k (Q10),
+broadcast join + conditional aggregation (Q14), agg-then-join with a
+having-style semi filter (Q18), and ROLLUP grouping sets. Money arithmetic
+follows the determinism rules in ``mura_spark.suite.common``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mura_spark.operators.topk import topk
+from mura_spark.suite.common import dsum, sql_dsum, table
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+_DISC_PRICE = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+               "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))")
+
+
+def _disc_price():
+    return (F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("decimal(18,4)")
+
+
+@q("q6_revenue_change",
+   "SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) "
+   "AS revenue, COUNT(*) AS n_lines FROM lineitem "
+   "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+   "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+   "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24")
+def q6_revenue_change(spark, sf):
+    """TPC-H Q6 shape: every predicate must reach the parquet scan
+    (PushedFilters); the agg is a single global decimal sum."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)")
+    return li.agg(F.sum(rev).cast("double").alias("revenue"),
+                  F.count(F.lit(1)).alias("n_lines"))
+
+
+@q("q10_returned_items",
+   "SELECT c_custkey, c_name, n_name, "
+   f"CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue "
+   "FROM customer JOIN orders ON c_custkey = o_custkey "
+   "JOIN lineitem ON l_orderkey = o_orderkey "
+   "JOIN nation ON c_nationkey = n_nationkey "
+   "WHERE l_returnflag = 'R' "
+   "GROUP BY c_custkey, c_name, n_name "
+   "ORDER BY revenue DESC, c_custkey ASC LIMIT 20")
+def q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: returned-item revenue per customer. Fact filtered at
+    the scan, dims broadcast, one shuffle for the groupBy, top-k with a
+    unique tiebreak."""
+    li = (table(spark, sf, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = F.broadcast(table(spark, sf, "customer")
+                       .select("c_custkey", "c_name", "c_nationkey"))
+    nation = F.broadcast(table(spark, sf, "nation"))
+    joined = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+                .join(nation, F.col("c_nationkey") == F.col("n_nationkey")))
+    agg = (joined.groupBy("c_custkey", "c_name", "n_name")
+                 .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+    return topk(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20)
+
+
+@q("q14_promo_share",
+   "SELECT CAST(100.0 * "
+   f"SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END) "
+   f"/ SUM({_DISC_PRICE}) AS DOUBLE) AS promo_share, "
+   "COUNT(*) AS n_lines "
+   "FROM lineitem JOIN part ON l_partkey = p_partkey "
+   "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+   "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'")
+def q14_promo_share(spark, sf):
+    """TPC-H Q14 shape: broadcast the part dim, conditional decimal
+    aggregation, exact decimal division surfaced as double."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+    part = F.broadcast(table(spark, sf, "part").select("p_partkey", "p_type"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()) \
+             .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return joined.agg(
+        (F.lit(100.0) * F.sum(promo) / F.sum(_disc_price()))
+        .cast("double").alias("promo_share"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@q("q18_large_orders",
+   "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, "
+   f"{sql_dsum('l_quantity')} AS sum_qty "
+   "FROM customer JOIN orders ON c_custkey = o_custkey "
+   "JOIN lineitem ON o_orderkey = l_orderkey "
+   "WHERE o_orderkey IN ("
+   "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+   "  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) "
+   "GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice "
+   "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20")
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: agg-then-semi-join — the having set is computed once
+    on the fact table, then semi-joins back before the wide join."""
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+             .agg(dsum("l_quantity").alias("sq"))
+             .filter(F.col("sq") > 250)
+             .select("l_orderkey"))
+    orders = (table(spark, sf, "orders")
+              .join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                    "o_orderkey", "left_semi"))
+    cust = F.broadcast(table(spark, sf, "customer")
+                       .select("c_custkey", "c_name"))
+    joined = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cust, F.col("o_custkey") == F.col("c_custkey")))
+    agg = (joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                          "o_totalprice")
+                 .agg(dsum("l_quantity").alias("sum_qty")))
+    return topk(agg, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+                20)
+
+
+@q("agg_rollup",
+   "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+   f"{sql_dsum('l_extendedprice')} AS sum_price "
+   "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+def agg_rollup(spark, sf):
+    """Grouping sets: ROLLUP over (returnflag, linestatus) — subtotal rows
+    carry NULL group keys in both engines."""
+    return (table(spark, sf, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_extendedprice").alias("sum_price")))

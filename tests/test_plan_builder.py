@@ -118,3 +118,18 @@ def test_broadcast_join_strategy(session, sf_dir):
                 broadcast_other=True)
           .build())
     assert "BroadcastHashJoin" in _formatted_plan(df)
+
+
+def test_suite_query_plan_shapes(spark, sf_dir):
+    """Physical-plan discipline for the headline suite queries: predicates
+    reach the scan, dims broadcast, sort+limit becomes top-k."""
+    from mura_spark.suite import SPARK_QUERIES
+    q6 = _formatted_plan(SPARK_QUERIES["q6_revenue_change"](spark, sf_dir))
+    assert "PushedFilters" in q6 and "l_discount" in q6 and "l_quantity" in q6
+    # only needed columns read, even through the repartition
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate" in q6)
+    q10 = _formatted_plan(SPARK_QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q10
+    assert "TakeOrderedAndProject" in q10
+    assert "EqualTo(l_returnflag,R)" in q10  # fact filter at the scan
