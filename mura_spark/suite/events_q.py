@@ -75,6 +75,55 @@ def events_json_extract(spark, sf):
               .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum")))
 
 
+@q("events_asof_join",
+   "SELECT p.event_id, p.user_id, p.ts, p.value, "
+   "v.ts AS ts_matched, v.event_id AS event_id_matched, "
+   "v.value AS value_matched "
+   "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+   "LEFT JOIN LATERAL ("
+   "  SELECT ts, event_id, value FROM events v "
+   "  WHERE v.event_type = 'view' AND v.user_id = p.user_id "
+   "  AND v.ts <= p.ts ORDER BY v.ts DESC, v.event_id DESC LIMIT 1"
+   ") v ON true")
+def events_asof_join(spark, sf):
+    """Backward as-of join: each purchase gets the latest prior (or
+    simultaneous) view by the same user. Spark side is the single-shuffle
+    union+window formulation; oracle is DuckDB's lateral top-1."""
+    from mura_spark.operators.asof import asof_join
+    ev = table(spark, sf, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts", "value"))
+    views = (ev.filter(F.col("event_type") == "view")
+               .select("user_id", "ts", "event_id", "value"))
+    return asof_join(purchases, views, on="ts", by="user_id",
+                     tiebreak="event_id", value_cols=["value"])
+
+
+@q("events_range_join",
+   "SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, "
+   "e.event_id AS error_id, e.ts AS error_ts "
+   "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+   "JOIN (SELECT * FROM events WHERE event_type = 'error') e "
+   "ON c.user_id = e.user_id "
+   "AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE")
+def events_range_join(spark, sf):
+    """Range (interval) join: errors within 10 minutes after a click by the
+    same user — bucketed equi-join decomposition, no nested loop."""
+    from mura_spark.operators.asof import range_join
+    ev = table(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    errors = (ev.filter(F.col("event_type") == "error")
+                .select("event_id", "user_id", "ts"))
+    joined = range_join(clicks, errors, on="ts", by="user_id",
+                        lower=0, upper=600, bucket_width_seconds=600)
+    return joined.select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id_r").alias("error_id"),
+        F.col("ts_r").alias("error_ts"))
+
+
 @q("events_type_value_stats",
    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
    "MIN(value) AS min_value, MAX(value) AS max_value, "

@@ -1,0 +1,79 @@
+"""As-of / range join tests: brute-force equivalence plus edge semantics
+(equal timestamps, tiebreaks, no-match rows, bucket boundaries)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mura_spark.operators.asof import asof_join, range_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(10), 100.0),
+         (2, "A", _ts(20), 101.0),
+         (3, "B", _ts(5), 50.0),   # before any quote → no match
+         (4, "B", _ts(30), 51.0)],
+        ["event_id", "sym", "ts", "price"])
+    quotes = spark.createDataFrame(
+        [(101, "A", _ts(10), 99.5),   # same ts as trade 1 → matches (<=)
+         (102, "A", _ts(10), 99.7),   # same ts, larger id → tie winner
+         (103, "A", _ts(15), 99.9),
+         (104, "B", _ts(29), 49.9)],
+        ["event_id", "sym", "ts", "quote"])
+    return trades, quotes
+
+
+def test_asof_backward_semantics(trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r.event_id: r for r in
+           asof_join(trades, quotes, on="ts", by="sym",
+                     tiebreak="event_id", value_cols=["quote"]).collect()}
+    assert len(out) == 4                      # left-outer: all trades kept
+    assert out[1].event_id_matched == 102     # equal-ts match, max-id tie win
+    assert out[1].quote_matched == 99.7
+    assert out[2].event_id_matched == 103     # latest quote ≤ ts
+    assert out[3].event_id_matched is None    # nothing at or before
+    assert out[3].quote_matched is None
+    assert out[4].event_id_matched == 104
+
+
+def test_asof_plan_is_single_shuffle_window(trades_quotes):
+    """The as-of join must plan as union + window — one Exchange on the key,
+    no nested-loop join."""
+    trades, quotes = trades_quotes
+    plan = asof_join(trades, quotes, on="ts", by="sym", tiebreak="event_id",
+                     value_cols=["quote"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_matches_bruteforce(spark):
+    rows_l = [(i, i % 3, _ts(i)) for i in range(30)]
+    rows_r = [(100 + i, i % 3, _ts((i * 7) % 45)) for i in range(30)]
+    left = spark.createDataFrame(rows_l, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rows_r, ["rid", "k", "ts"])
+    got = {(r.lid, r.rid_r) for r in
+           range_join(left, right, on="ts", by="k", lower=-120, upper=300,
+                      bucket_width_seconds=180).collect()}
+    lo, hi = -120, 300
+    brute = {
+        (lid, rid)
+        for (lid, lk, lts) in rows_l for (rid, rk, rts) in rows_r
+        if lk == rk and lo <= (rts - lts).total_seconds() <= hi}
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_range_join_rejects_bad_bounds(spark):
+    df = spark.createDataFrame([(1, 1, _ts(0))], ["i", "k", "ts"])
+    with pytest.raises(ValueError):
+        range_join(df, df, on="ts", by="k", lower=10, upper=5,
+                   bucket_width_seconds=60)
