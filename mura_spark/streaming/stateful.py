@@ -1,0 +1,46 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no streaming surface (SURVEY.md §2.3); this is extension
+surface for the cases Structured Streaming's built-in windows can't express:
+arbitrary per-key running state updated per micro-batch.
+
+Scale notes: state lives in the state store, partitioned by the grouping
+key across ``spark.sql.shuffle.partitions`` tasks; per-batch work is
+Arrow-batched pandas per key group. Keep state values O(1) per key (running
+scalars, small structs) — unbounded per-key state is the failure mode, and
+timeouts (``GroupStateTimeout``) are the eviction tool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value), emitted each micro-batch.
+
+    State per key is two scalars. Output rows are the updated totals for
+    keys seen in the batch (``update`` semantics). The batch-mode oracle is
+    a plain groupBy aggregation — the final state per key must match it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -63,3 +63,34 @@ def test_watermark_is_set(spark, events, tmp_path):
     stream = W.read_events_stream(spark, src, events.schema)
     agg = W.tumbling_counts(stream, watermark="1 hour", streaming=True)
     assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stateful_running_totals(spark, events, tmp_path):
+    """applyInPandasWithState running totals: after consuming two micro-
+    batches, the last update per user must equal the batch aggregation."""
+    from mura_spark.streaming import stateful
+
+    sub = events.filter(F.col("user_id") < 50)
+    half_a = sub.filter(F.col("event_id") % 2 == 0)
+    half_b = sub.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "events_state")
+    half_a.coalesce(1).write.mode("overwrite").parquet(src)
+    half_b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = W.read_events_stream(spark, src, events.schema)
+    q = (stateful.running_user_totals(stream)
+         .writeStream.format("memory").queryName("state_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # last emitted update per user = final running state
+    got = {}
+    for r in spark.table("state_totals").collect():
+        got[r.user_id] = (r.n_events, r.total_value)
+    want = {r.user_id: (r.n, r.tv) for r in
+            sub.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("tv")).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
