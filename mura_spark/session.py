@@ -84,6 +84,10 @@ class MuraSession:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self.catalog = Catalog(self.spark)
+        # named scalar functions (the reference's ScalarFunction shell,
+        # concretely populated — SURVEY.md §2.2 #10)
+        from mura_spark.functions.registry import register_all
+        register_all(self.spark)
 
     # -- SQL entry point (reference src/parser/mod.rs:29-32 + queryplanner) --
     def sql(self, query: str) -> DataFrame:

@@ -91,3 +91,50 @@ def test_scalar_function_dispatch(df):
 
 def test_positional_column(df):
     assert E.col_index(df, 2)._jc.toString().endswith("s")
+
+
+def test_registered_sql_functions_match_column_forms(spark, sf_dir):
+    """SQL-UDF renderings must equal the Column-expression library
+    value-for-value on the real corpus (SURVEY §2.2 #10 surface)."""
+    from pyspark.sql import functions as F
+
+    from mura_spark.functions import text as TX
+    from mura_spark.functions.registry import register_all
+    from mura_spark.functions.vectors import cosine
+    from mura_spark.suite.common import table
+
+    names = register_all(spark)
+    assert "mura_lang_id" in names
+
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("reg_docs")
+    got = spark.sql(
+        "SELECT doc_id, mura_token_count(text) AS tc, mura_bpe_count(text) "
+        "AS bc, mura_fingerprint(text) AS fp, mura_content_hash(text) AS ch, "
+        "mura_lang_id(text) AS lid, size(mura_shingles(text)) AS nsh "
+        "FROM reg_docs")
+    want = d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("tc"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bc"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.rolling_hash(F.col("text")).alias("ch"),
+        TX.lang_id(F.col("text")).alias("lid"),
+        F.size(TX.shingles(TX.tokens(F.col("text")), 3)).alias("nsh"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    e = table(spark, sf_dir, "embeddings").limit(50)
+    e.createOrReplaceTempView("reg_emb")
+    got_c = spark.sql(
+        "SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        "mura_cosine(cast(a.embedding AS array<double>), "
+        "cast(b.embedding AS array<double>)) AS sim "
+        "FROM reg_emb a JOIN reg_emb b ON a.vec_id < b.vec_id")
+    want_c = (e.alias("a").join(e.alias("b"),
+                                F.col("a.vec_id") < F.col("b.vec_id"))
+              .select(F.col("a.vec_id").alias("ia"),
+                      F.col("b.vec_id").alias("ib"),
+                      cosine(F.col("a.embedding"),
+                             F.col("b.embedding")).alias("sim")))
+    assert (sorted(map(tuple, got_c.collect()))
+            == sorted(map(tuple, want_c.collect())))
