@@ -53,3 +53,11 @@ def ann_topk_lsh(spark, sf):
     queries = (e.filter(F.col("vec_id") < _NQ)
                 .select(F.col("vec_id").alias("query_id"), "embedding"))
     return similarity.topk_lsh(queries, e, _K)
+
+
+@q("ann_topk_ivf")  # approximate — rows-only check; recall pinned in pytest
+def ann_topk_ivf(spark, sf):
+    e = table(spark, sf, "embeddings")
+    queries = (e.filter(F.col("vec_id") < _NQ)
+                .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.topk_ivf(queries, e, _K)

@@ -84,3 +84,16 @@ def test_blocked_pairs_bit_identical_to_exact(embeddings):
                    embeddings, 0.4, method="blocked").collect()}
     assert len(exact) > 0
     assert blocked == exact
+
+
+def test_ivf_recall_floor(embeddings):
+    """IVF with 16 lists / 4 probes must recover a decent share of the true
+    top-5 and always find the self-match (it lives in the probed list)."""
+    q = (embeddings.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    bf = {(r.query_id, r.neighbor_id)
+          for r in similarity.topk_bruteforce(q, embeddings, 5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.topk_ivf(q, embeddings, 5).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.5
+    assert all((i, i) in ivf for i in range(10))
