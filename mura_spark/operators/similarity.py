@@ -79,19 +79,36 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
                   .select(query_id, "neighbor_id", "rank", "sim"))
 
 
-def _signature(df: DataFrame, vec_col: str, planes: list[list[float]]):
-    """Array of LSH_BANDS band-keys per row (bit-packed sign pattern)."""
-    sig_bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        sig_bits.append(F.when(dot(F.col(vec_col), plane) >= 0, 1).otherwise(0))
+def _with_bands(df: DataFrame, vec_col: str, planes: list[list[float]],
+                out_col: str = "__bands") -> DataFrame:
+    """Attach the array of LSH_BANDS band-keys (bit-packed hyperplane sign
+    pattern) per row. Arrow-batched numpy kernel: one (n × dim) @ (dim × P)
+    matmul per batch instead of P interpreted HOF dot products per row."""
+    import numpy as np
+    import pandas as pd
+
+    pm = np.asarray(planes, dtype=np.float64).T          # (dim, P)
     per_band = LSH_PLANES // LSH_BANDS
-    bands = []
-    for bidx in range(LSH_BANDS):
-        bits = sig_bits[bidx * per_band:(bidx + 1) * per_band]
-        packed = sum((b * (2 ** i) for i, b in enumerate(bits)), F.lit(0))
-        bands.append(F.concat_ws("_", F.lit(bidx), packed))
-    return F.array(*bands)
+    weights = (1 << np.arange(per_band)).astype(np.int64)
+
+    cols = list(df.columns)
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (vecs @ pm >= 0).astype(np.int64)     # (n, P)
+            bands = []
+            for bidx in range(LSH_BANDS):
+                seg = bits[:, bidx * per_band:(bidx + 1) * per_band]
+                packed = seg @ weights
+                bands.append([f"{bidx}_{v}" for v in packed])
+            pdf = pdf.copy()
+            pdf[out_col] = [list(t) for t in zip(*bands)]
+            yield pdf
+
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField(out_col, T.ArrayType(T.StringType()))])
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
@@ -102,14 +119,15 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
     the query, re-ranked by exact cosine. Multi-band = multi-probe recall.
     Output schema matches :func:`topk_bruteforce`."""
     planes = _hyperplanes(dim, LSH_PLANES, seed)
-    q = (queries.select(F.col(query_id).alias("__qid"),
-                        F.col(vec_col).alias("__qvec"),
-                        F.explode(_signature(queries, vec_col, planes))
-                         .alias("band_key")))
-    c = (corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                       F.col(vec_col).alias("__cvec"),
-                       F.explode(_signature(corpus, vec_col, planes))
-                        .alias("band_key")))
+    q = (_with_bands(queries.select(F.col(query_id).alias("__qid"),
+                                    F.col(vec_col).alias("__qvec")),
+                     "__qvec", planes)
+         .select("__qid", "__qvec", F.explode("__bands").alias("band_key")))
+    c = (_with_bands(corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                                   F.col(vec_col).alias("__cvec")),
+                     "__cvec", planes)
+         .select("neighbor_id", "__cvec",
+                 F.explode("__bands").alias("band_key")))
     cand = (q.join(c, "band_key")
              .select("__qid", "__qvec", "neighbor_id", "__cvec")
              .distinct())
@@ -291,14 +309,15 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
     elif method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, LSH_PLANES)
-        ea = (df.select(F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("__va"),
-                        norm(F.col(vec_col)).alias("__na"),
-                        F.explode(_signature(df, vec_col, planes)).alias("bk")))
-        eb = (df.select(F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("__vb"),
-                        norm(F.col(vec_col)).alias("__nb"),
-                        F.explode(_signature(df, vec_col, planes)).alias("bk")))
+        banded = _with_bands(df.select(id_col, vec_col), vec_col, planes)
+        ea = banded.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("__va"),
+                           norm(F.col(vec_col)).alias("__na"),
+                           F.explode("__bands").alias("bk"))
+        eb = banded.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("__vb"),
+                           norm(F.col(vec_col)).alias("__nb"),
+                           F.explode("__bands").alias("bk"))
         pairs = (ea.join(eb, "bk").filter(F.col("id_a") < F.col("id_b"))
                    .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
                    .distinct())
