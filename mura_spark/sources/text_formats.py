@@ -1,0 +1,57 @@
+"""CSV / JSON-lines sources and sinks.
+
+The reference names only Parquet (``/root/reference/src/parser/mod.rs:21-24``
+rejects other formats); these are extension surface. Both readers take an
+explicit schema by default — schema inference requires an extra full pass
+over the data (and at 100 TB, a full pass *is* the job), so inference is
+opt-in for exploration only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def scan_csv(spark: SparkSession, path: str,
+             schema: StructType | None = None, header: bool = True,
+             **options) -> DataFrame:
+    """CSV scan. Column pruning still applies (the CSV reader parses only
+    requested columns); predicate pushdown does not — filter-heavy
+    pipelines should convert to Parquet first (see :func:`to_parquet`)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # extra pass; dev only
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def scan_jsonl(spark: SparkSession, path: str,
+               schema: StructType | None = None, **options) -> DataFrame:
+    """JSON-lines scan (one object per line — the splittable layout;
+    multiline JSON files are not splittable and serialize the read)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "error",
+              header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.mode(mode).json(path)
+
+
+def to_parquet(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Materialize a text-format scan as Parquet — the conversion step any
+    at-scale pipeline runs once so every later read gets columnar pruning,
+    pushdown, and row-group parallelism."""
+    df.write.mode(mode).parquet(path)

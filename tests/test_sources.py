@@ -1,0 +1,69 @@
+"""Source/sink tests: CSV/JSONL roundtrips and the bucketed-join
+no-shuffle guarantee."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mura_spark.sources import bucketing, text_formats
+from mura_spark.suite.common import table
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return table(spark, sf_dir, "orders")
+
+
+def test_csv_roundtrip(spark, orders, tmp_path):
+    path = str(tmp_path / "orders_csv")
+    sub = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    text_formats.write_csv(sub, path)
+    back = text_formats.scan_csv(spark, path, schema=sub.schema)
+    assert back.count() == sub.count()
+    got = {r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+           for r in back.collect()}
+    want = {r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+            for r in sub.collect()}
+    assert got == want
+
+
+def test_jsonl_roundtrip_preserves_timestamps(spark, orders, tmp_path):
+    path = str(tmp_path / "orders_jsonl")
+    sub = orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+    text_formats.write_jsonl(sub, path)
+    back = text_formats.scan_jsonl(spark, path, schema=sub.schema)
+    assert (sorted(map(tuple, back.collect()))
+            == sorted(map(tuple, sub.collect())))
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Same-bucketed tables must sort-merge join with zero Exchange."""
+    import shutil
+    import urllib.parse
+    warehouse = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    bucketing.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "key"),
+        "b_orders", ["key"], 8, sort_cols=["key"], mode="overwrite")
+    bucketing.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "key"),
+        "b_lineitem", ["key"], 8, sort_cols=["key"], mode="overwrite")
+    # disable auto-broadcast: at test scale the dim fits a broadcast, which
+    # would mask the property under test (the at-scale SMJ path)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join(spark, "b_orders", "b_lineitem",
+                                         ["key"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it actually computes
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
