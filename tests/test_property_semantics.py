@@ -1,0 +1,58 @@
+"""Property-based cross-engine semantics: Spark and DuckDB must agree on
+three-valued logic, comparisons, and null tests over arbitrary data —
+the SURVEY.md §5 item-4 edge semantics, generated rather than hand-picked.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import types as T
+
+ROW = st.tuples(
+    st.one_of(st.none(), st.integers(-2**31, 2**31 - 1)),
+    st.one_of(st.none(),
+              st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    st.one_of(st.none(), st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=8)),
+)
+
+PREDICATES = [
+    "i < 5",
+    "i >= 0 AND f < 0.5",
+    "NOT (i < 5)",
+    "i IS NULL",
+    "f IS NOT NULL",
+    "s = 'x' OR i <= -1",
+    "(i < 0) = (f < 0)",          # null-propagating equality of booleans
+    "i BETWEEN -10 AND 10",
+    "s > 'm'",
+]
+
+SCHEMA = T.StructType([
+    T.StructField("rid", T.IntegerType()),
+    T.StructField("i", T.IntegerType()),
+    T.StructField("f", T.DoubleType()),
+    T.StructField("s", T.StringType()),
+])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(ROW, min_size=0, max_size=25))
+def test_filters_agree_with_duckdb(spark, rows):
+    data = [(idx, i, float(f) if f is not None else None, s)
+            for idx, (i, f, s) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, SCHEMA)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (rid INTEGER, i INTEGER, f DOUBLE, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", data) if data else None
+    for pred in PREDICATES:
+        got = sorted(r.rid for r in sdf.filter(pred).select("rid").collect())
+        want = sorted(r[0] for r in
+                      con.execute(f"SELECT rid FROM t WHERE {pred}").fetchall())
+        assert got == want, f"disagreement on {pred!r}"
+    con.close()
