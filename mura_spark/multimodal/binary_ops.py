@@ -96,8 +96,10 @@ def extract_features(df: DataFrame, id_col: str = "id",
             })
             yield out
 
+    from mura_spark.sources.parquet import ensure_min_partitions
     cols = [id_col, content_col, meta_col]
-    return df.select(*cols).mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return ensure_min_partitions(df.select(*cols)).mapInPandas(
+        batches, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int,

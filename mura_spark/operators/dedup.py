@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mura_spark.functions import text as TX
+from mura_spark.sources.parquet import ensure_min_partitions
 from mura_spark.functions.hashing import (
     BANDS,
     MINHASH_SEEDS,
@@ -78,8 +79,9 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str,
 
     Uses the Arrow-batched shingle kernel — output identical to the native
     ``TX.shingles(TX.tokens(...))`` expression (equivalence pinned in
-    tests/test_text.py) at ~1% of its CPU cost; see shingle_text_udf."""
-    sh = df.select(
+    tests/test_text.py) at ~1% of its CPU cost; see shingle_text_udf.
+    Input widened first: the kernel is the compute-heavy first stage."""
+    sh = ensure_min_partitions(df).select(
         F.col(id_col),
         TX.shingle_text_udf(n)(F.col(text_col)).alias("shset"))
     return sh.withColumn("n_shingles", F.size("shset"))
@@ -223,7 +225,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """Per-doc MinHash signature: columns mh_0..mh_{k-1}. Narrow-map Arrow
     kernel — no shuffle (see the kernel note above)."""
     id_type = df.schema[id_col].dataType.simpleString()
-    raw = df.select(id_col, text_col).mapInPandas(
+    raw = ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
         _signature_kernel(id_col, text_col, n, "minhash"),
         schema=f"{id_col} {id_type}, __val array<bigint>")
     return raw.select(
@@ -283,7 +285,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     hashes. Narrow-map Arrow kernel — no shuffle (see the kernel note).
     Output: (id, simhash)."""
     id_type = df.schema[id_col].dataType.simpleString()
-    return (df.select(id_col, text_col)
+    return (ensure_min_partitions(df.select(id_col, text_col))
               .mapInPandas(_signature_kernel(id_col, text_col, n, "simhash"),
                            schema=f"{id_col} {id_type}, __val bigint")
               .withColumnRenamed("__val", "simhash"))

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from mura_spark.functions.vectors import cosine, dot, norm
+from mura_spark.sources.parquet import ensure_min_partitions
 
 #: Hyperplane count for sign-LSH (signature bits). 16 bits / 4 bands of 4.
 LSH_PLANES = 16
@@ -64,9 +65,10 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
     q = F.broadcast(queries.select(F.col(query_id).alias("__qid"),
                                    F.col(vec_col).alias("__qvec"),
                                    norm(F.col(vec_col)).alias("__qn")))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cvec"),
-                      norm(F.col(vec_col)).alias("__cn"))
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"))
     scored = q.join(c).select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
@@ -91,6 +93,7 @@ def _with_bands(df: DataFrame, vec_col: str, planes: list[list[float]],
     per_band = LSH_PLANES // LSH_BANDS
     weights = (1 << np.arange(per_band)).astype(np.int64)
 
+    df = ensure_min_partitions(df)
     cols = list(df.columns)
 
     def kernel(batches):
@@ -168,6 +171,7 @@ def _blocked_exact_pairs(df: DataFrame, threshold: float, id_col: str,
         F.struct(F.lit(i).alias("ba"), F.lit(j).alias("bb"))
         for i, j in pair_keys])
     blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
+    df = ensure_min_partitions(df)
     tagged = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         blk.alias("__blk"))
@@ -228,6 +232,7 @@ def _assign_centroids(df: DataFrame, vec_col: str, centroids, n_probe: int,
     cm_unit = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
                               1e-12)
 
+    df = ensure_min_partitions(df)
     out_cols = [c for c in df.columns]
 
     def assign(batches):
@@ -300,6 +305,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
     """
     if method == "blocked":
         return _blocked_exact_pairs(df, threshold, id_col, vec_col)
+    df = ensure_min_partitions(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
                   norm(F.col(vec_col)).alias("__na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),

@@ -25,19 +25,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mura_spark.catalog import _fix_ns_timestamps, _ns_timestamp_columns
-from mura_spark.sources.parquet import ensure_min_partitions
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test-data table with the ns-timestamp fix applied.
 
-    The driver's parquet files are single-row-group (one scan task), so the
-    load also widens to cluster parallelism — see
+    Loads are NOT widened here: join/agg/window queries parallelize at
+    their first shuffle, and an up-front repartition of the full rows
+    measures strictly slower. Operators whose first stage is compute-heavy
+    narrow work (pandas kernels, HOF scoring) widen their own inputs via
     :func:`mura_spark.sources.parquet.ensure_min_partitions`."""
     path = f"{sf_dir}/{name}.parquet"
-    df = _fix_ns_timestamps(spark.read.parquet(path),
-                            _ns_timestamp_columns(path))
-    return ensure_min_partitions(df)
+    return _fix_ns_timestamps(spark.read.parquet(path),
+                              _ns_timestamp_columns(path))
 
 
 def dsum(col: str | Column, scale: int = 2) -> Column:

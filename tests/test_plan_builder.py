@@ -126,7 +126,7 @@ def test_suite_query_plan_shapes(spark, sf_dir):
     from mura_spark.suite import SPARK_QUERIES
     q6 = _formatted_plan(SPARK_QUERIES["q6_revenue_change"](spark, sf_dir))
     assert "PushedFilters" in q6 and "l_discount" in q6 and "l_quantity" in q6
-    # only needed columns read, even through the repartition
+    # only needed columns read
     assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
             "l_discount:double,l_shipdate" in q6)
     q10 = _formatted_plan(SPARK_QUERIES["q10_returned_items"](spark, sf_dir))
