@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "events_window_hourly",
     "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "q14_promo_share",
     "mm_feature_extract",
 ]
 
