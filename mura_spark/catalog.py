@@ -54,7 +54,13 @@ def _ns_timestamp_columns(location: str) -> list[str]:
 
 def _fix_ns_timestamps(df: DataFrame, ns_cols: list[str]) -> DataFrame:
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
     for c in ns_cols:
+        # Only convert when nanosAsLong actually surfaced a long: pyarrow
+        # reports INT96 (Spark's legacy timestamp encoding) as timestamp[ns]
+        # too, but Spark reads INT96 as a proper timestamp already.
+        if not isinstance(df.schema[c].dataType, LongType):
+            continue
         # integer `div`, not `/`: ns epoch values exceed double's 2^53
         # exact-integer range, so float division would corrupt low digits.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

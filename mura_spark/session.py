@@ -41,6 +41,9 @@ DEFAULT_CONF: dict[str, str] = {
     # Read TIMESTAMP(NANOS) parquet columns as nano-longs instead of failing;
     # the catalog converts them back to (µs-truncated) timestamps on load.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write µs timestamps (not legacy INT96): splittable stats, modern
+    # readers, and pyarrow/DuckDB read them back with the same type.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Columnar shuffle/exec stay default; AQE handles partition sizing.
 }
 
