@@ -173,6 +173,59 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # --------------------------------------------------------------------------
+# duplicate clusters (connected components over the pair graph)
+# --------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components of the duplicate-pair graph: (id, cluster_id),
+    cluster_id = the minimum member id. Input: (id_a, id_b) pairs.
+
+    Min-label propagation driven to fixpoint: each round every vertex takes
+    the minimum label in its closed neighborhood, **and labels themselves
+    become edges** (label ↔ vertex), which is the pointer-doubling that
+    makes chains converge in O(log n) rounds rather than O(diameter) — the
+    alternating-star trick from Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC'14). Each round is one groupBy shuffle; the
+    driver only reads the single changed-row count per round.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             # materialize once: the loop joins edges every round, and the
+             # upstream pair pipeline (shingling + similarity join) must not
+             # re-execute per round
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct().withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        lab_src = labels
+        neigh = (edges.join(lab_src.withColumnRenamed("id", "dst")
+                            .withColumnRenamed("label", "dst_label"), "dst")
+                 .select(F.col("src").alias("id"),
+                         F.col("dst_label").alias("cand")))
+        # pointer doubling: my current label's label is also a candidate
+        via_label = (labels.alias("v")
+                     .join(labels.withColumnRenamed("id", "label_id")
+                           .withColumnRenamed("label", "label_label"),
+                           F.col("v.label") == F.col("label_id"))
+                     .select(F.col("v.id").alias("id"),
+                             F.col("label_label").alias("cand")))
+        own = labels.select("id", F.col("label").alias("cand"))
+        new_labels = (neigh.union(via_label).union(own)
+                      .groupBy("id").agg(F.min("cand").alias("label"))
+                      # cut lineage each round — otherwise round i re-executes
+                      # rounds 1..i-1 (O(i²) total work)
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
 # signature kernels (narrow maps — zero shuffle)
 # --------------------------------------------------------------------------
 #

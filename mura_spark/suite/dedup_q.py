@@ -115,3 +115,39 @@ def dedup_embedding_pairs(spark, sf):
     from mura_spark.operators.similarity import embedding_dup_pairs
     e = table(spark, sf, "embeddings")
     return embedding_dup_pairs(e, threshold=0.4, method="blocked")
+
+
+_PAIRS_08 = _JACCARD_PAIRS.format(t=0.8)
+
+#: duplicate clusters: DuckDB recursive transitive closure over the same
+#: pair graph, labeled by min reachable id — the SQL-expressible oracle for
+#: the Spark min-label-propagation components.
+_CLUSTERS_ORACLE = (
+    f"WITH RECURSIVE pairs AS ({_PAIRS_08}), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(src, dst) AS ("
+    "  SELECT src, src FROM edges "
+    "  UNION SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src) "
+    "SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src")
+
+
+@q("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark, sf):
+    """Near-dup clusters: connected components (min-label) over the exact
+    Jaccard ≥ 0.8 pair graph."""
+    d = table(spark, sf, "documents")
+    pairs = dedup.jaccard_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    return dedup.dup_clusters(pairs)
+
+
+@q("dedup_keep_one",
+   "SELECT doc_id, n_chars FROM documents WHERE doc_id IN ("
+   "SELECT MIN(doc_id) FROM documents "
+   "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))")
+def dedup_keep_one(spark, sf):
+    """End-to-end exact dedup: keep the minimum-id document per normalized
+    content key."""
+    d = table(spark, sf, "documents").select("doc_id", "n_chars", "text")
+    kept = dedup.exact_dedup(d, "doc_id", F.md5(TX.normalize(F.col("text"))))
+    return kept.select("doc_id", "n_chars")

@@ -109,3 +109,16 @@ def test_signature_kernels_match_expression_forms(documents):
     sh_e = {tuple(r) for r in
             dedup._simhash_signatures_expr(documents, "doc_id", "text").collect()}
     assert sh_k == sh_e
+
+
+def test_dup_clusters_chain_and_components(spark):
+    """Chains must collapse to the minimum id (pointer doubling), and
+    disjoint components must stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),     # triangle
+         (20, 21)],                        # isolated pair
+        ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
