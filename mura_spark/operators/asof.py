@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -41,15 +42,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     nulls (left-outer semantics).
     """
     carry = list(dict.fromkeys([on, tiebreak] + value_cols))
+    # the whole matched right row travels as ONE struct: per-column
+    # last(ignorenulls) would backfill a null value column from an OLDER
+    # right row, mixing columns across rows
+    row_struct = F.struct(*[F.col(c).alias(c) for c in carry])
+    struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in carry])
     l2 = left.select(
         "*", F.lit(1).alias("__side"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in carry])
+        F.lit(None).cast(struct_type).alias("__r"))
     r2 = right.select(
         F.col(by), F.col(on), F.lit(0).alias("__side"),
-        F.col(tiebreak).alias("__tb"),
-        *[F.col(c).alias(f"__r_{c}") for c in carry])
+        F.col(tiebreak).alias("__tb"), row_struct.alias("__r"))
     # align schemas: right rows carry nulls for the left payload columns
     for c in left.columns:
         if c not in (by, on):
@@ -59,11 +64,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
                .orderBy(F.col(on).asc(), F.col("__side").asc(),
                         F.col("__tb").asc_nulls_first())
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = u.select(
-        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w)
-               .alias(f"{c}{suffix}") for c in carry])
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
     return (matched.filter(F.col("__side") == 1)
-            .drop("__side", "__tb", *[f"__r_{c}" for c in carry]))
+            .select("*", *[F.col(f"__m.{c}").alias(f"{c}{suffix}")
+                           for c in carry])
+            .drop("__side", "__tb", "__r", "__m"))
 
 
 def range_join(left: DataFrame, right: DataFrame, on: str, by: str,
@@ -81,20 +86,22 @@ def range_join(left: DataFrame, right: DataFrame, on: str, by: str,
     if lower > upper:
         raise ValueError("lower must be <= upper")
     width = int(bucket_width_seconds)
+    # whole-second bucket math (unix_timestamp truncates) is only the
+    # CANDIDATE grid — hi_b pads one bucket so truncation can never drop a
+    # boundary match; the exact filter below runs on the real timestamps.
     sec_l = F.unix_timestamp(left[on])
     sec_r = F.unix_timestamp(right[on])
     lo_b = F.floor((sec_l + F.lit(lower)) / width)
-    hi_b = F.floor((sec_l + F.lit(upper)) / width)
+    hi_b = F.floor((sec_l + F.lit(upper)) / width) + 1
     lhs = left.select(
-        "*", sec_l.alias("__lsec"),
-        F.explode(F.sequence(lo_b, hi_b)).alias("__bucket"))
+        "*", F.explode(F.sequence(lo_b, hi_b)).alias("__bucket"))
     rhs = right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns],
-        sec_r.alias("__rsec"),
         F.floor(sec_r / width).alias("__bucket"))
-    cond = ((F.col("__rsec") >= F.col("__lsec") + lower)
-            & (F.col("__rsec") <= F.col("__lsec") + upper))
+    on_r = F.col(f"{on}{suffix}")
+    cond = ((on_r >= F.col(on) + F.expr(f"INTERVAL {lower} SECOND"))
+            & (on_r <= F.col(on) + F.expr(f"INTERVAL {upper} SECOND")))
     return (lhs.join(rhs, on=[lhs["__bucket"] == rhs["__bucket"],
                               lhs[by] == rhs[f"{by}{suffix}"]])
                .filter(cond)
-               .drop("__bucket", "__lsec", "__rsec"))
+               .drop("__bucket"))

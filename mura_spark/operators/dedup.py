@@ -87,11 +87,16 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str,
     return sh.withColumn("n_shingles", F.size("shset"))
 
 
+def _explode_sets(sets: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_shingles, shingle) exploded view of a shingle-set table."""
+    return sets.select(id_col, "n_shingles",
+                       F.explode("shset").alias("shingle"))
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, n_shingles, shingle) exploded form — the one explode in the
     pipeline; everything downstream is equi-joins/groupBys on its columns."""
-    return (shingle_sets(df, id_col, text_col, n)
-            .select(id_col, "n_shingles", F.explode("shset").alias("shingle")))
+    return _explode_sets(shingle_sets(df, id_col, text_col, n), id_col)
 
 
 def _length_compatible(threshold: float) -> Column:
@@ -140,7 +145,7 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     # is an explicit checkpoint of the shingle table to storage, not
     # executor cache — callers own that decision.
     sets = shingle_sets(df, id_col, text_col, n)
-    ex = sets.select(id_col, "n_shingles", F.explode("shset").alias("shingle"))
+    ex = _explode_sets(sets, id_col)
     if prefix_filter:
         # AllPairs prefix under the canonical global order: ascending
         # document frequency (rarest shingles first, ties on the shingle).

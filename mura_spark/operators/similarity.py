@@ -116,11 +116,20 @@ def _with_bands(df: DataFrame, vec_col: str, planes: list[list[float]],
 
 def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
              query_id: str = "query_id", corpus_id: str = "vec_id",
-             vec_col: str = "embedding", dim: int = 64,
+             vec_col: str = "embedding", dim: int | None = None,
              seed: int = 42) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing ≥1 LSH band with
     the query, re-ranked by exact cosine. Multi-band = multi-probe recall.
-    Output schema matches :func:`topk_bruteforce`."""
+    Output schema matches :func:`topk_bruteforce`. ``dim`` is inferred from
+    the first query row when not given."""
+    if dim is None:
+        first = queries.select(vec_col).first()
+        if first is None:  # no queries → empty result, correct schema
+            return (queries.select(F.col(query_id),
+                                   F.lit(0).alias("neighbor_id"),
+                                   F.lit(0).alias("rank"),
+                                   F.lit(0.0).alias("sim")).limit(0))
+        dim = len(first[0])
     planes = _hyperplanes(dim, LSH_PLANES, seed)
     q = (_with_bands(queries.select(F.col(query_id).alias("__qid"),
                                     F.col(vec_col).alias("__qvec")),
@@ -231,6 +240,7 @@ def _assign_centroids(df: DataFrame, vec_col: str, centroids, n_probe: int,
     cm = np.asarray(centroids, dtype=np.float64)          # (C, dim)
     cm_unit = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
                               1e-12)
+    n_probe = min(n_probe, cm.shape[0])  # tiny corpus: probe what exists
 
     df = ensure_min_partitions(df)
     out_cols = [c for c in df.columns]
@@ -313,8 +323,12 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
     if method == "exact":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        dim = len(df.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, LSH_PLANES)
+        first = df.select(vec_col).first()
+        if first is None:  # empty input → empty result, correct schema
+            return df.select(F.col(id_col).alias("id_a"),
+                             F.col(id_col).alias("id_b"),
+                             F.lit(0.0).alias("sim")).limit(0)
+        planes = _hyperplanes(len(first[0]), LSH_PLANES)
         banded = _with_bands(df.select(id_col, vec_col), vec_col, planes)
         ea = banded.select(F.col(id_col).alias("id_a"),
                            F.col(vec_col).alias("__va"),

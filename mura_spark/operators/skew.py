@@ -26,6 +26,10 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     it derives from a hash of the full row, which also spreads rows of the
     hot key uniformly.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full outer over the replicated small side would emit each
+        # unmatched small row n_salts times — refuse rather than corrupt
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
     salt_big = F.pmod(F.hash(*[F.col(c) for c in big.columns]),
                       F.lit(n_salts))
     b = big.withColumn("__salt", salt_big)

@@ -42,6 +42,16 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     is unaffected.
     """
     target = target or df.sparkSession.sparkContext.defaultParallelism
+    # Probe partitioning only for narrow plans (scan/project/filter): under
+    # AQE, materializing .rdd on a plan with exchanges EXECUTES those
+    # upstream stages just to finalize the plan — the probe would silently
+    # run part of the query. Plans with their own exchange already gain
+    # parallelism from it and need no widening.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    wide_ops = ("Join", "Aggregate", "Repartition", "Window", "Sort",
+                "Distinct", "MapInPandas", "FlatMapGroupsInPandas")
+    if any(op in analyzed for op in wide_ops):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

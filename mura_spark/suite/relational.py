@@ -495,7 +495,10 @@ def setop_except(spark, sf):
     a = table(spark, sf, "customer").select("c_custkey")
     b = (table(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
          .select(F.col("o_custkey").alias("c_custkey")))
-    return a.exceptAll(b).distinct()
+    # subtract == EXCEPT DISTINCT: removes a row entirely if present on the
+    # right (exceptAll().distinct() would instead keep one copy of a
+    # duplicated left row that also appears on the right)
+    return a.subtract(b)
 
 
 # ---------------------------------------------------------------------------

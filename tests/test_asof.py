@@ -55,6 +55,36 @@ def test_asof_plan_is_single_shuffle_window(trades_quotes):
     assert "Window" in plan
 
 
+def test_asof_null_value_in_matched_row_stays_null(spark):
+    """A NULL value column in the matched right row must surface as NULL —
+    not be backfilled from an older right row (whole-row semantics)."""
+    left = spark.createDataFrame([(1, "A", _ts(30))], ["event_id", "sym", "ts"])
+    right = spark.createDataFrame(
+        [(101, "A", _ts(10), 5.0), (102, "A", _ts(20), None)],
+        ["event_id", "sym", "ts", "value"])
+    r = asof_join(left, right, on="ts", by="sym", tiebreak="event_id",
+                  value_cols=["value"]).first()
+    assert r.event_id_matched == 102
+    assert r.value_matched is None  # from row 102, not stale 5.0
+
+
+def test_range_join_subsecond_timestamps_exact(spark):
+    """The interval filter must compare real timestamps: sub-second
+    differences decide membership even though buckets are whole-second."""
+    l0 = dt.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    r_before = dt.datetime(2024, 1, 1, 0, 0, 0, 400000)   # 0.1s BEFORE left
+    r_edge = dt.datetime(2024, 1, 1, 0, 10, 0, 500000)    # exactly +600s
+    r_late = dt.datetime(2024, 1, 1, 0, 10, 0, 600001)    # +600.000001s
+    left = spark.createDataFrame([(1, 1, l0)], ["lid", "k", "ts"])
+    right = spark.createDataFrame(
+        [(10, 1, r_before), (11, 1, r_edge), (12, 1, r_late)],
+        ["rid", "k", "ts"])
+    got = {r.rid_r for r in
+           range_join(left, right, on="ts", by="k", lower=0, upper=600,
+                      bucket_width_seconds=600).collect()}
+    assert got == {11}
+
+
 def test_range_join_matches_bruteforce(spark):
     rows_l = [(i, i % 3, _ts(i)) for i in range(30)]
     rows_r = [(100 + i, i % 3, _ts((i * 7) % 45)) for i in range(30)]
