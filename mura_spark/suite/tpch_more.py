@@ -154,3 +154,62 @@ def agg_rollup(spark, sf):
             .rollup("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum("l_extendedprice").alias("sum_price")))
+
+
+@q("agg_cube",
+   "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+   f"{sql_dsum('o_totalprice')} AS sum_price "
+   "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)")
+def agg_cube(spark, sf):
+    """CUBE grouping sets over two order dimensions."""
+    return (table(spark, sf, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice").alias("sum_price")))
+
+
+@q("agg_pivot",
+   "SELECT l_returnflag, "
+   "COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F, "
+   "COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O "
+   "FROM lineitem GROUP BY l_returnflag")
+def agg_pivot(spark, sf):
+    """Pivot on line status (explicit value list → deterministic columns);
+    oracle is the conditional-count rendering."""
+    return (table(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .pivot("l_linestatus", ["F", "O"])
+            .agg(F.count(F.lit(1))))
+
+
+@q("agg_median",
+   "SELECT l_returnflag, median(l_quantity) AS med_qty, "
+   "quantile_cont(l_quantity, 0.9) AS p90_qty FROM lineitem "
+   "GROUP BY l_returnflag")
+def agg_median(spark, sf):
+    """Exact interpolated percentiles — both engines sort and interpolate
+    with the same (a + (b-a)*frac) arithmetic on doubles."""
+    return (table(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+                 F.expr("percentile(l_quantity, 0.9)").alias("p90_qty")))
+
+
+@q("date_functions",
+   "SELECT o_orderkey, "
+   "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, "
+   "CAST(quarter(o_orderdate) AS INT) AS qtr, "
+   "CAST(dayofyear(o_orderdate) AS INT) AS doy, "
+   "CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)"
+   " AS days_since_epoch_start "
+   "FROM orders WHERE o_orderkey < 1000")
+def date_functions(spark, sf):
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1995-01-01").cast("date")).cast("int")
+         .alias("days_since_epoch_start"))
