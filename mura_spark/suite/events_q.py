@@ -75,6 +75,25 @@ def events_json_extract(spark, sf):
               .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum")))
 
 
+@q("events_window_sliding",
+   "SELECT window_start, user_id, COUNT(*) AS n_events FROM ("
+   "  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, "
+   "         user_id, ts FROM events "
+   "  UNION ALL "
+   "  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, "
+   "         user_id, ts FROM events) "
+   "WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR "
+   "GROUP BY window_start, user_id")
+def events_window_sliding(spark, sf):
+    """Sliding 1-hour windows every 30 minutes (each event lands in two
+    windows); oracle enumerates both buckets per event. Only window_start
+    is compared — window_end is start + width by construction."""
+    ev = table(spark, sf, "events")
+    return (W.sliding_user_activity(ev, window_size="1 hour",
+                                    slide="30 minutes")
+            .drop("window_end"))
+
+
 @q("events_asof_join",
    "SELECT p.event_id, p.user_id, p.ts, p.value, "
    "v.ts AS ts_matched, v.event_id AS event_id_matched, "

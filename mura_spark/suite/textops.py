@@ -91,3 +91,20 @@ def text_fingerprint(spark, sf):
         "doc_id",
         TX.fingerprint(F.col("text")).alias("fingerprint"),
         TX.rolling_hash(F.col("text")).alias("content_hash"))
+
+
+@q("text_quality_filter",
+   f"SELECT doc_id, lang, n_chars FROM documents "
+   f"WHERE CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) >= 0.3 "
+   f"AND len({_TOKS}) BETWEEN 20 AND 1000 "
+   "AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) "
+   "    <= 0.3 * length(text)")
+def text_quality_filter(spark, sf):
+    """Pretraining-style quality gate: lexical diversity floor, token-count
+    band, digit-ratio ceiling — the standard pre-filter before dedup."""
+    d = table(spark, sf, "documents")
+    t = TX.tokens(F.col("text"))
+    keep = ((TX.distinct_token_ratio(F.col("text")) >= 0.3)
+            & F.size(t).between(20, 1000)
+            & (TX.digit_ratio(F.col("text")) <= 0.3))
+    return d.filter(keep).select("doc_id", "lang", "n_chars")

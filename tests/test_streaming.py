@@ -94,3 +94,40 @@ def test_stateful_running_totals(spark, events, tmp_path):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_watermark_drops_late_events(spark, events, tmp_path):
+    """An event arriving in a later micro-batch with a timestamp older than
+    (max seen ts - watermark) must be excluded from its (already finalized)
+    window; on-time events all aggregate."""
+    import time
+    src = str(tmp_path / "events_late")
+    recent = events.orderBy(F.col("ts").desc()).limit(500)
+    recent.coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: one more on-time event — the data-filter watermark lags the
+    # emit watermark by one batch, so the drop only applies from batch 3 on
+    max_ts = events.agg(F.max("ts")).first()[0]
+    ontime = spark.createDataFrame(
+        [(999998, max_ts, 2, "view", 1.0, "{}")], events.schema)
+    time.sleep(1.1)  # distinct mtime: file-source batches order by mtime
+    ontime.coalesce(1).write.mode("append").parquet(src)
+    # batch 3: one very late event (weeks below max_ts - 1h watermark)
+    late_ts = events.agg(F.min("ts")).first()[0]
+    late = spark.createDataFrame(
+        [(999999, late_ts, 1, "purchase", 1.0, "{}")], events.schema)
+    time.sleep(1.1)
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = W.read_events_stream(spark, src, events.schema)
+    agg = W.tumbling_counts(stream, watermark="1 hour", streaming=True)
+    q = (agg.writeStream.format("memory").queryName("late_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("late_test")
+    late_window = late_ts.replace(minute=0, second=0, microsecond=0)
+    # the late event's window was finalized before it arrived → dropped
+    n = (got.filter((F.col("window_start") == late_window)
+                    & (F.col("event_type") == "purchase")).count())
+    assert n == 0
+    # on-time rows aggregated (append mode emits finalized windows)
+    assert got.count() > 0
