@@ -213,3 +213,45 @@ def date_functions(spark, sf):
         F.datediff(F.col("o_orderdate"),
                    F.lit("1995-01-01").cast("date")).cast("int")
          .alias("days_since_epoch_start"))
+
+
+@q("subquery_scalar",
+   "SELECT c_custkey, c_acctbal FROM customer "
+   "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)")
+def subquery_scalar(spark, sf):
+    """Uncorrelated scalar subquery (the reference rejects all subqueries —
+    queryplanner.rs:66); Catalyst plans it as a broadcast single-row join."""
+    c = table(spark, sf, "customer")
+    c.createOrReplaceTempView("sq_customer")
+    return spark.sql(
+        "SELECT c_custkey, c_acctbal FROM sq_customer "
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM sq_customer)")
+
+
+@q("subquery_exists",
+   "SELECT o_orderkey, o_orderpriority FROM orders o "
+   "WHERE EXISTS (SELECT 1 FROM lineitem l "
+   "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)")
+def subquery_exists(spark, sf):
+    """Correlated EXISTS (TPC-H Q4 shape) — decorrelated to a left-semi
+    join on the correlation key."""
+    table(spark, sf, "orders").createOrReplaceTempView("sq_orders")
+    table(spark, sf, "lineitem").createOrReplaceTempView("sq_lineitem")
+    return spark.sql(
+        "SELECT o_orderkey, o_orderpriority FROM sq_orders o "
+        "WHERE EXISTS (SELECT 1 FROM sq_lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)")
+
+
+@q("subquery_correlated_scalar",
+   "SELECT p_partkey, p_brand, p_retailprice FROM part p1 "
+   "WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2 "
+   "WHERE p2.p_brand = p1.p_brand)")
+def subquery_correlated_scalar(spark, sf):
+    """Correlated scalar subquery (TPC-H Q2 shape: min per group) —
+    decorrelated to an aggregate + equi-join on the correlation key."""
+    table(spark, sf, "part").createOrReplaceTempView("sq_part")
+    return spark.sql(
+        "SELECT p_partkey, p_brand, p_retailprice FROM sq_part p1 "
+        "WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM sq_part p2 "
+        "WHERE p2.p_brand = p1.p_brand)")
