@@ -95,8 +95,19 @@ class MuraSession:
     # -- SQL entry point (reference src/parser/mod.rs:29-32 + queryplanner) --
     def sql(self, query: str) -> DataFrame:
         """Parse/plan/execute SQL. Catalyst is the planner the reference
-        intended to grow into (reference README.md:10)."""
-        return self.spark.sql(query)
+        intended to grow into (reference README.md:10).
+
+        Accepts the reference's documented DDL dialect
+        (``CREATE EXTERNAL TABLE ... STORED AS PARQUET LOCATION '...'``,
+        reference src/parser/mod.rs:26-28) by rewriting it to Spark's
+        ``CREATE TABLE ... USING parquet`` — plain Spark SQL reserves
+        ``STORED AS`` for Hive-enabled sessions."""
+        import re
+        rewritten = re.sub(r"(?i)\bCREATE\s+EXTERNAL\s+TABLE\b",
+                           "CREATE TABLE", query)
+        rewritten = re.sub(r"(?i)\bSTORED\s+AS\s+PARQUET\b",
+                           "USING parquet", rewritten)
+        return self.spark.sql(rewritten)
 
     # -- DDL entry point (reference queryplanner.rs:73-95) --
     def create_external_table(self, name: str, location: str,

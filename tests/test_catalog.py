@@ -66,3 +66,21 @@ def test_register_sf_dir(spark, sf_dir):
     names = register_sf_dir(spark, sf_dir, names=["region", "nation"])
     assert names == ["nation", "region"]
     assert spark.table("region").count() == 5
+
+
+def test_reference_ddl_dialect_on_reference_sample(session):
+    """The reference's documented DDL (CREATE EXTERNAL TABLE ... STORED AS
+    PARQUET LOCATION, src/parser/mod.rs:26-28) must work against its own
+    sample parquet, including null handling (the file contains nulls)."""
+    import pyspark.sql.functions as F
+    session.sql("DROP TABLE IF EXISTS userdata")
+    session.sql(
+        "CREATE EXTERNAL TABLE userdata STORED AS PARQUET "
+        "LOCATION '/root/reference/src/examples/userdata1.parquet'")
+    df = session.sql("SELECT id, first_name, salary FROM userdata")
+    assert df.count() == 1000
+    n_null = session.sql(
+        "SELECT count(*) AS n FROM userdata WHERE salary IS NULL").first().n
+    assert n_null > 0
+    assert (df.filter(F.col("salary").isNull()).count() == n_null)
+    session.sql("DROP TABLE IF EXISTS userdata")
