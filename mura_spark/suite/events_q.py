@@ -143,6 +143,48 @@ def events_range_join(spark, sf):
         F.col("ts_r").alias("error_ts"))
 
 
+@q("events_resample_gapfill",
+   "WITH bounds AS (SELECT time_bucket(INTERVAL 1 DAY, MIN(ts)) AS lo, "
+   "time_bucket(INTERVAL 1 DAY, MAX(ts)) AS hi FROM events), "
+   "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day "
+   "FROM bounds), "
+   "types AS (SELECT DISTINCT event_type FROM events), "
+   "actual AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type, "
+   "COUNT(*) AS n FROM events GROUP BY 1, 2) "
+   "SELECT g.day, t.event_type, COALESCE(a.n, 0) AS n_events "
+   "FROM grid g CROSS JOIN types t "
+   "LEFT JOIN actual a ON a.day = g.day AND a.event_type = t.event_type")
+def events_resample_gapfill(spark, sf):
+    """Hypertable-style rollup with gap filling: daily buckets per event
+    type over the full observed range, zero rows for empty buckets. The
+    dense grid comes from sequence() over the min/max bounds (broadcast
+    single-row), never from the driver."""
+    ev = table(spark, sf, "events")
+    day = F.date_trunc("day", "ts")
+    actual = (ev.groupBy(day.alias("day"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n")))
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                    F.date_trunc("day", F.max("ts")).alias("hi"))
+    grid = (bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")))
+    types = ev.select("event_type").distinct()
+    dense = grid.crossJoin(types)
+    return (dense.join(actual, ["day", "event_type"], "left")
+                 .select("day", "event_type",
+                         F.coalesce(F.col("n"), F.lit(0)).alias("n_events")))
+
+
+@q("sketch_distinct_users")  # approximate (HLL) — rows-only; error bound in pytest
+def sketch_distinct_users(spark, sf):
+    """HyperLogLog distinct-user estimate per event type — the sketch path
+    for cardinalities where exact count-distinct's shuffle is unaffordable;
+    relative error vs exact is pinned in tests/test_sketches.py."""
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                   .alias("approx_users")))
+
+
 @q("events_type_value_stats",
    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
    "MIN(value) AS min_value, MAX(value) AS max_value, "

@@ -47,4 +47,5 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 def test_every_query_has_entry_or_documented_rows_only():
     rows_only = set(SPARK_QUERIES) - set(ORACLE_SQL)
     # approximate-by-design operators only
-    assert rows_only == {"ann_topk_lsh", "ann_topk_ivf"}
+    assert rows_only == {"ann_topk_lsh", "ann_topk_ivf",
+                         "sketch_distinct_users"}

@@ -1,0 +1,26 @@
+"""Sketch-aggregate accuracy bounds (approximate operators are rows-only in
+the oracle sweep; their error envelopes are pinned here)."""
+
+from pyspark.sql import functions as F
+
+from mura_spark.suite.common import table
+
+
+def test_hll_distinct_within_rsd(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("n")).collect()}
+    approx = {r.event_type: r.a for r in
+              ev.groupBy("event_type")
+                .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                     .alias("a")).collect()}
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(3, 0.06 * n)  # 3×rsd envelope
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    exact = li.agg(F.expr("percentile(l_quantity, 0.5)")).first()[0]
+    approx = li.agg(F.percentile_approx("l_quantity", 0.5, 1000)).first()[0]
+    assert abs(approx - exact) <= 1.0  # quantities are 1..50 integers
