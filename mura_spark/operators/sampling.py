@@ -1,0 +1,44 @@
+"""Deterministic sampling / dataset splitting.
+
+Training-data pipelines need splits that are (a) reproducible across runs
+and engines, (b) stable under repartitioning, and (c) joinable — the same
+row always lands in the same split. ``DataFrame.sample`` satisfies none of
+these (RNG seeded per partition). The portable answer is hashing a key
+column: split membership is a pure function of the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mura_spark.functions.hashing import md5_hash48
+
+#: Denominator for hash-bucket fractions (per-mille resolution).
+BUCKETS = 1000
+
+
+def hash_bucket(key: Column) -> Column:
+    """Stable bucket 0..999 from the portable MD5-derived hash of ``key``."""
+    return md5_hash48(key.cast("string")) % BUCKETS
+
+
+def split_by_hash(df: DataFrame, key: str,
+                  fractions: dict[str, float]) -> dict[str, DataFrame]:
+    """Partition rows into named splits by hash bucket.
+
+    ``fractions`` maps split name → fraction (summing to ≤ 1; any
+    remainder is dropped). Buckets are assigned by cumulative ranges, so
+    growing one split keeps smaller splits' membership stable.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = hash_bucket(F.col(key))
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * BUCKETS))
+        out[name] = df.filter((b >= lo) & (b < hi))
+        lo = hi
+    return out

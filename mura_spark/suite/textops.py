@@ -108,3 +108,15 @@ def text_quality_filter(spark, sf):
             & F.size(t).between(20, 1000)
             & (TX.digit_ratio(F.col("text")) <= 0.3))
     return d.filter(keep).select("doc_id", "lang", "n_chars")
+
+
+@q("sample_split_train",
+   "SELECT doc_id, lang FROM documents "
+   "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+   " % 1000 < 900")
+def sample_split_train(spark, sf):
+    """Deterministic 90% train split by portable key hash (stable across
+    runs, engines, and repartitioning — unlike RNG sample())."""
+    from mura_spark.operators.sampling import split_by_hash
+    d = table(spark, sf, "documents").select("doc_id", "lang")
+    return split_by_hash(d, "doc_id", {"train": 0.9, "val": 0.1})["train"]

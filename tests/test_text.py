@@ -105,3 +105,21 @@ def test_bpe_ish_token_count(spark):
     df = spark.createDataFrame([(1, "hello, world42!")], ["id", "text"])
     # pieces: hello , world 42 ! → 5
     assert _one(df, TX.bpe_ish_token_count(F.col("text")), 1) == 5
+
+
+def test_split_by_hash_partitions_exactly(spark, sf_dir):
+    """Splits are disjoint, exhaustive (fractions summing to 1), stable."""
+    from mura_spark.operators.sampling import split_by_hash
+    from mura_spark.suite.common import table
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    splits = split_by_hash(d, "doc_id", {"train": 0.8, "val": 0.1,
+                                         "test": 0.1})
+    ids = {k: {r.doc_id for r in v.collect()} for k, v in splits.items()}
+    n = d.count()
+    assert sum(len(v) for v in ids.values()) == n          # exhaustive
+    assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+    again = split_by_hash(d, "doc_id", {"train": 0.8, "val": 0.1,
+                                        "test": 0.1})
+    assert {r.doc_id for r in again["val"].collect()} == ids["val"]  # stable
+    # roughly proportional
+    assert 0.7 * n < len(ids["train"]) < 0.9 * n
