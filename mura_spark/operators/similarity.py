@@ -19,7 +19,6 @@ triangular variant for oracle verification plus the LSH-blocked variant.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame

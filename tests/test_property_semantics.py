@@ -8,6 +8,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ROW = st.tuples(
@@ -56,3 +57,42 @@ def test_filters_agree_with_duckdb(spark, rows):
                       con.execute(f"SELECT rid FROM t WHERE {pred}").fetchall())
         assert got == want, f"disagreement on {pred!r}"
     con.close()
+
+
+def test_ansi_cast_overflow_throws_like_duckdb(spark):
+    """ANSI mode on: int overflow in CAST errors in both engines rather
+    than silently wrapping/nulling (SURVEY §5 item 4)."""
+    import duckdb
+    from pyspark.errors.exceptions.captured import (
+        ArithmeticException, NumberFormatException,
+    )
+    df = spark.createDataFrame([(40000,)], ["i"])
+    with pytest.raises(Exception) as spark_err:
+        df.select(df.i.cast("smallint")).collect()
+    assert "CAST_OVERFLOW" in str(spark_err.value) or isinstance(
+        spark_err.value, (ArithmeticException, NumberFormatException))
+    con = duckdb.connect()
+    with pytest.raises(duckdb.ConversionException):
+        con.execute("SELECT CAST(40000 AS SMALLINT)").fetchall()
+
+
+def test_double_to_int_cast_divergence_is_pinned(spark):
+    """DOCUMENTED DIVERGENCE: Spark CAST(double AS int) truncates toward
+    zero; DuckDB rounds to nearest. Oracle queries must therefore never
+    cast fractional doubles to ints (use floor/ceil/round explicitly —
+    those agree). Integral values agree exactly."""
+    import duckdb
+    vals = [0.0, 1.9, -1.9, 2.5, -2.5, 123.456, 7.0, -3.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["d"])
+    got = [r[0] for r in df.select(df.d.cast("int")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(f"SELECT CAST({v} AS INT)").fetchone()[0]
+            for v in vals]
+    assert got == [0, 1, -1, 2, -2, 123, 7, -3]      # Spark truncates
+    assert want == [0, 2, -2, 3, -3, 123, 7, -3]     # DuckDB rounds
+    # floor() is the portable spelling — both engines agree
+    got_f = [r[0] for r in
+             df.select(F.floor(df.d).cast("int")).collect()]
+    want_f = [con.execute(f"SELECT CAST(floor({v}) AS INT)").fetchone()[0]
+              for v in vals]
+    assert got_f == want_f
