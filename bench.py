@@ -46,7 +46,9 @@ BENCH_QUERIES = [
     "dedup_embedding_pairs",
     "ann_topk_bruteforce",
     "events_window_hourly",
+    "events_window_sliding",
     "events_sessionize",
+    "events_resample_gapfill",
     "events_asof_join",
     "events_range_join",
     "ann_topk_lsh",
