@@ -131,3 +131,37 @@ def test_watermark_drops_late_events(spark, events, tmp_path):
     assert n == 0
     # on-time rows aggregated (append mode emits finalized windows)
     assert got.count() > 0
+
+
+def test_stream_stream_interval_join_equals_batch_range_join(
+        spark, events, tmp_path):
+    """The streaming interval join must produce exactly the batch
+    range_join pairs when the whole input fits one micro-batch."""
+    from mura_spark.operators.asof import range_join
+    from mura_spark.streaming import joins as J
+
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    errors = (events.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    src_c = str(tmp_path / "ssj_clicks")
+    src_e = str(tmp_path / "ssj_errors")
+    clicks.coalesce(1).write.mode("overwrite").parquet(src_c)
+    errors.coalesce(1).write.mode("overwrite").parquet(src_e)
+
+    sc = W.read_events_stream(spark, src_c, clicks.schema)
+    se = W.read_events_stream(spark, src_e, errors.schema)
+    joined = J.interval_join_streams(sc, se, on="ts", by="user_id",
+                                     lower=0, upper=600)
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_id, r.event_id_r)
+           for r in spark.table("ssj").collect()}
+
+    want = {(r.event_id, r.event_id_r)
+            for r in range_join(clicks, errors, on="ts", by="user_id",
+                                lower=0, upper=600,
+                                bucket_width_seconds=600).collect()}
+    assert got == want
+    assert len(want) > 0
