@@ -133,3 +133,27 @@ def test_suite_query_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in q10
     assert "TakeOrderedAndProject" in q10
     assert "EqualTo(l_returnflag,R)" in q10  # fact filter at the scan
+
+
+def test_no_suite_query_plans_a_cartesian_product(spark, sf_dir):
+    """Structural guard over the whole suite: no query may plan an
+    unbounded CartesianProduct. Deliberate tiny cross joins (explicitly
+    broadcast or provably small sides) are whitelisted."""
+    from mura_spark.suite import SPARK_QUERIES
+    allowed_cartesian = {
+        "join_cross_small",        # 5×25 dims — the cross-join query itself
+        "events_resample_gapfill", # day-grid × event-type grid (tiny)
+    }
+    offenders = []
+    for name, fn in SPARK_QUERIES.items():
+        if name in allowed_cartesian:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception as e:  # planning must not fail either
+            offenders.append(f"{name}: plan error {str(e)[:80]}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
