@@ -111,10 +111,16 @@ def _verify_jaccard(sets: DataFrame, id_col: str,
                     candidates: DataFrame) -> DataFrame:
     """Exact Jaccard for (id_a, id_b) candidate pairs via per-doc shingle
     arrays: two equi-joins + array_intersect. Returns
-    (id_a, id_b, jaccard)."""
+    (id_a, id_b, jaccard).
+
+    The shuffle_hash hint stops AQE from broadcasting the sets side:
+    building that broadcast would execute the whole shingle pipeline in a
+    single task (broadcast-exchange builds are not parallel), which
+    measured slower than the two small shuffles it avoids."""
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
-    paired = candidates.join(a, "id_a").join(b, "id_b")
+    paired = (candidates.join(a.hint("shuffle_hash"), "id_a")
+                        .join(b.hint("shuffle_hash"), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return paired.select(
