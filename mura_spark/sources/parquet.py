@@ -57,6 +57,19 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     return df
 
 
+def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
+                 n_files: int = 8, mode: str = "error") -> None:
+    """Range-partition + sort-within-partition write: each output file owns
+    a disjoint range of ``sort_cols``, so its parquet row-group min/max
+    stats are tight and range predicates skip whole files/row-groups at
+    scan time. This layout step is what makes filter pushdown *effective*
+    (pushdown into a randomly-ordered file still reads every row group).
+    """
+    (df.repartitionByRange(n_files, *sort_cols)
+       .sortWithinPartitions(*sort_cols)
+       .write.mode(mode).parquet(path))
+
+
 def write(df: DataFrame, path: str, mode: str = "error",
           partition_by: list[str] | None = None,
           target_file_rows: int | None = None) -> None:

@@ -67,3 +67,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-partitioned sorted output: per-file min/max stats must be
+    (near-)disjoint so range predicates can skip files, and a range scan
+    over the layout must read fewer rows than the file holds."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mura_spark.sources.parquet import write_sorted
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate",
+                                                 "l_quantity")
+    path = str(tmp_path / "li_sorted")
+    write_sorted(li, path, ["l_shipdate"], n_files=8, mode="overwrite")
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("l_shipdate")
+        stats = md.row_group(0).column(col_idx).statistics
+        ranges.append((stats.min, stats.max))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint file ranges
+
+    # round-trip correctness
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
