@@ -6,10 +6,20 @@ pushdown, join strategy, AQE re-planning. Python never touches the row path
 except where explicitly noted (multimodal decode stubs).
 
 - :mod:`mura_spark.operators.dedup` — exact / MinHash-LSH / SimHash /
-  n-gram-Jaccard document deduplication
+  n-gram-Jaccard document deduplication, duplicate clustering
 - :mod:`mura_spark.operators.similarity` — embedding cosine top-k
-  (brute-force baseline + hyperplane-LSH scale path), embedding near-dup
+  (brute-force / hyperplane-LSH / IVF), embedding near-dup (blocked exact)
+- :mod:`mura_spark.operators.asof` — as-of join, range (interval) join
+- :mod:`mura_spark.operators.skew` — salted joins/aggregations for hot keys
+- :mod:`mura_spark.operators.sampling` — deterministic hash-based splits
 - :mod:`mura_spark.operators.topk` — order-by + limit (TakeOrderedAndProject)
 """
 
-from mura_spark.operators import dedup, similarity, topk  # noqa: F401
+from mura_spark.operators import (  # noqa: F401
+    asof,
+    dedup,
+    sampling,
+    similarity,
+    skew,
+    topk,
+)
