@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
+    "dedup_embedding_pairs_lsh",
+    "dedup_clusters",
     "ann_topk_bruteforce",
     "events_window_hourly",
     "events_window_sliding",
@@ -55,6 +57,11 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "q14_promo_share",
     "mm_feature_extract",
+    "text_fingerprint",
+    "text_quality_filter",
+    "sample_split_train",
+    "events_json_extract",
+    "events_user_totals",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

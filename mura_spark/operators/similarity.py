@@ -52,14 +52,45 @@ def _hyperplanes(dim: int, count: int = LSH_PLANES,
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(count)]
 
 
+def _partial_topk(scored: DataFrame, k: int, query_id: str) -> DataFrame:
+    """Narrow per-partition top-k pre-reduction over (query_id, neighbor_id,
+    sim) rows: keep at most k rows per query id *within each input
+    partition*. The global per-query top-k is a subset of every partition's
+    local top-k (row_number order: sim desc, neighbor_id asc — identical
+    here), so the downstream global window sees O(num_partitions · k) rows
+    per query instead of the full scored corpus. No shuffle — a carried
+    bounded buffer per partition inside mapInPandas; sim doubles round-trip
+    Arrow bit-exactly, so oracle comparisons are unaffected."""
+    import pandas as pd
+
+    cols = scored.columns
+
+    def kernel(batches):
+        carry = None
+        for pdf in batches:
+            pool = (pdf if carry is None
+                    else pd.concat((carry, pdf), ignore_index=True))
+            pool = pool.sort_values(["sim", "neighbor_id"],
+                                    ascending=[False, True])
+            carry = pool.groupby(query_id, sort=False).head(k)
+        if carry is not None:
+            yield carry[cols]
+
+    return scored.mapInPandas(kernel, schema=scored.schema)
+
+
 def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
                     query_id: str = "query_id", corpus_id: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k for each query vector.
 
     The query side is broadcast (callers keep it small — a batch of probes);
-    the corpus side streams through a single stage. Ties break on ascending
-    neighbor id for determinism. Output: (query_id, neighbor_id, rank, sim).
+    the corpus side streams through a single stage and is pre-reduced to k
+    candidates per query *per partition* before the global ranking window —
+    the window's shuffle moves O(num_partitions · k) rows per query, not the
+    whole scored corpus, so the plan survives a 100× corpus. Ties break on
+    ascending neighbor id for determinism.
+    Output: (query_id, neighbor_id, rank, sim).
     """
     q = F.broadcast(queries.select(F.col(query_id).alias("__qid"),
                                    F.col(vec_col).alias("__qvec"),
@@ -73,6 +104,7 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
         "neighbor_id",
         _paired_cosine(dot(F.col("__qvec"), F.col("__cvec")),
                        F.col("__qn"), F.col("__cn")).alias("sim"))
+    scored = _partial_topk(scored, k, query_id)
     w = (Window.partitionBy(query_id)
                .orderBy(F.col("sim").desc(), F.col("neighbor_id").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -124,8 +156,11 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
     if dim is None:
         first = queries.select(vec_col).first()
         if first is None:  # no queries → empty result, correct schema
+            # neighbor_id takes the corpus id column's actual type so the
+            # empty frame's schema matches topk_bruteforce's contract
+            id_t = corpus.schema[corpus_id].dataType
             return (queries.select(F.col(query_id),
-                                   F.lit(0).alias("neighbor_id"),
+                                   F.lit(None).cast(id_t).alias("neighbor_id"),
                                    F.lit(0).alias("rank"),
                                    F.lit(0.0).alias("sim")).limit(0))
         dim = len(first[0])
@@ -301,16 +336,20 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
 
 def embedding_dup_pairs(df: DataFrame, threshold: float,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        method: str = "blocked") -> DataFrame:
+                        method: str = "lsh") -> DataFrame:
     """Pairs with cosine similarity ≥ threshold.
 
-    ``method='blocked'`` (default): exact all-pairs via block-pair
-    decomposition — same results as 'exact', ~10× faster, and the shape that
-    scales (bounded replication, vectorized kernels). ``method='exact'``:
-    triangular pair join scored with HOF expressions — the reference
-    implementation the blocked path is verified against. ``method='lsh'``:
-    hyperplane-banded blocking then exact cosine verification — approximate
-    (recall tested against the exact path). Output: (id_a, id_b, sim).
+    ``method='lsh'`` (default — the pipeline path): hyperplane-banded
+    blocking then exact cosine verification of candidates. Near-linear in
+    the input (candidates come from band-bucket equi-joins, never all
+    pairs), which is the only shape that survives a 100 TB corpus;
+    approximate recall (pinned ≥ threshold in pytest against the exact
+    path), exact precision. ``method='blocked'``: *exact* all-pairs via
+    block-pair decomposition — O(n²) FLOPs but vectorized and
+    bounded-replication; the verification/oracle path, not the default.
+    ``method='exact'``: triangular pair join scored with HOF expressions —
+    the reference implementation 'blocked' is verified against.
+    Output: (id_a, id_b, sim).
     """
     if method == "blocked":
         return _blocked_exact_pairs(df, threshold, id_col, vec_col)

@@ -32,17 +32,26 @@ def q(name, oracle=None):
 
 _SHINGLES = sql_shingles(sql_tokens("text"), 3)
 
-#: shared oracle CTE: per-doc distinct 3-gram shingle sets
-_SH_CTE = f"WITH d AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
+#: shared oracle CTE: per-doc distinct 3-gram shingle sets. MATERIALIZED:
+#: the pair joins reference d twice, and inlining would shingle the corpus
+#: twice.
+_SH_CTE = (f"WITH d AS MATERIALIZED "
+           f"(SELECT doc_id, {_SHINGLES} AS sh FROM documents)")
 
+# Brute-force pair oracle, shaped for oracle *cost*: the length filter
+# (lossless — J ≤ min/max, identical to the Spark side's _length_compatible)
+# prunes pairs before the expensive list_intersect, which is then evaluated
+# once per pair in a subquery instead of three times inline.
 _JACCARD_PAIRS = (
     f"{_SH_CTE} "
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard "
+    "SELECT id_a, id_b, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard "
+    "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "len(list_intersect(a.sh, b.sh)) AS inter, "
+    "len(a.sh) AS la, len(b.sh) AS lb "
     "FROM d a JOIN d b ON a.doc_id < b.doc_id "
-    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {t}")
+    "AND least(len(a.sh), len(b.sh)) >= "
+    "ceiling({t} * greatest(len(a.sh), len(b.sh)))) "
+    "WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= {t}")
 
 
 @q("dedup_exact_groups",
@@ -117,14 +126,28 @@ def dedup_embedding_pairs(spark, sf):
     return embedding_dup_pairs(e, threshold=0.4, method="blocked")
 
 
+@q("dedup_embedding_pairs_lsh")  # approximate blocking — rows-only check;
+def dedup_embedding_pairs_lsh(spark, sf):
+    """The pipeline-default near-dup path: hyperplane-LSH banding then exact
+    cosine verification — near-linear candidate generation (the 100 TB
+    shape). Approximate recall (pinned vs the exact path in pytest), exact
+    precision, so no value oracle: the driver records a rows-only check."""
+    from mura_spark.operators.similarity import embedding_dup_pairs
+    e = table(spark, sf, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.4, method="lsh")
+
+
 _PAIRS_08 = _JACCARD_PAIRS.format(t=0.8)
 
 #: duplicate clusters: DuckDB recursive transitive closure over the same
 #: pair graph, labeled by min reachable id — the SQL-expressible oracle for
 #: the Spark min-label-propagation components.
 _CLUSTERS_ORACLE = (
-    f"WITH RECURSIVE pairs AS ({_PAIRS_08}), "
-    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    # MATERIALIZED: edges is referenced from the recursive term, and without
+    # it DuckDB re-inlines (re-executes) the expensive pair CTE — measured
+    # 3× the query cost.
+    f"WITH RECURSIVE pairs AS MATERIALIZED ({_PAIRS_08}), "
+    "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
     "UNION SELECT id_b, id_a FROM pairs), "
     "reach(src, dst) AS ("
     "  SELECT src, src FROM edges "

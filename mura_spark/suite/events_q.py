@@ -185,6 +185,22 @@ def sketch_distinct_users(spark, sf):
                    .alias("approx_users")))
 
 
+@q("events_user_totals",
+   "SELECT user_id, COUNT(*) AS n_events, "
+   f"{sql_dsum('value')} AS total_value "
+   "FROM events GROUP BY user_id")
+def events_user_totals(spark, sf):
+    """Batch twin of the stateful-streaming running totals
+    (mura_spark/streaming/stateful.py:running_user_totals): the final state
+    per user must equal this plain aggregation — stream ≡ batch is pinned in
+    tests/test_streaming.py; this entry pins the batch side to the oracle."""
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value")))
+
+
 @q("events_type_value_stats",
    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
    "MIN(value) AS min_value, MAX(value) AS max_value, "

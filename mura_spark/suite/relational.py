@@ -40,6 +40,16 @@ def scan_region(spark, sf):
     return table(spark, sf, "region")
 
 
+@q("column_positional", "SELECT r_regionkey, r_name FROM region")
+def column_positional(spark, sf):
+    # Expression::Column(usize) — positional column reference
+    # (logicalplan.rs:30-31), resolved at the API edge by
+    # expressions.col_index against the scan schema
+    from mura_spark.expressions import col_index
+    r = table(spark, sf, "region")
+    return r.select(col_index(r, 0), col_index(r, 1))
+
+
 @q("projection_lineitem",
    "SELECT l_orderkey, l_extendedprice FROM lineitem")
 def projection_lineitem(spark, sf):
@@ -275,8 +285,11 @@ def scalar_functions(spark, sf):
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.abs(F.col("o_totalprice") - 200000).alias("dist_from_200k"),
-        F.floor("o_totalprice").alias("price_floor"),
-        F.ceil("o_totalprice").alias("price_ceil"))
+        # floor/ceil return BIGINT in Spark but DOUBLE in DuckDB on a double
+        # input; surface double on both sides so the type-sensitive value
+        # hash matches (driver r01 failure).
+        F.floor("o_totalprice").cast("double").alias("price_floor"),
+        F.ceil("o_totalprice").cast("double").alias("price_ceil"))
 
 
 # ---------------------------------------------------------------------------

@@ -97,13 +97,15 @@ def text_fingerprint(spark, sf):
    f"SELECT doc_id, lang, n_chars FROM documents "
    f"WHERE CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) >= 0.3 "
    f"AND len({_TOKS}) BETWEEN 20 AND 1000 "
-   "AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) "
-   "    <= 0.3 * length(text)")
+   "AND CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) "
+   "AS DOUBLE) / length(text) <= 0.3")
 def text_quality_filter(spark, sf):
     """Pretraining-style quality gate: lexical diversity floor, token-count
     band, digit-ratio ceiling — the standard pre-filter before dedup."""
     d = table(spark, sf, "documents")
     t = TX.tokens(F.col("text"))
+    # the oracle renders digit_ratio's exact arithmetic (double division,
+    # not the algebraically-equal d <= 0.3*n) so boundary rows can't diverge
     keep = ((TX.distinct_token_ratio(F.col("text")) >= 0.3)
             & F.size(t).between(20, 1000)
             & (TX.digit_ratio(F.col("text")) <= 0.3))

@@ -25,23 +25,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    """Normalize a cell, PRESERVING the int-vs-float distinction.
+
+    The driver's value hash is type-sensitive (112946 != 112946.0 there),
+    while Python's == is not — so every numeric cell is tagged with its
+    type family to make the local gate at least as strict as the driver's.
+    Decimal is tagged as float: the suite convention surfaces all decimal
+    arithmetic as DOUBLE on both engines before returning.
+    """
     import datetime
     import decimal
     if v is None:
         return None
-    if isinstance(v, (bool,)):
-        return bool(v)
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("float", float(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
-    return v
+    return (type(v).__name__, v)
 
 
 def norm_rows(cols, rows):

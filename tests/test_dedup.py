@@ -122,3 +122,18 @@ def test_dup_clusters_chain_and_components(spark):
     got = {r.id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode (reliable df.checkpoint — survives executor loss
+    at scale) must produce identical components to localCheckpoint mode."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    local = {r.id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    reliable = {r.id: r.cluster_id
+                for r in dedup.dup_clusters(
+                    pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    assert reliable == local == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # the reliable mode actually wrote checkpoint data to the durable path
+    import os
+    assert any(os.scandir(tmp_path / "ckpt"))

@@ -38,6 +38,58 @@ def test_bruteforce_topk_self_first(embeddings):
         assert 1 <= r.rank <= 5
 
 
+def test_bruteforce_prereduces_before_global_window(embeddings):
+    """The scale guard: the plan must contain the narrow per-partition
+    top-k pre-reduction (MapInPandas) so the global per-query window never
+    receives the full scored corpus."""
+    q = (embeddings.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.topk_bruteforce(q, embeddings, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") > plan.index("Window")  # child = below
+
+
+def test_partial_topk_preserves_global_topk(spark):
+    """Partition-local top-k then global window == plain global window,
+    including sim ties (broken by ascending neighbor id), across an
+    arbitrary partitioning of the scored rows."""
+    from pyspark.sql.window import Window
+    rows = [(qid, nid, float(sim))
+            for qid in (1, 2)
+            for nid, sim in [(7, 0.9), (3, 0.9), (5, 0.8), (1, 0.8),
+                             (9, 0.7), (2, 0.6), (8, 0.5), (4, 0.5)]]
+    scored = (spark.createDataFrame(rows, ["query_id", "neighbor_id", "sim"])
+              .repartition(5))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("sim").desc(), F.col("neighbor_id").asc()))
+
+    def ranked(df):
+        return sorted((r.query_id, r.neighbor_id, r.rank, r.sim)
+                      for r in df.withColumn("rank", F.row_number().over(w))
+                                 .filter(F.col("rank") <= 3).collect())
+
+    plain = ranked(scored)
+    prereduced = ranked(similarity._partial_topk(scored, 3, "query_id"))
+    assert prereduced == plain
+
+
+def test_lsh_empty_queries_schema_matches_bruteforce(spark):
+    """topk_lsh on an empty query set must return the same schema as
+    topk_bruteforce would — including the corpus id type (string here)."""
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], ["vec_id", "embedding"])
+    queries = corpus.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    empty = similarity.topk_lsh(queries, corpus, 3)
+    assert empty.count() == 0
+    nonempty = similarity.topk_bruteforce(
+        corpus.limit(1).select(F.col("vec_id").alias("query_id"),
+                               "embedding"), corpus, 3)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == \
+        [(f.name, f.dataType) for f in nonempty.schema.fields]
+
+
 def test_lsh_recall_floor(embeddings):
     """Hyperplane LSH with 4 multi-probe bands must recover a decent share
     of the true top-5 (random 64-dim data is the hard case; planted-dup data
