@@ -59,7 +59,10 @@ BENCH_QUERIES = [
     "mm_feature_extract",
     "text_fingerprint",
     "text_quality_filter",
+    "text_repetition",
     "sample_split_train",
+    "pack_train_chunks",
+    "pack_train_greedy",
     "events_json_extract",
     "events_user_totals",
 ]

@@ -84,6 +84,18 @@ def shingle_list(text, n: int = 3):
         " ".join(toks[i:i + n]) for i in range(count)))
 
 
+def ngram_list(text, n: int = 2):
+    """Non-distinct word n-gram twin of :func:`shingle_list` (same
+    normalize / whitespace-split / max(len-n+1, 1) window, **no** dedup) —
+    repetition metrics need gram multiplicity."""
+    import re
+    if text is None:
+        return None
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    count = max(len(toks) - (n - 1), 1)
+    return [" ".join(toks[i:i + n]) for i in range(count)]
+
+
 def shingle_text_udf(n: int = 3):
     """Arrow-batched pandas UDF: text → distinct word n-grams.
 

@@ -229,24 +229,31 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
         neigh = (edges.join(lab_src.withColumnRenamed("id", "dst")
                             .withColumnRenamed("label", "dst_label"), "dst")
                  .select(F.col("src").alias("id"),
-                         F.col("dst_label").alias("cand")))
+                         F.col("dst_label").alias("cand"),
+                         F.lit(False).alias("is_own")))
         # pointer doubling: my current label's label is also a candidate
         via_label = (labels.alias("v")
                      .join(labels.withColumnRenamed("id", "label_id")
                            .withColumnRenamed("label", "label_label"),
                            F.col("v.label") == F.col("label_id"))
                      .select(F.col("v.id").alias("id"),
-                             F.col("label_label").alias("cand")))
-        own = labels.select("id", F.col("label").alias("cand"))
+                             F.col("label_label").alias("cand"),
+                             F.lit(False).alias("is_own")))
+        own = labels.select("id", F.col("label").alias("cand"),
+                            F.lit(True).alias("is_own"))
+        # the old label rides along as min(cand where is_own), so the
+        # convergence check is a filter on this frame — no extra join/shuffle
+        # per round. New label ≤ old label always (own ⊆ candidates).
         new_labels = _materialize(
             # cut lineage each round — otherwise round i re-executes
             # rounds 1..i-1 (O(i²) total work)
             neigh.union(via_label).union(own)
-                 .groupBy("id").agg(F.min("cand").alias("label")))
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "id")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels = new_labels
+                 .groupBy("id")
+                 .agg(F.min("cand").alias("label"),
+                      F.min(F.when(F.col("is_own"), F.col("cand")))
+                       .alias("__old")))
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

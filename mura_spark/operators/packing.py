@@ -1,0 +1,116 @@
+"""Training-sequence packing: lay documents out into fixed-token-budget
+sequences — the step between dedup/filtering and writing training shards.
+
+No reference analog (the reference has no text surface at all,
+/root/reference/src/planner/logicalplan.rs:63-71 names zero functions);
+this is north-star extension surface for the 100 TB training-data pipeline.
+
+Two standard semantics, both deterministic and oracle-verifiable:
+
+- :func:`pack_chunks` — **concat-and-chunk** (pretraining): within a shard,
+  documents are conceptually concatenated in ascending-id order and the
+  token stream is cut every ``budget`` tokens, so a document may span chunk
+  boundaries. The relational form needs no concatenation: a running-sum
+  window gives each document its stream offset, and the chunks it overlaps
+  are a closed integer range — one shuffle (the per-shard window) plus an
+  explode of that range.
+- :func:`pack_greedy` — **whole-document first-fit** (fine-tuning): walk the
+  shard in ascending-id order, accumulate documents into the current
+  sequence, open a new sequence when the next document would overflow the
+  budget. Inherently sequential per shard, so it runs as one Arrow-batched
+  ``applyInPandas`` pass per shard group.
+
+Scale notes: sharding (portable md5-derived hash of the id) bounds every
+window partition / pandas group to ~|corpus| / n_shards documents; at 100 TB
+raise ``n_shards`` so one shard's (id, size) pairs fit a task comfortably —
+the packing state is two scalars per shard, and more shards cost only
+boundary waste (at most one partial chunk per shard), never skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from mura_spark.functions.hashing import md5_hash48
+
+
+def _with_shard(df: DataFrame, id_col: str, size_col: str,
+                n_shards: int) -> DataFrame:
+    """(id, __sz, shard): portable deterministic shard assignment. The hash
+    is MD5-derived (functions/hashing.py) so the oracle SQL and any
+    re-partitioning of the input reproduce identical shards."""
+    return df.select(
+        F.col(id_col),
+        F.col(size_col).cast("bigint").alias("__sz"),
+        (md5_hash48(F.col(id_col).cast("string")) % n_shards).alias("shard"))
+
+
+def pack_chunks(df: DataFrame, id_col: str, size_col: str, budget: int,
+                n_shards: int = 8) -> DataFrame:
+    """Concat-and-chunk packing map.
+
+    Output: (id, shard, chunk_id, tok_start, tok_end) — one row per
+    (document, chunk) overlap; [tok_start, tok_end) is the document-local
+    token span that lands in that chunk. Every chunk except a shard's last
+    is exactly ``budget`` tokens when reassembled. All arithmetic is integer
+    (``div``), so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    base = _with_shard(df, id_col, size_col, n_shards)
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = base.withColumn("__off", F.sum("__sz").over(w) - F.col("__sz"))
+    first = F.expr(f"__off div {budget}")
+    # sz = 0 would make the naive last < first (Spark's sequence() would
+    # count *down*); clamp to emit exactly one zero-width span
+    last = F.greatest(F.expr(f"(__off + __sz - 1) div {budget}"), first)
+    return (base
+            .withColumn("chunk_id",
+                        F.explode(F.sequence(first, last)))
+            .select(
+                id_col, "shard", "chunk_id",
+                F.greatest(F.col("chunk_id") * budget - F.col("__off"),
+                           F.lit(0).cast("bigint")).alias("tok_start"),
+                F.least((F.col("chunk_id") + 1) * budget - F.col("__off"),
+                        F.col("__sz")).alias("tok_end")))
+
+
+def pack_greedy(df: DataFrame, id_col: str, size_col: str, budget: int,
+                n_shards: int = 8) -> DataFrame:
+    """Whole-document first-fit packing.
+
+    Output: (id, shard, seq_id, seq_fill) — seq_id is the 0-based sequence
+    within the shard, seq_fill the running token count of that sequence
+    after adding the document. A document larger than ``budget`` gets a
+    sequence of its own (never split — that is :func:`pack_chunks`' job).
+    Sequential per shard by construction, so each shard group is one
+    Arrow-batched pandas pass; determinism comes from the ascending-id walk.
+    """
+    import pandas as pd
+
+    base = _with_shard(df, id_col, size_col, n_shards)
+    id_type = base.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("shard", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("seq_fill", T.LongType())])
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values(id_col)
+        seq_ids, fills = [], []
+        seq, fill = 0, 0
+        for sz in pdf["__sz"]:
+            if fill > 0 and fill + sz > budget:
+                seq += 1
+                fill = 0
+            fill += sz
+            seq_ids.append(seq)
+            fills.append(fill)
+        return pd.DataFrame({
+            id_col: pdf[id_col], "shard": key[0],
+            "seq_id": seq_ids, "seq_fill": fills})
+
+    return base.groupBy("shard").applyInPandas(pack, out_schema)

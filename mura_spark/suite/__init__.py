@@ -17,6 +17,7 @@ from mura_spark.suite import (
     dedup_q,
     events_q,
     multimodal_q,
+    packing_q,
     relational,
     similarity_q,
     textops,
@@ -29,8 +30,8 @@ from mura_spark.suite import (
 # (text / dedup / ANN / events / multimodal) now come FIRST and the
 # reference-parity + relational-gap families (all driver-green in r01)
 # last — whatever the driver's budget is, the least-verified queries get it.
-_MODULES = [textops, dedup_q, similarity_q, events_q, multimodal_q,
-            relational, tpch_more]
+_MODULES = [textops, packing_q, dedup_q, similarity_q, events_q,
+            multimodal_q, relational, tpch_more]
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}

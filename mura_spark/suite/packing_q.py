@@ -1,0 +1,85 @@
+"""Sequence-packing queries over the documents table (north-star extension:
+the layout step of a training-data pipeline). Spark side is
+mura_spark.operators.packing; oracles render the identical integer
+arithmetic — a window + generate_series for concat-and-chunk, a recursive
+CTE walking each shard in document order for whole-doc first-fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mura_spark.functions import text as TX
+from mura_spark.operators import packing
+from mura_spark.suite.common import sql_hash48, sql_tokens, table
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+_BUDGET = 256
+_SHARDS = 8
+
+#: (doc_id, sz, shard) base: token count + portable md5-derived shard
+_BASE_CTE = (
+    f"SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS sz, "
+    f"{sql_hash48('CAST(doc_id AS VARCHAR)')} % {_SHARDS} AS shard "
+    "FROM documents WHERE text IS NOT NULL")
+
+
+def _sized_docs(spark, sf):
+    return (table(spark, sf, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", TX.token_count(F.col("text")).alias("sz")))
+
+
+@q("pack_train_chunks",
+   f"WITH t AS MATERIALIZED ({_BASE_CTE}), "
+   "o AS (SELECT doc_id, shard, sz, "
+   "CAST(SUM(sz) OVER (PARTITION BY shard ORDER BY doc_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - sz "
+   "AS off FROM t), "
+   "p AS (SELECT doc_id, shard, sz, off, "
+   f"unnest(generate_series(off // {_BUDGET}, "
+   f"greatest((off + sz - 1) // {_BUDGET}, off // {_BUDGET}))) AS chunk_id "
+   "FROM o) "
+   "SELECT doc_id, shard, chunk_id, "
+   f"greatest(chunk_id * {_BUDGET} - off, 0) AS tok_start, "
+   f"least((chunk_id + 1) * {_BUDGET} - off, sz) AS tok_end FROM p")
+def pack_train_chunks(spark, sf):
+    """Concat-and-chunk packing (pretraining layout): each document's token
+    span mapped onto the fixed-budget chunks of its shard's stream."""
+    return packing.pack_chunks(_sized_docs(spark, sf), "doc_id", "sz",
+                               budget=_BUDGET, n_shards=_SHARDS)
+
+
+@q("pack_train_greedy",
+   f"WITH RECURSIVE t AS MATERIALIZED ({_BASE_CTE}), "
+   "s AS MATERIALIZED (SELECT doc_id, sz, shard, "
+   "ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t), "
+   "p AS ("
+   "  SELECT shard, rn, doc_id, sz, sz AS seq_fill, "
+   "  CAST(0 AS BIGINT) AS seq_id FROM s WHERE rn = 1 "
+   "  UNION ALL "
+   "  SELECT s.shard, s.rn, s.doc_id, s.sz, "
+   f"  CASE WHEN p.seq_fill + s.sz > {_BUDGET} THEN s.sz "
+   "       ELSE p.seq_fill + s.sz END, "
+   f"  CASE WHEN p.seq_fill + s.sz > {_BUDGET} THEN p.seq_id + 1 "
+   "       ELSE p.seq_id END "
+   "  FROM s JOIN p ON s.shard = p.shard AND s.rn = p.rn + 1) "
+   "SELECT doc_id, shard, seq_id, seq_fill FROM p")
+def pack_train_greedy(spark, sf):
+    """Whole-document first-fit packing (fine-tuning layout): documents
+    accumulate into a sequence until the next one would overflow the
+    budget; oracle is a recursive CTE replaying the same in-order walk."""
+    return packing.pack_greedy(_sized_docs(spark, sf), "doc_id", "sz",
+                               budget=_BUDGET, n_shards=_SHARDS)

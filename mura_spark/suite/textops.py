@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mura_spark.functions import text as TX
+from mura_spark.sources.parquet import ensure_min_partitions
 from mura_spark.suite.common import sql_tokens, table
 
 SPARK_QUERIES = {}
@@ -110,6 +111,52 @@ def text_quality_filter(spark, sf):
             & F.size(t).between(20, 1000)
             & (TX.digit_ratio(F.col("text")) <= 0.3))
     return d.filter(keep).select("doc_id", "lang", "n_chars")
+
+
+#: non-distinct bigram list (multiplicity matters for repetition metrics) —
+#: the 2-gram rendering of sql_shingles without list_distinct
+_BIGRAMS = (f"[array_to_string({_TOKS}[i:i+1], ' ') "
+            f"for i in range(1, greatest(len({_TOKS}) - 1, 1) + 1)]")
+
+@q("text_repetition",
+   f"WITH g AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM documents), "
+   "c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2), "
+   "m AS (SELECT doc_id, MAX(cnt) AS mx, SUM(cnt) AS tot FROM c GROUP BY 1) "
+   "SELECT d.doc_id, CAST(m.mx AS DOUBLE) / m.tot AS top_bigram_frac, "
+   f"1 - CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) "
+   "AS dup_token_frac "
+   "FROM documents d JOIN m ON d.doc_id = m.doc_id")
+def text_repetition(spark, sf):
+    """Gopher-style repetition signals: fraction of bigram occurrences taken
+    by the most frequent bigram, and the duplicate-token fraction. The
+    bigram count runs as a narrow Arrow kernel (multiset counting per doc —
+    no shuffle; the explode+groupBy form would shuffle ~|tokens| rows just
+    to reunite per-doc counts); dup_token_frac is native expression."""
+    import pandas as pd
+
+    d = table(spark, sf, "documents")
+    base = ensure_min_partitions(d.select(
+        "doc_id", "text",
+        (1 - TX.distinct_token_ratio(F.col("text")))
+        .alias("dup_token_frac")))
+
+    def kernel(batches):
+        from collections import Counter
+        for pdf in batches:
+            keep, fracs = [], []
+            for idx, t in zip(pdf.index, pdf["text"]):
+                grams = TX.ngram_list(t, 2)
+                if grams is None:
+                    continue  # NULL text: oracle's unnest emits no rows
+                c = Counter(grams)
+                keep.append(idx)
+                fracs.append(max(c.values()) / len(grams))
+            out = pdf.loc[keep, ["doc_id", "dup_token_frac"]].copy()
+            out["top_bigram_frac"] = fracs
+            yield out[["doc_id", "top_bigram_frac", "dup_token_frac"]]
+
+    return base.mapInPandas(
+        kernel, "doc_id bigint, top_bigram_frac double, dup_token_frac double")
 
 
 @q("sample_split_train",
