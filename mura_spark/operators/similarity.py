@@ -29,9 +29,32 @@ from pyspark.sql.window import Window
 from mura_spark.functions.vectors import cosine, dot, norm
 from mura_spark.sources.parquet import ensure_min_partitions
 
-#: Hyperplane count for sign-LSH (signature bits). 16 bits / 4 bands of 4.
+#: Default hyperplane count for sign-LSH (signature bits): 16 bits / 4
+#: bands of 4 — right for corpora up to a few thousand vectors. Band width
+#: must GROW with the corpus: a band of b bits has 2^b buckets, so random
+#: pairs collide at ~n²/2^b per band — quadratic unless b tracks log2(n).
+#: Callers of the LSH paths get that automatically via _auto_band_bits.
 LSH_PLANES = 16
 LSH_BANDS = 4
+
+#: Corpus size the 4-bit default is tuned for; _auto_band_bits widens by
+#: one bit per doubling beyond it (capped — recall at the operating
+#: threshold falls as bands widen, so very large corpora should also raise
+#: the number of bands).
+_AUTO_BASE_N = 2000
+_AUTO_MAX_BITS = 12
+
+
+def _auto_band_bits(n: int) -> int:
+    """Band width (bits) for a corpus of n vectors: 4 at ≤2k, +1 per
+    doubling, capped at 12 — keeps expected random collisions per band
+    ~n²/2^bits growing linearly instead of quadratically."""
+    import math
+    if n <= _AUTO_BASE_N:
+        return LSH_PLANES // LSH_BANDS
+    return min(_AUTO_MAX_BITS,
+               LSH_PLANES // LSH_BANDS
+               + math.ceil(math.log2(n / _AUTO_BASE_N)))
 
 
 def _paired_cosine(dot_col, norm_a, norm_b):
@@ -113,26 +136,27 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
 
 
 def _with_bands(df: DataFrame, vec_col: str, planes: list[list[float]],
+                n_bands: int = LSH_BANDS,
                 out_col: str = "__bands") -> DataFrame:
-    """Attach the array of LSH_BANDS band-keys (bit-packed hyperplane sign
-    pattern) per row. Arrow-batched numpy kernel: one (n × dim) @ (dim × P)
-    matmul per batch instead of P interpreted HOF dot products per row."""
+    """Attach the array of ``n_bands`` band-keys (bit-packed hyperplane sign
+    pattern; ``len(planes) / n_bands`` bits each) per row. Arrow-batched
+    numpy kernel: one (n × dim) @ (dim × P) matmul per batch instead of P
+    interpreted HOF dot products per row."""
     import numpy as np
     import pandas as pd
 
     pm = np.asarray(planes, dtype=np.float64).T          # (dim, P)
-    per_band = LSH_PLANES // LSH_BANDS
+    per_band = len(planes) // n_bands
     weights = (1 << np.arange(per_band)).astype(np.int64)
 
     df = ensure_min_partitions(df)
-    cols = list(df.columns)
 
     def kernel(batches):
         for pdf in batches:
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (vecs @ pm >= 0).astype(np.int64)     # (n, P)
             bands = []
-            for bidx in range(LSH_BANDS):
+            for bidx in range(n_bands):
                 seg = bits[:, bidx * per_band:(bidx + 1) * per_band]
                 packed = seg @ weights
                 bands.append([f"{bidx}_{v}" for v in packed])
@@ -148,11 +172,14 @@ def _with_bands(df: DataFrame, vec_col: str, planes: list[list[float]],
 def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
              query_id: str = "query_id", corpus_id: str = "vec_id",
              vec_col: str = "embedding", dim: int | None = None,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, n_bands: int = LSH_BANDS,
+             band_bits: int | None = None) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing ≥1 LSH band with
     the query, re-ranked by exact cosine. Multi-band = multi-probe recall.
     Output schema matches :func:`topk_bruteforce`. ``dim`` is inferred from
-    the first query row when not given."""
+    the first query row when not given; ``band_bits`` (width of each band)
+    defaults to :func:`_auto_band_bits` of the corpus count, so bucket
+    cardinality tracks corpus size and random collisions stay near-linear."""
     if dim is None:
         first = queries.select(vec_col).first()
         if first is None:  # no queries → empty result, correct schema
@@ -164,14 +191,16 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
                                    F.lit(0).alias("rank"),
                                    F.lit(0.0).alias("sim")).limit(0))
         dim = len(first[0])
-    planes = _hyperplanes(dim, LSH_PLANES, seed)
+    if band_bits is None:
+        band_bits = _auto_band_bits(corpus.count())
+    planes = _hyperplanes(dim, n_bands * band_bits, seed)
     q = (_with_bands(queries.select(F.col(query_id).alias("__qid"),
                                     F.col(vec_col).alias("__qvec")),
-                     "__qvec", planes)
+                     "__qvec", planes, n_bands)
          .select("__qid", "__qvec", F.explode("__bands").alias("band_key")))
     c = (_with_bands(corpus.select(F.col(corpus_id).alias("neighbor_id"),
                                    F.col(vec_col).alias("__cvec")),
-                     "__cvec", planes)
+                     "__cvec", planes, n_bands)
          .select("neighbor_id", "__cvec",
                  F.explode("__bands").alias("band_key")))
     cand = (q.join(c, "band_key")
@@ -366,7 +395,10 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
             return df.select(F.col(id_col).alias("id_a"),
                              F.col(id_col).alias("id_b"),
                              F.lit(0.0).alias("sim")).limit(0)
-        planes = _hyperplanes(len(first[0]), LSH_PLANES)
+        # band width tracks corpus size (see _auto_band_bits) — fixed-width
+        # bands collide quadratically once the corpus outgrows 2^bits
+        band_bits = _auto_band_bits(df.count())
+        planes = _hyperplanes(len(first[0]), LSH_BANDS * band_bits)
         banded = _with_bands(df.select(id_col, vec_col), vec_col, planes)
         ea = banded.select(F.col(id_col).alias("id_a"),
                            F.col(vec_col).alias("__va"),

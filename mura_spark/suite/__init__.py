@@ -20,6 +20,7 @@ from mura_spark.suite import (
     packing_q,
     relational,
     similarity_q,
+    sources_q,
     textops,
     tpch_more,
 )
@@ -30,7 +31,7 @@ from mura_spark.suite import (
 # (text / dedup / ANN / events / multimodal) now come FIRST and the
 # reference-parity + relational-gap families (all driver-green in r01)
 # last — whatever the driver's budget is, the least-verified queries get it.
-_MODULES = [textops, packing_q, dedup_q, similarity_q, events_q,
+_MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
             multimodal_q, relational, tpch_more]
 
 SPARK_QUERIES = {}
