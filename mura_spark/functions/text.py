@@ -177,6 +177,28 @@ def _lang_argmax(scores: dict[str, Column]) -> Column:
     return expr
 
 
+#: Portable PII regexes — character classes + \b only, identical semantics
+#: in Java regex (Spark) and RE2 (DuckDB); no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails and IPv4 addresses with typed placeholders — the
+    standard pre-release scrub pass of a training-data pipeline. Pure
+    ``regexp_replace`` (JVM-side, codegen-friendly)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+
+
+def pii_ipv4_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0))
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: MD5 over the sorted distinct token
     list — invariant to word order and repetition (catches scramble-style

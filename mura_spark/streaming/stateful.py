@@ -16,6 +16,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def dedup_events_stream(events: DataFrame, keys: list[str] | None = None,
+                        event_time: str = "ts",
+                        delay: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark (a duplicate arriving more than ``delay``
+    after its original may pass — the standard at-scale trade: without the
+    watermark bound, dedup state grows without limit and a 100 TB stream
+    eventually evicts or dies).
+
+    Batch twin: ``df.dropDuplicates(keys)`` (equality pinned in
+    tests/test_streaming.py with planted duplicates). Works on batch frames
+    too (falls back to plain dropDuplicates — no watermark needed).
+    """
+    keys = keys if keys is not None else ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return (events.withWatermark(event_time, delay)
+                  .dropDuplicatesWithinWatermark(keys))
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (n_events, total_value), emitted each micro-batch.
 

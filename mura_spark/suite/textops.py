@@ -113,6 +113,27 @@ def text_quality_filter(spark, sf):
     return d.filter(keep).select("doc_id", "lang", "n_chars")
 
 
+@q("text_scrub_pii",
+   "SELECT doc_id, "
+   f"len(regexp_extract_all(text, '{TX.EMAIL_RE}')) AS n_emails, "
+   f"len(regexp_extract_all(text, '{TX.IPV4_RE}')) AS n_ips, "
+   f"length(regexp_replace(regexp_replace(text, '{TX.EMAIL_RE}', "
+   "'<EMAIL>', 'g'), "
+   f"'{TX.IPV4_RE}', '<IP>', 'g')) AS n_scrubbed_chars "
+   "FROM documents")
+def text_scrub_pii(spark, sf):
+    """PII scrub pass: email/IPv4 redaction counts + scrubbed length. The
+    corpus is synthetic (typically zero hits) — the oracle pins the regex
+    semantics cross-engine on real text either way; positive cases are
+    pinned on planted rows in tests/test_text.py."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.pii_email_count(F.col("text")).alias("n_emails"),
+        TX.pii_ipv4_count(F.col("text")).alias("n_ips"),
+        F.length(TX.scrub_pii(F.col("text"))).alias("n_scrubbed_chars"))
+
+
 #: non-distinct bigram list (multiplicity matters for repetition metrics) —
 #: the 2-gram rendering of sql_shingles without list_distinct
 _BIGRAMS = (f"[array_to_string({_TOKS}[i:i+1], ' ') "

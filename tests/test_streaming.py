@@ -96,6 +96,29 @@ def test_stateful_running_totals(spark, events, tmp_path):
         assert abs(got[u][1] - want[u][1]) < 1e-6
 
 
+def test_streaming_dedup_equals_batch(spark, events, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream with planted duplicate
+    rows must emit exactly the batch dropDuplicates result (one row per
+    event_id), with state bounded by the watermark."""
+    from mura_spark.streaming import stateful
+
+    sub = events.filter(F.col("event_id") < 200)
+    dup = sub.union(sub.limit(80))  # 80 exact duplicate rows
+    src = str(tmp_path / "events_dup")
+    dup.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = W.read_events_stream(spark, src, events.schema)
+    out = stateful.dedup_events_stream(stream, ["event_id"])
+    q = (out.writeStream.format("memory").queryName("stream_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.table("stream_dedup").collect())
+    want = sorted(r.event_id
+                  for r in stateful.dedup_events_stream(dup, ["event_id"])
+                  .collect())
+    assert got == want == sorted(r.event_id for r in sub.collect())
+
+
 def test_watermark_drops_late_events(spark, events, tmp_path):
     """An event arriving in a later micro-batch with a timestamp older than
     (max seen ts - watermark) must be excluded from its (already finalized)

@@ -123,3 +123,39 @@ def test_split_by_hash_partitions_exactly(spark, sf_dir):
     assert {r.doc_id for r in again["val"].collect()} == ids["val"]  # stable
     # roughly proportional
     assert 0.7 * n < len(ids["train"]) < 0.9 * n
+
+
+def test_scrub_pii_planted(spark):
+    """Email/IPv4 scrub + counts on planted rows, and cross-engine parity:
+    DuckDB with the same patterns must render identical results."""
+    from pyspark.sql import functions as F
+
+    from mura_spark.functions import text as TX
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk or 10.0.0.1 now"),
+        (2, "no pii here"),
+        (3, "two mails a@b.io c@d.org and ip 192.168.1.255"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r.id: r for r in df.select(
+        "id",
+        TX.scrub_pii(F.col("t")).alias("s"),
+        TX.pii_email_count(F.col("t")).alias("ne"),
+        TX.pii_ipv4_count(F.col("t")).alias("ni")).collect()}
+    assert out[1].s == "contact me at <EMAIL> or <IP> now"
+    assert (out[1].ne, out[1].ni) == (1, 1)
+    assert out[2].s == "no pii here" and (out[2].ne, out[2].ni) == (0, 0)
+    assert out[3].s == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    assert (out[3].ne, out[3].ni) == (2, 1)
+
+    import duckdb
+    con = duckdb.connect()
+    for rid, t in rows:
+        s, ne, ni = con.execute(
+            f"SELECT regexp_replace(regexp_replace($t, '{TX.EMAIL_RE}',"
+            f" '<EMAIL>', 'g'), '{TX.IPV4_RE}', '<IP>', 'g'),"
+            f" len(regexp_extract_all($t, '{TX.EMAIL_RE}')),"
+            f" len(regexp_extract_all($t, '{TX.IPV4_RE}'))",
+            {"t": t}).fetchone()
+        assert (s, ne, ni) == (out[rid].s, out[rid].ne, out[rid].ni)
