@@ -164,6 +164,31 @@ def dedup_clusters(spark, sf):
     return dedup.dup_clusters(pairs)
 
 
+@q("dedup_near_keep_one",
+   f"WITH RECURSIVE pairs AS MATERIALIZED ({_PAIRS_08}), "
+   "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
+   "UNION SELECT id_b, id_a FROM pairs), "
+   "reach(src, dst) AS ("
+   "  SELECT src, src FROM edges "
+   "  UNION SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src), "
+   "lab AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src) "
+   "SELECT doc_id, n_chars FROM documents "
+   "WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)")
+def dedup_near_keep_one(spark, sf):
+    """End-to-end near-dedup: Jaccard ≥ 0.8 pairs → connected components →
+    drop every member except each cluster's minimum id (cluster_id IS the
+    minimum member, so non-keepers are exactly rows with id ≠ cluster_id);
+    singletons pass through untouched via the anti-join."""
+    from mura_spark.operators import dedup as DD
+    d = table(spark, sf, "documents")
+    pairs = DD.jaccard_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    clusters = DD.dup_clusters(pairs)
+    drop = (clusters.filter(F.col("id") != F.col("cluster_id"))
+                    .select(F.col("id").alias("doc_id")))
+    return (d.join(drop, "doc_id", "left_anti")
+             .select("doc_id", "n_chars"))
+
+
 @q("dedup_keep_one",
    "SELECT doc_id, n_chars FROM documents WHERE doc_id IN ("
    "SELECT MIN(doc_id) FROM documents "

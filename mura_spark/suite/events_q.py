@@ -174,6 +174,19 @@ def events_resample_gapfill(spark, sf):
                          F.coalesce(F.col("n"), F.lit(0)).alias("n_events")))
 
 
+@q("sketch_value_percentiles")  # approximate — rows-only; error in pytest
+def sketch_value_percentiles(spark, sf):
+    """Approximate p50/p90/p99 of event value per type via the built-in
+    quantile sketch (single pass, mergeable partials — the shape that
+    replaces exact percentile's full sort at 100 TB); relative-error
+    envelope vs exact percentile_approx(…, 1.0) pinned in
+    tests/test_sketches.py."""
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 1000)
+                   .alias("p50_p90_p99")))
+
+
 @q("sketch_distinct_users")  # approximate (HLL) — rows-only; error bound in pytest
 def sketch_distinct_users(spark, sf):
     """HyperLogLog distinct-user estimate per event type — the sketch path

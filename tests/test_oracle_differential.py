@@ -48,4 +48,5 @@ def test_every_query_has_entry_or_documented_rows_only():
     rows_only = set(SPARK_QUERIES) - set(ORACLE_SQL)
     # approximate-by-design operators only
     assert rows_only == {"ann_topk_lsh", "ann_topk_ivf",
-                         "sketch_distinct_users", "dedup_embedding_pairs_lsh"}
+                         "sketch_distinct_users", "dedup_embedding_pairs_lsh",
+                         "sketch_value_percentiles"}
