@@ -255,3 +255,102 @@ def subquery_correlated_scalar(spark, sf):
         "SELECT p_partkey, p_brand, p_retailprice FROM sq_part p1 "
         "WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM sq_part p2 "
         "WHERE p2.p_brand = p1.p_brand)")
+
+
+# ---------------------------------------------------------------------------
+# round 2: four more classic decorrelation shapes (adapted to the slimmed
+# synthetic schema — no commitdate/comment/phone columns in the test data)
+# ---------------------------------------------------------------------------
+
+@q("q4_priority_exists",
+   "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
+   "WHERE EXISTS (SELECT 1 FROM lineitem l "
+   "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) "
+   "GROUP BY o_orderpriority")
+def q4_priority_exists(spark, sf):
+    """TPC-H Q4 shape: per-priority count of orders with EXISTS over the
+    fact — planned as a left-semi hash join, never a correlated loop."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = (table(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+          .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (o.join(li, "o_orderkey", "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@q("q13_order_distribution",
+   "SELECT n_orders, COUNT(*) AS n_customers FROM ("
+   "SELECT c_custkey, COUNT(o_orderkey) AS n_orders "
+   "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+   "GROUP BY c_custkey) GROUP BY n_orders")
+def q13_order_distribution(spark, sf):
+    """TPC-H Q13 shape: customer order-count distribution — left outer join
+    keeps zero-order customers (COUNT of a nullable column, not COUNT(*)),
+    then a second aggregation over the first."""
+    c = table(spark, sf, "customer").select("c_custkey")
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    per_cust = (c.join(o, "c_custkey", "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+    return (per_cust.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+_AVG_QTY = ("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            " / COUNT(*)")
+
+@q("q17_small_quantity",
+   "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+   " / 7.0 AS avg_yearly "
+   "FROM lineitem JOIN part ON p_partkey = l_partkey "
+   "WHERE p_brand = 'Brand#1' AND l_quantity < ("
+   f"SELECT 0.2 * {_AVG_QTY} FROM lineitem l2 "
+   "WHERE l2.l_partkey = lineitem.l_partkey)")
+def q17_small_quantity(spark, sf):
+    """TPC-H Q17 shape: correlated per-part average decorrelated into a
+    groupBy + equi-join (the rewrite Catalyst would have to find; here it
+    is declared directly). The per-part average is computed decimal-exact
+    so the threshold is identical cross-engine."""
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    per_part = (li.groupBy("l_partkey")
+                .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                      .cast("double") / F.count(F.lit(1))).alias("__avg")))
+    p = F.broadcast(table(spark, sf, "part")
+                    .filter(F.col("p_brand") == "Brand#1")
+                    .select(F.col("p_partkey").alias("l_partkey")))
+    small = (li.join(p, "l_partkey")
+             .join(per_part, "l_partkey")
+             .filter(F.col("l_quantity") < 0.2 * F.col("__avg")))
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+         .cast("double") / 7.0).alias("avg_yearly"))
+
+
+@q("q22_idle_customers",
+   "SELECT c_mktsegment, COUNT(*) AS n_cust, "
+   f"{sql_dsum('c_acctbal')} AS total_bal "
+   "FROM customer WHERE c_acctbal > ("
+   "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) "
+   "FROM customer WHERE c_acctbal > 0) "
+   "AND NOT EXISTS (SELECT 1 FROM orders "
+   "WHERE o_custkey = c_custkey AND o_totalprice > 200000) "
+   "GROUP BY c_mktsegment")
+def q22_idle_customers(spark, sf):
+    """TPC-H Q22 shape: scalar average subquery (broadcast single row) +
+    NOT EXISTS (left-anti hash join) + final aggregation."""
+    c = table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double") / F.count(F.lit(1))).alias("__avg")))
+    big_orders = (table(spark, sf, "orders")
+                  .filter(F.col("o_totalprice") > 200000)
+                  .select(F.col("o_custkey").alias("c_custkey")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg"))
+            .join(big_orders, "c_custkey", "left_anti"))
+    return (rich.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 dsum("c_acctbal").alias("total_bal")))
