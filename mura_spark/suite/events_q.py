@@ -174,6 +174,28 @@ def events_resample_gapfill(spark, sf):
                          F.coalesce(F.col("n"), F.lit(0)).alias("n_events")))
 
 
+@q("events_upsert_latest",
+   "WITH b AS (SELECT event_id, user_id, ts, value, 0 AS src FROM events), "
+   "u AS (SELECT event_id, user_id, ts + INTERVAL 1 HOUR AS ts, "
+   "value + 1000 AS value, 1 AS src FROM events WHERE event_id % 3 = 0), "
+   "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id "
+   "ORDER BY ts DESC, src DESC) AS rn "
+   "FROM (SELECT * FROM b UNION ALL SELECT * FROM u)) "
+   "SELECT event_id, user_id, ts, value FROM r WHERE rn = 1")
+def events_upsert_latest(spark, sf):
+    """CDC-style upsert: a synthetic update stream (every third event,
+    re-timestamped +1h, value bumped) merged into the base — per key the
+    newest version wins (updates side on ties). One key-shuffle window;
+    mura_spark.operators.upsert."""
+    from mura_spark.operators.upsert import upsert_latest
+    ev = table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "value")
+    updates = (ev.filter(F.col("event_id") % 3 == 0)
+               .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+               .withColumn("value", F.col("value") + 1000))
+    return upsert_latest(ev, updates, ["event_id"], "ts")
+
+
 @q("sketch_value_percentiles")  # approximate — rows-only; error in pytest
 def sketch_value_percentiles(spark, sf):
     """Approximate p50/p90/p99 of event value per type via the built-in

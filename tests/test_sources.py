@@ -99,3 +99,25 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
     # round-trip correctness
     back = spark.read.parquet(path)
     assert back.count() == li.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column must
+    appear as a PartitionFilter (directory pruning — at scale this is the
+    difference between scanning one partition and the whole lake), and the
+    pruned scan must read only the matching partition's rows."""
+    from pyspark.sql import functions as F
+
+    from mura_spark.sources import parquet as P
+    from mura_spark.suite.common import table
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "events_part")
+    P.write(ev, path, partition_by=["event_type"])
+
+    scan = P.scan(spark, path).filter(F.col("event_type") == "click")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert scan.count() == want
