@@ -13,13 +13,18 @@ except where explicitly noted (multimodal decode stubs).
 - :mod:`mura_spark.operators.skew` — salted joins/aggregations for hot keys
 - :mod:`mura_spark.operators.sampling` — deterministic hash-based splits
 - :mod:`mura_spark.operators.topk` — order-by + limit (TakeOrderedAndProject)
+- :mod:`mura_spark.operators.packing` — training-sequence packing
+  (concat-and-chunk, whole-doc first-fit)
+- :mod:`mura_spark.operators.upsert` — CDC keep-latest merge
 """
 
 from mura_spark.operators import (  # noqa: F401
     asof,
     dedup,
+    packing,
     sampling,
     similarity,
     skew,
     topk,
+    upsert,
 )

@@ -157,3 +157,20 @@ def test_no_suite_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_round2_operator_plan_shapes(spark, sf_dir):
+    """Plan discipline for the round-2 operators: packing is one shuffle
+    (the per-shard window) + a narrow explode; the upsert merge is one
+    key-shuffle window over the union; the brute-force ANN pre-reduction
+    sits below the ranking window (narrow MapInPandas, no extra
+    exchange)."""
+    from mura_spark.suite import SPARK_QUERIES
+
+    pack = _formatted_plan(SPARK_QUERIES["pack_train_chunks"](spark, sf_dir))
+    assert pack.count("hashpartitioning(") == 1  # the shard window only
+    assert "explode" in pack
+
+    ups = _formatted_plan(SPARK_QUERIES["events_upsert_latest"](spark, sf_dir))
+    assert ups.count("hashpartitioning(") == 1  # the key window only
+    assert "Union" in ups
