@@ -102,6 +102,50 @@ def extract_features(df: DataFrame, id_col: str = "id",
         batches, schema=FEATURE_SCHEMA)
 
 
+def resize_stub(df: DataFrame, width: int, height: int,
+                id_col: str = "id", content_col: str = "content",
+                meta_col: str = "content_meta") -> DataFrame:
+    """Resize operator with a STUBBED pixel kernel.
+
+    A real implementation decodes, resizes to ``width×height``, and
+    re-encodes; no media libs exist in this container, so the kernel is a
+    deterministic byte-stride subsample to at most ``width·height`` bytes
+    (stride = ceil(n / (w·h)) — integer arithmetic, renderable as oracle
+    SQL). Everything around the kernel is real: Arrow-batched
+    ``mapInPandas``, binary output column, and the metadata struct updated
+    with the new dimensions — swap the one marked line for a real resampler
+    in production.
+    """
+    target = width * height
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(content_col, T.BinaryType()),
+        T.StructField(meta_col, CONTENT_META_TYPE),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for p, m in zip(pdf[content_col], pdf[meta_col]):
+                if p is None:
+                    payloads.append(None)
+                else:
+                    n = len(p)
+                    stride = 1 if n <= target else -(-n // target)
+                    payloads.append(bytes(p[::stride]))  # STUB pixel kernel
+                md = dict(m) if m is not None else {}
+                md["width"] = width
+                md["height"] = height
+                metas.append(md)
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                content_col: payloads, meta_col: metas})
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+    cols = [id_col, content_col, meta_col]
+    return ensure_min_partitions(df.select(*cols)).mapInPandas(
+        batches, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int,
                       meta_col: str = "content_meta") -> DataFrame:
     """Plan-level frame sampling: computes the frame indices a video decoder

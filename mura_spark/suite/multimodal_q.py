@@ -71,6 +71,34 @@ def mm_feature_extract(spark, sf):
         F.element_at("features", 8).alias("f7"))
 
 
+@q("mm_resize",
+   "SELECT doc_id, 32 AS out_w, 32 AS out_h, "
+   "CAST(CASE WHEN strlen(text) <= 1024 THEN strlen(text) "
+   "ELSE (strlen(text) + ((strlen(text) + 1023) // 1024) - 1) "
+   "     // ((strlen(text) + 1023) // 1024) END AS BIGINT) AS n_bytes_out "
+   "FROM documents")
+def mm_resize(spark, sf):
+    """Resize plumbing over the stub kernel: payload subsampled to ≤ 32×32
+    bytes with stride ceil(n/1024); the oracle renders the identical
+    integer arithmetic (output length = ceil(n / stride)); metadata struct
+    carries the new dimensions out."""
+    d = table(spark, sf, "documents")
+    payload = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("image").alias("modality"), F.lit("image/raw").alias("mime"),
+            _null_int().alias("width"), _null_int().alias("height"),
+            _null_int().alias("sample_rate"), _null_int().alias("n_frames"),
+        ).alias("content_meta"))
+    resized = MM.resize_stub(payload, 32, 32)
+    return resized.select(
+        F.col("id").alias("doc_id"),
+        F.col("content_meta.width").alias("out_w"),
+        F.col("content_meta.height").alias("out_h"),
+        F.length("content").cast("bigint").alias("n_bytes_out"))
+
+
 @q("mm_frame_sample",
    "SELECT doc_id, CAST((n_chars % 120) + 1 AS INT) AS n_frames, "
    "CAST((n_chars % 120) // 7 + 1 AS INT) AS n_sampled, "

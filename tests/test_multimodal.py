@@ -52,3 +52,28 @@ def test_frame_sample_plan(media):
            for r in MM.frame_sample_plan(media, every_n=10).collect()}
     assert out[3] == [0, 10, 20]   # 25 frames, every 10th
     assert out[1] == []            # no frame count → empty plan
+
+
+def test_resize_stub_plumbing(spark):
+    """Resize: payload bounded by w·h bytes, deterministic stride subsample,
+    metadata struct updated with the output dimensions."""
+    from pyspark.sql import functions as F
+
+    from mura_spark.multimodal import binary_ops as MM
+
+    rows = [(1, b"x" * 5000), (2, b"short"), (3, None)]
+    df = spark.createDataFrame(rows, ["id", "content"]).select(
+        "id", "content",
+        F.struct(
+            F.lit("image").alias("modality"), F.lit("image/raw").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames")).alias("content_meta"))
+    out = {r.id: r for r in MM.resize_stub(df, 32, 32).collect()}
+    # 5000 bytes → stride ceil(5000/1024)=5 → 1000 bytes out
+    assert len(out[1].content) == 1000
+    assert out[1].content == (b"x" * 5000)[::5]
+    assert out[1].content_meta.width == 32 and out[1].content_meta.height == 32
+    assert bytes(out[2].content) == b"short"  # under target: untouched
+    assert out[3].content is None             # null payload passes through
