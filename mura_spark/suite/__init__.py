@@ -28,9 +28,10 @@ from mura_spark.suite import (
 # Registry order == the order the driver verifies queries in. Round 1's
 # CORRECTNESS file stopped after the first 50 entries, leaving the entire
 # extension surface driver-unverified, so the extension families
-# (text / dedup / ANN / events / multimodal) now come FIRST and the
-# reference-parity + relational-gap families (all driver-green in r01)
-# last — whatever the driver's budget is, the least-verified queries get it.
+# (text / packing / sources / dedup / ANN / events / multimodal) now come
+# FIRST and the reference-parity + relational-gap families (all
+# driver-green in r01) last — whatever the driver's budget is, the
+# least-verified queries get it.
 _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
             multimodal_q, relational, tpch_more]
 
