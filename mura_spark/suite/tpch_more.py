@@ -354,3 +354,221 @@ def q22_idle_customers(spark, sf):
     return (rich.groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_cust"),
                  dsum("c_acctbal").alias("total_bal")))
+
+
+# ---------------------------------------------------------------------------
+# round 2 (cont.): the remaining partsupp-free TPC-H shapes — Q7, Q8, Q15,
+# Q19, Q21 (Q2/Q9/Q11/Q16/Q20 need the partsupp table, which the synthetic
+# schema does not ship; Q12 needs commit/receipt dates). Q19 and Q21 keep
+# the original plan shape with predicates adapted to the available columns.
+# ---------------------------------------------------------------------------
+
+@q("q7_nation_volume",
+   "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+   "CAST(year(l_shipdate) AS INT) AS l_year, "
+   f"{sql_dsum(_DISC_PRICE, 4)} AS revenue "
+   "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+   "JOIN orders ON o_orderkey = l_orderkey "
+   "JOIN customer ON c_custkey = o_custkey "
+   "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+   "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+   "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+   "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+   "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+   "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+   "GROUP BY supp_nation, cust_nation, l_year")
+def q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. The nation dim is broadcast twice under different aliases; the
+    symmetric nation-pair disjunction prunes BEFORE the fact join (each
+    side's nation filter reaches its dimension scan), so the big
+    lineitem⋈orders join only carries rows from the two nations."""
+    n1 = F.broadcast(table(spark, sf, "nation")
+                     .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+                     .select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(table(spark, sf, "nation")
+                     .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+                     .select(F.col("n_nationkey").alias("c_nationkey"),
+                             F.col("n_name").alias("cust_nation")))
+    supp = F.broadcast(table(spark, sf, "supplier")
+                       .select("s_suppkey", "s_nationkey").join(n1, "s_nationkey"))
+    cust = table(spark, sf, "customer") \
+        .select("c_custkey", "c_nationkey").join(F.broadcast(n2), "c_nationkey")
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    joined = (li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+                .filter(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))))
+    return (joined.groupBy("supp_nation", "cust_nation",
+                           F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+
+
+@q("q8_market_share",
+   "SELECT o_year, CAST("
+   f"SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)"
+   " AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share "
+   "FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+   f"{_DISC_PRICE} AS volume, n2.n_name AS nation "
+   "FROM part JOIN lineitem ON p_partkey = l_partkey "
+   "JOIN supplier ON s_suppkey = l_suppkey "
+   "JOIN orders ON l_orderkey = o_orderkey "
+   "JOIN customer ON o_custkey = c_custkey "
+   "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+   "JOIN region ON n1.n_regionkey = r_regionkey "
+   "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+   "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' "
+   "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+   "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') "
+   "GROUP BY o_year")
+def q8_market_share(spark, sf):
+    """TPC-H Q8 shape: national market share inside a region. Seven-way
+    star join where every dimension (part filtered on type, customer's
+    nation→region chain filtered on region, supplier's nation) broadcasts;
+    only lineitem⋈orders shuffles. The share is a conditional decimal sum
+    over the same decimal total, divided in double on both engines."""
+    part = F.broadcast(table(spark, sf, "part")
+                       .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    n_r = F.broadcast(
+        table(spark, sf, "nation")
+        .join(table(spark, sf, "region").filter(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nationkey")))
+    cust = F.broadcast(table(spark, sf, "customer")
+                       .select("c_custkey", "c_nationkey").join(n_r, "c_nationkey"))
+    supp_nation = F.broadcast(
+        table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        .join(table(spark, sf, "nation")
+              .select(F.col("n_nationkey").alias("s_nationkey"),
+                      F.col("n_name").alias("nation")), "s_nationkey"))
+    orders = (table(spark, sf, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    joined = (li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+                .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cust, F.col("o_custkey") == F.col("c_custkey")))
+    vol = _disc_price()
+    nat_vol = F.when(F.col("nation") == "NATION_3", vol) \
+               .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg((F.sum(nat_vol).cast("double")
+                  / F.sum(vol).cast("double")).alias("mkt_share")))
+
+
+@q("q15_top_supplier",
+   "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+   f"{sql_dsum(_DISC_PRICE, 4)} AS total_revenue "
+   "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+   "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) "
+   "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+   "JOIN revenue ON s_suppkey = supplier_no "
+   "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)")
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: a revenue view reused twice — once aggregated to
+    its max (a single broadcast row), once equality-joined against that
+    max. The view is computed once and cached-by-plan (Spark reuses the
+    exchange); revenue is decimal-exact so the max-equality is
+    deterministic cross-engine."""
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum(_disc_price()).cast("double").alias("total_revenue")))
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
+    supp = F.broadcast(table(spark, sf, "supplier")
+                       .select("s_suppkey", "s_name"))
+    return (revenue.crossJoin(F.broadcast(max_rev))
+            .filter(F.col("total_revenue") == F.col("__max"))
+            .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@q("q19_disjunctive_revenue",
+   f"SELECT {sql_dsum(_DISC_PRICE, 4)} AS revenue, COUNT(*) AS n_lines "
+   "FROM lineitem JOIN part ON p_partkey = l_partkey "
+   "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+   "       AND l_quantity >= 1 AND l_quantity <= 20) "
+   "OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 "
+   "       AND l_quantity >= 10 AND l_quantity <= 30) "
+   "OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 "
+   "       AND l_quantity >= 20 AND l_quantity <= 40)")
+def q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides (container/
+    shipmode predicates adapted to brand/size — the synthetic part table
+    has no p_container). The per-side conjunct unions push to each scan
+    (brand∈{1,2,3} on part, quantity∈[1,40] on lineitem) while the full
+    disjunction evaluates after the broadcast join — the same split
+    Catalyst derives for the original Q19."""
+    li = (table(spark, sf, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount"))
+    part = F.broadcast(table(spark, sf, "part")
+                       .select("p_partkey", "p_brand", "p_size"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(11, 25)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(26, 50)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)))
+    return joined.filter(cond).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@q("q21_waiting_supplier",
+   "SELECT s_name, COUNT(*) AS numwait "
+   "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+   "JOIN orders ON o_orderkey = l1.l_orderkey "
+   "JOIN nation ON s_nationkey = n_nationkey "
+   "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+   "AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3') "
+   "AND EXISTS (SELECT 1 FROM lineitem l2 "
+   "  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+   "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+   "  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey "
+   "  AND l3.l_returnflag = 'R') "
+   "GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20")
+def q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape: the double-correlated EXISTS / NOT EXISTS over the
+    fact table ("another supplier touched this order" / "no OTHER supplier
+    failed it"), with 'failed' adapted to l_returnflag='R' (no
+    commit/receipt dates in the synthetic schema). Decorrelated the way a
+    1000-executor plan must be: ONE extra aggregation of lineitem per
+    order (distinct suppliers, distinct R-flag suppliers) equi-joined
+    back — never a per-row rescan of the fact. EXISTS(other supplier) ⇔
+    n_supp ≥ 2; NOT EXISTS(other R supplier) ⇔ the R-supplier set is
+    exactly {l1.l_suppkey}, i.e. n_r_supp = 1 given l1 is itself R."""
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("__n_supp"),
+                      F.countDistinct(
+                          F.when(F.col("l_returnflag") == "R",
+                                 F.col("l_suppkey"))).alias("__n_r_supp")))
+    orders = (table(spark, sf, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select(F.col("o_orderkey").alias("l_orderkey")))
+    supp = F.broadcast(
+        table(spark, sf, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+        .join(table(spark, sf, "nation")
+              .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+              .select(F.col("n_nationkey").alias("s_nationkey")), "s_nationkey"))
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .join(orders, "l_orderkey", "left_semi")
+          .join(per_order, "l_orderkey")
+          .filter((F.col("__n_supp") >= 2) & (F.col("__n_r_supp") == 1))
+          .join(supp, F.col("l_suppkey") == F.col("s_suppkey")))
+    agg = l1.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+    return topk(agg, [F.col("numwait").desc(), F.col("s_name").asc()], 20)
