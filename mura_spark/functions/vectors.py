@@ -48,3 +48,40 @@ def normalize_unit(a: Column) -> Column:
     n = norm(a)
     return F.when(n == 0, a.cast("array<double>")).otherwise(
         F.transform(a, lambda x: x.cast("double") / n))
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — storage/transfer compression for embedding columns
+# (4× smaller than float32, 8× smaller than float64; the standard trick for
+# shipping 100 TB of embeddings through a shuffle or into an ANN index).
+# Symmetric per-vector scheme: scale = max|xᵢ|/127, qᵢ = ⌊xᵢ/scale + ½⌋
+# clamped to [-127, 127]. Rounding is rendered as floor(x + 0.5) — NOT
+# F.round — because Spark's HALF_UP on negative values and DuckDB's
+# half-away-from-zero disagree at exact .5 boundaries, while floor is
+# bit-identical in both engines.
+# ---------------------------------------------------------------------------
+
+def abs_max(a: Column) -> Column:
+    """max |aᵢ| in double (exact — max is order-independent)."""
+    return F.aggregate(a, F.lit(0.0),
+                       lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+
+
+def quantize_scale(a: Column) -> Column:
+    """Per-vector symmetric int8 scale: max|aᵢ|/127 (0.0 for zero vectors)."""
+    return abs_max(a) / F.lit(127.0)
+
+
+def int8_quantize(a: Column, scale: Column) -> Column:
+    """array<int> of ⌊aᵢ/scale + ½⌋ clamped to [-127, 127]; all-zero for
+    zero-scale vectors. Values fit int8; surfaced as int for portability."""
+    return F.when(scale == 0, F.transform(a, lambda x: F.lit(0))).otherwise(
+        F.transform(a, lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127),
+                    F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")))))
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Reconstruct array<double>: qᵢ·scale."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

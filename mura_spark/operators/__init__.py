@@ -11,7 +11,9 @@ except where explicitly noted (multimodal decode stubs).
   (brute-force / hyperplane-LSH / IVF), embedding near-dup (blocked exact)
 - :mod:`mura_spark.operators.asof` — as-of join, range (interval) join
 - :mod:`mura_spark.operators.skew` — salted joins/aggregations for hot keys
-- :mod:`mura_spark.operators.sampling` — deterministic hash-based splits
+- :mod:`mura_spark.operators.sampling` — deterministic hash-based splits,
+  per-stratum sampling
+- :mod:`mura_spark.operators.tfidf` — corpus TF-IDF keyword extraction
 - :mod:`mura_spark.operators.topk` — order-by + limit (TakeOrderedAndProject)
 - :mod:`mura_spark.operators.packing` — training-sequence packing
   (concat-and-chunk, whole-doc first-fit)
@@ -25,6 +27,7 @@ from mura_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     skew,
+    tfidf,
     topk,
     upsert,
 )

@@ -42,3 +42,30 @@ def split_by_hash(df: DataFrame, key: str,
         out[name] = df.filter((b >= lo) & (b < hi))
         lo = hi
     return out
+
+
+def stratified_sample(df: DataFrame, strata: str, key: str,
+                      fractions: dict[str, float],
+                      default: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a different hash-bucket
+    fraction of each stratum (e.g. downsample boilerplate-heavy sources,
+    keep 100% of rare ones — the class-rebalancing step of a training-data
+    pipeline).
+
+    Membership is ``hash_bucket(key) < fraction(strata) * 1000`` — a pure
+    row-local predicate: no shuffle, no RNG, stable across runs/engines/
+    repartitioning, and the kept set for a stratum only grows as its
+    fraction grows. ``fractions`` maps stratum VALUE → fraction; strata not
+    listed keep ``default``. The per-stratum threshold compiles to a CASE
+    expression, so at 100 TB this is a scan-side filter (no join against a
+    fractions table needed until there are ~millions of strata)."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} is {frac}, not in [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction {default} not in [0, 1]")
+    thresh = F.lit(int(round(default * BUCKETS)))
+    for name, frac in fractions.items():
+        thresh = F.when(F.col(strata) == name,
+                        F.lit(int(round(frac * BUCKETS)))).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(key)) < thresh)

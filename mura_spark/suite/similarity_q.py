@@ -61,3 +61,67 @@ def ann_topk_ivf(spark, sf):
     queries = (e.filter(F.col("vec_id") < _NQ)
                 .select(F.col("vec_id").alias("query_id"), "embedding"))
     return similarity.topk_ivf(queries, e, _K)
+
+
+# Both engines fold the squared elements left-to-right (Spark F.aggregate
+# from 0.0 ≡ DuckDB list_reduce from the first element — 0.0 + s₁ is exact),
+# so the norms compare bit-identically.
+_SQ_NORM = ("sqrt(list_reduce(list_transform({v}, x -> x * x), "
+            "(a, b) -> a + b))")
+
+
+@q("emb_normalize",
+   "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+   "FROM embeddings), "
+   f"n AS (SELECT vec_id, v, {_SQ_NORM.format(v='v')} AS norm_before FROM e) "
+   "SELECT vec_id, norm_before, "
+   "CASE WHEN norm_before = 0 THEN 0.0 ELSE "
+   f"{_SQ_NORM.format(v='list_transform(v, x -> x / norm_before)')} "
+   "END AS norm_after FROM n")
+def emb_normalize(spark, sf):
+    """Unit-L2 normalization: per-row HOF arithmetic, zero shuffle — the
+    canonical pre-processing step before cosine ANN (post-norm ≈ 1 up to
+    float rounding, and bit-identical cross-engine)."""
+    from mura_spark.functions import vectors as V
+    e = table(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        V.norm(emb).alias("norm_before"),
+        F.when(V.norm(emb) == 0, F.lit(0.0))
+         .otherwise(V.norm(V.normalize_unit(emb))).alias("norm_after"))
+
+
+@q("emb_quantize_roundtrip",
+   "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+   "FROM embeddings), "
+   "s AS (SELECT vec_id, v, "
+   "list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), "
+   "qq AS (SELECT vec_id, v, scale, "
+   "CASE WHEN scale = 0 THEN list_transform(v, x -> 0) "
+   "ELSE list_transform(v, x -> greatest(-127, least(127, "
+   "CAST(floor(x / scale + 0.5) AS INT)))) END AS q FROM s) "
+   "SELECT vec_id, scale, "
+   "CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1, "
+   "list_max(list_transform(list_zip(q, v), "
+   "p -> abs(p[1] * scale - p[2]))) AS max_err FROM qq")
+def emb_quantize_roundtrip(spark, sf):
+    """Symmetric int8 quantization round-trip: per-vector scale, L1 mass of
+    the quantized codes, and max reconstruction error (bounded by scale/2).
+    All per-row HOF arithmetic — zero shuffle, no Python crossing; the 4×
+    storage cut is what makes shipping embeddings through a 100 TB shuffle
+    or into an ANN index affordable."""
+    from mura_spark.functions import vectors as V
+    e = table(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    scale = V.quantize_scale(emb)
+    q = V.int8_quantize(emb, scale)
+    err = F.zip_with(V.dequantize(q, scale), emb,
+                     lambda x, y: F.abs(x - y.cast("double")))
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + F.abs(v)).alias("q_l1"),
+        F.aggregate(err, F.lit(0.0),
+                    lambda acc, v: F.greatest(acc, v)).alias("max_err"))

@@ -190,3 +190,44 @@ def sample_split_train(spark, sf):
     from mura_spark.operators.sampling import split_by_hash
     d = table(spark, sf, "documents").select("doc_id", "lang")
     return split_by_hash(d, "doc_id", {"train": 0.9, "val": 0.1})["train"]
+
+
+_HASH_BUCKET = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) "
+                "AS BIGINT) % 1000")
+
+@q("sample_stratified",
+   "SELECT lang, COUNT(*) AS n_kept FROM documents "
+   f"WHERE {_HASH_BUCKET} < CASE WHEN lang = 'en' THEN 500 "
+   "WHEN lang = 'zh' THEN 1000 ELSE 200 END GROUP BY lang")
+def sample_stratified(spark, sf):
+    """Per-stratum deterministic downsampling (class rebalancing): keep 50%
+    of English, all of Chinese, 20% of everything else — membership is a
+    row-local hash predicate (no shuffle, no RNG), so the filter runs at
+    the scan and the only shuffle is the verifying count."""
+    from mura_spark.operators.sampling import stratified_sample
+    d = table(spark, sf, "documents").select("doc_id", "lang")
+    kept = stratified_sample(d, "lang", "doc_id",
+                             {"en": 0.5, "zh": 1.0}, default=0.2)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@q("text_tfidf_topterms",
+   f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents), "
+   "tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM tok GROUP BY 1, 2), "
+   "dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1), "
+   "n AS (SELECT COUNT(*) AS n_docs FROM documents) "
+   "SELECT doc_id, term, score_micro FROM ("
+   "SELECT tf.doc_id, tf.term, "
+   "CAST(floor(CAST(tfc AS DOUBLE) * ln((n_docs + 1.0) / (dfc + 1.0)) "
+   "* 1000000 + 0.5) AS BIGINT) AS score_micro, "
+   "ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY "
+   "CAST(floor(CAST(tfc AS DOUBLE) * ln((n_docs + 1.0) / (dfc + 1.0)) "
+   "* 1000000 + 0.5) AS BIGINT) DESC, tf.term ASC) AS rnk "
+   "FROM tf JOIN dfreq USING (term) CROSS JOIN n) WHERE rnk <= 3")
+def text_tfidf_topterms(spark, sf):
+    """Top-3 TF-IDF terms per document, scored in integer micro-units
+    (JVM log and libm ln differ in the last ulp, so the raw double is not
+    hash-comparable) — see mura_spark.operators.tfidf for plan shape."""
+    from mura_spark.operators.tfidf import tfidf_top_terms
+    d = table(spark, sf, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3, micro=True)

@@ -125,6 +125,37 @@ def test_split_by_hash_partitions_exactly(spark, sf_dir):
     assert 0.7 * n < len(ids["train"]) < 0.9 * n
 
 
+def test_stratified_sample_per_stratum_fractions(spark, sf_dir):
+    """Per-stratum fractions are honored, membership is stable, kept sets
+    nest as fractions grow, and bad fractions are rejected."""
+    import pytest
+
+    from mura_spark.operators.sampling import stratified_sample
+    from mura_spark.suite.common import table
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_sample(d, "lang", "doc_id",
+                             {"en": 0.5, "zh": 1.0}, default=0.2)
+    by_lang = {r.lang: r.n for r in
+               d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.lang: r.n for r in
+           kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["zh"] == by_lang["zh"]                      # keep-all exact
+    assert 0.3 * by_lang["en"] < got["en"] < 0.7 * by_lang["en"]
+    for lang in by_lang:
+        if lang not in ("en", "zh"):
+            assert got.get(lang, 0) < 0.45 * by_lang[lang]
+    # stability + nesting: same call → same ids; fraction↑ → superset
+    ids = {r.doc_id for r in kept.collect()}
+    again = {r.doc_id for r in stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5, "zh": 1.0}, default=0.2).collect()}
+    assert ids == again
+    bigger = {r.doc_id for r in stratified_sample(
+        d, "lang", "doc_id", {"en": 0.8, "zh": 1.0}, default=0.2).collect()}
+    assert ids <= bigger
+    with pytest.raises(ValueError):
+        stratified_sample(d, "lang", "doc_id", {"en": 1.5})
+
+
 def test_scrub_pii_planted(spark):
     """Email/IPv4 scrub + counts on planted rows, and cross-engine parity:
     DuckDB with the same patterns must render identical results."""
