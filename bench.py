@@ -65,6 +65,15 @@ BENCH_QUERIES = [
     "pack_train_greedy",
     "events_json_extract",
     "events_user_totals",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "text_tfidf_topterms",
+    "emb_quantize_roundtrip",
+    "sample_stratified",
+    "events_funnel",
+    "events_retention",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -10,6 +10,7 @@ except where explicitly noted (multimodal decode stubs).
 - :mod:`mura_spark.operators.similarity` — embedding cosine top-k
   (brute-force / hyperplane-LSH / IVF), embedding near-dup (blocked exact)
 - :mod:`mura_spark.operators.asof` — as-of join, range (interval) join
+- :mod:`mura_spark.operators.funnel` — strict-order funnels, cohort retention
 - :mod:`mura_spark.operators.skew` — salted joins/aggregations for hot keys
 - :mod:`mura_spark.operators.sampling` — deterministic hash-based splits,
   per-stratum sampling
@@ -23,6 +24,7 @@ except where explicitly noted (multimodal decode stubs).
 from mura_spark.operators import (  # noqa: F401
     asof,
     dedup,
+    funnel,
     packing,
     sampling,
     similarity,

@@ -1,0 +1,103 @@
+"""Funnel + cohort-retention analytics over an event stream.
+
+North-star extension surface (the reference has no aggregation at all —
+its Aggregate IR variant is rejected at planning, logicalplan.rs:72-80 /
+queryplanner.rs:88); these are the two canonical product-analytics shapes
+an events table exists for.
+
+Scale design. Both operators reduce the raw event stream to per-user
+scalars BEFORE any join: every shuffle moves |users| rows, never |events|
+rows, and each funnel step's events are filtered by type at the scan
+(pushed filter). Nothing collects per-user event lists, so a hot user
+(millions of events) costs map-side aggregation only — no unbounded
+`collect_list` state, which is what kills naive funnel queries at 100 TB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(events: DataFrame, user_col: str, type_col: str,
+                 ts_col: str, steps: list[str],
+                 max_span_seconds: int | None = None) -> DataFrame:
+    """Per-user strict-order funnel: earliest time each step was completed
+    AFTER the previous step (nulls once a user drops out), plus ``depth``
+    (number of steps completed). ``max_span_seconds`` additionally requires
+    every step to land within that many seconds of step 1.
+
+    Plan: one ``groupBy(user)`` per step over events pre-filtered to that
+    step's type, each joined to the survivors of the previous step — k
+    small user-keyed shuffles, never a per-user event sort or list.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    reached = [(events.filter(F.col(type_col) == steps[0])
+                .groupBy(user_col).agg(F.min(ts_col).alias("t_1")))]
+    for i in range(2, len(steps) + 1):
+        prev = reached[-1]
+        cand = (events.filter(F.col(type_col) == steps[i - 1])
+                .select(user_col, F.col(ts_col).alias("__ts"))
+                .join(prev, user_col)
+                .filter(F.col("__ts") > F.col(f"t_{i - 1}")))
+        if max_span_seconds is not None:
+            cand = cand.filter(
+                F.col("__ts").cast("long")
+                <= F.col("t_1").cast("long") + F.lit(max_span_seconds))
+        reached.append(
+            cand.groupBy(user_col)
+                .agg(*[F.min(f"t_{j}").alias(f"t_{j}")
+                       for j in range(1, i)],
+                     F.min("__ts").alias(f"t_{i}")))
+    out = reduce(
+        lambda acc, nxt: acc.join(
+            nxt[1].select(user_col, f"t_{nxt[0]}"), user_col, "left"),
+        enumerate(reached[1:], start=2), reached[0])
+    depth = reduce(lambda a, b: a + b,
+                   [F.col(f"t_{i}").isNotNull().cast("int")
+                    for i in range(1, len(steps) + 1)])
+    return out.withColumn("depth", depth)
+
+
+def funnel_counts(events: DataFrame, user_col: str, type_col: str,
+                  ts_col: str, steps: list[str],
+                  max_span_seconds: int | None = None) -> DataFrame:
+    """Funnel summary: (step, step_name, n_users) — users whose depth
+    reaches each step, in step order."""
+    per_user = funnel_steps(events, user_col, type_col, ts_col, steps,
+                            max_span_seconds)
+    counts = per_user.agg(*[
+        F.sum(F.col(f"t_{i}").isNotNull().cast("long")).alias(f"n_{i}")
+        for i in range(1, len(steps) + 1)])
+    stack = ", ".join(f"{i}, '{s}', n_{i}"
+                      for i, s in enumerate(steps, start=1))
+    return counts.select(F.expr(
+        f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"))
+
+
+def retention_cohorts(events: DataFrame, user_col: str, ts_col: str,
+                      type_col: str, cohort_event: str) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_offset, n_users) — users
+    whose first ``cohort_event`` fell in cohort_week and who had ANY event
+    during cohort_week + offset. Offset 0 rows equal the cohort sizes.
+
+    Two user-keyed aggregations (cohort assignment, distinct active weeks)
+    and one count — the activity frame is pre-deduplicated to (user, week)
+    map-side, so the join back to cohorts moves |users × active weeks|
+    rows, not raw events."""
+    cohort = (events.filter(F.col(type_col) == cohort_event)
+              .groupBy(user_col)
+              .agg(F.date_trunc("week", F.min(ts_col)).alias("cohort_week")))
+    active = (events
+              .select(user_col,
+                      F.date_trunc("week", F.col(ts_col)).alias("act_week"))
+              .distinct())
+    joined = (active.join(cohort, user_col)
+              .filter(F.col("act_week") >= F.col("cohort_week")))
+    offset = (F.datediff(F.col("act_week").cast("date"),
+                         F.col("cohort_week").cast("date")) / 7).cast("int")
+    return (joined.groupBy("cohort_week", offset.alias("week_offset"))
+            .agg(F.count_distinct(F.col(user_col)).alias("n_users")))

@@ -196,6 +196,48 @@ def events_upsert_latest(spark, sf):
     return upsert_latest(ev, updates, ["event_id"], "ts")
 
 
+@q("events_funnel",
+   "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+   "WHERE event_type = 'view' GROUP BY user_id), "
+   "s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e "
+   "JOIN s1 ON e.user_id = s1.user_id "
+   "WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id), "
+   "s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e "
+   "JOIN s2 ON e.user_id = s2.user_id "
+   "WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id) "
+   "SELECT 1 AS step, 'view' AS step_name, "
+   "(SELECT COUNT(*) FROM s1) AS n_users "
+   "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) "
+   "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)")
+def events_funnel(spark, sf):
+    """Strict-order funnel view → click → purchase: per-step user counts.
+    See mura_spark.operators.funnel for the |users|-row shuffle design."""
+    from mura_spark.operators.funnel import funnel_counts
+    ev = table(spark, sf, "events")
+    return funnel_counts(ev, "user_id", "event_type", "ts",
+                         ["view", "click", "purchase"])
+
+
+@q("events_retention",
+   "WITH cohort AS (SELECT user_id, "
+   "CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week "
+   "FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+   "active AS (SELECT DISTINCT user_id, "
+   "CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week FROM events) "
+   "SELECT cohort_week, CAST(date_diff('day', CAST(cohort_week AS DATE), "
+   "CAST(act_week AS DATE)) / 7 AS INT) AS week_offset, "
+   "COUNT(DISTINCT user_id) AS n_users "
+   "FROM active JOIN cohort USING (user_id) "
+   "WHERE act_week >= cohort_week GROUP BY 1, 2")
+def events_retention(spark, sf):
+    """Weekly signup-cohort retention (cohort_week, week_offset, n_users).
+    Week starts align (Monday in both engines), so offsets are exact
+    multiples of 7 days and the int conversion is lossless."""
+    from mura_spark.operators.funnel import retention_cohorts
+    ev = table(spark, sf, "events")
+    return retention_cohorts(ev, "user_id", "ts", "event_type", "signup")
+
+
 @q("sketch_value_percentiles")  # approximate — rows-only; error in pytest
 def sketch_value_percentiles(spark, sf):
     """Approximate p50/p90/p99 of event value per type via the built-in
