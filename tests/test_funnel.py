@@ -79,6 +79,53 @@ def test_retention_offset0_equals_cohort_size(spark):
     assert all(off >= 0 for (_, off) in got)
 
 
+def test_funnel_matches_bruteforce_on_random_logs(spark):
+    """Property: funnel_steps equals a per-user brute-force simulation
+    (greedy earliest-completion scan) on randomized event logs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    steps = ["a", "b", "c"]
+    EV = st.tuples(st.integers(1, 5),                    # user
+                   st.integers(0, 50),                   # hour offset
+                   st.sampled_from(["a", "b", "c", "x"]))
+
+    def brute(events):
+        out = {}
+        by_user = {}
+        for u, h, t in events:
+            by_user.setdefault(u, []).append((dt.datetime(2024, 1, 1)
+                                              + dt.timedelta(hours=h), t))
+        for u, evs in by_user.items():
+            evs.sort()
+            times, last = [], None
+            for s in steps:
+                cand = [ts for ts, t in evs if t == s
+                        and (last is None or ts > last)]
+                if not cand:
+                    break
+                last = min(cand)
+                times.append(last)
+            if times:
+                out[u] = times
+        return out
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(events=st.lists(EV, min_size=1, max_size=40))
+    def run(events):
+        rows = [(u, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), t)
+                for u, h, t in events]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = {r.user_id: [x for x in (r.t_1, r.t_2, r.t_3) if x is not None]
+               for r in funnel_steps(df, "user_id", "event_type", "ts",
+                                     steps).collect()}
+        assert got == brute(events)
+
+    run()
+
+
 def test_funnel_plan_shuffles_users_not_events(spark, log):
     """Every aggregation keys on user_id and events are filtered by type
     before any join — no per-user sort or collect_list in the plan."""
