@@ -326,24 +326,79 @@ def _assign_centroids(df: DataFrame, vec_col: str, centroids, n_probe: int,
     return df.mapInPandas(assign, schema=schema)
 
 
+def _refine_centroids(corpus: DataFrame, vec_col: str,
+                      centroids: list[list[float]], iters: int):
+    """Lloyd refinement of IVF centroids, ``iters`` passes. Each pass:
+
+    1. a narrow Arrow kernel emits per-batch partial sums — at most C rows
+       of (cid, count, sum-vector) per batch, regardless of batch size;
+    2. the partials reduce JVM-side (posexplode → groupBy (cid, dim) — a
+       C·dim·n_partitions-row shuffle, independent of corpus size);
+    3. only the C·dim reduced cells reach the driver (bounded, like the
+       seed collect).
+
+    Clusters that attract no rows keep their previous centroid. Determinism
+    is not required here (IVF is recall-tested, not hash-compared): the
+    double sums reduce in shuffle order."""
+    import numpy as np
+    import pandas as pd
+
+    for _ in range(iters):
+        cm = np.asarray(centroids, dtype=np.float64)
+        cm_unit = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
+                                  1e-12)
+        n_c, dim = cm.shape
+
+        def partials(batches):
+            for pdf in batches:
+                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vn = vecs / np.maximum(
+                    np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                near = np.argmax(vn @ cm_unit.T, axis=1)
+                sums = np.zeros((n_c, dim))
+                np.add.at(sums, near, vecs)
+                counts = np.bincount(near, minlength=n_c)
+                live = np.nonzero(counts)[0]
+                yield pd.DataFrame({"cid": live,
+                                    "cnt": counts[live],
+                                    "s": list(sums[live])})
+
+        part = corpus.select(vec_col).mapInPandas(
+            partials, "cid int, cnt long, s array<double>")
+        cells = (part.select("cid", F.posexplode("s").alias("pos", "v"))
+                 .groupBy("cid", "pos").agg(F.sum("v").alias("v")).collect())
+        cnts = {r.cid: r.cnt for r in
+                part.groupBy("cid").agg(F.sum("cnt").alias("cnt")).collect()}
+        new = cm.copy()
+        for r in cells:
+            new[r.cid, r.pos] = r.v / cnts[r.cid]
+        centroids = [list(row) for row in new]
+    return centroids
+
+
 def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
              n_centroids: int = 16, n_probe: int = 4,
              query_id: str = "query_id", corpus_id: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", refine_iters: int = 1) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
     Deterministic centroid seed: the ``n_centroids`` corpus rows with the
-    smallest ids (collected — provably small, like LSH planes). Corpus rows
+    smallest ids (collected — provably small, like LSH planes), then
+    ``refine_iters`` Lloyd passes (see :func:`_refine_centroids` — per-batch
+    partial sums, so refinement never shuffles corpus rows). Corpus rows
     index into their single nearest centroid's list; queries probe their
     ``n_probe`` nearest lists; exact cosine re-ranks within probed lists.
     The join is a plain shuffled equi-join on centroid id — the inverted
     lists never cross the driver. Recall is tested against brute force
-    (higher n_probe/centroid-count trade recall for cost). Output schema
-    matches :func:`topk_bruteforce`.
+    (higher n_probe/centroid-count/refine_iters trade recall for cost).
+    Output schema matches :func:`topk_bruteforce`.
     """
     seed_rows = (corpus.orderBy(F.col(corpus_id).asc()).limit(n_centroids)
                  .select(vec_col).collect())
     centroids = [list(r[0]) for r in seed_rows]
+    if refine_iters > 0:
+        centroids = _refine_centroids(corpus.select(vec_col), vec_col,
+                                      centroids, refine_iters)
     c_assigned = _assign_centroids(
         corpus.select(F.col(corpus_id).alias("neighbor_id"),
                       F.col(vec_col).alias("__cvec")),

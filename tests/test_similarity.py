@@ -149,3 +149,25 @@ def test_ivf_recall_floor(embeddings):
            for r in similarity.topk_ivf(q, embeddings, 5).collect()}
     assert len(bf & ivf) / len(bf) >= 0.5
     assert all((i, i) in ivf for i in range(10))
+
+
+def test_ivf_lloyd_refinement_recall_and_degenerate_seed(spark, embeddings):
+    """Lloyd-refined centroids keep the recall floor, and refinement
+    survives empty clusters (identical seed vectors collapse every row
+    into one cluster; the rest keep their previous centroid)."""
+    q = (embeddings.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    bf = {(r.query_id, r.neighbor_id)
+          for r in similarity.topk_bruteforce(q, embeddings, 5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.topk_ivf(q, embeddings, 5,
+                                        refine_iters=2).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.5
+    # degenerate corpus: all vectors identical → one live cluster
+    same = spark.createDataFrame([(i, [1.0, 0.0]) for i in range(6)],
+                                 ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    qq = same.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.topk_ivf(qq, same, 3, n_centroids=4,
+                              refine_iters=2).collect()
+    assert len(out) == 3 and all(r.sim == 1.0 for r in out)
