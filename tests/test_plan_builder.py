@@ -174,3 +174,23 @@ def test_round2_operator_plan_shapes(spark, sf_dir):
     ups = _formatted_plan(SPARK_QUERIES["events_upsert_latest"](spark, sf_dir))
     assert ups.count("hashpartitioning(") == 1  # the key window only
     assert "Union" in ups
+
+
+def test_tpch_remaining_plan_shapes(spark, sf_dir):
+    """Plan discipline for the Q7/Q8/Q19 additions: dimensions broadcast
+    (never a sort-merge join against a dim), and Q19's OR-of-ANDs splits
+    into per-side conjunct unions that reach BOTH scans."""
+    from mura_spark.suite import SPARK_QUERIES
+
+    q7 = _formatted_plan(SPARK_QUERIES["q7_nation_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q7 and "SortMergeJoin" not in q7
+
+    q8 = _formatted_plan(SPARK_QUERIES["q8_market_share"](spark, sf_dir))
+    assert q8.count("BroadcastHashJoin") >= 4   # part/supp-nation/cust chain
+    assert "SortMergeJoin" not in q8
+
+    q19 = _formatted_plan(
+        SPARK_QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    pushed = [l for l in q19.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l and "Or(" in l for l in pushed)
+    assert any("l_quantity" in l and "Or(" in l for l in pushed)
