@@ -222,8 +222,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
     # materialized once: the loop joins edges every round, and the upstream
     # pair pipeline (shingling + similarity join) must not re-execute per
     # round
-    labels = (edges.select(F.col("src").alias("id"))
-              .distinct().withColumn("label", F.col("id")))
+    # Init at the round-1 fixpoint directly: label = min(id, min neighbor)
+    # — one groupBy (same cost as the distinct init it replaces) that makes
+    # clique-shaped duplicate groups (the common near-dup case) converge in
+    # a single confirming round instead of three.
+    labels = (edges.groupBy("src")
+              .agg(F.min("dst").alias("__mn"))
+              .select(F.col("src").alias("id"),
+                      F.least(F.col("src"), F.col("__mn")).alias("label")))
     for _ in range(max_iter):
         lab_src = labels
         neigh = (edges.join(lab_src.withColumnRenamed("id", "dst")
