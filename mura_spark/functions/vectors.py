@@ -85,3 +85,46 @@ def int8_quantize(a: Column, scale: Column) -> Column:
 def dequantize(q: Column, scale: Column) -> Column:
     """Reconstruct array<double>: qᵢ·scale."""
     return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def quantize_roundtrip_stats(df, id_col: str, vec_col: str):
+    """(id, scale, q_l1, max_err) for the int8 round-trip of every vector,
+    as one Arrow-batched numpy pass.
+
+    Spark evaluates HOF lambdas (transform/aggregate) INTERPRETED per
+    element — measured ~8× super-linear cost on the quantize pipeline at
+    10× data (BASELINE.md scale table). This kernel computes the same
+    values vectorized: every op (float32→double widen, /, floor(x+0.5),
+    int clamp, ·scale, |a−b|, max, integer Σ) is IEEE-exact and
+    order-independent, so outputs are bit-identical to the expression form
+    (:func:`quantize_scale` / :func:`int8_quantize` / :func:`dequantize`
+    compositions — equivalence pinned in tests/test_vectors.py).
+    Requires fixed-dimension vectors per batch (embedding tables are);
+    use the Column functions for ragged data."""
+    import numpy as np
+    import pandas as pd
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if vecs.size == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "scale": 0.0,
+                                    "q_l1": np.int64(0), "max_err": 0.0})
+                continue
+            scale = np.abs(vecs).max(axis=1) / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            q = np.clip(np.floor(vecs / safe[:, None] + 0.5), -127, 127)
+            q[scale == 0.0, :] = 0.0
+            err = np.abs(q * scale[:, None] - vecs).max(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "scale": scale,
+                "q_l1": np.abs(q).sum(axis=1).astype(np.int64),
+                "max_err": err})
+
+    return ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
+        kernel,
+        f"{id_col} {id_dt}, scale double, q_l1 bigint, max_err double")

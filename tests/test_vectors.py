@@ -35,6 +35,29 @@ def test_int8_quantize_roundtrip_error_bound(spark):
     assert out[1].q[2] == 127 and out[1].q[3] == -127
 
 
+def test_quantize_kernel_bit_identical_to_hof(spark, sf_dir):
+    """The Arrow round-trip kernel must equal the HOF-expression form
+    bit-for-bit on real embedding data (every op is IEEE-exact and
+    order-independent)."""
+    from mura_spark.suite.common import table
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    scale = V.quantize_scale(emb)
+    q = V.int8_quantize(emb, scale)
+    err = F.zip_with(V.dequantize(q, scale), emb,
+                     lambda x, y: F.abs(x - y.cast("double")))
+    hof = {r.vec_id: (r.scale, r.q_l1, r.max_err) for r in e.select(
+        "vec_id", scale.alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + F.abs(v)).alias("q_l1"),
+        F.aggregate(err, F.lit(0.0),
+                    lambda acc, v: F.greatest(acc, v)).alias("max_err"))
+        .collect()}
+    kern = {r.vec_id: (r.scale, r.q_l1, r.max_err) for r in
+            V.quantize_roundtrip_stats(e, "vec_id", "embedding").collect()}
+    assert kern == hof   # exact equality, doubles included
+
+
 def test_normalize_unit_norm(spark):
     df = _vec_df(spark, [(1, [3.0, 4.0]), (2, [0.0, 0.0])])
     out = {r.id: r for r in df.select(
