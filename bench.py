@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "sample_stratified",
     "events_funnel",
     "events_retention",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

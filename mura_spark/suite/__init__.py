@@ -23,6 +23,7 @@ from mura_spark.suite import (
     sources_q,
     textops,
     tpch_more,
+    tpch_ps,
 )
 
 # Registry order == the order the driver verifies queries in. Round 1's
@@ -33,7 +34,7 @@ from mura_spark.suite import (
 # driver-green in r01) last — whatever the driver's budget is, the
 # least-verified queries get it.
 _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
-            multimodal_q, relational, tpch_more]
+            multimodal_q, relational, tpch_more, tpch_ps]
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
