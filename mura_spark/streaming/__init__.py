@@ -1,1 +1,1 @@
-from mura_spark.streaming import windows  # noqa: F401
+from mura_spark.streaming import sinks, windows  # noqa: F401

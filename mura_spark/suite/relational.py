@@ -546,3 +546,70 @@ def window_running_sum(spark, sf):
             .select("o_custkey", "o_orderkey",
                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                      .over(w).cast("double").alias("running_total")))
+
+
+@q("window_lead_lag",
+   "SELECT o_custkey, o_orderkey, "
+   "lag(o_totalprice) OVER w AS prev_price, "
+   "lead(o_totalprice) OVER w AS next_price, "
+   "first_value(o_totalprice) OVER w AS first_price, "
+   "CAST(ntile(4) OVER w AS INT) AS quartile "
+   "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+   "ORDER BY o_orderdate ASC, o_orderkey ASC)")
+def window_lead_lag(spark, sf):
+    """Navigation window functions (lag/lead/first_value/ntile) over each
+    customer's order history — deterministic frame via the unique
+    (date, orderkey) tiebreak."""
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
+    return (table(spark, sf, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.lag("o_totalprice").over(w).alias("prev_price"),
+                    F.lead("o_totalprice").over(w).alias("next_price"),
+                    F.first("o_totalprice").over(w).alias("first_price"),
+                    F.ntile(4).over(w).alias("quartile")))
+
+
+@q("string_functions",
+   "SELECT c_custkey, upper(c_name) AS uname, "
+   "substr(c_name, 1, 8) AS prefix8, "
+   "replace(c_name, 'Customer', 'Cust') AS renamed, "
+   "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, "
+   "concat(c_mktsegment, '/', c_name) AS seg_name, "
+   "CAST(len(string_split(c_name, '0')) AS INT) AS zero_splits "
+   "FROM customer WHERE c_custkey < 500")
+def string_functions(spark, sf):
+    """Core string-function surface (upper/substr/replace/lpad/concat/
+    split) — each rendered identically in DuckDB; split counts are
+    engine-portable because the delimiter is a literal, not a regex."""
+    c = table(spark, sf, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("renamed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+         .alias("padded_key"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("seg_name"),
+        F.size(F.split("c_name", "0", -1)).alias("zero_splits"))
+
+
+@q("agg_grouping_sets",
+   "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+   f"{sql_dsum('l_quantity')} AS sum_qty, "
+   "CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) "
+   "AS gid FROM lineitem "
+   "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), "
+   "())")
+def agg_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS with a grouping-id disambiguator (NULL group
+    keys from the subtotal rows vs genuine NULLs)."""
+    table(spark, sf, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) "
+        "AS gid FROM gs_lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+        "(l_returnflag), ())")

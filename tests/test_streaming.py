@@ -188,3 +188,39 @@ def test_stream_stream_interval_join_equals_batch_range_join(
                                 bucket_width_seconds=600).collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_foreachbatch_cdc_apply_keeps_latest_and_is_idempotent(spark,
+                                                               tmp_path):
+    """CDC stream → foreachBatch keep-latest apply: the final table equals
+    the global keep-latest merge, and replaying the same batches into the
+    same table (fresh checkpoint — the failure/redelivery case) changes
+    nothing."""
+    import time
+
+    from mura_spark.streaming import sinks
+
+    src = str(tmp_path / "cdc_src")
+    tbl = str(tmp_path / "cdc_table")
+    schema = "id INT, payload STRING, version INT"
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+                               schema=schema)
+    b2 = spark.createDataFrame([(2, "b2", 2), (4, "d", 1)], schema=schema)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file mtimes order the micro-batches
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = sinks.apply_cdc_batches(stream, tbl, ["id"], "version",
+                                    str(tmp_path / ck), available_now=True)
+        q.awaitTermination(120)
+
+    run("ck1")
+    want = {(1, "a", 1), (2, "b2", 2), (3, "c", 1), (4, "d", 1)}
+    got = {tuple(r) for r in spark.read.parquet(tbl).collect()}
+    assert got == want
+    run("ck2")  # redelivery of every batch
+    again = {tuple(r) for r in spark.read.parquet(tbl).collect()}
+    assert again == want
