@@ -199,3 +199,76 @@ def dedup_keep_one(spark, sf):
     d = table(spark, sf, "documents").select("doc_id", "n_chars", "text")
     kept = dedup.exact_dedup(d, "doc_id", F.md5(TX.normalize(F.col("text"))))
     return kept.select("doc_id", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# end-to-end pretraining-prep pipeline: quality gate → near-dedup keep-one
+# → per-language stratified sample → corpus stats. One oracled query that
+# composes four operator families, pinning that they compose CORRECTLY
+# (filters before dedup change the pair graph; sampling after keep-one
+# keeps membership deterministic).
+# --------------------------------------------------------------------------
+
+_Q_TOKS = sql_tokens("text")
+_QUALITY = (
+    f"CAST(len(list_distinct({_Q_TOKS})) AS DOUBLE) / len({_Q_TOKS}) >= 0.3 "
+    f"AND len({_Q_TOKS}) BETWEEN 20 AND 1000 "
+    "AND CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) "
+    "AS DOUBLE) / length(text) <= 0.3")
+_BUCKET = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) "
+           "AS BIGINT) % 1000")
+
+_PIPELINE_ORACLE = (
+    "WITH RECURSIVE qd AS MATERIALIZED ("
+    f"SELECT doc_id, lang, n_chars, text FROM documents WHERE {_QUALITY}), "
+    f"d AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM qd), "
+    "pairs AS MATERIALIZED ("
+    "SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "len(list_intersect(a.sh, b.sh)) AS inter, "
+    "len(a.sh) AS la, len(b.sh) AS lb "
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+    "AND least(len(a.sh), len(b.sh)) >= "
+    "ceiling(0.8 * greatest(len(a.sh), len(b.sh)))) "
+    "WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8), "
+    "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(src, dst) AS ("
+    "  SELECT src, src FROM edges "
+    "  UNION SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src), "
+    "lab AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach "
+    "GROUP BY src), "
+    "kept AS (SELECT * FROM qd WHERE doc_id NOT IN ("
+    "SELECT id FROM lab WHERE id <> cluster_id)), "
+    f"samp AS (SELECT * FROM kept WHERE {_BUCKET} < "
+    "CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 1000 "
+    "ELSE 200 END) "
+    f"SELECT lang, COUNT(*) AS n_docs, SUM(len({_Q_TOKS})) AS total_tokens, "
+    "SUM(n_chars) AS total_chars FROM samp GROUP BY lang")
+
+
+@q("pipeline_pretrain_prep", _PIPELINE_ORACLE)
+def pipeline_pretrain_prep(spark, sf):
+    """Full pretraining-prep pipeline as one plan: Gopher-style quality
+    gate → exact-Jaccard near-dedup keep-one → per-language stratified
+    downsampling → per-language corpus statistics. Every stage is the same
+    operator the standalone queries pin; composing them shares one scan
+    and lets Catalyst pipeline the quality filter into the shingle
+    kernel's input."""
+    from mura_spark.operators.sampling import stratified_sample
+    d = table(spark, sf, "documents")
+    t = TX.tokens(F.col("text"))
+    quality = ((TX.distinct_token_ratio(F.col("text")) >= 0.3)
+               & F.size(t).between(20, 1000)
+               & (TX.digit_ratio(F.col("text")) <= 0.3))
+    qd = d.filter(quality).select("doc_id", "lang", "n_chars", "text")
+    pairs = dedup.jaccard_dup_pairs(qd, "doc_id", "text", threshold=0.8)
+    clusters = dedup.dup_clusters(pairs)
+    drop = (clusters.filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias("doc_id")))
+    kept = qd.join(drop, "doc_id", "left_anti")
+    samp = stratified_sample(kept, "lang", "doc_id",
+                             {"en": 0.5, "zh": 1.0}, default=0.2)
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"))
