@@ -13,6 +13,7 @@ SURVEY.md §2.3) is provided as the engine's sink surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -67,6 +68,55 @@ def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
     """
     (df.repartitionByRange(n_files, *sort_cols)
        .sortWithinPartitions(*sort_cols)
+       .write.mode(mode).parquet(path))
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) sort key over ``cols``: per-column quantile-bucket
+    ranks (``2^bits`` buckets, boundaries from ``approxQuantile`` — skew-
+    proof, unlike equal-width bucketing) with their bits interleaved, as a
+    Column. Sorting by this key clusters rows so that EVERY listed column
+    gets tight per-file min/max stats — the layout that makes multi-column
+    range predicates skip files, where a linear sort only serves its
+    leading column.
+
+    Cost model: one driver-side quantile sketch per column (bounded:
+    ``2^bits`` boundary values each) + a per-row bucket search rendered as
+    ``2^bits`` comparisons per column (HOF fold — write-side one-time
+    cost) + the exact-int bit interleave. Supports 2+ columns; key width is
+    ``len(cols)·bits`` bits (≤ 63)."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    n_buckets = 1 << bits
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols × {bits} bits exceeds a long")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        bounds = df.approxQuantile(c, probs, 0.001)
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + (F.col(c) >= b).cast("int"))
+        # interleave: bit i of this column lands at position
+        # i·len(cols) + ci of the composite key
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long"),
+                i * len(cols) + ci)
+    return key
+
+
+def write_zorder(df: DataFrame, path: str, cols: list[str],
+                 bits: int = 8, n_files: int = 8, mode: str = "error") -> None:
+    """Z-order-clustered parquet write: range-partition + sort by the
+    Morton key of ``cols`` so range predicates on ANY of them skip
+    files/row-groups (see :func:`zorder_key`)."""
+    z = zorder_key(df, cols, bits)
+    (df.withColumn("__z", z)
+       .repartitionByRange(n_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
        .write.mode(mode).parquet(path))
 
 

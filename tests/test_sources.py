@@ -121,3 +121,48 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
     want = ev.filter(F.col("event_type") == "click").count()
     assert scan.count() == want
+
+
+def test_write_zorder_clusters_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: per-file min/max spans must be tight for BOTH
+    z-ordered columns, where a linear sort only serves its leading column.
+    Verified by comparing the summed per-file span of the SECOND column
+    under z-order vs under a linear sort on the first column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mura_spark.sources.parquet import write_sorted, write_zorder
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    zpath, spath = str(tmp_path / "li_z"), str(tmp_path / "li_lin")
+    write_zorder(li, zpath, ["l_orderkey", "l_partkey"], bits=6,
+                 n_files=8, mode="overwrite")
+    write_sorted(li, spath, ["l_orderkey"], n_files=8, mode="overwrite")
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index(col)
+            st = md.row_group(0).column(idx).statistics
+            out.append(st.max - st.min)
+        return out
+
+    z_spans = spans(zpath, "l_partkey")
+    lin_spans = spans(spath, "l_partkey")
+    assert len(z_spans) >= 4
+    # z-order must cluster the second dimension ~2× better than the
+    # linear layout (which leaves it at ≈ full-domain span per file)
+    assert sum(z_spans) / len(z_spans) < 0.6 * sum(lin_spans) / len(lin_spans)
+    # and the first dimension must still be well-clustered too
+    z1 = spans(zpath, "l_orderkey")
+    full = (li.agg(F.max("l_orderkey") - F.min("l_orderkey")).first()[0])
+    assert sum(z1) / len(z1) < 0.8 * full
+    # round-trip correctness
+    assert spark.read.parquet(zpath).count() == li.count()
+    # degenerate input rejected
+    with pytest.raises(ValueError):
+        write_zorder(li, str(tmp_path / "nope"), ["l_orderkey"])
