@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "events_retention",
     "q2_min_cost_supplier",
     "q9_product_profit",
+    "dedup_contamination",
+    "sample_domain_cap",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -99,6 +99,30 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return _explode_sets(shingle_sets(df, id_col, text_col, n), id_col)
 
 
+def contamination_hits(df: DataFrame, benchmark: DataFrame, id_col: str,
+                       text_col: str, n: int = 3) -> DataFrame:
+    """Benchmark-decontamination scan: for each document, count how many of
+    its distinct word ``n``-grams also occur anywhere in ``benchmark`` —
+    the standard eval-set-overlap check a pretraining pipeline runs before
+    training. Returns ``(id, n_hit)`` for documents with ≥ 1 overlapping
+    shingle; callers drop (or audit) those rows.
+
+    Scale shape: the benchmark side is an eval set — thousands of docs,
+    not billions — so its distinct shingle set is collapsed (one small
+    groupBy) and **broadcast**; the corpus side is a single shingle-kernel
+    pass + a broadcast-hash semi-ish join and one groupBy on the doc id.
+    The corpus never shuffles on shingle, and the join output is bounded
+    by corpus_shingles ∩ benchmark_shingles. If the benchmark ever grows
+    past broadcast size, drop the hint and this degrades gracefully to a
+    shuffle equi-join on the shingle key.
+    """
+    bench_sh = (shingle_table(benchmark, id_col, text_col, n)
+                .select("shingle").distinct())
+    corpus_sh = shingle_table(df, id_col, text_col, n)
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit"))
+
+
 def _length_compatible(threshold: float) -> Column:
     """Lossless size prune: J(a,b) ≤ min/max ⇒ J ≥ t requires
     min ≥ ceil(t·max)."""

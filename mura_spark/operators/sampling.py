@@ -44,6 +44,33 @@ def split_by_hash(df: DataFrame, key: str,
     return out
 
 
+def cap_per_group(df: DataFrame, group_cols: list[str], order_col: str,
+                  n: int) -> DataFrame:
+    """Keep at most ``n`` rows per group, the first ``n`` by ascending
+    ``order_col`` (which must be unique within a group — e.g. a doc id —
+    so the kept set is deterministic).
+
+    This is the domain-mixing cap of a pretraining pipeline: bound how
+    many documents any one (source, language) bucket contributes so a
+    crawl-heavy domain cannot dominate the corpus.
+
+    Scale shape: domain counts are few and huge (the exact skew this cap
+    exists to fix), so a naive global window would funnel the whole
+    corpus into ~#domains tasks. Expressing it as ``row_number() <= n``
+    lets Catalyst insert ``WindowGroupLimit(Partial)`` *below* the
+    exchange (Spark ≥ 3.5): each input partition keeps at most ``n``
+    rows per group JVM-side before any shuffle, so the per-domain window
+    tasks see O(partitions · n) rows regardless of corpus size. The
+    pre-reduction is lossless (the global first-n by a total order is a
+    subset of every partition's local first-n) and is asserted in
+    tests/test_text.py.
+    """
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))
+
+
 def stratified_sample(df: DataFrame, strata: str, key: str,
                       fractions: dict[str, float],
                       default: float = 0.0) -> DataFrame:

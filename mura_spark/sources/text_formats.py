@@ -55,3 +55,19 @@ def to_parquet(df: DataFrame, path: str, mode: str = "error") -> None:
     at-scale pipeline runs once so every later read gets columnar pruning,
     pushdown, and row-group parallelism."""
     df.write.mode(mode).parquet(path)
+
+
+def scan_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None, **options) -> DataFrame:
+    """ORC scan (built-in columnar reader — same pushdown/pruning class as
+    Parquet, common as the interchange format of Hive-era warehouses)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.mode(mode).orc(path)

@@ -64,6 +64,22 @@ def dedup_exact_groups(spark, sf):
                                   F.md5(TX.normalize(F.col("text"))))
 
 
+@q("dedup_contamination",
+   f"{_SH_CTE}, e AS (SELECT doc_id, unnest(sh) AS shingle FROM d), "
+   "b AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 97 = 0) "
+   "SELECT e.doc_id, COUNT(*) AS n_hit FROM e JOIN b USING (shingle) "
+   "WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id")
+def dedup_contamination(spark, sf):
+    """Benchmark decontamination: per training doc, the count of its
+    distinct 3-gram shingles that also occur in the 'benchmark' slice
+    (doc_id % 97 == 0 stands in for the eval set). The benchmark shingle
+    set is broadcast; the corpus side is one shingle pass + groupBy."""
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_hits(train, bench, "doc_id", "text", n=3)
+
+
 @q("dedup_jaccard_pairs", _JACCARD_PAIRS.format(t=0.8))
 def dedup_jaccard_pairs(spark, sf):
     """Exact set-similarity join (shared-shingle blocking + AllPairs prefix

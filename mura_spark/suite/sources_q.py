@@ -56,6 +56,21 @@ def jsonl_roundtrip(spark, sf):
                                 "s_nationkey bigint, s_acctbal double")
 
 
+@q("orc_roundtrip",
+   "SELECT p_partkey, p_name, p_size, p_retailprice FROM part")
+def orc_roundtrip(spark, sf):
+    """part → ORC → scan with explicit schema: pins the built-in columnar
+    ORC reader/writer (same pushdown/pruning class as Parquet) against the
+    parquet ground truth."""
+    src = (table(spark, sf, "part")
+           .select("p_partkey", "p_name", "p_size", "p_retailprice"))
+    path = "/tmp/mura_suite_orc_part"
+    TF.write_orc(src, path, mode="overwrite")
+    return TF.scan_orc(spark, path,
+                       schema="p_partkey bigint, p_name string, "
+                              "p_size int, p_retailprice double")
+
+
 @q("skew_salted_supplier_revenue",
    "SELECT s_name, COUNT(*) AS n_items, "
    f"{sql_dsum('l_extendedprice')} AS revenue "

@@ -192,6 +192,23 @@ def sample_split_train(spark, sf):
     return split_by_hash(d, "doc_id", {"train": 0.9, "val": 0.1})["train"]
 
 
+@q("sample_domain_cap",
+   "SELECT doc_id, lang, source FROM ("
+   "SELECT doc_id, lang, source, ROW_NUMBER() OVER ("
+   "PARTITION BY lang, source ORDER BY doc_id) AS rn FROM documents) "
+   "WHERE rn <= 40")
+def sample_domain_cap(spark, sf):
+    """Domain-mixing cap: at most 40 documents per (lang, source) bucket,
+    first-n by doc id (deterministic). Catalyst's WindowGroupLimit
+    pre-reduces each input partition to ≤ 40 rows per domain below the
+    shuffle, so the dominant domains — the skew this cap exists to bound
+    — never funnel whole-corpus rows into single window tasks (see
+    operators.sampling.cap_per_group)."""
+    from mura_spark.operators.sampling import cap_per_group
+    d = table(spark, sf, "documents").select("doc_id", "lang", "source")
+    return cap_per_group(d, ["lang", "source"], "doc_id", 40)
+
+
 _HASH_BUCKET = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) "
                 "AS BIGINT) % 1000")
 

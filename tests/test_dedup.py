@@ -33,6 +33,23 @@ def test_exact_dup_groups(tiny_docs):
     assert big.keep_id == 1 and big.group_size == 3
 
 
+def test_contamination_hits_counts_shared_shingles(spark):
+    """Hand-built corpus: hit counts are the number of a train doc's
+    distinct 3-gram shingles present in the benchmark set; clean docs are
+    absent; the benchmark side is broadcast in the plan."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    train = spark.createDataFrame([
+        (1, "alpha beta gamma epsilon"),   # shares 'alpha beta gamma' → 1
+        (2, "alpha beta gamma delta tau"), # shares 2 bench shingles
+        (3, "nothing in common here at all"),
+    ], ["doc_id", "text"])
+    out = dedup.contamination_hits(train, bench, "doc_id", "text", n=3)
+    got = {r.doc_id: r.n_hit for r in out.collect()}
+    assert got == {1: 1, 2: 2}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_jaccard_finds_near_dup(tiny_docs):
     pairs = {(r.id_a, r.id_b)
              for r in dedup.jaccard_dup_pairs(tiny_docs, "doc_id", "text",

@@ -26,6 +26,18 @@ def test_csv_roundtrip(spark, orders, tmp_path):
     assert got == want
 
 
+def test_orc_roundtrip(spark, orders, tmp_path):
+    path = str(tmp_path / "orders_orc")
+    sub = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    text_formats.write_orc(sub, path)
+    back = text_formats.scan_orc(spark, path, schema=sub.schema)
+    got = {r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+           for r in back.collect()}
+    want = {r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+            for r in sub.collect()}
+    assert got == want
+
+
 def test_jsonl_roundtrip_preserves_timestamps(spark, orders, tmp_path):
     path = str(tmp_path / "orders_jsonl")
     sub = orders.select("o_orderkey", "o_orderdate", "o_totalprice")

@@ -125,6 +125,30 @@ def test_split_by_hash_partitions_exactly(spark, sf_dir):
     assert 0.7 * n < len(ids["train"]) < 0.9 * n
 
 
+def test_cap_per_group_keeps_first_n_per_domain(spark, sf_dir):
+    """Keeps exactly the n lowest doc_ids per (lang, source), is stable
+    under input repartitioning, and the plan pre-reduces below the
+    shuffle (Partial WindowGroupLimit — the scale guarantee)."""
+    from mura_spark.operators.sampling import cap_per_group
+    from mura_spark.suite.common import table
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    capped = cap_per_group(d, ["lang", "source"], "doc_id", 5)
+    got = {(r.lang, r.source): [] for r in capped.collect()}
+    for r in sorted(capped.collect(), key=lambda r: r.doc_id):
+        got[(r.lang, r.source)].append(r.doc_id)
+    all_ids = {}
+    for r in sorted(d.collect(), key=lambda r: r.doc_id):
+        all_ids.setdefault((r.lang, r.source), []).append(r.doc_id)
+    assert got == {k: v[:5] for k, v in all_ids.items() if v}
+    # same result from a differently-partitioned input
+    reshuffled = {r.doc_id for r in
+                  cap_per_group(d.repartition(13), ["lang", "source"],
+                                "doc_id", 5).collect()}
+    assert reshuffled == {i for ids in got.values() for i in ids}
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_stratified_sample_per_stratum_fractions(spark, sf_dir):
     """Per-stratum fractions are honored, membership is stable, kept sets
     nest as fractions grow, and bad fractions are rejected."""
