@@ -34,3 +34,25 @@ def upsert_latest(base: DataFrame, updates: DataFrame, key_cols: list[str],
              .withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") == 1)
              .drop("__rn", "__src"))
+
+
+def scd2_history(updates: DataFrame, key_cols: list[str],
+                 version_col: str,
+                 valid_from: str = "valid_from",
+                 valid_to: str = "valid_to") -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: every version of every
+    key, with its validity interval — ``valid_from`` = the row's own
+    version timestamp, ``valid_to`` = the next version's (NULL for the
+    current row). The keep-all twin of :func:`upsert_latest`: pipelines
+    that must reproduce "the corpus as of T" join on
+    ``valid_from <= T AND (valid_to IS NULL OR valid_to > T)``.
+
+    ``version_col`` must be unique per key (CDC change timestamps are).
+    One hash shuffle on the key; ``lead`` runs in the same window pass.
+    At 100 TB, write the result partitioned/bucketed by key so as-of
+    lookups prune.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).asc())
+    return (updates
+            .withColumn(valid_from, F.col(version_col))
+            .withColumn(valid_to, F.lead(version_col).over(w)))

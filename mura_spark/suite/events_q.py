@@ -196,6 +196,21 @@ def events_upsert_latest(spark, sf):
     return upsert_latest(ev, updates, ["event_id"], "ts")
 
 
+@q("events_scd2_history",
+   "SELECT user_id, ts AS valid_from, "
+   "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to, value "
+   "FROM events")
+def events_scd2_history(spark, sf):
+    """SCD type-2 history: every version of every key with its validity
+    interval (valid_to NULL on the current row) — the keep-all twin of
+    events_upsert_latest; as-of reproductions join on the interval. One
+    key-shuffle window; mura_spark.operators.upsert.scd2_history."""
+    from mura_spark.operators.upsert import scd2_history
+    ev = table(spark, sf, "events").select("user_id", "ts", "value")
+    return (scd2_history(ev, ["user_id"], "ts")
+            .select("user_id", "valid_from", "valid_to", "value"))
+
+
 @q("events_funnel",
    "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
    "WHERE event_type = 'view' GROUP BY user_id), "

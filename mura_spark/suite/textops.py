@@ -192,6 +192,22 @@ def sample_split_train(spark, sf):
     return split_by_hash(d, "doc_id", {"train": 0.9, "val": 0.1})["train"]
 
 
+@q("text_heavy_tokens",
+   f"WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents), "
+   "tot AS (SELECT COUNT(*) AS n FROM tok) "
+   "SELECT term, COUNT(*) AS n_occ FROM tok, tot GROUP BY term, tot.n "
+   "HAVING 100 * COUNT(*) >= 3 * tot.n")
+def text_heavy_tokens(spark, sf):
+    """Corpus heavy hitters: every token covering ≥ 3% of all token
+    occurrences — exact, via the lossless two-pass sketch (per-partition
+    pigeonhole candidates, broadcast verification; integer-ratio
+    thresholds only). See operators.frequent.heavy_hitters."""
+    from mura_spark.operators.frequent import heavy_hitters
+    d = table(spark, sf, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    return heavy_hitters(toks, "term", 3, 100)
+
+
 @q("sample_domain_cap",
    "SELECT doc_id, lang, source FROM ("
    "SELECT doc_id, lang, source, ROW_NUMBER() OVER ("

@@ -125,6 +125,20 @@ def test_split_by_hash_partitions_exactly(spark, sf_dir):
     assert 0.7 * n < len(ids["train"]) < 0.9 * n
 
 
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """Matches the exact groupBy answer (threshold inclusive, integer
+    cross-multiplication) on a skewed corpus, under any partitioning, and
+    the boundary value (count == exactly num/den of total) is kept."""
+    from mura_spark.operators.frequent import heavy_hitters
+    # 100 rows: 'a'×40, 'b'×10 (exactly 10%), 'c'×9 (just under), rest unique
+    vals = ["a"] * 40 + ["b"] * 10 + ["c"] * 9 + [f"u{i}" for i in range(41)]
+    df = spark.createDataFrame([(v,) for v in vals], ["term"])
+    for d in (df, df.repartition(17), df.coalesce(1)):
+        got = {r.term: r.n_occ
+               for r in heavy_hitters(d, "term", 10, 100).collect()}
+        assert got == {"a": 40, "b": 10}
+
+
 def test_cap_per_group_keeps_first_n_per_domain(spark, sf_dir):
     """Keeps exactly the n lowest doc_ids per (lang, source), is stable
     under input repartitioning, and the plan pre-reduces below the

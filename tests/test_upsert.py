@@ -2,7 +2,28 @@
 
 from pyspark.sql import functions as F
 
-from mura_spark.operators.upsert import upsert_latest
+from mura_spark.operators.upsert import scd2_history, upsert_latest
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """Per key: intervals are ordered and adjacent (next valid_from ==
+    previous valid_to), exactly one open (NULL valid_to) current row, and
+    an as-of filter at any version boundary returns exactly one row."""
+    rows = [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 15, "x")]
+    updates = spark.createDataFrame(rows, ["k", "v", "payload"])
+    hist = scd2_history(updates, ["k"], "v").collect()
+    by_key = {}
+    for r in sorted(hist, key=lambda r: (r.k, r.valid_from)):
+        by_key.setdefault(r.k, []).append(r)
+    assert [r.payload for r in by_key[1]] == ["a", "b", "c"]
+    for spans in by_key.values():
+        assert spans[-1].valid_to is None
+        for cur, nxt in zip(spans, spans[1:]):
+            assert cur.valid_to == nxt.valid_from and cur.valid_from < cur.valid_to
+    # as-of T=25 → key 1 sees "b", key 2 sees "x"
+    asof = {r.k: r.payload for r in hist
+            if r.valid_from <= 25 and (r.valid_to is None or r.valid_to > 25)}
+    assert asof == {1: "b", 2: "x"}
 
 
 def test_upsert_newest_version_wins(spark):
