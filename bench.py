@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "dedup_contamination",
     "sample_domain_cap",
+    "text_heavy_tokens",
+    "events_scd2_history",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM
