@@ -258,8 +258,9 @@ _PIPELINE_ORACLE = (
     f"samp AS (SELECT * FROM kept WHERE {_BUCKET} < "
     "CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 1000 "
     "ELSE 200 END) "
-    f"SELECT lang, COUNT(*) AS n_docs, SUM(len({_Q_TOKS})) AS total_tokens, "
-    "SUM(n_chars) AS total_chars FROM samp GROUP BY lang")
+    f"SELECT lang, COUNT(*) AS n_docs, "
+    f"CAST(SUM(len({_Q_TOKS})) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM samp GROUP BY lang")
 
 
 @q("pipeline_pretrain_prep", _PIPELINE_ORACLE)

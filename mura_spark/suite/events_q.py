@@ -48,8 +48,9 @@ def events_window_hourly(spark, sf):
    "AS new_session FROM events "
    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
    "sess AS (SELECT user_id, ts, "
-   "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+   "CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+   "AS session_id "
    "FROM flagged) "
    "SELECT user_id, session_id, MIN(ts) AS session_start, "
    "MAX(ts) AS session_end, COUNT(*) AS n_events "
@@ -64,7 +65,8 @@ def events_sessionize(spark, sf):
 @q("events_json_extract",
    "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 "
    "AS k_bucket, COUNT(*) AS n, "
-   "SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum "
+   "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) "
+   "AS k_sum "
    "FROM events GROUP BY 1")
 def events_json_extract(spark, sf):
     """JSON property extraction + aggregation (props is a JSON string)."""
@@ -259,11 +261,17 @@ def sketch_value_percentiles(spark, sf):
     quantile sketch (single pass, mergeable partials — the shape that
     replaces exact percentile's full sort at 100 TB); relative-error
     envelope vs exact percentile_approx(…, 1.0) pinned in
-    tests/test_sketches.py."""
+    tests/test_sketches.py. Output is three scalar columns (never an
+    array — the driver's rows-only canonicalizer sorts every column and
+    cannot sort list cells)."""
     ev = table(spark, sf, "events")
+    p = F.percentile_approx("value", [0.5, 0.9, 0.99], 1000)
     return (ev.groupBy("event_type")
-              .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 1000)
-                   .alias("p50_p90_p99")))
+              .agg(p.alias("p"))
+              .select("event_type",
+                      F.element_at("p", 1).alias("p50"),
+                      F.element_at("p", 2).alias("p90"),
+                      F.element_at("p", 3).alias("p99")))
 
 
 @q("sketch_distinct_users")  # approximate (HLL) — rows-only; error bound in pytest

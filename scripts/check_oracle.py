@@ -32,27 +32,41 @@ def norm_cell(v):
     type family to make the local gate at least as strict as the driver's.
     Decimal is tagged as float: the suite convention surfaces all decimal
     arithmetic as DOUBLE on both engines before returning.
+
+    Cells arrive from *pandas* frames (not fetchall) so the dtype quirks
+    the driver sees are reproduced here — most importantly DuckDB
+    HUGEINT (the result of SUM over any integer type) → float64, which
+    is what broke events_sessionize / events_json_extract /
+    pipeline_pretrain_prep in round 2 while the fetchall-based local
+    gate stayed green.
     """
     import datetime
     import decimal
-    if v is None:
+
+    import numpy as np
+    import pandas as pd
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return None
-    if isinstance(v, bool):
-        return ("bool", v)
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
     if isinstance(v, decimal.Decimal):
         return ("float", float(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("float", "NaN")
-        return ("float", v)
-    if isinstance(v, int):
-        return ("int", v)
+    if isinstance(v, (float, np.floating)):
+        return ("float", float(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.to_pydatetime().replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
         return ("date", v.isoformat())
+    if isinstance(v, np.ndarray):
+        return ("ARRAY-CELL", tuple(norm_cell(x) for x in v))
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
+        return ("ARRAY-CELL", tuple(norm_cell(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
     return (type(v).__name__, v)
 
 
@@ -89,12 +103,26 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False,
+                                                       name=None)]
         except Exception as e:
             n_fail += 1
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        arrayish = [c for c, v in zip(scols, srows[0] if srows else [])
+                    if isinstance(v, (list, tuple)) or
+                    type(v).__name__ == "ndarray"]
+        if arrayish:
+            # The driver's canonicalizer sort_values every column; list
+            # cells are unhashable there and kill the whole row (this is
+            # exactly how sketch_value_percentiles errored in r02).
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: array-typed output columns {arrayish} "
+                  "(driver canonicalizer cannot sort list cells)")
             continue
         if name not in oracles:
             n_rowsonly += 1
@@ -102,9 +130,10 @@ def main():
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False,
+                                                       name=None)]
         except Exception as e:
             n_fail += 1
             failures.append(name)
