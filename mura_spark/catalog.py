@@ -63,7 +63,12 @@ def _fix_ns_timestamps(df: DataFrame, ns_cols: list[str]) -> DataFrame:
             continue
         # integer `div`, not `/`: ns epoch values exceed double's 2^53
         # exact-integer range, so float division would corrupt low digits.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # timestamp_micros yields TIMESTAMP_NTZ on Spark 4.1; cast to the
+        # session-TZ TIMESTAMP (LTZ) — value-identical under the pinned UTC
+        # session timezone, and required by withWatermark (streaming event
+        # time must be LTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp"))
     return df
 
 

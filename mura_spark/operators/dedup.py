@@ -182,14 +182,25 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         # Rare-first prefixes barely collide, so the candidate join stays
         # near-linear even on skewed/small-vocab corpora — frequent shingles
         # fall out of every doc's prefix entirely, which is also the skew
-        # defense. Costs one extra groupBy + per-doc window over the
-        # exploded table; both shuffles are on high-cardinality keys.
+        # defense.
+        #
+        # df=1 shingles are dropped BEFORE the position window: a shingle
+        # held by one document matches only itself in the candidate join
+        # (self-pairs are excluded by id_a < id_b), so removing them loses
+        # no pair. Restricting to df≥2 shingles only shrinks each shingle's
+        # rare-first position, so `pos ≤ prefix_len` keeps a superset of
+        # the original prefix ∩ {df≥2} — still lossless. On real corpora
+        # most shingles are unique, so this collapses both the per-doc
+        # window input and the candidate join probe. The groupBy keeps
+        # map-side partial aggregation (skew-safe for hot shingles), and
+        # its exchange on `shingle` is reused by the equi-join.
         from pyspark.sql.window import Window
-        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        dfreq2 = (ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+                    .filter(F.col("__df") >= 2))
         w = Window.partitionBy(id_col).orderBy("__df", "shingle")
         prefix_len = (F.col("n_shingles")
                       - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
-        probe = (ex.join(dfreq, "shingle")
+        probe = (ex.join(dfreq2, "shingle")
                    .withColumn("__pos", F.row_number().over(w))
                    .filter(F.col("__pos") <= prefix_len)
                    .select(id_col, "n_shingles", "shingle"))

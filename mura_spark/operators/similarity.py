@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from mura_spark.functions.vectors import cosine, dot, norm
-from mura_spark.sources.parquet import ensure_min_partitions
+from mura_spark.sources.parquet import approx_row_count, ensure_min_partitions
 
 #: Default hyperplane count for sign-LSH (signature bits): 16 bits / 4
 #: bands of 4 — right for corpora up to a few thousand vectors. Band width
@@ -173,13 +173,17 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
              query_id: str = "query_id", corpus_id: str = "vec_id",
              vec_col: str = "embedding", dim: int | None = None,
              seed: int = 42, n_bands: int = LSH_BANDS,
-             band_bits: int | None = None) -> DataFrame:
+             band_bits: int | None = None,
+             corpus_rows: int | None = None) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing ≥1 LSH band with
     the query, re-ranked by exact cosine. Multi-band = multi-probe recall.
     Output schema matches :func:`topk_bruteforce`. ``dim`` is inferred from
     the first query row when not given; ``band_bits`` (width of each band)
-    defaults to :func:`_auto_band_bits` of the corpus count, so bucket
-    cardinality tracks corpus size and random collisions stay near-linear."""
+    defaults to :func:`_auto_band_bits` of the corpus size, so bucket
+    cardinality tracks corpus size and random collisions stay near-linear.
+    ``corpus_rows`` is a caller-supplied sizing hint; without it the count
+    comes from Parquet footer metadata (no scan job) when the corpus is
+    file-backed, and only falls back to a full ``count()`` otherwise."""
     if dim is None:
         first = queries.select(vec_col).first()
         if first is None:  # no queries → empty result, correct schema
@@ -192,7 +196,8 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
                                    F.lit(0.0).alias("sim")).limit(0))
         dim = len(first[0])
     if band_bits is None:
-        band_bits = _auto_band_bits(corpus.count())
+        band_bits = _auto_band_bits(corpus_rows if corpus_rows is not None
+                                    else approx_row_count(corpus))
     planes = _hyperplanes(dim, n_bands * band_bits, seed)
     q = (_with_bands(queries.select(F.col(query_id).alias("__qid"),
                                     F.col(vec_col).alias("__qvec")),
@@ -420,7 +425,8 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
 
 def embedding_dup_pairs(df: DataFrame, threshold: float,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        method: str = "lsh") -> DataFrame:
+                        method: str = "lsh",
+                        corpus_rows: int | None = None) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold.
 
     ``method='lsh'`` (default — the pipeline path): hyperplane-banded
@@ -451,8 +457,10 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
                              F.col(id_col).alias("id_b"),
                              F.lit(0.0).alias("sim")).limit(0)
         # band width tracks corpus size (see _auto_band_bits) — fixed-width
-        # bands collide quadratically once the corpus outgrows 2^bits
-        band_bits = _auto_band_bits(df.count())
+        # bands collide quadratically once the corpus outgrows 2^bits.
+        # Sizing count from the hint / parquet footers, not a full scan.
+        band_bits = _auto_band_bits(corpus_rows if corpus_rows is not None
+                                    else approx_row_count(df))
         planes = _hyperplanes(len(first[0]), LSH_BANDS * band_bits)
         banded = _with_bands(df.select(id_col, vec_col), vec_col, planes)
         ea = banded.select(F.col(id_col).alias("id_a"),

@@ -41,6 +41,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Read TIMESTAMP(NANOS) parquet columns as nano-longs instead of failing;
     # the catalog converts them back to (µs-truncated) timestamps on load.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read isAdjustedToUTC=false parquet timestamps as session-TZ TIMESTAMP
+    # (LTZ), not TIMESTAMP_NTZ: with the UTC session TZ the values are
+    # identical, and streaming event time (withWatermark) requires LTZ.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Write µs timestamps (not legacy INT96): splittable stats, modern
     # readers, and pyarrow/DuckDB read them back with the same type.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",

@@ -58,6 +58,34 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     return df
 
 
+def approx_row_count(df: DataFrame) -> int:
+    """Upper-bound row count without running a Spark job, for *sizing*
+    decisions (LSH band width, partition counts) — never for results.
+
+    File-backed plans answer from Parquet footer metadata (``inputFiles``
+    is a driver-side catalog listing; footer reads are O(files), no scan).
+    The number ignores post-scan filters, so it can overestimate — safe
+    for sizing, where an overestimate only widens hash bands. Falls back
+    to ``df.count()`` for non-file plans (in-memory test frames), where a
+    count is one cheap job over already-materialized data.
+    """
+    try:
+        files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+    except Exception:
+        files = []
+    if files:
+        try:
+            import pyarrow.parquet as pq
+            total = 0
+            for f in files:
+                path = f[len("file:"):] if f.startswith("file:") else f
+                total += pq.ParquetFile(path).metadata.num_rows
+            return total
+        except Exception:
+            pass
+    return df.count()
+
+
 def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
                  n_files: int = 8, mode: str = "error") -> None:
     """Range-partition + sort-within-partition write: each output file owns

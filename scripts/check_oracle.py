@@ -45,7 +45,11 @@ def norm_cell(v):
 
     import numpy as np
     import pandas as pd
-    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+    if v is None or v is pd.NaT or (
+            isinstance(v, (float, np.floating)) and math.isnan(v)):
+        # NaN folds into None: the pandas round-trip already conflates
+        # float-column NULL with NaN on both engines, so the suite
+        # convention is that queries never emit NaN as a data value.
         return None
     if isinstance(v, (bool, np.bool_)):
         return ("bool", bool(v))
@@ -112,9 +116,11 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
-        arrayish = [c for c, v in zip(scols, srows[0] if srows else [])
-                    if isinstance(v, (list, tuple)) or
-                    type(v).__name__ == "ndarray"]
+        # Row-independent: detect array columns from the Spark schema, not
+        # the first row (a leading NULL or empty result must not mask one).
+        from pyspark.sql.types import ArrayType
+        arrayish = [f.name for f in sdf.schema.fields
+                    if isinstance(f.dataType, ArrayType)]
         if arrayish:
             # The driver's canonicalizer sort_values every column; list
             # cells are unhashable there and kill the whole row (this is

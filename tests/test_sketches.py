@@ -36,7 +36,7 @@ def test_value_percentile_sketch_envelope(spark, sf_dir):
     vals = {}
     for r in ev.select("event_type", "value").collect():
         vals.setdefault(r.event_type, []).append(r.value)
-    got = {r.event_type: r.p50_p90_p99 for r in
+    got = {r.event_type: (r.p50, r.p90, r.p99) for r in
            SPARK_QUERIES["sketch_value_percentiles"](spark, sf_dir).collect()}
     assert set(got) == set(vals)
     for t, approx in got.items():
