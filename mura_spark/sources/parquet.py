@@ -53,9 +53,52 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
                 "Distinct", "MapInPandas", "FlatMapGroupsInPandas")
     if any(op in analyzed for op in wide_ops):
         return df
+    # File-backed plans: estimate scan parallelism from driver-side catalog
+    # metadata (file list + sizes vs maxPartitionBytes — the same inputs
+    # FilePartition packing uses), avoiding the .rdd probe, which finalizes
+    # a physical plan per call. The estimate errs low (ignores row-group
+    # split boundaries), which at worst repartitions an already-parallel
+    # scan — acceptable for the small inputs this guard exists for; plans
+    # with many files/bytes skip the shuffle as intended.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= target:
+            return df
+        import os as _os
+        try:
+            max_bytes = _parse_bytes(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"))
+        except Exception:
+            max_bytes = 128 * 1024 * 1024
+        est = 0
+        for f in files:
+            p = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                est += max(1, -(-_os.path.getsize(p) // max_bytes))
+            except OSError:
+                est += 1
+        if est >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark byte-size string ('128MB', '134217728b', '1g') → bytes."""
+    s = s.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
 
 
 def approx_row_count(df: DataFrame) -> int:

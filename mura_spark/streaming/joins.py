@@ -35,3 +35,25 @@ def interval_join_streams(left: DataFrame, right: DataFrame, on: str,
             & (on_r >= F.col(on) + F.expr(f"INTERVAL {lower} SECOND"))
             & (on_r <= F.col(on) + F.expr(f"INTERVAL {upper} SECOND")))
     return l2.join(r2, cond, "inner")
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str | list[str],
+                  how: str = "left", broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    columns (user profile, domain metadata) to an event stream.
+
+    Stream-static joins are stateless in Structured Streaming — each
+    micro-batch joins against the *current* static side, so no watermark
+    or state store is involved, and the static side is re-read per batch
+    (picking up dimension updates between batches). ``broadcast_dim``
+    (default) hints the dimension for a broadcast hash join: the right
+    call when the dimension fits in executor memory, which avoids
+    shuffling the stream side every micro-batch — the dominant cost at
+    scale. Set it False for huge dimensions (falls back to a shuffle join
+    on the batch's key distribution).
+
+    Batch/stream symmetric: pass a plain DataFrame for backfill and the
+    DuckDB-oracle twin.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)

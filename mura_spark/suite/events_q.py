@@ -314,3 +314,31 @@ def events_type_value_stats(spark, sf):
                    F.max("value").alias("max_value"),
                    F.sum(F.col("value").cast("decimal(18,2)"))
                     .cast("double").alias("sum_value")))
+
+
+@q("events_enrich_users",
+   "SELECT e.event_id, e.user_id, e.event_type, "
+   "c.c_mktsegment AS mktsegment, n.n_name AS nation "
+   "FROM events e "
+   "LEFT JOIN customer c ON e.user_id = c.c_custkey "
+   "LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey")
+def events_enrich_users(spark, sf):
+    """Dimension enrichment of the event stream — the batch face of
+    :func:`mura_spark.streaming.joins.enrich_stream` (stream-static join).
+    Both dimension joins are broadcast: customer/nation are the classic
+    small-dim side, and broadcasting keeps the (unbounded, 100 TB) event
+    side from shuffling — per micro-batch in streaming, at all in batch."""
+    from mura_spark.streaming import joins as J
+    ev = table(spark, sf, "events").select("event_id", "user_id",
+                                           "event_type")
+    cust = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey")
+    nat = table(spark, sf, "nation").select("n_nationkey",
+                                            F.col("n_name").alias("nation"))
+    enriched = J.enrich_stream(ev, cust, on="user_id", how="left")
+    return (J.enrich_stream(enriched,
+                            nat.withColumnRenamed("n_nationkey",
+                                                  "c_nationkey"),
+                            on="c_nationkey", how="left")
+            .select("event_id", "user_id", "event_type",
+                    F.col("c_mktsegment").alias("mktsegment"), "nation"))

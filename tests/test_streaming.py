@@ -224,3 +224,32 @@ def test_foreachbatch_cdc_apply_keeps_latest_and_is_idempotent(spark,
     run("ck2")  # redelivery of every batch
     again = {tuple(r) for r in spark.read.parquet(tbl).collect()}
     assert again == want
+
+
+def test_stream_static_enrichment_equals_batch(spark, events, sf_dir,
+                                               tmp_path):
+    """Stream-static enrichment join: every micro-batch joined against the
+    static dimension must reproduce the batch join exactly (the join is
+    stateless — no watermark required)."""
+    from mura_spark.streaming import joins as J
+
+    dim = (table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    src = str(tmp_path / "events_enrich")
+    sub = events.limit(1000)
+    # two files → two micro-batches, proving per-batch joins compose
+    sub.repartition(2).write.mode("overwrite").parquet(src)
+    stream = W.read_events_stream(spark, src, events.schema)
+    out = J.enrich_stream(stream.select("event_id", "user_id"), dim,
+                          on="user_id", how="left")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_id, r.c_mktsegment)
+           for r in spark.table("enriched").collect()}
+    want = {(r.event_id, r.c_mktsegment)
+            for r in J.enrich_stream(sub.select("event_id", "user_id"), dim,
+                                     on="user_id", how="left").collect()}
+    assert got == want
+    assert len(got) == sub.count()
