@@ -364,19 +364,23 @@ def _refine_centroids(corpus: DataFrame, vec_col: str,
                 np.add.at(sums, near, vecs)
                 counts = np.bincount(near, minlength=n_c)
                 live = np.nonzero(counts)[0]
-                yield pd.DataFrame({"cid": live,
-                                    "cnt": counts[live],
-                                    "s": list(sums[live])})
+                # count rides as the sum-vector's trailing element so ONE
+                # reduce + collect serves both (a separate count aggregation
+                # would re-run this whole corpus scan — no cache here).
+                packed = np.concatenate(
+                    [sums[live], counts[live, None].astype(np.float64)],
+                    axis=1)
+                yield pd.DataFrame({"cid": live, "s": list(packed)})
 
         part = corpus.select(vec_col).mapInPandas(
-            partials, "cid int, cnt long, s array<double>")
+            partials, "cid int, s array<double>")
         cells = (part.select("cid", F.posexplode("s").alias("pos", "v"))
                  .groupBy("cid", "pos").agg(F.sum("v").alias("v")).collect())
-        cnts = {r.cid: r.cnt for r in
-                part.groupBy("cid").agg(F.sum("cnt").alias("cnt")).collect()}
+        cnts = {r.cid: r.v for r in cells if r.pos == dim}
         new = cm.copy()
         for r in cells:
-            new[r.cid, r.pos] = r.v / cnts[r.cid]
+            if r.pos < dim:
+                new[r.cid, r.pos] = r.v / cnts[r.cid]
         centroids = [list(row) for row in new]
     return centroids
 
