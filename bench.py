@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "sample_domain_cap",
     "text_heavy_tokens",
     "events_scd2_history",
+    "events_enrich_users",
+    "dedup_incremental_new",
+    "pack_chunk_overlap",
+    "sample_global_shuffle",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

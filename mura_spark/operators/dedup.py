@@ -69,6 +69,28 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
+                      new_key: Column, seen_key: Column) -> DataFrame:
+    """Incremental ingest dedup: rows of ``new_df`` whose content key does
+    not already exist in ``seen_df`` (the previously ingested corpus) — the
+    between-crawls half of exact dedup (``exact_dedup`` handles the
+    within-batch half; compose them: within-batch first, then this).
+
+    Implemented as a left-anti hash join on the key: both sides shuffle
+    once on the content hash, nothing crosses the driver. At 100 TB the
+    seen side is the huge one, which is exactly the side an anti-join
+    streams through; if the seen-key set is small (early corpus), AQE
+    downgrades to a broadcast anti-join automatically. A pre-filter Bloom
+    of the seen keys is a natural add-on at real scale, but it belongs in
+    the storage layout (key-sorted parquet gives footer-range skipping for
+    free via write_sorted) rather than in this operator.
+    """
+    seen_keys = seen_df.select(seen_key.alias("__dup_key")).distinct()
+    return (new_df.withColumn("__dup_key", new_key)
+            .join(seen_keys, on="__dup_key", how="left_anti")
+            .drop("__dup_key"))
+
+
 # --------------------------------------------------------------------------
 # shingle machinery shared by jaccard / minhash / simhash
 # --------------------------------------------------------------------------

@@ -77,6 +77,39 @@ def pack_chunks(df: DataFrame, id_col: str, size_col: str, budget: int,
                         F.col("__sz")).alias("tok_end")))
 
 
+def chunk_overlap(df: DataFrame, id_col: str, size_col: str,
+                  chunk: int, overlap: int) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the
+    context-window layout for retrieval corpora and long-document
+    pretraining (each chunk re-reads the previous chunk's last ``overlap``
+    tokens so no span of ≤ ``overlap`` tokens is ever split).
+
+    Output: (id, chunk_idx, tok_start, tok_end) with
+    ``tok_start = chunk_idx·(chunk-overlap)``,
+    ``tok_end = min(tok_start+chunk, size)``; a document shorter than
+    ``chunk`` yields exactly one chunk. Chunk count is
+    ``1 + ceil((size-chunk)/stride)`` for longer ones — the standard
+    fixed-stride tiling, all integer arithmetic (oracle-exact).
+
+    Scale shape: row-local explode — no shuffle, no window, no state; at
+    100 TB this is a pure scan-side map whose output is ~``size/stride``
+    rows per document.
+    """
+    if overlap >= chunk:
+        raise ValueError(f"overlap {overlap} must be < chunk {chunk}")
+    stride = chunk - overlap
+    sz = F.col(size_col).cast("bigint")
+    n_chunks = F.when(sz <= chunk, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"({size_col} - {chunk} + {stride} - 1) div {stride}") + 1)
+    start = F.col("chunk_idx") * stride
+    return (df.select(F.col(id_col), sz.alias("__sz"),
+                      F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                           n_chunks - 1)).alias("chunk_idx"))
+            .select(id_col, "chunk_idx",
+                    start.alias("tok_start"),
+                    F.least(start + chunk, F.col("__sz")).alias("tok_end")))
+
+
 def pack_greedy(df: DataFrame, id_col: str, size_col: str, budget: int,
                 n_shards: int = 8) -> DataFrame:
     """Whole-document first-fit packing.

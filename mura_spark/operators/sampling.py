@@ -96,3 +96,33 @@ def stratified_sample(df: DataFrame, strata: str, key: str,
         thresh = F.when(F.col(strata) == name,
                         F.lit(int(round(frac * BUCKETS)))).otherwise(thresh)
     return df.filter(hash_bucket(F.col(key)) < thresh)
+
+
+def shuffle_key(key: Column, seed: int = 0) -> Column:
+    """Deterministic per-row shuffle key: the portable MD5-derived hash of
+    ``seed || key``. A pure function of (seed, row), so the induced global
+    order is reproducible across runs, engines, and repartitionings, and a
+    new seed gives an independent epoch order."""
+    return md5_hash48(F.concat(F.lit(f"{seed}|"), key.cast("string")))
+
+
+def global_shuffle(df: DataFrame, key: str, seed: int = 0,
+                   n_partitions: int | None = None) -> DataFrame:
+    """Deterministic global shuffle for training-data serving order.
+
+    ``DataFrame.orderBy(rand())`` is neither reproducible nor stable under
+    retries; this instead range-partitions + locally sorts by
+    :func:`shuffle_key` — reading partition 0..N-1 in file order replays
+    one uniform pseudo-random permutation of the corpus. One shuffle, no
+    global merge (a single total-order sort would funnel the corpus
+    through a driver-side range merge at write time); the range exchange
+    samples key quantiles, and because the key is a uniform hash the
+    resulting partitions are balanced regardless of input skew.
+    """
+    k = shuffle_key(F.col(key), seed)
+    out = df.withColumn("__shuffle_key", k)
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, "__shuffle_key")
+    else:
+        out = out.repartitionByRange("__shuffle_key")
+    return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")

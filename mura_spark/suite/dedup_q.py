@@ -289,3 +289,22 @@ def pipeline_pretrain_prep(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(TX.tokens(F.col("text")))).alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"))
+
+
+@q("dedup_incremental_new",
+   "SELECT n.doc_id, n.source FROM documents n WHERE NOT EXISTS ("
+   "SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 AND "
+   "md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g'))) = "
+   "md5(trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g'))))")
+def dedup_incremental_new(spark, sf):
+    """Incremental ingest dedup: new-crawl documents whose normalized
+    content hash is absent from the already-ingested corpus (the
+    doc_id % 3 == 0 slice stands in for the prior snapshot). Left-anti
+    hash join on the content key — the between-crawls complement of
+    dedup_exact_groups."""
+    docs = table(spark, sf, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    key_new = F.md5(TX.normalize(F.col("text")))
+    key_seen = F.md5(TX.normalize(F.col("text")))
+    return (dedup.dedup_incremental(docs, seen, key_new, key_seen)
+            .select("doc_id", "source"))

@@ -83,3 +83,24 @@ def pack_train_greedy(spark, sf):
     budget; oracle is a recursive CTE replaying the same in-order walk."""
     return packing.pack_greedy(_sized_docs(spark, sf), "doc_id", "sz",
                                budget=_BUDGET, n_shards=_SHARDS)
+
+
+#: sized so the fixtures (10-99 tokens/doc) genuinely split: 32-token
+#: windows, 24-token stride → 1-4 chunks per document.
+_CHUNK, _OVERLAP = 32, 8
+
+@q("pack_chunk_overlap",
+   f"WITH t AS (SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) "
+   "AS sz FROM documents WHERE text IS NOT NULL), "
+   "p AS (SELECT doc_id, sz, unnest(generate_series(0, "
+   f"CASE WHEN sz <= {_CHUNK} THEN 0 "
+   f"ELSE (sz - {_CHUNK} + {_CHUNK - _OVERLAP} - 1) // {_CHUNK - _OVERLAP} "
+   "END)) AS chunk_idx FROM t) "
+   f"SELECT doc_id, chunk_idx, chunk_idx * {_CHUNK - _OVERLAP} AS tok_start, "
+   f"least(chunk_idx * {_CHUNK - _OVERLAP} + {_CHUNK}, sz) AS tok_end FROM p")
+def pack_chunk_overlap(spark, sf):
+    """Sliding-window chunking with overlap (retrieval / long-doc layout):
+    fixed 32-token windows, 24-token stride, last window clamped to the
+    document end. Row-local explode — no shuffle at any scale."""
+    return packing.chunk_overlap(_sized_docs(spark, sf), "doc_id", "sz",
+                                 chunk=_CHUNK, overlap=_OVERLAP)

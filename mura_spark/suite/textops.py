@@ -264,3 +264,20 @@ def text_tfidf_topterms(spark, sf):
     from mura_spark.operators.tfidf import tfidf_top_terms
     d = table(spark, sf, "documents")
     return tfidf_top_terms(d, "doc_id", "text", k=3, micro=True)
+
+
+@q("sample_global_shuffle",
+   "SELECT doc_id, CAST('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR))"
+   ", 1, 12) AS BIGINT) AS shuffle_key FROM documents")
+def sample_global_shuffle(spark, sf):
+    """Deterministic training-order shuffle key (seed 42): a pure function
+    of (seed, doc_id), so the induced corpus permutation is reproducible
+    across runs and engines and changes wholesale with the seed. The
+    serving-order write path (range-partition + local sort by this key,
+    no global merge) is operators.sampling.global_shuffle; its ordering
+    property is pinned in pytest."""
+    from mura_spark.operators.sampling import shuffle_key
+    d = table(spark, sf, "documents").select("doc_id")
+    return d.select("doc_id",
+                    shuffle_key(F.col("doc_id"), seed=42)
+                    .alias("shuffle_key"))

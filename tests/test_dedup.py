@@ -154,3 +154,22 @@ def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
     # the reliable mode actually wrote checkpoint data to the durable path
     import os
     assert any(os.scandir(tmp_path / "ckpt"))
+
+
+def test_dedup_incremental_anti_join(spark):
+    from mura_spark.operators.dedup import dedup_incremental
+    from pyspark.sql import functions as F
+    seen = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["id", "text"])
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "BETA"), (13, "delta")],
+        ["id", "text"])
+    out = dedup_incremental(new, seen, F.md5(F.lower(F.col("text"))),
+                            F.md5(F.lower(F.col("text"))))
+    got = sorted(r.id for r in out.collect())
+    # alpha and BETA (case-normalized) are already ingested
+    assert got == [11, 13]
+    # idempotent: re-running against the same snapshot changes nothing
+    again = dedup_incremental(out, seen, F.md5(F.lower(F.col("text"))),
+                              F.md5(F.lower(F.col("text"))))
+    assert sorted(r.id for r in again.collect()) == got

@@ -98,3 +98,34 @@ def test_ngram_list_matches_shingle_normalization():
     assert list(dict.fromkeys(ngram_list(t, 3))) == shingle_list(t, 3)
     assert ngram_list(None) is None
     assert ngram_list("one") == ["one"]
+
+
+def test_chunk_overlap_tiling(sized):
+    """Every chunk except the last is exactly `chunk` tokens, consecutive
+    chunks overlap by exactly `overlap`, and the union of spans covers
+    [0, sz) with no chunk past the end."""
+    chunk, overlap = 32, 8
+    out = packing.chunk_overlap(sized, "doc_id", "sz", chunk, overlap)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r.doc_id, []).append((r.chunk_idx, r.tok_start,
+                                              r.tok_end))
+    sizes = {r.doc_id: r.sz for r in sized.collect()}
+    assert set(rows) == set(sizes)
+    for doc, spans in rows.items():
+        spans.sort()
+        sz = sizes[doc]
+        assert spans[0][1] == 0
+        assert spans[-1][2] == sz
+        assert [s[0] for s in spans] == list(range(len(spans)))
+        for (_, s0, e0), (_, s1, e1) in zip(spans, spans[1:]):
+            assert e0 - s0 == chunk           # only the last may be short
+            assert s1 == s0 + (chunk - overlap)
+        assert all(e <= sz and e > s for _, s, e in spans)
+        if sz <= chunk:
+            assert len(spans) == 1
+
+
+def test_chunk_overlap_rejects_bad_overlap(sized):
+    with pytest.raises(ValueError):
+        packing.chunk_overlap(sized, "doc_id", "sz", 32, 32)
