@@ -178,3 +178,32 @@ def test_write_zorder_clusters_both_columns(spark, sf_dir, tmp_path):
     # degenerate input rejected
     with pytest.raises(ValueError):
         write_zorder(li, str(tmp_path / "nope"), ["l_orderkey"])
+
+
+def test_approx_row_count_uses_footers(spark, sf_dir):
+    """File-backed plans answer from parquet footer metadata (exact for an
+    unfiltered scan); non-file plans fall back to count()."""
+    from mura_spark.sources.parquet import approx_row_count
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert approx_row_count(df) == df.count()
+    # filters don't shrink the footer estimate (upper bound, by design)
+    filtered = df.filter("doc_id < 10")
+    assert approx_row_count(filtered) >= filtered.count()
+    mem = spark.createDataFrame([(1,), (2,)], ["a"])
+    assert approx_row_count(mem) == 2
+
+
+def test_ensure_min_partitions_file_estimate(spark, sf_dir):
+    """The partition guard widens a single-file scan without materializing
+    .rdd, and leaves wide plans untouched."""
+    from pyspark.sql import functions as F
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    widened = ensure_min_partitions(df, target=8)
+    assert widened.rdd.getNumPartitions() >= 8
+    assert widened.count() == df.count()
+    agg = df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    assert ensure_min_partitions(agg, target=8) is agg
