@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "dedup_incremental_new",
     "pack_chunk_overlap",
     "sample_global_shuffle",
+    "sample_weighted_quality",
+    "sample_k_per_lang",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -126,3 +126,40 @@ def global_shuffle(df: DataFrame, key: str, seed: int = 0,
     else:
         out = out.repartitionByRange("__shuffle_key")
     return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")
+
+
+def weighted_sample(df: DataFrame, key: str, weight: Column) -> DataFrame:
+    """Deterministic Bernoulli sampling with per-row keep probability
+    ``weight`` (clamped to [0, 1]) — the quality-weighted downsampling
+    step of a pretraining pipeline (keep high-quality documents with high
+    probability, boilerplate rarely), without RNG.
+
+    Keep iff ``hash_bucket(key) < weight·BUCKETS``: a pure row-local
+    predicate, so membership is reproducible across runs/engines/
+    repartitionings, monotone in the weight (raising a row's score never
+    drops it), and executes at the scan — no shuffle at any scale.
+    The hash is uniform, so the kept fraction of any weight-w cohort
+    converges to w (exact to 1/BUCKETS resolution).
+    """
+    p = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_bucket(F.col(key)) < p * BUCKETS)
+
+
+def sample_k_per_group(df: DataFrame, group_cols: list[str], key: str,
+                       k: int, seed: int = 0) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, chosen uniformly and
+    deterministically: rank by the seeded portable hash of the key and
+    keep the first ``k`` — a fixed-size per-stratum sample (eval-set
+    carving, per-domain inspection samples) with none of RNG reservoir
+    sampling's run-to-run churn; a new seed redraws the sample.
+
+    Scale shape: identical to :func:`cap_per_group` — ``row_number() ≤ k``
+    lets Catalyst run WindowGroupLimit(Partial) below the exchange, so
+    each input partition pre-reduces to ≤ k rows per group before any
+    shuffle; dominant groups never funnel whole partitions into one task.
+    """
+    from pyspark.sql.window import Window
+    h = shuffle_key(F.col(key), seed)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))

@@ -281,3 +281,33 @@ def sample_global_shuffle(spark, sf):
     return d.select("doc_id",
                     shuffle_key(F.col("doc_id"), seed=42)
                     .alias("shuffle_key"))
+
+
+@q("sample_weighted_quality",
+   "SELECT doc_id, n_chars FROM documents "
+   "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+   " % 1000 < least(greatest(n_chars / 400.0, 0.0), 1.0) * 1000")
+def sample_weighted_quality(spark, sf):
+    """Quality-weighted Bernoulli sampling: keep probability proportional
+    to document length (n_chars/400, clamped to 1) — deterministic hash
+    predicate, no RNG, no shuffle; longer docs survive proportionally
+    more often (operators.sampling.weighted_sample)."""
+    from mura_spark.operators.sampling import weighted_sample
+    d = table(spark, sf, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id",
+                           F.col("n_chars").cast("double") / 400.0)
+
+
+@q("sample_k_per_lang",
+   "SELECT doc_id, lang FROM ("
+   "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
+   "CAST('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 12) "
+   "AS BIGINT), doc_id) AS rn FROM documents) WHERE rn <= 20")
+def sample_k_per_lang(spark, sf):
+    """Fixed-size uniform per-stratum sample: exactly min(20, |lang|) docs
+    per language, drawn by seeded-hash rank (seed 7) — reproducible
+    reservoir-style sampling; WindowGroupLimit pre-reduces below the
+    shuffle (operators.sampling.sample_k_per_group)."""
+    from mura_spark.operators.sampling import sample_k_per_group
+    d = table(spark, sf, "documents").select("doc_id", "lang")
+    return sample_k_per_group(d, ["lang"], "doc_id", 20, seed=7)

@@ -258,3 +258,44 @@ def test_global_shuffle_is_deterministic_permutation(documents, spark):
     other = [r.doc_id for r in
              global_shuffle(d, "doc_id", seed=7, n_partitions=4).collect()]
     assert other != ordered
+
+
+def test_weighted_sample_monotone_and_proportional(documents, spark):
+    """Membership is monotone in the weight (raising a score never drops a
+    row), clamped outside [0,1], and each weight cohort keeps ~weight of
+    its rows."""
+    from pyspark.sql import functions as F
+
+    from mura_spark.operators.sampling import weighted_sample
+
+    d = documents.select("doc_id")
+    kept_30 = {r.doc_id for r in
+               weighted_sample(d, "doc_id", F.lit(0.3)).collect()}
+    kept_70 = {r.doc_id for r in
+               weighted_sample(d, "doc_id", F.lit(0.7)).collect()}
+    assert kept_30 <= kept_70                       # monotone
+    n = d.count()
+    assert abs(len(kept_30) / n - 0.3) < 0.1
+    assert abs(len(kept_70) / n - 0.7) < 0.1
+    assert weighted_sample(d, "doc_id", F.lit(1.5)).count() == n   # clamp
+    assert weighted_sample(d, "doc_id", F.lit(-2.0)).count() == 0  # clamp
+
+
+def test_sample_k_per_group_exact_and_seeded(documents, spark):
+    """Exactly min(k, |group|) rows per group; a new seed redraws; the plan
+    pre-reduces below the shuffle (Partial WindowGroupLimit)."""
+    from mura_spark.operators.sampling import sample_k_per_group
+
+    d = documents.select("doc_id", "lang")
+    out = sample_k_per_group(d, ["lang"], "doc_id", 7, seed=1)
+    per = {}
+    for r in out.collect():
+        per[r.lang] = per.get(r.lang, 0) + 1
+    totals = {r.lang: r.n for r in
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {g: min(7, n) for g, n in totals.items()}
+    other = {r.doc_id for r in
+             sample_k_per_group(d, ["lang"], "doc_id", 7, seed=2).collect()}
+    assert other != {r.doc_id for r in out.collect()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
