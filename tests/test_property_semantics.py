@@ -96,3 +96,38 @@ def test_double_to_int_cast_divergence_is_pinned(spark):
     want_f = [con.execute(f"SELECT CAST(floor({v}) AS INT)").fetchone()[0]
               for v in vals]
     assert got_f == want_f
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(sizes=st.lists(st.integers(0, 500), min_size=1, max_size=30),
+       chunk=st.integers(2, 64),
+       overlap_frac=st.floats(0.0, 0.9))
+def test_chunk_overlap_matches_reference(spark, sizes, chunk, overlap_frac):
+    """chunk_overlap equals the obvious sequential tiling for arbitrary
+    (size, chunk, overlap) — including 0-size docs (one zero-width chunk)
+    and docs exactly at stride boundaries."""
+    from mura_spark.operators.packing import chunk_overlap
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+
+    def reference(sz):
+        spans, start = [], 0
+        while True:
+            end = min(start + chunk, sz)
+            spans.append((start, end))
+            if end >= sz:
+                return spans
+            start += stride
+
+    df = spark.createDataFrame(list(enumerate(sizes)), ["doc_id", "sz"])
+    out = chunk_overlap(df, "doc_id", "sz", chunk, overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.tok_start,
+                                             r.tok_end))
+    for doc_id, sz in enumerate(sizes):
+        want = [(i, s, e) for i, (s, e) in enumerate(reference(sz))]
+        assert sorted(got[doc_id]) == want, (sz, chunk, overlap)
