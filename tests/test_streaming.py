@@ -253,3 +253,20 @@ def test_stream_static_enrichment_equals_batch(spark, events, sf_dir,
                                      on="user_id", how="left").collect()}
     assert got == want
     assert len(got) == sub.count()
+
+
+def test_streaming_sliding_equals_batch(spark, events, tmp_path):
+    """Sliding-window per-user activity: streaming execution must equal the
+    batch twin when the input fits one micro-batch."""
+    src = str(tmp_path / "events_sliding")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = W.read_events_stream(spark, src, events.schema)
+    got = _run_stream(
+        spark, W.sliding_user_activity(stream, streaming=True),
+        "stream_sliding")
+    want = W.sliding_user_activity(events)
+    g = sorted((r.window_start, r.window_end, r.user_id, r.n_events)
+               for r in got.collect())
+    b = sorted((r.window_start, r.window_end, r.user_id, r.n_events)
+               for r in want.collect())
+    assert g == b
