@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "sample_global_shuffle",
     "sample_weighted_quality",
     "sample_k_per_lang",
+    "dedup_incremental_near",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

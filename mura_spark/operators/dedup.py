@@ -240,6 +240,51 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
+                        text_col: str, threshold: float,
+                        n: int = 3) -> DataFrame:
+    """Cross-corpus near-dup join — *exact* result: all (left, right) pairs
+    with shingle-set Jaccard ≥ threshold. The near-dup counterpart of
+    :func:`dedup_incremental`: dedup a new crawl against the existing
+    corpus where exact content hashing misses boilerplate-level edits.
+
+    Candidates come from the shared-shingle equi-join between the corpora
+    (lossless for t > 0: J ≥ t > 0 implies a common shingle), pruned by
+    the size-compatibility filter before the distinct. Probing only
+    shingles present on BOTH sides would be the cross-corpus analog of the
+    self-join's df≥2 prune; the equi-join itself already enforces it, so
+    no extra pass is needed. Output: (id_a = left id, id_b = right id,
+    jaccard).
+
+    Scale shape: two shingle-kernel passes + one equi-join on the shingle
+    key + candidate-only verification (two hash joins to the per-doc
+    arrays). In the usual call the left side (new crawl) is much smaller
+    than the right (corpus); the join shuffles both on the shingle key and
+    AQE handles the asymmetry. Ids may collide across corpora — pairs are
+    (left, right) positional, not ordered by value.
+    """
+    ls = shingle_sets(left, id_col, text_col, n)
+    rs = shingle_sets(right, id_col, text_col, n)
+    a = (_explode_sets(ls, id_col)
+         .select(F.col(id_col).alias("id_a"),
+                 F.col("n_shingles").alias("n_a"), "shingle"))
+    b = (_explode_sets(rs, id_col)
+         .select(F.col(id_col).alias("id_b"),
+                 F.col("n_shingles").alias("n_b"), "shingle"))
+    cand = (a.join(b, "shingle")
+             .filter(_length_compatible(threshold))
+             .select("id_a", "id_b").distinct())
+    sa = ls.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
+    sb = rs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
+    paired = (cand.join(sa.hint("shuffle_hash"), "id_a")
+                  .join(sb.hint("shuffle_hash"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (paired.select("id_a", "id_b",
+                          (inter.cast("double") / union).alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))
+
+
 # --------------------------------------------------------------------------
 # duplicate clusters (connected components over the pair graph)
 # --------------------------------------------------------------------------

@@ -308,3 +308,26 @@ def dedup_incremental_new(spark, sf):
     key_seen = F.md5(TX.normalize(F.col("text")))
     return (dedup.dedup_incremental(docs, seen, key_new, key_seen)
             .select("doc_id", "source"))
+
+
+@q("dedup_incremental_near",
+   f"{_SH_CTE} "
+   "SELECT id_a, id_b, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard "
+   "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+   "len(list_intersect(a.sh, b.sh)) AS inter, "
+   "len(a.sh) AS la, len(b.sh) AS lb "
+   "FROM d a JOIN d b ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0 "
+   "AND least(len(a.sh), len(b.sh)) >= "
+   "ceiling(0.8 * greatest(len(a.sh), len(b.sh)))) "
+   "WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8")
+def dedup_incremental_near(spark, sf):
+    """Cross-corpus near-dup join: new-crawl documents (doc_id % 3 != 0)
+    with a Jaccard ≥ 0.8 near-duplicate in the prior snapshot
+    (doc_id % 3 == 0) — catches boilerplate-level edits that exact
+    content hashing (dedup_incremental_new) misses. Exact result via
+    shared-shingle candidates + candidate-only verification."""
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup.jaccard_cross_pairs(new, seen, "doc_id", "text",
+                                     threshold=0.8, n=3)

@@ -173,3 +173,38 @@ def test_dedup_incremental_anti_join(spark):
     again = dedup_incremental(out, seen, F.md5(F.lower(F.col("text"))),
                               F.md5(F.lower(F.col("text"))))
     assert sorted(r.id for r in again.collect()) == got
+
+
+def test_jaccard_cross_pairs_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from mura_spark.functions import text as TX
+    from mura_spark.operators.dedup import jaccard_cross_pairs, shingle_sets
+
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content with no overlap here"),
+         (3, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    right = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy cat"),
+         (11, "alpha beta gamma delta epsilon zeta eta theta"),
+         (12, "unrelated words entirely absent from the left side")],
+        ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): round(r.jaccard, 6)
+           for r in jaccard_cross_pairs(left, right, "doc_id", "text",
+                                        threshold=0.5).collect()}
+    # brute force over the full cross product
+    ls = {r.doc_id: set(r.shset)
+          for r in shingle_sets(left, "doc_id", "text", 3).collect()}
+    rs = {r.doc_id: set(r.shset)
+          for r in shingle_sets(right, "doc_id", "text", 3).collect()}
+    want = {}
+    for a, sa in ls.items():
+        for b, sb in rs.items():
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (3, 11) in got and got[(3, 11)] == 1.0
+    assert (1, 10) in got
