@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sample_weighted_quality",
     "sample_k_per_lang",
     "dedup_incremental_near",
+    "pipeline_finetune_prep",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

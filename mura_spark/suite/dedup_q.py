@@ -331,3 +331,42 @@ def dedup_incremental_near(spark, sf):
     seen = docs.filter(F.col("doc_id") % 3 == 0)
     return dedup.jaccard_cross_pairs(new, seen, "doc_id", "text",
                                      threshold=0.8, n=3)
+
+
+_INC_HASH = "md5(trim(regexp_replace(lower({a}.text), '\\s+', ' ', 'g')))"
+
+@q("pipeline_finetune_prep",
+   "WITH new AS (SELECT doc_id, lang, n_chars FROM documents n "
+   "WHERE NOT EXISTS (SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 AND "
+   f"{_INC_HASH.format(a='s')} = {_INC_HASH.format(a='n')})), "
+   "w AS (SELECT * FROM new WHERE "
+   "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) "
+   "% 1000 < least(greatest(n_chars / 400.0, 0.0), 1.0) * 1000), "
+   "k AS (SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER ("
+   "PARTITION BY lang ORDER BY "
+   "CAST('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 12) "
+   "AS BIGINT), doc_id) AS rn FROM w) "
+   "SELECT lang, COUNT(*) AS n_docs, "
+   "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+   "FROM k WHERE rn <= 50 GROUP BY lang")
+def pipeline_finetune_prep(spark, sf):
+    """Fine-tuning-prep pipeline as one plan, chaining the incremental-
+    ingest operators end-to-end: drop documents already in the prior
+    snapshot (left-anti on content hash) → quality-weighted Bernoulli
+    downsampling (keep probability ∝ length) → fixed 50-docs-per-language
+    seeded sample → per-language corpus statistics. One scan feeds the
+    whole chain; the only shuffles are the anti-join key and the
+    per-language window/agg."""
+    from mura_spark.operators.sampling import (sample_k_per_group,
+                                               weighted_sample)
+    docs = table(spark, sf, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    key = F.md5(TX.normalize(F.col("text")))
+    new = (dedup.dedup_incremental(docs, seen, key, key)
+           .select("doc_id", "lang", "n_chars"))
+    w = weighted_sample(new, "doc_id",
+                        F.col("n_chars").cast("double") / 400.0)
+    k = sample_k_per_group(w, ["lang"], "doc_id", 50, seed=7)
+    return k.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"))
