@@ -66,6 +66,12 @@ SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
         f"least(greatest(CASE WHEN {_NA} * {_NB} = 0 THEN 0.0 "
         f"ELSE {_DOT} / ({_NA} * {_NB}) END, -1.0), 1.0)"),
+    # seeded portable shuffle key (operators.sampling.shuffle_key): SQL
+    # users get the same reproducible training-order permutation.
+    "mura_shuffle_key": (
+        "k STRING, seed INT", "BIGINT",
+        "cast(conv(substr(md5(concat(cast(seed AS STRING), '|', k)), 1, 12)"
+        ", 16, 10) AS BIGINT)"),
 }
 
 

@@ -138,3 +138,20 @@ def test_registered_sql_functions_match_column_forms(spark, sf_dir):
                              F.col("b.embedding")).alias("sim")))
     assert (sorted(map(tuple, got_c.collect()))
             == sorted(map(tuple, want_c.collect())))
+
+
+def test_mura_shuffle_key_matches_column_form(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mura_spark.functions.registry import register_all
+    from mura_spark.operators.sampling import shuffle_key
+    from mura_spark.suite.common import table
+
+    register_all(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    d.createOrReplaceTempView("reg_shuf")
+    got = spark.sql("SELECT doc_id, mura_shuffle_key(cast(doc_id AS STRING),"
+                    " 42) AS k FROM reg_shuf")
+    want = d.select("doc_id", shuffle_key(F.col("doc_id"), 42).alias("k"))
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
