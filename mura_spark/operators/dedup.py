@@ -302,6 +302,45 @@ def jaccard_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
                   .filter(F.col("jaccard") >= threshold))
 
 
+def minhash_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
+                        text_col: str, threshold: float,
+                        n: int = 3) -> DataFrame:
+    """Cross-corpus near-dup join, MinHash-LSH path: banded signature
+    candidates between the corpora, exact Jaccard verification. The scale
+    default where :func:`jaccard_cross_pairs` is the exact reference —
+    signatures are zero-shuffle narrow maps, so the only corpus-sized
+    shuffle is the band-bucket equi-join over 16 short keys per doc
+    (vs the prefix-shingle join of the exact path). Same banding as the
+    self-join (16×2: miss probability < 1e-11 per true pair at J ≥ 0.8),
+    so the verified output equals the exact join on any realistic corpus
+    (pinned in pytest). Output: (id_a = left id, id_b = right id, jaccard).
+    """
+    bands = F.array(*[
+        F.concat_ws("_", F.lit(j), *[
+            F.col(f"mh_{j * ROWS_PER_BAND + r}")
+            for r in range(ROWS_PER_BAND)])
+        for j in range(BANDS)])
+
+    def banded(df, alias):
+        sig = minhash_signatures(df, id_col, text_col, n)
+        return (sig.select(F.col(id_col).alias(alias),
+                           F.explode(bands).alias("band_key")))
+
+    cand = (banded(left, "id_a").join(banded(right, "id_b"), "band_key")
+            .select("id_a", "id_b").distinct())
+    sa = (shingle_sets(left, id_col, text_col, n)
+          .select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")))
+    sb = (shingle_sets(right, id_col, text_col, n)
+          .select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")))
+    paired = (cand.join(sa.hint("shuffle_hash"), "id_a")
+                  .join(sb.hint("shuffle_hash"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (paired.select("id_a", "id_b",
+                          (inter.cast("double") / union).alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))
+
+
 # --------------------------------------------------------------------------
 # duplicate clusters (connected components over the pair graph)
 # --------------------------------------------------------------------------

@@ -208,3 +208,24 @@ def test_jaccard_cross_pairs_matches_bruteforce(spark):
     assert got == want
     assert (3, 11) in got and got[(3, 11)] == 1.0
     assert (1, 10) in got
+
+
+def test_minhash_cross_pairs_equals_exact(spark, sf_dir):
+    """The banded MinHash cross-corpus join must produce exactly the exact
+    prefix-join's verified pairs on the real corpus (16x2 banding: miss
+    probability < 1e-11 per true pair at J >= 0.8)."""
+    from pyspark.sql import functions as F
+
+    from mura_spark.operators.dedup import (jaccard_cross_pairs,
+                                            minhash_cross_pairs)
+    from mura_spark.suite.common import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    exact = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+             jaccard_cross_pairs(new, seen, "doc_id", "text", 0.8).collect()}
+    approx = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+              minhash_cross_pairs(new, seen, "doc_id", "text", 0.8).collect()}
+    assert approx == exact
+    assert len(exact) > 0
