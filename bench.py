@@ -153,8 +153,11 @@ def _regression_check(timings: dict[str, float]) -> dict:
         return {}
     ratios = sorted(t / ref[q] for q, t in common.items())
     drift = ratios[len(ratios) // 2]  # median = environment drift estimate
+    # No floor on drift: on a uniformly *faster* machine a code regression
+    # still shows as an outlier vs the run's median, and flooring at 1.0
+    # would hide it. The absolute-seconds guard filters sub-noise queries.
     flagged = {q: round(t / ref[q], 2) for q, t in common.items()
-               if t / ref[q] > 1.5 * max(drift, 1.0) and t - ref[q] > 0.3}
+               if t / ref[q] > 1.5 * drift and t - ref[q] > 0.3}
     for q, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
         print(f"REGRESSION? {q}: {timings[q]:.2f}s = {r}x of r1 "
               f"(median drift {drift:.2f}x)", file=sys.stderr)

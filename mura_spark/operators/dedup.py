@@ -153,6 +153,27 @@ def _length_compatible(threshold: float) -> Column:
     return lo >= F.ceil(F.lit(threshold) * hi)
 
 
+def _verify_jaccard_cross(left_sets: DataFrame, right_sets: DataFrame,
+                          id_col: str, candidates: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of cross-corpus (id_a, id_b) candidates
+    against the two corpora's per-doc shingle arrays — the shared tail of
+    both cross-pair generators (exact prefix and MinHash-banded), so their
+    verification arithmetic cannot drift apart. Same shuffle_hash rationale
+    as :func:`_verify_jaccard`."""
+    sa = left_sets.select(F.col(id_col).alias("id_a"),
+                          F.col("shset").alias("sh_a"))
+    sb = right_sets.select(F.col(id_col).alias("id_b"),
+                           F.col("shset").alias("sh_b"))
+    paired = (candidates.join(sa.hint("shuffle_hash"), "id_a")
+                        .join(sb.hint("shuffle_hash"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (paired.select("id_a", "id_b",
+                          (inter.cast("double") / union).alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))
+
+
 def _verify_jaccard(sets: DataFrame, id_col: str,
                     candidates: DataFrame) -> DataFrame:
     """Exact Jaccard for (id_a, id_b) candidate pairs via per-doc shingle
@@ -291,15 +312,7 @@ def jaccard_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
                                             "shingle")
              .filter(_length_compatible(threshold))
              .select("id_a", "id_b").distinct())
-    sa = ls.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
-    sb = rs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
-    paired = (cand.join(sa.hint("shuffle_hash"), "id_a")
-                  .join(sb.hint("shuffle_hash"), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (paired.select("id_a", "id_b",
-                          (inter.cast("double") / union).alias("jaccard"))
-                  .filter(F.col("jaccard") >= threshold))
+    return _verify_jaccard_cross(ls, rs, id_col, cand, threshold)
 
 
 def minhash_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
@@ -315,30 +328,17 @@ def minhash_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
     so the verified output equals the exact join on any realistic corpus
     (pinned in pytest). Output: (id_a = left id, id_b = right id, jaccard).
     """
-    bands = F.array(*[
-        F.concat_ws("_", F.lit(j), *[
-            F.col(f"mh_{j * ROWS_PER_BAND + r}")
-            for r in range(ROWS_PER_BAND)])
-        for j in range(BANDS)])
-
     def banded(df, alias):
         sig = minhash_signatures(df, id_col, text_col, n)
-        return (sig.select(F.col(id_col).alias(alias),
-                           F.explode(bands).alias("band_key")))
+        return sig.select(F.col(id_col).alias(alias),
+                          F.explode(_minhash_band_keys()).alias("band_key"))
 
     cand = (banded(left, "id_a").join(banded(right, "id_b"), "band_key")
             .select("id_a", "id_b").distinct())
-    sa = (shingle_sets(left, id_col, text_col, n)
-          .select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")))
-    sb = (shingle_sets(right, id_col, text_col, n)
-          .select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")))
-    paired = (cand.join(sa.hint("shuffle_hash"), "id_a")
-                  .join(sb.hint("shuffle_hash"), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (paired.select("id_a", "id_b",
-                          (inter.cast("double") / union).alias("jaccard"))
-                  .filter(F.col("jaccard") >= threshold))
+    return _verify_jaccard_cross(
+        shingle_sets(left, id_col, text_col, n),
+        shingle_sets(right, id_col, text_col, n),
+        id_col, cand, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -514,15 +514,22 @@ def _minhash_signatures_expr(df: DataFrame, id_col: str, text_col: str,
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
-    """LSH banding: signature → BANDS band-keys, equi-join per band bucket.
-    Emits distinct (id_a, id_b) candidates."""
-    bands = F.array(*[
+def _minhash_band_keys():
+    """The BANDS×ROWS_PER_BAND banding of an mh_0..mh_{k-1} signature row,
+    as an array of band-key strings — the one encoding both the self-join
+    and cross-corpus candidate generators must agree on."""
+    return F.array(*[
         F.concat_ws("_", F.lit(j), *[
             F.col(f"mh_{j * ROWS_PER_BAND + r}")
             for r in range(ROWS_PER_BAND)])
         for j in range(BANDS)])
-    exploded = (sigs.select(F.col(id_col), F.explode(bands).alias("band_key")))
+
+
+def minhash_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding: signature → BANDS band-keys, equi-join per band bucket.
+    Emits distinct (id_a, id_b) candidates."""
+    exploded = sigs.select(F.col(id_col),
+                           F.explode(_minhash_band_keys()).alias("band_key"))
     a = exploded.select(F.col(id_col).alias("id_a"), "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"), "band_key")
     return (a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b"))

@@ -100,7 +100,7 @@ def chunk_overlap(df: DataFrame, id_col: str, size_col: str,
     stride = chunk - overlap
     sz = F.col(size_col).cast("bigint")
     n_chunks = F.when(sz <= chunk, F.lit(1).cast("bigint")).otherwise(
-        F.expr(f"({size_col} - {chunk} + {stride} - 1) div {stride}") + 1)
+        F.expr(f"(`{size_col}` - {chunk} + {stride} - 1) div {stride}") + 1)
     start = F.col("chunk_idx") * stride
     return (df.select(F.col(id_col), sz.alias("__sz"),
                       F.explode(F.sequence(F.lit(0).cast("bigint"),

@@ -119,13 +119,18 @@ def global_shuffle(df: DataFrame, key: str, seed: int = 0,
     samples key quantiles, and because the key is a uniform hash the
     resulting partitions are balanced regardless of input skew.
     """
+    # The key column rides as a tie-break everywhere the 48-bit hash is
+    # ordered: hash collisions are certain past ~2^24 rows (birthday bound)
+    # and ties would otherwise order arbitrarily per run — breaking the
+    # reproducibility contract exactly at the scale it matters.
     k = shuffle_key(F.col(key), seed)
     out = df.withColumn("__shuffle_key", k)
     if n_partitions:
-        out = out.repartitionByRange(n_partitions, "__shuffle_key")
+        out = out.repartitionByRange(n_partitions, "__shuffle_key", key)
     else:
-        out = out.repartitionByRange("__shuffle_key")
-    return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")
+        out = out.repartitionByRange("__shuffle_key", key)
+    return (out.sortWithinPartitions("__shuffle_key", key)
+            .drop("__shuffle_key"))
 
 
 def weighted_sample(df: DataFrame, key: str, weight: Column) -> DataFrame:

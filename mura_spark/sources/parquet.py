@@ -54,32 +54,39 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     if any(op in analyzed for op in wide_ops):
         return df
     # File-backed plans: estimate scan parallelism from driver-side catalog
-    # metadata (file list + sizes vs maxPartitionBytes — the same inputs
-    # FilePartition packing uses), avoiding the .rdd probe, which finalizes
-    # a physical plan per call. The estimate errs low (ignores row-group
-    # split boundaries), which at worst repartitions an already-parallel
-    # scan — acceptable for the small inputs this guard exists for; plans
-    # with many files/bytes skip the shuffle as intended.
+    # metadata, avoiding the .rdd probe (which finalizes a physical plan
+    # per call). The estimate replays Spark's own FilePartition sizing:
+    # each file is padded by openCostInBytes, the split size is
+    # min(maxPartitionBytes, max(openCost, paddedTotal/defaultParallelism)),
+    # and partitions ≈ ceil(paddedTotal / splitSize) — so many tiny files
+    # (padded to ~openCost each) count as separate partitions exactly as
+    # the scan will schedule them, and one giant file counts its splits.
     try:
         files = df.inputFiles()
     except Exception:
         files = []
     if files:
-        if len(files) >= target:
-            return df
         import os as _os
+        conf = df.sparkSession.conf
         try:
             max_bytes = _parse_bytes(
-                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"))
+                conf.get("spark.sql.files.maxPartitionBytes"))
         except Exception:
             max_bytes = 128 * 1024 * 1024
-        est = 0
+        try:
+            open_cost = _parse_bytes(
+                conf.get("spark.sql.files.openCostInBytes"))
+        except Exception:
+            open_cost = 4 * 1024 * 1024
+        padded = 0
         for f in files:
             p = f[len("file:"):] if f.startswith("file:") else f
             try:
-                est += max(1, -(-_os.path.getsize(p) // max_bytes))
+                padded += _os.path.getsize(p) + open_cost
             except OSError:
-                est += 1
+                padded += open_cost
+        split = min(max_bytes, max(open_cost, padded // max(target, 1) or 1))
+        est = -(-padded // split)
         if est >= target:
             return df
         return df.repartition(target)
@@ -102,18 +109,25 @@ def _parse_bytes(s: str) -> int:
 
 
 def approx_row_count(df: DataFrame) -> int:
-    """Upper-bound row count without running a Spark job, for *sizing*
-    decisions (LSH band width, partition counts) — never for results.
+    """Row count without running a Spark job where that is *accurate*, for
+    sizing decisions (LSH band width, partition counts) — never results.
 
-    File-backed plans answer from Parquet footer metadata (``inputFiles``
-    is a driver-side catalog listing; footer reads are O(files), no scan).
-    The number ignores post-scan filters, so it can overestimate — safe
-    for sizing, where an overestimate only widens hash bands. Falls back
-    to ``df.count()`` for non-file plans (in-memory test frames), where a
-    count is one cheap job over already-materialized data.
+    Unfiltered file-backed plans answer from Parquet footer metadata
+    (``inputFiles`` is a driver-side catalog listing; footer reads are
+    O(files), no scan) — exact for a plain scan/projection. Plans with a
+    filter fall back to ``df.count()``: footers would report the
+    *pre-filter* count, and for band sizing an overestimate is not
+    harmless — wider bands mean fewer true-pair collisions, i.e. silently
+    lower recall on a heavily filtered corpus. Non-file plans (in-memory
+    test frames) also count directly.
     """
     try:
-        files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+        filtered = "Filter" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        filtered = True
+    try:
+        files = ([] if filtered else
+                 [f for f in df.inputFiles() if f.endswith(".parquet")])
     except Exception:
         files = []
     if files:
