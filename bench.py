@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "sample_k_per_lang",
     "dedup_incremental_near",
     "pipeline_finetune_prep",
+    "events_value_histogram",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

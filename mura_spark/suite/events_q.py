@@ -342,3 +342,22 @@ def events_enrich_users(spark, sf):
                             on="c_nationkey", how="left")
             .select("event_id", "user_id", "event_type",
                     F.col("c_mktsegment").alias("mktsegment"), "nation"))
+
+
+@q("events_value_histogram",
+   "SELECT event_type, CAST(least(greatest(floor(value / 25.0), 0), 19) "
+   "AS BIGINT) AS bucket, COUNT(*) AS n "
+   "FROM events GROUP BY event_type, bucket")
+def events_value_histogram(spark, sf):
+    """Equal-width value histogram per event type (20 buckets of width 25
+    over [0, 500), outliers clamped to the edge buckets) — the profiling/
+    monitoring shape of an event pipeline. A plain groupBy on (type,
+    bucket): map-side partial aggregation makes it one reduced shuffle of
+    at most types×20 groups at any scale; fixed boundaries mean a pure
+    per-row bucket function (no global min/max pass), with the identical
+    floor/clamp arithmetic on both engines (DuckDB has no width_bucket)."""
+    ev = table(spark, sf, "events")
+    bucket = (F.least(F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)),
+                      F.lit(19)).cast("bigint"))
+    return (ev.groupBy("event_type", bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
