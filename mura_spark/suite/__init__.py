@@ -48,6 +48,13 @@ _PRIORITY = [
     "scalar_functions",
 ]
 
+# Round-5 rotation note: once the round-4 driver run lands rows for the
+# priority list above, promote the round-4 additions — events_enrich_users,
+# dedup_incremental_new/near, pack_chunk_overlap, sample_global_shuffle,
+# sample_weighted_quality, sample_k_per_lang, pipeline_finetune_prep,
+# events_value_histogram — into the front window; they are local-green but
+# sit past position 50 this round.
+
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
 for _m in _MODULES:
