@@ -131,3 +131,42 @@ def test_chunk_overlap_matches_reference(spark, sizes, chunk, overlap_frac):
     for doc_id, sz in enumerate(sizes):
         want = [(i, s, e) for i, (s, e) in enumerate(reference(sz))]
         assert sorted(got[doc_id]) == want, (sz, chunk, overlap)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(sizes=st.lists(st.integers(0, 300), min_size=1, max_size=25),
+       budget=st.integers(8, 128))
+def test_pack_greedy_matches_reference(spark, sizes, budget):
+    """pack_greedy equals a sequential first-fit walk per shard for
+    arbitrary sizes/budgets — including docs larger than the budget (own
+    sequence) and zero-size docs."""
+    from mura_spark.functions.hashing import md5_hash48
+    from mura_spark.operators.packing import pack_greedy
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(enumerate(sizes)), ["doc_id", "sz"])
+    shards = {r.doc_id: r.s for r in
+              df.select("doc_id",
+                        (md5_hash48(F.col("doc_id").cast("string")) % 4)
+                        .alias("s")).collect()}
+
+    def reference():
+        out = {}
+        per_shard = {}
+        for doc_id, sz in enumerate(sizes):
+            per_shard.setdefault(shards[doc_id], []).append((doc_id, sz))
+        for shard, docs in per_shard.items():
+            seq, fill = 0, 0
+            for doc_id, sz in sorted(docs):
+                if fill > 0 and fill + sz > budget:
+                    seq += 1
+                    fill = 0
+                fill += sz
+                out[doc_id] = (shard, seq, fill)
+        return out
+
+    got = {r.doc_id: (r.shard, r.seq_id, r.seq_fill) for r in
+           pack_greedy(df, "doc_id", "sz", budget, n_shards=4).collect()}
+    assert got == reference()
