@@ -141,18 +141,32 @@ def _with_bands(df: DataFrame, vec_col: str, planes: list[list[float]],
     """Attach the array of ``n_bands`` band-keys (bit-packed hyperplane sign
     pattern; ``len(planes) / n_bands`` bits each) per row. Arrow-batched
     numpy kernel: one (n × dim) @ (dim × P) matmul per batch instead of P
-    interpreted HOF dot products per row."""
+    interpreted HOF dot products per row.
+
+    Degenerate mode: with no planes (``band_bits=0`` upstream) every row
+    gets the same constant key per band — one global bucket, i.e. the
+    candidate set becomes exhaustive. That turns the LSH operators into
+    exact search *through the same join machinery*, which is what the
+    deterministic driver-companion queries and the recall tests pin
+    against."""
     import numpy as np
     import pandas as pd
 
-    pm = np.asarray(planes, dtype=np.float64).T          # (dim, P)
     per_band = len(planes) // n_bands
-    weights = (1 << np.arange(per_band)).astype(np.int64)
+    if planes:
+        pm = np.asarray(planes, dtype=np.float64).T      # (dim, P)
+        weights = (1 << np.arange(per_band)).astype(np.int64)
 
     df = ensure_min_partitions(df)
 
     def kernel(batches):
         for pdf in batches:
+            pdf = pdf.copy()
+            if not planes:
+                pdf[out_col] = [[f"{b}_0" for b in range(n_bands)]
+                                for _ in range(len(pdf))]
+                yield pdf
+                continue
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (vecs @ pm >= 0).astype(np.int64)     # (n, P)
             bands = []
@@ -160,7 +174,6 @@ def _with_bands(df: DataFrame, vec_col: str, planes: list[list[float]],
                 seg = bits[:, bidx * per_band:(bidx + 1) * per_band]
                 packed = seg @ weights
                 bands.append([f"{bidx}_{v}" for v in packed])
-            pdf = pdf.copy()
             pdf[out_col] = [list(t) for t in zip(*bands)]
             yield pdf
 
@@ -430,7 +443,8 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
 def embedding_dup_pairs(df: DataFrame, threshold: float,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         method: str = "lsh",
-                        corpus_rows: int | None = None) -> DataFrame:
+                        corpus_rows: int | None = None,
+                        band_bits: int | None = None) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold.
 
     ``method='lsh'`` (default — the pipeline path): hyperplane-banded
@@ -463,8 +477,11 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
         # band width tracks corpus size (see _auto_band_bits) — fixed-width
         # bands collide quadratically once the corpus outgrows 2^bits.
         # Sizing count from the hint / parquet footers, not a full scan.
-        band_bits = _auto_band_bits(corpus_rows if corpus_rows is not None
-                                    else approx_row_count(df))
+        # band_bits=0 = degenerate single-bucket mode: exhaustive candidates
+        # through the same band join, exact output (see _with_bands).
+        if band_bits is None:
+            band_bits = _auto_band_bits(corpus_rows if corpus_rows is not None
+                                        else approx_row_count(df))
         planes = _hyperplanes(len(first[0]), LSH_BANDS * band_bits)
         banded = _with_bands(df.select(id_col, vec_col), vec_col, planes)
         ea = banded.select(F.col(id_col).alias("id_a"),

@@ -153,6 +153,24 @@ def dedup_embedding_pairs_lsh(spark, sf):
     return embedding_dup_pairs(e, threshold=0.4, method="lsh")
 
 
+@q("dedup_embedding_pairs_lsh_full",
+   "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+   "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+   "CAST(b.embedding AS DOUBLE[])) AS sim "
+   "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+   "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+   "CAST(b.embedding AS DOUBLE[])) >= 0.4")
+def dedup_embedding_pairs_lsh_full(spark, sf):
+    """Deterministic driver companion for the LSH near-dup path: the same
+    band/explode/equi-join/verify pipeline run in single-bucket mode
+    (band_bits=0 → every pair is a candidate), so the output is exactly the
+    cosine ≥ 0.4 pair set and hash-checks against the all-pairs oracle.
+    Production banding stays recall-pinned in pytest."""
+    from mura_spark.operators.similarity import embedding_dup_pairs
+    e = table(spark, sf, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.4, method="lsh", band_bits=0)
+
+
 _PAIRS_08 = _JACCARD_PAIRS.format(t=0.8)
 
 #: duplicate clusters: DuckDB recursive transitive closure over the same

@@ -62,6 +62,34 @@ def events_sessionize(spark, sf):
     return W.sessionize(ev, gap="30 minutes")
 
 
+@q("events_session_window_stream",
+   "WITH flagged AS (SELECT user_id, ts, event_id, "
+   "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+   "WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+   "AS new_session FROM events "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+   "sess AS (SELECT user_id, ts, "
+   "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+   "FROM flagged) "
+   "SELECT user_id, MIN(ts) AS session_start, "
+   "MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events "
+   "FROM sess GROUP BY user_id, session_id")
+def events_session_window_stream(spark, sf):
+    """Driver-visible streaming evidence: runs sessionize_stream — the
+    ACTUAL streaming operator (native session_window + watermark,
+    mura_spark/streaming/windows.py) — in batch mode, where the watermark
+    is a no-op and session_window executes with identical merge semantics.
+    A regression in the streaming sessionizer now breaks this driver row,
+    not just pytest. The oracle encodes session_window's exact boundary
+    rule: an event at ts == previous + gap does NOT extend the session
+    (windows [ts, ts+gap) merge only on strict overlap), and session_end is
+    last event ts + gap — both different from the lag-based batch
+    events_sessionize, deliberately."""
+    ev = table(spark, sf, "events")
+    return W.sessionize_stream(ev, gap="30 minutes")
+
+
 @q("events_json_extract",
    "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 "
    "AS k_bucket, COUNT(*) AS n, "
@@ -283,6 +311,55 @@ def sketch_distinct_users(spark, sf):
     return (ev.groupBy("event_type")
               .agg(F.approx_count_distinct("user_id", rsd=0.02)
                    .alias("approx_users")))
+
+
+@q("sketch_distinct_users_exact",
+   "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+   "FROM events GROUP BY event_type")
+def sketch_distinct_users_exact(spark, sf):
+    """Deterministic driver companion for sketch_distinct_users: the exact
+    count-distinct the HLL estimate is pytest-pinned against (within rsd).
+    Partial distinct aggregation is map-side (Expand + partial HashAggregate
+    before the shuffle), so only distinct (event_type, user_id) pairs cross
+    the wire — the affordable exact form at moderate key cardinality; the
+    sketch twin is the path for when even that shuffle isn't."""
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+@q("sketch_value_percentiles_exact",
+   "WITH ranked AS (SELECT event_type, value, "
+   "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn, "
+   "COUNT(*) OVER (PARTITION BY event_type) AS n "
+   "FROM events WHERE value IS NOT NULL) "
+   "SELECT event_type, "
+   "MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50, "
+   "MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90, "
+   "MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99 "
+   "FROM ranked GROUP BY event_type")
+def sketch_value_percentiles_exact(spark, sf):
+    """Deterministic driver companion for sketch_value_percentiles:
+    nearest-rank percentiles (value at row_number = ceil(p·n)) — every
+    output is an actual data value, so it hash-matches bit-exactly across
+    engines with no interpolation arithmetic to align. Rank ties on equal
+    values pick the same value by definition. One sort shuffle per group;
+    the sketch twin replaces exactly this sort at scale."""
+    from pyspark.sql.window import Window
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    wn = Window.partitionBy("event_type")
+    ranked = (ev.select("event_type", "value")
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count(F.lit(1)).over(wn)))
+
+    def at(p):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value")))
+
+    return (ranked.groupBy("event_type")
+                  .agg(at(0.5).alias("p50"), at(0.9).alias("p90"),
+                       at(0.99).alias("p99")))
 
 
 @q("events_user_totals",

@@ -63,6 +63,49 @@ def ann_topk_ivf(spark, sf):
     return similarity.topk_ivf(queries, e, _K)
 
 
+# Deterministic driver companions for the two approximate ANN paths. Each
+# runs the REAL approximate operator in its degenerate-exact configuration
+# (LSH: band_bits=0 → one global bucket → exhaustive candidates; IVF:
+# n_probe = n_centroids → every inverted list probed), so the band-join /
+# centroid-assign machinery is exercised end-to-end while the output is
+# provably the exact top-k — hash-checkable against the brute-force oracle.
+# The production configurations stay recall-tested in pytest.
+@q("ann_topk_lsh_exhaustive",
+   f"SELECT query_id, neighbor_id, rnk AS rank, sim FROM ("
+   f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim, "
+   f"ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+   f"ORDER BY {_COS} DESC, c.vec_id ASC) AS rnk "
+   f"FROM embeddings q JOIN embeddings c ON q.vec_id < {_NQ}) "
+   f"WHERE rnk <= {_K}")
+def ann_topk_lsh_exhaustive(spark, sf):
+    """topk_lsh in single-bucket mode: every corpus row is a candidate for
+    every query, so the result equals exact top-k — the deterministic
+    driver row that pins the LSH join/score/rank pipeline."""
+    e = table(spark, sf, "embeddings")
+    queries = (e.filter(F.col("vec_id") < _NQ)
+                .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.topk_lsh(queries, e, _K, n_bands=1, band_bits=0)
+
+
+@q("ann_topk_ivf_fullprobe",
+   f"SELECT query_id, neighbor_id, rnk AS rank, sim FROM ("
+   f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim, "
+   f"ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+   f"ORDER BY {_COS} DESC, c.vec_id ASC) AS rnk "
+   f"FROM embeddings q JOIN embeddings c ON q.vec_id < {_NQ}) "
+   f"WHERE rnk <= {_K}")
+def ann_topk_ivf_fullprobe(spark, sf):
+    """topk_ivf probing ALL inverted lists (n_probe = n_centroids): the
+    candidate set is the whole corpus regardless of how Lloyd assigned
+    cells, so the result equals exact top-k even though centroid refinement
+    itself is shuffle-order dependent — the deterministic driver row for
+    the IVF seed/refine/assign/join pipeline."""
+    e = table(spark, sf, "embeddings")
+    queries = (e.filter(F.col("vec_id") < _NQ)
+                .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.topk_ivf(queries, e, _K, n_centroids=8, n_probe=8)
+
+
 # Both engines fold the squared elements left-to-right (Spark F.aggregate
 # from 0.0 ≡ DuckDB list_reduce from the first element — 0.0 + s₁ is exact),
 # so the norms compare bit-identically.
