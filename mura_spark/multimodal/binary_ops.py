@@ -66,11 +66,34 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [c / n for c in counts]
 
 
-def decode_image(payload: bytes):  # pragma: no cover - explicit stub
-    """Real image decode is NOT implemented in this environment."""
-    raise NotImplementedError(
-        "image decoding requires PIL/libjpeg, not present in this container; "
-        "use extract_features (deterministic stub) for pipeline testing")
+try:  # guarded probe: upgrade to a real decoder if the env ever gains PIL
+    import PIL.Image as _PIL_Image  # noqa: N811
+except ImportError:  # pragma: no cover - env-dependent
+    _PIL_Image = None
+
+HAS_REAL_DECODER = _PIL_Image is not None
+
+
+def decode_image(payload: bytes):
+    """Decode an encoded image payload to a (height, width[, channels])
+    uint8 numpy array.
+
+    Real path: PIL, when importable (probed at module load — this container
+    normally lacks PIL/libjpeg, but the operator upgrades itself the moment
+    the library appears). Otherwise raises NotImplementedError; the
+    pipeline-testing surface is :func:`extract_features`, whose
+    deterministic stub kernel never needs a decoder.
+    """
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "image decoding requires PIL/libjpeg, not present in this "
+            "container; use extract_features (deterministic stub) for "
+            "pipeline testing")
+    import io
+
+    import numpy as np
+    with _PIL_Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img)
 
 
 def extract_features(df: DataFrame, id_col: str = "id",

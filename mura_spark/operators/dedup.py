@@ -85,10 +85,15 @@ def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
     the storage layout (key-sorted parquet gives footer-range skipping for
     free via write_sorted) rather than in this operator.
     """
-    seen_keys = seen_df.select(seen_key.alias("__dup_key")).distinct()
-    return (new_df.withColumn("__dup_key", new_key)
-            .join(seen_keys, on="__dup_key", how="left_anti")
-            .drop("__dup_key"))
+    # temp key column must not collide with a caller column — withColumn
+    # would silently REPLACE it and the final drop would corrupt the schema
+    tmp = "__dup_key"
+    while tmp in new_df.columns:
+        tmp += "_"
+    seen_keys = seen_df.select(seen_key.alias(tmp)).distinct()
+    return (new_df.withColumn(tmp, new_key)
+            .join(seen_keys, on=tmp, how="left_anti")
+            .drop(tmp))
 
 
 # --------------------------------------------------------------------------

@@ -38,7 +38,12 @@ def heavy_hitters(df: DataFrame, col: str, num: int, den: int) -> DataFrame:
     integer ratio (e.g. 5/1000 = every value covering ≥ 0.5% of rows)."""
     if num <= 0 or den <= 0:
         raise ValueError("num and den must be positive")
-    total = df.count()  # one scalar to the driver; no values cross
+    # One scalar to the driver; no values cross. approx_row_count is EXACT
+    # in every path it takes: parquet footers only for provably
+    # count-preserving file-backed plans (skipping a full extra scan at
+    # 100 TB), a real count() otherwise — so the threshold stays exact.
+    from mura_spark.sources.parquet import approx_row_count
+    total = approx_row_count(df)
 
     def kernel(batches):
         import pandas as pd

@@ -158,6 +158,11 @@ def sample_k_per_group(df: DataFrame, group_cols: list[str], key: str,
     carving, per-domain inspection samples) with none of RNG reservoir
     sampling's run-to-run churn; a new seed redraws the sample.
 
+    ``key`` must be unique within each group (e.g. a doc id) — same
+    contract as :func:`cap_per_group`'s order column: the rank's final
+    tie-break is the key itself, so duplicate keys would leave the kept
+    row arbitrary per run and silently break reproducibility.
+
     Scale shape: identical to :func:`cap_per_group` — ``row_number() ≤ k``
     lets Catalyst run WindowGroupLimit(Partial) below the exchange, so
     each input partition pre-reduces to ≤ k rows per group before any

@@ -66,7 +66,6 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     except Exception:
         files = []
     if files:
-        import os as _os
         conf = df.sparkSession.conf
         try:
             max_bytes = _parse_bytes(
@@ -78,21 +77,47 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
                 conf.get("spark.sql.files.openCostInBytes"))
         except Exception:
             open_cost = 4 * 1024 * 1024
-        padded = 0
-        for f in files:
-            p = f[len("file:"):] if f.startswith("file:") else f
-            try:
-                padded += _os.path.getsize(p) + open_cost
-            except OSError:
-                padded += open_cost
-        split = min(max_bytes, max(open_cost, padded // max(target, 1) or 1))
-        est = -(-padded // split)
-        if est >= target:
-            return df
-        return df.repartition(target)
+        try:
+            padded = sum(_file_size(df.sparkSession, f) + open_cost
+                         for f in files)
+        except Exception:
+            # A file's size is unanswerable (remote FS hiccup, moved file):
+            # estimating from openCost alone would wildly understate large
+            # remote files and force a full repartition shuffle — the exact
+            # failure this gate exists to prevent. Fall through to the
+            # partition probe instead (plan is narrow; probe is safe).
+            padded = None
+        if padded is not None:
+            # Spark's own FilePartition sizing uses defaultParallelism, not
+            # the caller's target — using target here could overestimate the
+            # split (fewer, larger partitions than the real scan) and skip a
+            # needed widening when target > defaultParallelism.
+            slots = df.sparkSession.sparkContext.defaultParallelism
+            split = min(max_bytes,
+                        max(open_cost, padded // max(slots, 1) or 1))
+            est = -(-padded // split)
+            if est >= target:
+                return df
+            return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _file_size(spark: SparkSession, uri: str) -> int:
+    """Size in bytes of one input file URI. Local paths (``file:`` or bare)
+    answer from the OS; any other scheme (s3://, hdfs://, abfs://...) goes
+    through the Hadoop FileSystem API — a driver-side metadata RPC, same
+    cost class as the ``inputFiles`` listing that produced the URI."""
+    import os as _os
+    if uri.startswith("file:"):
+        return _os.path.getsize(uri[len("file:"):])
+    if "://" not in uri:
+        return _os.path.getsize(uri)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getFileStatus(jpath).getLen()
 
 
 def _parse_bytes(s: str) -> int:
@@ -112,22 +137,28 @@ def approx_row_count(df: DataFrame) -> int:
     """Row count without running a Spark job where that is *accurate*, for
     sizing decisions (LSH band width, partition counts) — never results.
 
-    Unfiltered file-backed plans answer from Parquet footer metadata
-    (``inputFiles`` is a driver-side catalog listing; footer reads are
-    O(files), no scan) — exact for a plain scan/projection. Plans with a
-    filter fall back to ``df.count()``: footers would report the
-    *pre-filter* count, and for band sizing an overestimate is not
-    harmless — wider bands mean fewer true-pair collisions, i.e. silently
-    lower recall on a heavily filtered corpus. Non-file plans (in-memory
-    test frames) also count directly.
+    Footer metadata answers ONLY for plans that provably preserve scan
+    cardinality: every node in the analyzed plan must be a Project /
+    SubqueryAlias / View / Relation (a whitelist, not a Filter blacklist —
+    Limit, Sample, Aggregate, Distinct, Join, Union all change cardinality
+    too, and for the LSH callers an overcount silently widens bands and
+    lowers recall). Such plans answer from Parquet footers (``inputFiles``
+    is a driver-side catalog listing; footer reads are O(files), no scan) —
+    exact. Everything else, and non-file plans (in-memory test frames),
+    falls back to ``df.count()``.
     """
+    import re
     try:
-        filtered = "Filter" in df._jdf.queryExecution().analyzed().toString()
+        plan = df._jdf.queryExecution().analyzed().toString()
+        nodes = re.findall(r"^[\s+\-:]*'?([A-Za-z]+)", plan, flags=re.M)
+        count_preserving = bool(nodes) and all(
+            n in ("Project", "SubqueryAlias", "View", "Relation",
+                  "LogicalRelation") for n in nodes)
     except Exception:
-        filtered = True
+        count_preserving = False
     try:
-        files = ([] if filtered else
-                 [f for f in df.inputFiles() if f.endswith(".parquet")])
+        files = ([f for f in df.inputFiles() if f.endswith(".parquet")]
+                 if count_preserving else [])
     except Exception:
         files = []
     if files:

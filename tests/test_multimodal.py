@@ -42,9 +42,25 @@ def test_feature_determinism_and_values(media):
     assert all(rows[i].features == again[i].features for i in rows)
 
 
-def test_decode_image_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+def test_decode_image_env_path():
+    """Exercises whichever decode path this environment provides: with PIL
+    present, a real encode→decode round-trip; without it, the documented
+    NotImplementedError (the probe is at module load — HAS_REAL_DECODER)."""
+    if not MM.HAS_REAL_DECODER:
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(b"\x89PNG")
+        return
+    import io
+
+    import numpy as np
+    import PIL.Image
+    img = PIL.Image.fromarray(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = MM.decode_image(buf.getvalue())
+    assert arr.shape == (4, 4, 3)
+    assert arr[0, 0, 2] == 2
 
 
 def test_frame_sample_plan(media):
