@@ -82,8 +82,9 @@ def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
     streams through; if the seen-key set is small (early corpus), AQE
     downgrades to a broadcast anti-join automatically. A pre-filter Bloom
     of the seen keys is a natural add-on at real scale, but it belongs in
-    the storage layout (key-sorted parquet gives footer-range skipping for
-    free via write_sorted) rather than in this operator.
+    the storage layout: key-sorted parquet (write_sorted on the key) gives
+    footer-range skipping for free — :func:`dedup_incremental_pruned`
+    exploits exactly that.
     """
     # temp key column must not collide with a caller column — withColumn
     # would silently REPLACE it and the final drop would corrupt the schema
@@ -94,6 +95,40 @@ def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
     return (new_df.withColumn(tmp, new_key)
             .join(seen_keys, on=tmp, how="left_anti")
             .drop(tmp))
+
+
+def dedup_incremental_pruned(new_df: DataFrame, seen_df: DataFrame,
+                             new_key: Column,
+                             seen_key_col: str) -> DataFrame:
+    """:func:`dedup_incremental` with a seen-side key-range pre-filter —
+    the storage-layout alternative to a Bloom filter at 100 TB.
+
+    The new batch's key range [lo, hi] is computed first (one aggregate,
+    two scalars to the driver — bounded regardless of batch size) and
+    pushed as ``seen_key_col BETWEEN lo AND hi`` into the seen-corpus scan.
+    ``seen_key_col`` must be a *stored column* (an ingest-time content
+    hash), not an expression — only plain column predicates reach the
+    parquet reader as PushedFilters. When the seen corpus is written
+    key-sorted (``sources.parquet.write_sorted`` on the key column), every
+    file/row-group owns a disjoint, tight min/max range, so the pushed
+    range predicate skips whole row groups: a between-crawls ingest only
+    reads the slice of the seen corpus its own key range can possibly
+    collide with, instead of anti-joining against all of it.
+
+    Semantics are IDENTICAL to :func:`dedup_incremental` under any layout —
+    the filter only removes seen keys that cannot equal any new key
+    (pinned in tests/test_dedup.py); the layout changes the I/O, not the
+    answer.
+    """
+    bounds = (new_df.select(new_key.alias("__k"))
+              .agg(F.min("__k").alias("lo"), F.max("__k").alias("hi"))
+              .first())
+    if bounds["lo"] is None:  # empty/all-null batch: nothing can collide
+        return dedup_incremental(new_df, seen_df.limit(0), new_key,
+                                 F.col(seen_key_col))
+    pruned = seen_df.filter(
+        F.col(seen_key_col).between(F.lit(bounds["lo"]), F.lit(bounds["hi"])))
+    return dedup_incremental(new_df, pruned, new_key, F.col(seen_key_col))
 
 
 # --------------------------------------------------------------------------

@@ -175,6 +175,67 @@ def test_dedup_incremental_anti_join(spark):
     assert sorted(r.id for r in again.collect()) == got
 
 
+def test_dedup_incremental_pruned_sorted_layout(spark, tmp_path):
+    """The key-sorted seen-corpus layout + range pre-filter: (a) equal to
+    the plain anti-join, (b) the range predicate reaches the parquet scan
+    as PushedFilters, (c) the write_sorted layout gives disjoint per-file
+    key ranges so the pushed range can only intersect a strict subset of
+    the files — the footer-skipping evidence."""
+    from pyspark.sql import functions as F
+
+    from mura_spark.operators.dedup import (dedup_incremental,
+                                            dedup_incremental_pruned)
+    from mura_spark.sources.parquet import write_sorted
+
+    # seen corpus: 800 rows keyed by a stored zero-padded content key
+    seen_rows = [(i, f"k{i:05d}") for i in range(0, 1600, 2)]
+    seen_df = spark.createDataFrame(seen_rows, ["id", "ck"])
+    path = str(tmp_path / "seen_sorted")
+    write_sorted(seen_df, path, ["ck"], n_files=8)
+    seen = spark.read.parquet(path)
+
+    # new batch confined to a narrow key band; half collide with seen
+    new = spark.createDataFrame(
+        [(1000 + i, f"k{i:05d}") for i in range(300, 340)], ["id", "ck"])
+    key = F.col("ck")
+
+    pruned = dedup_incremental_pruned(new, seen, key, "ck")
+    plain = dedup_incremental(new, seen, key, key)
+    assert (sorted(r.id for r in pruned.collect())
+            == sorted(r.id for r in plain.collect())
+            == [1000 + i for i in range(300, 340) if i % 2 == 1])
+
+    # (b) range predicate pushed into the seen scan
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(ck," in plan and "LessThanOrEqual(ck," in plan
+
+    # (c) layout evidence: per-file footer ranges are pairwise disjoint and
+    # the batch's [lo, hi] intersects only a strict subset of the files —
+    # the row groups the reader can skip are exactly the other files'
+    import os
+
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            stats = md.row_group(0).column(
+                [md.schema.column(i).name
+                 for i in range(md.num_columns)].index("ck")).statistics
+            ranges.append((stats.min, stats.max))
+    ranges.sort()
+    assert len(ranges) == 8
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    lo, hi = "k00300", "k00339"
+    touched = [r for r in ranges if r[0] <= hi and r[1] >= lo]
+    assert 1 <= len(touched) <= 2  # 39 keys of 800 → at most 2 of 8 files
+
+
 def test_jaccard_cross_pairs_matches_bruteforce(spark):
     from pyspark.sql import functions as F
 
