@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "dedup_incremental_near",
     "pipeline_finetune_prep",
     "events_value_histogram",
+    # round-5 additions (the degenerate-exact driver companions are
+    # correctness artifacts, not perf surfaces — deliberately unbenched)
+    "text_remove_boilerplate",
+    "events_session_window_stream",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

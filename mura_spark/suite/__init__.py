@@ -47,10 +47,12 @@ _PRIORITY = [
     "sample_global_shuffle", "sample_weighted_quality", "sample_k_per_lang",
     "pack_chunk_overlap", "dedup_incremental_new", "dedup_incremental_near",
     "pipeline_finetune_prep", "events_enrich_users", "events_value_histogram",
-    # round-5 additions: deterministic companions + streaming evidence
+    # round-5 additions: deterministic companions + streaming evidence +
+    # the segment-level boilerplate-removal operator
     "ann_topk_lsh_exhaustive", "ann_topk_ivf_fullprobe",
     "dedup_embedding_pairs_lsh_full", "sketch_distinct_users_exact",
     "sketch_value_percentiles_exact", "events_session_window_stream",
+    "text_remove_boilerplate",
     # stalest driver rows: green in round 1 only
     "join_cross_small", "setop_union", "setop_intersect", "setop_except",
     "window_topk_per_group", "window_running_sum", "q6_revenue_change",
@@ -63,7 +65,6 @@ _PRIORITY = [
     "sample_split_train", "text_heavy_tokens", "sample_domain_cap",
     "sample_stratified", "text_tfidf_topterms", "pack_train_chunks",
     "pack_train_greedy", "csv_roundtrip", "jsonl_roundtrip",
-    "orc_roundtrip",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

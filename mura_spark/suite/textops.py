@@ -311,3 +311,32 @@ def sample_k_per_lang(spark, sf):
     from mura_spark.operators.sampling import sample_k_per_group
     d = table(spark, sf, "documents").select("doc_id", "lang")
     return sample_k_per_group(d, ["lang"], "doc_id", 20, seed=7)
+
+
+@q("text_remove_boilerplate",
+   "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+   "FROM documents), "
+   "segs AS (SELECT doc_id, i AS pos, "
+   "array_to_string(words[(i*10+1):(i*10+10)], ' ') AS seg "
+   "FROM w, unnest(range(0, (len(words) + 9) // 10)) AS t(i)), "
+   "boiler AS (SELECT seg FROM segs GROUP BY seg "
+   "HAVING COUNT(DISTINCT doc_id) >= 2), "
+   "kept AS (SELECT doc_id, pos, seg FROM segs "
+   "WHERE seg NOT IN (SELECT seg FROM boiler)), "
+   "clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS "
+   "clean_text, COUNT(*) AS n_kept_segments FROM kept GROUP BY doc_id) "
+   "SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text, "
+   "CAST(coalesce(c.n_kept_segments, 0) AS BIGINT) AS n_kept_segments "
+   "FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id")
+def text_remove_boilerplate(spark, sf):
+    """Cross-document boilerplate removal (C4/CCNet-style cleaning): cut
+    each document into 10-word segments, drop every segment occurring in
+    ≥ 2 distinct documents, reassemble the remainder in order — exact
+    segment-level dedup, the cleaning step pair-mining dedup doesn't
+    cover. One segment-hash shuffle for document frequency, an anti-join
+    for removal, one doc-id shuffle to reassemble
+    (operators.boilerplate.remove_frequent_segments)."""
+    from mura_spark.operators.boilerplate import remove_frequent_segments
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    return remove_frequent_segments(d, "doc_id", "text",
+                                    seg_words=10, min_docs=2)

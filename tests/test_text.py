@@ -299,3 +299,41 @@ def test_sample_k_per_group_exact_and_seeded(documents, spark):
     assert other != {r.doc_id for r in out.collect()}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_remove_boilerplate_segments(spark):
+    """Segment-level boilerplate removal: cross-doc segments vanish from
+    every document, unique remainders keep their order, and an all-
+    boilerplate document surfaces as an empty row, not a dropped one."""
+    from mura_spark.operators.boilerplate import remove_frequent_segments
+
+    A = " ".join(f"a{i}" for i in range(10))   # shared header (10 words)
+    B = " ".join(f"b{i}" for i in range(10))
+    C = " ".join(f"c{i}" for i in range(10))
+    D = " ".join(f"d{i}" for i in range(4))    # short tail segment
+    docs = spark.createDataFrame(
+        [(1, f"{A} {B}"), (2, f"{A} {C}"), (3, f"{B[:0]}{D}"), (4, A)],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_frequent_segments(
+        docs, "doc_id", "text", seg_words=10, min_docs=2).collect()}
+    assert len(out) == 4
+    assert out[1].clean_text == B and out[1].n_kept_segments == 1
+    assert out[2].clean_text == C and out[2].n_kept_segments == 1
+    assert out[3].clean_text == D and out[3].n_kept_segments == 1
+    assert out[4].clean_text == "" and out[4].n_kept_segments == 0
+
+
+def test_remove_boilerplate_preserves_order(spark):
+    """Reassembly is position-ordered even when kept segments interleave
+    with removed ones."""
+    from mura_spark.operators.boilerplate import remove_frequent_segments
+
+    S = lambda ch: " ".join(f"{ch}{i}" for i in range(10))
+    shared = S("x")
+    text1 = f"{S('p')} {shared} {S('q')} {shared} {S('r')}"
+    docs = spark.createDataFrame(
+        [(1, text1), (2, shared)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_frequent_segments(
+        docs, "doc_id", "text", seg_words=10, min_docs=2).collect()}
+    assert out[1].clean_text == f"{S('p')} {S('q')} {S('r')}"
+    assert out[1].n_kept_segments == 3
