@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     # correctness artifacts, not perf surfaces — deliberately unbenched)
     "text_remove_boilerplate",
     "events_session_window_stream",
+    "pack_token_shards",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

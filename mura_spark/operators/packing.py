@@ -147,3 +147,75 @@ def pack_greedy(df: DataFrame, id_col: str, size_col: str, budget: int,
             "seq_id": seq_ids, "seq_fill": fills})
 
     return base.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def global_stream_offsets(df: DataFrame, order_col: str, size_col: str,
+                          n_buckets: int = 64) -> DataFrame:
+    """Each row's exact starting offset in the ONE global token stream
+    ordered by ``order_col`` — the global prefix sum, computed without the
+    single-task bottleneck of ``SUM() OVER (ORDER BY ...)`` (a global
+    window collapses the whole corpus into one partition; at 100 TB that
+    task never finishes).
+
+    Distributed shape (all deterministic, independent of input
+    partitioning):
+
+    1. one reduced aggregation for the key span (2 scalars);
+    2. rows map to ``n_buckets`` contiguous key-range buckets (pure
+       row-local arithmetic on ``order_col`` — equal-width ranges; for a
+       skewed key domain raise ``n_buckets`` or pre-map the key to a dense
+       rank, the buckets only need to be *bounded*, not balanced);
+    3. one reduced aggregation of per-bucket totals (≤ ``n_buckets`` rows
+       to the driver) → running offsets, re-broadcast as a map literal;
+    4. one per-bucket window (partitionBy bucket — a normal hash shuffle
+       across ``n_buckets``-way parallelism) adds the local prefix sum to
+       the bucket's offset.
+
+    ``order_col`` must be non-null and unique (it defines the stream
+    order). Offsets are exact for streams under 2^53 tokens.
+    Output: (order_col, n_tokens, stream_start).
+    """
+    bounds = df.agg(F.min(order_col).alias("lo"),
+                    F.max(order_col).alias("hi")).first()
+    if bounds["lo"] is None:  # empty input
+        return (df.select(F.col(order_col),
+                          F.col(size_col).cast("bigint").alias("n_tokens"),
+                          F.lit(0).cast("bigint").alias("stream_start"))
+                  .limit(0))
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+    bucket = F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    sized = df.select(F.col(order_col),
+                      F.col(size_col).cast("bigint").alias("n_tokens"),
+                      bucket.alias("__b"))
+    totals = {r["__b"]: r["t"] for r in
+              sized.groupBy("__b").agg(F.sum("n_tokens").alias("t"))
+                   .collect()}
+    running, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b]
+    omap = F.create_map(*[x for b in sorted(totals)
+                          for x in (F.lit(b), F.lit(offsets[b]))])
+    w = (Window.partitionBy("__b").orderBy(F.col(order_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+             + omap[F.col("__b")])
+    return sized.select(order_col, "n_tokens",
+                        start.cast("bigint").alias("stream_start"))
+
+
+def assign_token_shards(df: DataFrame, order_col: str, size_col: str,
+                        budget: int, n_buckets: int = 64) -> DataFrame:
+    """Training-shard planning: walk the corpus in ``order_col`` order and
+    cut a new shard every ``budget`` tokens — shard_id = stream_start div
+    budget, so every shard holds ~budget tokens (± one document) and the
+    assignment is reproducible from the data alone. Built on
+    :func:`global_stream_offsets`; same scale shape (no global window).
+    Output: (order_col, n_tokens, shard_id).
+    """
+    off = global_stream_offsets(df, order_col, size_col, n_buckets)
+    return off.select(
+        order_col, "n_tokens",
+        F.floor(F.col("stream_start") / F.lit(budget)).cast("bigint")
+         .alias("shard_id"))

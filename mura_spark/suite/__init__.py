@@ -52,7 +52,7 @@ _PRIORITY = [
     "ann_topk_lsh_exhaustive", "ann_topk_ivf_fullprobe",
     "dedup_embedding_pairs_lsh_full", "sketch_distinct_users_exact",
     "sketch_value_percentiles_exact", "events_session_window_stream",
-    "text_remove_boilerplate",
+    "text_remove_boilerplate", "pack_token_shards",
     # stalest driver rows: green in round 1 only
     "join_cross_small", "setop_union", "setop_intersect", "setop_except",
     "window_topk_per_group", "window_running_sum", "q6_revenue_change",
@@ -64,7 +64,7 @@ _PRIORITY = [
     "text_quality_filter", "text_scrub_pii", "text_repetition",
     "sample_split_train", "text_heavy_tokens", "sample_domain_cap",
     "sample_stratified", "text_tfidf_topterms", "pack_train_chunks",
-    "pack_train_greedy", "csv_roundtrip", "jsonl_roundtrip",
+    "pack_train_greedy", "csv_roundtrip",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

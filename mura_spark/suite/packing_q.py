@@ -104,3 +104,23 @@ def pack_chunk_overlap(spark, sf):
     document end. Row-local explode — no shuffle at any scale."""
     return packing.chunk_overlap(_sized_docs(spark, sf), "doc_id", "sz",
                                  chunk=_CHUNK, overlap=_OVERLAP)
+
+
+@q("pack_token_shards",
+   f"WITH t AS (SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) "
+   "AS n_tokens FROM documents WHERE text IS NOT NULL), "
+   "o AS (SELECT doc_id, n_tokens, CAST(coalesce(SUM(n_tokens) OVER ("
+   "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+   "AS BIGINT) AS stream_start FROM t) "
+   "SELECT doc_id, n_tokens, "
+   f"stream_start // {_BUDGET * 4} AS shard_id FROM o")
+def pack_token_shards(spark, sf):
+    """Global training-shard planning: cut the corpus-wide doc_id-ordered
+    token stream every 1024 tokens. The oracle states the semantics as the
+    classic global window (fine in DuckDB); the Spark side computes the
+    SAME prefix sum via bounded key-range buckets + per-bucket windows
+    (operators.packing.global_stream_offsets) because a global ORDER BY
+    window is a one-task bottleneck on a real cluster."""
+    d = _sized_docs(spark, sf)
+    return packing.assign_token_shards(d, "doc_id", "sz",
+                                       budget=_BUDGET * 4, n_buckets=16)

@@ -129,3 +129,43 @@ def test_chunk_overlap_tiling(sized):
 def test_chunk_overlap_rejects_bad_overlap(sized):
     with pytest.raises(ValueError):
         packing.chunk_overlap(sized, "doc_id", "sz", 32, 32)
+
+
+def test_global_stream_offsets_match_global_window(spark):
+    """The bucketed distributed prefix sum equals the single global window
+    it replaces, under any input partitioning, including bucket-boundary
+    and sparse-key layouts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mura_spark.operators.packing import (assign_token_shards,
+                                              global_stream_offsets)
+
+    rows = [(i * 7 + 3, (i * 13) % 41 + 1) for i in range(257)]  # sparse ids
+    df = spark.createDataFrame(rows, ["doc_id", "sz"]).repartition(11)
+    got = {r.doc_id: (r.n_tokens, r.stream_start)
+           for r in global_stream_offsets(df, "doc_id", "sz",
+                                          n_buckets=8).collect()}
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ref = {r.doc_id: (r.sz, r.off) for r in df.select(
+        "doc_id", "sz",
+        F.coalesce(F.sum("sz").over(w), F.lit(0)).alias("off")).collect()}
+    assert got == ref
+
+    shards = {r.doc_id: r.shard_id
+              for r in assign_token_shards(df, "doc_id", "sz", budget=100,
+                                           n_buckets=8).collect()}
+    assert shards == {d: off // 100 for d, (_, off) in ref.items()}
+    # shards are contiguous ranges of the stream order: non-decreasing ids
+    ordered = [shards[d] for d in sorted(shards)]
+    assert ordered == sorted(ordered)
+
+
+def test_global_stream_offsets_empty_input(spark):
+    from mura_spark.operators.packing import global_stream_offsets
+    df = spark.createDataFrame([], "doc_id long, sz long")
+    out = global_stream_offsets(df, "doc_id", "sz")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "stream_start"]
