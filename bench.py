@@ -94,6 +94,13 @@ BENCH_QUERIES = [
     "text_remove_boilerplate",
     "events_session_window_stream",
     "pack_token_shards",
+    # round-5b additions
+    "sample_mixture_apply",
+    "sample_curriculum_bins",
+    "text_pmi_bigrams",
+    "events_winsorize",
+    "parquet_partitioned_prune",
+    "parquet_schema_evolution",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

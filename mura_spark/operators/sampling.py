@@ -173,3 +173,125 @@ def sample_k_per_group(df: DataFrame, group_cols: list[str], key: str,
     w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def mixture_plan(df: DataFrame, strata: str,
+                 weights: dict[str, float]) -> DataFrame:
+    """Per-stratum keep-rates that hit a target corpus mixture by
+    downsampling only — the data-mixing step of a pretraining pipeline
+    ("40% web, 30% code, ..."), solved for the largest corpus the observed
+    stratum counts can support.
+
+    Math: with observed counts ``n_s`` and target weights ``w_s``, the
+    largest total ``T`` with ``w_s·T ≤ n_s`` everywhere is
+    ``T = min_s(n_s / w_s)``; each stratum keeps ``rate_s = w_s·T / n_s``
+    (the binding stratum keeps 100%). Strata not in ``weights`` get rate 0.
+
+    Returns one row per weighted stratum: ``(strata, n_total, keep_rate,
+    bucket_threshold, n_expected)`` where ``bucket_threshold`` is the
+    ready-to-use :func:`hash_bucket` cutoff (``round(rate·BUCKETS)``).
+
+    Scale shape: one reduced count shuffle over ≤ |strata| groups, then a
+    broadcast of the single-row global minimum — no row-level work beyond
+    the scan's partial counts; the output is dimension-table sized.
+    """
+    for name, wt in weights.items():
+        if wt <= 0:
+            raise ValueError(f"weight for {name!r} is {wt}, must be > 0")
+    wcol = F.lit(0.0)
+    for name, wt in weights.items():
+        wcol = F.when(F.col(strata) == name, F.lit(float(wt))).otherwise(wcol)
+    counts = (df.groupBy(strata)
+                .agg(F.count(F.lit(1)).alias("n_total"))
+                .withColumn("__w", wcol)
+                .filter(F.col("__w") > 0))
+    t = counts.agg(F.min(F.col("n_total") / F.col("__w")).alias("__t"))
+    rate = F.col("__w") * F.col("__t") / F.col("n_total")
+    return (counts.crossJoin(F.broadcast(t))
+            .select(strata, "n_total",
+                    rate.alias("keep_rate"),
+                    F.floor(rate * BUCKETS + F.lit(0.5)).cast("bigint")
+                     .alias("bucket_threshold"),
+                    F.floor(F.col("__w") * F.col("__t") + F.lit(0.5))
+                     .cast("bigint").alias("n_expected")))
+
+
+def apply_mixture(df: DataFrame, strata: str, key: str,
+                  weights: dict[str, float]) -> DataFrame:
+    """Downsample ``df`` to the target mixture from :func:`mixture_plan`,
+    deterministically: keep iff ``hash_bucket(key) < bucket_threshold`` of
+    the row's stratum. Strata without a weight are dropped entirely.
+
+    Scale shape: the plan is dimension-table sized, so the join is an
+    explicit broadcast — the corpus never shuffles; membership is then a
+    row-local hash predicate with all of :func:`weighted_sample`'s
+    stability guarantees (reproducible across runs/engines/partitionings,
+    monotone in the stratum's rate).
+    """
+    plan = mixture_plan(df, strata, weights).select(strata,
+                                                    "bucket_threshold")
+    return (df.join(F.broadcast(plan), strata, "inner")
+              .filter(hash_bucket(F.col(key)) < F.col("bucket_threshold"))
+              .drop("bucket_threshold"))
+
+
+def quantile_bins(df: DataFrame, col: str, n_bins: int,
+                  exact: bool = True) -> DataFrame:
+    """Equi-depth difficulty binning (curriculum bucketing): append
+    ``bin`` = the number of interior quantile boundaries strictly below
+    the row's ``col`` value, giving ``n_bins`` roughly equal-population
+    bins (0 = easiest decile, n-1 = hardest for an ascending difficulty
+    proxy like document length).
+
+    NOT a global ``ntile`` — that is a single-task total sort at scale.
+    Instead: ONE percentile aggregation produces the n-1 interior
+    boundaries as a single array row, which broadcasts to a scan-side
+    ``size(filter(...))`` assignment — no global sort, no window, no
+    shuffle of the corpus itself. Ties on a boundary value all land in
+    the lower bin (assignment is a pure function of the value, so equal
+    values never straddle bins — reproducible, join-stable membership).
+
+    ``exact=True`` uses exact interpolated percentiles (linear/type-7 —
+    the cross-engine-comparable definition); ``exact=False`` switches to
+    ``approx_percentile`` for the 100 TB path where an exact percentile's
+    per-group value map would be unbounded (same API, bins then
+    approximate at the boundaries only).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    pct = (F.percentile(F.col(col).cast("double"), F.array(
+               *[F.lit(p) for p in fracs])) if exact
+           else F.percentile_approx(F.col(col).cast("double"),
+                                    [float(p) for p in fracs], 10_000))
+    bnds = df.agg(pct.alias("__bnds"))
+    assign = F.size(F.filter(F.col("__bnds"),
+                             lambda b: F.col(col).cast("double") > b))
+    return (df.crossJoin(F.broadcast(bnds))
+              .withColumn("bin", assign)
+              .drop("__bnds"))
+
+
+def winsorize(df: DataFrame, col: str, lo: float = 0.01,
+              hi: float = 0.99, exact: bool = True) -> DataFrame:
+    """Outlier clipping: append ``{col}_clip`` = ``col`` clamped to its
+    corpus [``lo``, ``hi``] percentiles — the metric-sanitization step
+    before loss-weighting or reward aggregation, where a handful of
+    corrupt extreme values would otherwise dominate a mean.
+
+    Same shape as :func:`quantile_bins`: ONE percentile aggregation for
+    the two boundaries, broadcast to a scan-side ``least/greatest`` — no
+    sort, no shuffle of the data itself, and the clipped value is a pure
+    per-row function (deterministic, engine-portable). ``exact=False``
+    switches to ``approx_percentile`` for the 100 TB path.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    c = F.col(col).cast("double")
+    pct = (F.percentile(c, F.array(F.lit(lo), F.lit(hi))) if exact
+           else F.percentile_approx(c, [lo, hi], 10_000))
+    bnds = df.agg(pct.alias("__bnds"))
+    clipped = F.least(F.greatest(c, F.col("__bnds")[0]), F.col("__bnds")[1])
+    return (df.crossJoin(F.broadcast(bnds))
+              .withColumn(f"{col}_clip", clipped)
+              .drop("__bnds"))

@@ -53,18 +53,26 @@ _PRIORITY = [
     "dedup_embedding_pairs_lsh_full", "sketch_distinct_users_exact",
     "sketch_value_percentiles_exact", "events_session_window_stream",
     "text_remove_boilerplate", "pack_token_shards",
+    # round-5b additions: mixture planning/enforcement, curriculum
+    # binning, winsorize, collocation mining, partition-pruned + merged-
+    # schema layouts
+    "sample_mixture_plan", "sample_mixture_apply", "sample_curriculum_bins",
+    "text_pmi_bigrams", "events_winsorize", "parquet_partitioned_prune",
+    "parquet_schema_evolution",
     # stalest driver rows: green in round 1 only
     "join_cross_small", "setop_union", "setop_intersect", "setop_except",
     "window_topk_per_group", "window_running_sum", "q6_revenue_change",
     "q10_returned_items", "q14_promo_share", "q18_large_orders",
     "agg_rollup", "agg_cube", "agg_pivot", "agg_median", "date_functions",
     "subquery_scalar", "subquery_exists", "subquery_correlated_scalar",
-    # next-stalest: green in round 3, untouched since (fills the window)
+    # next-stalest: green in round 3, untouched since (fills the window;
+    # the rest of the r3 cohort — text_heavy_tokens, sample_domain_cap,
+    # sample_stratified, text_tfidf_topterms, pack_train_chunks,
+    # pack_train_greedy, csv_roundtrip — rotated out to make room for the
+    # round-5b additions; all keep their r3 driver-green rows)
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
     "text_quality_filter", "text_scrub_pii", "text_repetition",
-    "sample_split_train", "text_heavy_tokens", "sample_domain_cap",
-    "sample_stratified", "text_tfidf_topterms", "pack_train_chunks",
-    "pack_train_greedy", "csv_roundtrip",
+    "sample_split_train",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -438,3 +438,21 @@ def events_value_histogram(spark, sf):
                       F.lit(19)).cast("bigint"))
     return (ev.groupBy("event_type", bucket.alias("bucket"))
               .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("events_winsorize",
+   "WITH b AS (SELECT quantile_cont(CAST(value AS DOUBLE), [0.01, 0.99]) "
+   "AS bnds FROM events) "
+   "SELECT event_id, value, "
+   "least(greatest(CAST(value AS DOUBLE), bnds[1]), bnds[2]) AS value_clip "
+   "FROM events CROSS JOIN b")
+def events_winsorize(spark, sf):
+    """Outlier clipping of the event metric to its corpus [p01, p99] — the
+    sanitization step before any mean/loss aggregation. One exact
+    percentile aggregation broadcasts the two boundaries to a scan-side
+    least/greatest; the events themselves never sort or shuffle
+    (operators.sampling.winsorize; approx_percentile is the same
+    operator's 100 TB path)."""
+    from mura_spark.operators.sampling import winsorize
+    ev = table(spark, sf, "events").select("event_id", "value")
+    return winsorize(ev, "value", 0.01, 0.99, exact=True)

@@ -87,3 +87,51 @@ def skew_salted_supplier_revenue(spark, sf):
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                   .cast("double").alias("revenue")))
+
+
+@q("parquet_partitioned_prune",
+   "SELECT event_type, COUNT(*) AS n_events, MIN(event_id) AS min_id, "
+   "MAX(event_id) AS max_id FROM events "
+   "WHERE event_type IN ('click', 'purchase') GROUP BY event_type")
+def parquet_partitioned_prune(spark, sf):
+    """events → hive-partitioned parquet (PARTITIONED BY event_type) →
+    scan with a partition-key filter. The filter never touches row data:
+    it prunes whole directories at planning time (pytest asserts the
+    pruned PartitionFilters scan; tests/test_sources.py also pins dynamic
+    partition pruning through a dim-side join on this layout). The oracle
+    is the same aggregate over the unpartitioned ground truth — the
+    layout must be invisible in the result."""
+    from mura_spark.sources.parquet import write
+    ev = table(spark, sf, "events").select("event_id", "event_type")
+    path = "/tmp/mura_suite_part_events"
+    write(ev, path, mode="overwrite", partition_by=["event_type"])
+    back = spark.read.parquet(path)
+    return (back.filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")))
+
+
+@q("parquet_schema_evolution",
+   "SELECT p_partkey, p_name, CAST(NULL AS DOUBLE) AS p_retailprice, "
+   "1 AS batch FROM part "
+   "UNION ALL SELECT p_partkey, CAST(NULL AS VARCHAR), p_retailprice, "
+   "2 AS batch FROM part")
+def parquet_schema_evolution(spark, sf):
+    """Schema evolution across ingest batches: batch 1 writes
+    (p_partkey, p_name), batch 2 writes (p_partkey, p_retailprice) to the
+    same hive layout; a mergeSchema scan reads the union schema with
+    NULLs where a batch lacks the column and `batch` inferred as a
+    partition column. Footer-merge cost is per-FILE schema reconciliation
+    (bounded), not data movement — columns absent from a batch are never
+    materialized, just planned as nulls."""
+    p = table(spark, sf, "part")
+    path = "/tmp/mura_suite_evolve_part"
+    (p.select("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(path + "/batch=1"))
+    (p.select("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(path + "/batch=2"))
+    return (spark.read.option("mergeSchema", "true")
+            .option("basePath", path).parquet(path)
+            .select("p_partkey", "p_name", "p_retailprice", "batch"))

@@ -340,3 +340,100 @@ def text_remove_boilerplate(spark, sf):
     d = table(spark, sf, "documents").select("doc_id", "text")
     return remove_frequent_segments(d, "doc_id", "text",
                                     seg_words=10, min_docs=2)
+
+
+_MIX_W = {"en": 0.4, "zh": 0.2, "de": 0.15, "fr": 0.15, "es": 0.1}
+_MIX_WT = ("CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2 "
+           "WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1 "
+           "ELSE 0.0 END")
+_MIX_CTE = (
+    "counts AS (SELECT lang, COUNT(*) AS n_total FROM documents "
+    "GROUP BY lang), "
+    f"w AS (SELECT lang, n_total, {_MIX_WT} AS wt FROM counts), "
+    "t AS (SELECT MIN(n_total / wt) AS t FROM w WHERE wt > 0)")
+
+
+@q("sample_mixture_plan",
+   f"WITH {_MIX_CTE} "
+   "SELECT lang, n_total, wt * t / n_total AS keep_rate, "
+   "CAST(floor(wt * t / n_total * 1000 + 0.5) AS BIGINT) "
+   "AS bucket_threshold, "
+   "CAST(floor(wt * t + 0.5) AS BIGINT) AS n_expected "
+   "FROM w CROSS JOIN t WHERE wt > 0")
+def sample_mixture_plan(spark, sf):
+    """Target-mixture planning (the "40% en / 20% zh / ..." data-mixing
+    step): per-language keep-rates for the largest downsample-only corpus
+    the observed counts support — rate_s = w_s·T/n_s with
+    T = min(n_s/w_s). One reduced count shuffle + a broadcast singleton
+    minimum; output is dimension-table sized
+    (operators.sampling.mixture_plan)."""
+    from mura_spark.operators.sampling import mixture_plan
+    d = table(spark, sf, "documents")
+    return mixture_plan(d, "lang", _MIX_W)
+
+
+@q("sample_mixture_apply",
+   f"WITH {_MIX_CTE} "
+   "SELECT doc_id, lang FROM documents JOIN w USING (lang) CROSS JOIN t "
+   "WHERE wt > 0 AND "
+   "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) "
+   "% 1000 < CAST(floor(wt * t / n_total * 1000 + 0.5) AS BIGINT)")
+def sample_mixture_apply(spark, sf):
+    """Deterministic enforcement of the mixture plan: broadcast the
+    dimension-sized plan onto the corpus and keep iff
+    hash_bucket(doc_id) < the stratum's threshold — a row-local
+    predicate; the corpus itself never shuffles
+    (operators.sampling.apply_mixture)."""
+    from mura_spark.operators.sampling import apply_mixture
+    d = table(spark, sf, "documents").select("doc_id", "lang")
+    return apply_mixture(d, "lang", "doc_id", _MIX_W)
+
+
+@q("sample_curriculum_bins",
+   "WITH b AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), "
+   "[i / 10.0 for i in range(1, 10)]) AS bnds FROM documents) "
+   "SELECT doc_id, n_chars, "
+   "len(list_filter(bnds, x -> CAST(n_chars AS DOUBLE) > x)) AS bin "
+   "FROM documents CROSS JOIN b")
+def sample_curriculum_bins(spark, sf):
+    """Curriculum difficulty deciles by document length: equi-depth bin =
+    count of interior exact quantile boundaries below the value. NOT a
+    global ntile (single-task sort at scale): one percentile aggregation
+    broadcasts 9 boundaries to a scan-side filter-count — the corpus
+    never sorts or shuffles (operators.sampling.quantile_bins). Exact
+    linear-interpolated percentiles are the cross-engine-comparable
+    definition; the approx_percentile variant is the same operator's
+    100 TB path."""
+    from mura_spark.operators.sampling import quantile_bins
+    d = table(spark, sf, "documents").select("doc_id", "n_chars")
+    return quantile_bins(d, "n_chars", 10, exact=True)
+
+
+@q("text_pmi_bigrams",
+   f"WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents), "
+   "uni AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term), "
+   "nu AS (SELECT COUNT(*) AS n_uni FROM tok), "
+   f"bg AS (SELECT unnest([t[i] || ' ' || t[i + 1] "
+   f"for i in range(1, len(t))]) AS bigram FROM "
+   f"(SELECT {_TOKS} AS t FROM documents)), "
+   "bic AS (SELECT bigram, COUNT(*) AS n_pair FROM bg GROUP BY bigram "
+   "HAVING COUNT(*) >= 5), "
+   "nb AS (SELECT COUNT(*) AS n_bi FROM bg) "
+   "SELECT bigram, n_pair, CAST(floor(ln("
+   "(CAST(n_pair AS DOUBLE) * n_uni * n_uni) / "
+   "(CAST(n_bi AS DOUBLE) * u1.c * u2.c)) * 1000000 + 0.5) AS BIGINT) "
+   "AS score_micro "
+   "FROM bic JOIN uni u1 ON u1.term = string_split(bigram, ' ')[1] "
+   "JOIN uni u2 ON u2.term = string_split(bigram, ' ')[2] "
+   "CROSS JOIN nu CROSS JOIN nb "
+   "ORDER BY score_micro DESC, bigram ASC LIMIT 20")
+def text_pmi_bigrams(spark, sf):
+    """Top-20 adjacent-pair collocations by pointwise mutual information
+    (tokenizer-vocabulary / phrase mining): bigram extraction is narrow,
+    unigram+bigram counts are one hash shuffle each, totals ride as
+    broadcast singletons, and the top-k is a TakeOrdered — never a global
+    sort. Scores in integer micro-units (ln differs in the last ulp
+    across engines — operators.cooccur.pmi_bigrams)."""
+    from mura_spark.operators.cooccur import pmi_bigrams
+    d = table(spark, sf, "documents").select("text")
+    return pmi_bigrams(d, "text", min_count=5, k=20)

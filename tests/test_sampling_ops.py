@@ -1,0 +1,142 @@
+"""Round-5b operator contracts: mixture planning/enforcement, equi-depth
+binning, winsorize, PMI collocations. Value-level cross-engine equality is
+pinned by the suite oracles; these tests pin the operator-level invariants
+the oracles can't see (determinism under repartitioning, bin balance,
+plan-feasibility math, approx-path agreement)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.15, "fr": 0.15, "es": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from mura_spark.suite.common import table
+    return table(spark, sf_dir, "documents").cache()
+
+
+def test_mixture_plan_math(docs):
+    """The binding stratum keeps 100%; every kept count w_s·T is feasible
+    (≤ n_s); realized mixture equals the target weights exactly (up to
+    rounding of w_s·T)."""
+    from mura_spark.operators.sampling import mixture_plan
+    rows = {r["lang"]: r for r in mixture_plan(docs, "lang",
+                                               WEIGHTS).collect()}
+    assert set(rows) == set(WEIGHTS)
+    t = min(r["n_total"] / WEIGHTS[lang] for lang, r in rows.items())
+    binding = [lang for lang, r in rows.items()
+               if abs(r["n_total"] / WEIGHTS[lang] - t) < 1e-9]
+    assert rows[binding[0]]["keep_rate"] == pytest.approx(1.0)
+    for lang, r in rows.items():
+        assert r["n_expected"] <= r["n_total"]
+        assert r["n_expected"] == int(math.floor(WEIGHTS[lang] * t + 0.5))
+        assert r["keep_rate"] == pytest.approx(
+            WEIGHTS[lang] * t / r["n_total"])
+
+
+def test_mixture_plan_rejects_bad_weight(docs):
+    from mura_spark.operators.sampling import mixture_plan
+    with pytest.raises(ValueError):
+        mixture_plan(docs, "lang", {"en": 0.0})
+
+
+def test_apply_mixture_deterministic_and_weightless_dropped(docs):
+    """Membership is a pure row function: identical kept sets under a
+    different partitioning; strata without weights vanish."""
+    from mura_spark.operators.sampling import apply_mixture
+    d = docs.select("doc_id", "lang")
+    kept = apply_mixture(d, "lang", "doc_id", WEIGHTS)
+    again = apply_mixture(d.repartition(13), "lang", "doc_id", WEIGHTS)
+    assert sorted(r["doc_id"] for r in kept.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    partial = apply_mixture(d, "lang", "doc_id", {"en": 1.0})
+    assert [r["lang"] for r in partial.select("lang").distinct().collect()] \
+        == ["en"]
+
+
+def test_quantile_bins_balanced_and_pure(docs):
+    """Equi-depth property: each decile holds n/10 ± (ties slack) rows;
+    equal values always share a bin; repartitioning never moves a row."""
+    from mura_spark.operators.sampling import quantile_bins
+    d = docs.select("doc_id", "n_chars")
+    binned = quantile_bins(d, "n_chars", 10)
+    n = d.count()
+    sizes = {r["bin"]: r["cnt"] for r in
+             binned.groupBy("bin").agg(F.count("*").alias("cnt")).collect()}
+    assert set(sizes) <= set(range(10))
+    for b, c in sizes.items():
+        assert c <= n * 0.25, f"bin {b} holds {c}/{n} rows"
+    by_val = (binned.groupBy("n_chars")
+              .agg(F.count_distinct("bin").alias("nb")).collect())
+    assert all(r["nb"] == 1 for r in by_val)
+    again = quantile_bins(d.repartition(7), "n_chars", 10)
+    assert sorted(map(tuple, binned.collect())) == \
+        sorted(map(tuple, again.collect()))
+
+
+def test_quantile_bins_approx_path_close(docs):
+    """The 100 TB approx_percentile path agrees with the exact path on
+    all but boundary-adjacent rows."""
+    from mura_spark.operators.sampling import quantile_bins
+    d = docs.select("doc_id", "n_chars")
+    exact = {r["doc_id"]: r["bin"]
+             for r in quantile_bins(d, "n_chars", 10, exact=True).collect()}
+    approx = {r["doc_id"]: r["bin"]
+              for r in quantile_bins(d, "n_chars", 10,
+                                     exact=False).collect()}
+    moved = sum(1 for k in exact if exact[k] != approx[k])
+    assert moved <= len(exact) * 0.05
+
+
+def test_winsorize_clips_only_tails(spark, sf_dir):
+    from mura_spark.operators.sampling import winsorize
+    from mura_spark.suite.common import table
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    out = winsorize(ev, "value", 0.10, 0.90).cache()
+    lo, hi = out.agg(F.min("value_clip"), F.max("value_clip")).first()
+    stats = out.agg(
+        F.count(F.when(F.col("value") < lo, 1)).alias("below"),
+        F.count(F.when(F.col("value") > hi, 1)).alias("above"),
+        F.count(F.when((F.col("value") >= lo) & (F.col("value") <= hi) &
+                       (F.col("value") != F.col("value_clip")), 1))
+         .alias("interior_changed"),
+        F.count("*").alias("n")).first()
+    assert stats["interior_changed"] == 0
+    # each tail clamps ~10% of rows (interpolated boundary → ±2% slack)
+    assert stats["below"] <= stats["n"] * 0.12
+    assert stats["above"] <= stats["n"] * 0.12
+    out.unpersist()
+
+
+def test_pmi_bigrams_matches_sequential_reference(docs):
+    """Exact PMI reference computed sequentially in Python over the same
+    corpus: identical pair counts and micro-scores for the selected set
+    (the suite oracle pins this cross-engine; this pins it against an
+    independent non-SQL implementation)."""
+    from collections import Counter
+
+    from mura_spark.operators.cooccur import pmi_bigrams
+    texts = [r["text"] for r in docs.select("text").collect()]
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = " ".join(t.lower().split()).split(" ")
+        uni.update(toks)
+        bi.update((a, b) for a, b in zip(toks, toks[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    want = []
+    for (a, b), c in bi.items():
+        if c < 5:
+            continue
+        score = math.floor(
+            math.log((float(c) * n_uni * n_uni)
+                     / (float(n_bi) * uni[a] * uni[b])) * 1e6 + 0.5)
+        want.append((f"{a} {b}", c, score))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    got = [(r["bigram"], r["n_pair"], r["score_micro"])
+           for r in pmi_bigrams(docs, "text", min_count=5, k=20).collect()]
+    assert got == want[:20]

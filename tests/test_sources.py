@@ -207,3 +207,65 @@ def test_ensure_min_partitions_file_estimate(spark, sf_dir):
     assert widened.count() == df.count()
     agg = df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     assert ensure_min_partitions(agg, target=8) is agg
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a join whose dim side is filtered must
+    prune the partitioned fact side at RUNTIME (the fact filter is on the
+    join key, not a literal). At scale this is the star-join saver: the
+    fact scan reads only the partitions the surviving dim keys name. The
+    plan must carry a dynamicpruning subquery in the fact scan's
+    PartitionFilters, and the result must equal the unpartitioned join."""
+    from mura_spark.sources import parquet as P
+    from mura_spark.suite.common import table
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    path = str(tmp_path / "events_dpp")
+    P.write(ev, path, partition_by=["event_type"])
+
+    # two DPP preconditions worth pinning because both fail silently:
+    # the dim must be a real relation with known (small) stats — an
+    # in-memory LogicalRDD has unknown size and the benefit heuristic
+    # declines — and the dim filter must be "likely selective" (a
+    # comparison/IN/LIKE; a bare boolean column is not)
+    dim_path = str(tmp_path / "event_dim")
+    spark.createDataFrame(
+        [("click", "keep"), ("view", "keep"), ("purchase", "drop"),
+         ("signup", "drop"), ("error", "drop")],
+        "event_type string, category string").write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    fact = P.scan(spark, path)
+    joined = (fact.join(dim.filter(F.col("category") == "keep"),
+                        "event_type")
+              .groupBy("event_type").agg(F.count("*").alias("n")))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["event_type"]: r["n"] for r in joined.collect()}
+    want = {r["event_type"]: r["n"]
+            for r in ev.filter(F.col("event_type").isin("click", "view"))
+            .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def test_merge_schema_reads_union_of_batch_schemas(spark, sf_dir, tmp_path):
+    """Schema evolution: two hive batches with different column sets read
+    back as the union schema, nulls where a batch lacks the column, and
+    the batch directory inferred as a partition column."""
+    from mura_spark.suite.common import table
+
+    p = table(spark, sf_dir, "part")
+    path = str(tmp_path / "evolve")
+    (p.select("p_partkey", "p_name")
+      .write.parquet(path + "/batch=1"))
+    (p.select("p_partkey", "p_retailprice")
+      .write.parquet(path + "/batch=2"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("basePath", path).parquet(path))
+    assert {"p_partkey", "p_name", "p_retailprice", "batch"} == \
+        set(merged.columns)
+    n = p.count()
+    assert merged.count() == 2 * n
+    assert merged.filter((F.col("batch") == 1)
+                         & F.col("p_retailprice").isNull()).count() == n
+    assert merged.filter((F.col("batch") == 2)
+                         & F.col("p_name").isNull()).count() == n
