@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "events_winsorize",
     "parquet_partitioned_prune",
     "parquet_schema_evolution",
+    "events_incremental_totals",
+    "sample_split_leak_safe",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

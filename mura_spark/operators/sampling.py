@@ -272,6 +272,54 @@ def quantile_bins(df: DataFrame, col: str, n_bins: int,
               .drop("__bnds"))
 
 
+def split_column(key: Column, fractions: dict[str, float]) -> Column:
+    """The split name for a row, by cumulative hash-bucket ranges — the
+    column form of :func:`split_by_hash` (same bucket math, so the two
+    agree row-for-row). Rows past the last range get NULL (dropped
+    remainder)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = hash_bucket(key)
+    expr = F.lit(None).cast("string")
+    lo = 0
+    cases = []
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * BUCKETS))
+        cases.append(((b >= lo) & (b < hi), name))
+        lo = hi
+    for cond, name in reversed(cases):
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_by_cluster(df: DataFrame, key: str, clusters: DataFrame,
+                     fractions: dict[str, float]) -> DataFrame:
+    """Leakage-safe train/eval split: hash at DUP-CLUSTER granularity, so
+    near-duplicate documents can never straddle the train/eval boundary
+    (the contamination mode a row-level split invites: the eval answer
+    sits in training data as a near-copy).
+
+    ``clusters`` is :func:`mura_spark.operators.dedup.dup_clusters` output
+    (``id``, ``cluster_id``); rows absent from it are singletons and hash
+    on their own key. Appends ``cluster_key`` and ``split``.
+
+    Scale shape: the cluster table is output-bound (only members of dup
+    clusters appear — at real dedup rates a small fraction of the corpus),
+    so the join AQE-broadcasts; membership is then the same row-local
+    hash predicate as :func:`split_by_hash`, stable across runs/engines/
+    repartitionings.
+    """
+    lab = clusters.select(F.col("id").alias(key),
+                          F.col("cluster_id"))
+    ck = F.coalesce(F.col("cluster_id"), F.col(key)).alias("cluster_key")
+    out = (df.join(lab, key, "left")
+             .select(*df.columns, ck))
+    return (out.withColumn("split",
+                           split_column(F.col("cluster_key"), fractions))
+               .filter(F.col("split").isNotNull()))
+
+
 def winsorize(df: DataFrame, col: str, lo: float = 0.01,
               hi: float = 0.99, exact: bool = True) -> DataFrame:
     """Outlier clipping: append ``{col}_clip`` = ``col`` clamped to its

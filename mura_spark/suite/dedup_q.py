@@ -388,3 +388,32 @@ def pipeline_finetune_prep(spark, sf):
     return k.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"))
+
+
+@q("sample_split_leak_safe",
+   f"WITH RECURSIVE pairs AS MATERIALIZED ({_PAIRS_08}), "
+   "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
+   "UNION SELECT id_b, id_a FROM pairs), "
+   "reach(src, dst) AS ("
+   "  SELECT src, src FROM edges "
+   "  UNION SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src), "
+   "lab AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src) "
+   "SELECT doc_id, cluster_key, CASE WHEN hb < 900 THEN 'train' "
+   "ELSE 'val' END AS split FROM ("
+   "SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_key, "
+   "CAST('0x' || substr(md5(CAST(coalesce(l.cluster_id, d.doc_id) "
+   "AS VARCHAR)), 1, 12) AS BIGINT) % 1000 AS hb "
+   "FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)")
+def sample_split_leak_safe(spark, sf):
+    """Leakage-safe 90/10 split: near-dup clusters (Jaccard ≥ 0.8
+    connected components) hash as a UNIT, so no near-duplicate pair can
+    straddle train/val — the eval-contamination mode a row-level split
+    invites. Cluster table is output-bound small (AQE broadcast);
+    membership is the usual row-local hash predicate
+    (operators.sampling.split_by_cluster)."""
+    from mura_spark.operators.sampling import split_by_cluster
+    d = table(spark, sf, "documents")
+    pairs = dedup.jaccard_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    clusters = dedup.dup_clusters(pairs)
+    return split_by_cluster(d.select("doc_id"), "doc_id", clusters,
+                            {"train": 0.9, "val": 0.1})

@@ -456,3 +456,30 @@ def events_winsorize(spark, sf):
     from mura_spark.operators.sampling import winsorize
     ev = table(spark, sf, "events").select("event_id", "value")
     return winsorize(ev, "value", 0.01, 0.99, exact=True)
+
+
+@q("events_incremental_totals",
+   "SELECT event_type, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, "
+   "COUNT(value) AS n, MIN(value) AS vmin, MAX(value) AS vmax, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) "
+   "AS mean FROM events GROUP BY event_type")
+def events_incremental_totals(spark, sf):
+    """Incremental aggregate maintenance (materialized-view refresh):
+    history and the new batch are aggregated to mergeable partial states
+    SEPARATELY (here: split at Jan 16), the states merged, and the view
+    finalized — the oracle is the full recompute, so the row pins the
+    monoid-merge identity agg(old ∪ new) == merge(agg(old), agg(new)).
+    Refresh cost at scale is one reduced shuffle of the new batch plus a
+    dimension-sized state union; history is never re-read
+    (operators.incremental)."""
+    from mura_spark.operators.incremental import (finalize, merge_states,
+                                                  partial_state)
+    ev = table(spark, sf, "events").select("ts", "event_type", "value")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    old = partial_state(ev.filter(F.col("ts") < cutoff),
+                        ["event_type"], "value")
+    new = partial_state(ev.filter(F.col("ts") >= cutoff),
+                        ["event_type"], "value")
+    return finalize(merge_states([old, new], ["event_type"]),
+                    ["event_type"])

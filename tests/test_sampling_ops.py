@@ -140,3 +140,47 @@ def test_pmi_bigrams_matches_sequential_reference(docs):
     got = [(r["bigram"], r["n_pair"], r["score_micro"])
            for r in pmi_bigrams(docs, "text", min_count=5, k=20).collect()]
     assert got == want[:20]
+
+
+def test_split_by_cluster_never_splits_a_cluster(docs, spark):
+    """Every member of a dup cluster lands in the same split, and the
+    split assignment agrees with split_by_hash on the cluster key."""
+    from mura_spark.operators import dedup
+    from mura_spark.operators.sampling import split_by_cluster, split_by_hash
+
+    pairs = dedup.jaccard_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+    clusters = dedup.dup_clusters(pairs).cache()
+    out = split_by_cluster(docs.select("doc_id"), "doc_id", clusters,
+                           {"train": 0.9, "val": 0.1}).cache()
+    per_cluster = (out.groupBy("cluster_key")
+                   .agg(F.count_distinct("split").alias("ns")).collect())
+    assert all(r["ns"] == 1 for r in per_cluster)
+    # at least one real multi-member cluster exercises the property
+    sizes = out.groupBy("cluster_key").count()
+    assert sizes.filter(F.col("count") > 1).count() > 0
+    # agreement with the dict-form splitter on the cluster key
+    keyed = out.select(F.col("cluster_key").alias("k"), "split").distinct()
+    want_train = {r["k"] for r in
+                  split_by_hash(keyed.select("k"), "k",
+                                {"train": 0.9, "val": 0.1})["train"]
+                  .collect()}
+    got_train = {r["k"] for r in
+                 keyed.filter(F.col("split") == "train").collect()}
+    assert got_train == want_train
+    out.unpersist(); clusters.unpersist()
+
+
+def test_incremental_state_merge_equals_full_recompute(spark, sf_dir):
+    """Monoid identity: merging per-batch partial states (any batch
+    boundary, any merge arity) finalizes to the full-recompute answer."""
+    from mura_spark.operators.incremental import (finalize, merge_states,
+                                                  partial_state)
+    from mura_spark.suite.common import table
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    thirds = [ev.filter(F.dayofmonth("ts") % 3 == i) for i in range(3)]
+    states = [partial_state(t, ["event_type"], "value") for t in thirds]
+    got = finalize(merge_states(states, ["event_type"]),
+                   ["event_type"]).collect()
+    want = finalize(partial_state(ev, ["event_type"], "value"),
+                    ["event_type"]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
