@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "parquet_schema_evolution",
     "events_incremental_totals",
     "sample_split_leak_safe",
+    "profile_documents",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -249,3 +249,35 @@ def write(df: DataFrame, path: str, mode: str = "error",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact(spark: SparkSession, src_path: str, dst_path: str,
+            target_file_bytes: int = 128 * 1024 * 1024,
+            mode: str = "error") -> tuple[int, int]:
+    """Small-file compaction (the OPTIMIZE maintenance job): rewrite the
+    parquet dataset at ``src_path`` into ``ceil(total_bytes /
+    target_file_bytes)`` files at ``dst_path``. Returns
+    ``(n_files_before, n_files_after_planned)``.
+
+    Streaming ingest and fine-grained partition overwrites accrete tiny
+    files; at scale each costs an open + footer parse + catalog entry per
+    query, and scan parallelism degrades to one task per file. Compaction
+    is one round-robin repartition (no key shuffle — there is no key) and
+    one write; row-group-level row order is not preserved (parquet scans
+    never promise one). Writes to a NEW path: self-overwrite would have
+    the job lazily read the very files it truncates — callers swap paths
+    (or atomically rename) after success, which also keeps the job
+    re-runnable. For layouts with meaningful sort/cluster keys, use
+    :func:`write_sorted` / :func:`write_zorder` instead — compaction
+    deliberately does not re-sort.
+    """
+    df = spark.read.parquet(src_path)
+    files = df.inputFiles()
+    total = sum(_file_size(spark, f) for f in files)
+    n_after = max(1, -(-total // target_file_bytes))
+    if n_after >= len(files):
+        # already compact: pass through with the original layout
+        df.write.mode(mode).parquet(dst_path)
+        return len(files), len(files)
+    df.repartition(n_after).write.mode(mode).parquet(dst_path)
+    return len(files), n_after

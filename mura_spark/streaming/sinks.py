@@ -64,3 +64,63 @@ def _merge_into(spark: SparkSession, batch: DataFrame, table_path: str,
     merged = upsert_latest(current, batch, keys, version_col)
     # materialize BEFORE the overwrite truncates the input files
     return merged.localCheckpoint(eager=True)
+
+
+def maintain_rollup_batches(stream: DataFrame, state_path: str,
+                            keys: list[str], value: str,
+                            checkpoint_dir: str,
+                            available_now: bool = False):
+    """Start a ``foreachBatch`` query that maintains the mergeable rollup
+    state of :mod:`mura_spark.operators.incremental` over a stream: each
+    micro-batch is reduced to its partial state (one reduced shuffle of
+    the BATCH only) and monoid-merged into the dimension-sized state
+    table — the streaming form of incremental materialized-view refresh;
+    read-time consumers call ``incremental.finalize`` on ``state_path``.
+
+    Unlike the CDC keep-latest sink, additive partials are NOT naturally
+    idempotent (re-merging a delivered batch double-counts), so the apply
+    records the last committed ``batch_id`` beside the state and skips
+    batches at or below it — redelivery of a completed batch is a no-op
+    (pytest-pinned). The marker is written after the state overwrite; a
+    crash landing exactly between the two writes re-applies one batch —
+    closing that window needs a transactional table format (Delta/
+    Iceberg `MERGE` + txn), which this environment doesn't ship; the
+    seam is the same ``apply`` function either way.
+
+    Returns the StreamingQuery; caller owns ``awaitTermination``/``stop``.
+    """
+    import os
+
+    spark = stream.sparkSession
+    marker = os.path.join(state_path + "_last_batch")
+
+    from mura_spark.operators.incremental import merge_states, partial_state
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        last = -1
+        try:
+            with open(marker) as fh:
+                last = int(fh.read().strip())
+        except (OSError, ValueError):
+            pass
+        if batch_id <= last:
+            return
+        new = partial_state(batch, keys, value)
+        try:
+            current = spark.read.parquet(state_path)
+            merged = merge_states([current, new], keys)
+        except Exception:  # first batch: no state yet
+            merged = new
+        # materialize BEFORE the overwrite truncates the input files
+        merged.localCheckpoint(eager=True).write.mode("overwrite") \
+              .parquet(state_path)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    writer = (stream.writeStream
+              .foreachBatch(apply)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

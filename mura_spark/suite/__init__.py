@@ -59,7 +59,7 @@ _PRIORITY = [
     "sample_mixture_plan", "sample_mixture_apply", "sample_curriculum_bins",
     "text_pmi_bigrams", "events_winsorize", "parquet_partitioned_prune",
     "parquet_schema_evolution", "events_incremental_totals",
-    "sample_split_leak_safe",
+    "sample_split_leak_safe", "profile_documents",
     # stalest driver rows: green in round 1 only
     "join_cross_small", "setop_union", "setop_intersect", "setop_except",
     "window_topk_per_group", "window_running_sum", "q6_revenue_change",
@@ -72,7 +72,7 @@ _PRIORITY = [
     # pack_train_greedy, csv_roundtrip — rotated out to make room for the
     # round-5b additions; all keep their r3 driver-green rows)
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
-    "text_quality_filter", "text_scrub_pii",
+    "text_quality_filter",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -437,3 +437,27 @@ def text_pmi_bigrams(spark, sf):
     from mura_spark.operators.cooccur import pmi_bigrams
     d = table(spark, sf, "documents").select("text")
     return pmi_bigrams(d, "text", min_count=5, k=20)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in ["doc_id", "lang", "source", "n_chars"]:
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"COUNT({c}) AS n_nonnull, COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_str, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_str FROM documents")
+    return " UNION ALL ".join(parts)
+
+
+@q("profile_documents", _profile_oracle())
+def profile_documents(spark, sf):
+    """One-pass table profiling (ANALYZE summary): per-column null/
+    distinct/min/max in a single aggregation — exact NDVs here (the
+    oracle-comparable mode; Spark plans them via one Expand), with
+    approx_count_distinct as the same operator's 100 TB default
+    (operators.profile.profile_table)."""
+    from mura_spark.operators.profile import profile_table
+    d = table(spark, sf, "documents").select("doc_id", "lang", "source",
+                                             "n_chars")
+    return profile_table(d, exact=True)

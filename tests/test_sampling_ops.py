@@ -184,3 +184,24 @@ def test_incremental_state_merge_equals_full_recompute(spark, sf_dir):
     want = finalize(partial_state(ev, ["event_type"], "value"),
                     ["event_type"]).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_profile_table_exact_and_approx(docs, spark):
+    """Exact profile: NDV/null/min-max facts hold; approx mode keeps the
+    schema and lands within HLL tolerance of the exact NDVs."""
+    from mura_spark.operators.profile import profile_table
+    d = docs.select("doc_id", "lang", "source", "n_chars")
+    n = d.count()
+    exact = {r["col_name"]: r for r in profile_table(d).collect()}
+    assert set(exact) == {"doc_id", "lang", "source", "n_chars"}
+    assert exact["doc_id"]["n_distinct"] == n  # key uniqueness
+    assert all(r["n_rows"] == n and r["n_nonnull"] == n
+               for r in exact.values())
+    assert int(exact["doc_id"]["min_str"]) <= int(exact["doc_id"]["max_str"])
+    approx = {r["col_name"]: r
+              for r in profile_table(d, exact=False).collect()}
+    for c, r in exact.items():
+        assert approx[c]["n_distinct"] == pytest.approx(r["n_distinct"],
+                                                        rel=0.1)
+        assert (approx[c]["min_str"], approx[c]["max_str"]) == \
+            (r["min_str"], r["max_str"])

@@ -269,3 +269,25 @@ def test_merge_schema_reads_union_of_batch_schemas(spark, sf_dir, tmp_path):
                          & F.col("p_retailprice").isNull()).count() == n
     assert merged.filter((F.col("batch") == 2)
                          & F.col("p_name").isNull()).count() == n
+
+
+def test_compact_reduces_file_count_preserving_data(spark, sf_dir, tmp_path):
+    """Small-file compaction: 40 tiny files → size-targeted file count,
+    identical data, and an already-compact input passes through without
+    shrinking further."""
+    from mura_spark.sources.parquet import compact
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    src = str(tmp_path / "tiny")
+    ev.repartition(40).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    before, after = compact(spark, src, dst, target_file_bytes=1 << 30)
+    assert before == 40 and after < before
+    import glob
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == after
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == \
+        sorted(map(tuple, ev.collect()))
+    # compact input: no further shrink, data still intact
+    b2, a2 = compact(spark, dst, str(tmp_path / "again"),
+                     target_file_bytes=1)
+    assert (b2, a2) == (after, after)

@@ -270,3 +270,44 @@ def test_streaming_sliding_equals_batch(spark, events, tmp_path):
     b = sorted((r.window_start, r.window_end, r.user_id, r.n_events)
                for r in want.collect())
     assert g == b
+
+
+def test_foreachbatch_rollup_maintenance_matches_batch_and_skips_redelivery(
+        spark, tmp_path):
+    """Streaming incremental-rollup sink: per-micro-batch partial states
+    merged into the state table finalize to the batch recompute, and
+    redelivering completed batches (fresh checkpoint, same state) changes
+    nothing — additive partials are guarded by the batch-id marker."""
+    import time
+
+    from mura_spark.operators.incremental import finalize, partial_state
+    from mura_spark.streaming import sinks
+
+    src = str(tmp_path / "roll_src")
+    state = str(tmp_path / "roll_state")
+    schema = "k STRING, v DOUBLE"
+    b1 = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("a", 3.0)],
+                               schema=schema)
+    b2 = spark.createDataFrame([("a", 5.0), ("c", 7.0)], schema=schema)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file mtimes order the micro-batches
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = sinks.maintain_rollup_batches(stream, state, ["k"], "v",
+                                          str(tmp_path / ck),
+                                          available_now=True)
+        q.awaitTermination(120)
+
+    run("ck1")
+    want = sorted(map(tuple, finalize(
+        partial_state(b1.unionByName(b2), ["k"], "v"), ["k"]).collect()))
+    got = sorted(map(tuple, finalize(
+        spark.read.parquet(state), ["k"]).collect()))
+    assert got == want
+    run("ck2")  # redelivery of every batch: marker must block re-merge
+    again = sorted(map(tuple, finalize(
+        spark.read.parquet(state), ["k"]).collect()))
+    assert again == want
