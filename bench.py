@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "events_incremental_totals",
     "sample_split_leak_safe",
     "profile_documents",
+    "sample_temperature_plan",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

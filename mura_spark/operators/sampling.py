@@ -216,6 +216,58 @@ def mixture_plan(df: DataFrame, strata: str,
                      .cast("bigint").alias("n_expected")))
 
 
+def temperature_plan(df: DataFrame, strata: str,
+                     alpha: float = 0.5) -> DataFrame:
+    """Temperature-based mixture planning: target weights DERIVED from the
+    observed counts as ``w_s ∝ n_s^α`` (α < 1 flattens the distribution
+    toward rare strata — the standard multilingual-pretraining rebalance;
+    α = 1 keeps natural proportions, α = 0 is uniform), then the same
+    largest-feasible downsample-only solve as :func:`mixture_plan`.
+
+    Returns ``(strata, n_total, weight_micro, keep_rate,
+    bucket_threshold, n_expected)`` — the derived weight surfaces in
+    integer micro-units (the float weight is a ratio of ``pow`` results
+    whose last-ulp rendering is not cross-engine comparable).
+
+    Fully distributed: counts (one reduced shuffle), the weight
+    normalizer and the feasibility minimum ride as broadcast singleton
+    aggregates — stratum statistics never touch the driver.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = (df.groupBy(strata)
+                .agg(F.count(F.lit(1)).alias("n_total"))
+                .withColumn("__pw", F.pow(F.col("n_total"),
+                                          F.lit(float(alpha)))))
+    s = counts.agg(F.sum("__pw").alias("__spw"))
+    w = F.col("__pw") / F.col("__spw")
+    t = (counts.crossJoin(F.broadcast(s))
+               .agg(F.min(F.col("n_total") / w).alias("__t")))
+    rate = w * F.col("__t") / F.col("n_total")
+    return (counts.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(t))
+            .select(strata, "n_total",
+                    F.floor(w * F.lit(1_000_000) + F.lit(0.5))
+                     .cast("bigint").alias("weight_micro"),
+                    rate.alias("keep_rate"),
+                    F.floor(rate * BUCKETS + F.lit(0.5)).cast("bigint")
+                     .alias("bucket_threshold"),
+                    F.floor(w * F.col("__t") + F.lit(0.5)).cast("bigint")
+                     .alias("n_expected")))
+
+
+def apply_rates(df: DataFrame, strata: str, key: str,
+                plan: DataFrame) -> DataFrame:
+    """Enforce any per-stratum plan carrying ``bucket_threshold``
+    (:func:`mixture_plan` / :func:`temperature_plan` output):
+    broadcast-join the dimension-sized plan, keep iff
+    ``hash_bucket(key) < bucket_threshold``. Strata absent from the plan
+    are dropped."""
+    p = plan.select(strata, "bucket_threshold")
+    return (df.join(F.broadcast(p), strata, "inner")
+              .filter(hash_bucket(F.col(key)) < F.col("bucket_threshold"))
+              .drop("bucket_threshold"))
+
+
 def apply_mixture(df: DataFrame, strata: str, key: str,
                   weights: dict[str, float]) -> DataFrame:
     """Downsample ``df`` to the target mixture from :func:`mixture_plan`,
@@ -228,11 +280,7 @@ def apply_mixture(df: DataFrame, strata: str, key: str,
     stability guarantees (reproducible across runs/engines/partitionings,
     monotone in the stratum's rate).
     """
-    plan = mixture_plan(df, strata, weights).select(strata,
-                                                    "bucket_threshold")
-    return (df.join(F.broadcast(plan), strata, "inner")
-              .filter(hash_bucket(F.col(key)) < F.col("bucket_threshold"))
-              .drop("bucket_threshold"))
+    return apply_rates(df, strata, key, mixture_plan(df, strata, weights))
 
 
 def quantile_bins(df: DataFrame, col: str, n_bins: int,

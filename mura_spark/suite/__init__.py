@@ -60,6 +60,7 @@ _PRIORITY = [
     "text_pmi_bigrams", "events_winsorize", "parquet_partitioned_prune",
     "parquet_schema_evolution", "events_incremental_totals",
     "sample_split_leak_safe", "profile_documents",
+    "sample_temperature_plan",
     # stalest driver rows: green in round 1 only
     "join_cross_small", "setop_union", "setop_intersect", "setop_except",
     "window_topk_per_group", "window_running_sum", "q6_revenue_change",
@@ -69,10 +70,11 @@ _PRIORITY = [
     # next-stalest: green in round 3, untouched since (fills the window;
     # the rest of the r3 cohort — text_heavy_tokens, sample_domain_cap,
     # sample_stratified, text_tfidf_topterms, pack_train_chunks,
-    # pack_train_greedy, csv_roundtrip — rotated out to make room for the
-    # round-5b additions; all keep their r3 driver-green rows)
+    # pack_train_greedy, csv_roundtrip, sample_split_train,
+    # text_repetition, text_scrub_pii, text_quality_filter — rotated out
+    # to make room for the round-5b additions; all keep their r3
+    # driver-green rows)
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
-    "text_quality_filter",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

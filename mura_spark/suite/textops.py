@@ -461,3 +461,30 @@ def profile_documents(spark, sf):
     d = table(spark, sf, "documents").select("doc_id", "lang", "source",
                                              "n_chars")
     return profile_table(d, exact=True)
+
+
+@q("sample_temperature_plan",
+   "WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents "
+   "GROUP BY lang), "
+   "w AS (SELECT lang, n_total, pow(n_total, 0.5) AS pw FROM counts), "
+   "s AS (SELECT SUM(pw) AS spw FROM w), "
+   "t AS (SELECT MIN(n_total / (pw / spw)) AS t FROM w CROSS JOIN s) "
+   "SELECT lang, n_total, "
+   "CAST(floor(pw / spw * 1000000 + 0.5) AS BIGINT) AS weight_micro, "
+   "CAST(floor(pw / spw * t / n_total * 1000 + 0.5) AS BIGINT) "
+   "AS bucket_threshold, "
+   "CAST(floor(pw / spw * t + 0.5) AS BIGINT) AS n_expected "
+   "FROM w CROSS JOIN s CROSS JOIN t")
+def sample_temperature_plan(spark, sf):
+    """Temperature mixing (α = 0.5): target weights derived from observed
+    counts as n^α (flattening toward rare languages — the multilingual-
+    pretraining rebalance), then the largest feasible downsample-only
+    solve. Counts shuffle once reduced; the normalizer and feasibility
+    minimum are broadcast singletons — stratum statistics never touch the
+    driver (operators.sampling.temperature_plan; enforcement is the same
+    broadcast-plan hash predicate as sample_mixture_apply via
+    apply_rates)."""
+    from mura_spark.operators.sampling import temperature_plan
+    d = table(spark, sf, "documents")
+    return temperature_plan(d, "lang", alpha=0.5).select(
+        "lang", "n_total", "weight_micro", "bucket_threshold", "n_expected")

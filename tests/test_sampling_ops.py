@@ -205,3 +205,46 @@ def test_profile_table_exact_and_approx(docs, spark):
                                                         rel=0.1)
         assert (approx[c]["min_str"], approx[c]["max_str"]) == \
             (r["min_str"], r["max_str"])
+
+
+def test_temperature_plan_flattens_and_is_feasible(docs):
+    """α = 0: uniform weights; α = 1: natural proportions (every rate 1 —
+    the natural mixture is always feasible); α = 0.5 sits between, rare
+    strata gaining share; expected counts never exceed observed."""
+    from mura_spark.operators.sampling import apply_rates, temperature_plan
+    nat = {r["lang"]: r["n_total"]
+           for r in docs.groupBy("lang").count()
+           .withColumnRenamed("count", "n_total").collect()}
+    n = sum(nat.values())
+    for alpha in (0.0, 0.5, 1.0):
+        rows = {r["lang"]: r
+                for r in temperature_plan(docs, "lang", alpha).collect()}
+        assert set(rows) == set(nat)
+        for lang, r in rows.items():
+            assert 0 < r["n_expected"] <= r["n_total"]
+    one = {k: v for k, v in
+           ((r["lang"], r) for r in
+            temperature_plan(docs, "lang", 1.0).collect())}
+    for lang, r in one.items():
+        assert r["keep_rate"] == pytest.approx(1.0)
+        assert r["n_expected"] == nat[lang]
+    uni = {r["lang"]: r["n_expected"]
+           for r in temperature_plan(docs, "lang", 0.0).collect()}
+    assert max(uni.values()) - min(uni.values()) <= 1  # uniform
+    half = {r["lang"]: r["n_expected"] / n
+            for r in temperature_plan(docs, "lang", 0.5).collect()}
+    rare = min(nat, key=nat.get)
+    # α=0.5 gives the rarest stratum a larger share than natural
+    kept_total = sum(r["n_expected"] for r in
+                     temperature_plan(docs, "lang", 0.5).collect())
+    assert half[rare] * n / kept_total > nat[rare] / n
+    # enforcement: kept counts match the plan within hash resolution
+    kept = apply_rates(docs.select("doc_id", "lang"), "lang", "doc_id",
+                       temperature_plan(docs, "lang", 0.5))
+    got = {r["lang"]: r["count"] for r in kept.groupBy("lang").count()
+           .collect()}
+    plan = {r["lang"]: r["n_expected"]
+            for r in temperature_plan(docs, "lang", 0.5).collect()}
+    for lang in plan:
+        assert abs(got.get(lang, 0) - plan[lang]) <= \
+            max(10, 0.15 * plan[lang])
