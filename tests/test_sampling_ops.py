@@ -248,3 +248,31 @@ def test_temperature_plan_flattens_and_is_feasible(docs):
     for lang in plan:
         assert abs(got.get(lang, 0) - plan[lang]) <= \
             max(10, 0.15 * plan[lang])
+
+
+def test_winsorize_and_bins_never_shuffle_the_data(docs, spark):
+    """Plan-shape pin for the percentile-broadcast family: the only
+    exchange is the SinglePartition merge of percentile partials; the
+    data rows reach the output without any hashpartitioning exchange
+    (at scale this is the whole point of the design)."""
+    from mura_spark.operators.sampling import quantile_bins, winsorize
+    d = docs.select("doc_id", "n_chars")
+    for out in (quantile_bins(d, "n_chars", 10),
+                winsorize(d, "n_chars", 0.01, 0.99)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert plan.count("Exchange SinglePartition") == 1
+        assert "BroadcastExchange" in plan
+
+
+def test_apply_mixture_broadcasts_the_plan(docs, spark):
+    """Plan-shape pin: the corpus side of the mixture join must not
+    shuffle — the dimension-sized plan broadcasts."""
+    from mura_spark.operators.sampling import apply_mixture
+    out = apply_mixture(docs.select("doc_id", "lang"), "lang", "doc_id",
+                        WEIGHTS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    # the big (streamed) side reads straight from the file scan with no
+    # exchange between scan and join
+    assert "SortMergeJoin" not in plan
