@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "sample_split_leak_safe",
     "profile_documents",
     "sample_temperature_plan",
+    "events_rolling_1h_sum",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

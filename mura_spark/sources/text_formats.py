@@ -71,3 +71,23 @@ def scan_orc(spark: SparkSession, path: str,
 
 def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).orc(path)
+
+
+def scan_jsonl_permissive(spark: SparkSession, path: str,
+                          schema: str) -> DataFrame:
+    """JSON-lines scan that survives corrupt rows (real ingest is never
+    clean): well-formed rows parse against ``schema``; malformed lines
+    surface whole in ``_corrupt_record`` with every data column NULL,
+    so the pipeline can route them to a quarantine sink instead of
+    failing the job (PERMISSIVE is row-local — no driver involvement,
+    scales as the scan does).
+
+    Spark caveat baked in here: a query selecting ONLY the corrupt
+    column is disallowed over raw JSON (the parser would need the full
+    row anyway); callers filtering quarantine rows should select data
+    columns alongside, as the tests do."""
+    full = schema.rstrip() + ", _corrupt_record STRING"
+    return (spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path))

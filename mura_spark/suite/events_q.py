@@ -483,3 +483,23 @@ def events_incremental_totals(spark, sf):
                         ["event_type"], "value")
     return finalize(merge_states([old, new], ["event_type"]),
                     ["event_type"])
+
+
+@q("events_rolling_1h_sum",
+   "SELECT event_id, user_id, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER ("
+   "PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+   "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+   "AS rolling_sum FROM events")
+def events_rolling_1h_sum(spark, sf):
+    """Trailing 1-hour spend per user: a RANGE-framed window over event
+    time (time-measured frames, vs the row-counted frame of
+    window_running_sum) — one user-key shuffle + per-key sorted
+    two-pointer frame, state bounded by the hour's row count; decimal
+    sums make the sliding accumulation order irrelevant
+    (operators.rolling.rolling_sum_seconds)."""
+    from mura_spark.operators.rolling import rolling_sum_seconds
+    ev = table(spark, sf, "events").select("event_id", "user_id", "ts",
+                                           "value")
+    return rolling_sum_seconds(ev, "user_id", "ts", "value",
+                               3600).drop("ts", "value")

@@ -291,3 +291,24 @@ def test_compact_reduces_file_count_preserving_data(spark, sf_dir, tmp_path):
     b2, a2 = compact(spark, dst, str(tmp_path / "again"),
                      target_file_bytes=1)
     assert (b2, a2) == (after, after)
+
+
+def test_jsonl_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    """Malformed JSONL lines must not fail the scan: good rows parse,
+    bad lines land whole in _corrupt_record with data columns NULL."""
+    from mura_spark.sources.text_formats import scan_jsonl_permissive
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "v": 2.5}\n'
+        'not json at all\n'
+        '{"id": 2, "v": 7.0}\n'
+        '{"id": 3, "v": "}\n')
+    df = scan_jsonl_permissive(spark, str(p), "id INT, v DOUBLE")
+    rows = df.collect()
+    good = {(r.id, r.v) for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {(1, 2.5), (2, 7.0)}
+    assert len(bad) == 2
+    assert all(r.id is None and r.v is None for r in bad)
+    assert any("not json" in r._corrupt_record for r in bad)

@@ -311,3 +311,40 @@ def test_foreachbatch_rollup_maintenance_matches_batch_and_skips_redelivery(
     again = sorted(map(tuple, finalize(
         spark.read.parquet(state), ["k"]).collect()))
     assert again == want
+
+
+def test_rollup_sink_checkpoint_restart_processes_only_new_files(
+        spark, tmp_path):
+    """Durability: restarting the rollup stream with the SAME checkpoint
+    after new files arrive processes only the new batches (offsets
+    resume; the batch-id marker advances past the earlier run's ids) and
+    the state still equals the batch recompute over everything."""
+    import time
+
+    from mura_spark.operators.incremental import finalize, partial_state
+    from mura_spark.streaming import sinks
+
+    src = str(tmp_path / "rs_src")
+    state = str(tmp_path / "rs_state")
+    ck = str(tmp_path / "rs_ck")
+    schema = "k STRING, v DOUBLE"
+    b1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema=schema)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = sinks.maintain_rollup_batches(stream, state, ["k"], "v", ck,
+                                          available_now=True)
+        q.awaitTermination(120)
+
+    run()
+    time.sleep(1.1)
+    b2 = spark.createDataFrame([("a", 10.0), ("c", 4.0)], schema=schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run()  # same checkpoint: resumes at the new file only
+    want = sorted(map(tuple, finalize(
+        partial_state(b1.unionByName(b2), ["k"], "v"), ["k"]).collect()))
+    got = sorted(map(tuple, finalize(
+        spark.read.parquet(state), ["k"]).collect()))
+    assert got == want
