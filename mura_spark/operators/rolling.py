@@ -1,5 +1,8 @@
 """Time-range rolling aggregates (RANGE-framed window functions).
 
+No reference analog (mura has no window surface — SURVEY.md §2.3);
+extension alongside the Phase-2 window operators.
+
 The trailing-window feature family of an event pipeline (rolling 1-hour
 spend, trailing error rate): a per-key window ordered by event time with a
 RANGE frame over the preceding interval — every row gets the aggregate of
