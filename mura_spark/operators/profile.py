@@ -31,18 +31,28 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     """One row per profiled column: ``(col_name, n_rows, n_nonnull,
     n_distinct, min_str, max_str)``, ordered by ``col_name``."""
     cols = cols or df.columns
+    # positional sanitation: profiled tables are arbitrary pre-cleaning
+    # inputs, so column names may contain spaces/quotes/backticks — every
+    # by-name Column lookup PARSES the name (a stray backtick is a syntax
+    # error), and splicing names into stack() below would be worse. toDF
+    # renames positionally without parsing; original names survive only
+    # as string literals in the output.
+    positions = [df.columns.index(c) for c in cols]
+    work = df.toDF(*[f"__c{i}" for i in range(len(df.columns))])
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
-        aggs.append((F.count_distinct(F.col(c)) if exact
-                     else F.approx_count_distinct(F.col(c)))
-                    .alias(f"nd_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"mn_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"mx_{c}"))
-    wide = df.agg(*aggs)
+    for i, pos in enumerate(positions):
+        col = F.col(f"__c{pos}")
+        aggs.append(F.count(col).alias(f"nn_{i}"))
+        aggs.append((F.count_distinct(col) if exact
+                     else F.approx_count_distinct(col)).alias(f"nd_{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"mn_{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"mx_{i}"))
+    wide = work.agg(*aggs)
     stack_args = []
-    for c in cols:
-        stack_args += [f"'{c}'", f"nn_{c}", f"nd_{c}", f"mn_{c}", f"mx_{c}"]
+    for i, c in enumerate(cols):
+        name_lit = c.replace("'", "''")  # SQL string-literal escape
+        stack_args += [f"'{name_lit}'", f"nn_{i}", f"nd_{i}",
+                       f"mn_{i}", f"mx_{i}"]
     stacked = wide.select(
         "n_rows",
         F.expr(f"stack({len(cols)}, {', '.join(stack_args)}) AS "

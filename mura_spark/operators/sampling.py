@@ -186,6 +186,11 @@ def mixture_plan(df: DataFrame, strata: str,
     largest total ``T`` with ``w_s·T ≤ n_s`` everywhere is
     ``T = min_s(n_s / w_s)``; each stratum keeps ``rate_s = w_s·T / n_s``
     (the binding stratum keeps 100%). Strata not in ``weights`` get rate 0.
+    A weighted stratum ABSENT from the data makes the target infeasible
+    (its ``n_s = 0`` forces ``T = 0``): the plan honestly returns every
+    rate as 0 — zero rows satisfy the requested mixture — rather than
+    silently renormalizing over the strata that do exist; callers see the
+    infeasibility in the plan instead of a skewed corpus.
 
     Returns one row per weighted stratum: ``(strata, n_total, keep_rate,
     bucket_threshold, n_expected)`` where ``bucket_threshold`` is the
@@ -198,15 +203,23 @@ def mixture_plan(df: DataFrame, strata: str,
     for name, wt in weights.items():
         if wt <= 0:
             raise ValueError(f"weight for {name!r} is {wt}, must be > 0")
-    wcol = F.lit(0.0)
-    for name, wt in weights.items():
-        wcol = F.when(F.col(strata) == name, F.lit(float(wt))).otherwise(wcol)
+    spark = df.sparkSession
+    wdim = spark.createDataFrame(
+        [(name, float(wt)) for name, wt in weights.items()],
+        [strata, "__w"])  # stratum type inferred from the keys
     counts = (df.groupBy(strata)
                 .agg(F.count(F.lit(1)).alias("n_total"))
-                .withColumn("__w", wcol)
-                .filter(F.col("__w") > 0))
+                # right join against the weight dimension: a weighted
+                # stratum missing from the data must surface as n_total=0
+                # (forcing T=0 below), not vanish from the plan
+                .join(F.broadcast(wdim), strata, "right_outer")
+                .withColumn("n_total",
+                            F.coalesce(F.col("n_total"), F.lit(0))))
     t = counts.agg(F.min(F.col("n_total") / F.col("__w")).alias("__t"))
-    rate = F.col("__w") * F.col("__t") / F.col("n_total")
+    # ANSI mode: guard the n_total=0 division (rate is 0 there anyway)
+    rate = F.when(F.col("n_total") > 0,
+                  F.col("__w") * F.col("__t") / F.col("n_total")) \
+            .otherwise(F.lit(0.0))
     return (counts.crossJoin(F.broadcast(t))
             .select(strata, "n_total",
                     rate.alias("keep_rate"),
@@ -315,6 +328,10 @@ def quantile_bins(df: DataFrame, col: str, n_bins: int,
     bnds = df.agg(pct.alias("__bnds"))
     assign = F.size(F.filter(F.col("__bnds"),
                              lambda b: F.col(col).cast("double") > b))
+    # NULL difficulty stays NULL (ntile/percent_rank convention) — the
+    # boundary filter would otherwise drop every boundary and silently
+    # file unmeasured rows into bin 0
+    assign = F.when(F.col(col).isNotNull(), assign)
     return (df.crossJoin(F.broadcast(bnds))
               .withColumn("bin", assign)
               .drop("__bnds"))
@@ -388,6 +405,9 @@ def winsorize(df: DataFrame, col: str, lo: float = 0.01,
            else F.percentile_approx(c, [lo, hi], 10_000))
     bnds = df.agg(pct.alias("__bnds"))
     clipped = F.least(F.greatest(c, F.col("__bnds")[0]), F.col("__bnds")[1])
+    # NULL metric stays NULL: least/greatest skip NULL operands, which
+    # would otherwise fabricate a lo-percentile value for missing data
+    clipped = F.when(c.isNotNull(), clipped)
     return (df.crossJoin(F.broadcast(bnds))
               .withColumn(f"{col}_clip", clipped)
               .drop("__bnds"))

@@ -274,10 +274,9 @@ def compact(spark: SparkSession, src_path: str, dst_path: str,
     df = spark.read.parquet(src_path)
     files = df.inputFiles()
     total = sum(_file_size(spark, f) for f in files)
-    n_after = max(1, -(-total // target_file_bytes))
-    if n_after >= len(files):
-        # already compact: pass through with the original layout
-        df.write.mode(mode).parquet(dst_path)
-        return len(files), len(files)
+    # never grow the file count: a "pass-through" write would still go
+    # through scan-split partitioning (maxPartitionBytes) and could emit
+    # MORE files than the input while reporting no change
+    n_after = min(len(files), max(1, -(-total // target_file_bytes)))
     df.repartition(n_after).write.mode(mode).parquet(dst_path)
     return len(files), n_after

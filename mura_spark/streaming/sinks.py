@@ -79,38 +79,55 @@ def maintain_rollup_batches(stream: DataFrame, state_path: str,
 
     Unlike the CDC keep-latest sink, additive partials are NOT naturally
     idempotent (re-merging a delivered batch double-counts), so the apply
-    records the last committed ``batch_id`` beside the state and skips
-    batches at or below it — redelivery of a completed batch is a no-op
-    (pytest-pinned). The marker is written after the state overwrite; a
-    crash landing exactly between the two writes re-applies one batch —
-    closing that window needs a transactional table format (Delta/
-    Iceberg `MERGE` + txn), which this environment doesn't ship; the
-    seam is the same ``apply`` function either way.
+    records the last committed ``batch_id`` INSIDE the checkpoint
+    directory (batch ids are only meaningful relative to the checkpoint
+    that numbers them) and skips batches at or below it — redelivery of a
+    completed batch is a no-op (pytest-pinned). A batch arriving with no
+    marker in its checkpoint means the stream is starting from offset
+    zero (new or wiped checkpoint → the source replays everything), so
+    the state is REBUILT from that batch rather than merged — a fresh
+    checkpoint can therefore never double-count into old state or
+    silently skip new data. The marker is written after the state
+    overwrite; a crash landing exactly between the two writes re-applies
+    one batch — closing that window needs a transactional table format
+    (Delta/Iceberg `MERGE` + txn), which this environment doesn't ship;
+    the seam is the same ``apply`` function either way.
 
     Returns the StreamingQuery; caller owns ``awaitTermination``/``stop``.
     """
     import os
 
     spark = stream.sparkSession
-    marker = os.path.join(state_path + "_last_batch")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "rollup_last_batch")
 
     from mura_spark.operators.incremental import merge_states, partial_state
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        last = -1
+        last = None
         try:
             with open(marker) as fh:
                 last = int(fh.read().strip())
         except (OSError, ValueError):
             pass
-        if batch_id <= last:
+        if last is not None and batch_id <= last:
             return
         new = partial_state(batch, keys, value)
-        try:
-            current = spark.read.parquet(state_path)
-            merged = merge_states([current, new], keys)
-        except Exception:  # first batch: no state yet
+        if last is None:
+            # no marker in THIS checkpoint: the source is replaying from
+            # offset zero — rebuild the state instead of merging into
+            # whatever a previous checkpoint left behind
             merged = new
+        else:
+            # scope the fallback to the read only: a merge failure
+            # (schema drift, wrong keys) must surface, never silently
+            # replace accumulated state with one batch's partials
+            try:
+                current = spark.read.parquet(state_path)
+            except Exception:  # marker exists but state was removed
+                current = None
+            merged = (merge_states([current, new], keys)
+                      if current is not None else new)
         # materialize BEFORE the overwrite truncates the input files
         merged.localCheckpoint(eager=True).write.mode("overwrite") \
               .parquet(state_path)

@@ -276,3 +276,51 @@ def test_apply_mixture_broadcasts_the_plan(docs, spark):
     # the big (streamed) side reads straight from the file scan with no
     # exchange between scan and join
     assert "SortMergeJoin" not in plan
+
+
+def test_null_handling_in_percentile_family(spark):
+    """NULL metric/difficulty rows stay NULL through winsorize and
+    quantile_bins — neither fabricates a lo-percentile value nor files
+    unmeasured rows into bin 0."""
+    from mura_spark.operators.sampling import quantile_bins, winsorize
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(0, None)],
+        "id int, v double")
+    w = {r["id"]: r["v_clip"] for r in winsorize(df, "v", 0.1, 0.9).collect()}
+    assert w[0] is None
+    assert w[50] == 50.0
+    b = {r["id"]: r["bin"] for r in quantile_bins(df, "v", 4).collect()}
+    assert b[0] is None
+    assert b[1] == 0 and b[100] == 3
+
+
+def test_mixture_plan_missing_stratum_is_infeasible_not_renormalized(docs):
+    """A weighted stratum absent from the data forces T=0: every rate and
+    expected count is 0 (the target mixture is infeasible by
+    downsampling), never a silently renormalized plan."""
+    from mura_spark.operators.sampling import apply_mixture, mixture_plan
+    w = {"en": 0.5, "xx": 0.5}  # 'xx' does not exist in the corpus
+    rows = {r["lang"]: r for r in mixture_plan(docs, "lang", w).collect()}
+    assert set(rows) == {"en", "xx"}
+    assert rows["xx"]["n_total"] == 0
+    for r in rows.values():
+        assert r["keep_rate"] == 0.0
+        assert r["bucket_threshold"] == 0
+        assert r["n_expected"] == 0
+    assert apply_mixture(docs.select("doc_id", "lang"), "lang", "doc_id",
+                         w).count() == 0
+
+
+def test_profile_table_survives_hostile_column_names(spark):
+    """Profiling arbitrary ingest tables: names with spaces, quotes, and
+    backticks must neither crash the stack() expression nor corrupt the
+    reported col_name."""
+    from mura_spark.operators.profile import profile_table
+    df = (spark.range(5)
+          .withColumnRenamed("id", "order count")
+          .withColumn("it's", F.lit("x"))
+          .withColumn("a`b", F.lit(2)))
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"order count", "it's", "a`b"}
+    assert rows["order count"]["n_distinct"] == 5
+    assert rows["it's"]["n_distinct"] == 1

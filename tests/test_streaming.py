@@ -348,3 +348,70 @@ def test_rollup_sink_checkpoint_restart_processes_only_new_files(
     got = sorted(map(tuple, finalize(
         spark.read.parquet(state), ["k"]).collect()))
     assert got == want
+
+
+def test_rollup_sink_fresh_checkpoint_rebuilds_not_skips(spark, tmp_path):
+    """Losing the checkpoint is recoverable: a FRESH checkpoint replays
+    the source from offset zero and the first batch REBUILDS the state,
+    so the result still equals the full recompute — new data is never
+    skipped and old state never double-counted."""
+    import time
+
+    from mura_spark.operators.incremental import finalize, partial_state
+    from mura_spark.streaming import sinks
+
+    src = str(tmp_path / "fr_src")
+    state = str(tmp_path / "fr_state")
+    schema = "k STRING, v DOUBLE"
+    b1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema=schema)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = sinks.maintain_rollup_batches(stream, state, ["k"], "v",
+                                          str(tmp_path / ck),
+                                          available_now=True)
+        q.awaitTermination(120)
+
+    run("ck1")
+    time.sleep(1.1)
+    b2 = spark.createDataFrame([("a", 10.0), ("c", 4.0)], schema=schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run("ck2")  # checkpoint lost: full replay must rebuild, not skip
+    want = sorted(map(tuple, finalize(
+        partial_state(b1.unionByName(b2), ["k"], "v"), ["k"]).collect()))
+    got = sorted(map(tuple, finalize(
+        spark.read.parquet(state), ["k"]).collect()))
+    assert got == want
+
+
+def test_rollup_sink_surfaces_merge_failure(spark, tmp_path):
+    """A corrupted/incompatible state table must FAIL the stream, never be
+    silently replaced by one batch's partials (the merge is outside the
+    read-scoped fallback)."""
+    import os
+
+    import pytest as _pytest
+
+    from mura_spark.streaming import sinks
+
+    src = str(tmp_path / "mf_src")
+    state = str(tmp_path / "mf_state")
+    ck = str(tmp_path / "mf_ck")
+    schema = "k STRING, v DOUBLE"
+    spark.createDataFrame([("a", 1.0)], schema=schema) \
+         .coalesce(1).write.mode("append").parquet(src)
+    # state exists but has the wrong shape (missing the state columns)
+    spark.createDataFrame([("junk",)], "z STRING").write.parquet(state)
+    os.makedirs(ck, exist_ok=True)
+    with open(os.path.join(ck, "rollup_last_batch"), "w") as fh:
+        fh.write("-5")  # marker present → merge path, not rebuild
+
+    stream = (spark.readStream.schema(schema).parquet(src))
+    q = sinks.maintain_rollup_batches(stream, state, ["k"], "v", ck,
+                                      available_now=True)
+    with _pytest.raises(Exception):
+        q.awaitTermination(120)
+    # the junk state was not overwritten
+    assert spark.read.parquet(state).columns == ["z"]
