@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "profile_documents",
     "sample_temperature_plan",
     "events_rolling_1h_sum",
+    "mm_image_stats",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -8,11 +8,14 @@ typed metadata struct::
                         sample_rate:int, n_frames:int>
 
 Processing runs through ``mapInPandas`` so bytes cross the Python boundary
-in Arrow batches (never row-at-a-time). Real decoders (PIL/ffmpeg/torchcodec)
-are not available in this environment, so the decode kernel is STUBBED: a
-clearly-marked deterministic fake (byte-histogram features) behind the same
-batch-shaped API a real decoder would use — schema, partitioning, UDF
-signature, and batch shape are real and tested; only the pixel math is fake.
+in Arrow batches (never row-at-a-time). Decoding: PPM (P6) and
+uncompressed 24-bit BMP decode for REAL via pure numpy
+(:func:`decode_image` / :func:`image_stats` — no media libs needed);
+JPEG/PNG/audio/video need PIL/ffmpeg, absent in this environment, so the
+format-agnostic feature kernel is STUBBED: a clearly-marked deterministic
+fake (byte-histogram features) behind the same batch-shaped API a real
+decoder would use — schema, partitioning, UDF signature, and batch shape
+are real and tested.
 
 Scale notes: batches are bounded by ``spark.sql.execution.arrow.
 maxRecordsPerBatch``; binary payloads never participate in shuffles here —
@@ -74,26 +77,143 @@ except ImportError:  # pragma: no cover - env-dependent
 HAS_REAL_DECODER = _PIL_Image is not None
 
 
+def _decode_ppm(payload: bytes):
+    """REAL decoder for binary PPM (P6): pure numpy, no media libs.
+    Header: 'P6', whitespace/comment-separated width height maxval, one
+    whitespace byte, then width·height·3 raw RGB bytes."""
+    import numpy as np
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                        offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes):
+    """REAL decoder for uncompressed 24-bit BMP: pure numpy. Rows are
+    4-byte aligned, stored bottom-up (top-down when height < 0), BGR."""
+    import struct
+
+    import numpy as np
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_offset).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img if top_down else img[::-1]
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6) bytes — the test/fixture
+    counterpart of :func:`_decode_ppm`."""
+    import numpy as np
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects (h, w, 3)")
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
 def decode_image(payload: bytes):
     """Decode an encoded image payload to a (height, width[, channels])
     uint8 numpy array.
 
-    Real path: PIL, when importable (probed at module load — this container
-    normally lacks PIL/libjpeg, but the operator upgrades itself the moment
-    the library appears). Otherwise raises NotImplementedError; the
-    pipeline-testing surface is :func:`extract_features`, whose
-    deterministic stub kernel never needs a decoder.
+    PPM (P6) and uncompressed 24-bit BMP decode for REAL via pure numpy
+    (no media libs needed — header parse + frombuffer/reshape). Other
+    formats (JPEG/PNG/...) go through PIL when importable (probed at
+    module load; this container normally lacks PIL/libjpeg, but the
+    operator upgrades itself the moment the library appears), else raise
+    NotImplementedError.
     """
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     if _PIL_Image is None:
         raise NotImplementedError(
-            "image decoding requires PIL/libjpeg, not present in this "
-            "container; use extract_features (deterministic stub) for "
-            "pipeline testing")
+            "JPEG/PNG decoding requires PIL/libjpeg, not present in this "
+            "container; PPM/BMP decode natively — use extract_features "
+            "(deterministic stub) for format-agnostic pipeline testing")
     import io
 
     import numpy as np
     with _PIL_Image.open(io.BytesIO(payload)) as img:
         return np.asarray(img)
+
+
+#: Output schema of :func:`image_stats`.
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def image_stats(df: DataFrame, id_col: str = "id",
+                content_col: str = "content") -> DataFrame:
+    """REAL pixel statistics via :func:`decode_image` over Arrow batches:
+    (id, width, height, per-channel means). Undecodable payloads yield
+    NULL stats rather than failing the batch (quarantine-friendly — the
+    ingest convention of scan_jsonl_permissive). Channel means are exact
+    int-sum/count arithmetic in float64, so the values are renderable as
+    oracle SQL when the payload bytes are SQL-reachable."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[content_col]):
+                ids.append(int(i))
+                try:
+                    img = decode_image(bytes(p))
+                    h, w = img.shape[:2]
+                    means = img.reshape(-1, img.shape[-1]).mean(axis=0)
+                    ws.append(w); hs.append(h)
+                    mr.append(float(means[0]))
+                    mg.append(float(means[1]))
+                    mb.append(float(means[2]))
+                except Exception:
+                    ws.append(None); hs.append(None)
+                    mr.append(None); mg.append(None); mb.append(None)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="Int32"),
+                "height": pd.Series(hs, dtype="Int32"),
+                "mean_r": pd.Series(mr, dtype="float64"),
+                "mean_g": pd.Series(mg, dtype="float64"),
+                "mean_b": pd.Series(mb, dtype="float64"),
+            })
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+    return ensure_min_partitions(df.select(id_col, content_col)) \
+        .mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame, id_col: str = "id",

@@ -93,3 +93,61 @@ def test_resize_stub_plumbing(spark):
     assert out[1].content_meta.width == 32 and out[1].content_meta.height == 32
     assert bytes(out[2].content) == b"short"  # under target: untouched
     assert out[3].content is None             # null payload passes through
+
+
+def test_ppm_roundtrip_decodes_exactly():
+    """Pure-numpy P6 decode inverts encode_ppm bit-for-bit, including
+    comment-bearing headers."""
+    import numpy as np
+
+    from mura_spark.multimodal.binary_ops import decode_image, encode_ppm
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    commented = (b"P6\n# a comment\n9 5\n# more\n255\n"
+                 + img.tobytes())
+    assert np.array_equal(decode_image(commented), img)
+
+
+def test_bmp_decode_bottom_up_with_padding():
+    """Uncompressed 24-bit BMP: bottom-up rows, 4-byte row padding, BGR
+    order — decoded against a hand-built reference."""
+    import struct
+
+    import numpy as np
+
+    from mura_spark.multimodal.binary_ops import decode_image
+    rng = np.random.default_rng(11)
+    w, h = 3, 2  # stride = 12 (9 data + 3 pad)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y][:, ::-1].tobytes()  # RGB → BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(rows), 0, 0, 0, 0))
+    assert np.array_equal(decode_image(header + rows), img)
+
+
+def test_image_stats_real_decode_and_quarantine(spark):
+    """image_stats decodes real PPM payloads (exact channel means) and
+    yields NULL stats for undecodable payloads instead of failing."""
+    import numpy as np
+
+    from mura_spark.multimodal.binary_ops import encode_ppm, image_stats
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+            for i in range(3)}
+    rows = [(i, bytearray(encode_ppm(a))) for i, a in imgs.items()]
+    rows.append((99, bytearray(b"\xff\xd8 not decodable jpeg-ish")))
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r for r in image_stats(df).collect()}
+    for i, a in imgs.items():
+        assert (got[i]["width"], got[i]["height"]) == (6, 4)
+        means = a.reshape(-1, 3).mean(axis=0)
+        assert got[i]["mean_r"] == means[0]
+        assert got[i]["mean_g"] == means[1]
+        assert got[i]["mean_b"] == means[2]
+    assert got[99]["width"] is None and got[99]["mean_r"] is None
