@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "sample_temperature_plan",
     "events_rolling_1h_sum",
     "mm_image_stats",
+    "mm_audio_stats",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

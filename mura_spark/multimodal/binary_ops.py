@@ -300,3 +300,105 @@ def frame_sample_plan(df: DataFrame, every_n: int,
         F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("sample_frames", idxs)
+
+
+def _decode_wav(payload: bytes):
+    """REAL decoder for RIFF/WAVE PCM16: pure struct/numpy. Returns
+    (samples int16 ndarray of shape (n, channels), sample_rate)."""
+    import struct
+
+    import numpy as np
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2",
+                            count=len(data) // 2)
+    return samples.reshape(-1, channels), sample_rate
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """(n, channels) int16 array → RIFF/WAVE PCM16 bytes — the
+    test/fixture counterpart of :func:`_decode_wav`."""
+    import struct
+
+    import numpy as np
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    n, channels = a.shape
+    data = a.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+#: Output schema of :func:`audio_stats`.
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("mean_amp", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def audio_stats(df: DataFrame, id_col: str = "id",
+                content_col: str = "content") -> DataFrame:
+    """REAL audio statistics via :func:`_decode_wav` over Arrow batches:
+    per-clip sample count, duration, mean amplitude, RMS (mono mixdown =
+    first channel). Undecodable payloads yield NULL stats (quarantine
+    convention). Arithmetic is exact-int sums with one double division
+    (+ one IEEE sqrt for RMS), so values are oracle-renderable when the
+    payload bytes are SQL-reachable."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "n_samples", "sample_rate",
+                                   "duration_ms", "mean_amp", "rms")}
+            for i, p in zip(pdf[id_col], pdf[content_col]):
+                out["id"].append(int(i))
+                try:
+                    samples, rate = _decode_wav(bytes(p))
+                    ch0 = samples[:, 0].astype("int64")
+                    n = int(ch0.shape[0])
+                    out["n_samples"].append(n)
+                    out["sample_rate"].append(int(rate))
+                    out["duration_ms"].append(n * 1000.0 / rate)
+                    out["mean_amp"].append(float(int(ch0.sum()) / n))
+                    out["rms"].append(
+                        math.sqrt(int((ch0 * ch0).sum()) / n))
+                except Exception:
+                    for k in ("n_samples", "sample_rate", "duration_ms",
+                              "mean_amp", "rms"):
+                        out[k].append(None)
+            yield pd.DataFrame({
+                "id": pd.Series(out["id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="Int32"),
+                "sample_rate": pd.Series(out["sample_rate"],
+                                         dtype="Int32"),
+                "duration_ms": pd.Series(out["duration_ms"],
+                                         dtype="float64"),
+                "mean_amp": pd.Series(out["mean_amp"], dtype="float64"),
+                "rms": pd.Series(out["rms"], dtype="float64"),
+            })
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+    return ensure_min_partitions(df.select(id_col, content_col)) \
+        .mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)

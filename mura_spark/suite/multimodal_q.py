@@ -149,3 +149,42 @@ def mm_image_stats(spark, sf):
                   .alias("content")))
     return (MM.image_stats(d)
             .withColumnRenamed("id", "doc_id"))
+
+
+def _wav_header_48() -> bytes:
+    """RIFF/WAVE PCM16 mono 8 kHz header for a fixed 48-byte data chunk
+    (24 samples) — constant, so it embeds as a binary literal."""
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 48)
+            + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 48))
+
+
+@q("mm_audio_stats",
+   "WITH pxt AS (SELECT doc_id, substr(text, 1, 48) AS px FROM documents "
+   "WHERE n_chars >= 48), "
+   "smp AS (SELECT doc_id, [ascii(px[2*j+1]) + 256 * ascii(px[2*j+2]) "
+   "for j in range(0, 24)] AS s FROM pxt) "
+   "SELECT doc_id, 24 AS n_samples, 8000 AS sample_rate, "
+   "3.0 AS duration_ms, "
+   "CAST(list_sum(s) AS DOUBLE) / 24 AS mean_amp, "
+   "sqrt(CAST(list_sum([x * x for x in s]) AS DOUBLE) / 24) AS rms "
+   "FROM smp")
+def mm_audio_stats(spark, sf):
+    """REAL audio decoding, oracle-pinned: each document's first 48 bytes
+    become a genuine 24-sample mono PCM16 WAV (RIFF header + little-
+    endian samples), decoded by the pure-struct/numpy WAV parser inside
+    Arrow-batched mapInPandas; the oracle rebuilds the samples from
+    character codes (lo + 256·hi, always positive — ASCII high bytes).
+    Mean/RMS are exact-int sums with one double division (+ IEEE sqrt),
+    bit-exact cross-engine (multimodal.binary_ops.audio_stats — no stub
+    in this path)."""
+    d = (table(spark, sf, "documents")
+         .filter(F.col("n_chars") >= 48)
+         .select(F.col("doc_id").alias("id"),
+                 F.concat(F.lit(_wav_header_48()),
+                          F.substring("text", 1, 48).cast("binary"))
+                  .alias("content")))
+    return (MM.audio_stats(d)
+            .withColumnRenamed("id", "doc_id"))

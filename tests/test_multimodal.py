@@ -151,3 +151,32 @@ def test_image_stats_real_decode_and_quarantine(spark):
         assert got[i]["mean_g"] == means[1]
         assert got[i]["mean_b"] == means[2]
     assert got[99]["width"] is None and got[99]["mean_r"] is None
+
+
+def test_wav_roundtrip_and_audio_stats(spark):
+    """Pure-struct WAV decode inverts encode_wav (incl. stereo and odd
+    chunk alignment); audio_stats reproduces exact mean/RMS and
+    quarantines undecodable payloads."""
+    import math
+
+    import numpy as np
+
+    from mura_spark.multimodal.binary_ops import (_decode_wav, audio_stats,
+                                                  encode_wav)
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, size=(25, 1), dtype=np.int16)
+    stereo = rng.integers(-32768, 32768, size=(10, 2), dtype=np.int16)
+    for arr, rate in ((mono, 8000), (stereo, 44100)):
+        got, r = _decode_wav(encode_wav(arr, rate))
+        assert r == rate and np.array_equal(got, arr)
+
+    rows = [(1, bytearray(encode_wav(mono, 8000))),
+            (2, bytearray(b"OggS not a wav"))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r for r in audio_stats(df).collect()}
+    ch0 = mono[:, 0].astype("int64")
+    assert out[1]["n_samples"] == 25
+    assert out[1]["duration_ms"] == 25 * 1000.0 / 8000
+    assert out[1]["mean_amp"] == int(ch0.sum()) / 25
+    assert out[1]["rms"] == math.sqrt(int((ch0 * ch0).sum()) / 25)
+    assert out[2]["n_samples"] is None and out[2]["rms"] is None
