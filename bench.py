@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "events_rolling_1h_sum",
     "mm_image_stats",
     "mm_audio_stats",
+    "mm_video_frame_stats",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

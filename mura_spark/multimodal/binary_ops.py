@@ -402,3 +402,110 @@ def audio_stats(df: DataFrame, id_col: str = "id",
     from mura_spark.sources.parquet import ensure_min_partitions
     return ensure_min_partitions(df.select(id_col, content_col)) \
         .mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
+
+
+def _decode_y4m(payload: bytes):
+    """REAL decoder for YUV4MPEG2 (Y4M) video: pure numpy. Returns
+    (luma_frames uint8 ndarray of shape (n_frames, h, w), width, height).
+    Supports Cmono and C420* colorspaces (chroma planes are skipped —
+    the luma plane is what frame-level statistics and sampling need)."""
+    import numpy as np
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    colorspace = "C420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            colorspace = t
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    if colorspace.startswith("Cmono"):
+        frame_bytes = w * h
+    elif colorspace.startswith("C420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise NotImplementedError(f"colorspace {colorspace} not supported")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        data_start = fnl + 1
+        luma = np.frombuffer(payload, dtype=np.uint8, count=w * h,
+                             offset=data_start).reshape(h, w)
+        frames.append(luma)
+        pos = data_start + frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w),
+                                                    dtype=np.uint8), w, h
+
+
+#: Output schema of :func:`video_frame_stats`.
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_luma", T.DoubleType()),
+])
+
+
+def video_frame_stats(df: DataFrame, stride: int = 1,
+                      id_col: str = "id",
+                      content_col: str = "content") -> DataFrame:
+    """REAL frame sampling + statistics via :func:`_decode_y4m` over
+    Arrow batches: every ``stride``-th frame yields one row
+    (id, frame_idx, width, height, mean_luma) — the decode-side
+    counterpart of the metadata-only ``sample_frames`` planner.
+    Undecodable payloads yield a single NULL-stats row (quarantine
+    convention). Mean luma is an exact int sum over w·h pixels with one
+    double division — oracle-renderable for SQL-reachable bytes."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs, ml = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames, w, h = _decode_y4m(bytes(p))
+                    for j in range(0, frames.shape[0], stride):
+                        ids.append(int(i)); idxs.append(j)
+                        ws.append(w); hs.append(h)
+                        ml.append(int(frames[j].astype("int64").sum())
+                                  / (w * h))
+                except Exception:
+                    ids.append(int(i)); idxs.append(None)
+                    ws.append(None); hs.append(None); ml.append(None)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="Int32"),
+                "width": pd.Series(ws, dtype="Int32"),
+                "height": pd.Series(hs, dtype="Int32"),
+                "mean_luma": pd.Series(ml, dtype="float64"),
+            })
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+    return ensure_min_partitions(df.select(id_col, content_col)) \
+        .mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize for decodable payloads (PPM/BMP/PIL formats):
+    decode → nearest-neighbor resample (integer index mapping — fully
+    deterministic, no filtering kernels) → re-encode as PPM. The
+    format-agnostic pipeline stub (byte-stride) remains in
+    :func:`resize_stub` for undecodable formats."""
+    import numpy as np
+    img = decode_image(payload)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_ppm(img[rows][:, cols])

@@ -61,7 +61,7 @@ _PRIORITY = [
     "parquet_schema_evolution", "events_incremental_totals",
     "sample_split_leak_safe", "profile_documents",
     "sample_temperature_plan", "events_rolling_1h_sum",
-    "mm_image_stats", "mm_audio_stats",
+    "mm_image_stats", "mm_audio_stats", "mm_video_frame_stats",
     # stalest driver rows: green in round 1 only
     "join_cross_small", "setop_union", "setop_intersect", "setop_except",
     "window_topk_per_group", "window_running_sum", "q6_revenue_change",
@@ -73,9 +73,9 @@ _PRIORITY = [
     # sample_stratified, text_tfidf_topterms, pack_train_chunks,
     # pack_train_greedy, csv_roundtrip, sample_split_train,
     # text_repetition, text_scrub_pii, text_quality_filter,
-    # text_fingerprint, text_langid, text_quality — rotated out for the
-    # round-5b additions; all keep their r3 driver-green rows)
-    "text_token_stats",
+    # text_fingerprint, text_langid, text_quality, text_token_stats —
+    # rotated out for the round-5b additions; all keep their r3
+    # driver-green rows)
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

