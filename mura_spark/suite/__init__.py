@@ -31,17 +31,19 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
 
 # Registry order == the order the driver verifies queries in, and the driver
 # checks only the FIRST 50 entries per round. Round-5 rotation (the plan
-# round 4 wrote down, executed): the 9 round-4 additions — local-green but
-# past position 50 in r4, i.e. the only oracled queries with zero driver
-# rows — go first, followed by the 6 round-5 additions (the deterministic
-# companions for the approximate queries + the session_window streaming
-# evidence row). The rest of the window backfills by staleness: the 18
-# queries whose only driver-green row is from round 1, then the oldest
-# round-3 rows. Families re-verified in r4 go last among the oracled
-# entries; the 5 rows-only approximate queries sit at the very end of the
-# registry so the driver's 50-window never reaches them and its output
-# carries no `err: no_oracle` rows (their correctness lives in their new
-# deterministic companions + the pytest recall/error envelopes).
+# round 4 wrote down, executed, then extended with this round's additions):
+# never-driver-verified queries always outrank re-verification — the 9
+# round-4 additions go first, then the round-5 deterministic companions for
+# the approximate queries + streaming evidence, then the 15 round-5b
+# additions (mixing/binning/winsorize/PMI/layouts/incremental/leak-safe
+# split/profiling/temperature/rolling windows/real multimodal decode).
+# The remaining slots backfill by staleness: the 18 queries whose only
+# driver-green row is from round 1. The round-3-verified cohort rotates
+# fully out this round (all keep their r3 driver-green rows); the 5
+# rows-only approximate queries sit at the very end of the registry so the
+# driver's 50-window never reaches them and its output carries no
+# `err: no_oracle` rows (their correctness lives in their deterministic
+# companions + the pytest recall/error envelopes).
 _PRIORITY = [
     # round-4 additions: never driver-verified (sat past position 50 in r4)
     "sample_global_shuffle", "sample_weighted_quality", "sample_k_per_lang",
