@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "mm_image_stats",
     "mm_audio_stats",
     "mm_video_frame_stats",
+    "agg_udaf_gmean",
+    "udtf_ngrams",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -86,4 +86,45 @@ def register_all(spark: SparkSession) -> list[str]:
         names.append(name)
     spark.udf.register("mura_shingles", shingle_text_udf(3))
     names.append("mura_shingles")
+    spark.udf.register("mura_gmean", _gmean_udf())
+    names.append("mura_gmean")
+    spark.udtf.register("mura_ngrams", _ngrams_udtf())
+    names.append("mura_ngrams")
     return names
+
+
+def _gmean_udf():
+    """Arrow-batched grouped-aggregate UDAF (the executable analog of the
+    reference's AggregateFunction shell, logicalplan.rs:72-80, which
+    rejects at typing): geometric mean exp(mean(ln x)) of a positive
+    series. Series→scalar signature ⇒ GROUPED_AGG eval type; usable from
+    both the Column API and SQL GROUP BY once registered."""
+    import numpy as np
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # NOTE: explicit functionType, not signature inference — this module
+    # uses `from __future__ import annotations`, which turns the type
+    # hints into strings that pandas_udf cannot infer an eval type from
+    def _gmean(v):
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    return pandas_udf(_gmean, "double", PandasUDFType.GROUPED_AGG)
+
+
+def _ngrams_udtf():
+    """Python UDTF (table function — the third shell §2.3 names):
+    (pos, ngram) rows of word n-grams, for LATERAL joins in SQL. Row-based
+    Python is the slow path by design — the vectorized pipeline form is
+    functions.text.shingles / the Arrow shingle kernel; this exists for
+    SQL-surface completeness, not the 100 TB hot path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class MuraNgrams:
+        def eval(self, text: str, n: int):
+            toks = " ".join((text or "").lower().split()).split(" ")
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield i, " ".join(toks[i:i + n])
+
+    return MuraNgrams

@@ -64,8 +64,11 @@ _PRIORITY = [
     "sample_split_leak_safe", "profile_documents",
     "sample_temperature_plan", "events_rolling_1h_sum",
     "mm_image_stats", "mm_audio_stats", "mm_video_frame_stats",
-    # stalest driver rows: green in round 1 only
-    "join_cross_small", "setop_union", "setop_intersect", "setop_except",
+    "agg_udaf_gmean", "udtf_ngrams",
+    # stalest driver rows: green in round 1 only (join_cross_small and
+    # setop_union rotate out for the UDAF/UDTF rows; both keep their
+    # r1-green ledger entries)
+    "setop_intersect", "setop_except",
     "window_topk_per_group", "window_running_sum", "q6_revenue_change",
     "q10_returned_items", "q14_promo_share", "q18_large_orders",
     "agg_rollup", "agg_cube", "agg_pivot", "agg_median", "date_functions",

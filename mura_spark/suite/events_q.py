@@ -503,3 +503,24 @@ def events_rolling_1h_sum(spark, sf):
                                            "value")
     return rolling_sum_seconds(ev, "user_id", "ts", "value",
                                3600).drop("ts", "value")
+
+
+@q("agg_udaf_gmean",
+   "SELECT event_type, CAST(floor(exp(avg(ln(CAST(value AS DOUBLE)))) "
+   "* 1000000 + 0.5) AS BIGINT) AS gmean_micro "
+   "FROM events WHERE value > 0 GROUP BY event_type")
+def agg_udaf_gmean(spark, sf):
+    """User-defined AGGREGATE surface (the executable analog of the
+    reference's AggregateFunction shell, logicalplan.rs:72-80): the
+    Arrow-batched grouped-agg pandas UDAF mura_gmean (geometric mean),
+    registered by name and invoked from SQL GROUP BY. Micro-unit output:
+    exp/ln last-ulp is not cross-engine comparable
+    (functions.registry._gmean_udf)."""
+    from mura_spark.functions.registry import register_all
+    register_all(spark)
+    (table(spark, sf, "events").filter(F.col("value") > 0)
+     .createOrReplaceTempView("mura_ev_pos"))
+    return spark.sql(
+        "SELECT event_type, CAST(floor(mura_gmean(CAST(value AS DOUBLE)) "
+        "* 1000000 + 0.5) AS BIGINT) AS gmean_micro "
+        "FROM mura_ev_pos GROUP BY event_type")

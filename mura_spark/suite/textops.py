@@ -488,3 +488,24 @@ def sample_temperature_plan(spark, sf):
     d = table(spark, sf, "documents")
     return temperature_plan(d, "lang", alpha=0.5).select(
         "lang", "n_total", "weight_micro", "bucket_threshold", "n_expected")
+
+
+@q("udtf_ngrams",
+   f"SELECT doc_id, unnest([{{'pos': j, 'ngram': toks[j+1] || ' ' || "
+   f"toks[j+2]}} for j in range(0, greatest(len(toks) - 1, 0))], "
+   f"recursive := true) FROM "
+   f"(SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 50)")
+def udtf_ngrams(spark, sf):
+    """User-defined TABLE-function surface (the third function shell
+    SURVEY.md §2.3 names): the Python UDTF mura_ngrams registered by name
+    and LATERAL-joined in SQL, producing (pos, ngram) rows per document.
+    Row-based Python by design — the vectorized form is the Arrow shingle
+    kernel; this pins the SQL API shape
+    (functions.registry._ngrams_udtf)."""
+    from mura_spark.functions.registry import register_all
+    register_all(spark)
+    (table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+     .createOrReplaceTempView("mura_docs_small"))
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.ngram "
+        "FROM mura_docs_small d, LATERAL mura_ngrams(d.text, 2) t")

@@ -155,3 +155,35 @@ def test_mura_shuffle_key_matches_column_form(spark, sf_dir):
     want = d.select("doc_id", shuffle_key(F.col("doc_id"), 42).alias("k"))
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, want.collect())))
+
+
+def test_registered_udaf_and_udtf(spark, sf_dir):
+    """The named UDAF (mura_gmean) and UDTF (mura_ngrams) work from SQL:
+    gmean equals the numpy reference per group; the lateral UDTF emits
+    exactly the adjacent n-grams of each document."""
+    import numpy as np
+
+    from mura_spark.functions.registry import register_all
+    from mura_spark.suite.common import table
+    names = register_all(spark)
+    assert "mura_gmean" in names and "mura_ngrams" in names
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    ev.createOrReplaceTempView("ev_pos_t")
+    got = {r["event_type"]: r["g"] for r in spark.sql(
+        "SELECT event_type, mura_gmean(CAST(value AS DOUBLE)) AS g "
+        "FROM ev_pos_t GROUP BY event_type").collect()}
+    rows = ev.select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for t, vals in by_type.items():
+        want = float(np.exp(np.log(np.array(vals, dtype="float64")).mean()))
+        assert got[t] == pytest.approx(want, rel=1e-12)
+
+    doc = spark.createDataFrame([(1, "A b  c")], "doc_id long, text string")
+    doc.createOrReplaceTempView("one_doc_t")
+    out = spark.sql("SELECT t.pos, t.ngram FROM one_doc_t d, "
+                    "LATERAL mura_ngrams(d.text, 2) t").collect()
+    assert sorted((r["pos"], r["ngram"]) for r in out) == \
+        [(0, "a b"), (1, "b c")]
