@@ -83,6 +83,15 @@ _PRIORITY = [
     # driver-green rows)
 ]
 
+# ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 comes back green for
+# this window, every oracled query in the registry will have a cumulative
+# driver-green row. Round 6's window should then promote, in order:
+# (1) any round-6 additions (never-verified always outrank), (2) the two
+# r1-only greens displaced this round (join_cross_small, setop_union),
+# (3) the remaining r1-only cohort, (4) the r3 cohort rotated out this
+# round (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
+# tests/test_registry.py enforces (1) mechanically.
+
 #: The approximate/rows-only queries: pinned to the registry tail (see
 #: above). Their driver-facing correctness signal is the deterministic
 #: companion row each gained in round 5.
