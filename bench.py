@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "mm_video_frame_stats",
     "agg_udaf_gmean",
     "udtf_ngrams",
+    "events_winsorize_by_type",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -352,6 +352,36 @@ def quantile_bins(df: DataFrame, col: str, n_bins: int,
               .drop("__bnds"))
 
 
+def winsorize_by_group(df: DataFrame, group: str, col: str,
+                       lo: float = 0.01, hi: float = 0.99,
+                       exact: bool = True) -> DataFrame:
+    """Per-group outlier clipping: append ``{col}_clip`` = ``col`` clamped
+    to ITS GROUP's [``lo``, ``hi``] percentiles — the per-segment form of
+    :func:`winsorize` (every event type / domain has its own scale, so a
+    corpus-global boundary under-clips the hot segments and over-clips
+    the cold ones). NULL metrics stay NULL.
+
+    Scale shape: one reduced percentile aggregation over |groups| rows,
+    broadcast-joined back on the group key — the data rows never shuffle;
+    groups are dimension-sized by assumption (event types, domains).
+    ``exact=False`` switches to ``approx_percentile`` for the 100 TB
+    path, where an exact percentile's per-group value map is the
+    bounded-memory concern.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    c = F.col(col).cast("double")
+    pct = (F.percentile(c, F.array(F.lit(lo), F.lit(hi))) if exact
+           else F.percentile_approx(c, [lo, hi], 10_000))
+    bnds = df.groupBy(group).agg(pct.alias("__bnds"))
+    clipped = F.when(
+        c.isNotNull(),
+        F.least(F.greatest(c, F.col("__bnds")[0]), F.col("__bnds")[1]))
+    return (df.join(F.broadcast(bnds), group)
+              .withColumn(f"{col}_clip", clipped)
+              .drop("__bnds"))
+
+
 def split_column(key: Column, fractions: dict[str, float]) -> Column:
     """The split name for a row, by cumulative hash-bucket ranges — the
     column form of :func:`split_by_hash` (same bucket math, so the two

@@ -64,11 +64,11 @@ _PRIORITY = [
     "sample_split_leak_safe", "profile_documents",
     "sample_temperature_plan", "events_rolling_1h_sum",
     "mm_image_stats", "mm_audio_stats", "mm_video_frame_stats",
-    "agg_udaf_gmean", "udtf_ngrams",
+    "agg_udaf_gmean", "udtf_ngrams", "events_winsorize_by_type",
     # stalest driver rows: green in round 1 only (join_cross_small and
-    # setop_union rotate out for the UDAF/UDTF rows; both keep their
-    # r1-green ledger entries)
-    "setop_intersect", "setop_except",
+    # setop_union rotate out for the UDAF/UDTF rows, setop_intersect for
+    # the grouped winsorize; all keep their r1-green ledger entries)
+    "setop_except",
     "window_topk_per_group", "window_running_sum", "q6_revenue_change",
     "q10_returned_items", "q14_promo_share", "q18_large_orders",
     "agg_rollup", "agg_cube", "agg_pivot", "agg_median", "date_functions",
@@ -86,8 +86,9 @@ _PRIORITY = [
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 comes back green for
 # this window, every oracled query in the registry will have a cumulative
 # driver-green row. Round 6's window should then promote, in order:
-# (1) any round-6 additions (never-verified always outrank), (2) the two
-# r1-only greens displaced this round (join_cross_small, setop_union),
+# (1) any round-6 additions (never-verified always outrank), (2) the
+# r1-only greens displaced this round (join_cross_small, setop_union,
+# setop_intersect),
 # (3) the remaining r1-only cohort, (4) the r3 cohort rotated out this
 # round (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
 # tests/test_registry.py enforces (1) mechanically.

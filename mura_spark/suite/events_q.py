@@ -524,3 +524,23 @@ def agg_udaf_gmean(spark, sf):
         "SELECT event_type, CAST(floor(mura_gmean(CAST(value AS DOUBLE)) "
         "* 1000000 + 0.5) AS BIGINT) AS gmean_micro "
         "FROM mura_ev_pos GROUP BY event_type")
+
+
+@q("events_winsorize_by_type",
+   "WITH b AS (SELECT event_type, "
+   "quantile_cont(CAST(value AS DOUBLE), [0.05, 0.95]) AS bnds "
+   "FROM events GROUP BY event_type) "
+   "SELECT event_id, e.event_type, value, "
+   "least(greatest(CAST(value AS DOUBLE), bnds[1]), bnds[2]) AS value_clip "
+   "FROM events e JOIN b ON e.event_type = b.event_type")
+def events_winsorize_by_type(spark, sf):
+    """Per-segment outlier clipping: each event type clamps to ITS OWN
+    [p05, p95] (global boundaries under-clip hot segments and over-clip
+    cold ones). One reduced percentile aggregation over |types| groups,
+    broadcast back onto the scan — the events themselves never shuffle
+    (operators.sampling.winsorize_by_group; approx_percentile is the
+    same operator's 100 TB path)."""
+    from mura_spark.operators.sampling import winsorize_by_group
+    ev = table(spark, sf, "events").select("event_id", "event_type",
+                                           "value")
+    return winsorize_by_group(ev, "event_type", "value", 0.05, 0.95)

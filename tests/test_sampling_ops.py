@@ -324,3 +324,25 @@ def test_profile_table_survives_hostile_column_names(spark):
     assert set(rows) == {"order count", "it's", "a`b"}
     assert rows["order count"]["n_distinct"] == 5
     assert rows["it's"]["n_distinct"] == 1
+
+
+def test_winsorize_by_group_uses_group_boundaries(spark, sf_dir):
+    """Each group clips to its own percentile band (groups with different
+    scales get different boundaries); NULLs stay NULL; the join side
+    broadcasts (data rows never shuffle)."""
+    from mura_spark.operators.sampling import winsorize_by_group
+    rows = ([("a", float(i)) for i in range(1, 101)]
+            + [("b", float(i * 100)) for i in range(1, 101)]
+            + [("b", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize_by_group(df, "g", "v", 0.10, 0.90).cache()
+    a_max = out.filter(F.col("g") == "a").agg(
+        F.max("v_clip")).first()[0]
+    b_max = out.filter(F.col("g") == "b").agg(
+        F.max("v_clip")).first()[0]
+    assert a_max < 100 and b_max > 1000  # per-group scales respected
+    assert out.filter(F.col("v").isNull()
+                      & F.col("v_clip").isNull()).count() == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    out.unpersist()
