@@ -211,3 +211,33 @@ def rolling_hash(text: Column) -> Column:
     """Order-sensitive 48-bit content hash (normalized text) — the cheap
     exact-dup key."""
     return md5_hash48(normalize(text))
+
+
+def sentence_count(text: Column) -> Column:
+    """Terminator-run count ([.!?]+), floored at 1 — the denominator of
+    every words-per-sentence readability formula (unterminated fragments
+    count as one sentence)."""
+    return F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1))
+
+
+def syllable_count(text: Column) -> Column:
+    """Vowel-group syllable estimate: runs of [aeiouy]+ in the lowercased
+    text. The standard dictionary-free approximation (hyphenation-rule
+    accuracy is not required for corpus-level quality scoring — only
+    monotonicity in polysyllabic density)."""
+    return F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+"))
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch reading ease = 206.835 - 1.015·(words/sentences)
+    - 84.6·(syllables/words), with the vowel-group syllable estimate.
+
+    Per-row IEEE double arithmetic in exactly this association order —
+    deterministic and oracle-comparable (suite/common.py rules). Low
+    scores flag boilerplate/legalese; high scores flag trivial or
+    fragmentary text — both ends are standard pre-training quality cuts.
+    """
+    w = token_count(text).cast("double")
+    s = sentence_count(text).cast("double")
+    syl = syllable_count(text).cast("double")
+    return F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (syl / w)

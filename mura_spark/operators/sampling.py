@@ -456,3 +456,24 @@ def winsorize(df: DataFrame, col: str, lo: float = 0.01,
     return (df.crossJoin(F.broadcast(bnds))
               .withColumn(f"{col}_clip", clipped)
               .drop("__bnds"))
+
+
+def group_kfold(df: DataFrame, group: str, k: int, seed: int = 0) -> Column:
+    """Leakage-safe k-fold assignment: fold = seeded portable hash of the
+    GROUP value mod k, so every row of a group lands in the same fold by
+    construction (no shuffle, no state — the assignment is a pure column).
+
+    This is the distributed version of sklearn's GroupKFold for the
+    cross-validation-split step of a training pipeline: when documents
+    share a provenance key (site, crawl, author), row-level splits leak
+    near-duplicates across folds; group-level hashing cannot. Folds are
+    hash-balanced (≈ equal group counts, not equal row counts — exact
+    row balance would require a global shuffle and breaks the stability
+    property that adding data never moves an existing group's fold).
+
+    Returns the fold COLUMN (int 0..k-1); compose with ``df.withColumn``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    salted = F.concat_ws("|", F.lit(str(seed)), F.col(group).cast("string"))
+    return (md5_hash48(salted) % k).cast("int")

@@ -544,3 +544,31 @@ def events_winsorize_by_type(spark, sf):
     ev = table(spark, sf, "events").select("event_id", "event_type",
                                            "value")
     return winsorize_by_group(ev, "event_type", "value", 0.05, 0.95)
+
+
+def _anomaly_oracle() -> str:
+    from mura_spark.operators.anomaly import sql_group_zscore
+    z = sql_group_zscore("n_events", "PARTITION BY event_type")
+    return (
+        "WITH h AS (SELECT event_type, "
+        "time_bucket(INTERVAL 1 HOUR, ts) AS hour, "
+        "COUNT(*) AS n_events FROM events GROUP BY 1, 2), "
+        f"s AS (SELECT event_type, hour, n_events, {z} AS z FROM h) "
+        "SELECT event_type, hour, n_events, z FROM s WHERE abs(z) > 2.0")
+
+
+@q("events_anomaly_hours", _anomaly_oracle())
+def events_anomaly_hours(spark, sf):
+    """Hourly-volume anomaly detection: hours whose event count deviates
+    from that event type's mean by > 2σ. The z-score runs on exact
+    integer moment sums (operators.anomaly), so the flagged set is
+    deterministic and oracle-hashable. Plan: one groupBy shuffle for the
+    hourly rollup, one window shuffle on event_type for the moments —
+    the window input is already aggregate-sized (hours × types), tiny
+    relative to raw events at any scale."""
+    from mura_spark.operators.anomaly import zscore_outliers
+    ev = table(spark, sf, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.window("ts", "1 hour")["start"].alias("hour"))
+                .agg(F.count(F.lit(1)).alias("n_events")))
+    return zscore_outliers(hourly, ["event_type"], "n_events", 2.0)

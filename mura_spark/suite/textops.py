@@ -509,3 +509,48 @@ def udtf_ngrams(spark, sf):
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.ngram "
         "FROM mura_docs_small d, LATERAL mura_ngrams(d.text, 2) t")
+
+
+@q("text_readability",
+   f"SELECT doc_id, len({_TOKS}) AS n_words, "
+   "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences, "
+   "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables, "
+   "CAST(206.835 AS DOUBLE) "
+   f"- CAST(1.015 AS DOUBLE) * (CAST(len({_TOKS}) AS DOUBLE) "
+   "/ CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)) "
+   "- CAST(84.6 AS DOUBLE) "
+   "* (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) "
+   f"/ CAST(len({_TOKS}) AS DOUBLE)) AS flesch "
+   "FROM documents")
+def text_readability(spark, sf):
+    """Flesch reading ease per document (vowel-group syllable estimate) —
+    the words-per-sentence × syllables-per-word quality cut. Pure per-row
+    JVM regexp arithmetic: no shuffle, whole-stage codegen, scan-bound at
+    any scale."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_words"),
+        TX.sentence_count(F.col("text")).alias("n_sentences"),
+        TX.syllable_count(F.col("text")).alias("n_syllables"),
+        TX.flesch_reading_ease(F.col("text")).alias("flesch"))
+
+
+@q("sample_group_kfold",
+   "SELECT CAST(CAST('0x' || substr(md5('0|' || CAST(source AS VARCHAR)), "
+   "1, 12) AS BIGINT) % 5 AS INT) AS fold, COUNT(*) AS n_docs, "
+   "COUNT(DISTINCT source) AS n_groups, "
+   "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+   "FROM documents GROUP BY 1")
+def sample_group_kfold(spark, sf):
+    """Leakage-safe GroupKFold (k=5, grouped by source): every document of
+    a source lands in the same fold by hashed assignment — no shuffle for
+    the assignment itself; the single groupBy here is just the audit
+    rollup (operators.sampling.group_kfold)."""
+    from mura_spark.operators.sampling import group_kfold
+    d = table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return (d.withColumn("fold", group_kfold(d, "source", 5))
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("source").alias("n_groups"),
+                 F.sum("n_chars").alias("total_chars")))
