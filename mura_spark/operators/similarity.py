@@ -502,3 +502,66 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
                                         F.col("__na"), F.col("__nb"))
                          .alias("sim"))
                  .filter(F.col("sim") >= threshold))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid components: (label, pos, centroid, n).
+
+    posexplode flattens vectors to (label, position, component) rows and
+    one groupBy computes every component mean — a single shuffle keyed on
+    (label, pos), so parallelism is labels × dimensions regardless of
+    corpus size, and AQE coalesces the tiny result.
+
+    Components are summed as nano-fixed-point integers
+    (``floor(x · 1e9)``), NOT via a double→decimal cast: float components
+    are exact binary fractions, so decimal halfway cases really occur
+    (0.1983642578125 rounds HALF_UP in Spark, HALF_EVEN in DuckDB) —
+    whereas double multiply + floor is IEEE-identical everywhere and the
+    integer sum is order-independent. The ≤1e-9 per-component truncation
+    is far below float precision at unit scale. Terms sum in
+    DECIMAL(38,0) so petabyte-sized labels cannot overflow int64.
+
+    The centroid table is the seed for IVF coarse quantizers, per-class
+    mean-shift diagnostics, and nearest-class-mean classification.
+    """
+    ex = df.select(F.col(label_col).alias("label"),
+                   F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    fp = F.floor(F.col("x").cast("double") * F.lit(1e9))
+    return (ex.groupBy("label", F.col("pos").cast("int").alias("pos"))
+              .agg((F.sum(fp.cast("decimal(38,0)")).cast("double")
+                    / F.lit(1e9) / F.count(F.lit(1))).alias("centroid"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+def knn_classify(test_df: DataFrame, train_df: DataFrame, k: int,
+                 id_col: str = "vec_id", label_col: str = "label",
+                 vec_col: str = "embedding") -> DataFrame:
+    """k-nearest-neighbor label prediction: exact cosine top-k of each
+    test vector against the train corpus (same broadcast-probe /
+    partial-topk plan as :func:`topk_bruteforce`), then a majority vote
+    over the k neighbor labels. Vote ties break to the smallest label;
+    neighbor-set ties break on ascending neighbor id — fully
+    deterministic, so the prediction table is oracle-hashable.
+
+    Output: (query_id, true_label, pred_label, votes).
+    """
+    queries = test_df.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias(vec_col))
+    nbrs = topk_bruteforce(queries, train_df, k,
+                           corpus_id=id_col, vec_col=vec_col)
+    labels = train_df.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(label_col).alias("nb_label"))
+    votes = (nbrs.join(F.broadcast(labels), "neighbor_id")
+                 .groupBy("query_id", "nb_label")
+                 .agg(F.count(F.lit(1)).alias("votes")))
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("votes").desc(), F.col("nb_label").asc()))
+    pred = (votes.withColumn("__r", F.row_number().over(w))
+                 .filter(F.col("__r") == 1)
+                 .select("query_id", F.col("nb_label").alias("pred_label"),
+                         "votes"))
+    truth = test_df.select(F.col(id_col).alias("query_id"),
+                           F.col(label_col).alias("true_label"))
+    return (pred.join(F.broadcast(truth), "query_id")
+                .select("query_id", "true_label", "pred_label", "votes"))

@@ -159,3 +159,45 @@ def emb_quantize_roundtrip(spark, sf):
     from mura_spark.functions import vectors as V
     e = table(spark, sf, "embeddings")
     return V.quantize_roundtrip_stats(e, "vec_id", "embedding")
+
+
+@q("emb_label_centroids",
+   "WITH ex AS (SELECT label, "
+   "unnest(list_zip(CAST(embedding AS DOUBLE[]), "
+   "range(0, len(embedding)))) AS z FROM embeddings) "
+   "SELECT label, CAST(z[2] AS INT) AS pos, "
+   "CAST(SUM(CAST(floor(z[1] * 1e9) AS HUGEINT)) AS DOUBLE) / 1e9 "
+   "/ COUNT(*) AS centroid, COUNT(*) AS n FROM ex GROUP BY 1, 2")
+def emb_label_centroids(spark, sf):
+    """Per-label centroid components via posexplode + one (label, pos)
+    groupBy — nano-fixed-point exact component sums (see
+    operators.similarity.label_centroids for why not double→decimal:
+    float components hit real decimal halfway cases and the engines
+    round them differently)."""
+    e = table(spark, sf, "embeddings")
+    return similarity.label_centroids(e)
+
+
+_KNN_COS = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(c.embedding AS DOUBLE[]))")
+
+@q("emb_knn_classify",
+   f"WITH ranked AS (SELECT q.vec_id AS query_id, q.label AS true_label, "
+   f"c.label AS nb_label, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+   f"ORDER BY {_KNN_COS} DESC, c.vec_id ASC) AS rnk "
+   f"FROM embeddings q JOIN embeddings c "
+   f"ON q.vec_id < 50 AND c.vec_id >= 50), "
+   "votes AS (SELECT query_id, true_label, nb_label, COUNT(*) AS votes "
+   "FROM ranked WHERE rnk <= 10 GROUP BY 1, 2, 3) "
+   "SELECT query_id, true_label, nb_label AS pred_label, votes FROM "
+   "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+   "ORDER BY votes DESC, nb_label ASC) AS vr FROM votes) WHERE vr = 1")
+def emb_knn_classify(spark, sf):
+    """Exact cosine 10-NN majority-vote classification: 50 held-out
+    probes against the 450-vector train slice. Broadcast probes, one
+    corpus stream, per-partition partial top-k before the ranking window
+    — the standard label-propagation / quality-classifier primitive."""
+    e = table(spark, sf, "embeddings")
+    test = e.filter(F.col("vec_id") < 50)
+    train = e.filter(F.col("vec_id") >= 50)
+    return similarity.knn_classify(test, train, 10)
