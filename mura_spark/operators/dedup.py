@@ -655,3 +655,60 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                       .alias("hamming"))
              .filter(F.col("hamming") <= hd_max)
              .distinct())
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.9, n: int = 3) -> DataFrame:
+    """Asymmetric near-dup join — *exact* result: all ordered pairs
+    (contained, container) with shingle containment
+    ``|S_c ∩ S_o| / |S_c| ≥ threshold`` (``c`` = contained doc,
+    ``o`` = container, c ≠ o). Catches quote-and-extend, snippet reposts,
+    and doc-in-doc inclusion that symmetric Jaccard scores far below any
+    usable threshold when the container is much larger.
+
+    Blocking mirrors :func:`jaccard_dup_pairs` but prefixes ONLY the
+    contained side: containment ≥ t bounds the intersection from below by
+    ``ceil(t·|S_c|)``, so the AllPairs theorem applies with prefix size
+    ``|S_c| − ceil(t·|S_c|) + 1`` on the contained side while the
+    container side must probe with its full (df≥2-pruned) shingle list —
+    no size bound exists on the container, which is also why there is no
+    length-compatibility filter here. df=1 shingles drop losslessly on
+    both sides (a pair-witness shingle has df ≥ 2; dropping them only
+    advances contained-side prefix positions). Verification is
+    candidate-only: two hash joins to the per-doc arrays, one
+    array_intersect per pair.
+
+    Scale shape: identical to the Jaccard join — shingle kernel pass, one
+    df groupBy, one prefix-bounded equi-join, candidate verification.
+    Rare-first ordering keeps hot shingles out of every contained-side
+    prefix; the container side joins through them but map-side combine on
+    the df groupBy and AQE skew-split bound the damage.
+    Output: (contained_id, container_id, containment).
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    ex = _explode_sets(sets, id_col)
+    from pyspark.sql.window import Window
+    dfreq2 = (ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") >= 2))
+    ex2 = ex.join(dfreq2, "shingle")
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    prefix_len = (F.col("n_shingles")
+                  - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
+    contained = (ex2.withColumn("__pos", F.row_number().over(w))
+                    .filter(F.col("__pos") <= prefix_len)
+                    .select(F.col(id_col).alias("contained_id"), "shingle"))
+    container = ex2.select(F.col(id_col).alias("container_id"), "shingle")
+    cand = (contained.join(container, "shingle")
+                     .filter(F.col("contained_id") != F.col("container_id"))
+                     .select("contained_id", "container_id").distinct())
+    a = sets.select(F.col(id_col).alias("contained_id"),
+                    F.col("shset").alias("__sc"))
+    b = sets.select(F.col(id_col).alias("container_id"),
+                    F.col("shset").alias("__so"))
+    inter = F.size(F.array_intersect("__sc", "__so"))
+    return (cand.join(a.hint("shuffle_hash"), "contained_id")
+                .join(b.hint("shuffle_hash"), "container_id")
+                .select("contained_id", "container_id",
+                        (inter.cast("double") / F.size("__sc"))
+                        .alias("containment"))
+                .filter(F.col("containment") >= threshold))

@@ -417,3 +417,39 @@ def sample_split_leak_safe(spark, sf):
     clusters = dedup.dup_clusters(pairs)
     return split_by_cluster(d.select("doc_id"), "doc_id", clusters,
                             {"train": 0.9, "val": 0.1})
+
+
+@q("dedup_editdist_pairs",
+   "WITH p AS (SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents "
+   "WHERE length(text) >= 64) "
+   "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+   "CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist "
+   "FROM p a JOIN p b ON a.doc_id < b.doc_id "
+   "WHERE levenshtein(a.pfx, b.pfx) <= 8")
+def dedup_editdist_pairs(spark, sf):
+    """Character-level near-dup join: document pairs whose 64-char
+    prefixes are within Levenshtein distance 8 — exact result via the
+    lossless rare-first q-gram AllPairs filter (operators.editdist);
+    brute-force DP oracle."""
+    from mura_spark.operators.editdist import editdist_pairs
+    d = table(spark, sf, "documents")
+    return editdist_pairs(d, "doc_id", "text", max_dist=8,
+                          prefix_len=64, q=3)
+
+
+@q("dedup_containment_pairs",
+   f"{_SH_CTE} "
+   "SELECT contained_id, container_id, "
+   "CAST(inter AS DOUBLE) / lc AS containment FROM "
+   "(SELECT a.doc_id AS contained_id, b.doc_id AS container_id, "
+   "len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS lc "
+   "FROM d a JOIN d b ON a.doc_id <> b.doc_id) "
+   "WHERE CAST(inter AS DOUBLE) / lc >= 0.9")
+def dedup_containment_pairs(spark, sf):
+    """Asymmetric containment join: (contained, container) pairs where
+    ≥ 90% of the contained doc's shingles appear in the container —
+    quote/snippet/doc-in-doc detection symmetric Jaccard misses. Exact
+    via contained-side-only AllPairs prefix (operators.dedup
+    .containment_pairs); brute-force oracle."""
+    d = table(spark, sf, "documents")
+    return dedup.containment_pairs(d, "doc_id", "text", threshold=0.9)
