@@ -105,3 +105,54 @@ def range_join(left: DataFrame, right: DataFrame, on: str, by: str,
                               lhs[by] == rhs[f"{by}{suffix}"]])
                .filter(cond)
                .drop("__bucket"))
+
+
+def _us_bucket(ts: Column, width_us: int) -> Column:
+    """Epoch-microsecond bucket index — exact arithmetic: the modulo
+    subtraction makes the numerator an exact multiple of the width, so
+    the double division is error-free (µs epochs ≈ 1.7e15 are exactly
+    representable; quotients are small integers)."""
+    u = F.unix_micros(ts)
+    return F.floor((u - u % width_us) / F.lit(width_us)).cast("long")
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          bucket: str = "1 hour") -> DataFrame:
+    """All (left, right) interval pairs that overlap in time
+    (closed-interval semantics: ``l_start ≤ r_end AND r_start ≤ l_end``).
+    Column sets of the two inputs must be disjoint; every input column is
+    carried through.
+
+    The inequality pair-predicate becomes a bounded-fanout equi-join:
+    each interval explodes to the time buckets it covers, pairs meet on
+    the bucket key, and a pair is KEPT only in the bucket containing the
+    later of the two start times — each overlapping pair survives in
+    exactly one bucket, so no distinct/dedup shuffle is needed. Same
+    decomposition as Structured Streaming's stream-stream interval-join
+    state layout; fanout per row is interval_length / bucket_width, so
+    ``bucket`` should be chosen near the typical interval length.
+    At 100 TB: one shuffle on the bucket key; co-temporal skew (everyone
+    online at 9am) is bounded by AQE skew-split on that join.
+    """
+    width = _parse_duration_us(bucket)
+    lb = F.explode(F.sequence(_us_bucket(F.col(l_start), width),
+                              _us_bucket(F.col(l_end), width))).alias("__b")
+    rb = F.explode(F.sequence(_us_bucket(F.col(r_start), width),
+                              _us_bucket(F.col(r_end), width))).alias("__b")
+    l2 = left.select("*", lb)
+    r2 = right.select("*", rb)
+    later_start = F.greatest(F.col(l_start), F.col(r_start))
+    keep = (_us_bucket(later_start, width) == F.col("__b"))
+    overlap = ((F.col(l_start) <= F.col(r_end))
+               & (F.col(r_start) <= F.col(l_end)))
+    return l2.join(r2, "__b").filter(keep & overlap).drop("__b")
+
+
+def _parse_duration_us(s: str) -> int:
+    """'1 hour' / '30 minutes' / '90 seconds' → microseconds."""
+    qty, unit = s.split()
+    per = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+           "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(qty) * per * 1_000_000

@@ -572,3 +572,48 @@ def events_anomaly_hours(spark, sf):
                          F.window("ts", "1 hour")["start"].alias("hour"))
                 .agg(F.count(F.lit(1)).alias("n_events")))
     return zscore_outliers(hourly, ["event_type"], "n_events", 2.0)
+
+
+@q("events_session_overlap",
+   "WITH flagged AS (SELECT user_id, ts, event_id, "
+   "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+   "WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+   "AS new_session FROM events "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+   "sess0 AS (SELECT user_id, ts, "
+   "CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+   "AS session_id FROM flagged), "
+   "sess AS (SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e "
+   "FROM sess0 GROUP BY user_id, session_id) "
+   "SELECT a.user_id AS a_user, a.session_id AS a_session, "
+   "b.user_id AS b_user, b.session_id AS b_session, "
+   "epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS overlap_us "
+   "FROM sess a JOIN sess b ON a.user_id % 2 = 0 AND b.user_id % 2 = 1 "
+   "AND a.s <= b.e AND b.s <= a.e")
+def events_session_overlap(spark, sf):
+    """Concurrent-session detection: every (even-user, odd-user) session
+    pair that overlaps in time, with the overlap length in µs. The Spark
+    side routes the inequality predicate through the bucketed
+    interval_overlap_join (operators.asof) — a bounded-fanout equi-join
+    on 1-hour time buckets with single-bucket pair emission (no
+    distinct) — while the oracle states the naive theta join."""
+    from mura_spark.operators.asof import interval_overlap_join
+    ev = table(spark, sf, "events")
+    sess = W.sessionize(ev, gap="30 minutes")
+    a = (sess.filter(F.col("user_id") % 2 == 0)
+             .select(F.col("user_id").alias("a_user"),
+                     F.col("session_id").alias("a_session"),
+                     F.col("session_start").alias("a_start"),
+                     F.col("session_end").alias("a_end")))
+    b = (sess.filter(F.col("user_id") % 2 == 1)
+             .select(F.col("user_id").alias("b_user"),
+                     F.col("session_id").alias("b_session"),
+                     F.col("session_start").alias("b_start"),
+                     F.col("session_end").alias("b_end")))
+    paired = interval_overlap_join(a, b, "a_start", "a_end",
+                                   "b_start", "b_end", bucket="1 hour")
+    overlap = (F.unix_micros(F.least("a_end", "b_end"))
+               - F.unix_micros(F.greatest("a_start", "b_start")))
+    return paired.select("a_user", "a_session", "b_user", "b_session",
+                         overlap.alias("overlap_us"))
