@@ -112,6 +112,16 @@ BENCH_QUERIES = [
     "agg_udaf_gmean",
     "udtf_ngrams",
     "events_winsorize_by_type",
+    "text_readability",
+    "sample_group_kfold",
+    "events_anomaly_hours",
+    "emb_label_centroids",
+    "emb_knn_classify",
+    "dedup_editdist_pairs",
+    "dedup_containment_pairs",
+    "events_session_overlap",
+    "graph_copurchase_degree",
+    "graph_pagerank_parts",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

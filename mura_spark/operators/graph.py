@@ -1,0 +1,130 @@
+"""DataFrame graph analytics: co-occurrence edge derivation, degree
+statistics, and PageRank by power iteration (north-star extension; the
+reference has no join or iteration surface —
+/root/reference/src/planner/queryplanner.rs:51).
+
+Everything is expressed over an **edge DataFrame** ``(src, dst)`` of
+directed edges — the layout that shuffles: each iteration of PageRank is
+one equi-join (ranks → out-edges) plus one groupBy (contributions → dst),
+both keyed on node id, which is exactly the pair of hash shuffles a
+1000-executor cluster does well. No adjacency is ever collected to the
+driver and no per-node Python runs; GraphX/Pregel would materialize the
+same shuffle pattern.
+
+Determinism (which makes PageRank oracle-hashable — rare for an
+iterative float algorithm): per-node contributions ``rank/degree`` are
+per-row IEEE doubles, truncated once to 1e-14 fixed point with
+``floor(x · 1e14)`` — double multiply + floor is IEEE-identical across
+engines — and summed as exact integers (order-independent). A
+double→DECIMAL cast would NOT work here: DuckDB converts doubles to
+decimals through double multiplication, so its low digits diverge from
+exact-expansion rounding (Spark's BigDecimal path) on most values. The
+1e14 scale keeps the largest truncated contribution below 2^53, so the
+product is still exact in double. Each iteration is therefore a pure
+function of the previous one, bit-identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str,
+                       item_col: str) -> DataFrame:
+    """Directed co-occurrence edges: (src, dst) for every ordered pair of
+    distinct items sharing a group (both directions, deduplicated across
+    groups). The classic market-basket / co-purchase graph builder.
+
+    One self-join keyed on the group column; fanout per group is
+    items², so callers should cap pathological group sizes upstream
+    (items-per-order is naturally bounded in order data). The distinct
+    is one shuffle on the edge pair.
+    """
+    a = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src"))
+    b = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("dst"))
+    return (a.join(b, "__g")
+             .filter(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, out_degree) from a directed edge list — one map-side
+    combined groupBy."""
+    return (edges.groupBy(F.col("src").alias("node"))
+                 .agg(F.count(F.lit(1)).alias("out_degree")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Unnormalized PageRank (the GraphX convention:
+    ``rank = (1−d) + d·Σ rank(src)/deg(src)``, ranks start at 1.0) after
+    a fixed number of power iterations. Output: (node, rank).
+
+    Nodes are the distinct edge sources (in a co-occurrence graph every
+    node has out-edges, so there are no dangling nodes to redistribute).
+    Each iteration: join current ranks to the edge list on ``src``
+    (shuffle 1), sum decimal-rounded contributions per ``dst``
+    (shuffle 2), left-join back onto the node set so sink-only iterations
+    keep isolated nodes at the base rank. The loop is driver-side plan
+    construction only — no action runs until the caller consumes the
+    result, and AQE re-plans each iteration's join strategy
+    independently. For many iterations at real scale, checkpoint every
+    few rounds to truncate lineage (same playbook as
+    dedup.dup_clusters); at 3–5 iterations lineage depth is fine.
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = degrees(edges)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    base = F.lit(float(1.0 - damping))
+    for _ in range(iterations):
+        contrib = (edges.join(ranks.withColumnRenamed("node", "src")
+                                   .join(deg.withColumnRenamed("node", "src"),
+                                         "src"),
+                              "src")
+                   .select(F.col("dst").alias("node"),
+                           F.floor(F.col("rank") / F.col("out_degree")
+                                   * F.lit(1e14))
+                           .cast("decimal(38,0)").alias("__c")))
+        summed = (contrib.groupBy("node")
+                         .agg((F.sum("__c").cast("double") / F.lit(1e14))
+                              .alias("__s")))
+        ranks = (nodes.join(summed, "node", "left")
+                      .select("node",
+                              (base + F.lit(damping)
+                               * F.coalesce(F.col("__s"), F.lit(0.0)))
+                              .alias("rank")))
+    return ranks
+
+
+def sql_pagerank(edges_cte: str, iterations: int = 3,
+                 damping: float = 0.85) -> str:
+    """DuckDB rendering of :func:`pagerank` with the iterations unrolled
+    as chained CTEs (standard SQL recursive CTEs cannot re-aggregate per
+    step). ``edges_cte`` must define a relation ``edges(src, dst)``;
+    the result selects (node, rank). Keep in lockstep with the Spark
+    form — same decimal rounding, same association order.
+    """
+    d = repr(float(damping))
+    base = repr(float(1.0 - damping))
+    parts = [edges_cte,
+             "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+             "deg AS (SELECT src AS node, COUNT(*) AS out_degree "
+             "FROM edges GROUP BY 1)",
+             "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"CAST(floor(r.rank / d.out_degree * 1e14) AS HUGEINT) "
+            f"AS contrib FROM edges e JOIN {prev} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.node)")
+        parts.append(
+            f"r{i} AS (SELECT n.node, CAST({base} AS DOUBLE) + "
+            f"CAST({d} AS DOUBLE) * coalesce(CAST(s.s AS DOUBLE) / 1e14, "
+            f"0.0) AS rank FROM nodes n LEFT JOIN "
+            f"(SELECT node, SUM(contrib) AS s FROM c{i} GROUP BY 1) s "
+            f"ON n.node = s.node)")
+        prev = f"r{i}"
+    return ("WITH " + ", ".join(parts)
+            + f" SELECT node, rank FROM {prev}")

@@ -16,6 +16,7 @@ from __future__ import annotations
 from mura_spark.suite import (
     dedup_q,
     events_q,
+    graph_q,
     multimodal_q,
     packing_q,
     relational,
@@ -27,6 +28,7 @@ from mura_spark.suite import (
 )
 
 _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
+            graph_q,
             multimodal_q, relational, tpch_more, tpch_ps]
 
 # Registry order == the order the driver verifies queries in, and the driver
@@ -65,14 +67,20 @@ _PRIORITY = [
     "sample_temperature_plan", "events_rolling_1h_sum",
     "mm_image_stats", "mm_audio_stats", "mm_video_frame_stats",
     "agg_udaf_gmean", "udtf_ngrams", "events_winsorize_by_type",
-    # stalest driver rows: green in round 1 only (join_cross_small and
-    # setop_union rotate out for the UDAF/UDTF rows, setop_intersect for
-    # the grouped winsorize; all keep their r1-green ledger entries)
+    # round-5c additions: readability / leakage-safe folds / anomaly
+    # detection / centroid + kNN embedding analytics / edit-distance +
+    # containment near-dup joins / interval-overlap join / graph
+    # analytics — never driver-verified, so they outrank stale greens
+    "text_readability", "sample_group_kfold", "events_anomaly_hours",
+    "emb_label_centroids", "emb_knn_classify", "dedup_editdist_pairs",
+    "dedup_containment_pairs", "events_session_overlap",
+    "graph_copurchase_degree", "graph_pagerank_parts",
+    # stalest driver rows: green in round 1 only (the ten r1-only greens
+    # displaced by the round-5c additions — window_*, q6/q10/q14/q18,
+    # agg_rollup/cube — keep their r1-green ledger entries and rotate
+    # back in round 6)
     "setop_except",
-    "window_topk_per_group", "window_running_sum", "q6_revenue_change",
-    "q10_returned_items", "q14_promo_share", "q18_large_orders",
-    "agg_rollup", "agg_cube", "agg_pivot", "agg_median", "date_functions",
-    "subquery_scalar", "subquery_exists", "subquery_correlated_scalar",
+    "agg_pivot", "agg_median", "date_functions", "subquery_scalar",
     # next-stalest: green in round 3, untouched since (fills the window;
     # the rest of the r3 cohort — text_heavy_tokens, sample_domain_cap,
     # sample_stratified, text_tfidf_topterms, pack_train_chunks,
@@ -88,7 +96,10 @@ _PRIORITY = [
 # driver-green row. Round 6's window should then promote, in order:
 # (1) any round-6 additions (never-verified always outrank), (2) the
 # r1-only greens displaced this round (join_cross_small, setop_union,
-# setop_intersect),
+# setop_intersect, window_topk_per_group, window_running_sum,
+# q6_revenue_change, q10_returned_items, q14_promo_share,
+# q18_large_orders, agg_rollup, agg_cube, subquery_exists,
+# subquery_correlated_scalar),
 # (3) the remaining r1-only cohort, (4) the r3 cohort rotated out this
 # round (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
 # tests/test_registry.py enforces (1) mechanically.

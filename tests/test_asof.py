@@ -107,3 +107,29 @@ def test_range_join_rejects_bad_bounds(spark):
     with pytest.raises(ValueError):
         range_join(df, df, on="ts", by="k", lower=10, upper=5,
                    bucket_width_seconds=60)
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketed decomposition == naive theta join, each pair exactly once
+    (intervals spanning many buckets must not duplicate)."""
+    import datetime as dt
+    from mura_spark.operators.asof import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    left = [(i, mins(s), mins(e)) for i, (s, e) in enumerate(
+        [(0, 30), (45, 300), (400, 410), (500, 500), (600, 900)])]
+    right = [(j, mins(s), mins(e)) for j, (s, e) in enumerate(
+        [(10, 20), (25, 50), (290, 460), (500, 500), (1000, 1100)])]
+    ldf = spark.createDataFrame(left, ["lid", "ls", "le"])
+    rdf = spark.createDataFrame(right, ["rid", "rs", "re"])
+    got = {(r.lid, r.rid) for r in interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket="1 hour").collect()}
+    rows = interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket="1 hour").collect()
+    assert len(rows) == len(got), "duplicate pair emitted"
+    want = {(i, j) for i, ls, le in left for j, rs, re in right
+            if ls <= re and rs <= le}
+    assert got == want
+    # sanity: the fixture covers sub-bucket, multi-bucket and exact-touch
+    assert (1, 2) in want and (3, 3) in want

@@ -1,0 +1,66 @@
+"""Graph-analytics operator semantics (operators/graph.py): edge
+derivation, degrees, and PageRank pinned against an independent
+pure-Python power iteration with the identical fixed-point truncation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _py_pagerank(edges, iterations=3, damping=0.85):
+    """Independent reference: dict-based power iteration with the same
+    1e-14 fixed-point contribution truncation as the operator."""
+    import math
+    nodes = sorted({s for s, _ in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        acc = {n: 0 for n in nodes}
+        for s, d in edges:
+            if d in acc:
+                acc[d] += math.floor(rank[s] / out[s] * 1e14)
+        rank = {n: (1.0 - damping) + damping * (float(acc[n]) / 1e14)
+                for n in nodes}
+    return rank
+
+
+def test_cooccurrence_edges_and_degrees(spark):
+    from mura_spark.operators.graph import cooccurrence_edges, degrees
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "x")]
+    df = spark.createDataFrame(rows, ["order_id", "item"])
+    edges = cooccurrence_edges(df, "order_id", "item")
+    got = {(r.src, r.dst) for r in edges.collect()}
+    # both directions, dedup'd across orders 1 and 2, singleton order 3
+    # contributes nothing
+    assert got == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+                   ("b", "c"), ("c", "b")}
+    deg = {r.node: r.out_degree for r in degrees(edges).collect()}
+    assert deg == {"a": 2, "b": 2, "c": 2}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from mura_spark.operators.graph import pagerank
+    # star + chain: hub 0 <-> leaves 1..3, chain 3 -> 4 (4 is a sink that
+    # never sources an edge, so it is NOT a node — mirrors the
+    # distinct-src node definition)
+    e = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0), (3, 4)]
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+    want = _py_pagerank(e, iterations=4)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12), n
+    # hub receives from three leaves -> strictly highest rank
+    assert got[0] == max(got.values())
+
+
+def test_pagerank_isolated_source_keeps_base_plus_damped_self(spark):
+    from mura_spark.operators.graph import pagerank
+    # 5 -> 6 only: node 5 sources but never receives -> rank = 1-d
+    edges = spark.createDataFrame([(5, 6)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    assert set(got) == {5}
+    assert got[5] == pytest.approx(0.15, abs=1e-12)

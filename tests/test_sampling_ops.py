@@ -346,3 +346,26 @@ def test_winsorize_by_group_uses_group_boundaries(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     out.unpersist()
+
+
+def test_group_kfold_is_leakage_safe_and_stable(spark):
+    from mura_spark.operators.sampling import group_kfold
+    rows = [(i, f"site{i % 17}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = df.withColumn("fold", group_kfold(df, "source", 5))
+    per_group = (out.groupBy("source")
+                    .agg(F.countDistinct("fold").alias("nf")).collect())
+    assert all(r.nf == 1 for r in per_group), "a group straddles folds"
+    folds = {r.fold for r in out.select("fold").distinct().collect()}
+    assert folds <= set(range(5)) and len(folds) > 1
+    again = {(r.doc_id, r.fold) for r in
+             df.withColumn("fold", group_kfold(df, "source", 5)).collect()}
+    assert again == {(r.doc_id, r.fold) for r in out.collect()}
+
+
+def test_group_kfold_rejects_degenerate_k(spark):
+    import pytest
+    from mura_spark.operators.sampling import group_kfold
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        group_kfold(df, "source", 1)

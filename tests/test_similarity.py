@@ -171,3 +171,27 @@ def test_ivf_lloyd_refinement_recall_and_degenerate_seed(spark, embeddings):
     out = similarity.topk_ivf(qq, same, 3, n_centroids=4,
                               refine_iters=2).collect()
     assert len(out) == 3 and all(r.sim == 1.0 for r in out)
+
+
+def test_label_centroids_exact_mean(spark):
+    from mura_spark.operators.similarity import label_centroids
+    rows = [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, -2.0], 1)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {(r.label, r.pos): (r.centroid, r.n)
+           for r in label_centroids(df).collect()}
+    assert got == {(0, 0): (2.0, 2), (0, 1): (4.0, 2),
+                   (1, 0): (10.0, 1), (1, 1): (-2.0, 1)}
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from mura_spark.operators.similarity import knn_classify
+    # train: two tight clusters on orthogonal axes
+    train = [(10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0), (12, [1.0, 0.05], 0),
+             (13, [0.0, 1.0], 1), (14, [0.1, 0.9], 1)]
+    test = [(1, [0.95, 0.02], 0), (2, [0.05, 1.0], 1)]
+    tr = spark.createDataFrame(train, ["vec_id", "embedding", "label"])
+    te = spark.createDataFrame(test, ["vec_id", "embedding", "label"])
+    got = {r.query_id: (r.true_label, r.pred_label, r.votes)
+           for r in knn_classify(te, tr, 3).collect()}
+    assert got[1] == (0, 0, 3)
+    assert got[2] == (1, 1, 2)  # 2 of the 3 nearest are cluster 1

@@ -337,3 +337,21 @@ def test_remove_boilerplate_preserves_order(spark):
         docs, "doc_id", "text", seg_words=10, min_docs=2).collect()}
     assert out[1].clean_text == f"{S('p')} {S('q')} {S('r')}"
     assert out[1].n_kept_segments == 3
+
+
+def test_readability_orders_simple_before_dense(spark):
+    from mura_spark.functions.text import (flesch_reading_ease,
+                                           sentence_count, syllable_count)
+    rows = [(1, "The cat sat. The dog ran. It was fun."),
+            (2, "Institutional epistemological considerations necessitate "
+                "multidimensional interdisciplinary contextualization.")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        sentence_count(F.col("text")).alias("s"),
+        syllable_count(F.col("text")).alias("syl"),
+        flesch_reading_ease(F.col("text")).alias("f")).collect()}
+    assert out[1].s == 3
+    assert out[2].s == 1  # floor at 1 for the single terminator
+    assert out[1].f > out[2].f  # simple prose scores higher
+    assert out[1].syl < out[2].syl
