@@ -420,21 +420,22 @@ def sample_split_leak_safe(spark, sf):
 
 
 @q("dedup_editdist_pairs",
-   "WITH p AS (SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents "
-   "WHERE length(text) >= 64) "
+   "WITH p AS (SELECT doc_id, substr(text, 1, 128) AS pfx FROM documents "
+   "WHERE length(text) >= 128) "
    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
    "CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist "
    "FROM p a JOIN p b ON a.doc_id < b.doc_id "
    "WHERE levenshtein(a.pfx, b.pfx) <= 8")
 def dedup_editdist_pairs(spark, sf):
-    """Character-level near-dup join: document pairs whose 64-char
-    prefixes are within Levenshtein distance 8 — exact result via the
-    lossless rare-first q-gram AllPairs filter (operators.editdist);
+    """Character-level near-dup join: document pairs whose 128-char
+    prefixes are within Levenshtein distance 8 — exact result via
+    lossless PassJoin segment blocking with the 2-segment match
+    requirement (operators.editdist; 12-char segments make aligned
+    accidental matches rare even in small-vocabulary corpora);
     brute-force DP oracle."""
     from mura_spark.operators.editdist import editdist_pairs
     d = table(spark, sf, "documents")
-    return editdist_pairs(d, "doc_id", "text", max_dist=8,
-                          prefix_len=64, q=3)
+    return editdist_pairs(d, "doc_id", "text", max_dist=8, prefix_len=128)
 
 
 @q("dedup_containment_pairs",

@@ -34,7 +34,7 @@ def test_editdist_pairs_lossless_vs_bruteforce(spark):
     df = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
     got = {(r.id_a, r.id_b): r.dist
            for r in editdist_pairs(df, "doc_id", "text", max_dist=8,
-                                   prefix_len=64, q=3).collect()}
+                                   prefix_len=64).collect()}
     eligible = [(i, t[:64]) for i, t in _CORPUS if len(t) >= 64]
     want = {}
     for (ia, pa), (ib, pb) in itertools.combinations(eligible, 2):
@@ -45,12 +45,29 @@ def test_editdist_pairs_lossless_vs_bruteforce(spark):
     assert got, "fixture must produce at least one pair"
 
 
-def test_editdist_rejects_non_lossless_parameters(spark):
+def test_editdist_rejects_infeasible_segmentation(spark):
     from mura_spark.operators.editdist import editdist_pairs
     df = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
     with pytest.raises(ValueError):
-        editdist_pairs(df, "doc_id", "text", max_dist=30,
-                       prefix_len=64, q=3)
+        # 65 segments cannot each get a char of a 64-char prefix
+        editdist_pairs(df, "doc_id", "text", max_dist=64, prefix_len=64)
+
+
+def test_editdist_wide_threshold_still_lossless(spark):
+    """Large max_dist relative to prefix length (2-char segments) —
+    stresses the shift-window clamping at both string ends."""
+    from mura_spark.operators.editdist import editdist_pairs
+    df = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.dist
+           for r in editdist_pairs(df, "doc_id", "text", max_dist=30,
+                                   prefix_len=64).collect()}
+    eligible = [(i, t[:64]) for i, t in _CORPUS if len(t) >= 64]
+    want = {}
+    for (ia, pa), (ib, pb) in itertools.combinations(eligible, 2):
+        d = _lev(pa, pb)
+        if d <= 30:
+            want[(ia, ib)] = d
+    assert got == want
 
 
 def _shingles(text: str, n: int = 3) -> set:
