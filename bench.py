@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "events_session_overlap",
     "graph_copurchase_degree",
     "graph_pagerank_parts",
+    "emb_kmeans_assign",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

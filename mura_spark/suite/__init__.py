@@ -75,12 +75,13 @@ _PRIORITY = [
     "emb_label_centroids", "emb_knn_classify", "dedup_editdist_pairs",
     "dedup_containment_pairs", "events_session_overlap",
     "graph_copurchase_degree", "graph_pagerank_parts",
+    "emb_kmeans_assign",
     # stalest driver rows: green in round 1 only (the ten r1-only greens
     # displaced by the round-5c additions — window_*, q6/q10/q14/q18,
     # agg_rollup/cube — keep their r1-green ledger entries and rotate
     # back in round 6)
     "setop_except",
-    "agg_pivot", "agg_median", "date_functions", "subquery_scalar",
+    "agg_pivot", "agg_median", "date_functions",
     # next-stalest: green in round 3, untouched since (fills the window;
     # the rest of the r3 cohort — text_heavy_tokens, sample_domain_cap,
     # sample_stratified, text_tfidf_topterms, pack_train_chunks,
@@ -98,8 +99,8 @@ _PRIORITY = [
 # r1-only greens displaced this round (join_cross_small, setop_union,
 # setop_intersect, window_topk_per_group, window_running_sum,
 # q6_revenue_change, q10_returned_items, q14_promo_share,
-# q18_large_orders, agg_rollup, agg_cube, subquery_exists,
-# subquery_correlated_scalar),
+# q18_large_orders, agg_rollup, agg_cube, subquery_scalar,
+# subquery_exists, subquery_correlated_scalar),
 # (3) the remaining r1-only cohort, (4) the r3 cohort rotated out this
 # round (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
 # tests/test_registry.py enforces (1) mechanically.

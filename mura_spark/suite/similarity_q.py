@@ -201,3 +201,21 @@ def emb_knn_classify(spark, sf):
     test = e.filter(F.col("vec_id") < 50)
     train = e.filter(F.col("vec_id") >= 50)
     return similarity.knn_classify(test, train, 10)
+
+
+def _kmeans_oracle():
+    from mura_spark.operators.clustering import sql_kmeans
+    return sql_kmeans(k=8, iterations=2)
+
+
+@q("emb_kmeans_assign", _kmeans_oracle())
+def emb_kmeans_assign(spark, sf):
+    """Deterministic distributed k-means (k=8, 2 Lloyd iterations,
+    k-lowest-id init): cluster assignment + exact fixed-point squared
+    distance per vector. Integer-arithmetic design makes an ITERATIVE
+    clustering algorithm hash-checkable across engines
+    (operators.clustering); per iteration the k-row centroid table
+    broadcasts and only component rows shuffle."""
+    from mura_spark.operators.clustering import kmeans_assign
+    e = table(spark, sf, "embeddings")
+    return kmeans_assign(e, "vec_id", "embedding", k=8, iterations=2)

