@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     "graph_copurchase_degree",
     "graph_pagerank_parts",
     "emb_kmeans_assign",
+    "events_markov_transitions",
+    "events_dedup_replay",
+    "graph_assoc_rules",
+    "emb_pq_codes",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -97,47 +97,101 @@ def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
     raise AssertionError("unreachable")  # pragma: no cover
 
 
+def sql_kmeans_ctes(k: int = 8, iterations: int = 2,
+                    table: str = "embeddings", id_col: str = "vec_id",
+                    vec_expr: str = "embedding",
+                    prefix: str = "") -> tuple[list[str], str]:
+    """CTE blocks for one DuckDB k-means run over ``vec_expr`` (any
+    list-typed SQL expression over ``table``). Returns (cte_list,
+    final_assignment_relation) — the final relation has columns
+    (vid, cluster, d). ``prefix`` namespaces the CTEs so several runs
+    (e.g. product-quantization sub-spaces) compose in one query."""
+    p = prefix
+    dist = ("CAST(list_sum(list_transform(list_zip(q.v, c.v), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
+    parts = [
+        f"{p}q AS (SELECT {id_col} AS vid, "
+        f"list_transform(CAST({vec_expr} AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS v FROM {table})",
+        f"{p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 "
+        f"AS INT) AS cluster, v FROM (SELECT vid, v FROM {p}q "
+        f"ORDER BY vid LIMIT {k}))",
+    ]
+    prev = f"{p}c0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"{p}s{i} AS (SELECT q.vid, c.cluster, {dist} AS d "
+            f"FROM {p}q q CROSS JOIN {prev} c)")
+        parts.append(
+            f"{p}a{i} AS (SELECT vid, cluster, d FROM (SELECT vid, "
+            f"cluster, d, ROW_NUMBER() OVER (PARTITION BY vid "
+            f"ORDER BY d, cluster) AS rn FROM {p}s{i}) WHERE rn = 1)")
+        if i == iterations:
+            break
+        parts.append(
+            f"{p}e{i} AS (SELECT a.cluster, "
+            f"unnest(list_zip(q.v, range(0, len(q.v)))) AS z "
+            f"FROM {p}a{i} a JOIN {p}q q ON a.vid = q.vid)")
+        parts.append(
+            f"{p}u{i} AS (SELECT cluster, CAST(z[2] AS INT) AS pos, "
+            f"CAST(floor(CAST(SUM(z[1]) AS DOUBLE) / COUNT(*)) AS BIGINT) "
+            f"AS c FROM {p}e{i} GROUP BY 1, 2)")
+        parts.append(
+            f"{p}c{i} AS (SELECT cluster, list(c ORDER BY pos) AS v "
+            f"FROM {p}u{i} GROUP BY cluster)")
+        prev = f"{p}c{i}"
+    return parts, f"{p}a{iterations}"
+
+
 def sql_kmeans(k: int = 8, iterations: int = 2,
                table: str = "embeddings", id_col: str = "vec_id",
                vec_col: str = "embedding") -> str:
     """DuckDB rendering of :func:`kmeans_assign`, iterations unrolled as
     chained CTEs — keep in lockstep with the Spark form."""
-    dist = ("CAST(list_sum(list_transform(list_zip(q.v, c.v), "
-            "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
-    parts = [
-        f"q AS (SELECT {id_col} AS vid, "
-        f"list_transform(CAST({vec_col} AS DOUBLE[]), "
-        f"x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS v FROM {table})",
-        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) "
-        f"AS cluster, v FROM (SELECT vid, v FROM q ORDER BY vid "
-        f"LIMIT {k}))",
-    ]
-    prev = "c0"
-    for i in range(1, iterations + 1):
-        parts.append(
-            f"s{i} AS (SELECT q.vid, c.cluster, {dist} AS d "
-            f"FROM q CROSS JOIN {prev} c)")
-        parts.append(
-            f"a{i} AS (SELECT vid, cluster, d FROM (SELECT vid, cluster, "
-            f"d, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cluster) "
-            f"AS rn FROM s{i}) WHERE rn = 1)")
-        if i == iterations:
-            break
-        parts.append(
-            f"e{i} AS (SELECT a.cluster, "
-            f"unnest(list_zip(q.v, range(0, len(q.v)))) AS z "
-            f"FROM a{i} a JOIN q ON a.vid = q.vid)")
-        parts.append(
-            f"u{i} AS (SELECT cluster, CAST(z[2] AS INT) AS pos, "
-            f"CAST(floor(CAST(SUM(z[1]) AS DOUBLE) / COUNT(*)) AS BIGINT) "
-            f"AS c FROM e{i} GROUP BY 1, 2)")
-        parts.append(
-            f"c{i} AS (SELECT cluster, list(c ORDER BY pos) AS v "
-            f"FROM u{i} GROUP BY cluster)")
-        prev = f"c{i}"
+    parts, final = sql_kmeans_ctes(k, iterations, table, id_col, vec_col)
     return ("WITH " + ", ".join(parts)
-            + f" SELECT vid AS {id_col}, cluster, d AS dist "
-            f"FROM a{iterations}")
+            + f" SELECT vid AS {id_col}, cluster, d AS dist FROM {final}")
+
+
+def pq_codes(df: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_subspaces: int = 2,
+             dim: int = 64, k: int = 8,
+             iterations: int = 2) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``n_subspaces`` contiguous sub-vectors, train an independent
+    deterministic k-means codebook per sub-space (:func:`kmeans_assign`),
+    and emit each vector's code word per sub-space plus the total
+    quantization distortion. Output:
+    (id, code_0..code_{m-1}: int, qdist: bigint).
+
+    PQ is the standard memory-compression layer under large-scale ANN
+    (Jégou et al., TPAMI'11 — public literature): m codes of log2(k)
+    bits replace the full vector in the index. Because the codebooks
+    come from the integer k-means, the whole encoder is deterministic
+    and oracle-hashable — unusual for PQ, and exactly what a
+    reproducible data pipeline wants. Each sub-space trains
+    independently: m broadcast-join pipelines over the same scan,
+    joined back on the id at the end (m is tiny; the joins are
+    id-keyed hash joins on assignment-sized tables).
+    """
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    width = dim // n_subspaces
+    out = None
+    dist_total = None
+    for s in range(n_subspaces):
+        sliced = df.select(F.col(id_col),
+                           F.slice(F.col(vec_col), s * width + 1, width)
+                            .alias("__sub"))
+        assign = (kmeans_assign(sliced, id_col, "__sub", k, iterations)
+                  .select(F.col(id_col),
+                          F.col("cluster").alias(f"code_{s}"),
+                          F.col("dist").alias(f"__d{s}")))
+        out = assign if out is None else out.join(assign, id_col)
+        d = F.col(f"__d{s}")
+        dist_total = d if dist_total is None else dist_total + d
+    return out.select(id_col, *[f"code_{s}" for s in range(n_subspaces)],
+                      dist_total.alias("qdist"))
 
 
 def semantic_blocked_pairs(df: DataFrame, id_col: str, vec_col: str,

@@ -19,6 +19,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel_steps(events: DataFrame, user_col: str, type_col: str,
@@ -101,3 +102,29 @@ def retention_cohorts(events: DataFrame, user_col: str, ts_col: str,
                          F.col("cohort_week").cast("date")) / 7).cast("int")
     return (joined.groupBy("cohort_week", offset.alias("week_offset"))
             .agg(F.count_distinct(F.col(user_col)).alias("n_users")))
+
+
+def transition_matrix(events: DataFrame, user_col: str, type_col: str,
+                      ts_col: str, tiebreak: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (src_type, dst_type, n_trans, prob) where ``prob`` is the
+    row-normalized transition probability out of ``src_type``.
+
+    One window shuffle on the user key for the lag, one groupBy on the
+    (src, dst) pair, and the row normalizer is a window over src_type —
+    aggregate-sized input, so the normalization never touches raw events
+    again. Counts are exact integers; ``prob`` is a single int/int double
+    division (deterministic, oracle-hashable). ``tiebreak`` (a unique
+    event id) makes the sequence order total. The standard user-behavior
+    / session-modeling primitive.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    trans = (events.select(F.lag(type_col).over(w).alias("src_type"),
+                           F.col(type_col).alias("dst_type"))
+                   .filter(F.col("src_type").isNotNull()))
+    counts = (trans.groupBy("src_type", "dst_type")
+                   .agg(F.count(F.lit(1)).alias("n_trans")))
+    total = F.sum("n_trans").over(Window.partitionBy("src_type"))
+    return counts.select(
+        "src_type", "dst_type", "n_trans",
+        (F.col("n_trans").cast("double") / total).alias("prob"))

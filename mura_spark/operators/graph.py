@@ -151,3 +151,45 @@ def sql_pagerank(edges_cte: str, iterations: int = 3,
         prev = f"r{i}"
     return ("WITH " + ", ".join(parts)
             + f" SELECT node, rank FROM {prev}")
+
+
+def association_rules(df: DataFrame, group_col: str, item_col: str,
+                      min_support: int = 3) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows:
+    (item_a, item_b, supp_pair, confidence, lift) for every ordered pair
+    co-occurring in ≥ ``min_support`` baskets, where
+    ``confidence = P(b | a)`` and ``lift = P(a,b) / (P(a)·P(b))``.
+
+    Pair supports come from the same bounded-fanout basket self-join as
+    :func:`cooccurrence_edges`; item supports are one groupBy; the basket
+    total rides along as a broadcast single-row crossJoin (no driver
+    action, no scalar collect). All counts are exact integers and the
+    two ratios are fixed-association double divisions — deterministic
+    and oracle-hashable. The min_support filter applies BEFORE the
+    support joins, so rare-pair noise never reaches them.
+    """
+    base = df.select(F.col(group_col).alias("__g"),
+                     F.col(item_col).alias("__i")).distinct()
+    supp_item = (base.groupBy(F.col("__i"))
+                     .agg(F.count(F.lit(1)).alias("supp")))
+    a = base.select("__g", F.col("__i").alias("item_a"))
+    b = base.select("__g", F.col("__i").alias("item_b"))
+    pairs = (a.join(b, "__g")
+              .filter(F.col("item_a") != F.col("item_b"))
+              .groupBy("item_a", "item_b")
+              .agg(F.count(F.lit(1)).alias("supp_pair"))
+              .filter(F.col("supp_pair") >= min_support))
+    totals = base.agg(F.countDistinct("__g").alias("__total"))
+    sa = supp_item.select(F.col("__i").alias("item_a"),
+                          F.col("supp").alias("__sa"))
+    sb = supp_item.select(F.col("__i").alias("item_b"),
+                          F.col("supp").alias("__sb"))
+    return (pairs.join(F.broadcast(sa), "item_a")
+                 .join(F.broadcast(sb), "item_b")
+                 .crossJoin(F.broadcast(totals))
+                 .select("item_a", "item_b", "supp_pair",
+                         (F.col("supp_pair").cast("double") / F.col("__sa"))
+                         .alias("confidence"),
+                         (F.col("supp_pair").cast("double")
+                          * F.col("__total") / F.col("__sa")
+                          / F.col("__sb")).alias("lift")))

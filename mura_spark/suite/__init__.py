@@ -76,20 +76,13 @@ _PRIORITY = [
     "dedup_containment_pairs", "events_session_overlap",
     "graph_copurchase_degree", "graph_pagerank_parts",
     "emb_kmeans_assign",
-    # stalest driver rows: green in round 1 only (the ten r1-only greens
-    # displaced by the round-5c additions — window_*, q6/q10/q14/q18,
-    # agg_rollup/cube — keep their r1-green ledger entries and rotate
-    # back in round 6)
-    "setop_except",
-    "agg_pivot", "agg_median", "date_functions",
-    # next-stalest: green in round 3, untouched since (fills the window;
-    # the rest of the r3 cohort — text_heavy_tokens, sample_domain_cap,
-    # sample_stratified, text_tfidf_topterms, pack_train_chunks,
-    # pack_train_greedy, csv_roundtrip, sample_split_train,
-    # text_repetition, text_scrub_pii, text_quality_filter,
-    # text_fingerprint, text_langid, text_quality, text_token_stats —
-    # rotated out for the round-5b additions; all keep their r3
-    # driver-green rows)
+    # round-5f additions: Markov transitions, streaming-dedup replay
+    # evidence, association rules, PQ encoding — never driver-verified
+    "events_markov_transitions", "events_dedup_replay",
+    "graph_assoc_rules", "emb_pq_codes",
+    # (the window is now exactly the 50 round-4/5 additions: every one
+    # of the 14 stale-but-green r1/r3 rows displaced this round keeps
+    # its ledger entry and rotates back in round 6 — see the plan below)
 ]
 
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 comes back green for
@@ -100,7 +93,8 @@ _PRIORITY = [
 # setop_intersect, window_topk_per_group, window_running_sum,
 # q6_revenue_change, q10_returned_items, q14_promo_share,
 # q18_large_orders, agg_rollup, agg_cube, subquery_scalar,
-# subquery_exists, subquery_correlated_scalar),
+# subquery_exists, subquery_correlated_scalar, setop_except, agg_pivot,
+# agg_median, date_functions),
 # (3) the remaining r1-only cohort, (4) the r3 cohort rotated out this
 # round (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
 # tests/test_registry.py enforces (1) mechanically.

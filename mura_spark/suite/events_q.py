@@ -617,3 +617,44 @@ def events_session_overlap(spark, sf):
                - F.unix_micros(F.greatest("a_start", "b_start")))
     return paired.select("a_user", "a_session", "b_user", "b_session",
                          overlap.alias("overlap_us"))
+
+
+@q("events_markov_transitions",
+   "WITH t AS (SELECT lag(event_type) OVER "
+   "(PARTITION BY user_id ORDER BY ts, event_id) AS src_type, "
+   "event_type AS dst_type FROM events), "
+   "c AS (SELECT src_type, dst_type, COUNT(*) AS n_trans FROM t "
+   "WHERE src_type IS NOT NULL GROUP BY 1, 2) "
+   "SELECT src_type, dst_type, n_trans, "
+   "CAST(n_trans AS DOUBLE) / SUM(n_trans) OVER "
+   "(PARTITION BY src_type) AS prob FROM c")
+def events_markov_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    sequences (operators.funnel.transition_matrix) — exact counts, one
+    user-keyed window + one pair groupBy; the normalizer runs over the
+    aggregate, never the raw events."""
+    from mura_spark.operators.funnel import transition_matrix
+    ev = table(spark, sf, "events")
+    return transition_matrix(ev, "user_id", "event_type", "ts", "event_id")
+
+
+@q("events_dedup_replay",
+   f"SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value "
+   "FROM events GROUP BY 1")
+def events_dedup_replay(spark, sf):
+    """Driver-visible streaming-dedup evidence: replays the corpus with
+    a duplicated slice (every 7th event re-delivered, simulating an
+    at-least-once source), routes it through
+    streaming.stateful.dedup_events_stream — the ACTUAL streaming
+    operator, whose batch mode is the same dropDuplicates contract the
+    watermarked stream enforces within its delay — and aggregates. The
+    oracle is the clean corpus: if the dedup ever under- or over-drops,
+    this row hash-breaks."""
+    from mura_spark.streaming.stateful import dedup_events_stream
+    ev = table(spark, sf, "events")
+    replay = ev.unionAll(ev.filter(F.col("event_id") % 7 == 0))
+    clean = dedup_events_stream(replay, keys=["event_id"])
+    return (clean.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col("value").cast("decimal(18,2)"))
+                       .cast("double").alias("total_value")))

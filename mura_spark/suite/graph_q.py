@@ -57,3 +57,28 @@ def graph_pagerank_parts(spark, sf):
     keyed on node id — the scalable Pregel shuffle pattern with no
     driver-side state."""
     return graph.pagerank(_copurchase_edges(spark, sf), iterations=3)
+
+
+@q("graph_assoc_rules",
+   "WITH base AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i "
+   "FROM lineitem), "
+   "supp AS (SELECT i, COUNT(*) AS s FROM base GROUP BY 1), "
+   "pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS supp_pair "
+   "FROM base a JOIN base b ON a.g = b.g AND a.i <> b.i "
+   "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+   "tot AS (SELECT COUNT(DISTINCT g) AS total FROM base) "
+   "SELECT item_a, item_b, supp_pair, "
+   "CAST(supp_pair AS DOUBLE) / sa.s AS confidence, "
+   "CAST(supp_pair AS DOUBLE) * tot.total / sa.s / sb.s AS lift "
+   "FROM pairs, tot "
+   "JOIN supp sa ON pairs.item_a = sa.i "
+   "JOIN supp sb ON pairs.item_b = sb.i")
+def graph_assoc_rules(spark, sf):
+    """Market-basket association rules (confidence + lift) over order
+    baskets, min pair-support 3 (operators.graph.association_rules) —
+    bounded-fanout basket self-join, broadcast item supports, exact
+    integer counts with deterministic ratio arithmetic."""
+    from mura_spark.operators.graph import association_rules
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return (association_rules(li, "l_orderkey", "l_partkey", min_support=3)
+            .withColumnRenamed("item_a", "item_a"))

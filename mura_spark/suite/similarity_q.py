@@ -219,3 +219,27 @@ def emb_kmeans_assign(spark, sf):
     from mura_spark.operators.clustering import kmeans_assign
     e = table(spark, sf, "embeddings")
     return kmeans_assign(e, "vec_id", "embedding", k=8, iterations=2)
+
+
+def _pq_oracle():
+    from mura_spark.operators.clustering import sql_kmeans_ctes
+    c0, f0 = sql_kmeans_ctes(k=8, iterations=2, vec_expr="embedding[1:32]",
+                             prefix="p0")
+    c1, f1 = sql_kmeans_ctes(k=8, iterations=2, vec_expr="embedding[33:64]",
+                             prefix="p1")
+    return ("WITH " + ", ".join(c0 + c1)
+            + f" SELECT a.vid AS vec_id, a.cluster AS code_0, "
+            f"b.cluster AS code_1, a.d + b.d AS qdist "
+            f"FROM {f0} a JOIN {f1} b ON a.vid = b.vid")
+
+
+@q("emb_pq_codes", _pq_oracle())
+def emb_pq_codes(spark, sf):
+    """Product-quantization encoding (2 sub-spaces × 8 codes, trained by
+    the deterministic integer k-means): per-vector code words + total
+    distortion, hash-checked end-to-end — codebook training AND encoding
+    (operators.clustering.pq_codes)."""
+    from mura_spark.operators.clustering import pq_codes
+    e = table(spark, sf, "embeddings")
+    return pq_codes(e, "vec_id", "embedding", n_subspaces=2, dim=64,
+                    k=8, iterations=2)

@@ -133,3 +133,29 @@ def test_funnel_plan_shuffles_users_not_events(spark, log):
                         ["view", "click", "buy"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "collect_list" not in plan and "Window" not in plan
+
+
+def test_transition_matrix_counts_and_rows_sum_to_one(spark):
+    import datetime as dt
+    from mura_spark.operators.funnel import transition_matrix
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [  # user 1: a->b->a ; user 2: a->b
+        (1, 1, t(0), "a"), (2, 1, t(1), "b"), (3, 1, t(2), "a"),
+        (4, 2, t(0), "a"), (5, 2, t(1), "b")]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts",
+                                      "event_type"])
+    got = {(r.src_type, r.dst_type): (r.n_trans, r.prob)
+           for r in transition_matrix(df, "user_id", "event_type",
+                                      "ts", "event_id").collect()}
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_transition_matrix_never_crosses_users(spark):
+    import datetime as dt
+    from mura_spark.operators.funnel import transition_matrix
+    rows = [(1, 1, dt.datetime(2024, 1, 1), "x"),
+            (2, 2, dt.datetime(2024, 1, 2), "y")]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts",
+                                      "event_type"])
+    assert transition_matrix(df, "user_id", "event_type", "ts",
+                             "event_id").count() == 0

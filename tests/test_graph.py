@@ -64,3 +64,30 @@ def test_pagerank_isolated_source_keeps_base_plus_damped_self(spark):
     got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
     assert set(got) == {5}
     assert got[5] == pytest.approx(0.15, abs=1e-12)
+
+
+def test_association_rules_match_hand_computation(spark):
+    from mura_spark.operators.graph import association_rules
+    # baskets: {a,b,c}, {a,b}, {a,c}, {b,c}, {a,b}
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "b"), (4, "c"), (5, "a"), (5, "b")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {(r.item_a, r.item_b): (r.supp_pair, round(r.confidence, 10),
+                                  round(r.lift, 10))
+           for r in association_rules(df, "basket", "item",
+                                      min_support=3).collect()}
+    # supp: a=4, b=4, c=3, total=5; pair ab=3 (baskets 1,2,5)
+    assert got[("a", "b")] == (3, round(3 / 4, 10), round(3 * 5 / 16, 10))
+    assert got[("b", "a")] == (3, round(3 / 4, 10), round(3 * 5 / 16, 10))
+    assert ("a", "c") not in got  # supp 2 < min_support 3
+
+
+def test_pq_codes_partition_invariant_and_complete(spark, embeddings):
+    from mura_spark.operators.clustering import pq_codes
+    a = {(r.vec_id, r.code_0, r.code_1, r.qdist) for r in
+         pq_codes(embeddings).collect()}
+    b = {(r.vec_id, r.code_0, r.code_1, r.qdist) for r in
+         pq_codes(embeddings.repartition(5)).collect()}
+    assert a == b
+    assert len(a) == embeddings.count()
+    assert all(0 <= c0 < 8 and 0 <= c1 < 8 for _, c0, c1, _ in a)
