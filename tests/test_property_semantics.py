@@ -170,3 +170,62 @@ def test_pack_greedy_matches_reference(spark, sizes, budget):
     got = {r.doc_id: (r.shard, r.seq_id, r.seq_fill) for r in
            pack_greedy(df, "doc_id", "sz", budget, n_shards=4).collect()}
     assert got == reference()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_editdist_passjoin_is_lossless_under_random_edit_scripts(
+        spark, data):
+    """PassJoin segment blocking must find EVERY pair within the distance
+    budget — generate base strings over a tiny alphabet (maximizing
+    accidental collisions) plus mutants built by random ≤ d edit scripts,
+    and compare against the O(n²) DP reference."""
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from mura_spark.operators.editdist import editdist_pairs
+
+    L, d = 32, 5
+    alpha = "ab"
+    bases = data.draw(st.lists(
+        st.text(alphabet=alpha, min_size=L, max_size=L + 8),
+        min_size=2, max_size=4))
+    corpus = list(bases)
+    for b in bases:
+        ops = data.draw(st.lists(
+            st.tuples(st.sampled_from("ids"),
+                      st.integers(0, L - 1),
+                      st.sampled_from(alpha)),
+            min_size=0, max_size=d))
+        s = b
+        for kind, pos, ch in ops:
+            pos = min(pos, max(len(s) - 1, 0))
+            if kind == "i":
+                s = s[:pos] + ch + s[pos:]
+            elif kind == "d" and s:
+                s = s[:pos] + s[pos + 1:]
+            else:
+                s = s[:pos] + ch + s[pos + 1:]
+        corpus.append(s)
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.dist
+           for r in editdist_pairs(df, "doc_id", "text", max_dist=d,
+                                   prefix_len=L).collect()}
+    eligible = [(i, t[:L]) for i, t in rows if len(t) >= L]
+    want = {}
+    for (ia, pa), (ib, pb) in itertools.combinations(eligible, 2):
+        dd = lev(pa, pb)
+        if dd <= d:
+            want[(ia, ib)] = dd
+    assert got == want
