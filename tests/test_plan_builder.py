@@ -194,3 +194,30 @@ def test_tpch_remaining_plan_shapes(spark, sf_dir):
     pushed = [l for l in q19.splitlines() if "PushedFilters" in l]
     assert any("p_brand" in l and "Or(" in l for l in pushed)
     assert any("l_quantity" in l and "Or(" in l for l in pushed)
+
+
+def test_round5_analytics_plan_shapes(spark, sf_dir):
+    """Plan discipline for the round-5 analytics widening: the
+    edit-distance candidate stage is an EQUI-join (nested loops appear
+    only against the constant offset grids), the anomaly detector is
+    exactly its two designed shuffles (hourly rollup + moments window),
+    and k-means never sort-merges — the k-row centroid table always
+    broadcasts."""
+    from mura_spark.suite import SPARK_QUERIES
+
+    ed = _formatted_plan(SPARK_QUERIES["dedup_editdist_pairs"](spark,
+                                                               sf_dir))
+    assert "levenshtein" in ed
+    # candidate join on (seg_id, piece) is hash/merge machinery
+    assert ("SortMergeJoin" in ed) or ("ShuffledHashJoin" in ed) \
+        or ("BroadcastHashJoin" in ed)
+    # nested loops only for the ≤(d+r)(2d+1)-row broadcast grids
+    assert ed.count("BroadcastNestedLoopJoin") <= 4
+
+    an = _formatted_plan(SPARK_QUERIES["events_anomaly_hours"](spark,
+                                                               sf_dir))
+    assert an.count("hashpartitioning(") == 2
+
+    km = _formatted_plan(SPARK_QUERIES["emb_kmeans_assign"](spark, sf_dir))
+    assert "SortMergeJoin" not in km
+    assert "BroadcastNestedLoopJoin" in km  # centroids broadcast
