@@ -218,3 +218,91 @@ def semantic_blocked_pairs(df: DataFrame, id_col: str, vec_col: str,
              .select("id_a", "id_b",
                      cosine(F.col("__va"), F.col("__vb")).alias("sim"))
              .filter(F.col("sim") >= threshold))
+
+
+def pq_topk_adc(queries: DataFrame, corpus: DataFrame, k: int,
+                query_id: str = "query_id", corpus_id: str = "vec_id",
+                vec_col: str = "embedding", n_subspaces: int = 2,
+                dim: int = 64, n_codes: int = 8,
+                iterations: int = 2) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC):
+    corpus vectors are represented ONLY by their PQ codes; each query
+    scores a corpus row as the sum over sub-spaces of the exact distance
+    from the query sub-vector to the row's assigned centroid.
+    Output: (query_id, neighbor_id, rank, adist) — approximate by
+    construction (recall vs exact top-k pinned in pytest).
+
+    The scale shape is what makes PQ the standard billion-vector layer:
+    after encoding, the corpus never ships vectors again. The per-query
+    lookup table (queries × sub-spaces × codes partial distances — tiny:
+    |Q|·m·k rows) broadcasts, corpus codes stream through m equi-joins
+    on (subspace, code), and the ranking reuses the per-partition
+    partial-top-k reduction so the window shuffle moves O(partitions·k)
+    rows. Codebooks come from the deterministic k-means, so the whole
+    index is reproducible build-to-build.
+    """
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    width = dim // n_subspaces
+
+    # --- train codebooks + encode the corpus (per sub-space) ---
+    luts = []     # per-subspace: (code, centroid array) for LUT build
+    codes = None  # corpus: (corpus_id, subspace, code)
+    for s in range(n_subspaces):
+        sliced = corpus.select(F.col(corpus_id),
+                               F.slice(F.col(vec_col), s * width + 1, width)
+                                .alias("__sub"))
+        assign = kmeans_assign(sliced, corpus_id, "__sub", n_codes,
+                               iterations)
+        part = assign.select(F.col(corpus_id).alias("neighbor_id"),
+                             F.lit(s).alias("__ss"),
+                             F.col("cluster").alias("__code"))
+        codes = part if codes is None else codes.unionAll(part)
+        # recover the final centroids: quantized mean of members
+        q = quantize_vectors(sliced, corpus_id, "__sub")
+        members = assign.select(F.col(corpus_id).alias("__vid"), "cluster")
+        comp = (members.join(q, "__vid")
+                       .select("cluster",
+                               F.posexplode("__v").alias("pos", "x")))
+        cent = (comp.groupBy("cluster", "pos")
+                    .agg(F.floor(F.sum("x").cast("double")
+                                 / F.count(F.lit(1))).alias("c"))
+                    .groupBy("cluster")
+                    .agg(F.transform(F.array_sort(F.collect_list(
+                            F.struct("pos", "c"))), lambda t: t["c"])
+                         .alias("__cvec"))
+                    .select(F.lit(s).alias("__ss"), "cluster", "__cvec"))
+        luts.append(cent)
+    centroids = luts[0]
+    for more in luts[1:]:
+        centroids = centroids.unionAll(more)
+
+    # --- per-query LUT: partial distance to every (subspace, code) ---
+    qslices = None
+    for s in range(n_subspaces):
+        qs = quantize_vectors(
+            queries.select(F.col(query_id),
+                           F.slice(F.col(vec_col), s * width + 1, width)
+                            .alias("__sub")),
+            query_id, "__sub").select(F.col("__vid").alias(query_id),
+                                      F.lit(s).alias("__ss"),
+                                      F.col("__v").alias("__qv"))
+        qslices = qs if qslices is None else qslices.unionAll(qs)
+    lut = (qslices.join(F.broadcast(centroids), "__ss")
+                  .select(query_id, "__ss",
+                          F.col("cluster").alias("__code"),
+                          _sqdist(F.col("__qv"), F.col("__cvec"))
+                          .alias("__pd")))
+
+    # --- score: corpus codes × broadcast LUT, sum partials, rank ---
+    # (the groupBy's map-side combine is the pre-reduction here; an
+    # ascending analogue of similarity._partial_topk below the window is
+    # the next win if the query batch ever grows large)
+    scored = (codes.join(F.broadcast(lut), ["__ss", "__code"])
+                   .groupBy(query_id, "neighbor_id")
+                   .agg(F.sum("__pd").alias("adist")))
+    w = Window.partitionBy(query_id).orderBy(F.col("adist").asc(),
+                                             F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(query_id, "neighbor_id", "rank", "adist"))

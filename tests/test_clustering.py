@@ -56,3 +56,50 @@ def test_semantic_blocked_recall_vs_exact(spark, embeddings):
     if exact:
         recall = len(blocked & exact) / len(exact)
         assert recall >= 0.8, f"recall {recall} ({len(exact)} true pairs)"
+
+
+def test_pq_adc_topk_recall_vs_exact(spark, embeddings):
+    """ADC search over PQ codes: top-10 by asymmetric distance must
+    recover most of the exact L2 top-10 (4 sub-spaces × 16 codes here;
+    the coarser 2×8 default measured ~0.4 mean recall — codebook
+    resolution, not a bug — so the test uses a production-shaped code
+    layout). On this near-random synthetic corpus the measured mean
+    recall is ~0.5; the envelope is a regression tripwire, not a quality
+    claim. The result must also be complete, deterministic, and
+    properly ranked."""
+    from mura_spark.operators.clustering import pq_topk_adc
+    from pyspark.sql import functions as F
+
+    queries = (embeddings.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = pq_topk_adc(queries, embeddings, 10, n_subspaces=4,
+                      n_codes=16).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id,
+                                                r.adist))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, 11))
+        dists = [r[2] for r in rows]
+        assert dists == sorted(dists)
+        # self-match: the query is in the corpus; its own code cell is
+        # distance-minimal, so the query id must appear in its own top-10
+        assert qid in {r[1] for r in rows}
+
+    # recall vs exact L2 top-10 (computed via numpy on the driver —
+    # test-only oracle)
+    import numpy as np
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    recalls = []
+    for qid in range(5):
+        qv = mat[ids == qid][0]
+        d2 = ((mat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        exact = set(ids[order][:10].tolist())
+        approx = {r[1] for r in by_q[qid]}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
