@@ -127,6 +127,12 @@ BENCH_QUERIES = [
     "events_dedup_replay",
     "graph_assoc_rules",
     "emb_pq_codes",
+    "search_bm25_topk",
+    "search_rrf_fusion",
+    "graph_triangle_counts",
+    "stats_corr_lineitem",
+    "text_simpson_by_lang",
+    "text_tvd_by_source",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -60,3 +60,51 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     return (stacked.select("col_name", "n_rows", "n_nonnull", "n_distinct",
                            "min_str", "max_str")
                    .orderBy("col_name"))
+
+
+def corr_pairs(df, cols, scale: int = 2):
+    """Pairwise Pearson correlation matrix (long form) over numeric
+    columns carrying ≤ ``scale`` decimals: ``(col_x, col_y, corr_micro)``
+    for every unordered pair, ``corr_micro = ⌊ρ·10⁶ + ½⌋``.
+
+    Built from exact decimal moments, NOT ``F.corr``: the streaming
+    co-moment aggregate is partition-order-dependent in its low bits,
+    so its raw double is not reproducible run-to-run, let alone across
+    engines. Here every moment (Σx, Σx², Σxy) is an exact DECIMAL sum —
+    order-independent — and ρ = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)·
+    (n·Σy²−(Σy)²)) is then one fixed double expression over those exact
+    inputs (÷ and √ are IEEE correctly-rounded, unlike ln/exp), so the
+    result is bit-identical everywhere and oracle-hashable.
+
+    Scale: ALL moments for all pairs ride in ONE aggregation over one
+    scan (k columns → k(k−1)/2 + 2k running sums — fine for the ≤ tens
+    of columns a profiling pass covers); output is one row per pair,
+    assembled driver-free via an explode over a literal pair array.
+    """
+    from pyspark.sql import functions as F
+    if len(cols) < 2:
+        raise ValueError("need at least two columns to correlate")
+    dec = f"decimal(18,{scale})"
+    prod = lambda a, b: F.sum(F.col(a).cast(dec) * F.col(b).cast(dec))  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"__s_{c}"))
+        aggs.append(prod(c, c).alias(f"__q_{c}"))
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1:]]
+    for x, y in pairs:
+        aggs.append(prod(x, y).alias(f"__p_{x}_{y}"))
+    m = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+    rows = []
+    for x, y in pairs:
+        sx, sy = F.col(f"__s_{x}").cast("double"), F.col(f"__s_{y}").cast("double")
+        qx, qy = F.col(f"__q_{x}").cast("double"), F.col(f"__q_{y}").cast("double")
+        pxy = F.col(f"__p_{x}_{y}").cast("double")
+        rho = ((n * pxy - sx * sy)
+               / F.sqrt((n * qx - sx * sx) * (n * qy - sy * sy)))
+        rows.append(F.struct(
+            F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
+            F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+             .alias("corr_micro")))
+    return (m.select(F.explode(F.array(*rows)).alias("__r"))
+             .select("__r.col_x", "__r.col_y", "__r.corr_micro"))

@@ -14,6 +14,7 @@ sorts columns by name before hashing).
 from __future__ import annotations
 
 from mura_spark.suite import (
+    analytics_q,
     dedup_q,
     events_q,
     graph_q,
@@ -28,7 +29,7 @@ from mura_spark.suite import (
 )
 
 _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
-            graph_q,
+            graph_q, analytics_q,
             multimodal_q, relational, tpch_more, tpch_ps]
 
 # Registry order == the order the driver verifies queries in, and the driver
@@ -86,18 +87,31 @@ _PRIORITY = [
 ]
 
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 comes back green for
-# this window, every oracled query in the registry will have a cumulative
-# driver-green row. Round 6's window should then promote, in order:
-# (1) any round-6 additions (never-verified always outrank), (2) the
-# r1-only greens displaced this round (join_cross_small, setop_union,
-# setop_intersect, window_topk_per_group, window_running_sum,
-# q6_revenue_change, q10_returned_items, q14_promo_share,
-# q18_large_orders, agg_rollup, agg_cube, subquery_scalar,
-# subquery_exists, subquery_correlated_scalar, setop_except, agg_pivot,
-# agg_median, date_functions),
+# this window, every query except the 6 round-5g additions below will
+# have a cumulative driver-green row. Round 6's window must promote, in
+# order: (1) the round-5g additions queued in _NEXT_WINDOW (the window
+# was already full of never-verified queries when they landed, so they
+# sit at positions 51-56 — the driver's window overflow, bounded to one
+# round), plus any round-6 additions, (2) the r1-only greens displaced
+# this round (join_cross_small, setop_union, setop_intersect,
+# window_topk_per_group, window_running_sum, q6_revenue_change,
+# q10_returned_items, q14_promo_share, q18_large_orders, agg_rollup,
+# agg_cube, subquery_scalar, subquery_exists,
+# subquery_correlated_scalar, setop_except, agg_pivot, agg_median,
+# date_functions),
 # (3) the remaining r1-only cohort, (4) the r3 cohort rotated out this
 # round (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
 # tests/test_registry.py enforces (1) mechanically.
+
+#: Queries landed AFTER the 50-slot window was already full of
+#: never-verified entries: first in line for round 6's window (positions
+#: 51+ now). All are locally oracle-green; this is the driver-window
+#: overflow the rotation tests bound to exactly one round.
+_NEXT_WINDOW = [
+    # round-5g: retrieval / graph-structure / profiling / corpus analytics
+    "search_bm25_topk", "search_rrf_fusion", "graph_triangle_counts",
+    "stats_corr_lineitem", "text_simpson_by_lang", "text_tvd_by_source",
+]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see
 #: above). Their driver-facing correctness signal is the deterministic
@@ -116,7 +130,7 @@ for _m in _MODULES:
         SPARK_QUERIES[_name] = _fn
     ORACLE_SQL.update(_m.ORACLE_SQL)
 
-_missing_priority = [n for n in _PRIORITY + _ROWS_ONLY_TAIL
+_missing_priority = [n for n in _PRIORITY + _NEXT_WINDOW + _ROWS_ONLY_TAIL
                      if n not in SPARK_QUERIES]
 if _missing_priority:
     raise ValueError(f"priority query not in registry: {_missing_priority}")
@@ -124,9 +138,9 @@ if len(_PRIORITY) != 50:
     raise ValueError(f"driver window must hold exactly 50 queries, "
                      f"got {len(_PRIORITY)}")
 _tail = set(_ROWS_ONLY_TAIL)
-_front = set(_PRIORITY)
+_front = set(_PRIORITY) | set(_NEXT_WINDOW)
 SPARK_QUERIES = {
-    **{n: SPARK_QUERIES[n] for n in _PRIORITY},
+    **{n: SPARK_QUERIES[n] for n in _PRIORITY + _NEXT_WINDOW},
     **{n: f for n, f in SPARK_QUERIES.items()
        if n not in _front and n not in _tail},
     **{n: SPARK_QUERIES[n] for n in _ROWS_ONLY_TAIL}}

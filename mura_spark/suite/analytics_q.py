@@ -1,0 +1,239 @@
+"""Round-5g analytics queries: full-text retrieval (BM25, rank fusion),
+graph structure mining (degree-ordered triangle counting), exact-moment
+correlation profiling, and corpus diversity/divergence.
+
+All six are oracled (hash-comparable): the log-scored retrieval queries
+quantize per-term scores to integer micro-units BEFORE any aggregation
+(JVM ``Math.log`` vs libm ``ln`` differ in the last ulp), and everything
+else is exact integer/decimal arithmetic combined with only
+IEEE-correctly-rounded operations (+,−,×,/,√) — see the operator
+modules' docstrings for the determinism arguments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mura_spark.suite.common import sql_tokens, table
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+_TOKS = sql_tokens("text")
+
+# ---------------------------------------------------------------- retrieval
+
+_BM25_TERMS = ["hash", "join", "vector"]
+_FUSE_TERMS = ["filter", "scan"]
+
+
+def _sql_bm25(terms: list[str], k: int) -> str:
+    """DuckDB rendering of operators.search.bm25_topk — expression tree
+    mirrored subexpression-for-subexpression (association order changes
+    double low bits; the per-term floor then absorbs only ulp-level libm
+    drift, not reordering)."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+        "lens AS (SELECT doc_id, len(tk) AS dl FROM toks), "
+        "stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot "
+        "FROM lens), "
+        "tok AS (SELECT doc_id, unnest(tk) AS term FROM toks), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM tok "
+        f"WHERE term IN ({in_list}) GROUP BY 1, 2), "
+        "dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1), "
+        "scored AS (SELECT tf.doc_id, CAST(floor("
+        "ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5)) * CAST(tfc AS DOUBLE) "
+        "* 2.2 / (CAST(tfc AS DOUBLE) + 1.2 * (0.25 + "
+        "(0.75 * CAST(dl AS DOUBLE)) "
+        "/ (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS s "
+        "FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) "
+        "CROSS JOIN stats), "
+        "total AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_micro "
+        "FROM scored GROUP BY 1) "
+        "SELECT doc_id, score_micro, CAST(ROW_NUMBER() OVER (ORDER BY "
+        "score_micro DESC, doc_id ASC) AS INT) AS rank FROM total "
+        f"ORDER BY score_micro DESC, doc_id ASC LIMIT {k}")
+
+
+@q("search_bm25_topk", _sql_bm25(_BM25_TERMS, 10))
+def search_bm25_topk(spark, sf):
+    """Top-10 documents for the query {hash, join, vector} under BM25
+    (k1=1.2, b=0.75). Query-term filter runs BEFORE the tf shuffle; the
+    final top-k is TakeOrderedAndProject, not a global window — see
+    operators.search.bm25_topk for the full 100 TB plan shape."""
+    from mura_spark.operators.search import bm25_topk
+    d = table(spark, sf, "documents")
+    return bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+@q("search_rrf_fusion",
+   "WITH bm AS (" + _sql_bm25(_FUSE_TERMS, 20) + "), "
+   "ln_rank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+   "n_chars DESC, doc_id ASC) AS INT) AS rank FROM documents "
+   "ORDER BY n_chars DESC, doc_id ASC LIMIT 20), "
+   "contrib AS ("
+   "SELECT doc_id, CAST(floor(1000000.0 / (60.0 + CAST(rank AS DOUBLE)) "
+   "+ 0.5) AS BIGINT) AS c FROM bm "
+   "UNION ALL SELECT doc_id, CAST(floor(1000000.0 / "
+   "(60.0 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS c FROM ln_rank), "
+   "total AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro "
+   "FROM contrib GROUP BY 1) "
+   "SELECT doc_id, rrf_micro, CAST(ROW_NUMBER() OVER (ORDER BY "
+   "rrf_micro DESC, doc_id ASC) AS INT) AS rank FROM total "
+   "ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10")
+def search_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion (k0=60) of two top-20 rankings — BM25
+    relevance for {filter, scan} fused with a document-length prior —
+    the standard way multi-retriever curation merges candidate lists.
+    Per-ranking reciprocals quantize per row, then fuse by exact integer
+    sum (operators.search.rrf_fuse)."""
+    from mura_spark.operators.search import _rank_topk, bm25_topk, rrf_fuse
+    d = table(spark, sf, "documents")
+    bm = bm25_topk(d, "doc_id", "text", _FUSE_TERMS, k=20)
+    by_len = _rank_topk(d.select("doc_id", "n_chars"),
+                        "doc_id", "n_chars", 20)
+    return rrf_fuse([bm, by_len], "doc_id", k=10)
+
+
+# ------------------------------------------------------------------- graph
+
+_SUPPORTED_EDGES_CTE = (
+    "base AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i "
+    "FROM lineitem), "
+    "und AS (SELECT a.i AS a, b.i AS b FROM base a JOIN base b "
+    "ON a.g = b.g AND a.i < b.i GROUP BY 1, 2 HAVING COUNT(*) >= 2)")
+
+
+@q("graph_triangle_counts",
+   f"WITH {_SUPPORTED_EDGES_CTE}, "
+   "deg AS (SELECT node, COUNT(*) AS dg FROM (SELECT a AS node FROM und "
+   "UNION ALL SELECT b AS node FROM und) GROUP BY 1), "
+   "keyed AS (SELECT a, b, da.dg AS dga, db.dg AS dgb FROM und "
+   "JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node), "
+   "oriented AS (SELECT "
+   "CASE WHEN (dga, a) < (dgb, b) THEN a ELSE b END AS u, "
+   "CASE WHEN (dga, a) < (dgb, b) THEN b ELSE a END AS v, "
+   "CASE WHEN (dga, a) < (dgb, b) THEN dgb ELSE dga END AS dv "
+   "FROM keyed), "
+   "wedges AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w "
+   "FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u "
+   "AND (e1.dv, e1.v) < (e2.dv, e2.v)), "
+   "tri AS (SELECT wedges.u AS u, wedges.v AS v, wedges.w AS w "
+   "FROM wedges JOIN oriented o ON wedges.v = o.u AND wedges.w = o.v), "
+   "corners AS (SELECT unnest([u, v, w]) AS node FROM tri) "
+   "SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY 1")
+def graph_triangle_counts(spark, sf):
+    """Per-part triangle counts over the support-≥2 co-purchase graph —
+    degree-ordered (compact-forward) orientation bounds the wedge join at
+    O(|E|^1.5) regardless of hub skew; the (degree, id) total order makes
+    the whole computation deterministic (operators.graph.triangle_counts)."""
+    from mura_spark.operators.graph import (cooccurrence_edges_supported,
+                                            triangle_counts)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges_supported(li, "l_orderkey", "l_partkey",
+                                         min_support=2)
+    return triangle_counts(edges)
+
+
+# ----------------------------------------------------------------- profiling
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _sql_corr() -> str:
+    cols = _CORR_COLS
+    d = lambda c: f"CAST({c} AS DECIMAL(18,2))"  # noqa: E731
+    moments = ["COUNT(*) AS n"]
+    for c in cols:
+        moments.append(f"SUM({d(c)}) AS s_{c}")
+        moments.append(f"SUM({d(c)} * {d(c)}) AS q_{c}")
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1:]]
+    for x, y in pairs:
+        moments.append(f"SUM({d(x)} * {d(y)}) AS p_{x}_{y}")
+    selects = []
+    for x, y in pairs:
+        rho = (f"(CAST(n AS DOUBLE) * CAST(p_{x}_{y} AS DOUBLE) "
+               f"- CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE)) "
+               f"/ sqrt((CAST(n AS DOUBLE) * CAST(q_{x} AS DOUBLE) "
+               f"- CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE)) "
+               f"* (CAST(n AS DOUBLE) * CAST(q_{y} AS DOUBLE) "
+               f"- CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE)))")
+        selects.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+            f"CAST(floor({rho} * 1000000.0 + 0.5) AS BIGINT) "
+            "AS corr_micro FROM m")
+    return ("WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem) "
+            + " UNION ALL ".join(selects))
+
+
+@q("stats_corr_lineitem", _sql_corr())
+def stats_corr_lineitem(spark, sf):
+    """Pearson correlation matrix over lineitem's numeric measures from
+    exact decimal moments in ONE scan — F.corr's streaming co-moments are
+    partition-order-dependent in their low bits and not reproducible
+    (operators.profile.corr_pairs has the full argument)."""
+    from mura_spark.operators.profile import corr_pairs
+    li = table(spark, sf, "lineitem")
+    return corr_pairs(li, _CORR_COLS, scale=2)
+
+
+# ------------------------------------------------------------------ corpus
+
+@q("text_simpson_by_lang",
+   f"WITH tok AS (SELECT lang, unnest({_TOKS}) AS term FROM documents), "
+   "cnt AS (SELECT lang, term, COUNT(*) AS c FROM tok GROUP BY 1, 2), "
+   "per AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+   "SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2 "
+   "FROM cnt GROUP BY 1) "
+   "SELECT lang, n_tokens, CAST(floor((1.0 - CAST(s2 AS DOUBLE) "
+   "/ (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS simpson_micro FROM per")
+def text_simpson_by_lang(spark, sf):
+    """Per-language Simpson lexical diversity (probability two random
+    tokens differ) — the boilerplate-collapse monitor. Exact integer
+    counts only; squares in DECIMAL(38,0) because a 100 TB slice's token
+    count squared overflows int64 (operators.corpus.simpson_diversity)."""
+    from mura_spark.operators.corpus import simpson_diversity
+    d = table(spark, sf, "documents")
+    return simpson_diversity(d, "lang", "text")
+
+
+@q("text_tvd_by_source",
+   f"WITH tok AS (SELECT source, unnest({_TOKS}) AS term FROM documents), "
+   "cnt AS (SELECT source AS grp, term, COUNT(*) AS c FROM tok "
+   "GROUP BY 1, 2), "
+   "g AS (SELECT term, CAST(SUM(c) AS BIGINT) AS gc FROM cnt GROUP BY 1), "
+   "tg AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS tgc FROM cnt GROUP BY 1), "
+   "t AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM cnt), "
+   "j AS (SELECT grp, c, gc, tgc, tc FROM cnt JOIN g USING (term) "
+   "JOIN tg USING (grp) CROSS JOIN t), "
+   "inside AS (SELECT grp, SUM(abs(CAST(c AS DECIMAL(19,0)) "
+   "* CAST(tc AS DECIMAL(19,0)) - CAST(gc AS DECIMAL(19,0)) "
+   "* CAST(tgc AS DECIMAL(19,0)))) AS s_in, "
+   "CAST(SUM(gc) AS BIGINT) AS c_in, ANY_VALUE(tgc) AS tgc, "
+   "ANY_VALUE(tc) AS tc FROM j GROUP BY 1) "
+   "SELECT grp AS source, CAST(floor(CAST(s_in + CAST(tc - c_in "
+   "AS DECIMAL(19,0)) * CAST(tgc AS DECIMAL(19,0)) AS DOUBLE) "
+   "/ (2.0 * CAST(tgc AS DOUBLE) * CAST(tc AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS tvd_micro FROM inside")
+def text_tvd_by_source(spark, sf):
+    """Per-source total-variation distance from the corpus unigram
+    distribution — the new-source drift monitor. Exact over the common
+    denominator T_s·T, with the absent-term mass closed in O(1) per
+    group instead of a full-vocabulary outer join
+    (operators.corpus.total_variation)."""
+    from mura_spark.operators.corpus import total_variation
+    d = table(spark, sf, "documents")
+    return total_variation(d, "source", "text")

@@ -1,0 +1,181 @@
+"""Semantic tests for the round-5g analytics operators (BM25, RRF,
+triangle counting, exact-moment correlation, diversity/divergence) on
+hand-built inputs with independently computable answers. Cross-engine
+value equality is pinned separately by the oracle sweep."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ BM25
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Sequential BM25 (id -> score_micro) mirroring the operator's
+    quantize-then-sum contract."""
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    out = {}
+    for i, t in toks.items():
+        s = 0
+        for q in sorted(set(terms)):
+            tf = t.count(q)
+            if not tf or not df[q]:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            val = (idf * tf * (k1 + 1.0)
+                   / (tf + k1 * ((1.0 - b) + b * len(t) / avgdl)))
+            s += math.floor(val * 1e6 + 0.5)
+        if s:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_sequential_reference(spark):
+    from mura_spark.operators.search import bm25_topk
+    docs = {
+        1: "spark shuffle join hash join",
+        2: "join once",
+        3: "hash hash hash hash hash table",
+        4: "nothing relevant here at all",
+        5: "join hash join hash",
+    }
+    df = spark.createDataFrame([(i, t) for i, t in docs.items()],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["score_micro"]
+           for r in bm25_topk(df, "doc_id", "text",
+                              ["join", "hash"], k=10).collect()}
+    assert got == _bm25_ref(docs, ["join", "hash"])
+
+
+def test_bm25_rank_is_dense_and_tiebroken(spark):
+    from mura_spark.operators.search import bm25_topk
+    df = spark.createDataFrame(
+        [(i, "same words every time") for i in range(8)],
+        "doc_id long, text string")
+    rows = bm25_topk(df, "doc_id", "text", ["same"], k=5).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # identical scores -> id ascending decides
+    assert [r["doc_id"] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_bm25_rejects_bad_args(spark):
+    from mura_spark.operators.search import bm25_topk
+    df = spark.range(1).select(F.col("id").alias("doc_id"),
+                               F.lit("x").alias("text"))
+    with pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", [], k=3)
+    with pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", ["x"], k=0)
+
+
+# ------------------------------------------------------------------- RRF
+
+def test_rrf_rewards_agreement(spark):
+    from mura_spark.operators.search import rrf_fuse
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (10, 2), (99, 3)],
+                              "doc_id long, rank int")
+    rows = rrf_fuse([a, b], "doc_id", k=4).collect()
+    got = {r["doc_id"]: (r["rrf_micro"], r["rank"]) for r in rows}
+    c = lambda rk: math.floor(1e6 / (60.0 + rk) + 0.5)  # noqa: E731
+    assert got[10][0] == c(1) + c(2)
+    assert got[20][0] == c(2) + c(1)
+    assert got[30][0] == c(3)  # absent from b contributes nothing
+    # 10 and 20 tie exactly -> id tiebreak; both above single-list docs
+    assert got[10][1] == 1 and got[20][1] == 2
+
+
+# ------------------------------------------------------- triangle counting
+
+def _tri(spark, edges):
+    from mura_spark.operators.graph import triangle_counts
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()}
+
+
+def test_triangles_k4_and_square(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert _tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert _tri(spark, square) == {}
+
+
+def test_triangles_hub_star_plus_one_closure(spark):
+    # star around 0 (no triangles) + one closing edge 1-2 (one triangle)
+    star = [(0, i) for i in range(1, 30)]
+    assert _tri(spark, star + [(1, 2)]) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_direction_and_duplicate_invariant(spark):
+    # same triangle presented with mixed directions and duplicates
+    e = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (0, 2)]
+    assert _tri(spark, e) == {0: 1, 1: 1, 2: 1}
+
+
+# ------------------------------------------------------------- correlation
+
+def test_corr_pairs_matches_numpy(spark):
+    import numpy as np
+    from mura_spark.operators.profile import corr_pairs
+    rng = np.random.RandomState(7)
+    x = np.round(rng.uniform(0, 100, 500), 2)
+    y = np.round(x * 0.5 + rng.uniform(0, 10, 500), 2)
+    z = np.round(rng.uniform(0, 100, 500), 2)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double")
+    got = {(r["col_x"], r["col_y"]): r["corr_micro"]
+           for r in corr_pairs(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    for (a, b), micro in got.items():
+        ref = np.corrcoef({"x": x, "y": y, "z": z}[a],
+                          {"x": x, "y": y, "z": z}[b])[0, 1]
+        assert abs(micro / 1e6 - ref) < 2e-6, (a, b)
+    assert got[("x", "y")] > 900_000  # strongly correlated by construction
+
+
+def test_corr_pairs_perfect_and_anti(spark):
+    from mura_spark.operators.profile import corr_pairs
+    rows = [(float(i), float(2 * i), float(-3 * i)) for i in range(1, 50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_x"], r["col_y"]): r["corr_micro"]
+           for r in corr_pairs(df, ["a", "b", "c"]).collect()}
+    assert got[("a", "b")] == 1_000_000
+    assert got[("a", "c")] == -1_000_000
+
+
+# ------------------------------------------------------ diversity / TVD
+
+def test_simpson_extremes(spark):
+    from mura_spark.operators.corpus import simpson_diversity
+    df = spark.createDataFrame(
+        [("mono", "aaa aaa aaa aaa"),
+         ("uni", "a b c d")],
+        "grp string, text string")
+    got = {r["grp"]: (r["n_tokens"], r["simpson_micro"])
+           for r in simpson_diversity(df, "grp", "text").collect()}
+    assert got["mono"] == (4, 0)           # one token type -> diversity 0
+    assert got["uni"] == (4, 750_000)      # 1 - 4*(1/4)^2 = 0.75
+
+
+def test_tvd_identical_and_disjoint(spark):
+    from mura_spark.operators.corpus import total_variation
+    # two groups with identical distributions -> each at TVD 0 from corpus
+    df = spark.createDataFrame(
+        [("g1", "a a b"), ("g2", "a a b")], "grp string, text string")
+    got = {r["grp"]: r["tvd_micro"]
+           for r in total_variation(df, "grp", "text").collect()}
+    assert got == {"g1": 0, "g2": 0}
+    # disjoint vocabularies, equal sizes: p_g puts 1 on own half, corpus
+    # splits 1/2 each -> TVD = 1/2
+    df2 = spark.createDataFrame(
+        [("g1", "a a a a"), ("g2", "b b b b")], "grp string, text string")
+    got2 = {r["grp"]: r["tvd_micro"]
+            for r in total_variation(df2, "grp", "text").collect()}
+    assert got2 == {"g1": 500_000, "g2": 500_000}

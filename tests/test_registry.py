@@ -49,15 +49,28 @@ def test_driver_window_is_fully_oracled():
 def test_rotation_debt_bounded_to_one_round():
     """Any oracled query the driver has NEVER verified green must sit inside
     the current window — i.e. new queries are promoted the round after they
-    land, never parked past position 50 for a second round."""
+    land, never parked past position 50 for a second round.
+
+    One round can also add MORE than 50 never-verified queries; the driver
+    physically cannot absorb that in one pass, so overflow is legal iff
+    (a) the window itself is 100% never-verified (no slot is wasted on
+    re-verification while debt waits) and (b) the overflow sits contiguously
+    at positions 51+ — first in line for the next round's window."""
     reg, oracles = _registry()
     green = _driver_green()
     window = set(reg[:DRIVER_WINDOW])
     debt = [n for n in reg
             if n in oracles and n not in green and n not in window]
-    assert not debt, (
-        f"oracled queries with no driver-green row parked outside the "
-        f"window: {debt}")
+    if not debt:
+        return
+    wasted = [n for n in reg[:DRIVER_WINDOW] if n in green]
+    assert not wasted, (
+        f"never-verified queries parked outside the window ({debt[:5]}...) "
+        f"while window slots re-verify already-green queries: {wasted}")
+    overflow_tail = reg[DRIVER_WINDOW:DRIVER_WINDOW + len(debt)]
+    assert overflow_tail == debt, (
+        f"window-overflow debt must sit contiguously at positions "
+        f"{DRIVER_WINDOW + 1}+: expected {debt}, found {overflow_tail}")
 
 
 def test_rows_only_queries_pinned_to_tail():
