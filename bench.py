@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "stats_corr_lineitem",
     "text_simpson_by_lang",
     "text_tvd_by_source",
+    "stats_ols_value_by_hour",
+    "stats_chi2_lang_source",
+    "emb_centroid_cosine",
+    "events_path_trigrams",
+    "text_quality_qnorm",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

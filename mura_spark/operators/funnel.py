@@ -128,3 +128,34 @@ def transition_matrix(events: DataFrame, user_col: str, type_col: str,
     return counts.select(
         "src_type", "dst_type", "n_trans",
         (F.col("n_trans").cast("double") / total).alias("prob"))
+
+
+def path_ngrams(df, part_col: str, order_cols: list[str], item_col: str,
+                n: int = 3, k: int = 20):
+    """Top-``k`` most frequent length-``n`` consecutive item paths
+    (user journeys): ``(path, n_paths)``, path rendered as
+    ``a>b>c``. The sequence-mining sibling of the funnel/retention
+    operators — which n-step flows dominate the product.
+
+    Each partition's events order by ``order_cols`` (callers must
+    include a unique tiebreak column so the sequence — and therefore the
+    result — is deterministic); ``lead`` windows build the n-grams
+    in-partition (one shuffle on ``part_col``, no self-joins), a
+    map-side-combined groupBy counts paths, and the top-k runs as
+    ORDER BY ... LIMIT (TakeOrderedAndProject — distributed partial
+    top-k, ties broken by path ascending, never a single-partition
+    window over the full path table).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    steps = [F.col(item_col)] + [F.lead(item_col, i).over(w)
+                                 for i in range(1, n)]
+    grams = (df.select(F.concat_ws(">", *steps).alias("path"),
+                       steps[-1].isNotNull().alias("__full"))
+               .filter(F.col("__full")))
+    return (grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+                 .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+                 .limit(k))

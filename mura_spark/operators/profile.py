@@ -108,3 +108,28 @@ def corr_pairs(df, cols, scale: int = 2):
              .alias("corr_micro")))
     return (m.select(F.explode(F.array(*rows)).alias("__r"))
              .select("__r.col_x", "__r.col_y", "__r.corr_micro"))
+
+
+def quantile_normalize(df, part_col: str, value_col: str, id_col: str):
+    """Within-partition percent-rank normalization:
+    ``(id, part, pr_micro)`` with ``pr_micro = ⌊percent_rank·10⁶ + ½⌋``.
+
+    The cross-source score equalizer: raw quality scores are not
+    comparable across sources (different length/markup distributions),
+    so mixture planning ranks each document within its own source and
+    selects on the normalized rank instead. Ordering carries ``id_col``
+    as the tiebreak, so equal scores still produce a deterministic,
+    hash-stable ranking.
+
+    One shuffle on ``part_col``; the window runs per source — bounded by
+    the largest source's row count, the natural partitioning for this
+    semantics (a global sort would be both wrong and slower).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy(part_col).orderBy(F.col(value_col).asc(),
+                                             F.col(id_col).asc())
+    return df.select(
+        F.col(id_col), F.col(part_col),
+        F.floor(F.percent_rank().over(w) * F.lit(1e6) + F.lit(0.5))
+         .cast("bigint").alias("pr_micro"))

@@ -565,3 +565,50 @@ def knn_classify(test_df: DataFrame, train_df: DataFrame, k: int,
                            F.col(label_col).alias("true_label"))
     return (pred.join(F.broadcast(truth), "query_id")
                 .select("query_id", "true_label", "pred_label", "votes"))
+
+
+def centroid_cosine(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids:
+    ``(label_a, label_b, cos_micro)`` for ``label_a < label_b`` — the
+    class-separation diagnostic run after :func:`label_centroids`
+    (collapsing classes, candidate merge targets, curriculum ordering).
+
+    Determinism: centroid components are themselves deterministic
+    doubles (nano-fixed-point means, see :func:`label_centroids`); the
+    dot product and squared norms then quantize each per-dimension
+    product to ``floor(cᵢ·dᵢ·10¹²)`` and sum as exact integers in
+    DECIMAL(38,0) — a plain double sum over dimensions would be
+    partition-order-dependent. The 1e12 scales cancel in
+    ``dot/√(na·nb)``, so no rescale is needed.
+
+    Scale: the centroid table is labels×dim rows; the pos-keyed
+    self-join and both aggregates are bounded by labels²×dim — tiny
+    relative to any corpus, and independent of corpus size.
+    """
+    cents = label_centroids(df, label_col, vec_col) \
+        .select("label", "pos", "centroid")
+    fp = lambda c: F.floor(c * F.lit(1e12)).cast("decimal(38,0)")  # noqa: E731
+    norms = (cents.groupBy("label")
+                  .agg(F.sum(fp(F.col("centroid") * F.col("centroid")))
+                        .alias("__n2")))
+    a = cents.select(F.col("label").alias("label_a"), "pos",
+                     F.col("centroid").alias("__ca"))
+    b = cents.select(F.col("label").alias("label_b"), "pos",
+                     F.col("centroid").alias("__cb"))
+    dots = (a.join(b, "pos")
+             .filter(F.col("label_a") < F.col("label_b"))
+             .groupBy("label_a", "label_b")
+             .agg(F.sum(fp(F.col("__ca") * F.col("__cb"))).alias("__dot")))
+    na = norms.select(F.col("label").alias("label_a"),
+                      F.col("__n2").alias("__na"))
+    nb = norms.select(F.col("label").alias("label_b"),
+                      F.col("__n2").alias("__nb"))
+    cos = (F.col("__dot").cast("double")
+           / F.sqrt(F.col("__na").cast("double")
+                    * F.col("__nb").cast("double")))
+    return (dots.join(F.broadcast(na), "label_a")
+                .join(F.broadcast(nb), "label_b")
+                .select("label_a", "label_b",
+                        F.floor(cos * F.lit(1e6) + F.lit(0.5))
+                         .cast("bigint").alias("cos_micro")))

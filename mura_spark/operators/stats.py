@@ -1,0 +1,136 @@
+"""Grouped statistical modeling aggregates: per-group OLS regression and
+chi-square contingency analysis.
+
+North-star extension (the reference rejects aggregate functions outright —
+SURVEY.md §2.2 #11, /root/reference/src/planner/logicalplan.rs:72-80);
+these are the trend/independence diagnostics a pipeline runs over event
+telemetry and corpus metadata.
+
+Determinism (both oracle-hashable): every moment is an exact integer /
+fixed-point DECIMAL sum (order-independent), and the closed-form results
+combine them with only +,−,×,/,√ — IEEE correctly-rounded, unlike ln/exp
+— in a fixed association order mirrored by the SQL twins. Continuous
+y-values go through the ``floor(y·10⁹)`` nano-fixed-point trick (see
+operators/similarity.label_centroids for why a double→DECIMAL cast is
+NOT cross-engine safe: decimal halfway cases round differently), summed
+in DECIMAL(38,0) so petabyte-group sums cannot overflow int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for continuous y values: 1e9 keeps |y| < 9e9 exact
+#: in double·scale and is far below double precision at telemetry scale.
+_FP = 1e9
+
+
+def group_ols(df: DataFrame, group_cols: list[str], x_col: str,
+              y_col: str) -> DataFrame:
+    """Per-group simple linear regression of ``y`` on ``x``:
+    ``(groups..., n, slope_micro, intercept_micro)`` with
+    micro = ⌊v·10⁶ + ½⌋.
+
+    ``x`` must be integer-valued (a bucket index, an hour, a position);
+    ``y`` is any double. Moments Σx, Σx², Σy, Σxy accumulate exactly
+    (x as DECIMAL, y in nano-fixed-point); slope/intercept are then one
+    closed-form double expression per group. Groups with zero x-variance
+    (every row at the same x) surface NULL slope/intercept instead of a
+    division by zero.
+
+    One shuffle total: all five moments ride in a single
+    map-side-combined groupBy; there is no second pass.
+    """
+    x = F.col(x_col).cast("decimal(19,0)")
+    yf = F.floor(F.col(y_col).cast("double") * F.lit(_FP)) \
+          .cast("decimal(38,0)")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(yf).alias("__sy"),
+        F.sum(x.cast("decimal(38,0)") * yf).alias("__sxy"))
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den / F.lit(_FP)
+    intercept = (sy / F.lit(_FP) - slope * sx) / n
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return m.select(
+        *group_cols, "n",
+        F.when(den != F.lit(0.0), micro(slope)).alias("slope_micro"),
+        F.when(den != F.lit(0.0), micro(intercept)).alias("intercept_micro"))
+
+
+def sql_group_ols(table_expr: str, group_cols: list[str], x_expr: str,
+                  y_expr: str) -> str:
+    """DuckDB twin of :func:`group_ols` — same fixed-point moments, same
+    association order in the closed form."""
+    g = ", ".join(group_cols)
+    return (
+        f"WITH m AS (SELECT {g}, COUNT(*) AS n, "
+        f"SUM(CAST({x_expr} AS DECIMAL(19,0))) AS sx, "
+        f"SUM(CAST({x_expr} AS DECIMAL(19,0)) "
+        f"* CAST({x_expr} AS DECIMAL(19,0))) AS sxx, "
+        f"SUM(CAST(floor(CAST({y_expr} AS DOUBLE) * 1000000000.0) "
+        f"AS DECIMAL(38,0))) AS sy, "
+        f"SUM(CAST(CAST({x_expr} AS DECIMAL(19,0)) AS DECIMAL(38,0)) "
+        f"* CAST(floor(CAST({y_expr} AS DOUBLE) * 1000000000.0) "
+        f"AS DECIMAL(38,0))) AS sxy "
+        f"FROM {table_expr} GROUP BY {g}) "
+        f"SELECT {g}, n, "
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN "
+        "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1000000000.0 "
+        "* 1000000.0 + 0.5) AS BIGINT) END AS slope_micro, "
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN "
+        "CAST(floor((CAST(sy AS DOUBLE) / 1000000000.0 "
+        "- (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1000000000.0 "
+        "* CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT) END AS intercept_micro FROM m")
+
+
+def chi2_contingency(df: DataFrame, row_col: str,
+                     col_col: str) -> DataFrame:
+    """Chi-square contingency cells for two categorical columns:
+    ``(row, col, observed, expected_micro, chi2_micro)`` per occupied
+    cell, with E = row_total·col_total/N and contribution (O−E)²/E.
+
+    The grand chi-square statistic is the exact integer sum of
+    ``chi2_micro`` — callers wanting one row can aggregate it without a
+    determinism hazard (the per-cell quantization happened first).
+
+    Plan: one groupBy to cells (the only full-data shuffle); marginals
+    are two groupBys over the already-aggregated cells, joined back
+    broadcast (cardinality = category counts); N is a broadcast
+    single-row crossJoin. No driver-side state.
+    """
+    cells = (df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+               .agg(F.count(F.lit(1)).alias("observed")))
+    row_tot = cells.groupBy("r").agg(F.sum("observed").alias("__rt"))
+    col_tot = cells.groupBy("c").agg(F.sum("observed").alias("__ct"))
+    total = cells.agg(F.sum("observed").alias("__t"))
+    o = F.col("observed").cast("double")
+    e = (F.col("__rt").cast("double") * F.col("__ct").cast("double")
+         / F.col("__t").cast("double"))
+    contrib = (o - e) * (o - e) / e
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (cells.join(F.broadcast(row_tot), "r")
+                 .join(F.broadcast(col_tot), "c")
+                 .crossJoin(F.broadcast(total))
+                 .select(F.col("r").alias(row_col),
+                         F.col("c").alias(col_col),
+                         "observed",
+                         micro(e).alias("expected_micro"),
+                         micro(contrib).alias("chi2_micro")))

@@ -111,6 +111,10 @@ _NEXT_WINDOW = [
     # round-5g: retrieval / graph-structure / profiling / corpus analytics
     "search_bm25_topk", "search_rrf_fusion", "graph_triangle_counts",
     "stats_corr_lineitem", "text_simpson_by_lang", "text_tvd_by_source",
+    # round-5h: grouped OLS / chi-square / centroid separation / path
+    # mining / cross-source score normalization
+    "stats_ols_value_by_hour", "stats_chi2_lang_source",
+    "emb_centroid_cosine", "events_path_trigrams", "text_quality_qnorm",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

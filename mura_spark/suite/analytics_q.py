@@ -237,3 +237,124 @@ def text_tvd_by_source(spark, sf):
     from mura_spark.operators.corpus import total_variation
     d = table(spark, sf, "documents")
     return total_variation(d, "source", "text")
+
+
+# ------------------------------------------------------- round-5h additions
+
+@q("stats_ols_value_by_hour", None)  # oracle attached below (built string)
+def stats_ols_value_by_hour(spark, sf):
+    """Per-event-type linear trend of value over hour-of-day — the
+    telemetry drift diagnostic. Exact fixed-point moments in ONE
+    map-side-combined groupBy, closed-form slope/intercept
+    (operators.stats.group_ols)."""
+    from mura_spark.operators.stats import group_ols
+    ev = table(spark, sf, "events")
+    base = ev.select("event_type", F.hour("ts").alias("hr"), "value")
+    return group_ols(base, ["event_type"], "hr", "value")
+
+
+def _ols_oracle() -> str:
+    from mura_spark.operators.stats import sql_group_ols
+    return sql_group_ols(
+        "(SELECT event_type, EXTRACT(hour FROM ts) AS hr, value "
+        "FROM events)",
+        ["event_type"], "hr", "value")
+
+
+ORACLE_SQL["stats_ols_value_by_hour"] = _ols_oracle()
+
+
+@q("stats_chi2_lang_source",
+   "WITH cells AS (SELECT lang AS r, source AS c, COUNT(*) AS observed "
+   "FROM documents GROUP BY 1, 2), "
+   "rt AS (SELECT r, CAST(SUM(observed) AS BIGINT) AS rtv "
+   "FROM cells GROUP BY 1), "
+   "ct AS (SELECT c, CAST(SUM(observed) AS BIGINT) AS ctv "
+   "FROM cells GROUP BY 1), "
+   "t AS (SELECT CAST(SUM(observed) AS BIGINT) AS tv FROM cells) "
+   "SELECT r AS lang, c AS source, observed, "
+   "CAST(floor(CAST(rtv AS DOUBLE) * CAST(ctv AS DOUBLE) "
+   "/ CAST(tv AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS expected_micro, "
+   "CAST(floor((CAST(observed AS DOUBLE) - CAST(rtv AS DOUBLE) "
+   "* CAST(ctv AS DOUBLE) / CAST(tv AS DOUBLE)) "
+   "* (CAST(observed AS DOUBLE) - CAST(rtv AS DOUBLE) "
+   "* CAST(ctv AS DOUBLE) / CAST(tv AS DOUBLE)) "
+   "/ (CAST(rtv AS DOUBLE) * CAST(ctv AS DOUBLE) / CAST(tv AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS chi2_micro "
+   "FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN t")
+def stats_chi2_lang_source(spark, sf):
+    """Chi-square independence cells for language × source over the
+    corpus — is the language mix uniform across sources? Marginals are
+    groupBys over the already-aggregated cells; the grand statistic is
+    the exact integer sum of chi2_micro (operators.stats)."""
+    from mura_spark.operators.stats import chi2_contingency
+    d = table(spark, sf, "documents")
+    return chi2_contingency(d, "lang", "source")
+
+
+@q("emb_centroid_cosine",
+   "WITH ex AS (SELECT label, "
+   "unnest(list_zip(CAST(embedding AS DOUBLE[]), "
+   "range(0, len(embedding)))) AS z FROM embeddings), "
+   "cent AS (SELECT label, CAST(z[2] AS INT) AS pos, "
+   "CAST(SUM(CAST(floor(z[1] * 1e9) AS HUGEINT)) AS DOUBLE) / 1e9 "
+   "/ COUNT(*) AS c FROM ex GROUP BY 1, 2), "
+   "dots AS (SELECT a.label AS la, b.label AS lb, "
+   "SUM(CAST(floor(a.c * b.c * 1e12) AS DECIMAL(38,0))) AS dot "
+   "FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label "
+   "GROUP BY 1, 2), "
+   "norms AS (SELECT label, "
+   "SUM(CAST(floor(c * c * 1e12) AS DECIMAL(38,0))) AS n2 "
+   "FROM cent GROUP BY 1) "
+   "SELECT la AS label_a, lb AS label_b, "
+   "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) "
+   "* CAST(nb.n2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cos_micro "
+   "FROM dots JOIN norms na ON dots.la = na.label "
+   "JOIN norms nb ON dots.lb = nb.label")
+def emb_centroid_cosine(spark, sf):
+    """Pairwise cosine between per-label embedding centroids — the
+    class-separation matrix. Per-dimension products quantize to 1e12
+    fixed point before the integer sum; the scales cancel in
+    dot/sqrt(na*nb) (operators.similarity.centroid_cosine)."""
+    from mura_spark.operators.similarity import centroid_cosine
+    e = table(spark, sf, "embeddings")
+    return centroid_cosine(e)
+
+
+@q("events_path_trigrams",
+   "WITH g AS (SELECT concat_ws('>', event_type, "
+   "lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path, "
+   "lead(event_type, 2) OVER w IS NOT NULL AS fl FROM events "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+   "SELECT path, COUNT(*) AS n_paths FROM g WHERE fl GROUP BY 1 "
+   "ORDER BY n_paths DESC, path ASC LIMIT 20")
+def events_path_trigrams(spark, sf):
+    """Top-20 three-step user journeys (consecutive event-type paths per
+    user timeline, ties broken by event_id then path) — sequence mining
+    via lead windows, no self-joins; top-k is TakeOrderedAndProject
+    (operators.funnel.path_ngrams)."""
+    from mura_spark.operators.funnel import path_ngrams
+    ev = table(spark, sf, "events")
+    return path_ngrams(ev, "user_id", ["ts", "event_id"], "event_type",
+                       n=3, k=20)
+
+
+@q("text_quality_qnorm",
+   f"WITH q AS (SELECT doc_id, source, "
+   f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS v "
+   "FROM documents) "
+   "SELECT doc_id, source, CAST(floor(percent_rank() OVER ("
+   "PARTITION BY source ORDER BY v ASC, doc_id ASC) * 1e6 + 0.5) "
+   "AS BIGINT) AS pr_micro FROM q")
+def text_quality_qnorm(spark, sf):
+    """Percent-rank quality normalization within each source — raw
+    quality scores aren't comparable across sources, so mixture
+    planning selects on the within-source rank instead
+    (operators.profile.quantile_normalize); doc_id tiebreak keeps equal
+    scores hash-stable."""
+    from mura_spark.functions import text as TX
+    from mura_spark.operators.profile import quantile_normalize
+    d = table(spark, sf, "documents")
+    base = d.select("doc_id", "source",
+                    TX.distinct_token_ratio(F.col("text")).alias("v"))
+    return quantile_normalize(base, "source", "v", "doc_id")

@@ -179,3 +179,102 @@ def test_tvd_identical_and_disjoint(spark):
     got2 = {r["grp"]: r["tvd_micro"]
             for r in total_variation(df2, "grp", "text").collect()}
     assert got2 == {"g1": 500_000, "g2": 500_000}
+
+
+# ------------------------------------------------------------ grouped OLS
+
+def test_group_ols_exact_line_and_degenerate(spark):
+    from mura_spark.operators.stats import group_ols
+    rows = ([("lin", x, 3.0 * x + 2.0) for x in range(10)]
+            + [("flat", 5, float(v)) for v in (1, 2, 3)])
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {r["g"]: (r["n"], r["slope_micro"], r["intercept_micro"])
+           for r in group_ols(df, ["g"], "x", "y").collect()}
+    assert got["lin"] == (10, 3_000_000, 2_000_000)
+    # zero x-variance -> NULL slope/intercept, not a division blowup
+    assert got["flat"] == (3, None, None)
+
+
+def test_group_ols_matches_numpy(spark):
+    import numpy as np
+    from mura_spark.operators.stats import group_ols
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 24, 400)
+    y = 1.7 * x + rng.uniform(-5, 5, 400)
+    df = spark.createDataFrame(
+        [("g", int(a), float(b)) for a, b in zip(x, y)],
+        "g string, x int, y double")
+    r = group_ols(df, ["g"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(r["slope_micro"] / 1e6 - slope) < 1e-4
+    assert abs(r["intercept_micro"] / 1e6 - intercept) < 1e-4
+
+
+# ------------------------------------------------------------- chi-square
+
+def test_chi2_hand_computed_2x2(spark):
+    from mura_spark.operators.stats import chi2_contingency
+    # contingency: a/x=30 a/y=10, b/x=20 b/y=40 (N=100)
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 20 + [("b", "y")] * 40)
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {(r["r"], r["c"]): (r["observed"], r["expected_micro"],
+                              r["chi2_micro"])
+           for r in chi2_contingency(df, "r", "c").collect()}
+    # E(a,x) = 40*50/100 = 20; contrib = (30-20)^2/20 = 5
+    assert got[("a", "x")] == (30, 20_000_000, 5_000_000)
+    assert got[("b", "y")][0] == 40
+    # grand statistic: sum of contribs = 5+5+3.333..+3.333..
+    grand = sum(v[2] for v in got.values())
+    assert abs(grand / 1e6 - (5 + 5 + 10 / 3 + 10 / 3)) < 1e-5
+
+
+# -------------------------------------------------------- centroid cosine
+
+def test_centroid_cosine_aligned_and_orthogonal(spark):
+    from mura_spark.operators.similarity import centroid_cosine
+    rows = [(1, 0, [1.0, 0.0]), (2, 0, [2.0, 0.0]),   # label 0 -> (1.5, 0)
+            (3, 1, [3.0, 0.0]),                        # label 1 -> (3, 0)
+            (4, 2, [0.0, 4.0])]                        # label 2 -> (0, 4)
+    df = spark.createDataFrame(rows,
+                               "vec_id long, label int, embedding array<double>")
+    got = {(r["label_a"], r["label_b"]): r["cos_micro"]
+           for r in centroid_cosine(df).collect()}
+    assert got[(0, 1)] == 1_000_000   # parallel centroids
+    assert got[(0, 2)] == 0           # orthogonal
+    assert got[(1, 2)] == 0
+
+
+# ------------------------------------------------------------ path mining
+
+def test_path_ngrams_counts_and_bounds(spark):
+    from mura_spark.operators.funnel import path_ngrams
+    import pytest as _pt
+    seq = ["a", "b", "c", "a", "b", "c", "a"]
+    rows = [(1, i, seq[i]) for i in range(len(seq))]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    got = {r["path"]: r["n_paths"]
+           for r in path_ngrams(df, "u", ["t"], "e", n=3, k=10).collect()}
+    assert got == {"a>b>c": 2, "b>c>a": 2, "c>a>b": 1}
+    with _pt.raises(ValueError):
+        path_ngrams(df, "u", ["t"], "e", n=1)
+
+
+def test_path_ngrams_never_crosses_users(spark):
+    from mura_spark.operators.funnel import path_ngrams
+    rows = [(1, 0, "a"), (1, 1, "b"), (2, 2, "c"), (2, 3, "d")]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    got = path_ngrams(df, "u", ["t"], "e", n=2, k=10).collect()
+    assert {r["path"] for r in got} == {"a>b", "c>d"}
+
+
+# ----------------------------------------------------- quantile normalize
+
+def test_quantile_normalize_ranks(spark):
+    from mura_spark.operators.profile import quantile_normalize
+    rows = [(1, "s", 10.0), (2, "s", 20.0), (3, "s", 30.0),
+            (4, "t", 5.0)]
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    got = {r["id"]: r["pr_micro"]
+           for r in quantile_normalize(df, "src", "v", "id").collect()}
+    assert got == {1: 0, 2: 500_000, 3: 1_000_000, 4: 0}
