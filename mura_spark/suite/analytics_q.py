@@ -154,14 +154,18 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 def _sql_corr() -> str:
     cols = _CORR_COLS
-    d = lambda c: f"CAST({c} AS DECIMAL(18,2))"  # noqa: E731
+    # scaled-integer moments mirroring operators.profile.corr_pairs:
+    # per-row products in BIGINT, accumulation in DECIMAL(38,0)
+    d = lambda c: f"CAST(round(CAST({c} AS DOUBLE) * 100.0) AS BIGINT)"  # noqa: E731
     moments = ["COUNT(*) AS n"]
     for c in cols:
-        moments.append(f"SUM({d(c)}) AS s_{c}")
-        moments.append(f"SUM({d(c)} * {d(c)}) AS q_{c}")
+        moments.append(f"SUM(CAST({d(c)} AS DECIMAL(38,0))) AS s_{c}")
+        moments.append(f"SUM(CAST({d(c)} * {d(c)} AS DECIMAL(38,0))) "
+                       f"AS q_{c}")
     pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1:]]
     for x, y in pairs:
-        moments.append(f"SUM({d(x)} * {d(y)}) AS p_{x}_{y}")
+        moments.append(f"SUM(CAST({d(x)} * {d(y)} AS DECIMAL(38,0))) "
+                       f"AS p_{x}_{y}")
     selects = []
     for x, y in pairs:
         rho = (f"(CAST(n AS DOUBLE) * CAST(p_{x}_{y} AS DOUBLE) "

@@ -278,3 +278,49 @@ def test_quantile_normalize_ranks(spark):
     got = {r["id"]: r["pr_micro"]
            for r in quantile_normalize(df, "src", "v", "id").collect()}
     assert got == {1: 0, 2: 500_000, 3: 1_000_000, 4: 0}
+
+
+# ----------------------------------------------------------- plan shapes
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_round5gh_plan_shapes(spark, sf_dir):
+    """Physical-plan discipline for the retrieval/stats additions:
+    distributed top-k (never a full-data single-partition window), one
+    scan for the correlation moments, pruned ReadSchemas, broadcast
+    marginals for chi-square."""
+    from mura_spark.suite import SPARK_QUERIES
+
+    bm = _plan(SPARK_QUERIES["search_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in bm
+    # only the id and text columns are read from the corpus
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in bm
+
+    # the formatted plan shows each node twice (tree + details): count
+    # scans in the tree section only
+    tree = lambda p: p.split("\n\n")[0]  # noqa: E731
+
+    corr = _plan(SPARK_QUERIES["stats_corr_lineitem"](spark, sf_dir))
+    assert tree(corr).count("Scan parquet") == 1  # all moments in ONE pass
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_tax:double>" in corr)
+
+    ols = _plan(SPARK_QUERIES["stats_ols_value_by_hour"](spark, sf_dir))
+    assert tree(ols).count("Scan parquet") == 1
+    assert tree(ols).count("Exchange") <= 2  # partial + final agg
+
+    chi = _plan(SPARK_QUERIES["stats_chi2_lang_source"](spark, sf_dir))
+    assert "BroadcastHashJoin" in chi
+    assert "SortMergeJoin" not in chi  # marginals must never sort-merge
+
+    paths = _plan(SPARK_QUERIES["events_path_trigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in paths
+    # exactly one wide shuffle for the per-user window; the count groupBy
+    # pre-aggregates map-side
+    assert paths.count("hashpartitioning(user_id") == 1
+
+    qn = _plan(SPARK_QUERIES["text_quality_qnorm"](spark, sf_dir))
+    assert qn.count("hashpartitioning(") == 1  # the per-source window only
