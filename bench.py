@@ -138,6 +138,12 @@ BENCH_QUERIES = [
     "emb_centroid_cosine",
     "events_path_trigrams",
     "text_quality_qnorm",
+    "join_full_outer",
+    "agg_unpivot",
+    "hof_array_ops",
+    "audit_referential",
+    "events_snapshot_diff",
+    "graph_kcore_prune",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -270,3 +270,90 @@ def cooccurrence_edges_supported(df: DataFrame, group_col: str,
              .agg(F.count(F.lit(1)).alias("__sup"))
              .filter(F.col("__sup") >= min_support)
              .select("src", "dst"))
+
+
+def kcore_prune(edges: DataFrame, k: int, rounds: int,
+                materialize: str | None = "local") -> DataFrame:
+    """Iterated degree pruning toward the k-core: ``rounds`` passes of
+    "drop every node with degree < k (and its edges)", returning the
+    surviving ``(node, degree)`` table. With enough rounds this IS the
+    k-core (the maximal subgraph of minimum degree ≥ k); a fixed round
+    count keeps the operator deterministic and oracle-expressible while
+    converging geometrically in practice — callers wanting the exact
+    fixpoint loop until the survivor count stops changing (same
+    per-round plan, driver reads one scalar per round, as dup_clusters
+    does for connected components).
+
+    Input edges may be directed/duplicated; they normalize to
+    undirected-unique first. Per round: one degree groupBy + one
+    semi-join of edges against surviving nodes per endpoint — all
+    equi-joins keyed on node id, the Pregel shuffle pattern; nothing
+    driver-side, no adjacency collection.
+
+    ``materialize`` (same contract as :func:`pagerank`): each round
+    references the previous edge set three times (degree union ×2 +
+    filter), so leaving the lineage lazy re-derives the input ~3^rounds
+    times — measured 7× end-to-end at sf0.01 on a join-derived edge
+    list. ``"local"`` eagerly localCheckpoints each round's survivor
+    set; a directory path uses reliable checkpoints; ``None`` stays
+    lazy (pre-materialized inputs).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+
+    def _pin(df):
+        if materialize == "local":
+            return df.localCheckpoint(eager=True)
+        if materialize is not None:
+            df.sparkSession.sparkContext.setCheckpointDir(materialize)
+            return df.checkpoint(eager=True)
+        return df
+
+    e = _pin(edges.select(F.least("src", "dst").alias("a"),
+                          F.greatest("src", "dst").alias("b"))
+             .filter(F.col("a") != F.col("b")).distinct())
+    for _ in range(rounds):
+        deg = (e.select(F.col("a").alias("node"))
+                .unionByName(e.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = _pin(e.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+                  .join(keep.withColumnRenamed("node", "b"), "b", "semi"))
+    return (e.select(F.col("a").alias("node"))
+             .unionByName(e.select(F.col("b").alias("node")))
+             .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+
+
+def sql_kcore_prune(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB rendering of :func:`kcore_prune` with the rounds unrolled
+    as chained CTEs (same pattern as :func:`sql_pagerank`).
+    ``edges_cte`` must define ``edges(src, dst)``.
+
+    Every per-round CTE is marked AS MATERIALIZED: each round references
+    its predecessor three times (twice in the degree union, once in the
+    filter), so DuckDB's default CTE inlining would re-evaluate the whole
+    chain ~3^rounds times — materialization keeps it linear, mirroring
+    what Spark's per-round shuffles do naturally."""
+    parts = [edges_cte,
+             "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+             "greatest(src, dst) AS b FROM edges WHERE src <> dst)"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS degree FROM "
+            f"(SELECT a AS node FROM {prev} "
+            f"UNION ALL SELECT b AS node FROM {prev}) GROUP BY 1)")
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT node FROM d{i} "
+            f"WHERE degree >= {k})")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM {prev} WHERE "
+            f"a IN (SELECT node FROM s{i}) "
+            f"AND b IN (SELECT node FROM s{i}))")
+        prev = f"e{i}"
+    return ("WITH " + ", ".join(parts)
+            + " SELECT node, COUNT(*) AS degree FROM "
+            f"(SELECT a AS node FROM {prev} "
+            f"UNION ALL SELECT b AS node FROM {prev}) GROUP BY 1")

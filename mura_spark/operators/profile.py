@@ -143,3 +143,38 @@ def quantile_normalize(df, part_col: str, value_col: str, id_col: str):
         F.col(id_col), F.col(part_col),
         F.floor(F.percent_rank().over(w) * F.lit(1e6) + F.lit(0.5))
          .cast("bigint").alias("pr_micro"))
+
+
+def referential_audit(pairs):
+    """Referential-integrity summary over (child, parent) relationships:
+    one row per relationship — ``(relationship, n_child, n_orphan,
+    n_unreferenced)`` where ``n_orphan`` counts child rows whose foreign
+    key misses the parent and ``n_unreferenced`` counts parent keys no
+    child references. The ingest gate a pipeline runs after every load
+    (late dimension arrivals, retention-window cleanups, bad backfills).
+
+    ``pairs``: list of ``(name, child_df, fk_col, parent_df, pk_col)``.
+
+    Plan per relationship: two aggregates over key-projected inputs —
+    the orphan side is a LEFT ANTI hash join (streams the big child,
+    never materializes matches; AQE broadcasts small parents), the
+    unreferenced side anti-joins the DISTINCT child keys (already
+    reduced) against the parent. Single-row results cross-join into one
+    output frame; no driver-side state beyond the plan.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    outs = []
+    for name, child, fk, parent, pk in pairs:
+        ckeys = child.select(F.col(fk).alias("__k"))
+        pkeys = parent.select(F.col(pk).alias("__k"))
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphan = (ckeys.join(pkeys.distinct(), "__k", "left_anti")
+                       .agg(F.count(F.lit(1)).alias("n_orphan")))
+        unref = (pkeys.join(ckeys.distinct(), "__k", "left_anti")
+                      .agg(F.count(F.lit(1)).alias("n_unreferenced")))
+        outs.append(n_child.crossJoin(orphan).crossJoin(unref)
+                    .select(F.lit(name).alias("relationship"),
+                            "n_child", "n_orphan", "n_unreferenced"))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -56,3 +56,38 @@ def scd2_history(updates: DataFrame, key_cols: list[str],
     return (updates
             .withColumn(valid_from, F.col(version_col))
             .withColumn(valid_to, F.lead(version_col).over(w)))
+
+
+def snapshot_diff(old, new, key_cols, compare_cols):
+    """Row-level diff of two snapshots of the same keyed relation:
+    ``(keys..., change)`` with change ∈ {'added', 'removed', 'changed'};
+    unchanged keys are omitted. The audit view of every incremental
+    rollup: what did today's snapshot do to yesterday's.
+
+    One full-outer hash join on the key (the canonical diff shuffle —
+    both sides partition by key, so 1000 executors each diff a disjoint
+    key range). Change detection is null-safe equality (``<=>``) per
+    compared column, so NULL→value and value→NULL transitions count as
+    changes. Keys must be unique per snapshot (the usual snapshot
+    contract — enforced upstream by upsert_latest).
+    """
+    from pyspark.sql import functions as F
+    # presence flags can't rely on compare columns (they may be
+    # legitimately NULL) — carry a sentinel literal per side
+    o = old.select(*key_cols, *[F.col(c).alias(f"__o_{c}")
+                                for c in compare_cols],
+                   F.lit(True).alias("__in_o"))
+    n = new.select(*key_cols, *[F.col(c).alias(f"__n_{c}")
+                                for c in compare_cols],
+                   F.lit(True).alias("__in_n"))
+    j = o.join(n, key_cols, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (F.when(F.col("__in_o").isNull(), F.lit("added"))
+               .when(F.col("__in_n").isNull(), F.lit("removed"))
+               .when(~same, F.lit("changed")))
+    return (j.withColumn("change", change)
+             .filter(F.col("change").isNotNull())
+             .select(*key_cols, "change"))

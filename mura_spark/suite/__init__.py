@@ -115,6 +115,10 @@ _NEXT_WINDOW = [
     # mining / cross-source score normalization
     "stats_ols_value_by_hour", "stats_chi2_lang_source",
     "emb_centroid_cosine", "events_path_trigrams", "text_quality_qnorm",
+    # round-5i: relational gap-fillers (full-outer / unpivot / HOF
+    # lambdas) + integrity audit / snapshot diff / k-core pruning
+    "join_full_outer", "agg_unpivot", "hof_array_ops",
+    "audit_referential", "events_snapshot_diff", "graph_kcore_prune",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

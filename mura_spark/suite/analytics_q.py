@@ -362,3 +362,107 @@ def text_quality_qnorm(spark, sf):
     base = d.select("doc_id", "source",
                     TX.distinct_token_ratio(F.col("text")).alias("v"))
     return quantile_normalize(base, "source", "v", "doc_id")
+
+
+# ------------------------------------------------------- round-5i additions
+
+_AUDIT_ACTIVE = "c_acctbal >= 0"
+
+
+def _audit_block(name: str, child: str, fk: str, parent_sql: str,
+                 pk: str) -> str:
+    return (
+        f"SELECT '{name}' AS relationship, "
+        f"(SELECT COUNT(*) FROM {child}) AS n_child, "
+        f"(SELECT COUNT(*) FROM {child} ch WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {parent_sql} p WHERE p.{pk} = ch.{fk})) "
+        "AS n_orphan, "
+        f"(SELECT COUNT(*) FROM {parent_sql} p WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {child} ch WHERE ch.{fk} = p.{pk})) "
+        "AS n_unreferenced")
+
+
+@q("audit_referential",
+   _audit_block("orders_active_customer", "orders", "o_custkey",
+                f"(SELECT * FROM customer WHERE {_AUDIT_ACTIVE})",
+                "c_custkey")
+   + " UNION ALL "
+   + _audit_block("events_active_customer", "events", "user_id",
+                  f"(SELECT * FROM customer WHERE {_AUDIT_ACTIVE})",
+                  "c_custkey")
+   + " UNION ALL "
+   + _audit_block("lineitem_part", "lineitem", "l_partkey",
+                  "part", "p_partkey"))
+def audit_referential(spark, sf):
+    """Referential-integrity audit: orders and events against the
+    in-good-standing customer set (negative balances excluded — the
+    retention-cleanup scenario, so orphans really occur), plus the clean
+    lineitem→part relationship as the control row. Anti-join per
+    direction, counts only (operators.profile.referential_audit)."""
+    from mura_spark.operators.profile import referential_audit
+    cust = table(spark, sf, "customer").filter(F.col("c_acctbal") >= 0)
+    return referential_audit([
+        ("orders_active_customer", table(spark, sf, "orders"),
+         "o_custkey", cust, "c_custkey"),
+        ("events_active_customer", table(spark, sf, "events"),
+         "user_id", cust, "c_custkey"),
+        ("lineitem_part", table(spark, sf, "lineitem"),
+         "l_partkey", table(spark, sf, "part"), "p_partkey"),
+    ])
+
+
+_SNAP_A = "TIMESTAMP '1998-01-01'"
+_SNAP_B = "TIMESTAMP '2000-01-01'"
+
+
+@q("events_snapshot_diff",
+   f"WITH a AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
+   f"WHERE o_orderdate < {_SNAP_A} GROUP BY 1), "
+   f"b AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
+   f"WHERE o_orderdate < {_SNAP_B} GROUP BY 1) "
+   "SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, "
+   "CASE WHEN a.o_custkey IS NULL THEN 'added' "
+   "WHEN b.o_custkey IS NULL THEN 'removed' "
+   "WHEN a.n_orders <> b.n_orders THEN 'changed' END AS change "
+   "FROM a FULL JOIN b ON a.o_custkey = b.o_custkey "
+   "WHERE (CASE WHEN a.o_custkey IS NULL THEN 'added' "
+   "WHEN b.o_custkey IS NULL THEN 'removed' "
+   "WHEN a.n_orders <> b.n_orders THEN 'changed' END) IS NOT NULL")
+def events_snapshot_diff(spark, sf):
+    """Snapshot diff of the per-customer order rollup at two cutoff
+    dates — which customers appeared (added) or accumulated more orders
+    (changed) between snapshots. One full-outer key shuffle with
+    null-safe column comparison (operators.upsert.snapshot_diff)."""
+    from mura_spark.operators.upsert import snapshot_diff
+    orders = table(spark, sf, "orders")
+
+    def snap(cutoff):
+        return (orders.filter(F.col("o_orderdate") < F.lit(cutoff))
+                      .groupBy("o_custkey")
+                      .agg(F.count(F.lit(1)).alias("n_orders")))
+    return snapshot_diff(snap("1998-01-01"), snap("2000-01-01"),
+                         ["o_custkey"], ["n_orders"])
+
+
+def _kcore_oracle() -> str:
+    from mura_spark.operators.graph import sql_kcore_prune
+    cte = (_SUPPORTED_EDGES_CTE.replace(
+        "und AS (", "und AS MATERIALIZED (")
+        + ", edges AS (SELECT a AS src, b AS dst FROM und)")
+    return sql_kcore_prune(cte, 3, 3)
+
+
+@q("graph_kcore_prune", _kcore_oracle())
+def graph_kcore_prune(spark, sf):
+    """Three rounds of degree-<3 pruning toward the 3-core of the
+    support-≥2 co-purchase graph — the dense-substructure extractor
+    (community seeds, spam-cluster detection). Per round one degree
+    groupBy + two node-keyed semi-joins; fixed rounds keep it
+    oracle-expressible, fixpoint looping is the same plan driven by a
+    per-round scalar (operators.graph.kcore_prune)."""
+    from mura_spark.operators.graph import (cooccurrence_edges_supported,
+                                            kcore_prune)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges_supported(li, "l_orderkey", "l_partkey",
+                                         min_support=2)
+    return kcore_prune(edges, k=3, rounds=3)

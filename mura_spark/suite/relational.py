@@ -14,7 +14,8 @@ from pyspark.sql import types as T
 
 from mura_spark.operators.topk import topk, topk_per_group
 from mura_spark.plan import PlanBuilder
-from mura_spark.suite.common import davg, dsum, sql_davg, sql_dsum, table
+from mura_spark.suite.common import (davg, dsum, sql_davg, sql_dsum,
+                                     sql_tokens, table)
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
@@ -613,3 +614,85 @@ def agg_grouping_sets(spark, sf):
         "AS gid FROM gs_lineitem "
         "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
         "(l_returnflag), ())")
+
+
+@q("join_full_outer",
+   "SELECT coalesce(a.c_custkey, b.o_custkey) AS custkey, a.c_acctbal, "
+   "b.n_big_orders FROM "
+   "(SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) a "
+   "FULL JOIN (SELECT o_custkey, COUNT(*) AS n_big_orders FROM orders "
+   "WHERE o_totalprice > 400000 GROUP BY 1) b "
+   "ON a.c_custkey = b.o_custkey")
+def join_full_outer(spark, sf):
+    """FULL OUTER join (the join-type gap left after left/semi/anti/
+    cross): rich customers vs big-order customers, nulls surfacing on
+    both sides. One key-partitioned shuffle join — both inputs hash on
+    the customer key, the scalable diff layout."""
+    cust = (table(spark, sf, "customer")
+            .filter(F.col("c_acctbal") > 9000)
+            .select("c_custkey", "c_acctbal"))
+    big = (table(spark, sf, "orders")
+           .filter(F.col("o_totalprice") > 400000)
+           .groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n_big_orders")))
+    return (cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "full")
+                .select(F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+                        "c_acctbal", "n_big_orders"))
+
+
+@q("agg_unpivot",
+   "WITH w AS (SELECT l_returnflag, "
+   f"{sql_dsum('l_quantity')} AS sum_qty, "
+   f"{sql_dsum('l_discount')} AS sum_disc, "
+   f"{sql_dsum('l_tax')} AS sum_tax FROM lineitem GROUP BY 1) "
+   "SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS total FROM w "
+   "UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w "
+   "UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM w")
+def agg_unpivot(spark, sf):
+    """Wide→long reshaping via the DataFrame unpivot/melt API (the
+    inverse of agg_pivot): per-returnflag measure sums melted to
+    (flag, measure, total) rows. The unpivot runs AFTER aggregation, so
+    the explode-like expansion touches aggregate-sized data only."""
+    li = table(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_discount").alias("sum_disc"),
+        dsum("l_tax").alias("sum_tax"))
+    return wide.unpivot("l_returnflag",
+                        ["sum_qty", "sum_disc", "sum_tax"],
+                        "measure", "total")
+
+
+@q("hof_array_ops",
+   "SELECT doc_id, len(lens) AS n_tokens, "
+   "len(list_filter(lens, x -> x > 4)) AS n_long, "
+   "CAST(list_sum(lens) AS BIGINT) AS total_len, "
+   "CAST(list_sum(list_transform(list_zip(lens, "
+   "range(1, len(lens) + 1)), z -> z[1] * z[2])) AS BIGINT) "
+   "AS pos_weighted, "
+   "len(list_filter(lens, x -> x > 8)) > 0 AS has_very_long FROM "
+   "(SELECT doc_id, "
+   f"list_transform({sql_tokens('text')}, t -> length(t)) AS lens "
+   "FROM documents)")
+def hof_array_ops(spark, sf):
+    """Higher-order array functions end-to-end (transform / filter /
+    aggregate / zip_with / exists) — token-length analytics computed
+    entirely inside JVM lambda expressions: zero explode, zero shuffle,
+    pure scan-side map. The Spark-native way to do per-row array math
+    that would otherwise tempt a Python UDF."""
+    from mura_spark.functions import text as TX
+    d = table(spark, sf, "documents")
+    lens = F.transform(TX.tokens(F.col("text")), lambda t: F.length(t))
+    zero = F.lit(0).cast("bigint")
+    posw = F.aggregate(
+        F.zip_with(lens, F.sequence(F.lit(1), F.size(lens)),
+                   lambda l, i: l.cast("bigint") * i),
+        zero, lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        F.size(lens).alias("n_tokens"),
+        F.size(F.filter(lens, lambda x: x > 4)).alias("n_long"),
+        F.aggregate(lens, zero,
+                    lambda acc, x: acc + x).alias("total_len"),
+        posw.alias("pos_weighted"),
+        F.exists(lens, lambda x: x > 8).alias("has_very_long"))

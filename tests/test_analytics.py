@@ -324,3 +324,52 @@ def test_round5gh_plan_shapes(spark, sf_dir):
 
     qn = _plan(SPARK_QUERIES["text_quality_qnorm"](spark, sf_dir))
     assert qn.count("hashpartitioning(") == 1  # the per-source window only
+
+
+# ------------------------------------------------------ referential audit
+
+def test_referential_audit_counts(spark):
+    from mura_spark.operators.profile import referential_audit
+    child = spark.createDataFrame([(1,), (1,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_audit(
+        [("rel", child, "fk", parent, "pk")]).collect()[0]
+    assert (row["relationship"], row["n_child"], row["n_orphan"],
+            row["n_unreferenced"]) == ("rel", 4, 1, 1)
+
+
+# ---------------------------------------------------------- snapshot diff
+
+def test_snapshot_diff_all_change_kinds(spark):
+    from mura_spark.operators.upsert import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], "k long, v int")
+    new = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 30), (5, 50)], "k long, v int")
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # 1 unchanged (omitted), 2 changed, 3 NULL->30 changed (null-safe),
+    # 4 removed, 5 added
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+# --------------------------------------------------------------- k-core
+
+def test_kcore_prune_peels_tail(spark):
+    from mura_spark.operators.graph import kcore_prune
+    # triangle 0-1-2 (3-core needs deg>=2... use k=2) plus a tail 2-3-4
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"]
+           for r in kcore_prune(df, k=2, rounds=3).collect()}
+    # tail nodes 4 then 3 peel off over rounds; triangle survives at deg 2
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_prune_empty_when_overpruned(spark):
+    from mura_spark.operators.graph import kcore_prune
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assert kcore_prune(df, k=2, rounds=2).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kcore_prune(df, k=0, rounds=1)
