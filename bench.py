@@ -144,6 +144,12 @@ BENCH_QUERIES = [
     "audit_referential",
     "events_snapshot_diff",
     "graph_kcore_prune",
+    "text_vocab_coverage",
+    "text_unigram_logloss",
+    "events_cumulative_users",
+    "events_decayed_value",
+    "emb_knn_confusion",
+    "audit_benford",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

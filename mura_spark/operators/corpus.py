@@ -35,7 +35,7 @@ Group totals and the corpus total ride in as broadcast joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mura_spark.functions import text as TX
@@ -98,3 +98,77 @@ def total_variation(df: DataFrame, group_col: str,
         F.col("grp").alias(group_col),
         F.floor(tvd * F.lit(1e6) + F.lit(0.5)).cast("bigint")
          .alias("tvd_micro"))
+
+
+def vocab_coverage(df: DataFrame, text_col: str,
+                   ks: list[int]) -> DataFrame:
+    """Vocabulary-size planning curve: for each candidate vocabulary
+    size k, what fraction of all token occurrences the top-k most
+    frequent tokens cover — ``(k, n_covered, coverage_micro)``.
+
+    The tokenizer-budget question every pretraining run answers first.
+    Plan: one map-side-combined groupBy to token counts; the top-max(k)
+    selection is ORDER BY (cnt DESC, token ASC) LIMIT — distributed
+    partial top-k, never a global window over the vocabulary — and all
+    per-k sums run over that bounded frame (≤ max(k) rows) against the
+    broadcast corpus total. Counts exact, coverage = exact-int /
+    exact-int in double, micro-floored.
+    """
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be positive, got {ks}")
+    ks = sorted(set(ks))
+    counts = (df.select(F.explode(TX.tokens(F.col(text_col)))
+                         .alias("term"))
+                .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    total = counts.agg(F.sum("cnt").alias("__t"))
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+                 .limit(max(ks)))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = top.withColumn("__rn", F.row_number().over(w))
+    grid = F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+    per_k = (ranked.select(grid, "cnt", "__rn")
+                   .filter(F.col("__rn") <= F.col("k"))
+                   .groupBy("k")
+                   .agg(F.sum("cnt").alias("n_covered")))
+    cov = F.col("n_covered").cast("double") / F.col("__t").cast("double")
+    return (per_k.crossJoin(F.broadcast(total))
+                 .select("k", "n_covered",
+                         F.floor(cov * F.lit(1e6) + F.lit(0.5))
+                          .cast("bigint").alias("coverage_micro")))
+
+
+def unigram_logloss(df: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """Per-document unigram language-model surprisal (the CCNet-style
+    LM quality filter, with the corpus itself as the LM):
+    ``(id, n_tokens, logloss_micro)`` where each token contributes
+    ``⌊ln(T/cnt(t))·10⁶ + ½⌋`` (its corpus surprisal in nats, micro) and
+    the document score is the integer mean ``⌊Σ/n⌋``. High scores =
+    improbable token streams (gibberish, rare-language leaks); very low
+    scores = boilerplate. Quantize-then-sum keeps the per-token ``ln``
+    (last-ulp engine drift) out of any float aggregation.
+
+    Plan: token counts (one reduced shuffle) → per-term surprisal with
+    the broadcast total → join back to (doc, term) occurrences on term —
+    the vocabulary-keyed join, NOT broadcast (web-scale vocabularies) —
+    → one integer-sum groupBy per document.
+    """
+    toks = df.select(F.col(id_col), F.explode(TX.tokens(F.col(text_col)))
+                     .alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = counts.agg(F.sum("__cnt").alias("__t"))
+    surprisal = (counts.crossJoin(F.broadcast(total))
+                 .select("term",
+                         F.floor(F.log(F.col("__t").cast("double")
+                                       / F.col("__cnt").cast("double"))
+                                 * F.lit(1e6) + F.lit(0.5))
+                          .cast("bigint").alias("__s")))
+    per_doc = (toks.join(surprisal, "term")
+                   .groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("n_tokens"),
+                        F.sum("__s").alias("__sum")))
+    return per_doc.select(
+        id_col, "n_tokens",
+        F.floor(F.col("__sum").cast("double")
+                / F.col("n_tokens").cast("double"))
+         .cast("bigint").alias("logloss_micro"))

@@ -178,3 +178,35 @@ def referential_audit(pairs):
                     .select(F.lit(name).alias("relationship"),
                             "n_child", "n_orphan", "n_unreferenced"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def benford_audit(df, value_col: str):
+    """First-digit (Benford) distribution audit over a positive numeric
+    column: ``(digit, observed, expected_micro, chi2_micro)`` for digits
+    1-9, with the Benford expectation ``n·log10(1 + 1/d)``. The classic
+    fabricated-numbers screen for ingested financial/metric columns —
+    synthetic or truncated feeds snap to near-uniform first digits and
+    light up the chi-square column.
+
+    One groupBy over the digit (9 groups, map-side combined); n rides in
+    as a broadcast single-row total. The per-digit log10 expectation is
+    quantized per row (9 rows) under the usual micro-floor, keeping the
+    libm call out of any aggregation.
+    """
+    from pyspark.sql import functions as F
+    digit = F.substring(F.floor(F.col(value_col).cast("double"))
+                        .cast("string"), 1, 1).cast("int")
+    cells = (df.filter(F.col(value_col) >= 1)
+               .groupBy(digit.alias("digit"))
+               .agg(F.count(F.lit(1)).alias("observed")))
+    total = cells.agg(F.sum("observed").alias("__n"))
+    d = F.col("digit").cast("double")
+    e = (F.col("__n").cast("double")
+         * F.log10(F.lit(1.0) + F.lit(1.0) / d))
+    o = F.col("observed").cast("double")
+    contrib = (o - e) * (o - e) / e
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (cells.crossJoin(F.broadcast(total))
+                 .select("digit", "observed",
+                         micro(e).alias("expected_micro"),
+                         micro(contrib).alias("chi2_micro")))

@@ -39,3 +39,61 @@ def rolling_sum_seconds(df: DataFrame, key: str, ts_col: str, value: str,
     return df.withColumn(
         out_col,
         F.sum(F.col(value).cast("decimal(18,2)")).over(w).cast("double"))
+
+
+def cumulative_users(df: DataFrame, key: str, ts_col: str,
+                     bucket: str = "DAY") -> DataFrame:
+    """Audience-growth curve: per time bucket, how many keys appear for
+    the FIRST time and the running total of distinct keys seen so far —
+    ``(bucket_start, n_new, cum_total)``.
+
+    A naive expanding-window COUNT(DISTINCT) rescans history per bucket;
+    this is the scalable first-touch formulation: one groupBy finds each
+    key's first timestamp (map-side combined min), one groupBy rolls
+    first-touches into buckets, and the running sum is a window over the
+    already-aggregate-sized bucket table (days/hours — thousands of
+    rows, so the single-partition ordering is bounded by the calendar,
+    not the data).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    first = (df.groupBy(F.col(key).alias("__k"))
+               .agg(F.min(ts_col).alias("__first")))
+    daily = (first.groupBy(F.date_trunc(bucket, "__first")
+                           .alias("bucket_start"))
+                  .agg(F.count(F.lit(1)).alias("n_new")))
+    w = (Window.orderBy("bucket_start")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return daily.withColumn("cum_total",
+                            F.sum("n_new").over(w).cast("bigint"))
+
+
+def decayed_value(df: DataFrame, key: str, ts_col: str, value_col: str,
+                  half_life_hours: float = 168.0) -> DataFrame:
+    """Recency-weighted engagement per key: ``(key, decayed_micro)``
+    with each event contributing ``⌊value·2^(−age/half_life)·10⁶ + ½⌋``
+    relative to the corpus's newest event. The standard time-decay
+    feature for ranking/churn models.
+
+    Per-row exp (engine-ulp-sensitive) quantizes to integer micro-units
+    BEFORE the per-key sum — the same convention as every log-scored
+    operator here — so the aggregate is order-independent and
+    oracle-hashable. The reference timestamp is a broadcast single-row
+    max; ages derive from exact epoch-microsecond integers.
+    """
+    from pyspark.sql import functions as F
+    if half_life_hours <= 0:
+        raise ValueError(f"half_life_hours must be > 0, "
+                         f"got {half_life_hours}")
+    ref = df.agg(F.max(ts_col).alias("__ref"))
+    age_h = ((F.unix_micros(F.col("__ref"))
+              - F.unix_micros(F.col(ts_col))).cast("double")
+             / F.lit(3.6e9))
+    contrib = F.floor(F.col(value_col).cast("double")
+                      * F.pow(F.lit(2.0), -age_h
+                              / F.lit(float(half_life_hours)))
+                      * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return (df.crossJoin(F.broadcast(ref))
+              .select(F.col(key), contrib.alias("__c"))
+              .groupBy(key)
+              .agg(F.sum("__c").alias("decayed_micro")))

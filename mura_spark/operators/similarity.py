@@ -612,3 +612,27 @@ def centroid_cosine(df: DataFrame, label_col: str = "label",
                 .select("label_a", "label_b",
                         F.floor(cos * F.lit(1e6) + F.lit(0.5))
                          .cast("bigint").alias("cos_micro")))
+
+
+def confusion_matrix(pred: DataFrame, true_col: str = "true_label",
+                     pred_col: str = "pred_label") -> DataFrame:
+    """Confusion matrix + per-cell recall share from a prediction table:
+    ``(true_label, pred_label, n, recall_micro)`` where recall_micro is
+    the cell's share of its true-label row. The evaluation rollup for
+    :func:`knn_classify` (or any classifier output).
+
+    One groupBy to cells; row totals come from a window partitioned by
+    the true label over the already-aggregated cells — NOT a groupBy +
+    self-join, which would branch the DAG and re-evaluate the (often
+    expensive) upstream prediction plan once per branch. The window input
+    is label²-sized. Exact integer counts; the share is one exact-int
+    division, micro-floored.
+    """
+    cells = (pred.groupBy(F.col(true_col), F.col(pred_col))
+                 .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy(true_col)
+    rt = F.sum("n").over(w)
+    share = F.col("n").cast("double") / rt.cast("double")
+    return cells.select(true_col, pred_col, "n",
+                        F.floor(share * F.lit(1e6) + F.lit(0.5))
+                         .cast("bigint").alias("recall_micro"))

@@ -119,6 +119,11 @@ _NEXT_WINDOW = [
     # lambdas) + integrity audit / snapshot diff / k-core pruning
     "join_full_outer", "agg_unpivot", "hof_array_ops",
     "audit_referential", "events_snapshot_diff", "graph_kcore_prune",
+    # round-5j: vocabulary planning / LM quality scoring / growth curve /
+    # time-decay features / classifier evaluation / Benford audit
+    "text_vocab_coverage", "text_unigram_logloss",
+    "events_cumulative_users", "events_decayed_value",
+    "emb_knn_confusion", "audit_benford",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -466,3 +466,141 @@ def graph_kcore_prune(spark, sf):
     edges = cooccurrence_edges_supported(li, "l_orderkey", "l_partkey",
                                          min_support=2)
     return kcore_prune(edges, k=3, rounds=3)
+
+
+# ------------------------------------------------------- round-5j additions
+
+@q("text_vocab_coverage",
+   "WITH cnt AS (SELECT term, COUNT(*) AS cnt FROM "
+   f"(SELECT unnest({_TOKS}) AS term FROM documents) GROUP BY 1), "
+   "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt), "
+   "top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) "
+   "AS rn FROM cnt ORDER BY cnt DESC, term ASC LIMIT 50), "
+   "perk AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n_covered "
+   "FROM top, (SELECT unnest([10, 25, 50]) AS k) ks "
+   "WHERE rn <= k GROUP BY 1) "
+   "SELECT k, n_covered, CAST(floor(CAST(n_covered AS DOUBLE) "
+   "/ CAST(t AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS coverage_micro FROM perk CROSS JOIN tot")
+def text_vocab_coverage(spark, sf):
+    """Vocabulary-budget curve: token-occurrence coverage of the top
+    {10, 25, 50} most frequent tokens — the tokenizer-size planning
+    query. Top-k is distributed partial top-k; every per-k sum runs
+    over that bounded frame (operators.corpus.vocab_coverage)."""
+    from mura_spark.operators.corpus import vocab_coverage
+    d = table(spark, sf, "documents")
+    return vocab_coverage(d, "text", [10, 25, 50])
+
+
+@q("text_unigram_logloss",
+   f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term "
+   "FROM documents), "
+   "cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1), "
+   "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt), "
+   "sup AS (SELECT term, CAST(floor(ln(CAST(t AS DOUBLE) "
+   "/ CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s "
+   "FROM cnt CROSS JOIN tot), "
+   "perdoc AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+   "CAST(SUM(s) AS BIGINT) AS sm FROM tok JOIN sup USING (term) "
+   "GROUP BY 1) "
+   "SELECT doc_id, n_tokens, CAST(floor(CAST(sm AS DOUBLE) "
+   "/ CAST(n_tokens AS DOUBLE)) AS BIGINT) AS logloss_micro "
+   "FROM perdoc")
+def text_unigram_logloss(spark, sf):
+    """Per-document unigram LM surprisal (CCNet-style LM quality
+    filter): mean corpus surprisal of the document's tokens, quantized
+    per term before any sum. High = gibberish/rare-language leak, low =
+    boilerplate (operators.corpus.unigram_logloss)."""
+    from mura_spark.operators.corpus import unigram_logloss
+    d = table(spark, sf, "documents")
+    return unigram_logloss(d, "doc_id", "text")
+
+
+@q("events_cumulative_users",
+   "WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events "
+   "GROUP BY 1), "
+   "d AS (SELECT date_trunc('day', first_ts) AS bucket_start, "
+   "COUNT(*) AS n_new FROM f GROUP BY 1) "
+   "SELECT bucket_start, n_new, CAST(SUM(n_new) OVER (ORDER BY "
+   "bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+   "AS BIGINT) AS cum_total FROM d")
+def events_cumulative_users(spark, sf):
+    """Audience-growth curve: first-time users per day + running
+    distinct-user total — the scalable first-touch formulation (min-ts
+    per user, never an expanding COUNT DISTINCT); the running sum
+    windows over the calendar-sized bucket table only
+    (operators.rolling.cumulative_users)."""
+    from mura_spark.operators.rolling import cumulative_users
+    ev = table(spark, sf, "events")
+    return cumulative_users(ev, "user_id", "ts", "DAY")
+
+
+@q("events_decayed_value",
+   "WITH ref AS (SELECT MAX(ts) AS r FROM events) "
+   "SELECT user_id, CAST(SUM(CAST(floor(CAST(value AS DOUBLE) "
+   "* pow(2.0, -(CAST(epoch_us(r) - epoch_us(ts) AS DOUBLE) "
+   "/ 3600000000.0) / 168.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+   "AS decayed_micro FROM events CROSS JOIN ref GROUP BY 1")
+def events_decayed_value(spark, sf):
+    """Recency-weighted engagement per user (one-week half-life,
+    referenced to the newest event): per-event exponential decay
+    quantizes to micro-units BEFORE the per-user sum, keeping the
+    engine-ulp-sensitive pow out of any float aggregation
+    (operators.rolling.decayed_value)."""
+    from mura_spark.operators.rolling import decayed_value
+    ev = table(spark, sf, "events")
+    return decayed_value(ev, "user_id", "ts", "value",
+                         half_life_hours=168.0)
+
+
+def _knn_confusion_oracle() -> str:
+    from mura_spark.suite import similarity_q
+    knn = similarity_q.ORACLE_SQL["emb_knn_classify"]
+    return (
+        "SELECT c.true_label, c.pred_label, c.n, "
+        "CAST(floor(CAST(c.n AS DOUBLE) / CAST(rt.rt AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS recall_micro "
+        f"FROM (SELECT true_label, pred_label, COUNT(*) AS n FROM ({knn}) "
+        "GROUP BY 1, 2) c "
+        f"JOIN (SELECT true_label, COUNT(*) AS rt FROM ({knn}) "
+        "GROUP BY 1) rt ON c.true_label = rt.true_label")
+
+
+@q("emb_knn_confusion", _knn_confusion_oracle())
+def emb_knn_confusion(spark, sf):
+    """Confusion matrix + per-cell recall share over the 10-NN
+    classifier's predictions — the evaluation rollup closing the
+    embedding-classification loop (operators.similarity
+    .confusion_matrix on knn_classify's output)."""
+    from mura_spark.operators.similarity import (confusion_matrix,
+                                                 knn_classify)
+    e = table(spark, sf, "embeddings")
+    pred = knn_classify(e.filter(F.col("vec_id") < 50),
+                        e.filter(F.col("vec_id") >= 50), 10)
+    return confusion_matrix(pred)
+
+
+@q("audit_benford",
+   "WITH cells AS (SELECT CAST(substr(CAST(CAST(floor("
+   "CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) "
+   "AS digit, COUNT(*) AS observed FROM orders WHERE o_totalprice >= 1 "
+   "GROUP BY 1), "
+   "tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells) "
+   "SELECT digit, observed, "
+   "CAST(floor(CAST(n AS DOUBLE) * log10(1.0 + 1.0 "
+   "/ CAST(digit AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS expected_micro, "
+   "CAST(floor((CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) "
+   "* log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) "
+   "* (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) "
+   "* log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) "
+   "/ (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS chi2_micro "
+   "FROM cells CROSS JOIN tot")
+def audit_benford(spark, sf):
+    """First-digit Benford audit of order totals — the fabricated-
+    numbers screen. Nine groups, broadcast total, per-row quantized
+    log10 expectation (operators.profile.benford_audit)."""
+    from mura_spark.operators.profile import benford_audit
+    o = table(spark, sf, "orders")
+    return benford_audit(o, "o_totalprice")

@@ -373,3 +373,93 @@ def test_kcore_prune_empty_when_overpruned(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kcore_prune(df, k=0, rounds=1)
+
+
+# ------------------------------------------------------ vocab / logloss
+
+def test_vocab_coverage_hand_counts(spark):
+    from mura_spark.operators.corpus import vocab_coverage
+    df = spark.createDataFrame(
+        [("a a a a b b c",)], "text string")  # a:4 b:2 c:1, total 7
+    got = {r["k"]: (r["n_covered"], r["coverage_micro"])
+           for r in vocab_coverage(df, "text", [1, 2, 3]).collect()}
+    import math
+    assert got[1] == (4, math.floor(4 / 7 * 1e6 + 0.5))
+    assert got[2] == (6, math.floor(6 / 7 * 1e6 + 0.5))
+    assert got[3] == (7, 1_000_000)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        vocab_coverage(df, "text", [])
+
+
+def test_unigram_logloss_uniform_corpus(spark):
+    import math
+    from mura_spark.operators.corpus import unigram_logloss
+    # 4 tokens each appearing twice in an 8-token corpus: every token's
+    # surprisal is ln(8/2) -> every doc scores the same quantized mean
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string")
+    rows = unigram_logloss(df, "doc_id", "text").collect()
+    want = math.floor(math.log(4.0) * 1e6 + 0.5)
+    assert {(r["doc_id"], r["n_tokens"], r["logloss_micro"])
+            for r in rows} == {(1, 4, want), (2, 4, want)}
+
+
+# -------------------------------------------------- growth / decay curves
+
+def test_cumulative_users_first_touch_only(spark):
+    import datetime as dt
+    from mura_spark.operators.rolling import cumulative_users
+    t = lambda d, h=0: dt.datetime(2026, 1, d, h)  # noqa: E731
+    rows = [(1, t(1)), (1, t(2)), (2, t(2)), (3, t(2)), (1, t(3))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["bucket_start"].day: (r["n_new"], r["cum_total"])
+           for r in cumulative_users(df, "user_id", "ts").collect()}
+    # day1: user1 new; day2: users 2+3 new (user1's repeat ignored)
+    assert got == {1: (1, 1), 2: (2, 3)}
+
+
+def test_decayed_value_halving(spark):
+    import datetime as dt
+    from mura_spark.operators.rolling import decayed_value
+    base = dt.datetime(2026, 1, 8)
+    week_ago = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, 100.0), (2, week_ago, 100.0)],
+        "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r["decayed_micro"]
+           for r in decayed_value(df, "user_id", "ts", "value",
+                                  half_life_hours=168.0).collect()}
+    assert got[1] == 100_000_000          # age 0: full value
+    assert abs(got[2] - 50_000_000) <= 1  # exactly one half-life old
+
+
+# ------------------------------------------------------- confusion matrix
+
+def test_confusion_matrix_shares(spark):
+    from mura_spark.operators.similarity import confusion_matrix
+    pred = spark.createDataFrame(
+        [(0, 0), (0, 0), (0, 1), (1, 1)],
+        "true_label int, pred_label int")
+    got = {(r["true_label"], r["pred_label"]): (r["n"], r["recall_micro"])
+           for r in confusion_matrix(pred).collect()}
+    assert got[(0, 0)] == (2, 666_667)
+    assert got[(0, 1)] == (1, 333_333)
+    assert got[(1, 1)] == (1, 1_000_000)
+
+
+# ------------------------------------------------------------- Benford
+
+def test_benford_audit_uniform_is_flagged(spark):
+    import math
+    from mura_spark.operators.profile import benford_audit
+    # exactly uniform first digits 1-9, 10 values each
+    rows = [(float(d) * 10 + i,) for d in range(1, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: (r["observed"], r["expected_micro"])
+           for r in benford_audit(df, "v").collect()}
+    assert all(got[d][0] == 10 for d in range(1, 10))
+    e1 = 90 * math.log10(2.0)  # Benford expectation for digit 1
+    assert abs(got[1][1] / 1e6 - e1) < 1e-5
+    # digit 9 heavily over-represented vs Benford's ~4.6%
+    assert got[9][0] > 90 * math.log10(1 + 1.0 / 9)
