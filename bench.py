@@ -150,6 +150,11 @@ BENCH_QUERIES = [
     "events_decayed_value",
     "emb_knn_confusion",
     "audit_benford",
+    "setop_intersect_all",
+    "setop_except_all",
+    "agg_string_concat",
+    "sort_nulls_last_topk",
+    "events_value_p50_p95_by_type",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -124,6 +124,10 @@ _NEXT_WINDOW = [
     "text_vocab_coverage", "text_unigram_logloss",
     "events_cumulative_users", "events_decayed_value",
     "emb_knn_confusion", "audit_benford",
+    # round-5k: SQL-surface completion — bag-semantics set ops, ordered
+    # string aggregation, null-placement top-k, exact group percentiles
+    "setop_intersect_all", "setop_except_all", "agg_string_concat",
+    "sort_nulls_last_topk", "events_value_p50_p95_by_type",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

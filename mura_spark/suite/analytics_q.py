@@ -604,3 +604,22 @@ def audit_benford(spark, sf):
     from mura_spark.operators.profile import benford_audit
     o = table(spark, sf, "orders")
     return benford_audit(o, "o_totalprice")
+
+
+@q("events_value_p50_p95_by_type",
+   "SELECT event_type, "
+   "CAST(floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS p50_micro, "
+   "CAST(floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS p95_micro FROM events GROUP BY 1")
+def events_value_p50_p95_by_type(spark, sf):
+    """Exact interpolated percentiles per event type — the per-segment
+    latency/value SLO rollup. Both engines use the standard
+    (n−1)·p linear-interpolation definition over the exact sorted
+    values, so the micro-floored results hash-match; the approximate
+    sketch twin is sketch_value_percentiles."""
+    ev = table(spark, sf, "events")
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        micro(F.percentile("value", F.lit(0.5))).alias("p50_micro"),
+        micro(F.percentile("value", F.lit(0.95))).alias("p95_micro"))

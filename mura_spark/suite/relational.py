@@ -696,3 +696,74 @@ def hof_array_ops(spark, sf):
                     lambda acc, x: acc + x).alias("total_len"),
         posw.alias("pos_weighted"),
         F.exists(lens, lambda x: x > 8).alias("has_very_long"))
+
+
+@q("setop_intersect_all",
+   "SELECT l_suppkey FROM lineitem WHERE l_quantity > 45 "
+   "INTERSECT ALL SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08")
+def setop_intersect_all(spark, sf):
+    """INTERSECT ALL — bag semantics (min multiplicity per value), the
+    variant plain intersect() hides. The suppkey inputs are deliberately
+    duplicate-heavy so the hash gate pins multiplicities, not just
+    membership."""
+    li = table(spark, sf, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select("l_suppkey")
+    b = li.filter(F.col("l_discount") > 0.08).select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@q("setop_except_all",
+   "SELECT l_suppkey FROM lineitem WHERE l_quantity > 45 "
+   "EXCEPT ALL SELECT l_suppkey FROM lineitem "
+   "WHERE l_quantity > 45 AND l_returnflag = 'R'")
+def setop_except_all(spark, sf):
+    """EXCEPT ALL — per-value multiplicity subtraction (count_left −
+    count_right copies survive), completing the set-operation family.
+    The right side is a strict subset of the left, so the result is
+    exactly the non-returned high-quantity multiset — per-key
+    multiplicities, not membership, are what the hash pins."""
+    li = table(spark, sf, "lineitem").select("l_suppkey", "l_quantity",
+                                             "l_returnflag")
+    a = li.filter(F.col("l_quantity") > 45).select("l_suppkey")
+    b = (li.filter((F.col("l_quantity") > 45)
+                   & (F.col("l_returnflag") == "R"))
+           .select("l_suppkey"))
+    return a.exceptAll(b)
+
+
+@q("agg_string_concat",
+   "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+   "FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY 1")
+def agg_string_concat(spark, sf):
+    """Ordered string aggregation (collect_list → sort_array →
+    array_join): collect_list alone is partition-order-nondeterministic,
+    the explicit sort is what makes the result hash-stable — the same
+    discipline DuckDB's ORDER BY inside string_agg expresses."""
+    r = table(spark, sf, "region")
+    n = table(spark, sf, "nation")
+    return (r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+             .groupBy("r_name")
+             .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                   .alias("nations")))
+
+
+@q("sort_nulls_last_topk",
+   "SELECT c.c_custkey, b.n_big FROM customer c LEFT JOIN "
+   "(SELECT o_custkey, COUNT(*) AS n_big FROM orders "
+   "WHERE o_totalprice > 450000 GROUP BY 1) b "
+   "ON c.c_custkey = b.o_custkey "
+   "ORDER BY n_big DESC NULLS LAST, c_custkey ASC LIMIT 15")
+def sort_nulls_last_topk(spark, sf):
+    """Explicit null ordering under a top-k: customers ranked by
+    big-order count with no-order customers (NULL from the left join)
+    pushed past the limit boundary — the null-placement semantics a
+    bare DESC would get wrong. Executes as TakeOrderedAndProject."""
+    cust = table(spark, sf, "customer").select("c_custkey")
+    big = (table(spark, sf, "orders")
+           .filter(F.col("o_totalprice") > 450000)
+           .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_big")))
+    return (cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+                .select("c_custkey", "n_big")
+                .orderBy(F.col("n_big").desc_nulls_last(),
+                         F.col("c_custkey").asc())
+                .limit(15))
