@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mura_spark.functions.quantize import micro
+
 from mura_spark.functions import text as TX
 
 
@@ -64,8 +66,7 @@ def simpson_diversity(df: DataFrame, group_col: str,
     simpson = F.lit(1.0) - F.col("__s2").cast("double") / (t * t)
     return (per_grp.select(
         F.col("grp").alias(group_col), "n_tokens",
-        F.floor(simpson * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-         .alias("simpson_micro")))
+        micro(simpson).alias("simpson_micro")))
 
 
 def total_variation(df: DataFrame, group_col: str,
@@ -96,8 +97,7 @@ def total_variation(df: DataFrame, group_col: str,
     tvd = num.cast("double") / denom
     return inside.select(
         F.col("grp").alias(group_col),
-        F.floor(tvd * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-         .alias("tvd_micro"))
+        micro(tvd).alias("tvd_micro"))
 
 
 def vocab_coverage(df: DataFrame, text_col: str,
@@ -133,8 +133,7 @@ def vocab_coverage(df: DataFrame, text_col: str,
     cov = F.col("n_covered").cast("double") / F.col("__t").cast("double")
     return (per_k.crossJoin(F.broadcast(total))
                  .select("k", "n_covered",
-                         F.floor(cov * F.lit(1e6) + F.lit(0.5))
-                          .cast("bigint").alias("coverage_micro")))
+                         micro(cov).alias("coverage_micro")))
 
 
 def unigram_logloss(df: DataFrame, id_col: str,
@@ -159,10 +158,9 @@ def unigram_logloss(df: DataFrame, id_col: str,
     total = counts.agg(F.sum("__cnt").alias("__t"))
     surprisal = (counts.crossJoin(F.broadcast(total))
                  .select("term",
-                         F.floor(F.log(F.col("__t").cast("double")
-                                       / F.col("__cnt").cast("double"))
-                                 * F.lit(1e6) + F.lit(0.5))
-                          .cast("bigint").alias("__s")))
+                         micro(F.log(F.col("__t").cast("double")
+                                     / F.col("__cnt").cast("double")))
+                          .alias("__s")))
     per_doc = (toks.join(surprisal, "term")
                    .groupBy(id_col)
                    .agg(F.count(F.lit(1)).alias("n_tokens"),

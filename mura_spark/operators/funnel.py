@@ -145,6 +145,13 @@ def path_ngrams(df, part_col: str, order_cols: list[str], item_col: str,
     ORDER BY ... LIMIT (TakeOrderedAndProject — distributed partial
     top-k, ties broken by path ascending, never a single-partition
     window over the full path table).
+
+    Windows whose items include a NULL are dropped entirely (a NULL
+    anywhere — not just at the partition tail — would otherwise be
+    silently skipped by concat_ws, conflating an n-gram with a shorter
+    one). Item values must not contain the ``>`` separator; callers with
+    free-form items should pre-escape (the rendered path would otherwise
+    be ambiguous).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -153,8 +160,11 @@ def path_ngrams(df, part_col: str, order_cols: list[str], item_col: str,
     w = Window.partitionBy(part_col).orderBy(*order_cols)
     steps = [F.col(item_col)] + [F.lead(item_col, i).over(w)
                                  for i in range(1, n)]
+    all_present = steps[0].isNotNull()
+    for s in steps[1:]:
+        all_present = all_present & s.isNotNull()
     grams = (df.select(F.concat_ws(">", *steps).alias("path"),
-                       steps[-1].isNotNull().alias("__full"))
+                       all_present.alias("__full"))
                .filter(F.col("__full")))
     return (grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
                  .orderBy(F.col("n_paths").desc(), F.col("path").asc())

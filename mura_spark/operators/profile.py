@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mura_spark.functions.quantize import micro
+
 
 def profile_table(df: DataFrame, cols: list[str] | None = None,
                   exact: bool = True) -> DataFrame:
@@ -110,12 +112,13 @@ def corr_pairs(df, cols, scale: int = 2):
         sx, sy = F.col(f"__s_{x}").cast("double"), F.col(f"__s_{y}").cast("double")
         qx, qy = F.col(f"__q_{x}").cast("double"), F.col(f"__q_{y}").cast("double")
         pxy = F.col(f"__p_{x}_{y}").cast("double")
-        rho = ((n * pxy - sx * sy)
-               / F.sqrt((n * qx - sx * sx) * (n * qy - sy * sy)))
+        den = (n * qx - sx * sx) * (n * qy - sy * sy)
+        rho = (n * pxy - sx * sy) / F.sqrt(den)
+        # zero-variance column -> correlation undefined: NULL, not a
+        # DIVIDE_BY_ZERO abort (ANSI mode) — matches the SQL twin's CASE
         rows.append(F.struct(
             F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
-            F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-             .alias("corr_micro")))
+            F.when(den > F.lit(0.0), micro(rho)).alias("corr_micro")))
     return (m.select(F.explode(F.array(*rows)).alias("__r"))
              .select("__r.col_x", "__r.col_y", "__r.corr_micro"))
 
@@ -141,8 +144,7 @@ def quantile_normalize(df, part_col: str, value_col: str, id_col: str):
                                              F.col(id_col).asc())
     return df.select(
         F.col(id_col), F.col(part_col),
-        F.floor(F.percent_rank().over(w) * F.lit(1e6) + F.lit(0.5))
-         .cast("bigint").alias("pr_micro"))
+        micro(F.percent_rank().over(w)).alias("pr_micro"))
 
 
 def referential_audit(pairs):
@@ -189,24 +191,33 @@ def benford_audit(df, value_col: str):
     light up the chi-square column.
 
     One groupBy over the digit (9 groups, map-side combined); n rides in
-    as a broadcast single-row total. The per-digit log10 expectation is
-    quantized per row (9 rows) under the usual micro-floor, keeping the
-    libm call out of any aggregation.
+    as a broadcast single-row total. The occupied cells LEFT-join onto a
+    literal 1-9 digit grid so absent digits surface as observed=0 rather
+    than vanishing — a digit that never occurs contributes its full
+    (0−E)²/E = E to the statistic, and the strongest deviations are
+    exactly the ones with missing digits. The per-digit log10 expectation
+    is quantized per row (9 rows) under the usual micro-floor, keeping
+    the libm call out of any aggregation.
     """
     from pyspark.sql import functions as F
     digit = F.substring(F.floor(F.col(value_col).cast("double"))
                         .cast("string"), 1, 1).cast("int")
     cells = (df.filter(F.col(value_col) >= 1)
                .groupBy(digit.alias("digit"))
-               .agg(F.count(F.lit(1)).alias("observed")))
-    total = cells.agg(F.sum("observed").alias("__n"))
+               .agg(F.count(F.lit(1)).alias("__obs")))
+    total = cells.agg(F.sum("__obs").alias("__n"))
+    grid = total.select(
+        F.explode(F.array(*[F.lit(d) for d in range(1, 10)]))
+         .alias("digit"), "__n")
+    full = (grid.join(F.broadcast(cells), "digit", "left")
+                .select("digit", "__n",
+                        F.coalesce("__obs", F.lit(0).cast("bigint"))
+                         .alias("observed")))
     d = F.col("digit").cast("double")
     e = (F.col("__n").cast("double")
          * F.log10(F.lit(1.0) + F.lit(1.0) / d))
     o = F.col("observed").cast("double")
     contrib = (o - e) * (o - e) / e
-    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
-    return (cells.crossJoin(F.broadcast(total))
-                 .select("digit", "observed",
-                         micro(e).alias("expected_micro"),
-                         micro(contrib).alias("chi2_micro")))
+    return full.select("digit", "observed",
+                       micro(e).alias("expected_micro"),
+                       micro(contrib).alias("chi2_micro"))

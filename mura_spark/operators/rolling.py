@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from mura_spark.functions.quantize import micro
 from pyspark.sql.window import Window
 
 
@@ -89,10 +91,9 @@ def decayed_value(df: DataFrame, key: str, ts_col: str, value_col: str,
     age_h = ((F.unix_micros(F.col("__ref"))
               - F.unix_micros(F.col(ts_col))).cast("double")
              / F.lit(3.6e9))
-    contrib = F.floor(F.col(value_col).cast("double")
-                      * F.pow(F.lit(2.0), -age_h
-                              / F.lit(float(half_life_hours)))
-                      * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    contrib = micro(F.col(value_col).cast("double")
+                    * F.pow(F.lit(2.0), -age_h
+                            / F.lit(float(half_life_hours))))
     return (df.crossJoin(F.broadcast(ref))
               .select(F.col(key), contrib.alias("__c"))
               .groupBy(key)

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mura_spark.functions.quantize import micro
+
 from mura_spark.functions import text as TX
 
 
@@ -67,13 +69,17 @@ def bm25_topk(docs: DataFrame, id_col: str, text_col: str,
     ids = F.col(id_col)
     toks = docs.select(ids, TX.tokens(F.col(text_col)).alias("__toks"))
     # per-doc length (all terms, BEFORE the query filter — BM25's dl is
-    # the full document length) and corpus stats N / avgdl
-    lens = toks.select(ids, F.size("__toks").alias("__dl"))
-    stats = lens.agg(F.count(F.lit(1)).alias("__n"),
-                     F.sum("__dl").alias("__tot"))
-    pairs = (toks.select(ids, F.explode("__toks").alias("term"))
+    # the full document length) rides THROUGH the explode on each pair
+    # row, so the scoring join never touches the corpus-sized length
+    # table again; corpus stats N / avgdl are one cheap single-row agg
+    stats = (toks.select(F.size("__toks").alias("__dl"))
+                 .agg(F.count(F.lit(1)).alias("__n"),
+                      F.sum("__dl").alias("__tot")))
+    pairs = (toks.select(ids, F.size("__toks").alias("__dl"),
+                         F.explode("__toks").alias("term"))
                  .filter(F.col("term").isin(terms)))
-    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"),
+                                           F.first("__dl").alias("__dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
 
     dl = F.col("__dl").cast("double")
@@ -84,10 +90,8 @@ def bm25_topk(docs: DataFrame, id_col: str, text_col: str,
     per_term = (idf * tfd * F.lit(k1 + 1.0)
                 / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)))
     scored = (tf.join(F.broadcast(dfreq), "term")
-                .join(lens, id_col)
                 .crossJoin(F.broadcast(stats))
-                .withColumn("__s", F.floor(per_term * F.lit(1e6)
-                                           + F.lit(0.5)).cast("bigint")))
+                .withColumn("__s", micro(per_term)))
     total = scored.groupBy(id_col).agg(F.sum("__s").alias("score_micro"))
     return _rank_topk(total, id_col, "score_micro", k)
 
@@ -112,6 +116,9 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str, rank_col: str = "rank",
         raise ValueError(f"k must be >= 1, got {k}")
     if not rankings:
         raise ValueError("rankings must be non-empty")
+    # NOT micro(1/(k0+rank)): the SQL twin spells 1e6/(k0+rank), and
+    # (1/x)*1e6 is not the same IEEE double as 1e6/x — the expression
+    # tree must mirror the oracle exactly
     parts = [r.select(F.col(id_col),
                       F.floor(F.lit(1e6)
                               / (F.lit(float(k0)) + F.col(rank_col)

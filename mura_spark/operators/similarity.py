@@ -24,6 +24,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from mura_spark.functions.quantize import micro
 from pyspark.sql.window import Window
 
 from mura_spark.functions.vectors import cosine, dot, norm
@@ -610,8 +612,8 @@ def centroid_cosine(df: DataFrame, label_col: str = "label",
     return (dots.join(F.broadcast(na), "label_a")
                 .join(F.broadcast(nb), "label_b")
                 .select("label_a", "label_b",
-                        F.floor(cos * F.lit(1e6) + F.lit(0.5))
-                         .cast("bigint").alias("cos_micro")))
+                        F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+                               micro(cos)).alias("cos_micro")))
 
 
 def confusion_matrix(pred: DataFrame, true_col: str = "true_label",
@@ -634,5 +636,4 @@ def confusion_matrix(pred: DataFrame, true_col: str = "true_label",
     rt = F.sum("n").over(w)
     share = F.col("n").cast("double") / rt.cast("double")
     return cells.select(true_col, pred_col, "n",
-                        F.floor(share * F.lit(1e6) + F.lit(0.5))
-                         .cast("bigint").alias("recall_micro"))
+                        micro(share).alias("recall_micro"))

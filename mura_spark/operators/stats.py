@@ -18,8 +18,10 @@ in DECIMAL(38,0) so petabyte-group sums cannot overflow int64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from mura_spark.functions.quantize import micro
 
 #: fixed-point scale for continuous y values: 1e9 keeps |y| < 9e9 exact
 #: in double·scale and is far below double precision at telemetry scale.
@@ -59,7 +61,6 @@ def group_ols(df: DataFrame, group_cols: list[str], x_col: str,
     den = n * sxx - sx * sx
     slope = (n * sxy - sx * sy) / den / F.lit(_FP)
     intercept = (sy / F.lit(_FP) - slope * sx) / n
-    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
     return m.select(
         *group_cols, "n",
         F.when(den != F.lit(0.0), micro(slope)).alias("slope_micro"),
@@ -125,7 +126,6 @@ def chi2_contingency(df: DataFrame, row_col: str,
     e = (F.col("__rt").cast("double") * F.col("__ct").cast("double")
          / F.col("__t").cast("double"))
     contrib = (o - e) * (o - e) / e
-    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
     return (cells.join(F.broadcast(row_tot), "r")
                  .join(F.broadcast(col_tot), "c")
                  .crossJoin(F.broadcast(total))
@@ -134,3 +134,79 @@ def chi2_contingency(df: DataFrame, row_col: str,
                          "observed",
                          micro(e).alias("expected_micro"),
                          micro(contrib).alias("chi2_micro")))
+
+
+def group_percentiles(df: DataFrame, group_cols: list[str],
+                      value_col: str, ps: list[float],
+                      out_names: list[str]) -> DataFrame:
+    """Exact linearly-interpolated percentiles per group —
+    ``(groups..., <out_names>_micro...)`` — computed from EXPLICIT order
+    statistics rather than the engine's percentile aggregate.
+
+    Why not ``F.percentile`` / ``quantile_cont``: both implement the
+    same (n−1)·p definition, but the interpolation arithmetic runs
+    inside each engine's aggregate with an unspecified association
+    order, so the raw doubles are not guaranteed to match across
+    engines. Here the definition is spelled out once and mirrored
+    verbatim by the SQL twin: rank rows per group, pick the ⌊(n−1)p⌋
+    and ⌊(n−1)p⌋+1 order statistics via conditional MAX in one groupBy,
+    and interpolate post-aggregation with a fixed expression tree —
+    deterministic by construction, then micro-floored.
+
+    Plan: one window shuffle on the group key (rank + group size in the
+    same pass), one map-side-combined groupBy. Values order by the value
+    alone — equal values make either boundary choice identical, so no
+    tiebreak is needed.
+    """
+    if len(ps) != len(out_names):
+        raise ValueError("ps and out_names must align")
+    w_rn = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    w_n = Window.partitionBy(*group_cols)
+    ranked = df.select(*group_cols, F.col(value_col).alias("__v"),
+                       (F.row_number().over(w_rn) - F.lit(1)).alias("__i"),
+                       F.count(F.lit(1)).over(w_n).alias("__n"))
+    aggs = [F.first("__n").alias("__n")]
+    for p, name in zip(ps, out_names):
+        pos = (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(p))
+        k = F.floor(pos)
+        aggs.append(F.max(F.when(F.col("__i") == k, F.col("__v")))
+                     .alias(f"__lo_{name}"))
+        aggs.append(F.max(F.when(F.col("__i") == k + F.lit(1),
+                                 F.col("__v")))
+                     .alias(f"__hi_{name}"))
+    agg = ranked.groupBy(*group_cols).agg(*aggs)
+    outs = list(group_cols)
+    for p, name in zip(ps, out_names):
+        pos = (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(p))
+        f = pos - F.floor(pos).cast("double")
+        lo, hi = F.col(f"__lo_{name}"), F.col(f"__hi_{name}")
+        val = lo + (F.coalesce(hi, lo) - lo) * f
+        outs.append(micro(val).alias(f"{name}_micro"))
+    return agg.select(*outs)
+
+
+def sql_group_percentiles(table_expr: str, group_cols: list[str],
+                          value_expr: str, ps: list[float],
+                          out_names: list[str]) -> str:
+    """DuckDB twin of :func:`group_percentiles` — identical expression
+    tree, spelled out (never quantile_cont; see the operator docstring)."""
+    g = ", ".join(group_cols)
+    los, sels = [], []
+    for p, name in zip(ps, out_names):
+        pos = f"CAST(n - 1 AS DOUBLE) * {float(p)!r}"
+        los.append(f"MAX(CASE WHEN i = CAST(floor({pos}) AS BIGINT) "
+                   f"THEN v END) AS lo_{name}")
+        los.append(f"MAX(CASE WHEN i = CAST(floor({pos}) AS BIGINT) + 1 "
+                   f"THEN v END) AS hi_{name}")
+        sels.append(
+            f"CAST(floor((lo_{name} + (coalesce(hi_{name}, lo_{name}) "
+            f"- lo_{name}) * ({pos} - floor({pos}))) * 1000000.0 + 0.5) "
+            f"AS BIGINT) AS {name}_micro")
+    return (
+        f"WITH ranked AS (SELECT {g}, {value_expr} AS v, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {g} "
+        f"ORDER BY {value_expr}) - 1 AS BIGINT) AS i, "
+        f"COUNT(*) OVER (PARTITION BY {g}) AS n FROM {table_expr}), "
+        f"agg AS (SELECT {g}, ANY_VALUE(n) AS n, " + ", ".join(los)
+        + f" FROM ranked GROUP BY {g}) "
+        f"SELECT {g}, " + ", ".join(sels) + " FROM agg")

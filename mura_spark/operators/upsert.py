@@ -81,10 +81,11 @@ def snapshot_diff(old, new, key_cols, compare_cols):
                                 for c in compare_cols],
                    F.lit(True).alias("__in_n"))
     j = o.join(n, key_cols, "full_outer")
-    same = None
+    # empty compare_cols = presence-only diff (added/removed only)
+    same = F.lit(True)
     for c in compare_cols:
         eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & eq
     change = (F.when(F.col("__in_o").isNull(), F.lit("added"))
                .when(F.col("__in_n").isNull(), F.lit("removed"))
                .when(~same, F.lit("changed")))

@@ -87,18 +87,20 @@ _PRIORITY = [
 ]
 
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 comes back green for
-# this window, every query except the 6 round-5g additions below will
+# this window, every query except the _NEXT_WINDOW overflow below will
 # have a cumulative driver-green row. Round 6's window must promote, in
-# order: (1) the round-5g additions queued in _NEXT_WINDOW (the window
-# was already full of never-verified queries when they landed, so they
-# sit at positions 51-56 — the driver's window overflow, bounded to one
-# round), plus any round-6 additions, (2) the r1-only greens displaced
-# this round (join_cross_small, setop_union, setop_intersect,
-# window_topk_per_group, window_running_sum, q6_revenue_change,
-# q10_returned_items, q14_promo_share, q18_large_orders, agg_rollup,
-# agg_cube, subquery_scalar, subquery_exists,
-# subquery_correlated_scalar, setop_except, agg_pivot, agg_median,
-# date_functions),
+# order: (1) ALL of _NEXT_WINDOW — the round-5g/5h/5i/5j/5k additions
+# (currently 28 queries at positions 51-78; the window was already full
+# of never-verified queries when they landed, so they are the driver's
+# window overflow, bounded to one round) — plus any round-6 additions;
+# with 28 overflow + new additions the round-6 window will again be
+# mostly/entirely never-verified queries. Then, as slots remain:
+# (2) the r1-only greens displaced this round (join_cross_small,
+# setop_union, setop_intersect, window_topk_per_group,
+# window_running_sum, q6_revenue_change, q10_returned_items,
+# q14_promo_share, q18_large_orders, agg_rollup, agg_cube,
+# subquery_scalar, subquery_exists, subquery_correlated_scalar,
+# setop_except, agg_pivot, agg_median, date_functions),
 # (3) the remaining r1-only cohort, (4) the r3 cohort rotated out this
 # round (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
 # tests/test_registry.py enforces (1) mechanically.

@@ -168,15 +168,17 @@ def _sql_corr() -> str:
                        f"AS p_{x}_{y}")
     selects = []
     for x, y in pairs:
-        rho = (f"(CAST(n AS DOUBLE) * CAST(p_{x}_{y} AS DOUBLE) "
-               f"- CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE)) "
-               f"/ sqrt((CAST(n AS DOUBLE) * CAST(q_{x} AS DOUBLE) "
+        den = (f"(CAST(n AS DOUBLE) * CAST(q_{x} AS DOUBLE) "
                f"- CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE)) "
                f"* (CAST(n AS DOUBLE) * CAST(q_{y} AS DOUBLE) "
-               f"- CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE)))")
+               f"- CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))")
+        rho = (f"(CAST(n AS DOUBLE) * CAST(p_{x}_{y} AS DOUBLE) "
+               f"- CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE)) "
+               f"/ sqrt({den})")
         selects.append(
             f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
-            f"CAST(floor({rho} * 1000000.0 + 0.5) AS BIGINT) "
+            f"CASE WHEN {den} > 0.0 THEN "
+            f"CAST(floor({rho} * 1000000.0 + 0.5) AS BIGINT) END "
             "AS corr_micro FROM m")
     return ("WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem) "
             + " UNION ALL ".join(selects))
@@ -311,8 +313,9 @@ def stats_chi2_lang_source(spark, sf):
    "SUM(CAST(floor(c * c * 1e12) AS DECIMAL(38,0))) AS n2 "
    "FROM cent GROUP BY 1) "
    "SELECT la AS label_a, lb AS label_b, "
+   "CASE WHEN na.n2 > 0 AND nb.n2 > 0 THEN "
    "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) "
-   "* CAST(nb.n2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cos_micro "
+   "* CAST(nb.n2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) END AS cos_micro "
    "FROM dots JOIN norms na ON dots.la = na.label "
    "JOIN norms nb ON dots.lb = nb.label")
 def emb_centroid_cosine(spark, sf):
@@ -328,7 +331,8 @@ def emb_centroid_cosine(spark, sf):
 @q("events_path_trigrams",
    "WITH g AS (SELECT concat_ws('>', event_type, "
    "lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path, "
-   "lead(event_type, 2) OVER w IS NOT NULL AS fl FROM events "
+   "event_type IS NOT NULL AND lead(event_type, 1) OVER w IS NOT NULL "
+   "AND lead(event_type, 2) OVER w IS NOT NULL AS fl FROM events "
    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
    "SELECT path, COUNT(*) AS n_paths FROM g WHERE fl GROUP BY 1 "
    "ORDER BY n_paths DESC, path ASC LIMIT 20")
@@ -583,9 +587,12 @@ def emb_knn_confusion(spark, sf):
 @q("audit_benford",
    "WITH cells AS (SELECT CAST(substr(CAST(CAST(floor("
    "CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) "
-   "AS digit, COUNT(*) AS observed FROM orders WHERE o_totalprice >= 1 "
+   "AS dg, COUNT(*) AS obs FROM orders WHERE o_totalprice >= 1 "
    "GROUP BY 1), "
-   "tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells) "
+   "tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells), "
+   "cellsg AS (SELECT g.digit, CAST(coalesce(c.obs, 0) AS BIGINT) "
+   "AS observed FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit) g "
+   "LEFT JOIN cells c ON g.digit = c.dg) "
    "SELECT digit, observed, "
    "CAST(floor(CAST(n AS DOUBLE) * log10(1.0 + 1.0 "
    "/ CAST(digit AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
@@ -596,7 +603,7 @@ def emb_knn_confusion(spark, sf):
    "* log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) "
    "/ (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) "
    "* 1000000.0 + 0.5) AS BIGINT) AS chi2_micro "
-   "FROM cells CROSS JOIN tot")
+   "FROM cellsg CROSS JOIN tot")
 def audit_benford(spark, sf):
     """First-digit Benford audit of order totals — the fabricated-
     numbers screen. Nine groups, broadcast total, per-row quantized
@@ -606,20 +613,21 @@ def audit_benford(spark, sf):
     return benford_audit(o, "o_totalprice")
 
 
-@q("events_value_p50_p95_by_type",
-   "SELECT event_type, "
-   "CAST(floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) AS BIGINT) "
-   "AS p50_micro, "
-   "CAST(floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) AS BIGINT) "
-   "AS p95_micro FROM events GROUP BY 1")
+def _pctl_oracle() -> str:
+    from mura_spark.operators.stats import sql_group_percentiles
+    return sql_group_percentiles("events", ["event_type"], "value",
+                                 [0.5, 0.95], ["p50", "p95"])
+
+
+@q("events_value_p50_p95_by_type", _pctl_oracle())
 def events_value_p50_p95_by_type(spark, sf):
-    """Exact interpolated percentiles per event type — the per-segment
-    latency/value SLO rollup. Both engines use the standard
-    (n−1)·p linear-interpolation definition over the exact sorted
-    values, so the micro-floored results hash-match; the approximate
+    """Exact interpolated p50/p95 per event type — the per-segment SLO
+    rollup, computed from EXPLICIT order statistics mirrored verbatim in
+    the oracle (engine percentile aggregates interpolate with an
+    unspecified association order, so their raw doubles are not
+    hash-safe — operators.stats.group_percentiles). The approximate
     sketch twin is sketch_value_percentiles."""
+    from mura_spark.operators.stats import group_percentiles
     ev = table(spark, sf, "events")
-    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
-    return ev.groupBy("event_type").agg(
-        micro(F.percentile("value", F.lit(0.5))).alias("p50_micro"),
-        micro(F.percentile("value", F.lit(0.95))).alias("p95_micro"))
+    return group_percentiles(ev, ["event_type"], "value",
+                             [0.5, 0.95], ["p50", "p95"])

@@ -463,3 +463,58 @@ def test_benford_audit_uniform_is_flagged(spark):
     assert abs(got[1][1] / 1e6 - e1) < 1e-5
     # digit 9 heavily over-represented vs Benford's ~4.6%
     assert got[9][0] > 90 * math.log10(1 + 1.0 / 9)
+
+
+# ----------------------------------------------- review-hardening fixes
+
+def test_corr_pairs_constant_column_is_null_not_crash(spark):
+    from mura_spark.operators.profile import corr_pairs
+    df = spark.createDataFrame([(float(i), 7.0) for i in range(20)],
+                               "x double, y double")
+    got = {(r["col_x"], r["col_y"]): r["corr_micro"]
+           for r in corr_pairs(df, ["x", "y"]).collect()}
+    assert got == {("x", "y"): None}  # undefined, not DIVIDE_BY_ZERO
+
+
+def test_centroid_cosine_zero_norm_is_null(spark):
+    from mura_spark.operators.similarity import centroid_cosine
+    rows = [(1, 0, [1.0, 0.0]),
+            (2, 1, [0.0, 0.0])]  # label 1 centroid has zero norm
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    got = {(r["label_a"], r["label_b"]): r["cos_micro"]
+           for r in centroid_cosine(df).collect()}
+    assert got == {(0, 1): None}
+
+
+def test_benford_reports_absent_digits(spark):
+    from mura_spark.operators.profile import benford_audit
+    # every value starts with 1 or 2 -> digits 3-9 absent but must
+    # still surface with observed=0 and chi2 = E
+    rows = [(float(v),) for v in [10, 11, 12, 20, 21, 22, 23, 24]]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: (r["observed"], r["chi2_micro"])
+           for r in benford_audit(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    for d in range(3, 10):
+        assert got[d][0] == 0
+        assert got[d][1] > 0  # absent digit contributes its full E
+
+
+def test_snapshot_diff_presence_only(spark):
+    from mura_spark.operators.upsert import snapshot_diff
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(old, new, ["k"], []).collect()}
+    assert got == {1: "removed", 3: "added"}
+
+
+def test_path_ngrams_null_items_drop_window(spark):
+    from mura_spark.operators.funnel import path_ngrams
+    rows = [(1, 0, "a"), (1, 1, None), (1, 2, "c"), (1, 3, "d")]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    got = {r["path"]: r["n_paths"]
+           for r in path_ngrams(df, "u", ["t"], "e", n=2, k=10).collect()}
+    # windows touching the NULL are dropped, never conflated
+    assert got == {"c>d": 1}
