@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "agg_string_concat",
     "sort_nulls_last_topk",
     "events_value_p50_p95_by_type",
+    "events_funnel_1h",
+    "emb_outlier_distance",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -637,3 +637,57 @@ def confusion_matrix(pred: DataFrame, true_col: str = "true_label",
     share = F.col("n").cast("double") / rt.cast("double")
     return cells.select(true_col, pred_col, "n",
                         micro(share).alias("recall_micro"))
+
+
+def centroid_outliers(df: DataFrame, id_col: str = "vec_id",
+                      label_col: str = "label", vec_col: str = "embedding",
+                      p: float = 0.95) -> DataFrame:
+    """Embedding quality screen: vectors whose squared distance to their
+    label centroid exceeds the label's exact ``p``-quantile —
+    ``(id, label, dist2_fp)`` for the flagged tail. The per-class
+    mislabel/outlier detector run before training on labeled embeddings.
+
+    Distances accumulate in 1e12 fixed point (per-dimension
+    ``⌊(x−c)²·10¹²⌋`` summed as exact integers — a plain double sum over
+    dimensions would be order-dependent); the threshold comes from the
+    same explicit order-statistics interpolation as
+    operators.stats.group_percentiles (engine quantile aggregates are
+    not hash-safe), computed over the already-aggregated |vectors|-row
+    distance table and broadcast back label-wise. Precondition:
+    dist²·10¹² must stay under 2⁵³ (dims up to ~2k at unit scale) so the
+    threshold comparison is exact in double.
+    """
+    cents = label_centroids(df, label_col, vec_col) \
+        .select("label", "pos", "centroid")
+    ex = df.select(F.col(id_col).alias("__id"),
+                   F.col(label_col).alias("label"),
+                   F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    joined = (ex.withColumn("pos", F.col("pos").cast("int"))
+                .join(cents, ["label", "pos"]))
+    diff = F.col("x").cast("double") - F.col("centroid")
+    dist = (joined.groupBy("__id", "label")
+            .agg(F.sum(F.floor(diff * diff * F.lit(1e12))
+                       .cast("decimal(38,0)"))
+                  .cast("bigint").alias("dist2_fp")))
+    w_rn = Window.partitionBy("label").orderBy(F.col("dist2_fp").asc())
+    w_n = Window.partitionBy("label")
+    ranked = dist.select(
+        "label", "dist2_fp",
+        (F.row_number().over(w_rn) - F.lit(1)).alias("__i"),
+        F.count(F.lit(1)).over(w_n).alias("__n"))
+    pos = (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(p))
+    k = F.floor(pos)
+    agg = ranked.groupBy("label").agg(
+        F.first("__n").alias("__n"),
+        F.max(F.when(F.col("__i") == k, F.col("dist2_fp")))
+         .alias("__lo"),
+        F.max(F.when(F.col("__i") == k + F.lit(1), F.col("dist2_fp")))
+         .alias("__hi"))
+    pos2 = (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(p))
+    f = pos2 - F.floor(pos2).cast("double")
+    lo = F.col("__lo").cast("double")
+    hi = F.coalesce(F.col("__hi"), F.col("__lo")).cast("double")
+    thr = agg.select("label", (lo + (hi - lo) * f).alias("__thr"))
+    return (dist.join(F.broadcast(thr), "label")
+                .filter(F.col("dist2_fp").cast("double") > F.col("__thr"))
+                .select(F.col("__id").alias(id_col), "label", "dist2_fp"))

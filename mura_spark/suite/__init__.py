@@ -130,6 +130,8 @@ _NEXT_WINDOW = [
     # string aggregation, null-placement top-k, exact group percentiles
     "setop_intersect_all", "setop_except_all", "agg_string_concat",
     "sort_nulls_last_topk", "events_value_p50_p95_by_type",
+    # round-5l: conversion-window funnel + embedding outlier screen
+    "events_funnel_1h", "emb_outlier_distance",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -631,3 +631,82 @@ def events_value_p50_p95_by_type(spark, sf):
     ev = table(spark, sf, "events")
     return group_percentiles(ev, ["event_type"], "value",
                              [0.5, 0.95], ["p50", "p95"])
+
+
+# ------------------------------------------------------- round-5l additions
+
+_SPAN_SEC = lambda c: f"CAST(floor(epoch({c})) AS BIGINT)"  # noqa: E731
+
+
+@q("events_funnel_1h",
+   f"WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+   "WHERE event_type = 'view' GROUP BY user_id), "
+   "s2 AS (SELECT e.user_id, MIN(t1) AS t1, MIN(ts) AS t2 "
+   "FROM events e JOIN s1 ON e.user_id = s1.user_id "
+   "WHERE event_type = 'click' AND ts > t1 "
+   f"AND {_SPAN_SEC('ts')} <= {_SPAN_SEC('t1')} + 3600 "
+   "GROUP BY e.user_id), "
+   "s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e "
+   "JOIN s2 ON e.user_id = s2.user_id "
+   "WHERE event_type = 'purchase' AND ts > t2 "
+   f"AND {_SPAN_SEC('ts')} <= {_SPAN_SEC('t1')} + 3600 "
+   "GROUP BY e.user_id) "
+   "SELECT 1 AS step, 'view' AS step_name, "
+   "(SELECT COUNT(*) FROM s1) AS n_users "
+   "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) "
+   "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)")
+def events_funnel_1h(spark, sf):
+    """Horizon-bounded funnel: view → click → purchase where every later
+    step must land within one hour of the user's first view — the
+    conversion-window semantics product analytics actually uses
+    (operators.funnel.funnel_counts with max_span_seconds; the span
+    compares floor-seconds on both engines)."""
+    from mura_spark.operators.funnel import funnel_counts
+    ev = table(spark, sf, "events")
+    return funnel_counts(ev, "user_id", "event_type", "ts",
+                         ["view", "click", "purchase"],
+                         max_span_seconds=3600)
+
+
+_CENT_CTE = (
+    "ex AS (SELECT label, "
+    "unnest(list_zip(CAST(embedding AS DOUBLE[]), "
+    "range(0, len(embedding)))) AS z FROM embeddings), "
+    "cent AS (SELECT label, CAST(z[2] AS INT) AS pos, "
+    "CAST(SUM(CAST(floor(z[1] * 1e9) AS HUGEINT)) AS DOUBLE) / 1e9 "
+    "/ COUNT(*) AS c FROM ex GROUP BY 1, 2)")
+
+
+@q("emb_outlier_distance",
+   f"WITH {_CENT_CTE}, "
+   "comp AS (SELECT vec_id, label, "
+   "unnest(list_zip(CAST(embedding AS DOUBLE[]), "
+   "range(0, len(embedding)))) AS z FROM embeddings), "
+   "dist AS (SELECT vec_id, comp.label, "
+   "CAST(SUM(CAST(floor((z[1] - c) * (z[1] - c) * 1e12) "
+   "AS DECIMAL(38,0))) AS BIGINT) AS dist2_fp "
+   "FROM comp JOIN cent ON comp.label = cent.label "
+   "AND CAST(z[2] AS INT) = cent.pos GROUP BY 1, 2), "
+   "ranked AS (SELECT label, dist2_fp, "
+   "CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2_fp) - 1 "
+   "AS BIGINT) AS i, COUNT(*) OVER (PARTITION BY label) AS n FROM dist), "
+   "agg AS (SELECT label, ANY_VALUE(n) AS n, "
+   "MAX(CASE WHEN i = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95) "
+   "AS BIGINT) THEN dist2_fp END) AS lo, "
+   "MAX(CASE WHEN i = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95) "
+   "AS BIGINT) + 1 THEN dist2_fp END) AS hi FROM ranked GROUP BY 1), "
+   "thr AS (SELECT label, CAST(lo AS DOUBLE) "
+   "+ (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE)) "
+   "* (CAST(n - 1 AS DOUBLE) * 0.95 "
+   "- floor(CAST(n - 1 AS DOUBLE) * 0.95)) AS t FROM agg) "
+   "SELECT vec_id, dist.label AS label, dist2_fp FROM dist "
+   "JOIN thr ON dist.label = thr.label "
+   "WHERE CAST(dist2_fp AS DOUBLE) > t")
+def emb_outlier_distance(spark, sf):
+    """Per-label embedding outliers: vectors beyond their class's exact
+    p95 centroid distance — the mislabel screen before training on
+    labeled embeddings. Fixed-point distance sums + explicit
+    order-statistics threshold (operators.similarity.centroid_outliers)."""
+    from mura_spark.operators.similarity import centroid_outliers
+    e = table(spark, sf, "embeddings")
+    return centroid_outliers(e, p=0.95)

@@ -518,3 +518,36 @@ def test_path_ngrams_null_items_drop_window(spark):
            for r in path_ngrams(df, "u", ["t"], "e", n=2, k=10).collect()}
     # windows touching the NULL are dropped, never conflated
     assert got == {"c>d": 1}
+
+
+# ------------------------------------------------ centroid outlier screen
+
+def test_centroid_outliers_flags_far_vector(spark):
+    from mura_spark.operators.similarity import centroid_outliers
+    # 20 tight vectors near (1,0) + one far outlier at (10,10)
+    rows = [(i, 0, [1.0 + i * 0.001, 0.0]) for i in range(20)]
+    rows.append((99, 0, [10.0, 10.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    got = [r["vec_id"]
+           for r in centroid_outliers(df, p=0.95).collect()]
+    assert 99 in got
+    assert len(got) <= 2  # only the extreme tail passes p95
+
+
+def test_funnel_span_bound_is_enforced(spark):
+    import datetime as dt
+    from mura_spark.operators.funnel import funnel_counts
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, "view", t(0)), (1, "click", t(10)), (1, "purchase", t(20)),
+        (2, "view", t(0)), (2, "click", t(60 - 1)),  # in-window click...
+        (2, "purchase", dt.datetime(2026, 1, 1, 2, 0)),  # ...late purchase
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+    got = {r["step_name"]: r["n_users"]
+           for r in funnel_counts(df, "user_id", "event_type", "ts",
+                                  ["view", "click", "purchase"],
+                                  max_span_seconds=3600).collect()}
+    assert got == {"view": 2, "click": 2, "purchase": 1}
