@@ -1,13 +1,20 @@
-"""Round-5g analytics queries: full-text retrieval (BM25, rank fusion),
-graph structure mining (degree-ordered triangle counting), exact-moment
-correlation profiling, and corpus diversity/divergence.
+"""Round-5 analytics queries (batches 5g-5l): full-text retrieval (BM25,
+rank fusion), graph structure mining (triangle counting, k-core),
+statistics (exact-moment correlation, grouped OLS, chi-square, explicit
+order-statistic percentiles), corpus composition (diversity, divergence,
+vocabulary coverage, unigram-LM scoring), growth/decay features,
+data-quality audits (referential integrity, snapshot diff, Benford),
+classifier evaluation, conversion-window funnels, and embedding outlier
+screening.
 
-All six are oracled (hash-comparable): the log-scored retrieval queries
-quantize per-term scores to integer micro-units BEFORE any aggregation
-(JVM ``Math.log`` vs libm ``ln`` differ in the last ulp), and everything
-else is exact integer/decimal arithmetic combined with only
-IEEE-correctly-rounded operations (+,−,×,/,√) — see the operator
-modules' docstrings for the determinism arguments.
+All oracled (hash-comparable). Determinism posture per query: anything
+passing through a transcendental (ln/exp/pow/log10) quantizes per row
+to integer micro-units BEFORE aggregation (functions/quantize.micro --
+JVM ``Math.log`` vs libm differ in the last ulp); everything else is
+exact integer/decimal arithmetic combined with only IEEE
+correctly-rounded operations, with the exact expression tree mirrored
+subexpression-for-subexpression in the SQL twin -- see the operator
+modules' docstrings for the specific arguments.
 """
 
 from __future__ import annotations
