@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "events_value_p50_p95_by_type",
     "events_funnel_1h",
     "emb_outlier_distance",
+    "events_time_to_convert",
+    "text_langid_confidence",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -132,6 +132,8 @@ _NEXT_WINDOW = [
     "sort_nulls_last_topk", "events_value_p50_p95_by_type",
     # round-5l: conversion-window funnel + embedding outlier screen
     "events_funnel_1h", "emb_outlier_distance",
+    # round-5m: conversion-latency histogram + language-ID confidence
+    "events_time_to_convert", "text_langid_confidence",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

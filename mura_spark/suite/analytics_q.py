@@ -717,3 +717,83 @@ def emb_outlier_distance(spark, sf):
     from mura_spark.operators.similarity import centroid_outliers
     e = table(spark, sf, "embeddings")
     return centroid_outliers(e, p=0.95)
+
+
+# ------------------------------------------------------- round-5m additions
+
+@q("events_time_to_convert",
+   "WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events "
+   "WHERE event_type = 'view' GROUP BY 1), "
+   "p AS (SELECT e.user_id, MIN(ts) AS tp FROM events e "
+   "JOIN v ON e.user_id = v.user_id "
+   "WHERE event_type = 'purchase' AND ts > tv GROUP BY e.user_id), "
+   "d AS (SELECT CAST(floor(CAST(epoch_us(tp) - epoch_us(tv) AS DOUBLE) "
+   "/ 60000000.0) AS BIGINT) AS mins FROM v JOIN p USING (user_id)) "
+   "SELECT CAST(mins - mins % 10 AS BIGINT) AS bucket_min, "
+   "COUNT(*) AS n_users FROM d GROUP BY 1")
+def events_time_to_convert(spark, sf):
+    """Time-to-convert distribution: minutes between a user's first view
+    and first subsequent purchase, bucketed to 10-minute bins — the
+    latency histogram behind funnel decisions. Two |users|-row
+    aggregates, one join, pure integer bucket math."""
+    ev = table(spark, sf, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("tv")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("ts").alias("__ts"))
+           .join(v, "user_id")
+           .filter(F.col("__ts") > F.col("tv"))
+           .groupBy("user_id").agg(F.min("__ts").alias("tp")))
+    mins = F.floor((F.unix_micros("tp") - F.unix_micros("tv"))
+                   .cast("double") / F.lit(60000000.0))
+    d = v.join(p, "user_id").select(mins.alias("mins"))
+    return (d.select((F.col("mins") - F.col("mins") % 10)
+                     .cast("bigint").alias("bucket_min"))
+             .groupBy("bucket_min")
+             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def _langid_conf_oracle() -> str:
+    from mura_spark.functions.text import LANG_STOPWORDS
+    hits = {lang: (f"len(list_filter({_TOKS}, t -> list_contains("
+                   f"[{', '.join(repr(w) for w in words)}], t)))")
+            for lang, words in sorted(LANG_STOPWORDS.items())}
+    total = " + ".join(hits.values())
+    top = "greatest(" + ", ".join(hits.values()) + ")"
+    return (
+        f"WITH h AS (SELECT doc_id, {total} AS hits_total, "
+        f"{top} AS top_hits FROM documents) "
+        "SELECT doc_id, CAST(hits_total AS BIGINT) AS hits_total, "
+        "CAST(floor(CAST(top_hits AS DOUBLE) "
+        "/ CAST(hits_total AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+        "AS top_share_micro, "
+        "CAST(top_hits AS DOUBLE) / CAST(hits_total AS DOUBLE) < 0.6 "
+        "AS is_ambiguous FROM h WHERE hits_total >= 4")
+
+
+@q("text_langid_confidence", _langid_conf_oracle())
+def text_langid_confidence(spark, sf):
+    """Language-ID confidence screen: per doc, the dominant language's
+    share of all stopword hits across the five language lists — docs
+    under 60% are ambiguous (mixed-language or boilerplate), the rows a
+    curation pass routes to review. Pure JVM expressions over the shared
+    tokenizer, one scan, no shuffle before the verifying aggregate."""
+    from mura_spark.functions import text as TX
+    d = table(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    hits = {lang: TX.stopword_count(toks, words)
+            for lang, words in sorted(TX.LANG_STOPWORDS.items())}
+    from mura_spark.functions.quantize import micro
+    vals = list(hits.values())
+    total = vals[0]
+    for v in vals[1:]:
+        total = total + v
+    top = F.greatest(*vals)
+    share = F.col("__top").cast("double") / F.col("hits_total").cast("double")
+    return (d.select("doc_id", total.alias("hits_total"),
+                     top.alias("__top"))
+             .filter(F.col("hits_total") >= 4)
+             .select("doc_id",
+                     F.col("hits_total").cast("bigint").alias("hits_total"),
+                     micro(share).alias("top_share_micro"),
+                     (share < F.lit(0.6)).alias("is_ambiguous")))
