@@ -784,16 +784,28 @@ def text_langid_confidence(spark, sf):
     hits = {lang: TX.stopword_count(toks, words)
             for lang, words in sorted(TX.LANG_STOPWORDS.items())}
     from mura_spark.functions.quantize import micro
-    vals = list(hits.values())
+    # single-pass counting: explode the tokens ONCE and take all five
+    # language counts as conditional sums in one map-side-combined
+    # aggregate. The single-select HOF form evaluates the tokenizer once
+    # per referencing expression (CollapseProject inlines any staging
+    # projection, so Spark never CSEs the chains) — measured ~10
+    # tokenizations per row; counts are exact ints, so the oracle's
+    # independent per-list filters still hash-match.
+    tok = d.select("doc_id", F.explode(toks).alias("__t"))
+    cnts = tok.groupBy("doc_id").agg(*[
+        F.sum(F.col("__t").isin(*words).cast("int")).alias(f"__h_{lang}")
+        for lang, words in sorted(TX.LANG_STOPWORDS.items())])
+    vals = [F.col(f"__h_{lang}") for lang in sorted(TX.LANG_STOPWORDS)]
     total = vals[0]
     for v in vals[1:]:
         total = total + v
     top = F.greatest(*vals)
     share = F.col("__top").cast("double") / F.col("hits_total").cast("double")
-    return (d.select("doc_id", total.alias("hits_total"),
-                     top.alias("__top"))
-             .filter(F.col("hits_total") >= 4)
-             .select("doc_id",
-                     F.col("hits_total").cast("bigint").alias("hits_total"),
-                     micro(share).alias("top_share_micro"),
-                     (share < F.lit(0.6)).alias("is_ambiguous")))
+    return (cnts.select("doc_id", total.alias("hits_total"),
+                        top.alias("__top"))
+                .filter(F.col("hits_total") >= 4)
+                .select("doc_id",
+                        F.col("hits_total").cast("bigint")
+                         .alias("hits_total"),
+                        micro(share).alias("top_share_micro"),
+                        (share < F.lit(0.6)).alias("is_ambiguous")))
