@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "emb_outlier_distance",
     "events_time_to_convert",
     "text_langid_confidence",
+    "text_dedup_rate_by_source",
+    "events_dau_wau",
+    "parts_abc_pareto",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -134,6 +134,8 @@ _NEXT_WINDOW = [
     "events_funnel_1h", "emb_outlier_distance",
     # round-5m: conversion-latency histogram + language-ID confidence
     "events_time_to_convert", "text_langid_confidence",
+    # round-5n: corpus dedup-rate rollup, DAU/WAU engagement, ABC/Pareto
+    "text_dedup_rate_by_source", "events_dau_wau", "parts_abc_pareto",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

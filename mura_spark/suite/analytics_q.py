@@ -809,3 +809,110 @@ def text_langid_confidence(spark, sf):
                          .alias("hits_total"),
                         micro(share).alias("top_share_micro"),
                         (share < F.lit(0.6)).alias("is_ambiguous")))
+
+
+# ------------------------------------------------------- round-5n additions
+
+@q("text_dedup_rate_by_source",
+   "WITH h AS (SELECT source, md5(text) AS hh FROM documents), "
+   "c AS (SELECT hh, COUNT(*) AS n FROM h GROUP BY 1) "
+   "SELECT source, COUNT(*) AS n_docs, "
+   "CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_dup_docs, "
+   "CAST(floor(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+   "/ CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS dup_rate_micro "
+   "FROM h JOIN c USING (hh) GROUP BY 1")
+def text_dedup_rate_by_source(spark, sf):
+    """Corpus-health rollup: per source, how many documents share their
+    exact text with ANY other document (corpus-wide duplicate clusters,
+    MD5 content key — the portable hash convention). One content-hash
+    shuffle for cluster sizes, joined back on the hash; the rate is an
+    exact-int division, micro-floored."""
+    from mura_spark.functions.quantize import micro
+    d = table(spark, sf, "documents")
+    h = d.select("source", F.md5(F.col("text")).alias("hh"))
+    c = h.groupBy("hh").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.sum((F.col("n") > 1).cast("int")).cast("bigint")
+    rate = dup.cast("double") / F.count(F.lit(1)).cast("double")
+    return (h.join(c, "hh")
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  dup.alias("n_dup_docs"),
+                  micro(rate).alias("dup_rate_micro")))
+
+
+@q("events_dau_wau",
+   "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id "
+   "FROM events), "
+   "days AS (SELECT DISTINCT d AS day FROM du), "
+   "wau AS (SELECT days.day, COUNT(DISTINCT du.user_id) AS wau "
+   "FROM days JOIN du ON du.d <= days.day "
+   "AND du.d >= days.day - INTERVAL 6 DAY GROUP BY 1), "
+   "dau AS (SELECT d AS day, COUNT(*) AS dau FROM du GROUP BY 1) "
+   "SELECT dau.day, dau, wau FROM dau JOIN wau USING (day)")
+def events_dau_wau(spark, sf):
+    """Daily + trailing-7-day active users — THE engagement dashboard
+    pair. Rolling DISTINCT cannot ride a running-sum window, so the WAU
+    side joins the deduplicated (day, user) table against the
+    BROADCAST day grid (≤7 grid rows match per day-user row — bounded
+    fanout, calendar-sized build side) and de-counts once per window.
+    The raw event stream reduces to day-user pairs first; nothing
+    bigger ever shuffles."""
+    ev = table(spark, sf, "events")
+    du = (ev.select(F.date_trunc("DAY", "ts").alias("d"), "user_id")
+            .distinct())
+    days = du.select(F.col("d").alias("day")).distinct()
+    wau = (du.join(F.broadcast(days),
+                   (F.col("d") <= F.col("day"))
+                   & (F.col("d") >= F.col("day")
+                      - F.expr("INTERVAL 6 DAYS")))
+             .groupBy("day")
+             .agg(F.countDistinct("user_id").alias("wau")))
+    dau = (du.groupBy(F.col("d").alias("day"))
+             .agg(F.count(F.lit(1)).alias("dau")))
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@q("parts_abc_pareto",
+   "WITH rev AS (SELECT l_partkey, "
+   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+   "AS DECIMAL(28,4)) AS r FROM lineitem GROUP BY 1), "
+   "tot AS (SELECT CAST(SUM(r) AS DOUBLE) AS t FROM rev), "
+   "c AS (SELECT l_partkey, r, CAST(SUM(r) OVER (ORDER BY r DESC, "
+   "l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+   "AS DOUBLE) AS cum FROM rev), "
+   "cls AS (SELECT CASE WHEN cum / t <= 0.8 THEN 'A' "
+   "WHEN cum / t <= 0.95 THEN 'B' ELSE 'C' END AS abc_class, r "
+   "FROM c CROSS JOIN tot) "
+   "SELECT abc_class, COUNT(*) AS n_parts, "
+   "CAST(SUM(CAST(r AS DECIMAL(28,4))) AS DOUBLE) AS revenue "
+   "FROM cls GROUP BY 1")
+def parts_abc_pareto(spark, sf):
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    classified by cumulative share (A ≤ 80%, B ≤ 95%, C rest). The
+    running sum is exact decimal over the PART-level rollup (the window
+    input is dimension-sized, not fact-sized — the single-partition
+    ordering is bounded by the part count); class boundaries compare
+    deterministic doubles derived from exact decimal sums."""
+    li = table(spark, sf, "lineitem")
+    from pyspark.sql import Window
+    rev = (li.groupBy("l_partkey")
+             .agg(F.sum((F.col("l_extendedprice")
+                         * (F.lit(1) - F.col("l_discount")))
+                        .cast("decimal(18,4)"))
+                   .cast("decimal(28,4)").alias("r")))
+    tot = rev.agg(F.sum("r").cast("double").alias("t"))
+    w = (Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    c = rev.select("l_partkey", "r",
+                   F.sum("r").over(w).cast("double").alias("cum"))
+    share = F.col("cum") / F.col("t")
+    cls = (c.crossJoin(F.broadcast(tot))
+            .select(F.when(share <= 0.8, "A")
+                     .when(share <= 0.95, "B")
+                     .otherwise("C").alias("abc_class"), "r"))
+    return (cls.groupBy("abc_class")
+               .agg(F.count(F.lit(1)).alias("n_parts"),
+                    F.sum(F.col("r").cast("decimal(28,4)"))
+                     .cast("double").alias("revenue")))
