@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "text_dedup_rate_by_source",
     "events_dau_wau",
     "parts_abc_pareto",
+    "stats_ab_ztest",
+    "events_interarrival_stats",
+    "audit_value_ranges",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

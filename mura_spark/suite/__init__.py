@@ -136,6 +136,8 @@ _NEXT_WINDOW = [
     "events_time_to_convert", "text_langid_confidence",
     # round-5n: corpus dedup-rate rollup, DAU/WAU engagement, ABC/Pareto
     "text_dedup_rate_by_source", "events_dau_wau", "parts_abc_pareto",
+    # round-5o: A/B z-test, inter-arrival burstiness, data-contract audit
+    "stats_ab_ztest", "events_interarrival_stats", "audit_value_ranges",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -530,7 +530,7 @@ def text_unigram_logloss(spark, sf):
 @q("events_cumulative_users",
    "WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events "
    "GROUP BY 1), "
-   "d AS (SELECT date_trunc('day', first_ts) AS bucket_start, "
+   "d AS (SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS bucket_start, "
    "COUNT(*) AS n_new FROM f GROUP BY 1) "
    "SELECT bucket_start, n_new, CAST(SUM(n_new) OVER (ORDER BY "
    "bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
@@ -843,7 +843,7 @@ def text_dedup_rate_by_source(spark, sf):
 
 
 @q("events_dau_wau",
-   "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id "
+   "WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id "
    "FROM events), "
    "days AS (SELECT DISTINCT d AS day FROM du), "
    "wau AS (SELECT days.day, COUNT(DISTINCT du.user_id) AS wau "
@@ -916,3 +916,143 @@ def parts_abc_pareto(spark, sf):
                .agg(F.count(F.lit(1)).alias("n_parts"),
                     F.sum(F.col("r").cast("decimal(28,4)"))
                      .cast("double").alias("revenue")))
+
+
+# ------------------------------------------------------- round-5o additions
+
+_AB_BUCKET = ("CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) "
+              "AS BIGINT) % 1000")
+
+
+@q("stats_ab_ztest",
+   f"WITH u AS (SELECT user_id, {_AB_BUCKET} % 2 AS variant, "
+   "CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) "
+   ">= 15 THEN 1 ELSE 0 END AS conv FROM events GROUP BY 1), "
+   "v AS (SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c "
+   "FROM u GROUP BY 1), "
+   "w AS (SELECT MAX(CASE WHEN variant = 0 THEN n END) AS na, "
+   "MAX(CASE WHEN variant = 0 THEN c END) AS ca, "
+   "MAX(CASE WHEN variant = 1 THEN n END) AS nb, "
+   "MAX(CASE WHEN variant = 1 THEN c END) AS cb FROM v) "
+   "SELECT na, ca, nb, cb, "
+   "CAST(floor(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS rate_a_micro, "
+   "CAST(floor(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS rate_b_micro, "
+   "CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN "
+   "CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) "
+   "- CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) "
+   "/ sqrt(CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE) "
+   "* (1.0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)) "
+   "* (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM w")
+def stats_ab_ztest(spark, sf):
+    """Two-proportion z-test over a deterministic hash-bucketed A/B
+    split of users (conversion = any purchase) — the experimentation
+    readout. Assignment reuses the portable MD5 bucket convention;
+    the statistic combines exact integer counts with one mirrored
+    double expression (÷, √ only), micro-floored."""
+    from mura_spark.functions.hashing import md5_hash48
+    from mura_spark.functions.quantize import micro
+    ev = table(spark, sf, "events")
+    u = (ev.groupBy("user_id")
+           .agg((F.sum((F.col("event_type") == "purchase").cast("int"))
+                 >= 15).cast("int").alias("conv"))
+           .select((md5_hash48(F.col("user_id").cast("string"))
+                    % 1000 % 2).alias("variant"), "conv"))
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").cast("bigint").alias("c"))
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("ca"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("cb"))
+    na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
+    nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
+    pool = (F.col("ca") + F.col("cb")).cast("double") \
+        / (F.col("na") + F.col("nb")).cast("double")
+    z = ((ca / na - cb / nb)
+         / F.sqrt(pool * (F.lit(1.0) - pool)
+                  * (F.lit(1.0) / na + F.lit(1.0) / nb)))
+    tot_c = F.col("ca") + F.col("cb")
+    tot_n = F.col("na") + F.col("nb")
+    # degenerate pool (0% or 100% conversion) -> z undefined: NULL, not
+    # a DIVIDE_BY_ZERO abort under ANSI
+    return w.select("na", "ca", "nb", "cb",
+                    micro(ca / na).alias("rate_a_micro"),
+                    micro(cb / nb).alias("rate_b_micro"),
+                    F.when((tot_c > 0) & (tot_c < tot_n),
+                           micro(z)).alias("z_micro"))
+
+
+@q("events_interarrival_stats",
+   "WITH d AS (SELECT event_type, epoch_us(ts) "
+   "- lag(epoch_us(ts)) OVER (PARTITION BY event_type "
+   "ORDER BY ts, event_id) AS gap FROM events), "
+   "m AS (SELECT event_type, COUNT(gap) AS n, "
+   "CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s, "
+   "SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS q "
+   "FROM d WHERE gap IS NOT NULL GROUP BY 1) "
+   "SELECT event_type, n, "
+   "CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 + 0.5) "
+   "AS BIGINT) AS mean_ms, "
+   "CAST(floor(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) "
+   "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) "
+   "/ (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 1000.0 + 0.5) "
+   "AS BIGINT) AS std_ms FROM m")
+def events_interarrival_stats(spark, sf):
+    """Inter-arrival time mean/std per event type (burstiness monitor):
+    lag deltas in exact epoch-microseconds, moments in exact DECIMAL,
+    one mirrored closed form (÷, √) floored to milliseconds. One window
+    shuffle on the type key + one reduced aggregate."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    d = ev.select("event_type",
+                  (us - F.lag(us).over(w)).alias("gap"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = (d.filter(F.col("gap").isNotNull())
+          .groupBy("event_type")
+          .agg(F.count("gap").alias("n"),
+               F.sum(F.col("gap").cast("decimal(38,0)"))
+                .cast("decimal(38,0)").alias("s"),
+               F.sum(dec("gap") * dec("gap")).alias("q")))
+    n, s, qq = (F.col("n").cast("double"), F.col("s").cast("double"),
+                F.col("q").cast("double"))
+    mean_ms = F.floor(s / n / F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+    std_ms = F.floor(
+        F.sqrt((n * qq - s * s)
+               / (n * (F.col("n") - F.lit(1)).cast("double")))
+        / F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+    return m.select("event_type", "n", mean_ms.alias("mean_ms"),
+                    std_ms.alias("std_ms"))
+
+
+@q("audit_value_ranges",
+   "SELECT 'value_nonnegative' AS rule, "
+   "CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS n_violations "
+   "FROM events "
+   "UNION ALL SELECT 'value_under_cap', "
+   "CAST(COUNT(*) FILTER (WHERE value > 400) AS BIGINT) FROM events "
+   "UNION ALL SELECT 'business_event_type', "
+   "CAST(COUNT(*) FILTER (WHERE event_type NOT IN "
+   "('view', 'click', 'purchase', 'signup')) AS BIGINT) FROM events")
+def audit_value_ranges(spark, sf):
+    """Data-contract audit: violation counts per declared rule
+    (non-negative values, value cap, allowed business event types —
+    'error' rows violate the contract by design). ONE scan: all rules
+    ride as conditional counts in a single aggregate, then unpivot to
+    (rule, n_violations) rows."""
+    ev = table(spark, sf, "events")
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    wide = ev.agg(
+        cnt(F.col("value") < 0).alias("v_neg"),
+        cnt(F.col("value") > 400).alias("v_cap"),
+        cnt(~F.col("event_type").isin("view", "click", "purchase",
+                                      "signup")).alias("v_type"))
+    return wide.select(F.expr(
+        "stack(3, 'value_nonnegative', v_neg, "
+        "'value_under_cap', v_cap, "
+        "'business_event_type', v_type) AS (rule, n_violations)"))
