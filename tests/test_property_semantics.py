@@ -229,3 +229,109 @@ def test_editdist_passjoin_is_lossless_under_random_edit_scripts(
         if dd <= d:
             want[(ia, ib)] = dd
     assert got == want
+
+
+# ---------------------------------------------------- round-5 operators
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                      min_size=0, max_size=40))
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered triangle counting equals the O(n³) enumeration on
+    arbitrary small graphs (duplicates, self-loops, both directions)."""
+    from itertools import combinations
+
+    from mura_spark.operators.graph import triangle_counts
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    expect = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    if edges:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(df).collect()}
+        assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.floats(-1e4, 1e4, allow_nan=False,
+                               allow_infinity=False),
+                     min_size=2, max_size=60))
+def test_group_percentiles_match_numpy(spark, vals):
+    """Explicit order-statistics interpolation equals numpy's 'linear'
+    percentile definition (the same (n−1)·p formula)."""
+    import numpy as np
+
+    from mura_spark.operators.stats import group_percentiles
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "g string, v double")
+    row = group_percentiles(df, ["g"], "v", [0.5, 0.95],
+                            ["p50", "p95"]).collect()[0]
+    for name, p in (("p50", 50), ("p95", 95)):
+        ref = float(np.percentile(np.array(vals), p, method="linear"))
+        assert abs(row[f"{name}_micro"] / 1e6 - ref) < 2e-6, (name, ref)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old=st.dictionaries(st.integers(0, 15), st.integers(0, 3),
+                           max_size=12),
+       new=st.dictionaries(st.integers(0, 15), st.integers(0, 3),
+                           max_size=12))
+def test_snapshot_diff_reconstructs_membership(spark, old, new):
+    """The diff's added/removed/changed sets exactly explain how to get
+    from the old snapshot's key-value map to the new one."""
+    from mura_spark.operators.upsert import snapshot_diff
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        [(k, v) for k, v in d.items()] or [(None, None)],
+        "k int, v int").filter(F.col("k").isNotNull())
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(mk(old), mk(new), ["k"], ["v"]).collect()}
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect[k] = "added"
+        elif k not in new:
+            expect[k] = "removed"
+        elif old[k] != new[k]:
+            expect[k] = "changed"
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10)),
+                      min_size=1, max_size=30),
+       k=st.integers(1, 3))
+def test_kcore_rounds_converge_to_fixpoint(spark, edges, k):
+    """Enough peeling rounds reach the true k-core (sequential peeling
+    fixpoint); extra rounds change nothing."""
+    from mura_spark.operators.graph import kcore_prune
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    # sequential fixpoint
+    cur = set(und)
+    while True:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    expect = {}
+    for a, b in cur:
+        expect[a] = expect.get(a, 0) + 1
+        expect[b] = expect.get(b, 0) + 1
+    if und:
+        df = spark.createDataFrame(sorted(und), "src long, dst long")
+        rounds = 12  # >= graph diameter worth of peeling for n<=11
+        got = {r["node"]: r["degree"]
+               for r in kcore_prune(df, k=k, rounds=rounds).collect()}
+        assert got == expect
