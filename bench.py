@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "stats_ab_ztest",
     "events_interarrival_stats",
     "audit_value_ranges",
+    "pipeline_corpus_health",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

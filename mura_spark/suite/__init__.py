@@ -138,6 +138,8 @@ _NEXT_WINDOW = [
     "text_dedup_rate_by_source", "events_dau_wau", "parts_abc_pareto",
     # round-5o: A/B z-test, inter-arrival burstiness, data-contract audit
     "stats_ab_ztest", "events_interarrival_stats", "audit_value_ranges",
+    # round-5p: per-source corpus-health composite
+    "pipeline_corpus_health",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1056,3 +1056,75 @@ def audit_value_ranges(spark, sf):
         "stack(3, 'value_nonnegative', v_neg, "
         "'value_under_cap', v_cap, "
         "'business_event_type', v_type) AS (rule, n_violations)"))
+
+
+# ------------------------------------------------------- round-5p addition
+
+@q("pipeline_corpus_health",
+   "WITH h AS (SELECT source, md5(text) AS hh FROM documents), "
+   "c AS (SELECT hh, COUNT(*) AS n FROM h GROUP BY 1), "
+   "dup AS (SELECT source, COUNT(*) AS n_docs, "
+   "CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+   "FROM h JOIN c USING (hh) GROUP BY 1), "
+   "tok AS (SELECT doc_id, source, unnest("
+   + sql_tokens("text") + ") AS term FROM documents), "
+   "langc AS (SELECT doc_id, source, "
+   + ", ".join(
+       f"SUM(CASE WHEN list_contains([{', '.join(repr(w) for w in ws)}], "
+       f"term) THEN 1 ELSE 0 END) AS h_{lg}"
+       for lg, ws in [("de", ["der", "die", "und", "ein", "zu"]),
+                      ("en", ["the", "a", "of", "and", "to"]),
+                      ("es", ["el", "la", "de", "y", "que"]),
+                      ("fr", ["le", "la", "et", "un", "que"]),
+                      ("zh", ["的", "是", "了", "在", "我"])])
+   + " FROM tok GROUP BY 1, 2), "
+   "amb AS (SELECT source, COUNT(*) AS n_scored, "
+   "CAST(SUM(CASE WHEN CAST(greatest(h_de, h_en, h_es, h_fr, h_zh) "
+   "AS DOUBLE) / CAST(h_de + h_en + h_es + h_fr + h_zh AS DOUBLE) "
+   "< 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous FROM langc "
+   "WHERE h_de + h_en + h_es + h_fr + h_zh >= 4 GROUP BY 1) "
+   "SELECT dup.source, n_docs, "
+   "CAST(floor(CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS dup_rate_micro, "
+   "CAST(floor(CAST(n_ambiguous AS DOUBLE) / CAST(n_scored AS DOUBLE) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS ambiguous_rate_micro "
+   "FROM dup JOIN amb ON dup.source = amb.source")
+def pipeline_corpus_health(spark, sf):
+    """End-to-end corpus-health report per source: exact-duplicate rate
+    (corpus-wide MD5 clusters) joined with the mixed-language/ambiguous
+    rate (dominant-language share < 60%) — the one-look dashboard a
+    curation run checks before admitting a source. Composes the dedup
+    and language-confidence pipelines; each side is one reduced shuffle
+    and the final join is source-dimension-sized."""
+    from mura_spark.functions import text as TX
+    from mura_spark.functions.quantize import micro
+    d = table(spark, sf, "documents")
+    h = d.select("source", F.md5(F.col("text")).alias("hh"))
+    csize = h.groupBy("hh").agg(F.count(F.lit(1)).alias("n"))
+    dup = (h.join(csize, "hh")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n") > 1).cast("int")).cast("bigint")
+                  .alias("n_dup")))
+    tok = d.select("doc_id", "source",
+                   F.explode(TX.tokens(F.col("text"))).alias("__t"))
+    langc = tok.groupBy("doc_id", "source").agg(*[
+        F.sum(F.col("__t").isin(*ws).cast("int")).alias(f"h_{lg}")
+        for lg, ws in sorted(TX.LANG_STOPWORDS.items())])
+    vals = [F.col(f"h_{lg}") for lg in sorted(TX.LANG_STOPWORDS)]
+    total = vals[0]
+    for v in vals[1:]:
+        total = total + v
+    share = F.greatest(*vals).cast("double") / total.cast("double")
+    amb = (langc.filter(total >= 4)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_scored"),
+                     F.sum((share < 0.6).cast("int")).cast("bigint")
+                      .alias("n_ambiguous")))
+    dup_rate = F.col("n_dup").cast("double") / F.col("n_docs").cast("double")
+    amb_rate = (F.col("n_ambiguous").cast("double")
+                / F.col("n_scored").cast("double"))
+    return (dup.join(amb, "source")
+               .select("source", "n_docs",
+                       micro(dup_rate).alias("dup_rate_micro"),
+                       micro(amb_rate).alias("ambiguous_rate_micro")))
