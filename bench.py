@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "events_interarrival_stats",
     "audit_value_ranges",
     "pipeline_corpus_health",
+    "supplier_concentration_hhi",
+    "text_ngram_novelty",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

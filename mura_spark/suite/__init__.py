@@ -140,6 +140,8 @@ _NEXT_WINDOW = [
     "stats_ab_ztest", "events_interarrival_stats", "audit_value_ranges",
     # round-5p: per-source corpus-health composite
     "pipeline_corpus_health",
+    # round-5q: market concentration + shingle novelty scoring
+    "supplier_concentration_hhi", "text_ngram_novelty",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

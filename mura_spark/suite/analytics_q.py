@@ -1128,3 +1128,83 @@ def pipeline_corpus_health(spark, sf):
                .select("source", "n_docs",
                        micro(dup_rate).alias("dup_rate_micro"),
                        micro(amb_rate).alias("ambiguous_rate_micro")))
+
+
+# ------------------------------------------------------- round-5q additions
+
+@q("supplier_concentration_hhi",
+   "WITH sr AS (SELECT s_nationkey, l_suppkey, "
+   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+   "AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS r "
+   "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+   "GROUP BY 1, 2), "
+   "nt AS (SELECT s_nationkey, CAST(SUM(r) AS DOUBLE) AS t, "
+   "COUNT(*) AS n_suppliers FROM sr GROUP BY 1) "
+   "SELECT n_name AS nation, n_suppliers, "
+   "CAST(SUM(CAST(floor(CAST(r AS DOUBLE) / t * (CAST(r AS DOUBLE) / t) "
+   "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hhi_micro "
+   "FROM sr JOIN nt USING (s_nationkey) "
+   "JOIN nation ON s_nationkey = n_nationkey "
+   "GROUP BY 1, 2")
+def supplier_concentration_hhi(spark, sf):
+    """Herfindahl-Hirschman supplier-concentration index per nation —
+    the market-concentration monitor (monopolized supply chains light
+    up toward 10⁶). Per-supplier revenue shares square per row and
+    quantize to micro BEFORE the per-nation sum (exact integer
+    aggregation); revenue itself is the exact DECIMAL(18,4) convention.
+    Plan: fact rollup to supplier grain, nation totals over the rollup,
+    broadcast dims."""
+    from mura_spark.functions.quantize import micro
+    li = table(spark, sf, "lineitem")
+    sup = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    sr = (li.join(F.broadcast(sup),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_nationkey", "l_suppkey")
+            .agg(F.sum((F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount")))
+                       .cast("decimal(18,4)"))
+                  .cast("decimal(28,4)").alias("r")))
+    nt = (sr.groupBy("s_nationkey")
+            .agg(F.sum("r").cast("double").alias("t"),
+                 F.count(F.lit(1)).alias("n_suppliers")))
+    share = F.col("r").cast("double") / F.col("t")
+    contrib = micro(share * share)
+    return (sr.join(F.broadcast(nt), "s_nationkey")
+              .join(F.broadcast(nat),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+              .agg(F.sum(contrib).cast("bigint").alias("hhi_micro")))
+
+
+@q("text_ngram_novelty",
+   "WITH sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i:i+2], ' ') for i in range(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2, 1) + 1)])) AS s "
+   "FROM documents), "
+   "df AS (SELECT s, COUNT(DISTINCT doc_id) AS d FROM sh GROUP BY 1) "
+   "SELECT doc_id, COUNT(*) AS n_shingles, "
+   "CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+   "CAST(floor(CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+   "/ CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS novelty_micro "
+   "FROM sh JOIN df USING (s) GROUP BY 1")
+def text_ngram_novelty(spark, sf):
+    """Per-document shingle novelty: the share of a document's distinct
+    3-gram shingles appearing in NO other document — the inverse of the
+    boilerplate signal (novel-content scoring for dedup-adjacent
+    curation). One shingle-keyed shuffle for document frequencies,
+    joined back on the shingle; exact-int rate, micro-floored."""
+    from mura_spark.functions.quantize import micro
+    from mura_spark.operators.dedup import shingle_sets
+    d = table(spark, sf, "documents")
+    # Arrow-batched shingle kernel (~1% of the interpreted HOF's CPU;
+    # output pinned identical in tests/test_text.py)
+    sh = (shingle_sets(d, "doc_id", "text")
+          .select("doc_id", F.explode("shset").alias("s")))
+    dfreq = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("d"))
+    novel = F.sum((F.col("d") == 1).cast("int")).cast("bigint")
+    rate = novel.cast("double") / F.count(F.lit(1)).cast("double")
+    return (sh.join(dfreq, "s")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shingles"),
+                   novel.alias("n_novel"),
+                   micro(rate).alias("novelty_micro")))
