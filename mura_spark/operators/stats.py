@@ -210,3 +210,169 @@ def sql_group_percentiles(table_expr: str, group_cols: list[str],
         f"agg AS (SELECT {g}, ANY_VALUE(n) AS n, " + ", ".join(los)
         + f" FROM ranked GROUP BY {g}) "
         f"SELECT {g}, " + ", ".join(sels) + " FROM agg")
+
+
+# ------------------------------------------------- two-sample rank tests
+
+def _two_sample_value_counts(df: DataFrame, value_col: str, group_col: str,
+                             a, b):
+    """Shared ECDF core for the two-sample tests: per-distinct-value
+    counts ``(__v, __da, __db)`` of samples ``a`` and ``b``.
+
+    ONE map-side-combined groupBy reduces the scan to the distinct-value
+    domain; everything downstream (cumulative windows, the closed-form
+    statistics) runs over that reduced frame only. Telemetry values are
+    fixed-point (cents), so the domain is bounded (~50k buckets at any
+    scale) and the un-partitioned ordered window downstream is a
+    bucket-table pass, not a data pass — same posture as
+    rolling.cumulative_users' calendar window.
+    """
+    ind_a = (F.col(group_col) == F.lit(a)).cast("int")
+    return (df.filter(F.col(group_col).isin([a, b])
+                      & F.col(value_col).isNotNull())
+              .groupBy(F.col(value_col).alias("__v"))
+              .agg(F.sum(ind_a).alias("__da"),
+                   F.sum(F.lit(1) - ind_a).alias("__db")))
+
+
+def ks_2sample(df: DataFrame, value_col: str, group_col: str,
+               a, b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value_col``
+    distributions of groups ``a`` and ``b``: one row
+    ``(na, nb, ks_micro)`` with D = max_v |F_a(v) − F_b(v)|.
+
+    Determinism: the max runs over the EXACT integer numerator
+    |ca·nb − cb·na| in DECIMAL (ca/cb = cumulative counts ≤ v); one
+    double division at the very end, micro-floored — no
+    order-dependent double aggregation anywhere.
+
+    Plan: groupBy to the value domain, cumulative window over the
+    reduced frame, totals as a broadcast singleton crossJoin.
+    """
+    g = _two_sample_value_counts(df, value_col, group_col, a, b)
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(F.sum("__da").over(w).alias("__ca"),
+                 F.sum("__db").over(w).alias("__cb"))
+    t = g.agg(F.sum("__da").cast("bigint").alias("na"),
+              F.sum("__db").cast("bigint").alias("nb"))
+    d18 = lambda col: col.cast("decimal(18,0)")  # noqa: E731
+    num = F.abs(d18(F.col("__ca")) * d18(F.col("nb"))
+                - d18(F.col("__cb")) * d18(F.col("na")))
+    m = (c.crossJoin(F.broadcast(t))
+          .groupBy("na", "nb")
+          .agg(F.max(num).alias("__m")))
+    ks = (F.col("__m").cast("double")
+          / (F.col("na").cast("double") * F.col("nb").cast("double")))
+    return m.select("na", "nb", micro(ks).alias("ks_micro"))
+
+
+def sql_ks_2sample(table_expr: str, value_expr: str, group_expr: str,
+                   a: str, b: str) -> str:
+    """DuckDB twin of :func:`ks_2sample` — identical expression tree."""
+    return (
+        f"WITH g AS (SELECT {value_expr} AS v, "
+        f"SUM(CAST({group_expr} = '{a}' AS INT)) AS da, "
+        f"SUM(1 - CAST({group_expr} = '{a}' AS INT)) AS db "
+        f"FROM {table_expr} WHERE {group_expr} IN ('{a}', '{b}') "
+        f"AND {value_expr} IS NOT NULL GROUP BY 1), "
+        "c AS (SELECT SUM(da) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS ca, "
+        "SUM(db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cb FROM g), "
+        "t AS (SELECT CAST(SUM(da) AS BIGINT) AS na, "
+        "CAST(SUM(db) AS BIGINT) AS nb FROM g) "
+        "SELECT na, nb, CAST(floor(CAST(MAX(abs("
+        "CAST(ca AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(18,0)) "
+        "- CAST(cb AS DECIMAL(18,0)) * CAST(na AS DECIMAL(18,0)))) "
+        "AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS ks_micro "
+        "FROM c CROSS JOIN t GROUP BY na, nb")
+
+
+def mannwhitney_u(df: DataFrame, value_col: str, group_col: str,
+                  a, b) -> DataFrame:
+    """Mann–Whitney U (mid-rank tie handling) between the ``value_col``
+    distributions of groups ``a`` and ``b``: one row
+    ``(na, nb, u2, auc_micro, z_micro)`` where
+
+    - ``u2`` = 2·U_a = Σ_v da·(2·cbb + db) — exact (cbb = b-counts at
+      strictly smaller values; the ½-tie term stays integer via the
+      doubling),
+    - ``auc_micro`` = ⌊U_a/(na·nb)·10⁶+½⌋, the common-language effect
+      size P(a > b) + ½P(a = b),
+    - ``z_micro`` = the tie-corrected normal approximation
+      (U − na·nb/2) / √(na·nb/12·((n+1) − Σ(t³−t)/(n(n−1)))), NULL when
+      the variance degenerates (all values tied).
+
+    Determinism: U accumulates in DECIMAL products of exact counts; the
+    tie term Σ(t³−t) is integer-valued double quantized to DECIMAL per
+    bucket BEFORE summing (exact while per-bucket t³ < 2⁵³ — holds to
+    ~10⁵ rows per distinct value; extreme corpora would move it into
+    DECIMAL products); z/auc are one mirrored double expression each,
+    micro-floored.
+
+    Plan: identical to :func:`ks_2sample` — one reducing groupBy, a
+    bucket-domain window, broadcast-singleton totals.
+    """
+    g = _two_sample_value_counts(df, value_col, group_col, a, b)
+    wexc = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select("__da", "__db",
+                 F.coalesce(F.sum("__db").over(wexc),
+                            F.lit(0).cast("bigint")).alias("__cbb"))
+    d18 = lambda col: col.cast("decimal(18,0)")  # noqa: E731
+    td = (F.col("__da") + F.col("__db")).cast("double")
+    s = c.agg(
+        F.sum(d18(F.col("__da"))
+              * d18(F.lit(2) * F.col("__cbb") + F.col("__db")))
+         .cast("decimal(38,0)").alias("__u2"),
+        F.sum((td * td * td - td).cast("decimal(38,0)")).alias("__ts"))
+    t = g.agg(F.sum("__da").cast("bigint").alias("na"),
+              F.sum("__db").cast("bigint").alias("nb"))
+    j = s.crossJoin(F.broadcast(t))
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    n_d = na_d + nb_d
+    u2d = F.col("__u2").cast("double")
+    ts_d = F.col("__ts").cast("double")
+    var12 = (na_d * nb_d / F.lit(12.0)
+             * ((n_d + F.lit(1.0)) - ts_d / (n_d * (n_d - F.lit(1.0)))))
+    z = (u2d - na_d * nb_d) / (F.lit(2.0) * F.sqrt(var12))
+    auc = u2d / (F.lit(2.0) * (na_d * nb_d))
+    return j.select("na", "nb",
+                    F.col("__u2").cast("bigint").alias("u2"),
+                    micro(auc).alias("auc_micro"),
+                    F.when(var12 > F.lit(0.0), micro(z)).alias("z_micro"))
+
+
+def sql_mannwhitney_u(table_expr: str, value_expr: str, group_expr: str,
+                      a: str, b: str) -> str:
+    """DuckDB twin of :func:`mannwhitney_u` — identical expression tree."""
+    var12 = ("CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 * "
+             "((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) "
+             "- CAST(ts AS DOUBLE) "
+             "/ ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) "
+             "* (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))")
+    return (
+        f"WITH g AS (SELECT {value_expr} AS v, "
+        f"SUM(CAST({group_expr} = '{a}' AS INT)) AS da, "
+        f"SUM(1 - CAST({group_expr} = '{a}' AS INT)) AS db "
+        f"FROM {table_expr} WHERE {group_expr} IN ('{a}', '{b}') "
+        f"AND {value_expr} IS NOT NULL GROUP BY 1), "
+        "c AS (SELECT da, db, coalesce(SUM(db) OVER (ORDER BY v ROWS "
+        "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbb FROM g), "
+        "s AS (SELECT CAST(SUM(CAST(da AS DECIMAL(18,0)) "
+        "* CAST(2 * cbb + db AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS u2, "
+        "SUM(CAST(CAST(da + db AS DOUBLE) * CAST(da + db AS DOUBLE) "
+        "* CAST(da + db AS DOUBLE) - CAST(da + db AS DOUBLE) "
+        "AS DECIMAL(38,0))) AS ts FROM c), "
+        "t AS (SELECT CAST(SUM(da) AS BIGINT) AS na, "
+        "CAST(SUM(db) AS BIGINT) AS nb FROM g) "
+        "SELECT na, nb, CAST(u2 AS BIGINT) AS u2, "
+        "CAST(floor(CAST(u2 AS DOUBLE) "
+        "/ (2.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS auc_micro, "
+        f"CASE WHEN {var12} > 0.0 THEN "
+        "CAST(floor((CAST(u2 AS DOUBLE) "
+        "- CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
+        f"/ (2.0 * sqrt({var12})) * 1000000.0 + 0.5) AS BIGINT) END "
+        "AS z_micro FROM s CROSS JOIN t")

@@ -142,6 +142,10 @@ _NEXT_WINDOW = [
     "pipeline_corpus_health",
     # round-5q: market concentration + shingle novelty scoring
     "supplier_concentration_hhi", "text_ngram_novelty",
+    # round-5r: two-sample rank tests (KS, Mann-Whitney/AUC) +
+    # SQL-surface completion (RIGHT OUTER join, relative-rank windows)
+    "stats_ks_value", "stats_mwu_value",
+    "join_right_outer", "window_percent_rank",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

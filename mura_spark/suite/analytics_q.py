@@ -1208,3 +1208,42 @@ def text_ngram_novelty(spark, sf):
               .agg(F.count(F.lit(1)).alias("n_shingles"),
                    novel.alias("n_novel"),
                    micro(rate).alias("novelty_micro")))
+
+
+# ------------------------------------------------------- round-5r additions
+
+def _ks_oracle() -> str:
+    from mura_spark.operators.stats import sql_ks_2sample
+    return sql_ks_2sample("events", "value", "event_type",
+                          "click", "purchase")
+
+
+@q("stats_ks_value", _ks_oracle())
+def stats_ks_value(spark, sf):
+    """Two-sample Kolmogorov–Smirnov D between click and purchase value
+    distributions — the distribution-shift monitor a pipeline runs when
+    an upstream schema/source change lands. Exact-integer ECDF numerator
+    in DECIMAL, one terminal division micro-floored
+    (operators.stats.ks_2sample); groupBy reduces to the bounded cents
+    domain before the cumulative window."""
+    from mura_spark.operators.stats import ks_2sample
+    ev = table(spark, sf, "events")
+    return ks_2sample(ev, "value", "event_type", "click", "purchase")
+
+
+def _mwu_oracle() -> str:
+    from mura_spark.operators.stats import sql_mannwhitney_u
+    return sql_mannwhitney_u("events", "value", "event_type",
+                             "click", "purchase")
+
+
+@q("stats_mwu_value", _mwu_oracle())
+def stats_mwu_value(spark, sf):
+    """Mann–Whitney U (mid-rank ties) between click and purchase values:
+    exact doubled-U integer, AUC effect size, tie-corrected z — the
+    nonparametric A/B readout complementing stats_ab_ztest's
+    proportions. Same reduced-domain plan as stats_ks_value
+    (operators.stats.mannwhitney_u)."""
+    from mura_spark.operators.stats import mannwhitney_u
+    ev = table(spark, sf, "events")
+    return mannwhitney_u(ev, "value", "event_type", "click", "purchase")

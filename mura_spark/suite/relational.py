@@ -767,3 +767,56 @@ def sort_nulls_last_topk(spark, sf):
                 .orderBy(F.col("n_big").desc_nulls_last(),
                          F.col("c_custkey").asc())
                 .limit(15))
+
+
+# ------------------------------------------------------- round-5r additions
+
+@q("join_right_outer",
+   "SELECT c_mktsegment, "
+   "CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers, "
+   "CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders, "
+   "CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) "
+   "AS BIGINT) AS n_idle_customers "
+   "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey "
+   "GROUP BY 1")
+def join_right_outer(spark, sf):
+    """RIGHT OUTER join (the last join-type gap after left/full/semi/
+    anti/cross): every customer kept against the order fact, idle
+    customers surfacing as NULL order keys. The preserved side is the
+    small one, so Spark cannot broadcast (right-outer broadcasts only
+    the stream side) — the plan is the correct key-partitioned shuffle
+    join at any scale, aggregated per market segment."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"), "right_outer")
+    return (j.groupBy("c_mktsegment")
+             .agg(F.countDistinct("c_custkey").alias("n_customers"),
+                  F.count("o_orderkey").alias("n_orders"),
+                  F.countDistinct(
+                      F.when(F.col("o_orderkey").isNull(),
+                             F.col("c_custkey")))
+                   .alias("n_idle_customers")))
+
+
+@q("window_percent_rank",
+   "SELECT c_custkey, c_mktsegment, "
+   "CAST(floor(percent_rank() OVER (PARTITION BY c_mktsegment "
+   "ORDER BY c_acctbal) * 1000000.0 + 0.5) AS BIGINT) AS pr_micro, "
+   "CAST(floor(cume_dist() OVER (PARTITION BY c_mktsegment "
+   "ORDER BY c_acctbal) * 1000000.0 + 0.5) AS BIGINT) AS cd_micro "
+   "FROM customer")
+def window_percent_rank(spark, sf):
+    """percent_rank + cume_dist (the relative-rank window gap after
+    lead/lag/row_number/ntile-free topk): each customer's balance
+    percentile WITHIN its market segment. Partitioned window — never a
+    global single-task sort (the repo's global-quantile path is
+    sampling.quantile_bins); ties share a rank in both engines, and
+    (rank−1)/(n−1) divisions are identically-rounded IEEE doubles,
+    micro-floored for the hash."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    c = table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select("c_custkey", "c_mktsegment",
+                    micro(F.percent_rank().over(w)).alias("pr_micro"),
+                    micro(F.cume_dist().over(w)).alias("cd_micro"))

@@ -567,3 +567,72 @@ def test_ab_ztest_degenerate_pool_is_null(spark, sf_dir):
     # NULL — either way the query returns exactly one well-formed row
     assert row["na"] + row["nb"] > 0
     assert row["z_micro"] is None or isinstance(row["z_micro"], int)
+
+
+# ---------------------------------------------- two-sample rank tests (5r)
+
+def _ks_ref(xs, ys):
+    """Sequential two-sample KS D over all distinct combined values."""
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    return max(abs(sum(1 for x in xs if x <= v) / na
+                   - sum(1 for y in ys if y <= v) / nb) for v in vals)
+
+
+def _mwu_ref(xs, ys):
+    """Sequential Mann-Whitney: (2U_a, AUC, tie-corrected z)."""
+    ua = sum(1.0 if x > y else 0.5 if x == y else 0.0
+             for x in xs for y in ys)
+    na, nb, n = len(xs), len(ys), len(xs) + len(ys)
+    ties = {}
+    for v in xs + ys:
+        ties[v] = ties.get(v, 0) + 1
+    ts = sum(t ** 3 - t for t in ties.values())
+    var = na * nb / 12.0 * ((n + 1.0) - ts / (n * (n - 1.0)))
+    z = (2.0 * ua - na * nb) / (2.0 * math.sqrt(var)) if var > 0 else None
+    return 2.0 * ua, ua / (na * nb), z
+
+
+def _two_sample_df(spark, xs, ys):
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    return spark.createDataFrame(rows, "grp string, value double")
+
+
+def test_ks_2sample_matches_sequential_reference(spark):
+    from mura_spark.operators.stats import ks_2sample
+    xs = [1.0, 2.0, 2.0, 3.5, 7.25, 9.0, 9.0, 12.0]
+    ys = [2.0, 2.0, 4.5, 4.5, 6.0, 9.0, 15.0]
+    row = ks_2sample(_two_sample_df(spark, xs, ys),
+                     "value", "grp", "a", "b").collect()[0]
+    assert (row["na"], row["nb"]) == (len(xs), len(ys))
+    assert row["ks_micro"] == math.floor(_ks_ref(xs, ys) * 1e6 + 0.5)
+
+
+def test_ks_2sample_identical_samples_is_zero(spark):
+    from mura_spark.operators.stats import ks_2sample
+    xs = [1.0, 2.0, 3.0, 3.0, 8.0]
+    row = ks_2sample(_two_sample_df(spark, xs, xs),
+                     "value", "grp", "a", "b").collect()[0]
+    assert row["ks_micro"] == 0
+
+
+def test_mannwhitney_matches_sequential_reference(spark):
+    from mura_spark.operators.stats import mannwhitney_u
+    xs = [1.0, 2.0, 2.0, 3.5, 7.25, 9.0, 9.0, 12.0]
+    ys = [2.0, 2.0, 4.5, 4.5, 6.0, 9.0, 15.0]
+    u2, auc, z = _mwu_ref(xs, ys)
+    row = mannwhitney_u(_two_sample_df(spark, xs, ys),
+                        "value", "grp", "a", "b").collect()[0]
+    assert row["u2"] == int(u2)
+    assert row["auc_micro"] == math.floor(auc * 1e6 + 0.5)
+    assert row["z_micro"] == math.floor(z * 1e6 + 0.5)
+
+
+def test_mannwhitney_degenerate_all_tied_z_null(spark):
+    from mura_spark.operators.stats import mannwhitney_u
+    row = mannwhitney_u(_two_sample_df(spark, [5.0] * 4, [5.0] * 3),
+                        "value", "grp", "a", "b").collect()[0]
+    # every comparison is a tie: AUC = 1/2 exactly, z undefined -> NULL
+    assert row["auc_micro"] == 500000
+    assert row["z_micro"] is None
+    assert row["u2"] == 4 * 3  # 2U = 2 * (na*nb/2)
