@@ -146,6 +146,8 @@ _NEXT_WINDOW = [
     # SQL-surface completion (RIGHT OUTER join, relative-rank windows)
     "stats_ks_value", "stats_mwu_value",
     "join_right_outer", "window_percent_rank",
+    # round-5s: RFM lifecycle segmentation + ingest periodicity
+    "events_rfm_segments", "events_hourly_autocorr",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

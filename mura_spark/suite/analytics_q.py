@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mura_spark.suite.common import sql_tokens, table
+from mura_spark.suite.common import dsum, sql_tokens, table
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
@@ -1247,3 +1247,125 @@ def stats_mwu_value(spark, sf):
     from mura_spark.operators.stats import mannwhitney_u
     ev = table(spark, sf, "events")
     return mannwhitney_u(ev, "value", "event_type", "click", "purchase")
+
+
+# ------------------------------------------------------- round-5s additions
+
+@q("events_rfm_segments",
+   "WITH ref AS (SELECT MAX(ts) AS r FROM events), "
+   "u AS (SELECT user_id, CAST(floor(CAST(epoch_us(r) "
+   "- epoch_us(MAX(ts)) AS DOUBLE) / 3600000000.0) AS BIGINT) AS rec_h, "
+   "COUNT(*) AS freq, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mon "
+   "FROM events CROSS JOIN ref GROUP BY user_id, r), "
+   "b AS (SELECT "
+   "quantile_cont(CAST(rec_h AS DOUBLE), [i / 5.0 for i in range(1, 5)]) "
+   "AS rb, "
+   "quantile_cont(CAST(freq AS DOUBLE), [i / 5.0 for i in range(1, 5)]) "
+   "AS fb, "
+   "quantile_cont(CAST(mon AS DOUBLE), [i / 5.0 for i in range(1, 5)]) "
+   "AS mb FROM u) "
+   "SELECT len(list_filter(rb, x -> CAST(rec_h AS DOUBLE) > x)) AS r_bin, "
+   "len(list_filter(fb, x -> CAST(freq AS DOUBLE) > x)) AS f_bin, "
+   "len(list_filter(mb, x -> CAST(mon AS DOUBLE) > x)) AS m_bin, "
+   "COUNT(*) AS n_users, "
+   "CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS monetary_total "
+   "FROM u CROSS JOIN b GROUP BY 1, 2, 3")
+def events_rfm_segments(spark, sf):
+    """RFM customer segmentation (recency/frequency/monetary quintiles)
+    — the classic lifecycle-marketing rollup. One shuffle to the
+    per-user grain; each quintile assignment is a broadcast
+    boundary-array filter-count (operators.sampling.quantile_bins —
+    never a global ntile sort); recency in exact whole hours from the
+    newest event, monetary as the exact-decimal value sum. Output is
+    the ≤125-cell segment matrix."""
+    from mura_spark.operators.sampling import quantile_bins
+    ev = table(spark, sf, "events")
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    u = (ev.groupBy("user_id")
+           .agg(F.max("ts").alias("__last"),
+                F.count(F.lit(1)).alias("freq"),
+                dsum("value").alias("mon")))
+    u = (u.crossJoin(F.broadcast(ref))
+          .select(F.floor((F.unix_micros("__ref")
+                           - F.unix_micros("__last")).cast("double")
+                          / F.lit(3600000000.0)).cast("bigint")
+                   .alias("rec_h"),
+                  "freq", "mon"))
+    u = quantile_bins(u, "rec_h", 5).withColumnRenamed("bin", "r_bin")
+    u = quantile_bins(u, "freq", 5).withColumnRenamed("bin", "f_bin")
+    u = quantile_bins(u, "mon", 5).withColumnRenamed("bin", "m_bin")
+    return (u.groupBy("r_bin", "f_bin", "m_bin")
+             .agg(F.count(F.lit(1)).alias("n_users"),
+                  dsum("mon").alias("monetary_total")))
+
+
+@q("events_hourly_autocorr",
+   "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, "
+   "date_trunc('hour', MAX(ts)) AS hi FROM events), "
+   "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) "
+   "AS h FROM bounds), "
+   "actual AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c "
+   "FROM events GROUP BY 1), "
+   "dense AS (SELECT g.h, coalesce(a.c, 0) AS c FROM grid g "
+   "LEFT JOIN actual a ON a.h = g.h), "
+   "p AS (SELECT c AS x, lead(c) OVER (ORDER BY h) AS y FROM dense), "
+   "m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+   "SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy, "
+   "SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx, "
+   "SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy "
+   "FROM p WHERE y IS NOT NULL) "
+   "SELECT CAST(n AS BIGINT) AS n_pairs, "
+   "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+   "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+   "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+   "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0 THEN "
+   "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+   "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+   "/ sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+   "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+   "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+   "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS r_micro FROM m")
+def events_hourly_autocorr(spark, sf):
+    """Lag-1 autocorrelation of hourly event volume — the periodicity /
+    burst-persistence diagnostic for ingest monitoring. The series is
+    the ZERO-FILLED dense hour grid (sequence() over broadcast min/max
+    bounds — gaps would otherwise splice non-adjacent hours into fake
+    pairs); Pearson r over consecutive-hour pairs from exact integer
+    moments (DECIMAL products of counts), one mirrored closed form,
+    micro-floored, NULL when a side is constant. Everything after the
+    one reducing groupBy is calendar-sized."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    ev = table(spark, sf, "events")
+    actual = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+                .agg(F.count(F.lit(1)).alias("c")))
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                    F.date_trunc("hour", F.max("ts")).alias("hi"))
+    grid = (bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")))
+    dense = (grid.join(actual, "h", "left")
+                 .select("h", F.coalesce(F.col("c"),
+                                         F.lit(0).cast("bigint"))
+                          .alias("c")))
+    w = Window.orderBy("h")
+    p = (dense.select(F.col("c").alias("x"),
+                      F.lead("c").over(w).alias("y"))
+              .filter(F.col("y").isNotNull()))
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = p.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(d18("x") * d18("y")).alias("sxy"),
+              F.sum(d18("x") * d18("x")).alias("sxx"),
+              F.sum(d18("y") * d18("y")).alias("syy"))
+    n, sx, sy = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                 F.col("sy").cast("double"))
+    sxy, sxx, syy = (F.col("sxy").cast("double"),
+                     F.col("sxx").cast("double"),
+                     F.col("syy").cast("double"))
+    var_prod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / F.sqrt(var_prod)
+    return m.select(F.col("n").cast("bigint").alias("n_pairs"),
+                    F.when(var_prod > F.lit(0.0),
+                           micro(r)).alias("r_micro"))

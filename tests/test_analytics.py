@@ -636,3 +636,95 @@ def test_mannwhitney_degenerate_all_tied_z_null(spark):
     assert row["auc_micro"] == 500000
     assert row["z_micro"] is None
     assert row["u2"] == 4 * 3  # 2U = 2 * (na*nb/2)
+
+
+# ------------------------------------------- RFM + autocorrelation (5s)
+
+def _mini_events(spark, tmp_path, rows):
+    """Write a minimal events table (same column set as the fixture) and
+    return its directory for suite-query consumption."""
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, float(v), "{}") for i, (ts, uid, et, v)
+         in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = str(tmp_path / "mini")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    return out
+
+
+def _q7(vals, p):
+    """Type-7 (linear) interpolated quantile, the percentile/
+    quantile_cont definition."""
+    v = sorted(vals)
+    pos = (len(v) - 1) * p
+    lo = math.floor(pos)
+    f = pos - lo
+    hi = v[lo + 1] if f > 0 else v[lo]
+    return v[lo] + (hi - v[lo]) * f
+
+
+def test_rfm_segments_match_sequential_reference(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows, per_user = [], {}
+    # 6 users with distinct recency (last event), frequency, monetary
+    for uid in range(6):
+        n_ev = uid + 1
+        for k in range(n_ev):
+            ts = base + dt.timedelta(hours=uid * 3 + k)
+            rows.append((ts, uid, "click", 10.0 * (uid + 1)))
+        per_user[uid] = (ts, n_ev, 10.0 * (uid + 1) * n_ev)
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    out = {(r["r_bin"], r["f_bin"], r["m_bin"]):
+           (r["n_users"], r["monetary_total"])
+           for r in SPARK_QUERIES["events_rfm_segments"](spark, sf).collect()}
+    ref_ts = max(t for t, _, _ in per_user.values())
+    feats = {u: (math.floor((ref_ts - t).total_seconds() / 3600.0), n, m)
+             for u, (t, n, m) in per_user.items()}
+    bnds = [[_q7([f[i] for f in feats.values()], p / 5)
+             for p in range(1, 5)] for i in range(3)]
+    expect = {}
+    for rec, fr, mon in feats.values():
+        key = tuple(sum(1 for b in bnds[i] if v > b)
+                    for i, v in enumerate((rec, fr, mon)))
+        n, tot = expect.get(key, (0, 0.0))
+        expect[key] = (n + 1, tot + mon)
+    assert out == {k: (n, pytest.approx(tot)) for k, (n, tot)
+                   in expect.items()}
+
+
+def test_hourly_autocorr_zero_fills_gaps(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1)
+    counts = [2, 0, 3, 1, 4, 0, 2]  # hour 1 and 5 are EMPTY (gap hours)
+    rows = []
+    for h, c in enumerate(counts):
+        for k in range(c):
+            rows.append((base + dt.timedelta(hours=h, minutes=k),
+                         100 + k, "view", 1.0))
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    row = SPARK_QUERIES["events_hourly_autocorr"](spark, sf).collect()[0]
+    xs, ys = counts[:-1], counts[1:]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    r = ((n * sxy - sx * sy)
+         / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    assert row["n_pairs"] == n
+    assert row["r_micro"] == math.floor(r * 1e6 + 0.5)
+
+
+def test_hourly_autocorr_constant_series_null(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1)
+    rows = [(base + dt.timedelta(hours=h), 1, "view", 1.0)
+            for h in range(4)]  # one event every hour: zero variance
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    row = SPARK_QUERIES["events_hourly_autocorr"](spark, sf).collect()[0]
+    assert row["n_pairs"] == 3
+    assert row["r_micro"] is None
