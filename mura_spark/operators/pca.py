@@ -1,0 +1,183 @@
+"""Top-principal-component extraction over an embedding column —
+distributed exact-moment Gramian + bounded driver-side power iteration.
+
+North-star extension (embedding analytics): the dominant PCA direction
+is the workhorse diagnostic for embedding-space health (anisotropy /
+"rogue dimension" detection, whitening preconditioners, ABTT-style
+common-component removal) and the axis most worth plotting first.
+
+Architecture is the standard one for tall-skinny PCA at scale — the one
+Spark MLlib's ``computePrincipalComponents`` itself uses: the d×d
+second-moment (Gramian) matrix is reduced DISTRIBUTED (here: an
+Arrow-batched per-partition kernel emitting d² fixed-point partial sums,
+one bounded groupBy — the corpus never shuffles), then the tiny d×d
+eigenproblem is solved on the driver (d² doubles ≈ 32 KB at d = 64; the
+same bounded-collect posture as similarity.py's IVF centroid reduce).
+Power iteration with a fixed round count stands in for a full
+eigensolver so the arithmetic is replayable in SQL.
+
+Cross-engine determinism (oracle-hashable):
+- per-row second moments quantize ``⌊xᵢ·xⱼ·10⁹⌋`` to int64 BEFORE any
+  summation — integer partial sums are order-independent, and the
+  double multiply + floor is IEEE-identical in numpy, Spark, and DuckDB
+  (a double→DECIMAL cast is NOT — see similarity.label_centroids);
+- the power iteration re-quantizes every matrix-vector term
+  ``⌊cov·v·10¹²⌋`` and every norm term ``⌊y²·10¹²⌋`` the same way, so
+  the 64-term sums are exact integers on both engines;
+- the sign convention (component with the largest |loading| made
+  positive, ties to the lowest dimension) pins the eigenvector's
+  otherwise-arbitrary orientation.
+
+Reference scoping: the reference engine has no vector surface at all
+(its only types are the scalar Arrow primitives,
+/root/reference/src/planner/queryplanner.rs:150-166); this module is
+pure extension territory per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: fixed-point scales: 1e9 for raw-moment terms (|x| ≲ 30 stays exact in
+#: double·scale), 1e12 for unit-scale iteration terms.
+_MOM_FP = 1e9
+_IT_FP = 1e12
+
+
+def _moment_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-partition fixed-point Gramian partials: rows ``(i, j, q, n)``
+    with j ≥ 0 second moments Σ⌊xᵢxⱼ·10⁹⌋, j = −1 first moments
+    Σ⌊xᵢ·10⁹⌋, and one (−1, −1, 0, row-count) row per partition.
+    Emits d² + d + 1 rows per partition — the only shuffle downstream is
+    over those bounded partials."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        acc2 = np.zeros((dim, dim), dtype=np.int64)
+        acc1 = np.zeros(dim, dtype=np.int64)
+        cnt = 0
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None]
+            for lo in range(0, len(vecs), 512):
+                x = np.stack(vecs[lo:lo + 512]).astype(np.float64)
+                acc2 += np.floor(
+                    (x[:, :, None] * x[:, None, :]) * _MOM_FP
+                ).astype(np.int64).sum(axis=0)
+                acc1 += np.floor(x * _MOM_FP).astype(np.int64).sum(axis=0)
+                cnt += x.shape[0]
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame({
+            "i": np.concatenate([ii.ravel(), np.arange(dim), [-1]]),
+            "j": np.concatenate([jj.ravel(), np.full(dim, -1), [-1]]),
+            "q": np.concatenate([acc2.ravel(), acc1, [0]]),
+            "n": np.concatenate([np.zeros(dim * dim + dim, np.int64),
+                                 [cnt]]),
+        })
+
+    return df.select(vec_col).mapInPandas(
+        kernel, schema="i int, j int, q long, n long")
+
+
+def top_principal_component(df: DataFrame, vec_col: str = "embedding",
+                            dim: int = 64,
+                            iterations: int = 3) -> DataFrame:
+    """First principal component of the ``vec_col`` distribution:
+    ``(dim: int, loading_micro: bigint)`` — one row per dimension, the
+    unit eigenvector of the covariance matrix after ``iterations``
+    deterministic power-iteration rounds from the all-ones start,
+    sign-normalized and micro-floored.
+
+    The distributed part reduces the corpus to d²+d+1 exact fixed-point
+    sums (:func:`_moment_partials`); the driver then replays the
+    quantized iteration on the 64×64 matrix — bounded work, mirrored
+    term-for-term by :func:`sql_top_principal_component`.
+    """
+    import numpy as np
+
+    spark = SparkSession.getActiveSession()
+    parts = (_moment_partials(df.filter(F.col(vec_col).isNotNull()),
+                              vec_col, dim)
+             .groupBy("i", "j")
+             .agg(F.sum("q").alias("q"), F.sum("n").alias("n"))
+             .collect())  # bounded: d² + d + 1 rows
+    s2 = np.zeros((dim, dim), dtype=np.int64)
+    s1 = np.zeros(dim, dtype=np.int64)
+    n = 0
+    for r in parts:
+        if r["i"] < 0:
+            n = r["n"]
+        elif r["j"] < 0:
+            s1[r["i"]] = r["q"]
+        else:
+            s2[r["i"], r["j"]] = r["q"]
+    n_d = float(n)
+    mean = (s1.astype(np.float64) / _MOM_FP) / n_d
+    cov = (s2.astype(np.float64) / _MOM_FP) / n_d \
+        - mean[:, None] * mean[None, :]
+    v = np.ones(dim, dtype=np.float64)
+    for _ in range(iterations):
+        yq = np.floor((cov * v[None, :]) * _IT_FP) \
+               .astype(np.int64).sum(axis=1)
+        y = yq.astype(np.float64) / _IT_FP
+        nq = np.floor((y * y) * _IT_FP).astype(np.int64).sum()
+        v = y / math.sqrt(nq / _IT_FP)
+    lead = min(range(dim), key=lambda i: (-abs(v[i]), i))
+    sign = -1.0 if v[lead] < 0.0 else 1.0
+    rows = [(i, int(math.floor(v[i] * sign * 1e6 + 0.5)))
+            for i in range(dim)]
+    return spark.createDataFrame(rows, "dim int, loading_micro long")
+
+
+def sql_top_principal_component(table: str = "embeddings",
+                                vec_col: str = "embedding",
+                                dim: int = 64,
+                                iterations: int = 3) -> str:
+    """DuckDB twin of :func:`top_principal_component` — identical
+    quantize-then-sum arithmetic, iterations unrolled as CTEs."""
+    mom = f"{_MOM_FP:.1f}"
+    it = f"{_IT_FP:.1f}"
+    ctes = [
+        f"d AS (SELECT range AS i FROM range(1, {dim + 1}))",
+        f"nn AS (SELECT COUNT(*) AS n FROM {table} "
+        f"WHERE {vec_col} IS NOT NULL)",
+        f"mom AS (SELECT di.i AS i, dj.i AS j, "
+        f"SUM(CAST(floor((CAST(e.{vec_col}[di.i] AS DOUBLE) "
+        f"* CAST(e.{vec_col}[dj.i] AS DOUBLE)) * {mom}) AS BIGINT)) AS q "
+        f"FROM {table} e CROSS JOIN d di CROSS JOIN d dj "
+        f"WHERE e.{vec_col} IS NOT NULL GROUP BY 1, 2)",
+        f"mn AS (SELECT di.i AS i, "
+        f"SUM(CAST(floor(CAST(e.{vec_col}[di.i] AS DOUBLE) * {mom}) "
+        f"AS BIGINT)) AS q FROM {table} e CROSS JOIN d di "
+        f"WHERE e.{vec_col} IS NOT NULL GROUP BY 1)",
+        f"cov AS (SELECT m.i, m.j, "
+        f"CAST(m.q AS DOUBLE) / {mom} / CAST(nn.n AS DOUBLE) "
+        f"- (CAST(a.q AS DOUBLE) / {mom} / CAST(nn.n AS DOUBLE)) "
+        f"* (CAST(b.q AS DOUBLE) / {mom} / CAST(nn.n AS DOUBLE)) AS c "
+        f"FROM mom m JOIN mn a ON a.i = m.i JOIN mn b ON b.i = m.j "
+        f"CROSS JOIN nn)",
+    ]
+    prev = None
+    for r in range(1, iterations + 1):
+        vterm = "1.0" if prev is None else f"{prev}.v"
+        join = "" if prev is None else f" JOIN {prev} ON {prev}.i = cov.j"
+        ctes.append(
+            f"y{r} AS (SELECT cov.i, "
+            f"SUM(CAST(floor((cov.c * {vterm}) * {it}) AS BIGINT)) "
+            f"/ {it} AS y FROM cov{join} GROUP BY cov.i)")
+        ctes.append(
+            f"n{r} AS (SELECT sqrt(SUM(CAST(floor((y * y) * {it}) "
+            f"AS BIGINT)) / {it}) AS nrm FROM y{r})")
+        ctes.append(
+            f"v{r} AS (SELECT i, y / nrm AS v FROM y{r} CROSS JOIN n{r})")
+        prev = f"v{r}"
+    ctes.append(f"mx AS (SELECT v FROM {prev} "
+                f"ORDER BY abs(v) DESC, i ASC LIMIT 1)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT CAST({prev}.i - 1 AS INT) AS dim, "
+            f"CAST(floor({prev}.v * (CASE WHEN mx.v < 0.0 THEN -1.0 "
+            f"ELSE 1.0 END) * 1000000.0 + 0.5) AS BIGINT) "
+            f"AS loading_micro FROM {prev} CROSS JOIN mx")

@@ -148,6 +148,8 @@ _NEXT_WINDOW = [
     "join_right_outer", "window_percent_rank",
     # round-5s: RFM lifecycle segmentation + ingest periodicity
     "events_rfm_segments", "events_hourly_autocorr",
+    # round-5t: top-principal-component embedding diagnostic
+    "emb_top_pc",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -243,3 +243,21 @@ def emb_pq_codes(spark, sf):
     e = table(spark, sf, "embeddings")
     return pq_codes(e, "vec_id", "embedding", n_subspaces=2, dim=64,
                     k=8, iterations=2)
+
+
+def _pca_oracle() -> str:
+    from mura_spark.operators.pca import sql_top_principal_component
+    return sql_top_principal_component("embeddings", "embedding", 64, 3)
+
+
+@q("emb_top_pc", _pca_oracle())
+def emb_top_pc(spark, sf):
+    """First principal component of the embedding distribution — the
+    anisotropy / rogue-dimension diagnostic and whitening seed. MLlib's
+    own tall-skinny shape: Arrow-kernel fixed-point Gramian partials
+    (one bounded d²-row shuffle; the corpus never shuffles), driver-side
+    quantized power iteration on the 64×64 matrix, every term mirrored
+    in the SQL twin (operators.pca.top_principal_component)."""
+    from mura_spark.operators.pca import top_principal_component
+    e = table(spark, sf, "embeddings")
+    return top_principal_component(e, "embedding", dim=64, iterations=3)

@@ -195,3 +195,45 @@ def test_knn_classify_majority_and_tiebreak(spark):
            for r in knn_classify(te, tr, 3).collect()}
     assert got[1] == (0, 0, 3)
     assert got[2] == (1, 1, 2)  # 2 of the 3 nearest are cluster 1
+
+
+# ------------------------------------------------- top principal component
+
+def test_top_pc_aligns_with_eigensolver(spark):
+    """3-round quantized power iteration must align with numpy's exact
+    top eigenvector on data with a strong eigengap (cos > 0.999)."""
+    import numpy as np
+    from mura_spark.operators.pca import top_principal_component
+    rng = np.random.RandomState(7)
+    direction = np.array([0.8, -0.5, 0.3, 0.1])
+    direction /= np.linalg.norm(direction)
+    x = (rng.randn(400, 1) * 3.0) @ direction[None, :] \
+        + rng.randn(400, 4) * 0.2
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>")
+    out = top_principal_component(df, "embedding", dim=4, iterations=3)
+    v = np.array([r["loading_micro"] for r in
+                  out.orderBy("dim").collect()], dtype=np.float64) / 1e6
+    # unit norm (micro-rounded) and sign convention: max-|loading| dim > 0
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    assert v[np.argmax(np.abs(v))] > 0
+    xc = np.asarray(x, dtype=np.float64)
+    cov = np.cov(xc, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    assert abs(float(np.dot(v, top)) / np.linalg.norm(v)) > 0.999
+
+
+def test_top_pc_ignores_null_vectors(spark):
+    import numpy as np
+    from mura_spark.operators.pca import top_principal_component
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [2.0, 0.0]),
+            (3, None), (4, [-2.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r["loading_micro"] for r in
+           top_principal_component(df, "embedding", dim=2,
+                                   iterations=3).collect()}
+    # all variance on dim 0: loading = (1, 0) exactly, sign positive
+    assert out[0] == 1000000
+    assert out[1] == 0
