@@ -150,6 +150,8 @@ _NEXT_WINDOW = [
     "events_rfm_segments", "events_hourly_autocorr",
     # round-5t: top-principal-component embedding diagnostic
     "emb_top_pc",
+    # round-5u: recursive-CTE SQL surface + business time series
+    "graph_bfs_reach", "orders_monthly_growth",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1369,3 +1369,36 @@ def events_hourly_autocorr(spark, sf):
     return m.select(F.col("n").cast("bigint").alias("n_pairs"),
                     F.when(var_prod > F.lit(0.0),
                            micro(r)).alias("r_micro"))
+
+
+# ------------------------------------------------------- round-5u additions
+
+@q("orders_monthly_growth",
+   "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) "
+   "AS month, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+   "COUNT(*) AS n_orders FROM orders GROUP BY 1), "
+   "w AS (SELECT month, revenue, n_orders, "
+   "lag(revenue) OVER (ORDER BY month) AS prev FROM m) "
+   "SELECT month, revenue, n_orders, "
+   "CASE WHEN prev <> 0.0 THEN CAST(floor((revenue - prev) / prev "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS mom_micro FROM w")
+def orders_monthly_growth(spark, sf):
+    """Month-over-month revenue growth — the core business time series.
+    One reducing groupBy to the calendar grain (exact-decimal money
+    sums), then a lag window over the month table only; the growth
+    ratio is one mirrored division, micro-floored, NULL for the first
+    month / zero base."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    o = table(spark, sf, "orders")
+    m = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+          .agg(dsum("o_totalprice").alias("revenue"),
+               F.count(F.lit(1)).alias("n_orders")))
+    w = m.select("month", "revenue", "n_orders",
+                 F.lag("revenue").over(Window.orderBy("month"))
+                  .alias("__prev"))
+    growth = (F.col("revenue") - F.col("__prev")) / F.col("__prev")
+    return w.select("month", "revenue", "n_orders",
+                    F.when(F.col("__prev") != F.lit(0.0),
+                           micro(growth)).alias("mom_micro"))

@@ -82,3 +82,53 @@ def graph_assoc_rules(spark, sf):
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     return (association_rules(li, "l_orderkey", "l_partkey", min_support=3)
             .withColumnRenamed("item_a", "item_a"))
+
+
+# ------------------------------------------------------- round-5u addition
+
+#: {mat} lets the DuckDB twin pin the edge CTE with AS MATERIALIZED
+#: (the engine otherwise re-derives it per recursion round — the same
+#: re-evaluation trap sql_kcore documents); the Spark side gets the
+#: equivalent by checkpointing the edge list BEFORE the recursive query.
+_BFS_SQL = (
+    "WITH RECURSIVE "
+    "s AS (SELECT MIN(src) AS root FROM {edges}), "
+    "walk(node, depth) AS ("
+    "SELECT root, 0 FROM s "
+    "UNION ALL "
+    "SELECT DISTINCT e.dst, w.depth + 1 FROM walk w "
+    "JOIN {edges} e ON e.src = w.node WHERE w.depth < 3) "
+    "SELECT node, CAST(MIN(depth) AS BIGINT) AS depth "
+    "FROM walk GROUP BY node")
+
+_BFS_EDGES = ("(SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+              "FROM lineitem a JOIN lineitem b "
+              "ON a.l_orderkey = b.l_orderkey "
+              "AND a.l_partkey <> b.l_partkey)")
+
+
+_BFS_ORACLE = ("WITH RECURSIVE e AS MATERIALIZED " + _BFS_EDGES + ", "
+               + _BFS_SQL.format(edges="e")
+                 .replace("WITH RECURSIVE ", "", 1))
+
+
+@q("graph_bfs_reach", _BFS_ORACLE)
+def graph_bfs_reach(spark, sf):
+    """Depth-limited BFS (≤ 3 hops) from the lowest part key over the
+    co-purchase graph, via an actual WITH RECURSIVE CTE — the recursive
+    SQL surface (new in Spark 4) run as-is on both engines; min-depth
+    aggregation after the walk makes path multiplicity irrelevant to
+    the result. A per-step DISTINCT caps each level at |V| rows (the
+    raw path count explodes past Spark's recursion row limit), and the
+    edge list is materialized ONCE before the recursion — eager
+    localCheckpoint here (the pagerank pattern), AS MATERIALIZED in the
+    twin — so neither engine re-runs the lineitem self-join per round.
+    The UNBOUNDED scale form of reachability is the iterative semi-join
+    with per-round frontier dedup (the graph_kcore_prune /
+    dedup_clusters loop), which this query's SQL-parity twin
+    deliberately is not."""
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+                  .localCheckpoint(eager=True))
+    edges.createOrReplaceTempView("__mura_bfs_edges")
+    return spark.sql(_BFS_SQL.format(edges="__mura_bfs_edges"))

@@ -91,3 +91,21 @@ def test_pq_codes_partition_invariant_and_complete(spark, embeddings):
     assert a == b
     assert len(a) == embeddings.count()
     assert all(0 <= c0 < 8 and 0 <= c1 < 8 for _, c0, c1, _ in a)
+
+
+# --------------------------------------------------- recursive BFS (5u)
+
+def test_bfs_reach_chain_depths(spark, tmp_path):
+    """Chain co-purchase graph A-B-C-D (via shared orders): min-depth
+    from the lowest part must be exactly the chain distance, capped at
+    3 hops."""
+    rows = [(1, 10), (1, 20), (2, 20), (2, 30), (3, 30), (3, 40),
+            (4, 40), (4, 50)]  # part 50 is 4 hops out -> excluded
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = str(tmp_path / "bfs")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet")
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r["node"]: r["depth"] for r in
+           SPARK_QUERIES["graph_bfs_reach"](spark, out).collect()}
+    assert got == {10: 0, 20: 1, 30: 2, 40: 3}
