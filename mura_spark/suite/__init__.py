@@ -152,6 +152,9 @@ _NEXT_WINDOW = [
     "emb_top_pc",
     # round-5u: recursive-CTE SQL surface + business time series
     "graph_bfs_reach", "orders_monthly_growth",
+    # round-5v: modern SQL surfaces — VARIANT semi-structured path,
+    # correlated LATERAL top-n, null-safe equi-join
+    "events_variant_extract", "join_lateral_topn", "join_null_safe",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

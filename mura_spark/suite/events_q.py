@@ -658,3 +658,30 @@ def events_dedup_replay(spark, sf):
                  .agg(F.count(F.lit(1)).alias("n"),
                       F.sum(F.col("value").cast("decimal(18,2)"))
                        .cast("double").alias("total_value")))
+
+
+# ------------------------------------------------------- round-5v addition
+
+@q("events_variant_extract",
+   "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 "
+   "AS k_parity, COUNT(*) AS n, "
+   "MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min, "
+   "MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max, "
+   "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) "
+   "AS BIGINT) AS k_sum FROM events GROUP BY 1")
+def events_variant_extract(spark, sf):
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` ONCE per row into the binary variant encoding, then
+    typed ``variant_get`` paths — at scale this replaces the N×
+    re-parse of ``get_json_object``-per-field (events_json_extract is
+    the string-path twin) with one parse + cheap binary traversals.
+    The oracle reads the same values through DuckDB's JSON path."""
+    ev = table(spark, sf, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (ev.select((k % 2).alias("k_parity"), k.alias("k"))
+              .groupBy("k_parity")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("k").alias("k_min"),
+                   F.max("k").alias("k_max"),
+                   F.sum("k").alias("k_sum")))

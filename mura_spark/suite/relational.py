@@ -820,3 +820,56 @@ def window_percent_rank(spark, sf):
     return c.select("c_custkey", "c_mktsegment",
                     micro(F.percent_rank().over(w)).alias("pr_micro"),
                     micro(F.cume_dist().over(w)).alias("cd_micro"))
+
+
+# ------------------------------------------------------- round-5v additions
+
+_LATERAL_SQL = (
+    "SELECT n_name, c.c_name, c.c_acctbal "
+    "FROM {nation}, LATERAL ("
+    "SELECT c_name, c_acctbal FROM {customer} "
+    "WHERE c_nationkey = n_nationkey "
+    "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c")
+
+
+@q("join_lateral_topn", _LATERAL_SQL.format(nation="nation",
+                                            customer="customer"))
+def join_lateral_topn(spark, sf):
+    """Correlated LATERAL subquery join — top-2 customers by balance
+    PER nation, the per-row-subquery SQL surface (Spark lateral joins).
+    The same SQL text runs on both engines; Catalyst decorrelates the
+    LATERAL + LIMIT into a ranked window under the hood, so the
+    physical plan is the scalable per-key top-k, not a per-row
+    re-execution. Deterministic via the custkey tiebreak."""
+    table(spark, sf, "nation").createOrReplaceTempView("__mura_lat_n")
+    table(spark, sf, "customer").createOrReplaceTempView("__mura_lat_c")
+    return spark.sql(_LATERAL_SQL.format(nation="__mura_lat_n",
+                                         customer="__mura_lat_c"))
+
+
+@q("join_null_safe",
+   "WITH a AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio, "
+   "COUNT(*) AS n_1995 FROM orders WHERE year(o_orderdate) = 1995 "
+   "GROUP BY 1), "
+   "b AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio, "
+   "COUNT(*) AS n_1996 FROM orders WHERE year(o_orderdate) = 1996 "
+   "GROUP BY 1) "
+   "SELECT a.prio, a.n_1995, b.n_1996 FROM a JOIN b "
+   "ON a.prio IS NOT DISTINCT FROM b.prio")
+def join_null_safe(spark, sf):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM — the join
+    gap where NULL keys must MATCH each other instead of vanishing):
+    year-over-year order counts per priority with the '1-URGENT' class
+    NULLed out to exercise the NULL=NULL row. Both sides pre-reduce to
+    the priority grain before the join, so the null-safe comparison
+    never sees fact-table volume."""
+    o = table(spark, sf, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = (o.filter(F.year("o_orderdate") == 1995)
+          .groupBy(prio.alias("prio"))
+          .agg(F.count(F.lit(1)).alias("n_1995")))
+    b = (o.filter(F.year("o_orderdate") == 1996)
+          .groupBy(prio.alias("prio"))
+          .agg(F.count(F.lit(1)).alias("n_1996")))
+    return (a.join(b, a["prio"].eqNullSafe(b["prio"]))
+             .select(a["prio"].alias("prio"), "n_1995", "n_1996"))

@@ -221,3 +221,14 @@ def test_round5_analytics_plan_shapes(spark, sf_dir):
     km = _formatted_plan(SPARK_QUERIES["emb_kmeans_assign"](spark, sf_dir))
     assert "SortMergeJoin" not in km
     assert "BroadcastNestedLoopJoin" in km  # centroids broadcast
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL + LIMIT must plan as a per-key ranked
+    window (scalable top-k), never a per-row nested-loop re-execution."""
+    from mura_spark.suite import SPARK_QUERIES
+    plan = SPARK_QUERIES["join_lateral_topn"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
