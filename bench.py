@@ -168,6 +168,19 @@ BENCH_QUERIES = [
     "pipeline_corpus_health",
     "supplier_concentration_hhi",
     "text_ngram_novelty",
+    # round-5r..5v additions
+    "stats_ks_value",
+    "stats_mwu_value",
+    "join_right_outer",
+    "window_percent_rank",
+    "events_rfm_segments",
+    "events_hourly_autocorr",
+    "emb_top_pc",
+    "graph_bfs_reach",
+    "orders_monthly_growth",
+    "events_variant_extract",
+    "join_lateral_topn",
+    "join_null_safe",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM
