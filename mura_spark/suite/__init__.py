@@ -155,6 +155,10 @@ _NEXT_WINDOW = [
     # round-5v: modern SQL surfaces — VARIANT semi-structured path,
     # correlated LATERAL top-n, null-safe equi-join
     "events_variant_extract", "join_lateral_topn", "join_null_safe",
+    # round-5w: sequential smoothing + IGNORE NULLS carry-forward
+    "events_ewma_daily", "events_locf_purchase",
+    # round-5x: last-touch attribution + shuffle-key skew diagnostic
+    "events_attribution_last_touch", "profile_key_skew",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1402,3 +1402,90 @@ def orders_monthly_growth(spark, sf):
     return w.select("month", "revenue", "n_orders",
                     F.when(F.col("__prev") != F.lit(0.0),
                            micro(growth)).alias("mom_micro"))
+
+
+# ------------------------------------------------------- round-5w addition
+
+#: The recursion references only the pre-materialized daily rollup —
+#: without that, each of the ~|days| recursion rounds re-runs the full
+#: corpus groupBy (the BFS-edges / k-core re-evaluation trap; measured
+#: 12s -> 0.7s at sf0.1 when materialized).
+_EWMA_SQL = (
+    "WITH RECURSIVE "
+    "ew(rn, day, x, l) AS ("
+    "SELECT rn, day, x, x FROM {rollup} WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT r.rn, r.day, r.x, 0.3 * r.x + 0.7 * ew.l "
+    "FROM ew JOIN {rollup} r ON r.rn = ew.rn + 1) "
+    "SELECT day, x AS daily_value, "
+    "CAST(floor(l * 1000000.0 + 0.5) AS BIGINT) AS ewma_micro FROM ew")
+
+_EWMA_ROLLUP = (
+    "(SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM "
+    "(SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x "
+    "FROM events GROUP BY 1))")
+
+_EWMA_ORACLE = ("WITH RECURSIVE r AS MATERIALIZED " + _EWMA_ROLLUP + ", "
+                + _EWMA_SQL.format(rollup="r")
+                  .replace("WITH RECURSIVE ", "", 1))
+
+
+@q("events_ewma_daily", _EWMA_ORACLE)
+def events_ewma_daily(spark, sf):
+    """Exponentially-weighted moving average of daily event value
+    (α = 0.3) — the trend smoother behind anomaly baselines. The linear
+    recurrence l_t = αx_t + (1−α)l_{t−1} is inherently sequential, so
+    it runs as a WITH RECURSIVE step-join over the CALENDAR-SIZED daily
+    rollup (≤ the day count regardless of corpus size; well under
+    Spark's recursion depth limit) — the corpus reduces through one
+    exact-decimal groupBy that is materialized BEFORE the recursion
+    (eager localCheckpoint / AS MATERIALIZED, the BFS-edges pattern),
+    so no recursion round ever re-touches the fact table. The per-step
+    double expression is sequential by construction — no
+    aggregation-order hazard."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    d = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+           .agg(dsum("value").alias("x")))
+    r = (d.select("day", "x",
+                  F.row_number().over(Window.orderBy("day")).alias("rn"))
+          .localCheckpoint(eager=True))
+    r.createOrReplaceTempView("__mura_ewma_rollup")
+    return spark.sql(_EWMA_SQL.format(rollup="__mura_ewma_rollup"))
+
+
+@q("profile_key_skew",
+   "WITH c AS (SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem "
+   "GROUP BY 1), "
+   "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys, "
+   "MAX(n) AS max_n FROM c) "
+   "SELECT key, n, "
+   "CAST(floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS share_micro, "
+   "CAST(floor(CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) "
+   "/ CAST(n_keys AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS vs_mean_micro "
+   "FROM c CROSS JOIN t ORDER BY n DESC, key ASC LIMIT 10")
+def profile_key_skew(spark, sf):
+    """Join/shuffle-key skew diagnostic: the 10 heaviest l_partkey
+    values with their corpus share and multiple-of-mean — the readout
+    that decides whether a join needs the salting path
+    (operators.skew). One map-side-combined groupBy to the key grain,
+    broadcast singleton totals, distributed top-k with key tiebreak
+    (TakeOrderedAndProject — never a global sort)."""
+    from mura_spark.operators.topk import topk
+    li = table(spark, sf, "lineitem")
+    c = (li.groupBy(F.col("l_partkey").alias("key"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"),
+              F.count(F.lit(1)).alias("n_keys"),
+              F.max("n").alias("max_n"))
+    j = c.crossJoin(F.broadcast(t))
+    n_d, tot_d = F.col("n").cast("double"), F.col("total").cast("double")
+    mean = tot_d / F.col("n_keys").cast("double")
+    from mura_spark.functions.quantize import micro
+    out = j.select("key", "n",
+                   micro(n_d / tot_d).alias("share_micro"),
+                   micro(n_d / mean).alias("vs_mean_micro"))
+    return topk(out, [F.col("n").desc(), F.col("key").asc()], 10)

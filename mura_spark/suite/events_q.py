@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mura_spark.streaming import windows as W
-from mura_spark.suite.common import sql_dsum, table
+from mura_spark.suite.common import dsum, sql_dsum, table
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
@@ -685,3 +685,64 @@ def events_variant_extract(spark, sf):
                    F.min("k").alias("k_min"),
                    F.max("k").alias("k_max"),
                    F.sum("k").alias("k_sum")))
+
+
+@q("events_locf_purchase",
+   "SELECT event_id, user_id, "
+   "last_value(CASE WHEN event_type = 'purchase' THEN value END "
+   "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+   "AS last_purchase_value FROM events")
+def events_locf_purchase(spark, sf):
+    """Last-observation-carried-forward gap fill: every event carries
+    the user's most recent purchase value (NULL before the first one) —
+    the IGNORE NULLS window surface (F.last(ignorenulls=True)) that
+    state-of-the-session features are built from. One user-partitioned
+    window, event_id tiebreak; NULL-valued frames stay NULL."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select("event_id", "user_id",
+                     F.last(pv, ignorenulls=True).over(w)
+                      .alias("last_purchase_value"))
+
+
+@q("events_attribution_last_touch",
+   "WITH w AS (SELECT event_id, user_id, ts, event_type, value, "
+   "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END "
+   "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_type, "
+   "last_value(CASE WHEN event_type <> 'purchase' THEN ts END "
+   "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_ts "
+   "FROM events) "
+   "SELECT coalesce(CASE WHEN src_ts >= ts - INTERVAL 1 HOUR "
+   "THEN src_type END, 'none') AS channel, "
+   "COUNT(*) AS n_purchases, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value "
+   "FROM w WHERE event_type = 'purchase' GROUP BY 1")
+def events_attribution_last_touch(spark, sf):
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent non-purchase event within the preceding hour
+    ('none' when cold). ONE user-partitioned IGNORE-NULLS window
+    carries the candidate touch forward — no self-join, no as-of pass
+    over the fact table twice — then a dimension-sized rollup per
+    channel with exact-decimal value sums."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    np_ = F.col("event_type") != "purchase"
+    src_type = F.last(F.when(np_, F.col("event_type")),
+                      ignorenulls=True).over(w)
+    src_ts = F.last(F.when(np_, F.col("ts")), ignorenulls=True).over(w)
+    base = ev.select("event_type", "ts", "value",
+                     src_type.alias("src_type"), src_ts.alias("src_ts"))
+    recent = F.col("src_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (base.filter(F.col("event_type") == "purchase")
+                .groupBy(F.coalesce(F.when(recent, F.col("src_type")),
+                                    F.lit("none")).alias("channel"))
+                .agg(F.count(F.lit(1)).alias("n_purchases"),
+                     dsum("value").alias("attributed_value")))

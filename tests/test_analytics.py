@@ -728,3 +728,67 @@ def test_hourly_autocorr_constant_series_null(spark, tmp_path):
     row = SPARK_QUERIES["events_hourly_autocorr"](spark, sf).collect()[0]
     assert row["n_pairs"] == 3
     assert row["r_micro"] is None
+
+
+# ----------------------------------------- EWMA + LOCF carry-forward (5w)
+
+def test_ewma_daily_matches_sequential_recurrence(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 5, 1)
+    daily = [10.0, 20.0, 5.0, 40.0]
+    rows = []
+    for d, total in enumerate(daily):
+        rows.append((base + dt.timedelta(days=d, hours=3), 1, "view",
+                     total - 1.0))
+        rows.append((base + dt.timedelta(days=d, hours=9), 2, "view", 1.0))
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r["day"].day: (r["daily_value"], r["ewma_micro"]) for r in
+           SPARK_QUERIES["events_ewma_daily"](spark, sf).collect()}
+    level = daily[0]
+    expect = {1: (daily[0], math.floor(level * 1e6 + 0.5))}
+    for d, x in enumerate(daily[1:], start=2):
+        level = 0.3 * x + 0.7 * level
+        expect[d] = (x, math.floor(level * 1e6 + 0.5))
+    assert got == expect
+
+
+def test_locf_carries_last_purchase_forward(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (base + dt.timedelta(minutes=0), 1, "view", 9.0),      # before: NULL
+        (base + dt.timedelta(minutes=1), 1, "purchase", 5.0),
+        (base + dt.timedelta(minutes=2), 1, "view", 7.0),      # carries 5.0
+        (base + dt.timedelta(minutes=3), 1, "purchase", 8.0),
+        (base + dt.timedelta(minutes=4), 1, "error", 1.0),     # carries 8.0
+        (base + dt.timedelta(minutes=5), 2, "view", 3.0),      # other user: NULL
+    ]
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r["event_id"]: r["last_purchase_value"] for r in
+           SPARK_QUERIES["events_locf_purchase"](spark, sf).collect()}
+    assert got == {0: None, 1: 5.0, 2: 5.0, 3: 8.0, 4: 8.0, 5: None}
+
+
+# ------------------------------------------- last-touch attribution (5x)
+
+def test_attribution_last_touch_semantics(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (base, 1, "click", 1.0),
+        (base + dt.timedelta(minutes=30), 1, "purchase", 10.0),  # click
+        (base + dt.timedelta(hours=3), 1, "purchase", 20.0),     # stale -> none
+        (base + dt.timedelta(hours=4), 2, "view", 1.0),
+        (base + dt.timedelta(hours=4, minutes=5), 2, "signup", 1.0),
+        (base + dt.timedelta(hours=4, minutes=10), 2, "purchase", 5.0),  # signup (last touch)
+        (base + dt.timedelta(hours=6), 3, "purchase", 7.0),      # cold -> none
+    ]
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r["channel"]: (r["n_purchases"], r["attributed_value"])
+           for r in SPARK_QUERIES["events_attribution_last_touch"](
+               spark, sf).collect()}
+    assert got == {"click": (1, 10.0), "signup": (1, 5.0),
+                   "none": (2, 27.0)}
