@@ -64,3 +64,60 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType="n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def locf_purchase_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-observation-carried-forward: every event is
+    emitted with the user's most recent purchase value so far (itself,
+    for purchase rows) — the stateful twin of the batch IGNORE-NULLS
+    window in ``events_locf_purchase``.
+
+    State per key is ONE scalar (the last purchase value). Rows are
+    ordered (ts, event_id) within each micro-batch before the carry;
+    the cross-batch contract is in-order-per-key delivery (the file
+    source replays in order — for out-of-order production streams the
+    standard fix is a watermark-delayed sort buffer upstream, which is
+    a different operator's job).
+
+    Batch twin equality (including the NULL-before-first-purchase and
+    purchase-self-carry cases) is pinned in tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        for et, val in zip(pdf["event_type"], pdf["value"]):
+            if et == "purchase" and val == val and val is not None:
+                last = float(val)
+            out.append(last)
+        state.update((last,))
+        yield pd.DataFrame({"event_id": pdf["event_id"],
+                            "user_id": pdf["user_id"],
+                            "last_purchase_value": out})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("event_id bigint, user_id bigint, "
+                          "last_purchase_value double"),
+        stateStructType="last double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def locf_purchase_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`locf_purchase_stream` — the IGNORE-NULLS
+    window form. The oracled suite query ``events_locf_purchase`` routes
+    through HERE so a regression in this module's carry-forward contract
+    breaks a driver correctness row, not just the stream pytest."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select("event_id", "user_id",
+                         F.last(pv, ignorenulls=True).over(w)
+                          .alias("last_purchase_value"))

@@ -698,15 +698,12 @@ def events_locf_purchase(spark, sf):
     the user's most recent purchase value (NULL before the first one) —
     the IGNORE NULLS window surface (F.last(ignorenulls=True)) that
     state-of-the-session features are built from. One user-partitioned
-    window, event_id tiebreak; NULL-valued frames stay NULL."""
-    from pyspark.sql import Window
-    ev = table(spark, sf, "events")
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
-    return ev.select("event_id", "user_id",
-                     F.last(pv, ignorenulls=True).over(w)
-                      .alias("last_purchase_value"))
+    window, event_id tiebreak; NULL-valued frames stay NULL. Routes
+    through streaming.stateful.locf_purchase_batch — the batch twin of
+    the applyInPandasWithState carry-forward — so this driver row is
+    the streaming module's oracle-checked evidence."""
+    from mura_spark.streaming.stateful import locf_purchase_batch
+    return locf_purchase_batch(table(spark, sf, "events"))
 
 
 @q("events_attribution_last_touch",

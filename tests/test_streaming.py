@@ -415,3 +415,39 @@ def test_rollup_sink_surfaces_merge_failure(spark, tmp_path):
         q.awaitTermination(120)
     # the junk state was not overwritten
     assert spark.read.parquet(state).columns == ["z"]
+
+
+def test_stateful_locf_equals_batch_window(spark, events, tmp_path):
+    """Streaming LOCF (applyInPandasWithState, one scalar of state per
+    user) must equal the batch IGNORE-NULLS window — including users
+    whose purchase history spans the micro-batch split."""
+    from pyspark.sql import Window
+    from mura_spark.streaming import stateful
+
+    sub = events.filter(F.col("user_id") < 50)
+    cutoff = sub.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "events_locf")
+    sub.filter(F.col("ts") <= cutoff).coalesce(1) \
+       .write.mode("overwrite").parquet(src)
+    sub.filter(F.col("ts") > cutoff).coalesce(1) \
+       .write.mode("append").parquet(src)
+
+    stream = W.read_events_stream(spark, src, events.schema)
+    q = (stateful.locf_purchase_stream(stream)
+         .writeStream.format("memory").queryName("locf_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.event_id: r.last_purchase_value
+           for r in spark.table("locf_stream").collect()}
+
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    want = {r.event_id: r.lp for r in
+            sub.select("event_id",
+                       F.last(pv, ignorenulls=True).over(w).alias("lp"))
+               .collect()}
+    assert set(got) == set(want)
+    mismatches = {k for k in want if got[k] != want[k]
+                  and not (got[k] is None and want[k] is None)}
+    assert not mismatches, sorted(mismatches)[:5]
