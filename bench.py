@@ -181,6 +181,11 @@ BENCH_QUERIES = [
     "events_variant_extract",
     "join_lateral_topn",
     "join_null_safe",
+    "events_ewma_daily",
+    "events_locf_purchase",
+    "events_attribution_last_touch",
+    "profile_key_skew",
+    "emb_explained_variance",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -96,9 +96,17 @@ def top_principal_component(df: DataFrame, vec_col: str = "embedding",
     quantized iteration on the 64×64 matrix — bounded work, mirrored
     term-for-term by :func:`sql_top_principal_component`.
     """
+    v, _ = _power_vector(_covariance(df, vec_col, dim), dim, iterations)
+    rows = [(i, int(math.floor(v[i] * 1e6 + 0.5))) for i in range(dim)]
+    return SparkSession.getActiveSession().createDataFrame(
+        rows, "dim int, loading_micro long")
+
+
+def _covariance(df: DataFrame, vec_col: str, dim: int):
+    """Distributed exact-moment covariance matrix as a float64 ndarray
+    (the bounded d²-row collect shared by the PCA diagnostics)."""
     import numpy as np
 
-    spark = SparkSession.getActiveSession()
     parts = (_moment_partials(df.filter(F.col(vec_col).isNotNull()),
                               vec_col, dim)
              .groupBy("i", "j")
@@ -116,8 +124,15 @@ def top_principal_component(df: DataFrame, vec_col: str = "embedding",
             s2[r["i"], r["j"]] = r["q"]
     n_d = float(n)
     mean = (s1.astype(np.float64) / _MOM_FP) / n_d
-    cov = (s2.astype(np.float64) / _MOM_FP) / n_d \
+    return (s2.astype(np.float64) / _MOM_FP) / n_d \
         - mean[:, None] * mean[None, :]
+
+
+def _power_vector(cov, dim: int, iterations: int):
+    """Quantized power iteration (the SQL-replayable arithmetic):
+    returns (sign-normalized unit eigenvector estimate, cov)."""
+    import numpy as np
+
     v = np.ones(dim, dtype=np.float64)
     for _ in range(iterations):
         yq = np.floor((cov * v[None, :]) * _IT_FP) \
@@ -126,10 +141,36 @@ def top_principal_component(df: DataFrame, vec_col: str = "embedding",
         nq = np.floor((y * y) * _IT_FP).astype(np.int64).sum()
         v = y / math.sqrt(nq / _IT_FP)
     lead = min(range(dim), key=lambda i: (-abs(v[i]), i))
-    sign = -1.0 if v[lead] < 0.0 else 1.0
-    rows = [(i, int(math.floor(v[i] * sign * 1e6 + 0.5)))
-            for i in range(dim)]
-    return spark.createDataFrame(rows, "dim int, loading_micro long")
+    if v[lead] < 0.0:
+        v = v * -1.0
+    return v, cov
+
+
+def explained_variance(df: DataFrame, vec_col: str = "embedding",
+                       dim: int = 64, iterations: int = 3) -> DataFrame:
+    """Anisotropy summary of the embedding distribution: one row
+    ``(lambda1_micro, trace_micro, evr_micro)`` — the top eigenvalue
+    (Rayleigh quotient vᵀCv of the power-iterated component), the total
+    variance (trace of C), and their ratio. A high ratio is the classic
+    "rogue dimension / anisotropic cone" smell that motivates whitening
+    or common-component removal before cosine retrieval.
+
+    Same bounded plan as :func:`top_principal_component`; every sum
+    re-quantizes per term so the SQL twin replays it exactly.
+    """
+    import numpy as np
+
+    v, cov = _power_vector(_covariance(df, vec_col, dim), dim, iterations)
+    lam_q = np.floor(((v[:, None] * cov) * v[None, :]) * _IT_FP) \
+              .astype(np.int64).sum()
+    lam = float(lam_q) / _IT_FP
+    tr_q = np.floor(np.diag(cov) * _IT_FP).astype(np.int64).sum()
+    tr = float(tr_q) / _IT_FP
+    row = (int(math.floor(lam * 1e6 + 0.5)),
+           int(math.floor(tr * 1e6 + 0.5)),
+           int(math.floor(lam / tr * 1e6 + 0.5)))
+    return SparkSession.getActiveSession().createDataFrame(
+        [row], "lambda1_micro long, trace_micro long, evr_micro long")
 
 
 def sql_top_principal_component(table: str = "embeddings",
@@ -138,6 +179,44 @@ def sql_top_principal_component(table: str = "embeddings",
                                 iterations: int = 3) -> str:
     """DuckDB twin of :func:`top_principal_component` — identical
     quantize-then-sum arithmetic, iterations unrolled as CTEs."""
+    ctes, prev = _pca_ctes(table, vec_col, dim, iterations)
+    ctes.append(f"mx AS (SELECT v FROM {prev} "
+                f"ORDER BY abs(v) DESC, i ASC LIMIT 1)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT CAST({prev}.i - 1 AS INT) AS dim, "
+            f"CAST(floor({prev}.v * (CASE WHEN mx.v < 0.0 THEN -1.0 "
+            f"ELSE 1.0 END) * 1000000.0 + 0.5) AS BIGINT) "
+            f"AS loading_micro FROM {prev} CROSS JOIN mx")
+
+
+def sql_explained_variance(table: str = "embeddings",
+                           vec_col: str = "embedding",
+                           dim: int = 64, iterations: int = 3) -> str:
+    """DuckDB twin of :func:`explained_variance` — the PCA CTE chain
+    plus per-term-quantized Rayleigh quotient and trace. The sign flip
+    cancels exactly inside vᵢ·cᵢⱼ·vⱼ, so no mx CTE is needed."""
+    it = f"{_IT_FP:.1f}"
+    ctes, prev = _pca_ctes(table, vec_col, dim, iterations)
+    ctes.append(
+        f"lam AS (SELECT SUM(CAST(floor(((a.v * cov.c) * b.v) * {it}) "
+        f"AS BIGINT)) / {it} AS l FROM cov "
+        f"JOIN {prev} a ON a.i = cov.i "
+        f"JOIN {prev} b ON b.i = cov.j)")
+    ctes.append(
+        f"tr AS (SELECT SUM(CAST(floor(c * {it}) AS BIGINT)) / {it} "
+        f"AS t FROM cov WHERE i = j)")
+    return ("WITH " + ", ".join(ctes)
+            + " SELECT CAST(floor(l * 1000000.0 + 0.5) AS BIGINT) "
+            "AS lambda1_micro, "
+            "CAST(floor(t * 1000000.0 + 0.5) AS BIGINT) AS trace_micro, "
+            "CAST(floor(l / t * 1000000.0 + 0.5) AS BIGINT) AS evr_micro "
+            "FROM lam CROSS JOIN tr")
+
+
+def _pca_ctes(table: str, vec_col: str, dim: int,
+              iterations: int) -> tuple[list[str], str]:
+    """Shared CTE chain: fixed-point moments → covariance → unrolled
+    quantized power iteration. Returns (ctes, final v-CTE name)."""
     mom = f"{_MOM_FP:.1f}"
     it = f"{_IT_FP:.1f}"
     ctes = [
@@ -174,10 +253,4 @@ def sql_top_principal_component(table: str = "embeddings",
         ctes.append(
             f"v{r} AS (SELECT i, y / nrm AS v FROM y{r} CROSS JOIN n{r})")
         prev = f"v{r}"
-    ctes.append(f"mx AS (SELECT v FROM {prev} "
-                f"ORDER BY abs(v) DESC, i ASC LIMIT 1)")
-    return ("WITH " + ", ".join(ctes)
-            + f" SELECT CAST({prev}.i - 1 AS INT) AS dim, "
-            f"CAST(floor({prev}.v * (CASE WHEN mx.v < 0.0 THEN -1.0 "
-            f"ELSE 1.0 END) * 1000000.0 + 0.5) AS BIGINT) "
-            f"AS loading_micro FROM {prev} CROSS JOIN mx")
+    return ctes, prev

@@ -280,3 +280,21 @@ def compact(spark: SparkSession, src_path: str, dst_path: str,
     n_after = min(len(files), max(1, -(-total // target_file_bytes)))
     df.repartition(n_after).write.mode(mode).parquet(dst_path)
     return len(files), n_after
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present
+    in ``df``, leaving every other partition untouched — the idempotent
+    backfill primitive for partitioned fact tables (re-running one
+    day's pipeline must not wipe the year).
+
+    Static overwrite (Spark's default) deletes the ENTIRE table root
+    first; the per-write ``partitionOverwriteMode=dynamic`` option
+    scopes the delete to partitions with incoming rows. O(files of the
+    touched partitions) — never O(table).
+    """
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_cols)
+       .parquet(path))

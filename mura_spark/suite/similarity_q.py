@@ -261,3 +261,21 @@ def emb_top_pc(spark, sf):
     from mura_spark.operators.pca import top_principal_component
     e = table(spark, sf, "embeddings")
     return top_principal_component(e, "embedding", dim=64, iterations=3)
+
+
+def _evr_oracle() -> str:
+    from mura_spark.operators.pca import sql_explained_variance
+    return sql_explained_variance("embeddings", "embedding", 64, 3)
+
+
+@q("emb_explained_variance", _evr_oracle())
+def emb_explained_variance(spark, sf):
+    """Embedding anisotropy summary: top eigenvalue (Rayleigh quotient
+    of the power-iterated component), total variance (trace), and the
+    explained-variance ratio — the one-number screen for the rogue-
+    dimension / anisotropic-cone pathology that degrades cosine
+    retrieval. Shares the bounded Gramian plan with emb_top_pc
+    (operators.pca.explained_variance)."""
+    from mura_spark.operators.pca import explained_variance
+    e = table(spark, sf, "embeddings")
+    return explained_variance(e, "embedding", dim=64, iterations=3)

@@ -237,3 +237,26 @@ def test_top_pc_ignores_null_vectors(spark):
     # all variance on dim 0: loading = (1, 0) exactly, sign positive
     assert out[0] == 1000000
     assert out[1] == 0
+
+
+def test_explained_variance_matches_eigensolver(spark):
+    """EVR from the quantized Rayleigh quotient must track numpy's
+    λ1/trace on strong-eigengap data (micro-level agreement is pinned
+    cross-engine by the oracle; here we pin the statistics)."""
+    import numpy as np
+    from mura_spark.operators.pca import explained_variance
+    rng = np.random.RandomState(11)
+    direction = np.array([0.6, 0.64, -0.48, 0.0])
+    x = (rng.randn(300, 1) * 4.0) @ direction[None, :] \
+        + rng.randn(300, 4) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>")
+    row = explained_variance(df, "embedding", dim=4,
+                             iterations=3).collect()[0]
+    cov = np.cov(np.asarray(x, np.float64), rowvar=False, bias=True)
+    w, _ = np.linalg.eigh(cov)
+    assert abs(row["lambda1_micro"] / 1e6 - w[-1]) < 0.01 * w[-1]
+    assert abs(row["trace_micro"] / 1e6 - np.trace(cov)) < 1e-3
+    want_evr = w[-1] / np.trace(cov)
+    assert abs(row["evr_micro"] / 1e6 - want_evr) < 0.005

@@ -312,3 +312,22 @@ def test_jsonl_permissive_quarantines_corrupt_rows(spark, tmp_path):
     assert len(bad) == 2
     assert all(r.id is None and r.v is None for r in bad)
     assert any("not json" in r._corrupt_record for r in bad)
+
+
+def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path):
+    """overwrite_partitions must replace exactly the partitions present
+    in the incoming frame and leave the others byte-identical — the
+    idempotent-backfill contract (static overwrite would wipe the root)."""
+    from mura_spark.sources.parquet import overwrite_partitions
+    path = str(tmp_path / "part_fact")
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)],
+        "day string, id long, v double")
+    base.write.partitionBy("day").parquet(path)
+    # backfill day 2 only, with corrected values
+    fix = spark.createDataFrame([("d2", 3, 99.0), ("d2", 4, 44.0)],
+                                "day string, id long, v double")
+    overwrite_partitions(fix, path, ["day"])
+    got = {(r.day, r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 1): 10.0, ("d1", 2): 20.0,
+                   ("d2", 3): 99.0, ("d2", 4): 44.0}
