@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "events_attribution_last_touch",
     "profile_key_skew",
     "emb_explained_variance",
+    "emb_pca_project",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -96,15 +96,17 @@ def top_principal_component(df: DataFrame, vec_col: str = "embedding",
     quantized iteration on the 64×64 matrix — bounded work, mirrored
     term-for-term by :func:`sql_top_principal_component`.
     """
-    v, _ = _power_vector(_covariance(df, vec_col, dim), dim, iterations)
+    cov, _ = _covariance(df, vec_col, dim)
+    v, _ = _power_vector(cov, dim, iterations)
     rows = [(i, int(math.floor(v[i] * 1e6 + 0.5))) for i in range(dim)]
     return SparkSession.getActiveSession().createDataFrame(
         rows, "dim int, loading_micro long")
 
 
 def _covariance(df: DataFrame, vec_col: str, dim: int):
-    """Distributed exact-moment covariance matrix as a float64 ndarray
-    (the bounded d²-row collect shared by the PCA diagnostics)."""
+    """Distributed exact-moment (covariance matrix, mean vector) as
+    float64 ndarrays (the bounded d²-row collect shared by the PCA
+    diagnostics)."""
     import numpy as np
 
     parts = (_moment_partials(df.filter(F.col(vec_col).isNotNull()),
@@ -124,8 +126,9 @@ def _covariance(df: DataFrame, vec_col: str, dim: int):
             s2[r["i"], r["j"]] = r["q"]
     n_d = float(n)
     mean = (s1.astype(np.float64) / _MOM_FP) / n_d
-    return (s2.astype(np.float64) / _MOM_FP) / n_d \
+    cov = (s2.astype(np.float64) / _MOM_FP) / n_d \
         - mean[:, None] * mean[None, :]
+    return cov, mean
 
 
 def _power_vector(cov, dim: int, iterations: int):
@@ -160,7 +163,8 @@ def explained_variance(df: DataFrame, vec_col: str = "embedding",
     """
     import numpy as np
 
-    v, cov = _power_vector(_covariance(df, vec_col, dim), dim, iterations)
+    cov, _ = _covariance(df, vec_col, dim)
+    v, cov = _power_vector(cov, dim, iterations)
     lam_q = np.floor(((v[:, None] * cov) * v[None, :]) * _IT_FP) \
               .astype(np.int64).sum()
     lam = float(lam_q) / _IT_FP
@@ -254,3 +258,65 @@ def _pca_ctes(table: str, vec_col: str, dim: int,
             f"v{r} AS (SELECT i, y / nrm AS v FROM y{r} CROSS JOIN n{r})")
         prev = f"v{r}"
     return ctes, prev
+
+
+def project_top_pc(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64,
+                   iterations: int = 3) -> DataFrame:
+    """PCA as a TRANSFORM: each vector's signed score along the top
+    principal component, ``(id_col, pc1_micro)`` with
+    score = Σᵢ vᵢ·(xᵢ − μᵢ) — the 1-D curriculum/stratification axis
+    (sort by pc1 to sample along the corpus's dominant mode, or clip
+    its tails as outliers).
+
+    The component fit is the bounded Gramian + driver iteration
+    (:func:`top_principal_component`); the projection itself is a
+    narrow Arrow-kernel map with v and μ broadcast as plain arrays —
+    zero shuffle, scan-bound at any scale. Per-term ``⌊·10⁹⌋``
+    quantization keeps the 64-term row sum exact on both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cov, mean = _covariance(df, vec_col, dim)
+    v, _ = _power_vector(cov, dim, iterations)
+
+    def kernel(batches):
+        for pdf in batches:
+            keep = pdf[vec_col].notna()
+            x = np.stack(pdf.loc[keep, vec_col]).astype(np.float64) \
+                if keep.any() else np.zeros((0, dim))
+            q = np.floor((v[None, :] * (x - mean[None, :])) * _MOM_FP) \
+                  .astype(np.int64).sum(axis=1)
+            score = q.astype(np.float64) / _MOM_FP
+            yield pd.DataFrame({
+                id_col: pdf.loc[keep, id_col],
+                "pc1_micro": np.floor(score * 1e6 + 0.5).astype(np.int64),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, pc1_micro long")
+
+
+def sql_project_top_pc(table: str = "embeddings", id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int = 64,
+                       iterations: int = 3) -> str:
+    """DuckDB twin of :func:`project_top_pc` — the PCA CTE chain plus a
+    sign-flipped component relation and a per-term-quantized row dot
+    product against the mean-centered vector."""
+    mom = f"{_MOM_FP:.1f}"
+    ctes, prev = _pca_ctes(table, vec_col, dim, iterations)
+    ctes.append(f"mx AS (SELECT v FROM {prev} "
+                f"ORDER BY abs(v) DESC, i ASC LIMIT 1)")
+    ctes.append(f"vf AS (SELECT {prev}.i, {prev}.v * (CASE WHEN mx.v "
+                f"< 0.0 THEN -1.0 ELSE 1.0 END) AS v "
+                f"FROM {prev} CROSS JOIN mx)")
+    ctes.append(f"mu AS (SELECT i, CAST(q AS DOUBLE) / {mom} "
+                f"/ CAST(nn.n AS DOUBLE) AS m FROM mn CROSS JOIN nn)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT e.{id_col}, CAST(floor("
+            f"SUM(CAST(floor((vf.v * (CAST(e.{vec_col}[vf.i] AS DOUBLE) "
+            f"- mu.m)) * {mom}) AS BIGINT)) / {mom} "
+            f"* 1000000.0 + 0.5) AS BIGINT) AS pc1_micro "
+            f"FROM {table} e CROSS JOIN vf JOIN mu ON mu.i = vf.i "
+            f"WHERE e.{vec_col} IS NOT NULL GROUP BY e.{id_col}")

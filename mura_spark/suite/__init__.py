@@ -159,8 +159,8 @@ _NEXT_WINDOW = [
     "events_ewma_daily", "events_locf_purchase",
     # round-5x: last-touch attribution + shuffle-key skew diagnostic
     "events_attribution_last_touch", "profile_key_skew",
-    # round-5y: embedding anisotropy summary
-    "emb_explained_variance",
+    # round-5y: embedding anisotropy summary + PCA projection
+    "emb_explained_variance", "emb_pca_project",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -279,3 +279,21 @@ def emb_explained_variance(spark, sf):
     from mura_spark.operators.pca import explained_variance
     e = table(spark, sf, "embeddings")
     return explained_variance(e, "embedding", dim=64, iterations=3)
+
+
+def _pca_proj_oracle() -> str:
+    from mura_spark.operators.pca import sql_project_top_pc
+    return sql_project_top_pc("embeddings", "vec_id", "embedding", 64, 3)
+
+
+@q("emb_pca_project", _pca_proj_oracle())
+def emb_pca_project(spark, sf):
+    """PCA as a transform: every vector's signed score along the top
+    principal component (mean-centered dot product) — the 1-D axis for
+    curriculum ordering, stratified sampling, or tail-clipping along
+    the corpus's dominant mode. Fit = the bounded Gramian plan; the
+    projection is a zero-shuffle Arrow kernel with the component
+    broadcast as a plain array (operators.pca.project_top_pc)."""
+    from mura_spark.operators.pca import project_top_pc
+    e = table(spark, sf, "embeddings")
+    return project_top_pc(e, "vec_id", "embedding", dim=64, iterations=3)

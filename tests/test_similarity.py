@@ -260,3 +260,26 @@ def test_explained_variance_matches_eigensolver(spark):
     assert abs(row["trace_micro"] / 1e6 - np.trace(cov)) < 1e-3
     want_evr = w[-1] / np.trace(cov)
     assert abs(row["evr_micro"] / 1e6 - want_evr) < 0.005
+
+
+def test_pca_projection_recovers_generating_coefficient(spark):
+    """Projection scores must correlate ~1 with the 1-D factor that
+    generated the data (up to sign, which the convention pins)."""
+    import numpy as np
+    from mura_spark.operators.pca import project_top_pc
+    rng = np.random.RandomState(3)
+    direction = np.array([0.5, -0.5, 0.5, 0.5])
+    coef = rng.randn(200) * 5.0
+    x = coef[:, None] @ direction[None, :] + rng.randn(200, 4) * 0.1
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["pc1_micro"] / 1e6 for r in
+           project_top_pc(df, "vec_id", "embedding", dim=4,
+                          iterations=3).collect()}
+    scores = np.array([got[i] for i in range(200)])
+    centered = coef - coef.mean()
+    corr = np.corrcoef(scores, centered)[0, 1]
+    assert abs(corr) > 0.999
+    # scores are mean-centered by construction
+    assert abs(scores.mean()) < 0.01
