@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "profile_key_skew",
     "emb_explained_variance",
     "emb_pca_project",
+    "search_substring_trigram",
+    "orders_cohort_ltv",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

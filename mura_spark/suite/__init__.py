@@ -161,6 +161,8 @@ _NEXT_WINDOW = [
     "events_attribution_last_touch", "profile_key_skew",
     # round-5y: embedding anisotropy summary + PCA projection
     "emb_explained_variance", "emb_pca_project",
+    # round-5z: trigram-posting substring search + cohort LTV
+    "search_substring_trigram", "orders_cohort_ltv",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

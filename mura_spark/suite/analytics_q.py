@@ -1489,3 +1489,74 @@ def profile_key_skew(spark, sf):
                    micro(n_d / tot_d).alias("share_micro"),
                    micro(n_d / mean).alias("vs_mean_micro"))
     return topk(out, [F.col("n").desc(), F.col("key").asc()], 10)
+
+
+# ------------------------------------------------------- round-5z additions
+
+_TRGM_PATTERN = "gear"
+
+
+@q("search_substring_trigram",
+   f"SELECT p_partkey, p_name FROM part "
+   f"WHERE contains(lower(p_name), '{_TRGM_PATTERN}')")
+def search_substring_trigram(spark, sf):
+    """%substring% search through trigram-posting candidate generation:
+    names explode into character trigrams JVM-side, candidates must
+    match EVERY pattern trigram (count-match on the distinct
+    intersection), and a final ``contains`` verify makes the filter
+    lossless — so the oracle is the plain LIKE scan. This is the
+    pattern that replaces full-corpus regex scans once the posting
+    list is materialized: candidate generation becomes an equi-join
+    against the (tiny) pattern-trigram set, and the expensive verify
+    touches candidates only."""
+    pat = _TRGM_PATTERN
+    pat_grams = sorted({pat[i:i + 3] for i in range(len(pat) - 2)})
+    p = table(spark, sf, "part").select(
+        "p_partkey", "p_name", F.lower("p_name").alias("__nm"))
+    grams = p.select(
+        "p_partkey",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(
+                F.length("__nm") - F.lit(2), F.lit(1))),
+            lambda i: F.col("__nm").substr(i, F.lit(3))))).alias("g"))
+    cand = (grams.filter(F.col("g").isin(pat_grams))
+                 .groupBy("p_partkey")
+                 .agg(F.countDistinct("g").alias("__hits"))
+                 .filter(F.col("__hits") == len(pat_grams))
+                 .select("p_partkey"))
+    return (p.join(cand, "p_partkey")
+             .filter(F.col("__nm").contains(pat))  # lossless verify
+             .select("p_partkey", "p_name"))
+
+
+@q("orders_cohort_ltv",
+   "WITH fo AS (SELECT o_custkey AS cust, "
+   "CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS cm "
+   "FROM orders GROUP BY 1), "
+   "j AS (SELECT fo.cm AS cohort_month, "
+   "(year(o.o_orderdate) * 12 + month(o.o_orderdate)) "
+   "- (year(fo.cm) * 12 + month(fo.cm)) AS month_offset, "
+   "o.o_custkey AS cust, o.o_totalprice AS tp "
+   "FROM orders o JOIN fo ON fo.cust = o.o_custkey) "
+   "SELECT cohort_month, month_offset, "
+   "CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_active, "
+   "CAST(SUM(CAST(tp AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+   "FROM j GROUP BY 1, 2")
+def orders_cohort_ltv(spark, sf):
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue per month-offset — the revenue-weighted complement
+    of events_retention's count matrix. First-touch via min-aggregate
+    (never an expanding window), integer month arithmetic (identical
+    on both engines — months_between's fractional form is not), exact
+    decimal revenue. Two key-shuffles: the first-order rollup and the
+    cohort join, both on the customer key."""
+    o = table(spark, sf, "orders")
+    fo = (o.groupBy(F.col("o_custkey").alias("cust"))
+            .agg(F.date_trunc("month", F.min("o_orderdate")).alias("cm")))
+    mo = ((F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+          - (F.year("cm") * 12 + F.month("cm")))
+    return (o.join(fo, F.col("o_custkey") == F.col("cust"))
+             .groupBy(F.col("cm").alias("cohort_month"),
+                      mo.alias("month_offset"))
+             .agg(F.countDistinct("cust").alias("n_active"),
+                  dsum("o_totalprice").alias("revenue")))

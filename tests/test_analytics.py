@@ -792,3 +792,37 @@ def test_attribution_last_touch_semantics(spark, tmp_path):
                spark, sf).collect()}
     assert got == {"click": (1, 10.0), "signup": (1, 5.0),
                    "none": (2, 27.0)}
+
+
+# ------------------------------ trigram search + cohort LTV (5z)
+
+def test_trigram_search_is_lossless_vs_like(spark, sf_dir):
+    """Candidate generation + verify must return EXACTLY the LIKE scan
+    set (the prune is a superset filter; the verify closes it)."""
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.p_partkey for r in
+           SPARK_QUERIES["search_substring_trigram"](spark,
+                                                     sf_dir).collect()}
+    from mura_spark.suite.common import table
+    want = {r.p_partkey for r in
+            table(spark, sf_dir, "part")
+            .filter(F.lower("p_name").contains("gear")).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_cohort_ltv_conservation(spark, sf_dir):
+    """Every order lands in exactly one (cohort, offset) cell: the
+    matrix total must equal total revenue; offset 0 must contain every
+    cohort's first order; offsets are non-negative."""
+    from mura_spark.suite import SPARK_QUERIES
+    from mura_spark.suite.common import table
+    rows = SPARK_QUERIES["orders_cohort_ltv"](spark, sf_dir).collect()
+    assert all(r.month_offset >= 0 for r in rows)
+    total = sum(r.revenue for r in rows)
+    o = table(spark, sf_dir, "orders")
+    want = o.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double")).first()[0]
+    assert abs(total - want) < 1e-2
+    cohorts = {r.cohort_month for r in rows}
+    zero_offset = {r.cohort_month for r in rows if r.month_offset == 0}
+    assert cohorts == zero_offset
