@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "emb_pca_project",
     "search_substring_trigram",
     "orders_cohort_ltv",
+    "emb_matryoshka_agreement",
+    "events_sessionize_capped",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

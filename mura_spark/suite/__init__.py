@@ -163,6 +163,8 @@ _NEXT_WINDOW = [
     "emb_explained_variance", "emb_pca_project",
     # round-5z: trigram-posting substring search + cohort LTV
     "search_substring_trigram", "orders_cohort_ltv",
+    # round-5aa: truncation-eval + capped sessionization
+    "emb_matryoshka_agreement", "events_sessionize_capped",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -743,3 +743,52 @@ def events_attribution_last_touch(spark, sf):
                                     F.lit("none")).alias("channel"))
                 .agg(F.count(F.lit(1)).alias("n_purchases"),
                      dsum("value").alias("attributed_value")))
+
+
+@q("events_sessionize_capped",
+   "WITH flagged AS (SELECT user_id, ts, event_id, "
+   "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+   "WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+   "AS new_session FROM events "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+   "sess AS (SELECT user_id, ts, "
+   "CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, "
+   "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+   "AS BIGINT) AS gap_session FROM flagged), "
+   "capped AS (SELECT user_id, ts, gap_session, "
+   "CAST(floor(CAST(epoch_us(ts) - epoch_us(MIN(ts) OVER (PARTITION BY "
+   "user_id, gap_session)) AS DOUBLE) / 7200000000.0) AS BIGINT) "
+   "AS sub_session FROM sess) "
+   "SELECT user_id, gap_session, sub_session, "
+   "MIN(ts) AS part_start, MAX(ts) AS part_end, "
+   "COUNT(*) AS n_events FROM capped GROUP BY 1, 2, 3")
+def events_sessionize_capped(spark, sf):
+    """Duration-capped sessionization: 30-minute-gap sessions SPLIT at
+    2-hour boundaries from the session start — the ad-analytics
+    convention that stops a polling client from producing one infinite
+    session. Three windows, all partitioned on the user key (gap flag,
+    running session id, session-start min) + exact integer µs bucket
+    arithmetic; one final dimension-grain rollup."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(F.lag("ts").over(wo).isNull(), 1).when(
+        F.col("ts") > F.lag("ts").over(wo) + F.expr("INTERVAL 30 MINUTE"),
+        1).otherwise(0)
+    cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    sess = (ev.select("user_id", "ts", "event_id",
+                      new_s.alias("__new"))
+              .select("user_id", "ts",
+                      F.sum("__new").over(cum).cast("bigint")
+                       .alias("gap_session")))
+    ws = Window.partitionBy("user_id", "gap_session")
+    sub = F.floor((F.unix_micros("ts")
+                   - F.unix_micros(F.min("ts").over(ws))).cast("double")
+                  / F.lit(7200000000.0)).cast("bigint")
+    return (sess.select("user_id", "gap_session", "ts",
+                        sub.alias("sub_session"))
+                .groupBy("user_id", "gap_session", "sub_session")
+                .agg(F.min("ts").alias("part_start"),
+                     F.max("ts").alias("part_end"),
+                     F.count(F.lit(1)).alias("n_events")))

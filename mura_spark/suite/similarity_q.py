@@ -297,3 +297,60 @@ def emb_pca_project(spark, sf):
     from mura_spark.operators.pca import project_top_pc
     e = table(spark, sf, "embeddings")
     return project_top_pc(e, "vec_id", "embedding", dim=64, iterations=3)
+
+
+_COS32 = ("list_cosine_similarity(CAST(q.embedding[1:32] AS DOUBLE[]), "
+          "CAST(c.embedding[1:32] AS DOUBLE[]))")
+
+
+_MAT_NQ = 200  # probe panel: all-queries doubles work 25x for the same readout
+
+
+@q("emb_matryoshka_agreement",
+   f"WITH f AS (SELECT query_id, neighbor_id FROM ("
+   f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+   f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, "
+   f"c.vec_id ASC) AS rnk FROM embeddings q JOIN embeddings c "
+   f"ON c.vec_id <> q.vec_id AND q.vec_id < {_MAT_NQ}) WHERE rnk = 1), "
+   f"t AS (SELECT query_id, neighbor_id FROM ("
+   f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+   f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS32} DESC, "
+   f"c.vec_id ASC) AS rnk FROM embeddings q JOIN embeddings c "
+   f"ON c.vec_id <> q.vec_id AND q.vec_id < {_MAT_NQ}) WHERE rnk = 1) "
+   f"SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, "
+   f"CAST(SUM(CASE WHEN f.neighbor_id = t.neighbor_id THEN 1 ELSE 0 END) "
+   f"AS BIGINT) AS n_agree, "
+   f"CAST(floor(CAST(SUM(CASE WHEN f.neighbor_id = t.neighbor_id "
+   f"THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+   f"* 1000000.0 + 0.5) AS BIGINT) AS agree_micro "
+   f"FROM f JOIN t USING (query_id)")
+def emb_matryoshka_agreement(spark, sf):
+    """Matryoshka truncation evaluation: for every vector, does the
+    exact nearest neighbor under the FIRST-32-DIM prefix agree with the
+    full-64-dim neighbor? The standard cost/quality readout before
+    shipping truncated embeddings (half the index, how much retrieval
+    drift). Two brute-force top-1 passes share the broadcast-probe /
+    partial-top-k plan; the final agreement is a dimension-sized join."""
+    e = table(spark, sf, "embeddings")
+
+    def top1(corpus):
+        q1 = (corpus.filter(F.col("vec_id") < _MAT_NQ)
+                    .select(F.col("vec_id").alias("query_id"),
+                            "embedding"))
+        nb = similarity.topk_bruteforce(q1, corpus, 2)
+        return (nb.filter(F.col("neighbor_id") != F.col("query_id"))
+                  .groupBy("query_id")
+                  .agg(F.min_by("neighbor_id", "rank").alias("nb")))
+
+    full = top1(e)
+    trunc = top1(e.withColumn("embedding", F.slice("embedding", 1, 32)))
+    j = (full.withColumnRenamed("nb", "nb_full")
+             .join(trunc.withColumnRenamed("nb", "nb_tr"), "query_id"))
+    agree = F.sum((F.col("nb_full") == F.col("nb_tr")).cast("int")) \
+             .cast("bigint")
+    from mura_spark.functions.quantize import micro
+    return j.agg(F.count(F.lit(1)).alias("n_queries"),
+                 agree.alias("n_agree"),
+                 micro(agree.cast("double")
+                       / F.count(F.lit(1)).cast("double"))
+                 .alias("agree_micro"))

@@ -826,3 +826,35 @@ def test_cohort_ltv_conservation(spark, sf_dir):
     cohorts = {r.cohort_month for r in rows}
     zero_offset = {r.cohort_month for r in rows if r.month_offset == 0}
     assert cohorts == zero_offset
+
+
+# ------------------------------------ capped sessionization (5aa)
+
+def test_sessionize_capped_splits_long_sessions(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 7, 1)
+    # one user pinging every 20 min for 5 hours: ONE gap-session,
+    # split into 2h parts -> sub_sessions 0,1,2
+    rows = [(base + dt.timedelta(minutes=20 * i), 1, "view", 1.0)
+            for i in range(16)]  # 0..300 min
+    # plus a genuine gap -> new gap_session
+    rows.append((base + dt.timedelta(hours=8), 1, "view", 1.0))
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    got = sorted((r.gap_session, r.sub_session, r.n_events) for r in
+                 SPARK_QUERIES["events_sessionize_capped"](
+                     spark, sf).collect())
+    # minutes 0..100 -> sub 0 (6 events at 0,20,..,100? floor(100/120)=0);
+    # 120..220 -> sub 1; 240..300 -> sub 2; then the gapped session
+    assert got == [(1, 0, 6), (1, 1, 6), (1, 2, 4), (2, 0, 1)]
+
+
+def test_matryoshka_agreement_bounds(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["emb_matryoshka_agreement"](spark,
+                                                  sf_dir).collect()[0]
+    assert r.n_queries > 0
+    assert 0 <= r.n_agree <= r.n_queries
+    # identical prefixes would give 1.0; random would give ~0 — the
+    # synthetic embeddings should land strictly between
+    assert 0 < r.agree_micro <= 1000000
