@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "orders_cohort_ltv",
     "emb_matryoshka_agreement",
     "events_sessionize_capped",
+    "text_quality_logistic",
+    "agg_mode",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -165,6 +165,8 @@ _NEXT_WINDOW = [
     "search_substring_trigram", "orders_cohort_ltv",
     # round-5aa: truncation-eval + capped sessionization
     "emb_matryoshka_agreement", "events_sessionize_capped",
+    # round-5bb: classifier-shaped quality scoring + deterministic mode
+    "text_quality_logistic", "agg_mode",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

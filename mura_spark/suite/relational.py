@@ -873,3 +873,28 @@ def join_null_safe(spark, sf):
           .agg(F.count(F.lit(1)).alias("n_1996")))
     return (a.join(b, a["prio"].eqNullSafe(b["prio"]))
              .select(a["prio"].alias("prio"), "n_1995", "n_1996"))
+
+
+@q("agg_mode",
+   "SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM ("
+   "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+   "ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+   "ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rnk "
+   "FROM orders GROUP BY 1, 2) WHERE rnk = 1")
+def agg_mode(spark, sf):
+    """Deterministic statistical MODE per group (most frequent order
+    priority per status) — spelled as count + ranked window with a
+    lexicographic tiebreak, NOT the built-in ``mode()`` (both engines
+    document arbitrary tie behavior, which is a hash-compare landmine).
+    Two reduced shuffles: the count groupBy, then a window over the
+    dimension-sized count table."""
+    from pyspark.sql import Window
+    o = table(spark, sf, "orders")
+    c = (o.groupBy("o_orderstatus", "o_orderpriority")
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("o_orderstatus")
+               .orderBy(F.col("n").desc(), F.col("o_orderpriority").asc()))
+    return (c.withColumn("__rnk", F.row_number().over(w))
+             .filter(F.col("__rnk") == 1)
+             .select("o_orderstatus",
+                     F.col("o_orderpriority").alias("mode_priority"), "n"))

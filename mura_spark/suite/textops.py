@@ -554,3 +554,51 @@ def sample_group_kfold(spark, sf):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("source").alias("n_groups"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+# ------------------------------------------------------- round-5bb addition
+
+@q("text_quality_logistic",
+   f"SELECT doc_id, CAST(floor(1.0 / (1.0 + exp(-("
+   f"-3.0 + 4.0 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) "
+   f"/ len({_TOKS})) "
+   f"+ 6.0 * (CAST(len(list_filter({_TOKS}, "
+   f"t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
+   f"/ len({_TOKS})) "
+   f"- 2.0 * (CAST(length(text) "
+   f"- length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) "
+   f"/ length(text)) "
+   f"+ 1.5 * (least(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0)"
+   f"))) * 1000000.0 + 0.5) AS BIGINT) AS score_micro, "
+   f"1.0 / (1.0 + exp(-("
+   f"-3.0 + 4.0 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) "
+   f"/ len({_TOKS})) "
+   f"+ 6.0 * (CAST(len(list_filter({_TOKS}, "
+   f"t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
+   f"/ len({_TOKS})) "
+   f"- 2.0 * (CAST(length(text) "
+   f"- length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) "
+   f"/ length(text)) "
+   f"+ 1.5 * (least(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0)"
+   f"))) >= 0.5 AS keep FROM documents")
+def text_quality_logistic(spark, sf):
+    """Model-based quality scoring: a logistic scorer over lexical
+    features (diversity, stopword density, digit density, capped
+    length) with FIXED public coefficients — the shape of the
+    fastText/classifier quality filters pipelines apply at scale
+    (swap the weights for a trained model's; the plan is identical).
+    Pure JVM expressions per row, no UDF; the sigmoid is one mirrored
+    transcendental, micro-floored (the per-row quantization posture
+    of events_decayed_value)."""
+    d = table(spark, sf, "documents")
+    from mura_spark.functions.quantize import micro
+    t = TX.tokens(F.col("text"))
+    dr = TX.distinct_token_ratio(F.col("text"))
+    sr = TX.stopword_ratio(F.col("text"))
+    dg = TX.digit_ratio(F.col("text"))
+    cap = F.least(F.size(t).cast("double"), F.lit(200.0)) / F.lit(200.0)
+    z = (F.lit(-3.0) + F.lit(4.0) * dr + F.lit(6.0) * sr
+         - F.lit(2.0) * dg + F.lit(1.5) * cap)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select("doc_id", micro(score).alias("score_micro"),
+                    (score >= F.lit(0.5)).alias("keep"))

@@ -355,3 +355,22 @@ def test_readability_orders_simple_before_dense(spark):
     assert out[2].s == 1  # floor at 1 for the single terminator
     assert out[1].f > out[2].f  # simple prose scores higher
     assert out[1].syl < out[2].syl
+
+
+# ----------------------------------------- logistic quality scorer (5bb)
+
+def test_quality_logistic_monotone_in_stopwords(spark, tmp_path):
+    """More stopword mass (other features equal) must raise the score;
+    scores live strictly inside (0, 1)."""
+    rows = [(1, "the a of and to the a of and to", "en", "s", 10),
+            (2, "zq wv xk jj qq pp mm nn bb cc", "en", "s", 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet")
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.doc_id: (r.score_micro, r.keep) for r in
+           SPARK_QUERIES["text_quality_logistic"](spark, out).collect()}
+    assert 0 < got[2][0] < got[1][0] < 1000000
