@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "events_sessionize_capped",
     "text_quality_logistic",
     "agg_mode",
+    "events_outlier_iqr",
+    "events_bot_screen",
+    "window_nth_value",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -167,6 +167,8 @@ _NEXT_WINDOW = [
     "emb_matryoshka_agreement", "events_sessionize_capped",
     # round-5bb: classifier-shaped quality scoring + deterministic mode
     "text_quality_logistic", "agg_mode",
+    # round-5cc: robust outlier fence, bot screen, nth_value window
+    "events_outlier_iqr", "events_bot_screen", "window_nth_value",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

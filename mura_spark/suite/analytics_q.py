@@ -1560,3 +1560,91 @@ def orders_cohort_ltv(spark, sf):
                       mo.alias("month_offset"))
              .agg(F.countDistinct("cust").alias("n_active"),
                   dsum("o_totalprice").alias("revenue")))
+
+
+# ------------------------------------------------------- round-5cc additions
+
+def _iqr_oracle() -> str:
+    from mura_spark.operators.stats import sql_group_percentiles
+    inner = sql_group_percentiles("events", ["event_type"], "value",
+                                  [0.25, 0.75], ["q1", "q3"])
+    return (
+        f"WITH b AS ({inner}), "
+        "f AS (SELECT e.event_type, "
+        "CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) AS vm, "
+        "b.q1_micro AS q1, b.q3_micro AS q3 "
+        "FROM events e JOIN b ON b.event_type = e.event_type "
+        "WHERE e.value IS NOT NULL) "
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(SUM(CASE WHEN 2 * vm < 2 * q1 - 3 * (q3 - q1) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_out_low, "
+        "CAST(SUM(CASE WHEN 2 * vm > 2 * q3 + 3 * (q3 - q1) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high, "
+        "MIN(2 * q1 - 3 * (q3 - q1)) AS lo_bound_2micro, "
+        "MIN(2 * q3 + 3 * (q3 - q1)) AS hi_bound_2micro "
+        "FROM f GROUP BY 1")
+
+
+@q("events_outlier_iqr", _iqr_oracle())
+def events_outlier_iqr(spark, sf):
+    """Tukey-fence robust outlier screen per event type: flag values
+    outside [q1 − 1.5·IQR, q3 + 1.5·IQR] with EXACT arithmetic — the
+    quartiles come from the explicit order-statistics machinery
+    (operators.stats.group_percentiles, micro-quantized), and the
+    1.5× fence runs in doubled micro-integers so no float comparison
+    can straddle the boundary differently per engine. One window
+    shuffle for quartiles, broadcast join back, one rollup."""
+    from mura_spark.operators.stats import group_percentiles
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    b = group_percentiles(ev, ["event_type"], "value",
+                          [0.25, 0.75], ["q1", "q3"])
+    from mura_spark.functions.quantize import micro
+    j = ev.join(F.broadcast(b), "event_type")
+    vm = micro(F.col("value"))
+    q1, q3 = F.col("q1_micro"), F.col("q3_micro")
+    lo = 2 * q1 - 3 * (q3 - q1)
+    hi = 2 * q3 + 3 * (q3 - q1)
+    return (j.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum((2 * vm < lo).cast("int")).cast("bigint")
+                   .alias("n_out_low"),
+                  F.sum((2 * vm > hi).cast("int")).cast("bigint")
+                   .alias("n_out_high"),
+                  F.min(lo).alias("lo_bound_2micro"),
+                  F.min(hi).alias("hi_bound_2micro")))
+
+
+@q("events_bot_screen",
+   "WITH u AS (SELECT user_id, COUNT(*) AS n, "
+   "COUNT(DISTINCT event_type) AS n_types, "
+   "epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us "
+   "FROM events GROUP BY 1) "
+   "SELECT user_id, n, n_types, "
+   "CAST(floor(CAST(n AS DOUBLE) "
+   "/ (CAST(span_us AS DOUBLE) / 3600000000.0) * 1000000.0 + 0.5) "
+   "AS BIGINT) AS rate_per_hour_micro "
+   "FROM u WHERE span_us > 0 "
+   "AND CAST(n AS DOUBLE) / (CAST(span_us AS DOUBLE) / 3600000000.0) "
+   ">= 0.1 AND n >= 60")
+def events_bot_screen(spark, sf):
+    """Bot/automation screen: users with sustained high event rate
+    and enough volume to matter (type diversity rides along as a
+    feature) — the abuse-filter composite a training pipeline runs
+    before user-level sampling. ONE map-side-combined groupBy to the
+    user grain (count, distinct types, exact µs span), then pure
+    threshold predicates; the rate division is one mirrored double
+    expression. Thresholds sit inside this corpus's heavy tail so the
+    screen returns a non-trivial flagged set."""
+    ev = table(spark, sf, "events")
+    u = (ev.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.countDistinct("event_type").alias("n_types"),
+                (F.unix_micros(F.max("ts"))
+                 - F.unix_micros(F.min("ts"))).alias("span_us")))
+    rate = (F.col("n").cast("double")
+            / (F.col("span_us").cast("double") / F.lit(3600000000.0)))
+    from mura_spark.functions.quantize import micro
+    return (u.filter((F.col("span_us") > 0) & (rate >= 0.1)
+                     & (F.col("n") >= 60))
+             .select("user_id", "n", "n_types",
+                     micro(rate).alias("rate_per_hour_micro")))

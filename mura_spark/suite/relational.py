@@ -898,3 +898,28 @@ def agg_mode(spark, sf):
              .filter(F.col("__rnk") == 1)
              .select("o_orderstatus",
                      F.col("o_orderpriority").alias("mode_priority"), "n"))
+
+
+@q("window_nth_value",
+   "SELECT DISTINCT c_mktsegment, "
+   "nth_value(c_name, 3) OVER w AS third_name, "
+   "nth_value(c_acctbal, 3) OVER w AS third_bal "
+   "FROM customer WINDOW w AS (PARTITION BY c_mktsegment "
+   "ORDER BY c_acctbal DESC, c_custkey ASC "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+def window_nth_value(spark, sf):
+    """nth_value over an unbounded frame (the remaining analytic-window
+    gap after first/last/lead/lag/percent_rank): the third-richest
+    customer per market segment, surfaced on every partition row and
+    collapsed by DISTINCT. Deterministic via the custkey tiebreak."""
+    from pyspark.sql import Window
+    c = table(spark, sf, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    return (c.select("c_mktsegment",
+                     F.nth_value("c_name", 3).over(w).alias("third_name"),
+                     F.nth_value("c_acctbal", 3).over(w)
+                      .alias("third_bal"))
+             .distinct())

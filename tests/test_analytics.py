@@ -858,3 +858,23 @@ def test_matryoshka_agreement_bounds(spark, sf_dir):
     # identical prefixes would give 1.0; random would give ~0 — the
     # synthetic embeddings should land strictly between
     assert 0 < r.agree_micro <= 1000000
+
+
+# ------------------------------------------ IQR fence + bot screen (5cc)
+
+def test_iqr_fence_flags_planted_outliers(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 8, 1)
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0]
+    rows = [(base + dt.timedelta(minutes=i), 1, "view", v)
+            for i, v in enumerate(vals)]
+    rows.append((base + dt.timedelta(hours=2), 2, "view", 1000.0))  # high
+    rows.append((base + dt.timedelta(hours=3), 3, "view", -500.0))  # low
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    r = {x.event_type: x for x in
+         SPARK_QUERIES["events_outlier_iqr"](spark, sf).collect()}["view"]
+    assert (r.n, r.n_out_low, r.n_out_high) == (10, 1, 1)
+    # fences must bracket the inlier band
+    assert r.lo_bound_2micro < 2 * 10_000_000 <= 2 * 17_000_000 \
+        < r.hi_bound_2micro
