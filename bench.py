@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "events_outlier_iqr",
     "events_bot_screen",
     "window_nth_value",
+    "events_ab_srm_check",
+    "sample_split_temporal",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

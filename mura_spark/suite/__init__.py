@@ -169,6 +169,8 @@ _NEXT_WINDOW = [
     "text_quality_logistic", "agg_mode",
     # round-5cc: robust outlier fence, bot screen, nth_value window
     "events_outlier_iqr", "events_bot_screen", "window_nth_value",
+    # round-5dd: experiment guardrail + leakage-safe temporal split
+    "events_ab_srm_check", "sample_split_temporal",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

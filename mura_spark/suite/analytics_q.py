@@ -1648,3 +1648,85 @@ def events_bot_screen(spark, sf):
                      & (F.col("n") >= 60))
              .select("user_id", "n", "n_types",
                      micro(rate).alias("rate_per_hour_micro")))
+
+
+# ------------------------------------------------------- round-5dd additions
+
+def _srm_oracle() -> str:
+    from mura_spark.suite.common import sql_hash48
+    return (
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        f"v AS (SELECT {sql_hash48('CAST(user_id AS VARCHAR)')} "
+        "% 1000 % 2 AS variant FROM u), "
+        "c AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS na, "
+        "CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS nb FROM v) "
+        "SELECT na, nb, CAST(floor("
+        "(CAST(na AS DOUBLE) - (CAST(na AS DOUBLE) "
+        "+ CAST(nb AS DOUBLE)) / 2.0) "
+        "* (CAST(na AS DOUBLE) - (CAST(na AS DOUBLE) "
+        "+ CAST(nb AS DOUBLE)) / 2.0) "
+        "/ ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / 2.0) * 2.0 "
+        "* 1000000.0 + 0.5) AS BIGINT) AS chi2_micro, "
+        "(CAST(na AS DOUBLE) - (CAST(na AS DOUBLE) "
+        "+ CAST(nb AS DOUBLE)) / 2.0) "
+        "* (CAST(na AS DOUBLE) - (CAST(na AS DOUBLE) "
+        "+ CAST(nb AS DOUBLE)) / 2.0) "
+        "/ ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / 2.0) * 2.0 "
+        "> 3.841 AS srm_flag FROM c")
+
+
+@q("events_ab_srm_check", _srm_oracle())
+def events_ab_srm_check(spark, sf):
+    """Sample-ratio-mismatch guardrail for the A/B split: chi-square of
+    the observed variant counts against the designed 50/50 under the
+    SAME deterministic MD5 bucket assignment stats_ab_ztest uses — the
+    first thing to check before reading any experiment metric. One
+    distinct-user reduction; the statistic is one mirrored closed
+    form ((na−E)²/E doubled for two symmetric cells), flagged at the
+    p<0.05 critical value."""
+    from mura_spark.functions.hashing import md5_hash48
+    from mura_spark.functions.quantize import micro
+    ev = table(spark, sf, "events")
+    u = ev.select("user_id").distinct()
+    v = u.select((md5_hash48(F.col("user_id").cast("string"))
+                  % 1000 % 2).alias("variant"))
+    c = v.agg(
+        F.sum((F.col("variant") == 0).cast("int")).cast("bigint")
+         .alias("na"),
+        F.sum((F.col("variant") == 1).cast("int")).cast("bigint")
+         .alias("nb"))
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    e = (na_d + nb_d) / F.lit(2.0)
+    chi2 = (na_d - e) * (na_d - e) / e * F.lit(2.0)
+    return c.select("na", "nb", micro(chi2).alias("chi2_micro"),
+                    (chi2 > F.lit(3.841)).alias("srm_flag"))
+
+
+@q("sample_split_temporal",
+   "WITH b AS (SELECT quantile_cont(CAST(epoch_us(ts) AS DOUBLE), "
+   "[i / 3.0 for i in range(1, 3)]) AS bnds FROM events), "
+   "s AS (SELECT CASE len(list_filter(bnds, "
+   "x -> CAST(epoch_us(ts) AS DOUBLE) > x)) "
+   "WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split, ts "
+   "FROM events CROSS JOIN b) "
+   "SELECT split, COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts "
+   "FROM s GROUP BY 1")
+def sample_split_temporal(spark, sf):
+    """Temporal train/val/test split at exact time terciles — the
+    leakage-safe protocol for forecasting/sequence models (hash splits
+    leak the future into training; a TIME cut cannot). Boundary
+    assignment reuses the quantile_bins rule (count of boundaries
+    strictly below — broadcast array, no sort of the corpus); output
+    is the per-split audit row (count + actual time range)."""
+    from mura_spark.operators.sampling import quantile_bins
+    ev = (table(spark, sf, "events")
+          .withColumn("__us", F.unix_micros("ts")))
+    binned = quantile_bins(ev, "__us", 3)
+    split = (F.when(F.col("bin") == 0, "train")
+              .when(F.col("bin") == 1, "val").otherwise("test"))
+    return (binned.groupBy(split.alias("split"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.min("ts").alias("min_ts"),
+                       F.max("ts").alias("max_ts")))

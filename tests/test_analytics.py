@@ -878,3 +878,37 @@ def test_iqr_fence_flags_planted_outliers(spark, tmp_path):
     # fences must bracket the inlier band
     assert r.lo_bound_2micro < 2 * 10_000_000 <= 2 * 17_000_000 \
         < r.hi_bound_2micro
+
+
+# -------------------------------------- SRM + temporal split (5dd)
+
+def test_srm_check_balanced_and_skewed(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 9, 1)
+    # real events fixture: the MD5 split should NOT flag (balanced)
+    rows = [(base + dt.timedelta(minutes=i), uid, "view", 1.0)
+            for i, uid in enumerate(range(400))]
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["events_ab_srm_check"](spark, sf).collect()[0]
+    assert r.na + r.nb == 400
+    # chi2 of the hash split over 400 users should be far under 3.841
+    assert not r.srm_flag
+
+
+def test_temporal_split_is_ordered_and_partitions(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 9, 1)
+    rows = [(base + dt.timedelta(hours=i), i % 7, "view", 1.0)
+            for i in range(90)]
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.split: r for r in
+           SPARK_QUERIES["sample_split_temporal"](spark, sf).collect()}
+    assert set(got) == {"train", "val", "test"}
+    assert sum(r.n for r in got.values()) == 90
+    # strict time ordering: max(train) < min(val) <= max(val) < min(test)
+    assert got["train"].max_ts < got["val"].min_ts
+    assert got["val"].max_ts < got["test"].min_ts
+    # terciles of 90 evenly spaced rows: 30/30/30
+    assert (got["train"].n, got["val"].n, got["test"].n) == (30, 30, 30)
