@@ -89,12 +89,12 @@ _PRIORITY = [
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 comes back green for
 # this window, every query except the _NEXT_WINDOW overflow below will
 # have a cumulative driver-green row. Round 6's window must promote, in
-# order: (1) ALL of _NEXT_WINDOW — the round-5g/5h/5i/5j/5k additions
-# (currently 28 queries at positions 51-78; the window was already full
-# of never-verified queries when they landed, so they are the driver's
-# window overflow, bounded to one round) — plus any round-6 additions;
-# with 28 overflow + new additions the round-6 window will again be
-# mostly/entirely never-verified queries. Then, as slots remain:
+# order: (1) ALL of _NEXT_WINDOW — the round-5g..5dd additions (the
+# window was already full of never-verified queries when they landed,
+# so they are the driver's window overflow; with > 50 of them the
+# overflow now spans TWO future windows — rounds 6 AND 7 must both
+# lead with it, oldest additions first, exactly as ordered below) —
+# plus any round-6 additions. Then, as slots remain:
 # (2) the r1-only greens displaced this round (join_cross_small,
 # setop_union, setop_intersect, window_topk_per_group,
 # window_running_sum, q6_revenue_change, q10_returned_items,
