@@ -81,6 +81,14 @@ def locf_purchase_stream(events: DataFrame) -> DataFrame:
 
     Batch twin equality (including the NULL-before-first-purchase and
     purchase-self-carry cases) is pinned in tests/test_streaming.py.
+
+    NaN contract: pandas represents SQL NULL doubles as NaN, so the
+    ``pd.isna``-style guard below treats BOTH as missing. The batch
+    window would carry a literal double NaN forward (NaN is non-null to
+    ``ignorenulls``) — the divergence is unobservable under the suite
+    convention that no query emits NaN as a data value (the comparator
+    folds NaN to NULL), and NULL handling, which real data does
+    contain, is what must match.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -1458,8 +1458,8 @@ def events_ewma_daily(spark, sf):
 @q("profile_key_skew",
    "WITH c AS (SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem "
    "GROUP BY 1), "
-   "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys, "
-   "MAX(n) AS max_n FROM c) "
+   "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys "
+   "FROM c) "
    "SELECT key, n, "
    "CAST(floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 "
    "+ 0.5) AS BIGINT) AS share_micro, "
@@ -1479,8 +1479,7 @@ def profile_key_skew(spark, sf):
     c = (li.groupBy(F.col("l_partkey").alias("key"))
            .agg(F.count(F.lit(1)).alias("n")))
     t = c.agg(F.sum("n").cast("bigint").alias("total"),
-              F.count(F.lit(1)).alias("n_keys"),
-              F.max("n").alias("max_n"))
+              F.count(F.lit(1)).alias("n_keys"))
     j = c.crossJoin(F.broadcast(t))
     n_d, tot_d = F.col("n").cast("double"), F.col("total").cast("double")
     mean = tot_d / F.col("n_keys").cast("double")
@@ -1566,8 +1565,12 @@ def orders_cohort_ltv(spark, sf):
 
 def _iqr_oracle() -> str:
     from mura_spark.operators.stats import sql_group_percentiles
-    inner = sql_group_percentiles("events", ["event_type"], "value",
-                                  [0.25, 0.75], ["q1", "q3"])
+    # percentiles over the SAME NULL-filtered rows as the Spark side —
+    # sql_group_percentiles ranks NULLS LAST and counts them in n, so an
+    # unfiltered 'events' would shift every (n-1)*p position
+    inner = sql_group_percentiles(
+        "(SELECT * FROM events WHERE value IS NOT NULL)",
+        ["event_type"], "value", [0.25, 0.75], ["q1", "q3"])
     return (
         f"WITH b AS ({inner}), "
         "f AS (SELECT e.event_type, "

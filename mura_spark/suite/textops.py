@@ -559,28 +559,13 @@ def sample_group_kfold(spark, sf):
 # ------------------------------------------------------- round-5bb addition
 
 @q("text_quality_logistic",
-   f"SELECT doc_id, CAST(floor(1.0 / (1.0 + exp(-("
-   f"-3.0 + 4.0 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) "
-   f"/ len({_TOKS})) "
-   f"+ 6.0 * (CAST(len(list_filter({_TOKS}, "
-   f"t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
-   f"/ len({_TOKS})) "
-   f"- 2.0 * (CAST(length(text) "
-   f"- length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) "
-   f"/ length(text)) "
-   f"+ 1.5 * (least(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0)"
-   f"))) * 1000000.0 + 0.5) AS BIGINT) AS score_micro, "
-   f"1.0 / (1.0 + exp(-("
-   f"-3.0 + 4.0 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) "
-   f"/ len({_TOKS})) "
-   f"+ 6.0 * (CAST(len(list_filter({_TOKS}, "
-   f"t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
-   f"/ len({_TOKS})) "
-   f"- 2.0 * (CAST(length(text) "
-   f"- length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) "
-   f"/ length(text)) "
-   f"+ 1.5 * (least(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0)"
-   f"))) >= 0.5 AS keep FROM documents")
+   # ONE copy of the sigmoid expression; score_micro and keep both
+   # derive from the shared CTE column (a one-sided coefficient edit
+   # can no longer desynchronize them)
+   f"WITH s AS (SELECT doc_id, 1.0 / (1.0 + exp(-(-3.0 + 4.0 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) + 6.0 * (CAST(len(list_filter({_TOKS}, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len({_TOKS})) - 2.0 * (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)) + 1.5 * (least(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0)))) "
+   f"AS score FROM documents) "
+   "SELECT doc_id, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) "
+   "AS score_micro, score >= 0.5 AS keep FROM s")
 def text_quality_logistic(spark, sf):
     """Model-based quality scoring: a logistic scorer over lexical
     features (diversity, stopword density, digit density, capped

@@ -912,3 +912,61 @@ def test_temporal_split_is_ordered_and_partitions(spark, tmp_path):
     assert got["val"].max_ts < got["test"].min_ts
     # terciles of 90 evenly spaced rows: 30/30/30
     assert (got["train"].n, got["val"].n, got["test"].n) == (30, 30, 30)
+
+
+def test_srm_check_flags_engineered_skew(spark, tmp_path):
+    """The skewed path: pick user ids that the MD5 bucket assignment
+    sends overwhelmingly to variant 0 — chi2 must exceed the p<0.05
+    critical value and raise the flag, with the exact closed form."""
+    import datetime as dt
+    import hashlib
+    import math as m
+
+    def variant(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:12],
+                   16) % 1000 % 2
+
+    zeros = [u for u in range(4000) if variant(u) == 0][:60]
+    ones = [u for u in range(4000) if variant(u) == 1][:5]
+    base = dt.datetime(2024, 9, 2)
+    rows = [(base + dt.timedelta(minutes=i), uid, "view", 1.0)
+            for i, uid in enumerate(zeros + ones)]
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["events_ab_srm_check"](spark, sf).collect()[0]
+    assert (r.na, r.nb) == (60, 5)
+    e = 65 / 2.0
+    chi2 = (60 - e) * (60 - e) / e * 2.0
+    assert chi2 > 3.841
+    assert r.srm_flag
+    assert r.chi2_micro == m.floor(chi2 * 1e6 + 0.5)
+
+
+def test_iqr_oracle_agrees_on_null_values(spark, tmp_path):
+    """Regression for the review finding: with NULL values present, the
+    oracle must quartile over the SAME NULL-filtered rows as Spark
+    (an unfiltered rank shifts every (n-1)p position)."""
+    import datetime as dt
+    import duckdb
+    base = dt.datetime(2024, 9, 3)
+    vals = [10.0, 11.0, 12.0, 13.0, None, None, 14.0, 15.0, 500.0]
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i), 1, "view", v, "{}")
+         for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = str(tmp_path / "nulls")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/events.parquet")
+    from mura_spark.suite import ORACLE_SQL, SPARK_QUERIES
+    srow = SPARK_QUERIES["events_outlier_iqr"](spark, out).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{out}/events.parquet/*.parquet'")
+    ocols = con.execute(ORACLE_SQL["events_outlier_iqr"]).fetchall()[0]
+    odesc = [d[0] for d in con.description]
+    orow = dict(zip(odesc, ocols))
+    assert srow.n == orow["n"] == 7  # NULLs excluded from the count
+    assert srow.n_out_high == orow["n_out_high"] == 1  # the 500.0
+    assert srow.lo_bound_2micro == orow["lo_bound_2micro"]
+    assert srow.hi_bound_2micro == orow["hi_bound_2micro"]
