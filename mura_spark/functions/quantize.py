@@ -20,3 +20,11 @@ def micro(col: Column, scale: float = 1e6) -> Column:
     """Round-half-up fixed-point quantization to integer ``scale``-units
     (micro-units by default): ``⌊col·scale + ½⌋`` as BIGINT."""
     return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("bigint")
+
+
+def dec18(col: Column) -> Column:
+    """Exact DECIMAL(18,0) cast for integer-count products — the shared
+    cross-engine contract (bigint×bigint would overflow; double would
+    round past 2⁵³). One definition so a precision change cannot drift
+    between call sites."""
+    return col.cast("decimal(18,0)")

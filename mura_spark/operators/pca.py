@@ -96,11 +96,15 @@ def top_principal_component(df: DataFrame, vec_col: str = "embedding",
     quantized iteration on the 64×64 matrix — bounded work, mirrored
     term-for-term by :func:`sql_top_principal_component`.
     """
+    spark = SparkSession.getActiveSession()
+    schema = "dim int, loading_micro long"
     cov, _ = _covariance(df, vec_col, dim)
+    if cov is None:  # empty input: 0 rows (the twin's CTEs are empty too)
+        return spark.createDataFrame([], schema)
     v, _ = _power_vector(cov, dim, iterations)
-    rows = [(i, int(math.floor(v[i] * 1e6 + 0.5))) for i in range(dim)]
-    return SparkSession.getActiveSession().createDataFrame(
-        rows, "dim int, loading_micro long")
+    rows = [(i, None if v is None
+             else int(math.floor(v[i] * 1e6 + 0.5))) for i in range(dim)]
+    return spark.createDataFrame(rows, schema)
 
 
 def _covariance(df: DataFrame, vec_col: str, dim: int):
@@ -124,6 +128,8 @@ def _covariance(df: DataFrame, vec_col: str, dim: int):
             s1[r["i"]] = r["q"]
         else:
             s2[r["i"], r["j"]] = r["q"]
+    if n == 0:
+        return None, None  # empty / all-NULL input
     n_d = float(n)
     mean = (s1.astype(np.float64) / _MOM_FP) / n_d
     cov = (s2.astype(np.float64) / _MOM_FP) / n_d \
@@ -142,6 +148,11 @@ def _power_vector(cov, dim: int, iterations: int):
                .astype(np.int64).sum(axis=1)
         y = yq.astype(np.float64) / _IT_FP
         nq = np.floor((y * y) * _IT_FP).astype(np.int64).sum()
+        if nq == 0:
+            # zero-variance corpus: no principal direction exists.
+            # NULL loadings (the suite's degenerate convention) — the
+            # SQL twin's nrm > 0 guard propagates the same NULLs.
+            return None, cov
         v = y / math.sqrt(nq / _IT_FP)
     lead = min(range(dim), key=lambda i: (-abs(v[i]), i))
     if v[lead] < 0.0:
@@ -163,18 +174,25 @@ def explained_variance(df: DataFrame, vec_col: str = "embedding",
     """
     import numpy as np
 
+    spark = SparkSession.getActiveSession()
+    schema = "lambda1_micro long, trace_micro long, evr_micro long"
     cov, _ = _covariance(df, vec_col, dim)
+    if cov is None:  # empty input: one all-NULL row (aggregates over
+        # the twin's empty CTEs also emit one NULL row)
+        return spark.createDataFrame([(None, None, None)], schema)
     v, cov = _power_vector(cov, dim, iterations)
+    tr_q = np.floor(np.diag(cov) * _IT_FP).astype(np.int64).sum()
+    tr = float(tr_q) / _IT_FP
+    if v is None:  # zero variance: trace is a valid 0, the rest NULL
+        return spark.createDataFrame(
+            [(None, int(math.floor(tr * 1e6 + 0.5)), None)], schema)
     lam_q = np.floor(((v[:, None] * cov) * v[None, :]) * _IT_FP) \
               .astype(np.int64).sum()
     lam = float(lam_q) / _IT_FP
-    tr_q = np.floor(np.diag(cov) * _IT_FP).astype(np.int64).sum()
-    tr = float(tr_q) / _IT_FP
     row = (int(math.floor(lam * 1e6 + 0.5)),
            int(math.floor(tr * 1e6 + 0.5)),
            int(math.floor(lam / tr * 1e6 + 0.5)))
-    return SparkSession.getActiveSession().createDataFrame(
-        [row], "lambda1_micro long, trace_micro long, evr_micro long")
+    return spark.createDataFrame([row], schema)
 
 
 def sql_top_principal_component(table: str = "embeddings",
@@ -255,7 +273,8 @@ def _pca_ctes(table: str, vec_col: str, dim: int,
             f"n{r} AS (SELECT sqrt(SUM(CAST(floor((y * y) * {it}) "
             f"AS BIGINT)) / {it}) AS nrm FROM y{r})")
         ctes.append(
-            f"v{r} AS (SELECT i, y / nrm AS v FROM y{r} CROSS JOIN n{r})")
+            f"v{r} AS (SELECT i, CASE WHEN nrm > 0.0 THEN y / nrm END "
+            f"AS v FROM y{r} CROSS JOIN n{r})")
         prev = f"v{r}"
     return ctes, prev
 
@@ -279,11 +298,19 @@ def project_top_pc(df: DataFrame, id_col: str = "vec_id",
     import pandas as pd
 
     cov, mean = _covariance(df, vec_col, dim)
-    v, _ = _power_vector(cov, dim, iterations)
+    v = None if cov is None else _power_vector(cov, dim, iterations)[0]
 
     def kernel(batches):
         for pdf in batches:
             keep = pdf[vec_col].notna()
+            if v is None:  # zero-variance corpus: NULL scores (the
+                # twin's NULL component terms propagate the same way)
+                yield pd.DataFrame({
+                    id_col: pdf.loc[keep, id_col],
+                    "pc1_micro": pd.array([None] * int(keep.sum()),
+                                          dtype=pd.Int64Dtype()),
+                })
+                continue
             x = np.stack(pdf.loc[keep, vec_col]).astype(np.float64) \
                 if keep.any() else np.zeros((0, dim))
             q = np.floor((v[None, :] * (x - mean[None, :])) * _MOM_FP) \

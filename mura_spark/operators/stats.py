@@ -255,7 +255,7 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
                  F.sum("__db").over(w).alias("__cb"))
     t = g.agg(F.sum("__da").cast("bigint").alias("na"),
               F.sum("__db").cast("bigint").alias("nb"))
-    d18 = lambda col: col.cast("decimal(18,0)")  # noqa: E731
+    from mura_spark.functions.quantize import dec18 as d18
     num = F.abs(d18(F.col("__ca")) * d18(F.col("nb"))
                 - d18(F.col("__cb")) * d18(F.col("na")))
     m = (c.crossJoin(F.broadcast(t))
@@ -263,7 +263,11 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
           .agg(F.max(num).alias("__m")))
     ks = (F.col("__m").cast("double")
           / (F.col("na").cast("double") * F.col("nb").cast("double")))
-    return m.select("na", "nb", micro(ks).alias("ks_micro"))
+    # empty side -> NULL (the suite's degenerate convention); without the
+    # guard the 0/0 NaN aborts at the ANSI bigint cast inside micro()
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
+    return m.select("na", "nb",
+                    F.when(both, micro(ks)).alias("ks_micro"))
 
 
 def sql_ks_2sample(table_expr: str, value_expr: str, group_expr: str,
@@ -281,11 +285,12 @@ def sql_ks_2sample(table_expr: str, value_expr: str, group_expr: str,
         "CURRENT ROW) AS cb FROM g), "
         "t AS (SELECT CAST(SUM(da) AS BIGINT) AS na, "
         "CAST(SUM(db) AS BIGINT) AS nb FROM g) "
-        "SELECT na, nb, CAST(floor(CAST(MAX(abs("
+        "SELECT na, nb, CASE WHEN na > 0 AND nb > 0 THEN "
+        "CAST(floor(CAST(MAX(abs("
         "CAST(ca AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(18,0)) "
         "- CAST(cb AS DECIMAL(18,0)) * CAST(na AS DECIMAL(18,0)))) "
         "AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
-        "* 1000000.0 + 0.5) AS BIGINT) AS ks_micro "
+        "* 1000000.0 + 0.5) AS BIGINT) END AS ks_micro "
         "FROM c CROSS JOIN t GROUP BY na, nb")
 
 
@@ -319,7 +324,7 @@ def mannwhitney_u(df: DataFrame, value_col: str, group_col: str,
     c = g.select("__da", "__db",
                  F.coalesce(F.sum("__db").over(wexc),
                             F.lit(0).cast("bigint")).alias("__cbb"))
-    d18 = lambda col: col.cast("decimal(18,0)")  # noqa: E731
+    from mura_spark.functions.quantize import dec18 as d18
     td = (F.col("__da") + F.col("__db")).cast("double")
     s = c.agg(
         F.sum(d18(F.col("__da"))
@@ -338,10 +343,12 @@ def mannwhitney_u(df: DataFrame, value_col: str, group_col: str,
              * ((n_d + F.lit(1.0)) - ts_d / (n_d * (n_d - F.lit(1.0)))))
     z = (u2d - na_d * nb_d) / (F.lit(2.0) * F.sqrt(var12))
     auc = u2d / (F.lit(2.0) * (na_d * nb_d))
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
     return j.select("na", "nb",
                     F.col("__u2").cast("bigint").alias("u2"),
-                    micro(auc).alias("auc_micro"),
-                    F.when(var12 > F.lit(0.0), micro(z)).alias("z_micro"))
+                    F.when(both, micro(auc)).alias("auc_micro"),
+                    F.when(both & (var12 > F.lit(0.0)),
+                           micro(z)).alias("z_micro"))
 
 
 def sql_mannwhitney_u(table_expr: str, value_expr: str, group_expr: str,
@@ -368,10 +375,11 @@ def sql_mannwhitney_u(table_expr: str, value_expr: str, group_expr: str,
         "t AS (SELECT CAST(SUM(da) AS BIGINT) AS na, "
         "CAST(SUM(db) AS BIGINT) AS nb FROM g) "
         "SELECT na, nb, CAST(u2 AS BIGINT) AS u2, "
+        "CASE WHEN na > 0 AND nb > 0 THEN "
         "CAST(floor(CAST(u2 AS DOUBLE) "
         "/ (2.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) "
-        "* 1000000.0 + 0.5) AS BIGINT) AS auc_micro, "
-        f"CASE WHEN {var12} > 0.0 THEN "
+        "* 1000000.0 + 0.5) AS BIGINT) END AS auc_micro, "
+        f"CASE WHEN na > 0 AND nb > 0 AND {var12} > 0.0 THEN "
         "CAST(floor((CAST(u2 AS DOUBLE) "
         "- CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
         f"/ (2.0 * sqrt({var12})) * 1000000.0 + 0.5) AS BIGINT) END "

@@ -1267,7 +1267,8 @@ def stats_mwu_value(spark, sf):
    "AS mb FROM u) "
    "SELECT len(list_filter(rb, x -> CAST(rec_h AS DOUBLE) > x)) AS r_bin, "
    "len(list_filter(fb, x -> CAST(freq AS DOUBLE) > x)) AS f_bin, "
-   "len(list_filter(mb, x -> CAST(mon AS DOUBLE) > x)) AS m_bin, "
+   "CASE WHEN mon IS NULL THEN NULL "
+   "ELSE len(list_filter(mb, x -> CAST(mon AS DOUBLE) > x)) END AS m_bin, "
    "COUNT(*) AS n_users, "
    "CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS monetary_total "
    "FROM u CROSS JOIN b GROUP BY 1, 2, 3")
@@ -1335,7 +1336,9 @@ def events_hourly_autocorr(spark, sf):
     pairs); Pearson r over consecutive-hour pairs from exact integer
     moments (DECIMAL products of counts), one mirrored closed form,
     micro-floored, NULL when a side is constant. Everything after the
-    one reducing groupBy is calendar-sized."""
+    one reducing groupBy is calendar-sized. (The closed form
+    intentionally matches operators/profile.corr_pairs term-for-term —
+    change them together.)"""
     from pyspark.sql import Window
     from mura_spark.functions.quantize import micro
     ev = table(spark, sf, "events")
@@ -1353,7 +1356,8 @@ def events_hourly_autocorr(spark, sf):
     p = (dense.select(F.col("c").alias("x"),
                       F.lead("c").over(w).alias("y"))
               .filter(F.col("y").isNotNull()))
-    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    from mura_spark.functions.quantize import dec18
+    d18 = lambda c: dec18(F.col(c))  # noqa: E731
     m = p.agg(F.count(F.lit(1)).alias("n"),
               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
               F.sum(d18("x") * d18("y")).alias("sxy"),

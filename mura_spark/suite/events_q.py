@@ -677,7 +677,10 @@ def events_variant_extract(spark, sf):
     the string-path twin) with one parse + cheap binary traversals.
     The oracle reads the same values through DuckDB's JSON path."""
     ev = table(spark, sf, "events")
-    v = F.parse_json("props")
+    # try_parse_json: one malformed props row must degrade to NULL (as
+    # the string path and the oracle's json_extract_string do), not
+    # abort the whole query
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
     return (ev.select((k % 2).alias("k_parity"), k.alias("k"))
               .groupBy("k_parity")

@@ -970,3 +970,14 @@ def test_iqr_oracle_agrees_on_null_values(spark, tmp_path):
     assert srow.n_out_high == orow["n_out_high"] == 1  # the 500.0
     assert srow.lo_bound_2micro == orow["lo_bound_2micro"]
     assert srow.hi_bound_2micro == orow["hi_bound_2micro"]
+
+
+def test_ks_mwu_degenerate_one_empty_side(spark):
+    """One group entirely absent: NULL statistics, never an ANSI abort."""
+    from mura_spark.operators.stats import ks_2sample, mannwhitney_u
+    df = _two_sample_df(spark, [1.0, 2.0, 3.0], [])
+    k = ks_2sample(df, "value", "grp", "a", "b").collect()[0]
+    assert (k.na, k.nb, k.ks_micro) == (3, 0, None)
+    m = mannwhitney_u(df, "value", "grp", "a", "b").collect()[0]
+    assert (m.na, m.nb) == (3, 0)
+    assert m.auc_micro is None and m.z_micro is None

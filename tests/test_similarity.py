@@ -283,3 +283,30 @@ def test_pca_projection_recovers_generating_coefficient(spark):
     assert abs(corr) > 0.999
     # scores are mean-centered by construction
     assert abs(scores.mean()) < 0.01
+
+
+def test_pca_family_degenerate_zero_variance(spark):
+    """Zero-variance corpus: NULL loadings / NULL lambda with a valid
+    zero trace / NULL projections — never a NaN-cast abort."""
+    from mura_spark.operators.pca import (explained_variance,
+                                          project_top_pc,
+                                          top_principal_component)
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(5)]  # identical vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    load = top_principal_component(df, "embedding", dim=3,
+                                   iterations=3).collect()
+    assert len(load) == 3 and all(r.loading_micro is None for r in load)
+    ev = explained_variance(df, "embedding", dim=3,
+                            iterations=3).collect()[0]
+    assert ev.lambda1_micro is None and ev.evr_micro is None
+    assert ev.trace_micro == 0
+    proj = project_top_pc(df, "vec_id", "embedding", dim=3,
+                          iterations=3).collect()
+    assert len(proj) == 5 and all(r.pc1_micro is None for r in proj)
+
+
+def test_pca_empty_input(spark):
+    from mura_spark.operators.pca import top_principal_component
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert top_principal_component(df, "embedding", dim=3,
+                                   iterations=3).count() == 0
