@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "window_nth_value",
     "events_ab_srm_check",
     "sample_split_temporal",
+    "emb_abtt_residual",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

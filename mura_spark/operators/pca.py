@@ -347,3 +347,83 @@ def sql_project_top_pc(table: str = "embeddings", id_col: str = "vec_id",
             f"* 1000000.0 + 0.5) AS BIGINT) AS pc1_micro "
             f"FROM {table} e CROSS JOIN vf JOIN mu ON mu.i = vf.i "
             f"WHERE e.{vec_col} IS NOT NULL GROUP BY e.{id_col}")
+
+
+def abtt_residual(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", dim: int = 64,
+                  iterations: int = 3) -> DataFrame:
+    """All-but-the-top residual energy: per vector, the squared L2 norm
+    REMAINING after removing the mean and the top principal component —
+    ``(id_col, resid2_micro)``. The post-processing diagnostic behind
+    ABTT/common-component removal: a tiny residual means the vector is
+    almost entirely the corpus's common direction (near-useless for
+    cosine retrieval until the component is stripped).
+
+    By Pythagoras the residual needs no second projection pass:
+    ‖x−μ‖² − (v·(x−μ))², with the centered norm quantized per term
+    exactly like the projection — the same zero-shuffle Arrow kernel,
+    mirrored by :func:`sql_abtt_residual`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cov, mean = _covariance(df, vec_col, dim)
+    v = None if cov is None else _power_vector(cov, dim, iterations)[0]
+
+    def kernel(batches):
+        for pdf in batches:
+            keep = pdf[vec_col].notna()
+            if v is None:
+                yield pd.DataFrame({
+                    id_col: pdf.loc[keep, id_col],
+                    "resid2_micro": pd.array([None] * int(keep.sum()),
+                                             dtype=pd.Int64Dtype()),
+                })
+                continue
+            x = np.stack(pdf.loc[keep, vec_col]).astype(np.float64) \
+                if keep.any() else np.zeros((0, dim))
+            d = x - mean[None, :]
+            c2 = np.floor((d * d) * _MOM_FP) \
+                   .astype(np.int64).sum(axis=1) \
+                   .astype(np.float64) / _MOM_FP
+            sq = np.floor((v[None, :] * d) * _MOM_FP) \
+                   .astype(np.int64).sum(axis=1) \
+                   .astype(np.float64) / _MOM_FP
+            resid2 = c2 - sq * sq
+            yield pd.DataFrame({
+                id_col: pdf.loc[keep, id_col],
+                "resid2_micro": np.floor(resid2 * 1e6 + 0.5)
+                                  .astype(np.int64),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, resid2_micro long")
+
+
+def sql_abtt_residual(table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int = 64,
+                      iterations: int = 3) -> str:
+    """DuckDB twin of :func:`abtt_residual` — the projection CTE chain
+    plus the per-term-quantized centered norm."""
+    mom = f"{_MOM_FP:.1f}"
+    ctes, prev = _pca_ctes(table, vec_col, dim, iterations)
+    ctes.append(f"mx AS (SELECT v FROM {prev} "
+                f"ORDER BY abs(v) DESC, i ASC LIMIT 1)")
+    ctes.append(f"vf AS (SELECT {prev}.i, {prev}.v * (CASE WHEN mx.v "
+                f"< 0.0 THEN -1.0 ELSE 1.0 END) AS v "
+                f"FROM {prev} CROSS JOIN mx)")
+    ctes.append(f"mu AS (SELECT i, CAST(q AS DOUBLE) / {mom} "
+                f"/ CAST(nn.n AS DOUBLE) AS m FROM mn CROSS JOIN nn)")
+    ctes.append(
+        f"rows_ AS (SELECT e.{id_col} AS rid, "
+        f"SUM(CAST(floor(((CAST(e.{vec_col}[vf.i] AS DOUBLE) - mu.m) "
+        f"* (CAST(e.{vec_col}[vf.i] AS DOUBLE) - mu.m)) * {mom}) "
+        f"AS BIGINT)) / {mom} AS c2, "
+        f"SUM(CAST(floor((vf.v * (CAST(e.{vec_col}[vf.i] AS DOUBLE) "
+        f"- mu.m)) * {mom}) AS BIGINT)) / {mom} AS sq "
+        f"FROM {table} e CROSS JOIN vf JOIN mu ON mu.i = vf.i "
+        f"WHERE e.{vec_col} IS NOT NULL GROUP BY e.{id_col})")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT rid AS {id_col}, "
+            "CAST(floor((c2 - sq * sq) * 1000000.0 + 0.5) AS BIGINT) "
+            "AS resid2_micro FROM rows_")

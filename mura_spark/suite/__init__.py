@@ -171,6 +171,8 @@ _NEXT_WINDOW = [
     "events_outlier_iqr", "events_bot_screen", "window_nth_value",
     # round-5dd: experiment guardrail + leakage-safe temporal split
     "events_ab_srm_check", "sample_split_temporal",
+    # round-5ee: common-component-removal diagnostic
+    "emb_abtt_residual",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -782,10 +782,11 @@ def sort_nulls_last_topk(spark, sf):
 def join_right_outer(spark, sf):
     """RIGHT OUTER join (the last join-type gap after left/full/semi/
     anti/cross): every customer kept against the order fact, idle
-    customers surfacing as NULL order keys. The preserved side is the
-    small one, so Spark cannot broadcast (right-outer broadcasts only
-    the stream side) — the plan is the correct key-partitioned shuffle
-    join at any scale, aggregated per market segment."""
+    customers surfacing as NULL order keys. The PRESERVED (right) side
+    can never broadcast in a right-outer join; the left fact side may
+    at toy scale (AQE does so under the threshold) but exceeds it on
+    real data, so the plan degrades correctly to the key-partitioned
+    shuffle join, aggregated per market segment."""
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     j = o.join(c, F.col("o_custkey") == F.col("c_custkey"), "right_outer")

@@ -354,3 +354,21 @@ def emb_matryoshka_agreement(spark, sf):
                  micro(agree.cast("double")
                        / F.count(F.lit(1)).cast("double"))
                  .alias("agree_micro"))
+
+
+def _abtt_oracle() -> str:
+    from mura_spark.operators.pca import sql_abtt_residual
+    return sql_abtt_residual("embeddings", "vec_id", "embedding", 64, 3)
+
+
+@q("emb_abtt_residual", _abtt_oracle())
+def emb_abtt_residual(spark, sf):
+    """All-but-the-top residual energy per vector (‖x−μ‖² minus the
+    squared top-component score, by Pythagoras — no second projection
+    pass): the ABTT/common-component-removal diagnostic. A tiny
+    residual marks a vector dominated by the corpus's common direction.
+    Same zero-shuffle Arrow kernel + bounded Gramian fit as
+    emb_pca_project (operators.pca.abtt_residual)."""
+    from mura_spark.operators.pca import abtt_residual
+    e = table(spark, sf, "embeddings")
+    return abtt_residual(e, "vec_id", "embedding", dim=64, iterations=3)

@@ -232,3 +232,32 @@ def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
     assert "Window" in plan
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round5r_plus_plan_shapes(spark, sf_dir):
+    """Plan discipline for the round-5r..5ee additions: the right-outer
+    join must be a key-shuffle join (the preserved side is the small
+    one — broadcasting it is illegal for this join type), the rank
+    tests must reduce BEFORE their global window (bucket-table pass,
+    not a corpus sort), and top-k diagnostics use distributed
+    TakeOrdered."""
+    from mura_spark.suite import SPARK_QUERIES
+
+    ro = SPARK_QUERIES["join_right_outer"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the join must keep its RightOuter semantics; strategy is size-
+    # dependent (AQE broadcasts the small LEFT side at toy SF — the
+    # preserved right side can never broadcast, and at scale the left
+    # fact side exceeds the threshold, degrading to a shuffle join)
+    assert "RightOuter" in ro
+    assert "CartesianProduct" not in ro
+
+    ks = SPARK_QUERIES["stats_ks_value"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the single-partition window must sit ABOVE an aggregate (the
+    # value-domain reduction), never directly on the scan
+    assert "Window" in ks and "HashAggregate" in ks
+
+    skew = SPARK_QUERIES["profile_key_skew"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in skew

@@ -310,3 +310,25 @@ def test_pca_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert top_principal_component(df, "embedding", dim=3,
                                    iterations=3).count() == 0
+
+
+def test_abtt_residual_pythagoras_and_dominance(spark):
+    """Vectors lying exactly on the dominant axis must have ~zero
+    residual; off-axis vectors keep their perpendicular energy."""
+    import numpy as np
+    from mura_spark.operators.pca import abtt_residual
+    rng = np.random.RandomState(5)
+    direction = np.array([1.0, 0.0, 0.0, 0.0])
+    on_axis = [(i, [float(c), 0.0, 0.0, 0.0])
+               for i, c in enumerate(rng.randn(50) * 3.0)]
+    off = [(100, [0.0, 2.0, 0.0, 0.0]), (101, [0.0, 0.0, -2.0, 0.0])]
+    df = spark.createDataFrame(on_axis + off,
+                               "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.resid2_micro / 1e6 for r in
+           abtt_residual(df, "vec_id", "embedding", dim=4,
+                         iterations=3).collect()}
+    for i, _ in on_axis:
+        assert got[i] < 0.2  # on the common axis: residual ~ mean-offset only
+    # off-axis vectors keep ~ (2 - mean)^2 + ... > on-axis residuals
+    assert got[100] > 3.0 and got[101] > 3.0
+    assert all(v >= -1e-6 for v in got.values())  # PSD: never negative
