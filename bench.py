@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "events_ab_srm_check",
     "sample_split_temporal",
     "emb_abtt_residual",
+    "agg_bitmap_distinct",
+    "graph_label_propagation",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

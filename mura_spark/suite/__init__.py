@@ -173,6 +173,8 @@ _NEXT_WINDOW = [
     "events_ab_srm_check", "sample_split_temporal",
     # round-5ee: common-component-removal diagnostic
     "emb_abtt_residual",
+    # round-5ff: mergeable bitmap distinct + deterministic label propagation
+    "agg_bitmap_distinct", "graph_label_propagation",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -132,3 +132,62 @@ def graph_bfs_reach(spark, sf):
                   .localCheckpoint(eager=True))
     edges.createOrReplaceTempView("__mura_bfs_edges")
     return spark.sql(_BFS_SQL.format(edges="__mura_bfs_edges"))
+
+
+# ------------------------------------------------------- round-5ff addition
+
+_LPA_ROUND = (
+    "{out} AS (SELECT src AS node, lbl FROM ("
+    "SELECT e.src, l.lbl, "
+    "ROW_NUMBER() OVER (PARTITION BY e.src "
+    "ORDER BY COUNT(*) DESC, l.lbl ASC) AS rnk "
+    "FROM e JOIN {prev} l ON l.node = e.dst GROUP BY e.src, l.lbl) "
+    "WHERE rnk = 1)")
+
+#: self-loops included: a node votes for its OWN current label too —
+#: the standard LPA variant that breaks the 2-node/bipartite label
+#: oscillation synchronous updates otherwise produce
+_LPA_ORACLE = (
+    "WITH eb AS MATERIALIZED " + _BFS_EDGES + ", "
+    "e AS (SELECT src, dst FROM eb "
+    "UNION SELECT DISTINCT src, src FROM eb), "
+    "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e), "
+    + _LPA_ROUND.format(out="l1", prev="l0") + ", "
+    + _LPA_ROUND.format(out="l2", prev="l1") + " "
+    "SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+    "FROM l2 GROUP BY 1")
+
+
+@q("graph_label_propagation", _LPA_ORACLE)
+def graph_label_propagation(spark, sf):
+    """Two synchronous rounds of label propagation over the co-purchase
+    graph (labels seeded with node ids; each round every node adopts
+    the MAJORITY label among its neighbors AND itself (the self-vote
+    breaks synchronous LPA's bipartite oscillation), ties to the
+    smallest label — fully deterministic, unlike classic randomized
+    LPA), then
+    the community-size histogram. Per round: one edge-keyed join + one
+    count groupBy + one ranked window — the Pregel shuffle pattern;
+    the edge list materializes ONCE (eager localCheckpoint /
+    AS MATERIALIZED) like pagerank/BFS."""
+    from pyspark.sql import Window
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    base = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = (base.union(base.select("src")
+                            .distinct()
+                            .select("src", F.col("src").alias("dst")))
+                 .localCheckpoint(eager=True))
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+                  .select("node", F.col("node").alias("lbl"))
+    for _ in range(2):
+        votes = (edges.join(labels.withColumnRenamed("node", "dst"),
+                            "dst")
+                      .groupBy(F.col("src").alias("node"), "lbl")
+                      .agg(F.count(F.lit(1)).alias("__n")))
+        w = (Window.partitionBy("node")
+                   .orderBy(F.col("__n").desc(), F.col("lbl").asc()))
+        labels = (votes.withColumn("__rnk", F.row_number().over(w))
+                       .filter(F.col("__rnk") == 1)
+                       .select("node", "lbl"))
+    return (labels.groupBy(F.col("lbl").alias("community"))
+                  .agg(F.count(F.lit(1)).alias("n_nodes")))

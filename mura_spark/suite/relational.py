@@ -924,3 +924,25 @@ def window_nth_value(spark, sf):
                      F.nth_value("c_acctbal", 3).over(w)
                       .alias("third_bal"))
              .distinct())
+
+
+@q("agg_bitmap_distinct",
+   "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+   "AS n_users FROM events GROUP BY 1")
+def agg_bitmap_distinct(spark, sf):
+    """Exact distinct users per event type through BITMAP aggregation
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count) — the
+    MERGEABLE distinct-count structure: unlike a raw COUNT DISTINCT,
+    per-(type, bucket) bitmaps pre-aggregate map-side, OR-merge across
+    partitions and across incremental runs, and the id space shards
+    into fixed 32k-bit buckets so no single group's state is unbounded.
+    The oracle is the plain COUNT DISTINCT the bitmaps must equal."""
+    ev = table(spark, sf, "events")
+    per_bucket = (ev.select("event_type",
+                            F.bitmap_bucket_number("user_id").alias("b"),
+                            F.bitmap_bit_position("user_id").alias("p"))
+                    .groupBy("event_type", "b")
+                    .agg(F.bitmap_construct_agg("p").alias("bm")))
+    return (per_bucket.groupBy("event_type")
+                      .agg(F.sum(F.bitmap_count("bm")).cast("bigint")
+                            .alias("n_users")))

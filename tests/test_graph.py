@@ -109,3 +109,19 @@ def test_bfs_reach_chain_depths(spark, tmp_path):
     got = {r["node"]: r["depth"] for r in
            SPARK_QUERIES["graph_bfs_reach"](spark, out).collect()}
     assert got == {10: 0, 20: 1, 30: 2, 40: 3}
+
+
+def test_label_propagation_two_cliques(spark, tmp_path):
+    """Two disjoint co-purchase cliques: every node must adopt its
+    clique's smallest id within two deterministic rounds."""
+    rows = ([(1, p) for p in (10, 11, 12)]       # order 1: clique A
+            + [(2, p) for p in (10, 11, 12)]     # reinforce A
+            + [(3, p) for p in (20, 21)])        # order 3: clique B
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = str(tmp_path / "lpa")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet")
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.community: r.n_nodes for r in
+           SPARK_QUERIES["graph_label_propagation"](spark, out).collect()}
+    assert got == {10: 3, 20: 2}
