@@ -168,7 +168,7 @@ BENCH_QUERIES = [
     "pipeline_corpus_health",
     "supplier_concentration_hhi",
     "text_ngram_novelty",
-    # round-5r..5dd additions
+    # round-5r onward: appended per batch through 5ff
     "stats_ks_value",
     "stats_mwu_value",
     "join_right_outer",

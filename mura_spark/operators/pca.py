@@ -325,6 +325,20 @@ def project_top_pc(df: DataFrame, id_col: str = "vec_id",
         kernel, schema=f"{id_col} long, pc1_micro long")
 
 
+def _signed_component_ctes(ctes: list[str], prev: str) -> None:
+    """Append the sign-flipped component (vf) and mean (mu) CTEs shared
+    by the projection and residual twins — ONE definition so the sign
+    convention / mean quantization cannot drift between them."""
+    mom = f"{_MOM_FP:.1f}"
+    ctes.append(f"mx AS (SELECT v FROM {prev} "
+                f"ORDER BY abs(v) DESC, i ASC LIMIT 1)")
+    ctes.append(f"vf AS (SELECT {prev}.i, {prev}.v * (CASE WHEN mx.v "
+                f"< 0.0 THEN -1.0 ELSE 1.0 END) AS v "
+                f"FROM {prev} CROSS JOIN mx)")
+    ctes.append(f"mu AS (SELECT i, CAST(q AS DOUBLE) / {mom} "
+                f"/ CAST(nn.n AS DOUBLE) AS m FROM mn CROSS JOIN nn)")
+
+
 def sql_project_top_pc(table: str = "embeddings", id_col: str = "vec_id",
                        vec_col: str = "embedding", dim: int = 64,
                        iterations: int = 3) -> str:
@@ -333,13 +347,7 @@ def sql_project_top_pc(table: str = "embeddings", id_col: str = "vec_id",
     product against the mean-centered vector."""
     mom = f"{_MOM_FP:.1f}"
     ctes, prev = _pca_ctes(table, vec_col, dim, iterations)
-    ctes.append(f"mx AS (SELECT v FROM {prev} "
-                f"ORDER BY abs(v) DESC, i ASC LIMIT 1)")
-    ctes.append(f"vf AS (SELECT {prev}.i, {prev}.v * (CASE WHEN mx.v "
-                f"< 0.0 THEN -1.0 ELSE 1.0 END) AS v "
-                f"FROM {prev} CROSS JOIN mx)")
-    ctes.append(f"mu AS (SELECT i, CAST(q AS DOUBLE) / {mom} "
-                f"/ CAST(nn.n AS DOUBLE) AS m FROM mn CROSS JOIN nn)")
+    _signed_component_ctes(ctes, prev)
     return ("WITH " + ", ".join(ctes)
             + f" SELECT e.{id_col}, CAST(floor("
             f"SUM(CAST(floor((vf.v * (CAST(e.{vec_col}[vf.i] AS DOUBLE) "
@@ -407,13 +415,7 @@ def sql_abtt_residual(table: str = "embeddings", id_col: str = "vec_id",
     plus the per-term-quantized centered norm."""
     mom = f"{_MOM_FP:.1f}"
     ctes, prev = _pca_ctes(table, vec_col, dim, iterations)
-    ctes.append(f"mx AS (SELECT v FROM {prev} "
-                f"ORDER BY abs(v) DESC, i ASC LIMIT 1)")
-    ctes.append(f"vf AS (SELECT {prev}.i, {prev}.v * (CASE WHEN mx.v "
-                f"< 0.0 THEN -1.0 ELSE 1.0 END) AS v "
-                f"FROM {prev} CROSS JOIN mx)")
-    ctes.append(f"mu AS (SELECT i, CAST(q AS DOUBLE) / {mom} "
-                f"/ CAST(nn.n AS DOUBLE) AS m FROM mn CROSS JOIN nn)")
+    _signed_component_ctes(ctes, prev)
     ctes.append(
         f"rows_ AS (SELECT e.{id_col} AS rid, "
         f"SUM(CAST(floor(((CAST(e.{vec_col}[vf.i] AS DOUBLE) - mu.m) "

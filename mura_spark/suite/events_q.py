@@ -91,11 +91,13 @@ def events_session_window_stream(spark, sf):
 
 
 @q("events_json_extract",
-   "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 "
-   "AS k_bucket, COUNT(*) AS n, "
-   "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) "
-   "AS k_sum "
-   "FROM events GROUP BY 1")
+   # same json_valid guard as events_variant_extract: Spark's
+   # get_json_object yields NULL on malformed props, DuckDB aborts
+   "WITH x AS (SELECT CASE WHEN json_valid(props) THEN "
+   "CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k "
+   "FROM events) "
+   "SELECT k % 10 AS k_bucket, COUNT(*) AS n, "
+   "CAST(SUM(k) AS BIGINT) AS k_sum FROM x GROUP BY 1")
 def events_json_extract(spark, sf):
     """JSON property extraction + aggregation (props is a JSON string)."""
     ev = table(spark, sf, "events")
@@ -663,12 +665,14 @@ def events_dedup_replay(spark, sf):
 # ------------------------------------------------------- round-5v addition
 
 @q("events_variant_extract",
-   "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 "
-   "AS k_parity, COUNT(*) AS n, "
-   "MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min, "
-   "MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max, "
-   "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) "
-   "AS BIGINT) AS k_sum FROM events GROUP BY 1")
+   # json_valid guard: DuckDB's json_extract_string ABORTS on malformed
+   # JSON (unlike Spark's try_ path) — the guard keeps the twin
+   # degrading to NULL identically; one extraction CTE, not four copies
+   "WITH x AS (SELECT CASE WHEN json_valid(props) THEN "
+   "CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k "
+   "FROM events) "
+   "SELECT k % 2 AS k_parity, COUNT(*) AS n, MIN(k) AS k_min, "
+   "MAX(k) AS k_max, CAST(SUM(k) AS BIGINT) AS k_sum FROM x GROUP BY 1")
 def events_variant_extract(spark, sf):
     """Semi-structured extraction through Spark 4's VARIANT type:
     ``parse_json`` ONCE per row into the binary variant encoding, then

@@ -149,8 +149,8 @@ _LPA_ROUND = (
 #: oscillation synchronous updates otherwise produce
 _LPA_ORACLE = (
     "WITH eb AS MATERIALIZED " + _BFS_EDGES + ", "
-    "e AS (SELECT src, dst FROM eb "
-    "UNION SELECT DISTINCT src, src FROM eb), "
+    "e AS MATERIALIZED (SELECT src, dst FROM eb "
+    "UNION SELECT src, src FROM eb), "
     "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e), "
     + _LPA_ROUND.format(out="l1", prev="l0") + ", "
     + _LPA_ROUND.format(out="l2", prev="l1") + " "

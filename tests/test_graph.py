@@ -125,3 +125,24 @@ def test_label_propagation_two_cliques(spark, tmp_path):
     got = {r.community: r.n_nodes for r in
            SPARK_QUERIES["graph_label_propagation"](spark, out).collect()}
     assert got == {10: 3, 20: 2}
+
+
+def test_bitmap_distinct_edge_ids(spark, tmp_path):
+    """Bitmap distinct must equal COUNT DISTINCT including user_id 0
+    and ids far beyond one 32k-bit bucket (bucket-number branch
+    coverage)."""
+    import datetime as dt
+    base = dt.datetime(2024, 10, 1)
+    ids = [0, 1, 2, 2, 32767, 32768, 32769, 10_000_000, 10_000_000]
+    rows = [(i, base + dt.timedelta(minutes=i), uid, "view", 1.0, "{}")
+            for i, uid in enumerate(ids)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = str(tmp_path / "bm")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/events.parquet")
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.event_type: r.n_users for r in
+           SPARK_QUERIES["agg_bitmap_distinct"](spark, out).collect()}
+    assert got == {"view": 7}

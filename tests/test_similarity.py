@@ -318,7 +318,6 @@ def test_abtt_residual_pythagoras_and_dominance(spark):
     import numpy as np
     from mura_spark.operators.pca import abtt_residual
     rng = np.random.RandomState(5)
-    direction = np.array([1.0, 0.0, 0.0, 0.0])
     on_axis = [(i, [float(c), 0.0, 0.0, 0.0])
                for i, c in enumerate(rng.randn(50) * 3.0)]
     off = [(100, [0.0, 2.0, 0.0, 0.0]), (101, [0.0, 0.0, -2.0, 0.0])]
