@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "emb_abtt_residual",
     "agg_bitmap_distinct",
     "graph_label_propagation",
+    "dedup_sorted_neighborhood",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -712,3 +712,82 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                         (inter.cast("double") / F.size("__sc"))
                         .alias("containment"))
                 .filter(F.col("containment") >= threshold))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
+                              window: int = 3,
+                              partitions: int = 64) -> DataFrame:
+    """Sorted-neighborhood (SNM) duplicate detection: globally sort on
+    the blocking key, then compare only records within ``window``
+    positions of each other — the classic entity-resolution blocking
+    method that trades the O(n²) all-pairs for O(n·w) candidates,
+    catching duplicates whose keys sort adjacently. Output: verified
+    pairs ``(id_a, id_b)`` (key equality; id_a < id_b in rank order).
+
+    Scale shape — the point of the operator is a DISTRIBUTED global
+    rank, never a single-task sort: repartitionByRange on the key
+    range-partitions the corpus; per-partition ``row_number`` windows
+    run in parallel; the global rank is partition rank + an offset
+    from the per-partition counts (a bounded collect — ONE scalar per
+    partition, the sample_global_shuffle posture). The rank is
+    well-defined regardless of where the range boundaries fall because
+    the (key, id) sort key is unique. Candidates then come from a
+    banded equi-join on ⌊rank/w⌋ buckets (each pair at distance ≤ w
+    shares a bucket or sits in adjacent ones) — no window function
+    ever sees the corpus globally.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    d = df.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__k"))
+    p = (d.repartitionByRange(partitions, "__k", "__id")
+          .withColumn("__pid", F.spark_partition_id()))
+    counts = sorted(
+        ((r["__pid"], r["n"]) for r in
+         p.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()))
+    acc, offs = 0, []
+    for pid, n in counts:
+        offs.append((pid, acc))
+        acc += n
+    off_df = p.sparkSession.createDataFrame(offs, "__pid int, __off long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("__pid").orderBy("__k", "__id")
+    ranked = (p.withColumn("__prn", F.row_number().over(w))
+               .join(F.broadcast(off_df), "__pid")
+               .select("__id", "__k",
+                       (F.col("__prn") + F.col("__off")).alias("__rn")))
+    b = ranked.withColumn(
+        "__b", F.floor((F.col("__rn") - F.lit(1)) / F.lit(window)))
+    # each ≤w-distance pair shares a bucket or sits in adjacent ones;
+    # exploding the left side to (bkt, bkt+1) keeps this an EQUI-join
+    # (an OR-of-equalities condition would plan a nested loop)
+    lhs = (b.select(F.col("__id").alias("id_a"),
+                    F.col("__k").alias("__ka"),
+                    F.col("__rn").alias("__ra"), "__b")
+            .withColumn("__jb", F.explode(F.array(F.col("__b"),
+                                                  F.col("__b") + 1)))
+            .drop("__b"))
+    rhs = b.select(F.col("__id").alias("id_b"), F.col("__k").alias("__kb"),
+                   F.col("__rn").alias("__rb"),
+                   F.col("__b").alias("__jb"))
+    cand = (lhs.join(rhs, "__jb")
+               .filter((F.col("__rb") > F.col("__ra"))
+                       & (F.col("__rb") - F.col("__ra") <= window)))
+    return (cand.filter(F.col("__ka") == F.col("__kb"))  # verify
+                .select("id_a", "id_b"))
+
+
+def sql_sorted_neighborhood_pairs(table: str, id_col: str, key_col: str,
+                                  window: int = 3) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood_pairs` — one global
+    ROW_NUMBER (fine single-node) + the same banded join + verify."""
+    return (
+        f"WITH r AS (SELECT {id_col} AS id, {key_col} AS k, "
+        f"ROW_NUMBER() OVER (ORDER BY {key_col}, {id_col}) AS rn "
+        f"FROM {table}), "
+        f"b AS (SELECT id, k, rn, "
+        f"CAST(floor(CAST(rn - 1 AS DOUBLE) / {window}.0) AS BIGINT) "
+        f"AS bkt FROM r) "
+        f"SELECT a.id AS id_a, c.id AS id_b FROM b a JOIN b c "
+        f"ON (c.bkt = a.bkt OR c.bkt = a.bkt + 1) "
+        f"AND c.rn > a.rn AND c.rn - a.rn <= {window} "
+        f"AND a.k = c.k")

@@ -454,3 +454,35 @@ def dedup_containment_pairs(spark, sf):
     .containment_pairs); brute-force oracle."""
     d = table(spark, sf, "documents")
     return dedup.containment_pairs(d, "doc_id", "text", threshold=0.9)
+
+
+# ------------------------------------------------------- round-5gg addition
+
+def _snm_oracle() -> str:
+    from mura_spark.operators.dedup import sql_sorted_neighborhood_pairs
+    key = (f"array_to_string(list_sort(list_distinct({sql_tokens('text')})),"
+           f" ' ')")
+    return sql_sorted_neighborhood_pairs(
+        f"(SELECT doc_id, {key} AS snm_key FROM documents)",
+        "doc_id", "snm_key", 3)
+
+
+@q("dedup_sorted_neighborhood", _snm_oracle())
+def dedup_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood duplicate detection (the classic ER blocking
+    method the LSH/shingle families complement), run the textbook way:
+    sort on a NORMALIZED key — the sorted distinct-token bag, so
+    reordered/bag-equal duplicates (which raw-text equality misses
+    entirely: this corpus has 21 such groups and zero byte-identical
+    ones) land adjacent — compare within a 3-position window, verify
+    by key equality. The Spark side's global rank is DISTRIBUTED —
+    range-partition + per-partition windows + bounded count offsets,
+    never a single-task sort — with candidates from a banded equi-join
+    (operators.dedup.sorted_neighborhood_pairs)."""
+    from mura_spark.functions import text as TX
+    from mura_spark.operators.dedup import sorted_neighborhood_pairs
+    d = table(spark, sf, "documents").withColumn(
+        "snm_key",
+        F.array_join(F.array_sort(F.array_distinct(
+            TX.tokens(F.col("text")))), " "))
+    return sorted_neighborhood_pairs(d, "doc_id", "snm_key", window=3)

@@ -290,3 +290,32 @@ def test_minhash_cross_pairs_equals_exact(spark, sf_dir):
               minhash_cross_pairs(new, seen, "doc_id", "text", 0.8).collect()}
     assert approx == exact
     assert len(exact) > 0
+
+
+# ------------------------------------------- sorted neighborhood (5gg)
+
+def test_sorted_neighborhood_distributed_rank_and_window(spark):
+    """The distributed rank (range partition + offsets) must reproduce
+    the global-sort semantics: within a duplicate-key group, pairs at
+    rank distance <= window are emitted, beyond it are not."""
+    from mura_spark.operators.dedup import sorted_neighborhood_pairs
+    rows = ([(i, "aaa") for i in range(6)]        # 6-way duplicate group
+            + [(10, "bbb"), (11, "bbb")]          # adjacent pair
+            + [(20, "ccc")])                      # singleton
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = {(r.id_a, r.id_b) for r in
+           sorted_neighborhood_pairs(df, "doc_id", "k",
+                                     window=3, partitions=4).collect()}
+    # 'aaa' ranks 1..6 by id: pairs with distance <= 3 only
+    want = {(a, b) for a in range(6) for b in range(6)
+            if 0 < b - a <= 3}
+    want.add((10, 11))
+    assert got == want
+
+
+def test_sorted_neighborhood_rejects_bad_window(spark):
+    import pytest as pt
+    from mura_spark.operators.dedup import sorted_neighborhood_pairs
+    df = spark.createDataFrame([(1, "x")], "doc_id long, k string")
+    with pt.raises(ValueError):
+        sorted_neighborhood_pairs(df, "doc_id", "k", window=0)
