@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "agg_bitmap_distinct",
     "graph_label_propagation",
     "dedup_sorted_neighborhood",
+    "window_range_numeric",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

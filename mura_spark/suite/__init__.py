@@ -175,8 +175,8 @@ _NEXT_WINDOW = [
     "emb_abtt_residual",
     # round-5ff: mergeable bitmap distinct + deterministic label propagation
     "agg_bitmap_distinct", "graph_label_propagation",
-    # round-5gg: sorted-neighborhood blocking
-    "dedup_sorted_neighborhood",
+    # round-5gg: sorted-neighborhood blocking + numeric RANGE frames
+    "dedup_sorted_neighborhood", "window_range_numeric",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -946,3 +946,24 @@ def agg_bitmap_distinct(spark, sf):
     return (per_bucket.groupBy("event_type")
                       .agg(F.sum(F.bitmap_count("bm")).cast("bigint")
                             .alias("n_users")))
+
+
+@q("window_range_numeric",
+   "SELECT c_custkey, c_mktsegment, c_acctbal, "
+   "CAST(COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal "
+   "RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS BIGINT) "
+   "AS n_peers FROM customer")
+def window_range_numeric(spark, sf):
+    """Value-based RANGE frame over a NUMERIC ordering (the remaining
+    frame-type gap after ROWS and time-RANGE): per customer, how many
+    same-segment customers sit within ±500 of its balance — the local
+    density feature. The frame is defined by VALUE distance so ties
+    need no tiebreak (every equal-balance row sees the identical
+    frame); partitioned by segment, never a global sort."""
+    from pyspark.sql import Window
+    c = table(spark, sf, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.col("c_acctbal").cast("double"))
+               .rangeBetween(-500, 500))
+    return c.select("c_custkey", "c_mktsegment", "c_acctbal",
+                    F.count(F.lit(1)).over(w).alias("n_peers"))
