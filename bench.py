@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "graph_label_propagation",
     "dedup_sorted_neighborhood",
     "window_range_numeric",
+    "q12_priority_lines",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -177,6 +177,8 @@ _NEXT_WINDOW = [
     "agg_bitmap_distinct", "graph_label_propagation",
     # round-5gg: sorted-neighborhood blocking + numeric RANGE frames
     "dedup_sorted_neighborhood", "window_range_numeric",
+    # round-5hh: the last TPC-H shape (Q12 over available columns)
+    "q12_priority_lines",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -572,3 +572,37 @@ def q21_waiting_supplier(spark, sf):
           .join(supp, F.col("l_suppkey") == F.col("s_suppkey")))
     agg = l1.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
     return topk(agg, [F.col("numwait").desc(), F.col("s_name").asc()], 20)
+
+
+@q("q12_priority_lines",
+   "SELECT l_linestatus, "
+   "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+   "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+   "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+   "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
+   "AND year(l_shipdate) = 1995 GROUP BY 1")
+def q12_priority_lines(spark, sf):
+    """TPC-H Q12's shape over this fixture's columns (ref Q12 needs
+    l_shipmode/l_commitdate/l_receiptdate, which the synthetic lineitem
+    lacks — this was the one TPC-H query with no named row): late-
+    shipped lines (> 60 days after order date, one ship-year slice)
+    classified by order-priority urgency per line status — the
+    order-lineitem join with the spec's two complementary conditional
+    counts. Fact-fact equi-join on the order key, exact integer CASE
+    sums."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate",
+                                          "o_orderpriority")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate",
+                                             "l_linestatus")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+          .filter((F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+                  & (F.year("l_shipdate") == 1995)))
+    return (j.groupBy("l_linestatus")
+             .agg(F.sum(urgent.cast("int")).cast("bigint")
+                   .alias("high_line_count"),
+                  F.sum((~urgent).cast("int")).cast("bigint")
+                   .alias("low_line_count")))
