@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "dedup_sorted_neighborhood",
     "window_range_numeric",
     "q12_priority_lines",
+    "pipeline_attrition_report",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

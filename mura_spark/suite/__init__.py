@@ -179,6 +179,8 @@ _NEXT_WINDOW = [
     "dedup_sorted_neighborhood", "window_range_numeric",
     # round-5hh: the last TPC-H shape (Q12 over available columns)
     "q12_priority_lines",
+    # round-5ii: per-source pipeline attrition funnel
+    "pipeline_attrition_report",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

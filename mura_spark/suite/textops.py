@@ -587,3 +587,57 @@ def text_quality_logistic(spark, sf):
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return d.select("doc_id", micro(score).alias("score_micro"),
                     (score >= F.lit(0.5)).alias("keep"))
+
+
+# ------------------------------------------------------- round-5ii addition
+
+@q("pipeline_attrition_report",
+   "WITH k AS (SELECT doc_id, source, text, md5(text) AS h "
+   "FROM documents), "
+   "keep AS (SELECT MIN(doc_id) AS kid FROM k GROUP BY h), "
+   "s AS (SELECT k.doc_id, k.source, k.text FROM k "
+   "JOIN keep ON keep.kid = k.doc_id), "
+   f"q AS (SELECT source FROM s "
+   f"WHERE CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) "
+   f">= 0.3 AND len({_TOKS}) BETWEEN 20 AND 1000 "
+   "AND CAST(length(text) - length(regexp_replace(text, '[0-9]', '', "
+   "'g')) AS DOUBLE) / length(text) <= 0.3), "
+   "r AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1), "
+   "d AS (SELECT source, COUNT(*) AS n_dedup FROM s GROUP BY 1), "
+   "qq AS (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY 1) "
+   "SELECT r.source, n_raw, coalesce(n_dedup, 0) AS n_dedup, "
+   "coalesce(n_quality, 0) AS n_quality, "
+   "CAST(floor(CAST(coalesce(n_quality, 0) AS DOUBLE) "
+   "/ CAST(n_raw AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS keep_rate_micro "
+   "FROM r LEFT JOIN d ON d.source = r.source "
+   "LEFT JOIN qq ON qq.source = r.source")
+def pipeline_attrition_report(spark, sf):
+    """The end-to-end pipeline funnel every data team reports: per
+    source, documents in → after corpus-wide exact dedup (keep-one,
+    minimum id per MD5 text key) → after the quality gate
+    (text_quality_filter's exact predicates) → final keep rate. Three
+    stage counts composed from the SAME operators the individual
+    queries pin (exact_dup_groups' keep rule, the quality gate's
+    mirrored arithmetic), joined on the dimension-sized source key —
+    one corpus-wide hash shuffle for dedup, everything else reduced."""
+    d = table(spark, sf, "documents")
+    keep = (d.groupBy(F.md5("text").alias("__h"))
+             .agg(F.min("doc_id").alias("doc_id")))
+    surv = d.join(keep.select("doc_id"), "doc_id", "left_semi")
+    t = TX.tokens(F.col("text"))
+    qual = surv.filter(
+        (TX.distinct_token_ratio(F.col("text")) >= 0.3)
+        & F.size(t).between(20, 1000)
+        & (TX.digit_ratio(F.col("text")) <= 0.3))
+    r = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    dd = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
+    qc = qual.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    from mura_spark.functions.quantize import micro
+    j = (r.join(dd, "source", "left").join(qc, "source", "left")
+          .select("source", "n_raw",
+                  F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+                  F.coalesce("n_quality", F.lit(0)).alias("n_quality")))
+    rate = (F.col("n_quality").cast("double")
+            / F.col("n_raw").cast("double"))
+    return j.withColumn("keep_rate_micro", micro(rate))

@@ -374,3 +374,19 @@ def test_quality_logistic_monotone_in_stopwords(spark, tmp_path):
     got = {r.doc_id: (r.score_micro, r.keep) for r in
            SPARK_QUERIES["text_quality_logistic"](spark, out).collect()}
     assert 0 < got[2][0] < got[1][0] < 1000000
+
+
+def test_attrition_report_monotone_funnel(spark, sf_dir):
+    """Stage counts must be monotone non-increasing per source and the
+    dedup total must equal the corpus-wide distinct-text count."""
+    from mura_spark.suite import SPARK_QUERIES
+    from mura_spark.suite.common import table
+    rows = SPARK_QUERIES["pipeline_attrition_report"](spark,
+                                                      sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_dedup >= r.n_quality >= 0
+        assert 0 <= r.keep_rate_micro <= 1000000
+    d = table(spark, sf_dir, "documents")
+    assert (sum(r.n_dedup for r in rows)
+            == d.select("text").distinct().count())
