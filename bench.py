@@ -205,6 +205,19 @@ BENCH_QUERIES = [
     "window_range_numeric",
     "q12_priority_lines",
     "pipeline_attrition_report",
+    # round-6 additions
+    "window_ntile",
+    "window_ratio_to_report",
+    "setop_union_byname",
+    "parts_skyline",
+    "text_gopher_rules",
+    "text_char_entropy",
+    "text_zipf_slope",
+    "window_cume_dist",
+    "agg_boolean_profile",
+    "events_interpolate_linear",
+    "stats_bootstrap_ci",
+    "sample_token_budget",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

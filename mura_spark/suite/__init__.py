@@ -33,83 +33,17 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
             multimodal_q, relational, tpch_more, tpch_ps]
 
 # Registry order == the order the driver verifies queries in, and the driver
-# checks only the FIRST 50 entries per round. Round-5 rotation (the plan
-# round 4 wrote down, executed, then extended with this round's additions):
-# never-driver-verified queries always outrank re-verification — the 9
-# round-4 additions go first, then the round-5 deterministic companions for
-# the approximate queries + streaming evidence, then the 15 round-5b
-# additions (mixing/binning/winsorize/PMI/layouts/incremental/leak-safe
-# split/profiling/temperature/rolling windows/real multimodal decode).
-# The remaining slots backfill by staleness: the 18 queries whose only
-# driver-green row is from round 1. The round-3-verified cohort rotates
-# fully out this round (all keep their r3 driver-green rows); the 5
-# rows-only approximate queries sit at the very end of the registry so the
-# driver's 50-window never reaches them and its output carries no
-# `err: no_oracle` rows (their correctness lives in their deterministic
-# companions + the pytest recall/error envelopes).
+# checks only the FIRST 50 entries per round. Round-6 rotation: the whole
+# round-5 window came back green in CORRECTNESS_r05 (50/50 hash-match), so
+# it rotates out and the window is filled entirely from the round-5g..5u
+# overflow that sat at positions 51+ last round — never-driver-verified
+# queries always outrank re-verification, oldest additions first, exactly
+# as the round-5 plan ordered them. The remaining round-5v..5ii overflow
+# (27 queries) stays contiguous at positions 51+ as the head of round 7's
+# window, followed by round-6 additions. The 5 rows-only approximate
+# queries stay pinned to the registry tail (their driver-facing signal is
+# their deterministic companions, all r5-green).
 _PRIORITY = [
-    # round-4 additions: never driver-verified (sat past position 50 in r4)
-    "sample_global_shuffle", "sample_weighted_quality", "sample_k_per_lang",
-    "pack_chunk_overlap", "dedup_incremental_new", "dedup_incremental_near",
-    "pipeline_finetune_prep", "events_enrich_users", "events_value_histogram",
-    # round-5 additions: deterministic companions + streaming evidence +
-    # the segment-level boilerplate-removal operator
-    "ann_topk_lsh_exhaustive", "ann_topk_ivf_fullprobe",
-    "dedup_embedding_pairs_lsh_full", "sketch_distinct_users_exact",
-    "sketch_value_percentiles_exact", "events_session_window_stream",
-    "text_remove_boilerplate", "pack_token_shards",
-    # round-5b additions: mixture planning/enforcement, curriculum
-    # binning, winsorize, collocation mining, partition-pruned + merged-
-    # schema layouts
-    "sample_mixture_plan", "sample_mixture_apply", "sample_curriculum_bins",
-    "text_pmi_bigrams", "events_winsorize", "parquet_partitioned_prune",
-    "parquet_schema_evolution", "events_incremental_totals",
-    "sample_split_leak_safe", "profile_documents",
-    "sample_temperature_plan", "events_rolling_1h_sum",
-    "mm_image_stats", "mm_audio_stats", "mm_video_frame_stats",
-    "agg_udaf_gmean", "udtf_ngrams", "events_winsorize_by_type",
-    # round-5c additions: readability / leakage-safe folds / anomaly
-    # detection / centroid + kNN embedding analytics / edit-distance +
-    # containment near-dup joins / interval-overlap join / graph
-    # analytics — never driver-verified, so they outrank stale greens
-    "text_readability", "sample_group_kfold", "events_anomaly_hours",
-    "emb_label_centroids", "emb_knn_classify", "dedup_editdist_pairs",
-    "dedup_containment_pairs", "events_session_overlap",
-    "graph_copurchase_degree", "graph_pagerank_parts",
-    "emb_kmeans_assign",
-    # round-5f additions: Markov transitions, streaming-dedup replay
-    # evidence, association rules, PQ encoding — never driver-verified
-    "events_markov_transitions", "events_dedup_replay",
-    "graph_assoc_rules", "emb_pq_codes",
-    # (the window is now exactly the 50 round-4/5 additions: every one
-    # of the 14 stale-but-green r1/r3 rows displaced this round keeps
-    # its ledger entry and rotates back in round 6 — see the plan below)
-]
-
-# ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 comes back green for
-# this window, every query except the _NEXT_WINDOW overflow below will
-# have a cumulative driver-green row. Round 6's window must promote, in
-# order: (1) ALL of _NEXT_WINDOW — the round-5g..5dd additions (the
-# window was already full of never-verified queries when they landed,
-# so they are the driver's window overflow; with > 50 of them the
-# overflow now spans TWO future windows — rounds 6 AND 7 must both
-# lead with it, oldest additions first, exactly as ordered below) —
-# plus any round-6 additions. Then, as slots remain:
-# (2) the r1-only greens displaced this round (join_cross_small,
-# setop_union, setop_intersect, window_topk_per_group,
-# window_running_sum, q6_revenue_change, q10_returned_items,
-# q14_promo_share, q18_large_orders, agg_rollup, agg_cube,
-# subquery_scalar, subquery_exists, subquery_correlated_scalar,
-# setop_except, agg_pivot, agg_median, date_functions),
-# (3) the remaining r1-only cohort, (4) the r3 cohort rotated out this
-# round (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
-# tests/test_registry.py enforces (1) mechanically.
-
-#: Queries landed AFTER the 50-slot window was already full of
-#: never-verified entries: first in line for round 6's window (positions
-#: 51+ now). All are locally oracle-green; this is the driver-window
-#: overflow the rotation tests bound to exactly one round.
-_NEXT_WINDOW = [
     # round-5g: retrieval / graph-structure / profiling / corpus analytics
     "search_bm25_topk", "search_rrf_fusion", "graph_triangle_counts",
     "stats_corr_lineitem", "text_simpson_by_lang", "text_tvd_by_source",
@@ -117,8 +51,8 @@ _NEXT_WINDOW = [
     # mining / cross-source score normalization
     "stats_ols_value_by_hour", "stats_chi2_lang_source",
     "emb_centroid_cosine", "events_path_trigrams", "text_quality_qnorm",
-    # round-5i: relational gap-fillers (full-outer / unpivot / HOF
-    # lambdas) + integrity audit / snapshot diff / k-core pruning
+    # round-5i: relational gap-fillers + integrity audit / snapshot diff /
+    # k-core pruning
     "join_full_outer", "agg_unpivot", "hof_array_ops",
     "audit_referential", "events_snapshot_diff", "graph_kcore_prune",
     # round-5j: vocabulary planning / LM quality scoring / growth curve /
@@ -126,32 +60,48 @@ _NEXT_WINDOW = [
     "text_vocab_coverage", "text_unigram_logloss",
     "events_cumulative_users", "events_decayed_value",
     "emb_knn_confusion", "audit_benford",
-    # round-5k: SQL-surface completion — bag-semantics set ops, ordered
-    # string aggregation, null-placement top-k, exact group percentiles
+    # round-5k: bag-semantics set ops, ordered string aggregation,
+    # null-placement top-k, exact group percentiles
     "setop_intersect_all", "setop_except_all", "agg_string_concat",
     "sort_nulls_last_topk", "events_value_p50_p95_by_type",
-    # round-5l: conversion-window funnel + embedding outlier screen
+    # round-5l..5n: funnel, embedding outliers, conversion latency,
+    # language-ID confidence, dedup-rate rollup, DAU/WAU, ABC/Pareto
     "events_funnel_1h", "emb_outlier_distance",
-    # round-5m: conversion-latency histogram + language-ID confidence
     "events_time_to_convert", "text_langid_confidence",
-    # round-5n: corpus dedup-rate rollup, DAU/WAU engagement, ABC/Pareto
     "text_dedup_rate_by_source", "events_dau_wau", "parts_abc_pareto",
-    # round-5o: A/B z-test, inter-arrival burstiness, data-contract audit
+    # round-5o..5q: A/B z-test, inter-arrival burstiness, contract audit,
+    # corpus health, concentration, shingle novelty
     "stats_ab_ztest", "events_interarrival_stats", "audit_value_ranges",
-    # round-5p: per-source corpus-health composite
     "pipeline_corpus_health",
-    # round-5q: market concentration + shingle novelty scoring
     "supplier_concentration_hhi", "text_ngram_novelty",
-    # round-5r: two-sample rank tests (KS, Mann-Whitney/AUC) +
-    # SQL-surface completion (RIGHT OUTER join, relative-rank windows)
+    # round-5r..5u: two-sample rank tests, RIGHT OUTER, percent_rank,
+    # RFM segments, autocorrelation, top-PC, recursive BFS, growth curve
     "stats_ks_value", "stats_mwu_value",
     "join_right_outer", "window_percent_rank",
-    # round-5s: RFM lifecycle segmentation + ingest periodicity
     "events_rfm_segments", "events_hourly_autocorr",
-    # round-5t: top-principal-component embedding diagnostic
-    "emb_top_pc",
-    # round-5u: recursive-CTE SQL surface + business time series
-    "graph_bfs_reach", "orders_monthly_growth",
+    "emb_top_pc", "graph_bfs_reach", "orders_monthly_growth",
+]
+
+# ROUND-7 ROTATION PLAN: assuming CORRECTNESS_r06 comes back green for
+# this window, round 7's window must promote, in order: (1) ALL of
+# _NEXT_WINDOW below — the round-5v..5ii overflow (27 queries, the tail
+# of round 5's oversized addition batch) followed by the round-6
+# additions, oldest first, exactly as ordered; then, as slots remain,
+# (2) the stale-green backlog by age: the r1-only greens displaced in
+# round 5 (join_cross_small, setop_union, setop_intersect,
+# window_topk_per_group, window_running_sum, q6_revenue_change,
+# q10_returned_items, q14_promo_share, q18_large_orders, agg_rollup,
+# agg_cube, subquery_scalar, subquery_exists,
+# subquery_correlated_scalar, setop_except, agg_pivot, agg_median,
+# date_functions), (3) the remaining r1-only cohort, (4) the r3 cohort
+# (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
+# tests/test_registry.py enforces (1) mechanically.
+
+#: Queries landed AFTER the 50-slot window was already full of
+#: never-verified entries: first in line for round 7's window (positions
+#: 51+ now). All are locally oracle-green; this is the driver-window
+#: overflow the rotation tests bound to at most one more round.
+_NEXT_WINDOW = [
     # round-5v: modern SQL surfaces — VARIANT semi-structured path,
     # correlated LATERAL top-n, null-safe equi-join
     "events_variant_extract", "join_lateral_topn", "join_null_safe",
@@ -181,6 +131,19 @@ _NEXT_WINDOW = [
     "q12_priority_lines",
     # round-5ii: per-source pipeline attrition funnel
     "pipeline_attrition_report",
+    # round-6a: remaining window-family surfaces (NTILE, ratio-to-
+    # report), schema-evolution union-by-name, and the skyline operator
+    "window_ntile", "window_ratio_to_report", "setop_union_byname",
+    "parts_skyline",
+    # round-6b: rule-based quality filtering (Gopher), char-entropy
+    # quality signal, Zipf rank-frequency diagnostic
+    "text_gopher_rules", "text_char_entropy", "text_zipf_slope",
+    # round-6c: remaining ranking window (CUME_DIST) + boolean
+    # aggregates, linear-interpolation gap fill, deterministic Poisson
+    # bootstrap, token-budget-capped sampling
+    "window_cume_dist", "agg_boolean_profile",
+    "events_interpolate_linear", "stats_bootstrap_ci",
+    "sample_token_budget",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -799,3 +799,69 @@ def events_sessionize_capped(spark, sf):
                 .agg(F.min("ts").alias("part_start"),
                      F.max("ts").alias("part_end"),
                      F.count(F.lit(1)).alias("n_events")))
+
+
+@q("events_interpolate_linear",
+   "WITH hourly AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hr, "
+   "CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+   "AS v FROM events WHERE event_type = 'purchase' GROUP BY 1), "
+   "bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly), "
+   "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) "
+   "AS hr FROM bounds), "
+   "j AS (SELECT g.hr, h.v, epoch_us(g.hr) AS t "
+   "FROM grid g LEFT JOIN hourly h USING (hr)), "
+   "w AS (SELECT hr, v, t, "
+   "last_value(v IGNORE NULLS) OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED "
+   "PRECEDING AND CURRENT ROW) AS pv, "
+   "last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER "
+   "(ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt, "
+   "first_value(v IGNORE NULLS) OVER (ORDER BY hr ROWS BETWEEN CURRENT "
+   "ROW AND UNBOUNDED FOLLOWING) AS nv, "
+   "first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER "
+   "(ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt "
+   "FROM j) "
+   "SELECT hr, (v IS NULL) AS filled, "
+   "CASE WHEN v IS NOT NULL THEN v "
+   "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+   "ELSE pv + CAST(floor(CAST(nv - pv AS DOUBLE) "
+   "* (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) + 0.5) "
+   "AS BIGINT) END AS v_interp FROM w")
+def events_interpolate_linear(spark, sf):
+    """Linear-interpolation gap fill — the time-series resample family's
+    third member (zero-fill `events_resample_gapfill`, carry-forward
+    `events_locf_purchase`, now straight-line): hourly purchase-value
+    totals on a dense hour grid, empty buckets interpolated between the
+    nearest known neighbors (edges clamp to the nearest observation).
+    Values quantize to micro per ROW before the hourly integer sums, so
+    the interpolation arithmetic is integer-anchored; the one IEEE
+    multiply-divide per filled bucket is mirrored subexpression-for-
+    subexpression in the twin. The IGNORE-NULLS windows run over the
+    bucketed rollup — bounded by the time range, never the event count —
+    so the single-partition window is a non-issue at any data scale."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    ev = table(spark, sf, "events").where(F.col("event_type") == "purchase")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+                .agg(F.sum(micro(F.col("value"))).cast("bigint")
+                      .alias("v")))
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = bounds.select(F.explode(
+        F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr"))
+    j = (grid.join(hourly, "hr", "left")
+             .withColumn("t", F.unix_micros("hr")))
+    wp = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
+    known_t = F.when(F.col("v").isNotNull(), F.col("t"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pt = F.last(known_t, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nt = F.first(known_t, ignorenulls=True).over(wn)
+    frac = ((F.col("t") - pt).cast("double")
+            / (nt - pt).cast("double"))
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+               .when(pv.isNull(), nv)
+               .when(nv.isNull(), pv)
+               .otherwise(pv + F.floor((nv - pv).cast("double") * frac
+                                       + F.lit(0.5)).cast("bigint")))
+    return j.select("hr", F.col("v").isNull().alias("filled"),
+                    interp.alias("v_interp"))

@@ -967,3 +967,164 @@ def window_range_numeric(spark, sf):
                .rangeBetween(-500, 500))
     return c.select("c_custkey", "c_mktsegment", "c_acctbal",
                     F.count(F.lit(1)).over(w).alias("n_peers"))
+
+
+@q("window_ntile",
+   "WITH t AS (SELECT c_mktsegment, ntile(4) OVER (PARTITION BY "
+   "c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile, "
+   "c_acctbal FROM customer) "
+   "SELECT c_mktsegment, quartile, COUNT(*) AS n, "
+   "MIN(c_acctbal) AS bal_lo, MAX(c_acctbal) AS bal_hi, "
+   + sql_dsum("c_acctbal") + " AS bal_sum "
+   "FROM t GROUP BY c_mktsegment, quartile")
+def window_ntile(spark, sf):
+    """NTILE bucketing (the remaining ranking-family window after
+    row_number/rank/percent_rank/nth_value): equal-frequency quartiles
+    of account balance within each market segment, then the per-quartile
+    profile. NTILE's remainder rule (first buckets get the extra row) is
+    identical in Spark and DuckDB; the (balance, custkey) tiebreak makes
+    the assignment a total order. Partitioned window — no global sort;
+    the profile is one map-side-combined groupBy."""
+    from pyspark.sql import Window
+    c = table(spark, sf, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+    return (c.select("c_mktsegment",
+                     F.ntile(4).over(w).alias("quartile"), "c_acctbal")
+             .groupBy("c_mktsegment", "quartile")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("c_acctbal").alias("bal_lo"),
+                  F.max("c_acctbal").alias("bal_hi"),
+                  dsum("c_acctbal").alias("bal_sum")))
+
+
+@q("window_ratio_to_report",
+   "WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+   "CAST(o_totalprice AS DOUBLE) / CAST(SUM(CAST(o_totalprice AS "
+   "DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS share "
+   "FROM orders) "
+   "SELECT o_orderkey, o_custkey, o_totalprice, share FROM t "
+   "ORDER BY share DESC, o_orderkey ASC LIMIT 500")
+def window_ratio_to_report(spark, sf):
+    """Ratio-to-report window: each order's share of its customer's
+    lifetime spend, top-500 most-dominant orders. The denominator is an
+    exact DECIMAL window sum (order-independent); the share is then one
+    IEEE division per row — bit-identical across engines. Share ties
+    (single-order customers all at 1.0) break on the unique order key.
+    One keyed window shuffle + TakeOrderedAndProject."""
+    from pyspark.sql import Window
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    share = (F.col("o_totalprice").cast("double")
+             / F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .over(w).cast("double"))
+    return (o.select("o_orderkey", "o_custkey", "o_totalprice",
+                     share.alias("share"))
+             .orderBy(F.col("share").desc(), F.col("o_orderkey").asc())
+             .limit(500))
+
+
+@q("setop_union_byname",
+   "WITH legacy AS (SELECT o_orderkey, o_totalprice FROM orders "
+   "WHERE o_orderkey % 3 = 0), "
+   "current AS (SELECT o_orderkey, o_totalprice, o_orderpriority "
+   "FROM orders WHERE o_orderkey % 3 <> 0), "
+   "unioned AS (SELECT * FROM legacy UNION ALL BY NAME "
+   "SELECT * FROM current) "
+   "SELECT COALESCE(o_orderpriority, '<missing>') AS priority, "
+   "COUNT(*) AS n, " + sql_dsum("o_totalprice") + " AS revenue "
+   "FROM unioned GROUP BY 1")
+def setop_union_byname(spark, sf):
+    """Name-based union across evolving batch schemas: a legacy feed
+    that predates the priority column unions with the current feed;
+    the missing column null-fills (Spark unionByName(
+    allowMissingColumns=True) == DuckDB UNION ALL BY NAME). The standard
+    ingestion shape when upstream adds fields mid-stream. Narrow op —
+    no shuffle until the final profile groupBy."""
+    o = table(spark, sf, "orders")
+    legacy = (o.where(F.col("o_orderkey") % 3 == 0)
+               .select("o_orderkey", "o_totalprice"))
+    current = (o.where(F.col("o_orderkey") % 3 != 0)
+                .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+    return (legacy.unionByName(current, allowMissingColumns=True)
+                  .groupBy(F.coalesce("o_orderpriority", F.lit("<missing>"))
+                            .alias("priority"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       dsum("o_totalprice").alias("revenue")))
+
+
+from mura_spark.operators.skyline import sql_skyline_min_max  # noqa: E402
+
+
+@q("parts_skyline",
+   sql_skyline_min_max("part", "p_retailprice", "p_size",
+                       count_alias="n_parts", rep_expr="p_partkey",
+                       rep_alias="rep_partkey")
+   + " ORDER BY p_retailprice ASC, p_size DESC")
+def parts_skyline(spark, sf):
+    """Skyline / Pareto frontier (Börzsönyi ICDE'01): the parts where no
+    other part is both cheaper and larger — the classic preference query
+    the reference's comparison operators compose into. Three lossless
+    stages (cell reduction → bucket prune → survivor sweep, see
+    operators/skyline.py); the only single-partition work is over pruned
+    survivors, never the input."""
+    from mura_spark.operators.skyline import skyline_min_max
+    p = table(spark, sf, "part")
+    return (skyline_min_max(p, "p_retailprice", "p_size",
+                            count_alias="n_parts", rep_col="p_partkey",
+                            rep_alias="rep_partkey")
+            .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc()))
+
+
+@q("window_cume_dist",
+   "WITH t AS (SELECT o_orderpriority, "
+   "cume_dist() OVER (PARTITION BY o_orderpriority "
+   "ORDER BY o_totalprice) AS cd FROM orders) "
+   "SELECT o_orderpriority, COUNT(*) AS n, "
+   "CAST(SUM(CAST(floor(cd * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+   "AS sum_cd_micro, "
+   "CAST(SUM(CASE WHEN cd <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_below_half FROM t GROUP BY o_orderpriority")
+def window_cume_dist(spark, sf):
+    """CUME_DIST — the last uncovered ranking-family window (after
+    row_number/rank/percent_rank/ntile/nth_value): each order's
+    cumulative distribution of total price within its priority class.
+    cume_dist is tie-stable (rows ≤ current VALUE over partition size),
+    so no tiebreak key is needed; the ratio of two ints is one IEEE
+    division, micro-quantized per row before the integer profile sums.
+    One priority-key window shuffle + map-side-combined groupBy."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cd = F.cume_dist().over(w)
+    return (o.select("o_orderpriority", cd.alias("cd"))
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(micro(F.col("cd"))).cast("bigint")
+                   .alias("sum_cd_micro"),
+                  F.sum(F.when(F.col("cd") <= 0.5, 1).otherwise(0))
+                   .cast("bigint").alias("n_below_half")))
+
+
+@q("agg_boolean_profile",
+   "SELECT o_orderpriority, COUNT(*) AS n, "
+   "CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_big, "
+   "bool_and(o_totalprice > 900) AS all_above_floor, "
+   "bool_or(o_totalprice > 400000) AS any_huge "
+   "FROM orders GROUP BY o_orderpriority")
+def agg_boolean_profile(spark, sf):
+    """Boolean-aggregate SQL surface (COUNT_IF / BOOL_AND / BOOL_OR —
+    ANSI EVERY/ANY): per-priority order-value profile. All four are
+    single-pass map-side-combinable aggregates over exact predicates;
+    one reduced shuffle of ≤5 groups."""
+    o = table(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count_if(F.col("o_totalprice") > 150000)
+                   .cast("bigint").alias("n_big"),
+                  F.bool_and(F.col("o_totalprice") > 900)
+                   .alias("all_above_floor"),
+                  F.bool_or(F.col("o_totalprice") > 400000)
+                   .alias("any_huge")))

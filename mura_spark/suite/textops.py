@@ -641,3 +641,208 @@ def pipeline_attrition_report(spark, sf):
     rate = (F.col("n_quality").cast("double")
             / F.col("n_raw").cast("double"))
     return j.withColumn("keep_rate_micro", micro(rate))
+
+
+@q("text_gopher_rules",
+   "WITH d AS (SELECT source, "
+   f"{_TOKS} AS tk, "
+   "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm "
+   "FROM documents), "
+   "m AS (SELECT source, len(tk) AS n, "
+   "length(norm) - (len(tk) - 1) AS sum_chars, "
+   "len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'to'))) "
+   "AS n_stop FROM d), "
+   "r AS (SELECT source, "
+   "CASE WHEN n >= 30 AND n <= 80 THEN 1 ELSE 0 END AS p_wc, "
+   "CASE WHEN sum_chars >= 3 * n AND 5 * sum_chars <= 21 * n "
+   "THEN 1 ELSE 0 END AS p_mwl, "
+   "CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop FROM m) "
+   "SELECT source, COUNT(*) AS n_docs, "
+   "CAST(SUM(p_wc) AS BIGINT) AS pass_word_count, "
+   "CAST(SUM(p_mwl) AS BIGINT) AS pass_mean_word_len, "
+   "CAST(SUM(p_stop) AS BIGINT) AS pass_stopwords, "
+   "CAST(SUM(p_wc * p_mwl * p_stop) AS BIGINT) AS pass_all "
+   "FROM r GROUP BY source")
+def text_gopher_rules(spark, sf):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1:
+    word-count bounds, mean-word-length band, minimum stop-word
+    evidence), reported as per-source pass rates — the audit that sizes
+    a rule-based pretraining filter before it runs. Every rule is an
+    integer inequality (mean-word-length 3.0–4.2 is spelled
+    ``3n ≤ Σchars`` and ``5·Σchars ≤ 21·n``), so there is no float
+    anywhere; Σchars derives from the single-spaced normalized length
+    rather than a per-token list sum. One scan, one map-side-combined
+    groupBy on source."""
+    d = table(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    norm = TX.normalize(F.col("text"))
+    n = F.size(toks)
+    sum_chars = F.length(norm) - (n - F.lit(1))
+    n_stop = F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+    p_wc = F.when((n >= 30) & (n <= 80), 1).otherwise(0)
+    p_mwl = F.when((sum_chars >= 3 * n)
+                   & (5 * sum_chars <= 21 * n), 1).otherwise(0)
+    p_stop = F.when(n_stop >= 2, 1).otherwise(0)
+    return (d.select("source", p_wc.alias("p_wc"), p_mwl.alias("p_mwl"),
+                     p_stop.alias("p_stop"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("p_wc").cast("bigint").alias("pass_word_count"),
+                  F.sum("p_mwl").cast("bigint").alias("pass_mean_word_len"),
+                  F.sum("p_stop").cast("bigint").alias("pass_stopwords"),
+                  F.sum(F.col("p_wc") * F.col("p_mwl") * F.col("p_stop"))
+                   .cast("bigint").alias("pass_all")))
+
+
+@q("text_char_entropy",
+   "WITH ch AS (SELECT lang, doc_id, unnest(string_split(text, '')) AS c "
+   "FROM documents), "
+   "cnt AS (SELECT lang, doc_id, c, COUNT(*) AS k FROM ch "
+   "WHERE c <> '' GROUP BY 1, 2, 3), "
+   "tot AS (SELECT lang, doc_id, c, k, "
+   "CAST(SUM(k) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM cnt), "
+   "term AS (SELECT lang, doc_id, "
+   "CAST(floor(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "* log2(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "* 1000000000.0 + 0.5) AS BIGINT) AS t_nano FROM tot), "
+   "doc AS (SELECT lang, doc_id, CAST(SUM(t_nano) AS BIGINT) AS e_nano "
+   "FROM term GROUP BY 1, 2) "
+   "SELECT lang, COUNT(*) AS n_docs, "
+   "CAST(SUM(e_nano) AS BIGINT) AS sum_entropy_nano, "
+   "CAST(SUM(e_nano) AS DOUBLE) / COUNT(*) AS avg_entropy_nano "
+   "FROM doc GROUP BY lang")
+def text_char_entropy(spark, sf):
+    """Per-language average character-distribution entropy — the
+    compression-style quality signal (low entropy ⇒ repetitive/
+    degenerate text, high ⇒ encrypted/garbled). Each (doc, char)
+    Shannon term quantizes to nano-units BEFORE any sum (log2 is libm-
+    sensitive), then docs and languages combine by exact integer
+    addition; the final average is one IEEE division. The char
+    histogram is a map-side-combined groupBy; the per-doc total rides a
+    doc-partitioned window over the tiny histogram, never the raw
+    chars."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    d = table(spark, sf, "documents")
+    ch = d.select("lang", "doc_id",
+                  F.explode(F.split(F.col("text"), "")).alias("c"))
+    cnt = (ch.where(F.col("c") != "")
+             .groupBy("lang", "doc_id", "c")
+             .agg(F.count(F.lit(1)).alias("k")))
+    n = F.sum("k").over(Window.partitionBy("doc_id")).cast("bigint")
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    term = (cnt.withColumn("n", n)
+               .select("lang", "doc_id",
+                       micro(-p * F.log2(p), 1e9).alias("t_nano")))
+    doc = (term.groupBy("lang", "doc_id")
+               .agg(F.sum("t_nano").cast("bigint").alias("e_nano")))
+    return (doc.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("e_nano").cast("bigint")
+                     .alias("sum_entropy_nano"),
+                    (F.sum("e_nano").cast("double")
+                     / F.count(F.lit(1))).alias("avg_entropy_nano")))
+
+
+@q("text_zipf_slope",
+   "WITH tok AS (SELECT lang, unnest(" + _TOKS + ") AS t FROM documents), "
+   "freq AS (SELECT lang, t, COUNT(*) AS f FROM tok GROUP BY 1, 2), "
+   "ranked AS (SELECT lang, f, ROW_NUMBER() OVER (PARTITION BY lang "
+   "ORDER BY f DESC, t ASC) AS r FROM freq), "
+   "pts AS (SELECT lang, "
+   "CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lx, "
+   "CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ly "
+   "FROM ranked WHERE r <= 200), "
+   "m AS (SELECT lang, COUNT(*) AS n_ranks, "
+   "SUM(CAST(lx AS DECIMAL(38,0))) AS sx, "
+   "SUM(CAST(lx AS DECIMAL(38,0)) * CAST(lx AS DECIMAL(38,0))) AS sxx, "
+   "SUM(CAST(ly AS DECIMAL(38,0))) AS sy, "
+   "SUM(CAST(lx AS DECIMAL(38,0)) * CAST(ly AS DECIMAL(38,0))) AS sxy "
+   "FROM pts GROUP BY lang) "
+   "SELECT lang, n_ranks, "
+   "CASE WHEN CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE) "
+   "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN "
+   "CAST(floor((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE) "
+   "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+   "/ (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE) "
+   "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS slope_micro FROM m")
+def text_zipf_slope(spark, sf):
+    """Zipf rank-frequency slope per language: OLS of ln(freq) on
+    ln(rank) over the top-200 token ranks. Natural text sits near −1;
+    a flat or steep slope flags boilerplate-heavy or degenerate
+    corpora. ln() quantizes to micro per point BEFORE the moment sums
+    (which accumulate as exact DECIMAL), and the closed-form slope is
+    one double expression mirrored subexpression-for-subexpression in
+    the twin. Token frequencies are one map-side-combined groupBy; the
+    per-language rank filter is a WindowGroupLimit (top-200 pre-reduced
+    per partition), never a full sort."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    d = table(spark, sf, "documents")
+    tok = d.select("lang", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(),
+                                           F.col("t").asc())
+    pts = (freq.withColumn("r", F.row_number().over(w))
+               .where(F.col("r") <= 200)
+               .select("lang",
+                       micro(F.log(F.col("r").cast("double"))).alias("lx"),
+                       micro(F.log(F.col("f").cast("double"))).alias("ly")))
+    lx = F.col("lx").cast("decimal(38,0)")
+    ly = F.col("ly").cast("decimal(38,0)")
+    m = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum(lx).alias("sx"), F.sum(lx * lx).alias("sxx"),
+        F.sum(ly).alias("sy"), F.sum(lx * ly).alias("sxy"))
+    nd = F.col("n_ranks").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / den
+    return m.select("lang", "n_ranks",
+                    F.when(den != F.lit(0.0),
+                           micro(slope)).alias("slope_micro"))
+
+
+@q("sample_token_budget",
+   "WITH d AS (SELECT source, doc_id, n_chars, "
+   f"len({_TOKS}) AS n_tok FROM documents), "
+   "c AS (SELECT source, n_tok, "
+   "CAST(SUM(n_tok) OVER (PARTITION BY source "
+   "ORDER BY n_chars DESC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING "
+   "AND CURRENT ROW) AS BIGINT) AS cum FROM d) "
+   "SELECT source, COUNT(*) AS n_docs_total, "
+   "CAST(SUM(CASE WHEN cum <= 800 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_docs_kept, "
+   "CAST(SUM(CASE WHEN cum <= 800 THEN n_tok ELSE 0 END) AS BIGINT) "
+   "AS tokens_kept FROM c GROUP BY source")
+def sample_token_budget(spark, sf):
+    """Token-budget-capped selection — the pretraining mixture knob
+    stated in tokens rather than document ratios (`sample_mixture_*`)
+    or temperatures: within each source, greedily keep documents in
+    (length desc, doc_id) priority order while the running token total
+    stays inside the per-source budget, and report the realized
+    funnel. The cumulative sum is a source-partitioned ROWS window over
+    a unique total order, so the kept set is deterministic; one
+    source-key shuffle, profile folded map-side to one row per
+    source."""
+    from pyspark.sql import Window
+    d = table(spark, sf, "documents").select(
+        "source", "doc_id", "n_chars",
+        F.size(TX.tokens(F.col("text"))).alias("n_tok"))
+    w = (Window.partitionBy("source")
+               .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    c = d.select("source", "n_tok",
+                 F.sum("n_tok").over(w).cast("bigint").alias("cum"))
+    kept = F.col("cum") <= 800
+    return (c.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs_total"),
+                  F.sum(F.when(kept, 1).otherwise(0)).cast("bigint")
+                   .alias("n_docs_kept"),
+                  F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+                   .cast("bigint").alias("tokens_kept")))

@@ -1,0 +1,298 @@
+"""Semantic tests for the round-6 additions (skyline, NTILE /
+ratio-to-report / CUME_DIST windows, union-by-name, Gopher rules,
+char entropy, Zipf slope, linear interpolation, Poisson bootstrap,
+token-budget sampling, boolean aggregates) on hand-built inputs with
+independently computed answers. Cross-engine value equality is pinned
+separately by the oracle sweep."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def _micro(x):
+    return math.floor(x * 1e6 + 0.5)
+
+
+# ------------------------------------------------------------- helpers
+
+def _write(spark, tmp_path, name, rows, schema):
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(rows, schema)
+          .coalesce(1).write.mode("append").parquet(f"{out}/{name}.parquet"))
+    return out
+
+
+def _mini_orders(spark, tmp_path, rows):
+    """(o_orderkey, o_custkey, o_totalprice, o_orderpriority)"""
+    return _write(
+        spark, tmp_path, "orders",
+        [(k, c, float(p), pr) for k, c, p, pr in rows],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderpriority string")
+
+
+def _mini_customer(spark, tmp_path, rows):
+    """(c_custkey, c_mktsegment, c_acctbal)"""
+    return _write(
+        spark, tmp_path, "customer",
+        [(k, s, float(b)) for k, s, b in rows],
+        "c_custkey long, c_mktsegment string, c_acctbal double")
+
+
+def _mini_docs(spark, tmp_path, rows):
+    """(doc_id, text, lang, source)"""
+    return _write(
+        spark, tmp_path, "documents",
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in
+         enumerate(rows)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+
+# ------------------------------------------------------------- skyline
+
+def _brute_skyline(pts):
+    """Reference dominance filter over distinct (x, y) cells."""
+    cells = sorted(set(pts))
+    return sorted(
+        c for c in cells
+        if not any(d != c and d[0] <= c[0] and d[1] >= c[1]
+                   for d in cells))
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    from mura_spark.operators.skyline import skyline_min_max
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 40) / 4.0, rng.randint(0, 30))
+           for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x double, y long")
+    got = sorted((r.x, r.y) for r in
+                 skyline_min_max(df, "x", "y").collect())
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_counts_and_representative(spark):
+    from mura_spark.operators.skyline import skyline_min_max
+    rows = [(1, 1.0, 10), (2, 1.0, 10), (3, 2.0, 5), (4, 0.5, 3),
+            (5, 3.0, 12)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = {(r.x, r.y): (r.n_rows, r.rep_key) for r in
+           skyline_min_max(df, "x", "y", rep_col="id").collect()}
+    # (2.0, 5) dominated by (1.0, 10); (0.5, 3) survives (cheapest);
+    # (3.0, 12) survives (largest); (1.0, 10) survives.
+    assert got == {(1.0, 10): (2, 1), (0.5, 3): (1, 4), (3.0, 12): (1, 5)}
+
+
+def test_parts_skyline_is_pareto_frontier(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    rows = SPARK_QUERIES["parts_skyline"](spark, sf_dir).collect()
+    pts = [(r.p_retailprice, r.p_size) for r in rows]
+    # no survivor dominates another survivor
+    assert not any(
+        a != b and a[0] <= b[0] and a[1] >= b[1]
+        for a in pts for b in pts)
+    # spot-check: every non-survivor cell is dominated by some survivor
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .groupBy("p_retailprice", "p_size").count().collect())
+    surv = set(pts)
+    for r in part:
+        c = (r.p_retailprice, r.p_size)
+        if c in surv:
+            continue
+        assert any(s[0] <= c[0] and s[1] >= c[1] and s != c
+                   for s in pts), c
+
+
+# ----------------------------------------------------- ranking windows
+
+def test_window_ntile_balanced_and_ordered(spark, tmp_path):
+    sf = _mini_customer(
+        spark, tmp_path,
+        [(i, "SEG", 100.0 * i) for i in range(10)])  # 10 rows, 4 tiles
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.quartile: r for r in
+           SPARK_QUERIES["window_ntile"](spark, sf).collect()}
+    # NTILE(4) over 10 rows: sizes 3,3,2,2 (first buckets take the extra)
+    assert [got[q].n for q in (1, 2, 3, 4)] == [3, 3, 2, 2]
+    # contiguous, ordered buckets
+    for q in (1, 2, 3):
+        assert got[q].bal_hi < got[q + 1].bal_lo
+
+
+def test_window_ratio_to_report_shares(spark, tmp_path):
+    sf = _mini_orders(spark, tmp_path,
+                      [(1, 10, 100.0, "p"), (2, 10, 300.0, "p"),
+                       (3, 20, 50.0, "p")])
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.o_orderkey: r.share for r in
+           SPARK_QUERIES["window_ratio_to_report"](spark, sf).collect()}
+    assert got == {1: 0.25, 2: 0.75, 3: 1.0}
+
+
+def test_window_cume_dist_tie_semantics(spark, tmp_path):
+    sf = _mini_orders(spark, tmp_path,
+                      [(1, 1, 100.0, "p"), (2, 1, 100.0, "p"),
+                       (3, 1, 200.0, "p"), (4, 1, 300.0, "p")])
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["window_cume_dist"](spark, sf).collect()[0]
+    # cume_dist: ties share rows-<=-value/n: .5, .5, .75, 1.0
+    assert r.n == 4
+    assert r.sum_cd_micro == _micro(.5) + _micro(.5) + _micro(.75) + _micro(1.0)
+    assert r.n_below_half == 2
+
+
+# ------------------------------------------- union-by-name + booleans
+
+def test_setop_union_byname_nullfills(spark, tmp_path):
+    sf = _mini_orders(spark, tmp_path,
+                      [(3, 1, 10.0, "P1"), (6, 1, 20.0, "P1"),
+                       (1, 1, 5.0, "P2"), (2, 1, 7.0, "P3")])
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.priority: (r.n, r.revenue) for r in
+           SPARK_QUERIES["setop_union_byname"](spark, sf).collect()}
+    # keys 3 and 6 go to the legacy (no-priority) side
+    assert got == {"<missing>": (2, 30.0), "P2": (1, 5.0), "P3": (1, 7.0)}
+
+
+def test_agg_boolean_profile_semantics(spark, tmp_path):
+    sf = _mini_orders(spark, tmp_path,
+                      [(1, 1, 1000.0, "a"), (2, 1, 200000.0, "a"),
+                       (3, 1, 500.0, "b"), (4, 1, 450000.0, "b")])
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.o_orderpriority: r for r in
+           SPARK_QUERIES["agg_boolean_profile"](spark, sf).collect()}
+    assert (got["a"].n_big, got["a"].all_above_floor,
+            got["a"].any_huge) == (1, True, False)
+    assert (got["b"].n_big, got["b"].all_above_floor,
+            got["b"].any_huge) == (1, False, True)
+
+
+# ------------------------------------------------------- text quality
+
+def _gopher_flags(text):
+    toks = text.lower().split()
+    n = len(toks)
+    sum_chars = sum(len(t) for t in toks)
+    n_stop = sum(1 for t in toks if t in ("the", "a", "of", "and", "to"))
+    return (int(30 <= n <= 80),
+            int(3 * n <= sum_chars and 5 * sum_chars <= 21 * n),
+            int(n_stop >= 2))
+
+
+def test_gopher_rules_on_engineered_docs(spark, tmp_path):
+    docs = [
+        # passes all three: 30 words, mean len in band, 2 stopwords
+        ("the cat and " + " ".join(["word"] * 27), "en", "s1"),
+        # too short
+        ("the of tiny", "en", "s1"),
+        # no stopword evidence
+        (" ".join(["spark"] * 40), "en", "s1"),
+        # mean word length too long
+        ("the of " + " ".join(["preposterously"] * 38), "en", "s1"),
+    ]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["text_gopher_rules"](spark, sf).collect()[0]
+    exp = [_gopher_flags(t) for t, _, _ in docs]
+    assert r.n_docs == 4
+    assert r.pass_word_count == sum(e[0] for e in exp)
+    assert r.pass_mean_word_len == sum(e[1] for e in exp)
+    assert r.pass_stopwords == sum(e[2] for e in exp)
+    assert r.pass_all == sum(e[0] * e[1] * e[2] for e in exp)
+    assert r.pass_all == 1  # only the engineered-good doc
+
+
+def test_char_entropy_exact_single_doc(spark, tmp_path):
+    sf = _mini_docs(spark, tmp_path, [("aab", "en", "s1")])
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["text_char_entropy"](spark, sf).collect()[0]
+    exp = (math.floor(-(2 / 3) * math.log2(2 / 3) * 1e9 + 0.5)
+           + math.floor(-(1 / 3) * math.log2(1 / 3) * 1e9 + 0.5))
+    assert (r.n_docs, r.sum_entropy_nano) == (1, exp)
+
+
+def test_zipf_slope_engineered_power_law(spark, tmp_path):
+    # corpus with token freqs exactly f(r) = 2^(8-r): ln f = C - r·ln 2,
+    # but the regression is on ln r, so just mirror the quantized OLS.
+    freqs = {f"t{r:02d}": 2 ** (8 - r) for r in range(1, 9)}
+    text = " ".join(" ".join([t] * f) for t, f in sorted(freqs.items()))
+    sf = _mini_docs(spark, tmp_path, [(text, "en", "s1")])
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["text_zipf_slope"](spark, sf).collect()[0]
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [(_micro(math.log(i + 1)), _micro(math.log(f)))
+           for i, (_, f) in enumerate(ranked)]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.n_ranks == n
+    assert abs(r.slope_micro - _micro(slope)) <= 5  # libm last-ulp slack
+    assert r.slope_micro < 0  # decreasing rank-frequency curve
+
+
+# --------------------------------------------- interpolation resample
+
+def test_interpolate_linear_exact_interior_and_edges(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 9, 1)
+    rows = [(0, base, 1, "purchase", 1.0, "{}"),
+            (1, base + dt.timedelta(hours=4), 1, "purchase", 5.0, "{}")]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.hr.hour: (r.filled, r.v_interp) for r in
+           SPARK_QUERIES["events_interpolate_linear"](spark, out)
+           .collect()}
+    # known endpoints kept, interior hours at exact thirds of the gap
+    assert got[0] == (False, _micro(1.0))
+    assert got[4] == (False, _micro(5.0))
+    assert got[1] == (True, _micro(1.0) + round((_micro(5.0) - _micro(1.0)) * 0.25))
+    assert got[2] == (True, _micro(1.0) + round((_micro(5.0) - _micro(1.0)) * 0.5))
+    assert got[3] == (True, _micro(1.0) + round((_micro(5.0) - _micro(1.0)) * 0.75))
+
+
+# --------------------------------------------------- Poisson bootstrap
+
+def test_bootstrap_ci_envelope(spark, sf_dir):
+    import duckdb
+    from mura_spark.suite import SPARK_QUERIES
+    rows = SPARK_QUERIES["stats_bootstrap_ci"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' "
+        "WHERE event_type = 'purchase'").fetchone()[0]
+    mean_micro = duckdb.sql(
+        f"SELECT SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+        f"/ COUNT(*) FROM '{sf_dir}/events.parquet' "
+        "WHERE event_type = 'purchase'").fetchone()[0]
+    # effective sizes concentrate around n (Poisson(1) weight sum)
+    for r in rows:
+        assert abs(r.n_eff - n) < 5 * math.sqrt(n) + 1
+    # the 2.5%..97.5% replicate-mean envelope brackets the true mean
+    means = sorted(r.mean_micro for r in rows)
+    assert means[2] <= mean_micro <= means[97]
+
+
+# ------------------------------------------------- token-budget sample
+
+def test_token_budget_greedy_funnel(spark, tmp_path):
+    # doc lengths (tokens): 500, 250, 200, 100 — in (n_chars desc,
+    # doc_id) order the running total hits 500, 750, 950, 1050; the
+    # 800-token budget keeps exactly the first two.
+    docs = [(" ".join(["tok"] * k), "en", "s1")
+            for k in (500, 250, 200, 100)]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["sample_token_budget"](spark, sf).collect()[0]
+    assert (r.n_docs_total, r.n_docs_kept, r.tokens_kept) == (4, 2, 750)
