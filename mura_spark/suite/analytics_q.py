@@ -1740,17 +1740,20 @@ def sample_split_temporal(spark, sf):
 
 
 @q("stats_bootstrap_ci",
-   "WITH reps AS (SELECT unnest(generate_series(0, 99)) AS b), "
+   "WITH grp AS (SELECT unnest(generate_series(0, 9)) AS g), "
+   "slt AS (SELECT unnest(generate_series(0, 9)) AS s), "
    "ev AS (SELECT event_id, "
    "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v "
    "FROM events WHERE event_type = 'purchase'), "
-   "wts AS (SELECT reps.b, ev.v, "
-   "CAST('0x' || substr(md5(CAST(ev.event_id AS VARCHAR) || ':' || "
-   "CAST(reps.b AS VARCHAR)), 1, 12) AS BIGINT) % 1000 AS u "
-   "FROM ev CROSS JOIN reps), "
-   "wtd AS (SELECT b, v, CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 "
-   "WHEN u < 920 THEN 2 WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 "
-   "WHEN u < 999 THEN 5 ELSE 6 END AS w FROM wts) "
+   "hashed AS (SELECT v, g, md5(CAST(event_id AS VARCHAR) || ':' || "
+   "CAST(g AS VARCHAR)) AS h FROM ev CROSS JOIN grp), "
+   "wts AS (SELECT v, g * 10 + s AS b, "
+   "CAST('0x' || substr(h, s * 3 + 1, 3) AS BIGINT) AS u "
+   "FROM hashed CROSS JOIN slt), "
+   "wtd AS (SELECT b, v, CASE WHEN u < 1507 THEN 0 "
+   "WHEN u < 3014 THEN 1 WHEN u < 3767 THEN 2 WHEN u < 4018 THEN 3 "
+   "WHEN u < 4081 THEN 4 WHEN u < 4094 THEN 5 ELSE 6 END AS w "
+   "FROM wts) "
    "SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff, "
    "CAST(floor(CAST(SUM(CAST(w * v AS DECIMAL(38,0))) AS DOUBLE) "
    "/ CAST(SUM(w) AS DOUBLE) + 0.5) AS BIGINT) AS mean_micro "
@@ -1759,29 +1762,43 @@ def stats_bootstrap_ci(spark, sf):
     """Poisson bootstrap (Chamandy et al. 2012 — the streaming-scale
     bootstrap: per-replicate multinomial counts approximated by
     independent Poisson(1) weights) over mean purchase value, 100
-    replicates. The weight is DERIVED, not drawn: the 48-bit MD5 of
-    (event_id, replicate) maps through the exact Poisson(1) cdf
-    thresholds (×1000), so both engines see identical resamples and the
-    replicate means hash-match exactly. Scale shape: the B× row blowup
-    is map-side-combined to B groups before any shuffle — no resample
-    is ever materialized — and the weighted sums accumulate as exact
-    DECIMAL(38,0) so replicate means are aggregation-order-free. The
-    2.5%/97.5% envelope over the 100 replicate means is pinned in
-    pytest (the CI itself is order statistics over 100 rows)."""
-    from mura_spark.functions.hashing import md5_hash48
+    replicates. The weight is DERIVED, not drawn: 100 replicates need
+    only TEN MD5s per row — each 128-bit digest of (event_id, hash
+    group) yields ten independent 12-bit slices, each mapped through
+    the Poisson(1) cdf thresholds (×4096) — so both engines see
+    identical resamples and the replicate means hash-match exactly
+    (the naive one-MD5-per-replicate layout measured 2.0× slower at the
+    30× probe; the digest is the largest per-row cost). The hash is computed in the
+    projection BELOW the slot explode, so each digest is materialized
+    once and fanned out, never recomputed per replicate. Scale shape:
+    the B× row blowup is map-side-combined to B groups before any
+    shuffle — no resample is ever materialized — and the weighted sums
+    accumulate as exact DECIMAL(38,0) so replicate means are
+    aggregation-order-free; O(B·n) work is inherent to a full-corpus
+    bootstrap (probe: linear at 10×/30×, constant-bound by the 10
+    digests). The 2.5%/97.5% envelope over the 100 replicate means is
+    pinned in pytest (the CI itself is order statistics over 100
+    rows)."""
     from mura_spark.functions.quantize import micro
     ev = (table(spark, sf, "events")
           .where(F.col("event_type") == "purchase")
           .select("event_id", micro(F.col("value")).alias("v")))
-    reps = spark.range(100).select(F.col("id").alias("b"))
-    u = md5_hash48(F.concat_ws(
-        ":", F.col("event_id").cast("string"),
-        F.col("b").cast("string"))) % 1000
-    w = (F.when(u < 368, 0).when(u < 736, 1).when(u < 920, 2)
-          .when(u < 981, 3).when(u < 996, 4).when(u < 999, 5)
+    grp = spark.range(10).select(F.col("id").alias("g"))
+    hashed = ev.crossJoin(F.broadcast(grp)).select(
+        "v", "g",
+        F.md5(F.concat_ws(":", F.col("event_id").cast("string"),
+                          F.col("g").cast("string"))).alias("h"))
+    u_slices = F.array(*[
+        F.conv(F.substring("h", s * 3 + 1, 3), 16, 10).cast("bigint")
+        for s in range(10)])
+    wts = hashed.select(
+        "v", "g", F.posexplode(u_slices).alias("s", "u"))
+    w = (F.when(F.col("u") < 1507, 0).when(F.col("u") < 3014, 1)
+          .when(F.col("u") < 3767, 2).when(F.col("u") < 4018, 3)
+          .when(F.col("u") < 4081, 4).when(F.col("u") < 4094, 5)
           .otherwise(6))
-    wtd = ev.crossJoin(F.broadcast(reps)).select(
-        "b", "v", w.alias("w"))
+    wtd = wts.select((F.col("g") * 10 + F.col("s")).alias("b"),
+                     "v", w.alias("w"))
     mean = (F.floor(F.sum((F.col("w") * F.col("v"))
                           .cast("decimal(38,0)")).cast("double")
                     / F.sum("w").cast("double") + F.lit(0.5))
