@@ -218,6 +218,11 @@ BENCH_QUERIES = [
     "events_interpolate_linear",
     "stats_bootstrap_ci",
     "sample_token_budget",
+    "text_langid_confusion",
+    "text_quality_calibration",
+    "events_trending_topk",
+    "emb_pair_cosine_histogram",
+    "orders_ship_latency",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -144,6 +144,12 @@ _NEXT_WINDOW = [
     "window_cume_dist", "agg_boolean_profile",
     "events_interpolate_linear", "stats_bootstrap_ci",
     "sample_token_budget",
+    # round-6d: classifier evaluation (confusion matrix, calibration),
+    # trending top-k by day-over-day growth, embedding isotropy
+    # histogram, order-to-ship latency rollup
+    "text_langid_confusion", "text_quality_calibration",
+    "events_trending_topk", "emb_pair_cosine_histogram",
+    "orders_ship_latency",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1806,3 +1806,59 @@ def stats_bootstrap_ci(spark, sf):
     return (wtd.groupBy("b")
                .agg(F.sum("w").cast("bigint").alias("n_eff"),
                     mean.alias("mean_micro")))
+
+
+@q("emb_pair_cosine_histogram",
+   "WITH pairs AS (SELECT a.vec_id AS id, "
+   "CAST(a.embedding AS DOUBLE[]) AS ea, "
+   "CAST(b.embedding AS DOUBLE[]) AS eb "
+   "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1), "
+   "t AS (SELECT id, "
+   "CAST(list_sum(list_transform(list_zip(ea, eb), "
+   "z -> CAST(floor(z[1] * z[2] * 1e12) AS BIGINT))) AS BIGINT) AS dot, "
+   "CAST(list_sum(list_transform(ea, "
+   "x -> CAST(floor(x * x * 1e12) AS BIGINT))) AS BIGINT) AS na, "
+   "CAST(list_sum(list_transform(eb, "
+   "x -> CAST(floor(x * x * 1e12) AS BIGINT))) AS BIGINT) AS nb "
+   "FROM pairs), "
+   "c AS (SELECT CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) "
+   "* CAST(nb AS DOUBLE)) AS cs FROM t WHERE na > 0 AND nb > 0), "
+   "m AS (SELECT CAST(floor(CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT) "
+   "/ 100000.0) AS BIGINT) AS bin FROM c) "
+   "SELECT bin, COUNT(*) AS n_pairs FROM m GROUP BY bin")
+def emb_pair_cosine_histogram(spark, sf):
+    """Random-pair cosine-similarity histogram — the isotropy / hubness
+    diagnostic (a healthy embedding space puts random-pair cosine in a
+    tight band near 0; a drifted or collapsed one skews positive). The
+    deterministic 'random' pairing is consecutive vec_ids (an equi-join,
+    no sampling RNG, one key shuffle); per-term products quantize to
+    1e12 fixed point before the integer sums — the scales cancel in
+    dot/√(na·nb) — and the per-pair cosine micro-quantizes BEFORE the
+    0.1-wide binning so a last-ulp sqrt can't flip a bin. Per-row O(dim)
+    JVM higher-order functions, histogram reduced map-side to ≤21
+    groups."""
+    from mura_spark.functions.quantize import micro
+    e = table(spark, sf, "embeddings")
+    to_d = lambda col: F.transform(col, lambda x: x.cast("double"))
+    a = e.select("vec_id", to_d("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"),
+                 to_d("embedding").alias("eb"))
+    q12 = F.lit(1e12)
+    zero = F.lit(0).cast("bigint")
+    pairs = a.join(b, "vec_id")
+    dot = F.aggregate(
+        F.zip_with("ea", "eb",
+                   lambda x, y: F.floor(x * y * q12).cast("bigint")),
+        zero, lambda acc, x: acc + x)
+    sq = lambda col: F.aggregate(
+        F.transform(col, lambda x: F.floor(x * x * q12).cast("bigint")),
+        zero, lambda acc, x: acc + x)
+    t = pairs.select(dot.alias("dot"), sq("ea").alias("na"),
+                     sq("eb").alias("nb"))
+    cs = (F.col("dot").cast("double")
+          / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")))
+    c = (t.where((F.col("na") > 0) & (F.col("nb") > 0))
+          .select(micro(cs).alias("cs_micro")))
+    bin_ = F.floor(F.col("cs_micro") / F.lit(100000.0)).cast("bigint")
+    return (c.groupBy(bin_.alias("bin"))
+             .agg(F.count(F.lit(1)).alias("n_pairs")))

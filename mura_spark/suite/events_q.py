@@ -865,3 +865,46 @@ def events_interpolate_linear(spark, sf):
                                        + F.lit(0.5)).cast("bigint")))
     return j.select("hr", F.col("v").isNull().alias("filled"),
                     interp.alias("v_interp"))
+
+
+@q("events_trending_topk",
+   "WITH d AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, "
+   "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+   "l AS (SELECT day, event_type, n, lag(n) OVER (PARTITION BY "
+   "event_type ORDER BY day) AS prev_n FROM d), "
+   "g AS (SELECT day, event_type, n, prev_n, "
+   "CAST(floor((CAST(n AS DOUBLE) - prev_n) / prev_n * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS growth_micro FROM l "
+   "WHERE prev_n IS NOT NULL AND prev_n > 0), "
+   "r AS (SELECT day, event_type, n, prev_n, growth_micro, "
+   "row_number() OVER (PARTITION BY day ORDER BY growth_micro DESC, "
+   "event_type ASC) AS rk FROM g) "
+   "SELECT day, event_type, n, prev_n, growth_micro, rk FROM r "
+   "WHERE rk <= 3")
+def events_trending_topk(spark, sf):
+    """Trending event types: top-3 per day by day-over-day count growth
+    (prev = the previous OBSERVED day for that type; a type's first day
+    has no baseline and is excluded). Both windows — the per-type lag
+    and the per-day growth rank — run over the daily rollup, whose size
+    is bounded by days × types, never the event count; the rank is a
+    WindowGroupLimit (top-3 pre-reduced per partition). Growth is one
+    IEEE divide of exact counts, micro-quantized per row; (growth,
+    type) is a total order so the top-3 set is deterministic."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    ev = table(spark, sf, "events")
+    d = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    wl = Window.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("prev_n", F.lag("n").over(wl))
+    g = (l.where(F.col("prev_n").isNotNull() & (F.col("prev_n") > 0))
+          .withColumn("growth_micro",
+                      micro((F.col("n").cast("double") - F.col("prev_n"))
+                            / F.col("prev_n"))))
+    wr = (Window.partitionBy("day")
+                .orderBy(F.col("growth_micro").desc(),
+                         F.col("event_type").asc()))
+    return (g.withColumn("rk", F.row_number().over(wr))
+             .where(F.col("rk") <= 3)
+             .select("day", "event_type", "n", "prev_n",
+                     "growth_micro", "rk"))

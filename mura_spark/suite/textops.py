@@ -62,16 +62,20 @@ def text_quality(spark, sf):
         TX.stopword_ratio(F.col("text")).alias("stopword_ratio"))
 
 
-def _langid_oracle() -> str:
+def _langid_case() -> str:
+    """DuckDB rendering of TX.lang_id as a CASE expression."""
     score = {lang: (f"len(list_filter({_TOKS}, t -> list_contains("
                     f"[{', '.join(repr(w) for w in words)}], t)))")
              for lang, words in TX.LANG_STOPWORDS.items()}
     m = "greatest(" + ", ".join(score.values()) + ")"
     cases = " ".join(f"WHEN {score[lang]} = {m} THEN '{lang}'"
                      for lang in sorted(score))
+    return f"CASE WHEN {m} = 0 THEN 'und' {cases} ELSE 'und' END"
+
+
+def _langid_oracle() -> str:
     return (f"SELECT doc_id, lang AS lang_declared, "
-            f"CASE WHEN {m} = 0 THEN 'und' {cases} ELSE 'und' END "
-            f"AS lang_pred FROM documents")
+            f"{_langid_case()} AS lang_pred FROM documents")
 
 
 @q("text_langid", _langid_oracle())
@@ -846,3 +850,84 @@ def sample_token_budget(spark, sf):
                    .alias("n_docs_kept"),
                   F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
                    .cast("bigint").alias("tokens_kept")))
+
+
+@q("text_langid_confusion",
+   f"WITH p AS (SELECT lang AS lang_declared, {_langid_case()} "
+   "AS lang_pred FROM documents) "
+   "SELECT lang_declared, lang_pred, COUNT(*) AS n "
+   "FROM p GROUP BY 1, 2")
+def text_langid_confusion(spark, sf):
+    """Language-ID confusion matrix: the heuristic classifier
+    (`text_langid`) evaluated against the declared language column —
+    the standard eval artifact before trusting a lang filter at corpus
+    scale (per-class recall/precision read straight off the matrix).
+    One scan, classifier is pure JVM expressions, matrix reduced
+    map-side to ≤|langs|² rows."""
+    d = table(spark, sf, "documents")
+    return (d.groupBy(F.col("lang").alias("lang_declared"),
+                      TX.lang_id(F.col("text")).alias("lang_pred"))
+             .agg(F.count(F.lit(1)).alias("n")))
+
+
+_QUALITY_SCORE_SQL = (
+    f"1.0 / (1.0 + exp(-(-3.0 + 4.0 * (CAST(len(list_distinct({_TOKS})) "
+    f"AS DOUBLE) / len({_TOKS})) + 6.0 * (CAST(len(list_filter({_TOKS}, "
+    f"t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
+    f"/ len({_TOKS})) - 2.0 * (CAST(length(text) - "
+    "length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) "
+    f"/ length(text)) + 1.5 * (least(CAST(len({_TOKS}) AS DOUBLE), "
+    "200.0) / 200.0))))")
+
+_QUALITY_PASS_SQL = (
+    f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) >= 0.3 "
+    f"AND len({_TOKS}) BETWEEN 20 AND 1000 "
+    "AND CAST(length(text) - length(regexp_replace(text, '[0-9]', '', "
+    "'g')) AS DOUBLE) / length(text) <= 0.3")
+
+
+@q("text_quality_calibration",
+   f"WITH s AS (SELECT CAST(floor({_QUALITY_SCORE_SQL} * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS score_micro, "
+   f"CASE WHEN {_QUALITY_PASS_SQL} THEN 1 ELSE 0 END AS pass "
+   "FROM documents), "
+   "b AS (SELECT least(CAST(floor(score_micro / 100000.0) AS BIGINT), "
+   "9) AS bin, score_micro, pass FROM s) "
+   "SELECT bin, COUNT(*) AS n, "
+   "CAST(SUM(pass) AS BIGINT) AS n_pass, "
+   "CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro, "
+   "CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS pass_rate "
+   "FROM b GROUP BY bin")
+def text_quality_calibration(spark, sf):
+    """Calibration / reliability table for the logistic quality scorer
+    (`text_quality_logistic`) against the rule-based gate
+    (`text_quality_filter`) as reference labels: decile score bins vs
+    empirical rule-pass rate — the check run before replacing rules
+    with a trained filter. Binning happens on the per-row MICRO-
+    quantized score (never the raw double), so a last-ulp sigmoid
+    difference cannot flip a bin across engines. One scan, all-JVM
+    expressions, ≤10 output groups combined map-side."""
+    from mura_spark.functions.quantize import micro
+    d = table(spark, sf, "documents")
+    t = TX.tokens(F.col("text"))
+    dr = TX.distinct_token_ratio(F.col("text"))
+    sr = TX.stopword_ratio(F.col("text"))
+    dg = TX.digit_ratio(F.col("text"))
+    cap = F.least(F.size(t).cast("double"), F.lit(200.0)) / F.lit(200.0)
+    z = (F.lit(-3.0) + F.lit(4.0) * dr + F.lit(6.0) * sr
+         - F.lit(2.0) * dg + F.lit(1.5) * cap)
+    score_micro = micro(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    rule_pass = ((dr >= 0.3)
+                 & F.size(t).between(20, 1000)
+                 & (dg <= 0.3)).cast("int")
+    s = d.select(score_micro.alias("score_micro"),
+                 rule_pass.alias("pass"))
+    bin_ = F.least(F.floor(F.col("score_micro") / F.lit(100000.0))
+                    .cast("bigint"), F.lit(9).cast("bigint"))
+    return (s.groupBy(bin_.alias("bin"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("pass").cast("bigint").alias("n_pass"),
+                  F.sum("score_micro").cast("bigint")
+                   .alias("sum_score_micro"),
+                  (F.sum("pass").cast("double") / F.count(F.lit(1)))
+                   .alias("pass_rate")))

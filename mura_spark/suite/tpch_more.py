@@ -606,3 +606,36 @@ def q12_priority_lines(spark, sf):
                    .alias("high_line_count"),
                   F.sum((~urgent).cast("int")).cast("bigint")
                    .alias("low_line_count")))
+
+
+@q("orders_ship_latency",
+   "WITH j AS (SELECT time_bucket(INTERVAL 1 MONTH, o_orderdate) AS mon, "
+   "(epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 "
+   "AS days FROM orders JOIN lineitem ON l_orderkey = o_orderkey) "
+   "SELECT mon, COUNT(*) AS n_lines, "
+   "CAST(SUM(days) AS BIGINT) AS sum_days, "
+   "CAST(MIN(days) AS BIGINT) AS min_days, "
+   "CAST(MAX(days) AS BIGINT) AS max_days, "
+   "CAST(SUM(CASE WHEN days > 60 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_late FROM j GROUP BY mon")
+def orders_ship_latency(spark, sf):
+    """Order-to-ship latency profile per order month — the fulfillment
+    SLA rollup (and the aggregate twin of q12's late-line filter):
+    whole-day latency from exact integer µs floor-division, so there is
+    no float anywhere. One fact-fact equi-join on the order key, then a
+    map-side-combined month rollup."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    days = F.floor((F.unix_micros("l_shipdate")
+                    - F.unix_micros("o_orderdate")).cast("double")
+                   / F.lit(86400000000.0)).cast("bigint")
+    j = (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+          .select(F.date_trunc("month", "o_orderdate").alias("mon"),
+                  days.alias("days")))
+    return (j.groupBy("mon")
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.sum("days").cast("bigint").alias("sum_days"),
+                  F.min("days").cast("bigint").alias("min_days"),
+                  F.max("days").cast("bigint").alias("max_days"),
+                  F.sum(F.when(F.col("days") > 60, 1).otherwise(0))
+                   .cast("bigint").alias("n_late")))

@@ -296,3 +296,96 @@ def test_token_budget_greedy_funnel(spark, tmp_path):
     from mura_spark.suite import SPARK_QUERIES
     r = SPARK_QUERIES["sample_token_budget"](spark, sf).collect()[0]
     assert (r.n_docs_total, r.n_docs_kept, r.tokens_kept) == (4, 2, 750)
+
+
+# ----------------------------------------------------- round-6d batch
+
+def _mini_events(spark, tmp_path, rows):
+    """(ts, user_id, event_type, value) -> events table dir."""
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, float(v), "{}") for i, (ts, uid, et, v)
+         in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = str(tmp_path / "mini")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_trending_topk_engineered_growth(spark, tmp_path):
+    import datetime as dt
+    d1 = dt.datetime(2024, 9, 1, 12)
+    d2 = d1 + dt.timedelta(days=1)
+    rows = ([(d1, 1, "a", 1.0)] * 10 + [(d2, 1, "a", 1.0)] * 20
+            + [(d1, 1, "b", 1.0)] * 10 + [(d2, 1, "b", 1.0)] * 5
+            + [(d2, 1, "c", 1.0)] * 99)  # no day-1 baseline -> excluded
+    sf = _mini_events(spark, tmp_path,
+                      [(ts, u, et, v) for ts, u, et, v in rows])
+    from mura_spark.suite import SPARK_QUERIES
+    got = {(r.day.day, r.event_type): (r.growth_micro, r.rk) for r in
+           SPARK_QUERIES["events_trending_topk"](spark, sf).collect()}
+    assert (2, "c") not in got  # first-seen type has no baseline
+    assert got[(2, "a")] == (_micro(1.0), 1)   # +100 %
+    assert got[(2, "b")] == (_micro(-0.5), 2)  # -50 %
+    assert (1, "a") not in got  # day 1 has no previous day at all
+
+
+def test_langid_confusion_consistent_with_pointwise(spark, sf_dir):
+    from collections import Counter
+    from mura_spark.suite import SPARK_QUERIES
+    point = Counter(
+        (r.lang_declared, r.lang_pred) for r in
+        SPARK_QUERIES["text_langid"](spark, sf_dir).collect())
+    mat = {(r.lang_declared, r.lang_pred): r.n for r in
+           SPARK_QUERIES["text_langid_confusion"](spark, sf_dir).collect()}
+    assert mat == dict(point)
+
+
+def test_quality_calibration_partitions_corpus(spark, sf_dir):
+    import duckdb
+    from mura_spark.suite import SPARK_QUERIES
+    rows = SPARK_QUERIES["text_quality_calibration"](spark, sf_dir).collect()
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.n_pass <= r.n
+        assert abs(r.pass_rate - r.n_pass / r.n) < 1e-12
+
+
+def test_pair_cosine_histogram_identical_and_orthogonal(spark, tmp_path):
+    vecs = [(0, [1.0, 0.0], 0), (1, [2.0, 0.0], 0),   # pair (0,1): cos 1
+            (10, [1.0, 0.0], 0), (11, [0.0, 3.0], 0)]  # pair (10,11): 0
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(vecs,
+                           "vec_id long, embedding array<float>, label int")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.bin: r.n_pairs for r in
+           SPARK_QUERIES["emb_pair_cosine_histogram"](spark, out).collect()}
+    assert got == {10: 1, 0: 1}  # cos 1.0 -> bin 10, cos 0.0 -> bin 0
+
+
+def test_ship_latency_exact_days(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(1995, 3, 1)
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        [(1, 1, 10.0, "p", base), (2, 1, 10.0, "p", base)],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderpriority string, o_orderdate timestamp")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet"))
+    (spark.createDataFrame(
+        [(1, base + dt.timedelta(days=10)),
+         (1, base + dt.timedelta(days=61, hours=12)),
+         (2, base + dt.timedelta(days=90))],
+        "l_orderkey long, l_shipdate timestamp")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["orders_ship_latency"](spark, out).collect()[0]
+    assert (r.n_lines, r.sum_days, r.min_days, r.max_days, r.n_late) == \
+        (3, 10 + 61 + 90, 10, 90, 2)
