@@ -223,6 +223,8 @@ BENCH_QUERIES = [
     "events_trending_topk",
     "emb_pair_cosine_histogram",
     "orders_ship_latency",
+    "text_dup_spans",
+    "text_token_fertility",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

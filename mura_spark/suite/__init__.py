@@ -150,6 +150,9 @@ _NEXT_WINDOW = [
     "text_langid_confusion", "text_quality_calibration",
     "events_trending_topk", "emb_pair_cosine_histogram",
     "orders_ship_latency",
+    # round-6e: span-level exact-substring duplication audit (Lee et al.
+    # ExactSubstr re-expressed relationally) + tokenizer fertility
+    "text_dup_spans", "text_token_fertility",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -931,3 +931,156 @@ def text_quality_calibration(spark, sf):
                    .alias("sum_score_micro"),
                   (F.sum("pass").cast("double") / F.count(F.lit(1)))
                    .alias("pass_rate")))
+
+
+#: positional (non-distinct) k-gram rendering for span detection: one row
+#: per shingle start position p (1-based over the token list)
+def _pos_shingles_sql(k: int) -> str:
+    return (f"SELECT doc_id, source, p, "
+            f"array_to_string({_TOKS}[p:p+{k - 1}], ' ') AS s "
+            f"FROM documents, "
+            f"unnest(range(1, greatest(len({_TOKS}) - {k - 1}, 0) + 1)) "
+            "AS t(p)")
+
+
+@q("text_dup_spans",
+   f"WITH sh AS ({_pos_shingles_sql(5)}), "
+   "multi AS (SELECT s FROM sh GROUP BY s "
+   "HAVING MIN(doc_id) <> MAX(doc_id)), "
+   "dup AS (SELECT sh.doc_id, sh.source, sh.p FROM sh "
+   "JOIN multi USING (s)), "
+   "isl AS (SELECT doc_id, source, p, "
+   "CASE WHEN MAX(p + 4) OVER (PARTITION BY doc_id ORDER BY p "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+   "OR p > MAX(p + 4) OVER (PARTITION BY doc_id ORDER BY p "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 "
+   "THEN 1 ELSE 0 END AS new_isl FROM dup), "
+   "ids AS (SELECT doc_id, source, p, "
+   "CAST(SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+   "AS isl_id FROM isl), "
+   "spans AS (SELECT doc_id, source, isl_id, "
+   "MAX(p) + 4 - MIN(p) + 1 AS span_tokens "
+   "FROM ids GROUP BY 1, 2, 3), "
+   "perdoc AS (SELECT doc_id, source, COUNT(*) AS n_spans, "
+   "CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens "
+   "FROM spans GROUP BY 1, 2), "
+   f"tot AS (SELECT source, doc_id, len({_TOKS}) AS n_tok "
+   "FROM documents) "
+   "SELECT tot.source, COUNT(*) AS n_docs, "
+   "CAST(SUM(tot.n_tok) AS BIGINT) AS total_tokens, "
+   "CAST(SUM(COALESCE(perdoc.dup_tokens, 0)) AS BIGINT) AS dup_tokens, "
+   "CAST(SUM(COALESCE(perdoc.n_spans, 0)) AS BIGINT) AS n_spans, "
+   "CAST(SUM(CASE WHEN perdoc.doc_id IS NOT NULL THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS docs_with_dups "
+   "FROM tot LEFT JOIN perdoc ON tot.doc_id = perdoc.doc_id "
+   "GROUP BY tot.source")
+def text_dup_spans(spark, sf):
+    """Span-level exact-substring duplication audit (the statistic behind
+    Lee et al. 2022's 'Deduplicating Training Data Makes Language Models
+    Better' ExactSubstr dedup, re-expressed relationally): a 5-token
+    window is DUPLICATED when the identical token run occurs in at least
+    one other document; overlapping duplicated windows merge into
+    maximal spans (gaps-and-islands over start positions), and the
+    per-source rollup reports how many tokens a span-level deduper would
+    cut. Suffix arrays don't distribute; the equivalent relational shape
+    is: positional shingle explode (scan-local), one shingle-keyed
+    map-side-combined aggregate whose multi-doc test is MIN(doc) <>
+    MAX(doc) — no COUNT(DISTINCT) — an inner join that keeps only
+    duplicated positions, then doc-partitioned windows over those
+    positions only. Every stage is an equi-join or keyed window; nothing
+    is all-pairs and the span merge is integer arithmetic end-to-end."""
+    from pyspark.sql import Window
+    k = 5
+    d = table(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    base = d.select("doc_id", "source", toks.alias("t"),
+                    F.size(toks).alias("n_tok"))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — docs shorter
+    # than k must produce the empty position list, like the twin's range
+    positions = F.when(
+        F.col("n_tok") >= k,
+        F.sequence(F.lit(1), F.col("n_tok") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = base.select(
+        "doc_id", "source",
+        F.posexplode(F.transform(
+            positions,
+            lambda p: F.concat_ws(
+                " ", F.slice("t", p, k)))).alias("__i", "s"),
+    ).select("doc_id", "source",
+             (F.col("__i") + 1).alias("p"), "s")
+    multi = (sh.groupBy("s")
+               .agg(F.min("doc_id").alias("__mn"),
+                    F.max("doc_id").alias("__mx"))
+               .where(F.col("__mn") != F.col("__mx"))
+               .select("s"))
+    dup = sh.join(multi, "s").select("doc_id", "source", "p")
+    wprev = (Window.partitionBy("doc_id").orderBy("p")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(F.col("p") + (k - 1)).over(wprev)
+    isl = dup.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1)
+         .otherwise(0))
+    wrun = (Window.partitionBy("doc_id").orderBy("p")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    ids = isl.withColumn(
+        "isl_id", F.sum("new_isl").over(wrun).cast("bigint"))
+    spans = (ids.groupBy("doc_id", "source", "isl_id")
+                .agg((F.max("p") + (k - 1) - F.min("p") + 1)
+                     .alias("span_tokens")))
+    perdoc = (spans.groupBy("doc_id", "source")
+                   .agg(F.count(F.lit(1)).alias("n_spans"),
+                        F.sum("span_tokens").cast("bigint")
+                         .alias("dup_tokens")))
+    tot = base.select("source", "doc_id", "n_tok")
+    j = tot.join(perdoc.select("doc_id", "n_spans", "dup_tokens"),
+                 "doc_id", "left")
+    return (j.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tok").cast("bigint").alias("total_tokens"),
+                  F.sum(F.coalesce("dup_tokens", F.lit(0)))
+                   .cast("bigint").alias("dup_tokens"),
+                  F.sum(F.coalesce("n_spans", F.lit(0)))
+                   .cast("bigint").alias("n_spans"),
+                  F.sum(F.when(F.col("dup_tokens").isNotNull(), 1)
+                         .otherwise(0)).cast("bigint")
+                   .alias("docs_with_dups")))
+
+
+@q("text_token_fertility",
+   f"SELECT lang, COUNT(*) AS n_docs, "
+   "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+   f"CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens, "
+   "CAST(SUM(len(regexp_extract_all(lower(text), "
+   "'[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens, "
+   f"CAST(floor(CAST(SUM(len(regexp_extract_all(lower(text), "
+   "'[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS DOUBLE) "
+   f"/ CAST(SUM(len({_TOKS})) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS fertility_micro, "
+   "CAST(SUM(n_chars) AS DOUBLE) / "
+   "CAST(SUM(len(regexp_extract_all(lower(text), "
+   "'[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS DOUBLE) AS bytes_per_token "
+   "FROM documents GROUP BY lang")
+def text_token_fertility(spark, sf):
+    """Tokenizer fertility by language — the compression-efficiency
+    audit run before committing to a tokenizer (fertility = sub-word
+    pieces per whitespace word; bytes/token = how much context budget
+    each token buys, the number that differs 2-4× across languages for
+    a biased vocab). Exact integer sums per language; the two ratios
+    are one IEEE division each over those integers. One scan, all-JVM
+    regex counting, ≤|langs| groups map-side."""
+    d = table(spark, sf, "documents")
+    ws = F.size(TX.tokens(F.col("text")))
+    bp = TX.bpe_ish_token_count(F.col("text"))
+    from mura_spark.functions.quantize import micro
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").cast("bigint").alias("total_chars"),
+                  F.sum(ws).cast("bigint").alias("ws_tokens"),
+                  F.sum(bp).cast("bigint").alias("bpe_ish_tokens"),
+                  micro(F.sum(bp).cast("double")
+                        / F.sum(ws).cast("double")).alias("fertility_micro"),
+                  (F.sum("n_chars").cast("double")
+                   / F.sum(bp).cast("double")).alias("bytes_per_token")))

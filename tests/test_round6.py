@@ -389,3 +389,41 @@ def test_ship_latency_exact_days(spark, tmp_path):
     r = SPARK_QUERIES["orders_ship_latency"](spark, out).collect()[0]
     assert (r.n_lines, r.sum_days, r.min_days, r.max_days, r.n_late) == \
         (3, 10 + 61 + 90, 10, 90, 2)
+
+
+def test_dup_spans_engineered_shared_run(spark, tmp_path):
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 shared tokens
+    docs = [
+        (" ".join(f"a{i}" for i in range(10)) + " " + shared + " "
+         + " ".join(f"b{i}" for i in range(10)), "en", "s1"),
+        (" ".join(f"c{i}" for i in range(5)) + " " + shared + " "
+         + " ".join(f"d{i}" for i in range(5)), "en", "s1"),
+        (" ".join(f"e{i}" for i in range(20)), "en", "s2"),
+    ]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.source: r for r in
+           SPARK_QUERIES["text_dup_spans"](spark, sf).collect()}
+    # the 6-token shared run = two overlapping 5-gram windows per doc,
+    # merged into ONE 6-token span in each of the two docs
+    assert (got["s1"].docs_with_dups, got["s1"].n_spans,
+            got["s1"].dup_tokens) == (2, 2, 12)
+    assert (got["s2"].docs_with_dups, got["s2"].n_spans,
+            got["s2"].dup_tokens) == (0, 0, 0)
+    assert got["s1"].total_tokens == 26 + 16
+    assert got["s2"].total_tokens == 20
+
+
+def test_token_fertility_exact_counts(spark, tmp_path):
+    sf = _mini_docs(spark, tmp_path, [("ab cd, ef", "en", "s1"),
+                                      ("xy 12", "de", "s1")])
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.lang: r for r in
+           SPARK_QUERIES["text_token_fertility"](spark, sf).collect()}
+    # "ab cd, ef": 3 ws tokens; bpe-ish pieces: ab / cd / , / ef = 4
+    assert (got["en"].ws_tokens, got["en"].bpe_ish_tokens,
+            got["en"].total_chars) == (3, 4, 9)
+    assert got["en"].fertility_micro == _micro(4 / 3)
+    assert got["en"].bytes_per_token == 9 / 4
+    # "xy 12": 2 ws tokens; pieces: xy / 12 = 2
+    assert (got["de"].ws_tokens, got["de"].bpe_ish_tokens) == (2, 2)
