@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     "orders_ship_latency",
     "text_dup_spans",
     "text_token_fertility",
+    "events_pattern_regex",
+    "subquery_not_in",
+    "sort_offset_page",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -153,6 +153,9 @@ _NEXT_WINDOW = [
     # round-6e: span-level exact-substring duplication audit (Lee et al.
     # ExactSubstr re-expressed relationally) + tokenizer fertility
     "text_dup_spans", "text_token_fertility",
+    # round-6f: regex pattern matching over event sequences, the NOT IN
+    # null trap (null-aware anti join), LIMIT/OFFSET pagination
+    "events_pattern_regex", "subquery_not_in", "sort_offset_page",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

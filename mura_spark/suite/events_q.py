@@ -908,3 +908,51 @@ def events_trending_topk(spark, sf):
              .where(F.col("rk") <= 3)
              .select("day", "event_type", "n", "prev_n",
                      "growth_micro", "rk"))
+
+
+@q("events_pattern_regex",
+   "WITH s AS (SELECT user_id, string_agg(CASE event_type "
+   "WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' "
+   "WHEN 'signup' THEN 's' ELSE 'e' END, '' "
+   "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id) "
+   "SELECT user_id, length(seq) AS n_events, "
+   "len(regexp_extract_all(seq, 'vp')) AS n_view_then_buy, "
+   "len(regexp_extract_all(seq, 'sp')) AS n_signup_then_buy, "
+   "COALESCE(list_max(list_transform(regexp_extract_all(seq, 'v+'), "
+   "x -> length(x))), 0) AS max_view_streak "
+   "FROM s")
+def events_pattern_regex(spark, sf):
+    """Complex-event pattern matching, MATCH_RECOGNIZE-style but
+    relational: each user's history becomes an ordered one-symbol-per-
+    event string ((ts, event_id) total order), and behavioral patterns
+    are regexes over it — adjacent view→purchase and signup→purchase
+    conversions (non-overlapping global matches) and the longest
+    uninterrupted view streak. Complements the stage-based funnel
+    (`events_funnel`) and the first-order Markov matrix
+    (`events_markov_transitions`): regexes express adjacency and
+    repetition those can't. One user-key shuffle; per-user state is the
+    user's own history (the sessionize bound); the regex scan is JVM-
+    side, linear in the sequence."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    sym = (F.when(F.col("event_type") == "view", "v")
+            .when(F.col("event_type") == "click", "c")
+            .when(F.col("event_type") == "purchase", "p")
+            .when(F.col("event_type") == "signup", "s")
+            .otherwise("e"))
+    s = (ev.select("user_id", F.struct("ts", "event_id",
+                                       sym.alias("sym")).alias("z"))
+           .groupBy("user_id")
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list("z")),
+                           lambda x: x.sym), "").alias("seq")))
+    streaks = F.transform(F.regexp_extract_all("seq", F.lit("v+"), 0),
+                          lambda x: F.length(x))
+    return s.select(
+        "user_id", F.length("seq").alias("n_events"),
+        F.size(F.regexp_extract_all("seq", F.lit("vp"), 0))
+         .alias("n_view_then_buy"),
+        F.size(F.regexp_extract_all("seq", F.lit("sp"), 0))
+         .alias("n_signup_then_buy"),
+        F.coalesce(F.array_max(streaks), F.lit(0))
+         .alias("max_view_streak"))

@@ -1128,3 +1128,60 @@ def agg_boolean_profile(spark, sf):
                    .alias("all_above_floor"),
                   F.bool_or(F.col("o_totalprice") > 400000)
                    .alias("any_huge")))
+
+
+@q("subquery_not_in",
+   "WITH sub AS (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL "
+   "ELSE c_custkey END AS k FROM customer "
+   "WHERE c_mktsegment = 'BUILDING' "
+   "UNION ALL SELECT CAST(NULL AS BIGINT)) "
+   "SELECT (SELECT COUNT(*) FROM orders "
+   "WHERE o_custkey NOT IN (SELECT k FROM sub)) AS n_not_in, "
+   "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS "
+   "(SELECT 1 FROM sub s WHERE s.k = o.o_custkey)) AS n_not_exists")
+def subquery_not_in(spark, sf):
+    """The NOT IN null trap, pinned as a first-class surface: the
+    subquery's key column is engineered to contain NULLs (a %-derived
+    one for realism plus one unconditional, so the trap fires at every
+    scale factor), so ANSI
+    three-valued logic makes `NOT IN` satisfy NO row (x NOT IN a set
+    containing NULL is never TRUE) while the NOT EXISTS spelling keeps
+    its natural anti-join answer — the side-by-side counts are the
+    regression test for the semantic difference. Physically Spark plans
+    the NOT IN as a null-aware anti join (broadcast-only by design —
+    the nullable side must be visible in full); the subquery is
+    dimension-sized, so that's the right plan at any fact scale."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    (c.where(F.col("c_mktsegment") == "BUILDING")
+      .select(F.when(F.col("c_custkey") % 97 == 0, None)
+               .otherwise(F.col("c_custkey")).alias("k"))
+      .union(spark.range(1).select(
+          F.lit(None).cast("bigint").alias("k")))
+      .createOrReplaceTempView("mura_sq_notin_sub"))
+    o.createOrReplaceTempView("mura_sq_notin_orders")
+    return spark.sql(
+        "SELECT (SELECT COUNT(*) FROM mura_sq_notin_orders "
+        "WHERE o_custkey NOT IN (SELECT k FROM mura_sq_notin_sub)) "
+        "AS n_not_in, "
+        "(SELECT COUNT(*) FROM mura_sq_notin_orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM mura_sq_notin_sub s WHERE s.k = o.o_custkey)) "
+        "AS n_not_exists")
+
+
+@q("sort_offset_page",
+   "SELECT o_orderkey, o_totalprice FROM orders "
+   "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100 OFFSET 200")
+def sort_offset_page(spark, sf):
+    """Keyset-less pagination surface: ORDER BY ... LIMIT 100 OFFSET 200
+    (page 3). The unique order key under the price sort makes the page
+    deterministic. Spark plans a single TakeOrderedAndProject(limit=
+    offset+limit, offset) — not a full sort; OFFSET deep pages
+    degrade to top-N of N=offset+limit, which is why real pagination at
+    scale should be keyset (WHERE (price, key) < last-seen) — this row
+    pins the surface, the docstring pins the advice."""
+    o = table(spark, sf, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+             .orderBy(F.col("o_totalprice").desc(),
+                      F.col("o_orderkey").asc())
+             .offset(200).limit(100))

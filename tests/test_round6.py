@@ -427,3 +427,38 @@ def test_token_fertility_exact_counts(spark, tmp_path):
     assert got["en"].bytes_per_token == 9 / 4
     # "xy 12": 2 ws tokens; pieces: xy / 12 = 2
     assert (got["de"].ws_tokens, got["de"].bpe_ish_tokens) == (2, 2)
+
+
+def test_pattern_regex_engineered_sequence(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 9, 1)
+    seq = ["view", "view", "view", "purchase", "click", "signup",
+           "purchase", "view", "purchase"]
+    rows = [(base + dt.timedelta(minutes=i), 7, et, 1.0)
+            for i, et in enumerate(seq)]  # symbols: vvvpcspvp
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["events_pattern_regex"](spark, sf).collect()[0]
+    assert r.n_events == 9
+    assert r.n_view_then_buy == 2    # 'vp' at positions 3 and 8
+    assert r.n_signup_then_buy == 1  # 'sp'
+    assert r.max_view_streak == 3    # leading 'vvv'
+
+
+def test_not_in_trap_and_not_exists(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["subquery_not_in"](spark, sf_dir).collect()[0]
+    # the engineered NULL makes NOT IN satisfy nothing; NOT EXISTS keeps
+    # its anti-join answer
+    assert r.n_not_in == 0
+    assert r.n_not_exists > 0
+
+
+def test_offset_page_is_rows_201_to_300(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    page = SPARK_QUERIES["sort_offset_page"](spark, sf_dir).collect()
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+         .limit(300).collect())
+    assert [(r.o_orderkey, r.o_totalprice) for r in page] == \
+        [(r.o_orderkey, r.o_totalprice) for r in o[200:300]]
