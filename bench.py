@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "events_pattern_regex",
     "subquery_not_in",
     "sort_offset_page",
+    "events_conversion_pairs",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

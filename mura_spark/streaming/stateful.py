@@ -129,3 +129,77 @@ def locf_purchase_batch(events: DataFrame) -> DataFrame:
     return events.select("event_id", "user_id",
                          F.last(pv, ignorenulls=True).over(w)
                           .alias("last_purchase_value"))
+
+
+def conversion_detector_stream(events: DataFrame,
+                               within_us: int = 3_600_000_000) -> DataFrame:
+    """Stateful CEP: emit one row per purchase that follows a view by the
+    SAME user within ``within_us`` microseconds — the streaming twin of
+    the batch adjacency patterns (`events_pattern_regex` /
+    `events_funnel_1h` express this offline; this operator fires
+    per-event online).
+
+    State per user is ONE scalar: the µs timestamp of the most recent
+    view. Rows sort (ts, event_id) within each micro-batch; the
+    cross-batch contract is in-order-per-key delivery (same as
+    :func:`locf_purchase_stream`). At production scale the state store
+    holds one bigint per user, partitioned by the user key; eviction of
+    idle users would use ``ProcessingTimeTimeout`` ≥ the match window —
+    kept NoTimeout here because the state is O(1) per key either way.
+
+    Batch twin: :func:`conversion_detector_batch` (a strictly-preceding
+    max-view-time window); equality pinned in tests/test_streaming.py
+    including view→purchase pairs that SPAN the micro-batch split.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        last_view = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # unit-safe µs conversion: Arrow may hand datetime64[ns] or [us]
+        us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        ev_ids, lat = [], []
+        for eid, et, t in zip(pdf["event_id"], pdf["event_type"], us):
+            t = int(t)
+            if et == "view":
+                last_view = t
+            elif (et == "purchase" and last_view is not None
+                  and t - last_view <= within_us):
+                ev_ids.append(int(eid))
+                lat.append(t - last_view)
+        state.update((last_view,))
+        yield pd.DataFrame({"user_id": [key[0]] * len(ev_ids),
+                            "purchase_event_id": ev_ids,
+                            "latency_us": lat})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id bigint, purchase_event_id bigint, "
+                          "latency_us bigint"),
+        stateStructType="last_view bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def conversion_detector_batch(events: DataFrame,
+                              within_us: int = 3_600_000_000) -> DataFrame:
+    """Batch twin of :func:`conversion_detector_stream`: for each
+    purchase, the most recent STRICTLY-preceding view of the same user
+    via a (ts, event_id)-ordered window; keep pairs within the match
+    window. Output schema matches the stream exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    view_us = F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    d = events.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("__us"),
+        F.max(view_us).over(w).alias("__lv"))
+    return (d.where((F.col("event_type") == "purchase")
+                    & F.col("__lv").isNotNull()
+                    & ((F.col("__us") - F.col("__lv")) <= within_us))
+             .select("user_id",
+                     F.col("event_id").alias("purchase_event_id"),
+                     (F.col("__us") - F.col("__lv")).alias("latency_us")))

@@ -156,6 +156,8 @@ _NEXT_WINDOW = [
     # round-6f: regex pattern matching over event sequences, the NOT IN
     # null trap (null-aware anti join), LIMIT/OFFSET pagination
     "events_pattern_regex", "subquery_not_in", "sort_offset_page",
+    # round-6g: streaming CEP (view->purchase detector) batch twin
+    "events_conversion_pairs",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

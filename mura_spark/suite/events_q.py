@@ -956,3 +956,24 @@ def events_pattern_regex(spark, sf):
          .alias("n_signup_then_buy"),
         F.coalesce(F.array_max(streaks), F.lit(0))
          .alias("max_view_streak"))
+
+
+@q("events_conversion_pairs",
+   "WITH d AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, "
+   "MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER "
+   "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "
+   "PRECEDING AND 1 PRECEDING) AS lv FROM events) "
+   "SELECT user_id, event_id AS purchase_event_id, "
+   "CAST(us - lv AS BIGINT) AS latency_us FROM d "
+   "WHERE event_type = 'purchase' AND lv IS NOT NULL "
+   "AND us - lv <= 3600000000")
+def events_conversion_pairs(spark, sf):
+    """View→purchase conversion pairs within one hour (most recent
+    strictly-preceding view per user, exact µs latency) — the BATCH twin
+    of the streaming CEP operator, routed through
+    streaming.stateful.conversion_detector_batch so a regression in the
+    shared matching contract breaks a driver correctness row, not just
+    the stream pytest. One user-key window over the raw events; integer
+    µs arithmetic end-to-end."""
+    from mura_spark.streaming.stateful import conversion_detector_batch
+    return conversion_detector_batch(table(spark, sf, "events"))

@@ -451,3 +451,42 @@ def test_stateful_locf_equals_batch_window(spark, events, tmp_path):
     mismatches = {k for k in want if got[k] != want[k]
                   and not (got[k] is None and want[k] is None)}
     assert not mismatches, sorted(mismatches)[:5]
+
+
+def test_conversion_detector_equals_batch_across_batches(spark, events,
+                                                         tmp_path):
+    """Streaming view→purchase CEP (one µs scalar of state per user)
+    must equal the batch strictly-preceding-view window — including
+    pairs whose view and purchase land in DIFFERENT micro-batches."""
+    from mura_spark.streaming import stateful
+
+    sub = events.filter(F.col("user_id") < 50)
+    cutoff = sub.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "events_cep")
+    sub.filter(F.col("ts") <= cutoff).coalesce(1) \
+       .write.mode("overwrite").parquet(src)
+    sub.filter(F.col("ts") > cutoff).coalesce(1) \
+       .write.mode("append").parquet(src)
+
+    WIN = 10 ** 13  # ~115 days: wide enough that pairs span the split
+    stream = W.read_events_stream(spark, src, sub.schema)
+    q = (stateful.conversion_detector_stream(stream, within_us=WIN)
+         .writeStream.format("memory").queryName("cep_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.purchase_event_id): r.latency_us
+           for r in spark.table("cep_stream").collect()}
+
+    want = {(r.user_id, r.purchase_event_id): r.latency_us
+            for r in stateful.conversion_detector_batch(
+                sub, within_us=WIN).collect()}
+    assert got == want
+    assert want, "fixture must contain at least one conversion"
+    # at least one matched pair must SPAN the batch split (purchase in
+    # batch 2, its view in batch 1), or the cross-batch claim is untested
+    pts = {r.event_id: r.ts for r in sub.collect()}
+    spans = [k for (u, k), lat in want.items()
+             if pts[k] > cutoff
+             and (pts[k] - __import__("datetime").timedelta(
+                 microseconds=lat)) <= cutoff]
+    assert spans, "no view->purchase pair spans the micro-batch split"
