@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "subquery_not_in",
     "sort_offset_page",
     "events_conversion_pairs",
+    "events_mad_by_type",
+    "orders_gini_spend",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

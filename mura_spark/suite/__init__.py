@@ -158,6 +158,8 @@ _NEXT_WINDOW = [
     "events_pattern_regex", "subquery_not_in", "sort_offset_page",
     # round-6g: streaming CEP (view->purchase detector) batch twin
     "events_conversion_pairs",
+    # round-6h: robust scale (MAD) + spend-inequality Gini
+    "events_mad_by_type", "orders_gini_spend",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

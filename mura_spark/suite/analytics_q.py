@@ -1862,3 +1862,44 @@ def emb_pair_cosine_histogram(spark, sf):
     bin_ = F.floor(F.col("cs_micro") / F.lit(100000.0)).cast("bigint")
     return (c.groupBy(bin_.alias("bin"))
              .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def _mad_oracle() -> str:
+    from mura_spark.operators.stats import sql_group_percentiles
+    med = sql_group_percentiles(
+        "(SELECT event_type, value FROM events WHERE value IS NOT NULL)",
+        ["event_type"], "value", [0.5], ["med"])
+    dev = ("SELECT e.event_type, "
+           "abs(CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) "
+           "- m.med_micro) / 1000000.0 AS d "
+           "FROM events e JOIN med m USING (event_type) "
+           "WHERE e.value IS NOT NULL")
+    mad = sql_group_percentiles("dev", ["event_type"], "d", [0.5], ["mad"])
+    return (f"WITH med AS ({med}), dev AS ({dev}) "
+            f"SELECT m.event_type, m.med_micro, q.mad_micro "
+            f"FROM med m JOIN ({mad}) q USING (event_type)")
+
+
+@q("events_mad_by_type", _mad_oracle())
+def events_mad_by_type(spark, sf):
+    """Median absolute deviation per event type — the robust scale
+    estimate (unlike stddev, one fat-fingered value can't move it; the
+    robust twin of the IQR fence in `events_outlier_iqr`). Composed from
+    the exact order-statistic percentile operator applied twice: the
+    per-type median, then the median of |value − median| with the
+    deviation anchored on the MICRO-quantized median so both engines
+    interpolate over identical inputs. Two group-key window shuffles
+    over value rows; the medians frame broadcast back (≤|types| rows)."""
+    from mura_spark.functions.quantize import micro
+    from mura_spark.operators.stats import group_percentiles
+    ev = (table(spark, sf, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    med = group_percentiles(ev, ["event_type"], "value", [0.5], ["med"])
+    dev = (ev.join(F.broadcast(med), "event_type")
+             .select("event_type",
+                     (F.abs(micro(F.col("value")) - F.col("med_micro"))
+                      / F.lit(1000000.0)).alias("d")))
+    mad = group_percentiles(dev, ["event_type"], "d", [0.5], ["mad"])
+    return med.join(mad, "event_type").select(
+        "event_type", "med_micro", "mad_micro")

@@ -639,3 +639,49 @@ def orders_ship_latency(spark, sf):
                   F.max("days").cast("bigint").alias("max_days"),
                   F.sum(F.when(F.col("days") > 60, 1).otherwise(0))
                    .cast("bigint").alias("n_late")))
+
+
+@q("orders_gini_spend",
+   "WITH s AS (SELECT o_custkey, "
+   "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp "
+   "FROM orders GROUP BY 1), "
+   "r AS (SELECT sp, CAST(ROW_NUMBER() OVER (ORDER BY sp ASC, "
+   "o_custkey ASC) AS BIGINT) AS i FROM s), "
+   "m AS (SELECT COUNT(*) AS n, "
+   "SUM(CAST(i AS DECIMAL(18,0)) * sp) AS isum, "
+   "SUM(CAST(sp AS DECIMAL(38,2))) AS ssum FROM r) "
+   "SELECT CAST(n AS BIGINT) AS n_customers, "
+   "CAST(ssum AS DOUBLE) AS total_spend, "
+   "CAST(floor((2.0 * CAST(isum AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) "
+   "* CAST(ssum AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(ssum AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS gini_micro FROM m")
+def orders_gini_spend(spark, sf):
+    """Gini coefficient of customer lifetime spend — the inequality
+    measure that complements the HHI concentration index
+    (`supplier_concentration_hhi`): G = (2·Σi·sᵢ − (n+1)·Σsᵢ)/(n·Σsᵢ)
+    over spend ranked ascending with a custkey tiebreak. Spend and the
+    rank-weighted sum accumulate as exact DECIMAL, so only the final
+    closed form touches doubles. The global rank runs over the
+    per-customer AGGREGATE (dimension grain, not facts); for a
+    dimension too large for one partition the range-partitioned rank of
+    `dedup_sorted_neighborhood` is the drop-in replacement."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    o = table(spark, sf, "orders")
+    s = (o.groupBy("o_custkey")
+          .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("sp")))
+    w = Window.orderBy(F.col("sp").asc(), F.col("o_custkey").asc())
+    r = s.select("sp", F.row_number().over(w).cast("bigint").alias("i"))
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("sp"))
+         .alias("isum"),
+        F.sum(F.col("sp").cast("decimal(38,2)")).alias("ssum"))
+    nd = F.col("n").cast("double")
+    gini = ((F.lit(2.0) * F.col("isum").cast("double")
+             - (nd + F.lit(1.0)) * F.col("ssum").cast("double"))
+            / (nd * F.col("ssum").cast("double")))
+    return m.select(F.col("n").cast("bigint").alias("n_customers"),
+                    F.col("ssum").cast("double").alias("total_spend"),
+                    micro(gini).alias("gini_micro"))

@@ -462,3 +462,38 @@ def test_offset_page_is_rows_201_to_300(spark, sf_dir):
          .limit(300).collect())
     assert [(r.o_orderkey, r.o_totalprice) for r in page] == \
         [(r.o_orderkey, r.o_totalprice) for r in o[200:300]]
+
+
+def test_mad_engineered_values(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 9, 1)
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # median 3, |dev| = 2,1,0,1,97
+    rows = [(base + dt.timedelta(minutes=i), 1, "view", v)
+            for i, v in enumerate(vals)]
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["events_mad_by_type"](spark, sf).collect()[0]
+    assert r.med_micro == _micro(3.0)
+    assert r.mad_micro == _micro(1.0)  # median of sorted devs 0,1,1,2,97
+    # the outlier moved the MAD not at all — that's the point
+    vals2 = vals[:-1] + [1000000.0]
+    sf2 = _mini_events(spark, tmp_path / "b", [(base + dt.timedelta(
+        minutes=i), 1, "view", v) for i, v in enumerate(vals2)])
+    r2 = SPARK_QUERIES["events_mad_by_type"](spark, sf2).collect()[0]
+    assert r2.mad_micro == r.mad_micro
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    # perfectly equal spend -> G = 0 exactly under the (n+1) finite form
+    sf = _mini_orders(spark, tmp_path,
+                      [(i, i, 100.0, "p") for i in range(1, 6)])
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["orders_gini_spend"](spark, sf).collect()[0]
+    assert (r.n_customers, r.total_spend, r.gini_micro) == (5, 500.0, 0)
+    # one customer owns everything: G = (n-1)/n = 0.8
+    sf2 = _mini_orders(spark, tmp_path / "b",
+                       [(1, 1, 0.0, "p"), (2, 2, 0.0, "p"),
+                        (3, 3, 0.0, "p"), (4, 4, 0.0, "p"),
+                        (5, 5, 500.0, "p")])
+    r2 = SPARK_QUERIES["orders_gini_spend"](spark, sf2).collect()[0]
+    assert r2.gini_micro == _micro(4 / 5)
