@@ -497,3 +497,38 @@ def test_gini_known_distributions(spark, tmp_path):
                         (5, 5, 500.0, "p")])
     r2 = SPARK_QUERIES["orders_gini_spend"](spark, sf2).collect()[0]
     assert r2.gini_micro == _micro(4 / 5)
+
+
+# ------------------------------------------------------- plan pinning
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_offset_page_plan_is_take_ordered_with_offset(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["sort_offset_page"](spark, sf_dir))
+    assert "TakeOrderedAndProject(limit=300, offset=200" in p
+    assert "Sort " not in p  # never a global sort
+
+
+def test_not_in_plan_is_null_aware_anti_join(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["subquery_not_in"](spark, sf_dir))
+    # the NOT IN side carries the isNullAware flag (trailing `true`);
+    # the NOT EXISTS twin plans a plain LeftAnti (trailing `false`)
+    assert "LeftAnti, BuildRight, true" in p
+    assert "LeftAnti, BuildRight, false" in p
+
+
+def test_zipf_topk_plan_uses_window_group_limit(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["text_zipf_slope"](spark, sf_dir))
+    assert "WindowGroupLimit" in p  # top-200/lang pre-reduced per task
+
+
+def test_bootstrap_plan_broadcasts_replicates(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["stats_bootstrap_ci"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p  # the 10-row side must never shuffle
