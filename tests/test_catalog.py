@@ -84,3 +84,26 @@ def test_reference_ddl_dialect_on_reference_sample(session):
     assert n_null > 0
     assert (df.filter(F.col("salary").isNull()).count() == n_null)
     session.sql("DROP TABLE IF EXISTS userdata")
+
+
+def test_insert_into_external_table_roundtrip(session, spark, tmp_path):
+    """INSERT INTO over an external parquet table: appended rows must be
+    visible on re-read — the write half of the catalog lifecycle the
+    reference never reached (its catalog stayed empty, src/main.rs:41)."""
+    import pyspark.sql.functions as F
+    src = str(tmp_path / "t.parquet")
+    spark.range(3).select(F.col("id").alias("k")).write.parquet(src)
+    session.create_external_table("ins_t", src)
+    session.sql("INSERT INTO ins_t SELECT 99 AS k")
+    got = sorted(r.k for r in session.sql("SELECT k FROM ins_t").collect())
+    assert got == [0, 1, 2, 99]
+
+
+def test_create_view_over_external_table(session, spark, tmp_path):
+    import pyspark.sql.functions as F
+    src = str(tmp_path / "v.parquet")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(src)
+    session.create_external_table("view_base", src)
+    session.sql("CREATE OR REPLACE TEMP VIEW big_k AS "
+                "SELECT k FROM view_base WHERE k >= 7")
+    assert session.sql("SELECT COUNT(*) AS n FROM big_k").first().n == 3

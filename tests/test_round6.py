@@ -532,3 +532,18 @@ def test_bootstrap_plan_broadcasts_replicates(spark, sf_dir):
     p = _plan(SPARK_QUERIES["stats_bootstrap_ci"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "SortMergeJoin" not in p  # the 10-row side must never shuffle
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """All three equi-join physical strategies are reachable by hint —
+    the knob that matters when the optimizer's size estimates are wrong
+    at 100 TB (broadcast a dim it thinks is big, or force shuffle-hash
+    to avoid sorting a huge-but-uniform side)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    on = o["o_custkey"] == c["c_custkey"]
+    plans = {h: _plan(o.join(c.hint(h), on))
+             for h in ("broadcast", "shuffle_hash", "merge")}
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"]
+    assert "SortMergeJoin" in plans["merge"]
