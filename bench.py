@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "events_conversion_pairs",
     "events_mad_by_type",
     "orders_gini_spend",
+    "events_count_distinct_rollup",
+    "scalar_try_functions",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

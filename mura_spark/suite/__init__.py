@@ -83,19 +83,20 @@ _PRIORITY = [
 ]
 
 # ROUND-7 ROTATION PLAN: assuming CORRECTNESS_r06 comes back green for
-# this window, round 7's window must promote, in order: (1) ALL of
-# _NEXT_WINDOW below — the round-5v..5ii overflow (27 queries, the tail
-# of round 5's oversized addition batch) followed by the round-6
-# additions, oldest first, exactly as ordered; then, as slots remain,
-# (2) the stale-green backlog by age: the r1-only greens displaced in
-# round 5 (join_cross_small, setop_union, setop_intersect,
+# this window, round 7's window takes the FIRST 50 of _NEXT_WINDOW
+# below — the round-5v..5ii overflow (27 queries) followed by the
+# round-6 additions, oldest first, exactly as ordered. _NEXT_WINDOW has
+# grown past one window (27 + the round-6 batch), so the remainder
+# stays contiguous as the head of ROUND 8's window; after it drains,
+# backfill by staleness: (a) the r1-only greens displaced in round 5
+# (join_cross_small, setop_union, setop_intersect,
 # window_topk_per_group, window_running_sum, q6_revenue_change,
 # q10_returned_items, q14_promo_share, q18_large_orders, agg_rollup,
 # agg_cube, subquery_scalar, subquery_exists,
 # subquery_correlated_scalar, setop_except, agg_pivot, agg_median,
-# date_functions), (3) the remaining r1-only cohort, (4) the r3 cohort
+# date_functions), (b) the remaining r1-only cohort, (c) the r3 cohort
 # (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
-# tests/test_registry.py enforces (1) mechanically.
+# tests/test_registry.py enforces the overflow contiguity mechanically.
 
 #: Queries landed AFTER the 50-slot window was already full of
 #: never-verified entries: first in line for round 7's window (positions
@@ -160,6 +161,9 @@ _NEXT_WINDOW = [
     "events_conversion_pairs",
     # round-6h: robust scale (MAD) + spend-inequality Gini
     "events_mad_by_type", "orders_gini_spend",
+    # round-6i: exact distinct under ROLLUP (Expand x two-phase
+    # distinct) + ANSI TRY_* scalar escape hatches
+    "events_count_distinct_rollup", "scalar_try_functions",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -977,3 +977,26 @@ def events_conversion_pairs(spark, sf):
     µs arithmetic end-to-end."""
     from mura_spark.streaming.stateful import conversion_detector_batch
     return conversion_detector_batch(table(spark, sf, "events"))
+
+
+@q("events_count_distinct_rollup",
+   "SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, COUNT(*) AS n_events, "
+   "COUNT(DISTINCT user_id) AS n_users, "
+   "CAST(grouping(time_bucket(INTERVAL 1 DAY, ts)) AS INT) AS gid "
+   "FROM events GROUP BY ROLLUP(time_bucket(INTERVAL 1 DAY, ts))")
+def events_count_distinct_rollup(spark, sf):
+    """Exact COUNT(DISTINCT) under ROLLUP — the interaction of the
+    Expand operator (each row contributes to its day AND the grand
+    total) with the two-phase distinct rewrite: the plan first
+    aggregates on (grouping-set, day, user) to dedup, THEN counts —
+    distinct state never concentrates on one task, which is what makes
+    exact daily-uniques-plus-total viable at 100 TB (the mergeable-
+    sketch alternative is agg_bitmap_distinct / sketch_distinct_users).
+    grouping() disambiguates the total row from a NULL day."""
+    ev = table(spark, sf, "events")
+    ev.createOrReplaceTempView("mura_cdr_events")
+    return spark.sql(
+        "SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT user_id) AS n_users, "
+        "CAST(grouping(date_trunc('day', ts)) AS INT) AS gid "
+        "FROM mura_cdr_events GROUP BY ROLLUP(date_trunc('day', ts))")

@@ -547,3 +547,33 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plans["broadcast"]
     assert "ShuffledHashJoin" in plans["shuffle_hash"]
     assert "SortMergeJoin" in plans["merge"]
+
+
+def test_count_distinct_rollup_semantics(spark, tmp_path):
+    import datetime as dt
+    d1 = dt.datetime(2024, 9, 1, 10)
+    d2 = d1 + dt.timedelta(days=1)
+    rows = [(d1, 1, "view", 1.0), (d1, 1, "view", 1.0), (d1, 2, "view", 1.0),
+            (d2, 1, "view", 1.0), (d2, 3, "view", 1.0)]
+    sf = _mini_events(spark, tmp_path, rows)
+    from mura_spark.suite import SPARK_QUERIES
+    rows_out = SPARK_QUERIES["events_count_distinct_rollup"](spark, sf).collect()
+    by_day = {(r.day.day if r.day else None): r for r in rows_out}
+    assert (by_day[1].n_events, by_day[1].n_users, by_day[1].gid) == (3, 2, 0)
+    assert (by_day[2].n_events, by_day[2].n_users, by_day[2].gid) == (2, 2, 0)
+    # grand total: 3 distinct users over 5 events, flagged by grouping()
+    assert (by_day[None].n_events, by_day[None].n_users,
+            by_day[None].gid) == (5, 3, 1)
+
+
+def test_try_functions_null_not_abort(spark, tmp_path):
+    # ANSI mode is ON: the same expressions WITHOUT try_ would abort.
+    sf = _write(spark, tmp_path, "lineitem",
+                [(1, "N", 5.0, 100.0), (2, "N", 10.0, 100.0)],
+                "l_orderkey long, l_returnflag string, l_quantity double, "
+                "l_extendedprice double")
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["scalar_try_functions"](spark, sf).collect()[0]
+    # row 1 divides by (5-5)=0 -> NULL; row 2 -> 100/5 = 20
+    assert (r.n, r.n_div_by_zero, r.n_bad_cast) == (2, 1, 2)
+    assert r.sum_div_micro == _micro(20.0)
