@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "orders_gini_spend",
     "events_count_distinct_rollup",
     "scalar_try_functions",
+    "emb_hard_negatives",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -691,3 +691,45 @@ def centroid_outliers(df: DataFrame, id_col: str = "vec_id",
     return (dist.join(F.broadcast(thr), "label")
                 .filter(F.col("dist2_fp").cast("double") > F.col("__thr"))
                 .select(F.col("__id").alias(id_col), "label", "dist2_fp"))
+
+
+def hard_negatives(test_df: DataFrame, train_df: DataFrame,
+                   id_col: str = "vec_id", label_col: str = "label",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the single most-similar corpus vector with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separated; the nearest wrong-label point defines the
+    margin).
+
+    Same plan as :func:`topk_bruteforce` (broadcast probes, one corpus
+    stream, per-partition partial top-k before the global window), with
+    the label-mismatch predicate applied BEFORE any ranking state so
+    same-label rows never occupy top-k slots. Ties break on ascending
+    neighbor id. Output: (query_id, true_label, neg_id, neg_label).
+    """
+    q = F.broadcast(test_df.select(F.col(id_col).alias("query_id"),
+                                   F.col(label_col).alias("true_label"),
+                                   F.col(vec_col).alias("__qvec"),
+                                   norm(F.col(vec_col)).alias("__qn")))
+    c = ensure_min_partitions(train_df).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__clab"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"))
+    scored = (q.join(c)
+               .where(F.col("true_label") != F.col("__clab"))
+               .select("query_id", "true_label", "neighbor_id",
+                       F.col("__clab").alias("neg_label"),
+                       _paired_cosine(dot(F.col("__qvec"),
+                                          F.col("__cvec")),
+                                      F.col("__qn"),
+                                      F.col("__cn")).alias("sim")))
+    scored = _partial_topk(scored, 1, "query_id")
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("sim").desc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("__r", F.row_number().over(w))
+                  .filter(F.col("__r") == 1)
+                  .select("query_id", "true_label",
+                          F.col("neighbor_id").alias("neg_id"),
+                          "neg_label"))

@@ -164,6 +164,8 @@ _NEXT_WINDOW = [
     # round-6i: exact distinct under ROLLUP (Expand x two-phase
     # distinct) + ANSI TRY_* scalar escape hatches
     "events_count_distinct_rollup", "scalar_try_functions",
+    # round-6j: contrastive hard-negative mining
+    "emb_hard_negatives",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

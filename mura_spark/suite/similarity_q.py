@@ -372,3 +372,24 @@ def emb_abtt_residual(spark, sf):
     from mura_spark.operators.pca import abtt_residual
     e = table(spark, sf, "embeddings")
     return abtt_residual(e, "vec_id", "embedding", dim=64, iterations=3)
+
+
+@q("emb_hard_negatives",
+   f"SELECT query_id, true_label, neg_id, neg_label FROM ("
+   "SELECT q.vec_id AS query_id, q.label AS true_label, "
+   "c.vec_id AS neg_id, c.label AS neg_label, "
+   f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_KNN_COS} DESC, "
+   "c.vec_id ASC) AS rnk "
+   "FROM embeddings q JOIN embeddings c "
+   "ON q.vec_id < 50 AND c.vec_id >= 50 AND q.label <> c.label) "
+   "WHERE rnk = 1")
+def emb_hard_negatives(spark, sf):
+    """Hard-negative mining (contrastive-training batch construction):
+    each probe's single most-similar WRONG-label corpus vector — the
+    margin-defining negatives a random sampler never finds. Broadcast
+    probes, one corpus stream, label filter before any top-k state
+    (operators.similarity.hard_negatives)."""
+    from mura_spark.operators.similarity import hard_negatives
+    e = table(spark, sf, "embeddings")
+    return hard_negatives(e.filter(F.col("vec_id") < 50),
+                          e.filter(F.col("vec_id") >= 50))

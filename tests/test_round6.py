@@ -577,3 +577,21 @@ def test_try_functions_null_not_abort(spark, tmp_path):
     # row 1 divides by (5-5)=0 -> NULL; row 2 -> 100/5 = 20
     assert (r.n, r.n_div_by_zero, r.n_bad_cast) == (2, 1, 2)
     assert r.sum_div_micro == _micro(20.0)
+
+
+def test_hard_negatives_engineered(spark):
+    from mura_spark.operators.similarity import hard_negatives
+    # probe [1,0] label 0; corpus: same-label twin (cos 1.0, must be
+    # skipped), wrong-label near (cos ~0.98), wrong-label far (cos 0)
+    rows = [(0, [1.0, 0.0], 0),
+            (100, [2.0, 0.0], 0),      # same label -> ineligible
+            (101, [0.9, 0.2], 1),      # nearest wrong label
+            (102, [0.0, 1.0], 2)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, "
+                               "label int")
+    out = hard_negatives(df.filter(F.col("vec_id") < 50),
+                         df.filter(F.col("vec_id") >= 50)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.query_id, r.true_label, r.neg_id, r.neg_label) == (0, 0, 101, 1)
