@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "events_count_distinct_rollup",
     "scalar_try_functions",
     "emb_hard_negatives",
+    "orders_priority_mix_drift",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -166,6 +166,8 @@ _NEXT_WINDOW = [
     "events_count_distinct_rollup", "scalar_try_functions",
     # round-6j: contrastive hard-negative mining
     "emb_hard_negatives",
+    # round-6k: categorical drift monitor over time
+    "orders_priority_mix_drift",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

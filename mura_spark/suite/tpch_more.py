@@ -685,3 +685,62 @@ def orders_gini_spend(spark, sf):
     return m.select(F.col("n").cast("bigint").alias("n_customers"),
                     F.col("ssum").cast("double").alias("total_spend"),
                     micro(gini).alias("gini_micro"))
+
+
+@q("orders_priority_mix_drift",
+   "WITH mc AS (SELECT time_bucket(INTERVAL 1 MONTH, o_orderdate) AS mon, "
+   "o_orderpriority AS pri, COUNT(*) AS n FROM orders GROUP BY 1, 2), "
+   "grid AS (SELECT m.mon, p.pri, COALESCE(mc.n, 0) AS n "
+   "FROM (SELECT DISTINCT mon FROM mc) m "
+   "CROSS JOIN (SELECT DISTINCT pri FROM mc) p "
+   "LEFT JOIN mc ON mc.mon = m.mon AND mc.pri = p.pri), "
+   "tot AS (SELECT mon, CAST(SUM(n) AS BIGINT) AS t FROM grid "
+   "GROUP BY mon), "
+   "lagged AS (SELECT g.mon, g.pri, g.n, t.t, "
+   "lag(g.n) OVER (PARTITION BY g.pri ORDER BY g.mon) AS pn, "
+   "lag(t.t) OVER (PARTITION BY g.pri ORDER BY g.mon) AS pt "
+   "FROM grid g JOIN tot t ON g.mon = t.mon), "
+   "cells AS (SELECT mon, t, pt, "
+   "abs(CAST(n AS DECIMAL(18,0)) * pt - CAST(pn AS DECIMAL(18,0)) * t) "
+   "AS num FROM lagged WHERE pn IS NOT NULL AND pt > 0 AND t > 0) "
+   "SELECT mon, CAST(floor(CAST(SUM(num) AS DOUBLE) "
+   "/ (2.0 * CAST(ANY_VALUE(t) AS DOUBLE) * CAST(ANY_VALUE(pt) "
+   "AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS tvd_micro "
+   "FROM cells GROUP BY mon")
+def orders_priority_mix_drift(spark, sf):
+    """Month-over-month total-variation drift of the order-priority mix —
+    the categorical drift monitor (`text_tvd_by_source`'s time-series
+    twin): TVD(m, m−1) = Σ|n·t′ − n′·t| / (2·t·t′) with the numerator
+    accumulated as exact DECIMAL over the dense month×priority grid
+    (missing cells zero-filled, so lag() pairs align), and ONE double
+    division per month at the end — no float is ever summed. All windows
+    and joins run over the months×priorities rollup, bounded by the
+    calendar, never the fact count."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    o = table(spark, sf, "orders")
+    mc = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"),
+                    F.col("o_orderpriority").alias("pri"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    months = mc.select("mon").distinct()
+    pris = mc.select("pri").distinct()
+    grid = (months.crossJoin(pris)
+                  .join(mc, ["mon", "pri"], "left")
+                  .select("mon", "pri", F.coalesce("n", F.lit(0))
+                           .alias("n")))
+    tot = grid.groupBy("mon").agg(F.sum("n").cast("bigint").alias("t"))
+    wl = Window.partitionBy("pri").orderBy("mon")
+    lagged = (grid.join(tot, "mon")
+                  .select("mon", "pri", "n", "t",
+                          F.lag("n").over(wl).alias("pn"),
+                          F.lag("t").over(wl).alias("pt")))
+    num = F.abs(F.col("n").cast("decimal(18,0)") * F.col("pt")
+                - F.col("pn").cast("decimal(18,0)") * F.col("t"))
+    cells = (lagged.where(F.col("pn").isNotNull() & (F.col("pt") > 0)
+                          & (F.col("t") > 0))
+                   .select("mon", "t", "pt", num.alias("num")))
+    tvd = (F.sum("num").cast("double")
+           / (F.lit(2.0) * F.first("t").cast("double")
+              * F.first("pt").cast("double")))
+    return (cells.groupBy("mon")
+                 .agg(micro(tvd).alias("tvd_micro")))

@@ -595,3 +595,23 @@ def test_hard_negatives_engineered(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.query_id, r.true_label, r.neg_id, r.neg_label) == (0, 0, 101, 1)
+
+
+def test_priority_mix_drift_engineered_shift(spark, tmp_path):
+    import datetime as dt
+    m1 = dt.datetime(1995, 1, 15)
+    m2 = dt.datetime(1995, 2, 15)
+    rows = ([(i, 1, 10.0, "A", m1) for i in range(3)]        # Jan: A=3
+            + [(3, 1, 10.0, "B", m1)]                        #      B=1
+            + [(4, 1, 10.0, "A", m2)]                        # Feb: A=1
+            + [(5 + i, 1, 10.0, "B", m2) for i in range(3)])  #     B=3
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, "
+              "o_orderpriority string, o_orderdate timestamp")
+        .coalesce(1).write.mode("overwrite").parquet(f"{out}/orders.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.mon.month: r.tvd_micro for r in
+           SPARK_QUERIES["orders_priority_mix_drift"](spark, out).collect()}
+    # Jan has no predecessor; Feb's mix flip (3:1 -> 1:3) is TVD = 0.5
+    assert got == {2: _micro(0.5)}
