@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "scalar_try_functions",
     "emb_hard_negatives",
     "orders_priority_mix_drift",
+    "graph_adamic_adar",
+    "text_js_divergence",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -168,6 +168,9 @@ _NEXT_WINDOW = [
     "emb_hard_negatives",
     # round-6k: categorical drift monitor over time
     "orders_priority_mix_drift",
+    # round-6l: Adamic-Adar link prediction + Jensen-Shannon
+    # language-pair divergence
+    "graph_adamic_adar", "text_js_divergence",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

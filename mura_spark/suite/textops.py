@@ -1084,3 +1084,104 @@ def text_token_fertility(spark, sf):
                         / F.sum(ws).cast("double")).alias("fertility_micro"),
                   (F.sum("n_chars").cast("double")
                    / F.sum(bp).cast("double")).alias("bytes_per_token")))
+
+
+@q("text_js_divergence",
+   f"WITH tok AS (SELECT lang, unnest({_TOKS}) AS t FROM documents), "
+   "cnt AS (SELECT lang, t, COUNT(*) AS n FROM tok GROUP BY 1, 2), "
+   "tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tt FROM cnt "
+   "GROUP BY 1), "
+   "c AS (SELECT cnt.lang, cnt.t, cnt.n, tot.tt FROM cnt "
+   "JOIN tot ON cnt.lang = tot.lang), "
+   "shared AS (SELECT a.lang AS la, b.lang AS lb, "
+   "a.tt AS ta, b.tt AS tb, a.n AS ca, b.n AS cb, "
+   "CAST(floor((CAST(a.n AS DOUBLE) / CAST(a.tt AS DOUBLE)) "
+   "* ln(2.0 * CAST(a.n AS DOUBLE) * CAST(b.tt AS DOUBLE) "
+   "/ (CAST(a.n AS DOUBLE) * CAST(b.tt AS DOUBLE) "
+   "+ CAST(b.n AS DOUBLE) * CAST(a.tt AS DOUBLE))) "
+   "* 1000000000.0 + 0.5) AS BIGINT) "
+   "+ CAST(floor((CAST(b.n AS DOUBLE) / CAST(b.tt AS DOUBLE)) "
+   "* ln(2.0 * CAST(b.n AS DOUBLE) * CAST(a.tt AS DOUBLE) "
+   "/ (CAST(a.n AS DOUBLE) * CAST(b.tt AS DOUBLE) "
+   "+ CAST(b.n AS DOUBLE) * CAST(a.tt AS DOUBLE))) "
+   "* 1000000000.0 + 0.5) AS BIGINT) AS term_nano "
+   "FROM c a JOIN c b ON a.t = b.t AND a.lang < b.lang), "
+   "agg AS (SELECT la, lb, "
+   "COUNT(*) AS n_shared, CAST(SUM(ca) AS BIGINT) AS sa, "
+   "CAST(SUM(cb) AS BIGINT) AS sb, "
+   "CAST(SUM(term_nano) AS BIGINT) AS shared_nano FROM shared "
+   "GROUP BY 1, 2), "
+   "pairs AS (SELECT a.lang AS la, a.tt AS ta, b.lang AS lb, "
+   "b.tt AS tb FROM tot a JOIN tot b ON a.lang < b.lang), "
+   "j AS (SELECT p.la, p.lb, p.ta, p.tb, "
+   "COALESCE(agg.n_shared, 0) AS n_shared, "
+   "COALESCE(agg.sa, 0) AS sa, COALESCE(agg.sb, 0) AS sb, "
+   "COALESCE(agg.shared_nano, 0) AS shared_nano "
+   "FROM pairs p LEFT JOIN agg ON p.la = agg.la AND p.lb = agg.lb) "
+   "SELECT la AS lang_a, lb AS lang_b, n_shared, "
+   "CAST(floor((CAST(shared_nano AS DOUBLE) "
+   "+ floor(ln(2.0) * (CAST(ta - sa AS DOUBLE) / CAST(ta AS DOUBLE) "
+   "+ CAST(tb - sb AS DOUBLE) / CAST(tb AS DOUBLE)) "
+   "* 1000000000.0 + 0.5)) / 2.0 + 0.5) AS BIGINT) AS jsd_nano "
+   "FROM j")
+def text_js_divergence(spark, sf):
+    """Jensen-Shannon divergence between every language pair's unigram
+    distributions — the symmetric, bounded (≤ ln 2) corpus-separation
+    measure (TVD twin `text_tvd_by_source` is L1; JS is the
+    information-theoretic one used for mixture weighting). Only SHARED
+    terms need the join: a term in exactly one language contributes
+    P(t)·ln 2 to its side, and those fold to the closed form
+    ln 2 · (1 − Σ_shared P) — so the plan is one term-keyed inner join
+    plus per-pair scalars, never a full-outer over the union vocabulary.
+    Per-shared-term contributions quantize to nano BEFORE the integer
+    sum (ln is libm-sensitive); P/M ratios are formed from exact count
+    products. ≤ |langs|² output rows."""
+    from pyspark.sql import functions as F
+    tok = table(spark, sf, "documents").select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("n").cast("bigint").alias("tt"))
+    c = cnt.join(tot, "lang")
+    a = c.select(F.col("lang").alias("la"), "t",
+                 F.col("n").alias("ca"), F.col("tt").alias("ta"))
+    b = c.select(F.col("lang").alias("lb"), F.col("t").alias("t"),
+                 F.col("n").alias("cb"), F.col("tt").alias("tb"))
+    sh = a.join(b, "t").where(F.col("la") < F.col("lb"))
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    ta, tb = F.col("ta").cast("double"), F.col("tb").cast("double")
+    denom = ca * tb + cb * ta
+    nano = F.lit(1000000000.0)
+    term = (F.floor((ca / ta) * F.log(F.lit(2.0) * ca * tb / denom)
+                    * nano + F.lit(0.5)).cast("bigint")
+            + F.floor((cb / tb) * F.log(F.lit(2.0) * cb * ta / denom)
+                      * nano + F.lit(0.5)).cast("bigint"))
+    agg = (sh.select("la", "lb", "ca", "cb", "ta", "tb",
+                     term.alias("term_nano"))
+             .groupBy("la", "lb")
+             .agg(F.count(F.lit(1)).alias("n_shared"),
+                  F.sum("ca").cast("bigint").alias("sa"),
+                  F.sum("cb").cast("bigint").alias("sb"),
+                  F.sum("term_nano").cast("bigint").alias("shared_nano")))
+    # pairs come from the totals frame, NOT the shared join: a pair with
+    # ZERO shared vocabulary must still report JSD = ln 2, not vanish
+    ta_ = tot.select(F.col("lang").alias("la"), F.col("tt").alias("ta"))
+    tb_ = tot.select(F.col("lang").alias("lb"), F.col("tt").alias("tb"))
+    pairs = ta_.crossJoin(tb_).where(F.col("la") < F.col("lb"))
+    agg = (pairs.join(agg, ["la", "lb"], "left")
+                .select("la", "lb", "ta", "tb",
+                        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                        F.coalesce("sa", F.lit(0)).alias("sa"),
+                        F.coalesce("sb", F.lit(0)).alias("sb"),
+                        F.coalesce("shared_nano", F.lit(0))
+                         .alias("shared_nano")))
+    rem = F.floor(
+        F.log(F.lit(2.0))
+        * ((F.col("ta") - F.col("sa")).cast("double")
+           / F.col("ta").cast("double")
+           + (F.col("tb") - F.col("sb")).cast("double")
+           / F.col("tb").cast("double")) * nano + F.lit(0.5))
+    jsd = F.floor((F.col("shared_nano").cast("double") + rem)
+                  / F.lit(2.0) + F.lit(0.5)).cast("bigint")
+    return agg.select(F.col("la").alias("lang_a"),
+                      F.col("lb").alias("lang_b"),
+                      "n_shared", jsd.alias("jsd_nano"))

@@ -615,3 +615,35 @@ def test_priority_mix_drift_engineered_shift(spark, tmp_path):
            SPARK_QUERIES["orders_priority_mix_drift"](spark, out).collect()}
     # Jan has no predecessor; Feb's mix flip (3:1 -> 1:3) is TVD = 0.5
     assert got == {2: _micro(0.5)}
+
+
+def test_adamic_adar_engineered_triad(spark, tmp_path):
+    # orders: {1: parts 1,2}, {2: parts 1,3} -> edges 1-2, 1-3 (sym).
+    # Non-adjacent pair (2,3) shares neighbor 1 (deg 2): AA = 1/ln 2.
+    rows = [(1, 1), (1, 2), (2, 1), (2, 3)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet"))
+    import math
+    from mura_spark.suite import SPARK_QUERIES
+    got = SPARK_QUERIES["graph_adamic_adar"](spark, out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.u, r.v, r.n_common) == (2, 3, 1)
+    assert r.aa_nano == math.floor(1 / math.log(2) * 1e9 + 0.5)
+
+
+def test_js_divergence_identical_and_disjoint(spark, tmp_path):
+    import math
+    docs = [("x x y", "en", "s"), ("x x y", "de", "s"),  # identical dists
+            ("a a a", "fr", "s")]                        # disjoint vocab
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {(r.lang_a, r.lang_b): r for r in
+           SPARK_QUERIES["text_js_divergence"](spark, sf).collect()}
+    assert got[("de", "en")].jsd_nano == 0          # identical -> 0
+    ln2 = math.floor(math.log(2.0) * 2.0 * 1e9 + 0.5)  # both remainders
+    assert got[("en", "fr")].jsd_nano == math.floor(ln2 / 2.0 + 0.5)
+    assert got[("en", "fr")].n_shared == 0          # pair still reported
+    assert len(got) == 3
