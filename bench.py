@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "orders_priority_mix_drift",
     "graph_adamic_adar",
     "text_js_divergence",
+    "mm_phash_pairs",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

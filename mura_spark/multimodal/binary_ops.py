@@ -509,3 +509,34 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return encode_ppm(img[rows][:, cols])
+
+
+def ahash64(df: DataFrame, id_col: str = "id",
+            content_col: str = "content") -> DataFrame:
+    """Perceptual average-hash (aHash) of REAL-decoded images, packed as
+    two 32-bit halves ``(id, lo, hi)`` — the perceptual-dedup signature
+    (identical pixels → identical hash; small edits → small Hamming
+    distance). The bit rule is pure integer arithmetic — bit_j set iff
+    ``64·luma_j > Σluma`` with luma = r+g+b — so an oracle can recompute
+    the hash from raw channel values without any float. Narrow Arrow map
+    over the decoded bytes; blobs never shuffle — only the 16-byte
+    signature leaves the map."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            los, his = [], []
+            for payload in pdf[content_col]:
+                arr = decode_image(bytes(payload))
+                s = arr.astype(np.int64).sum(axis=2).reshape(-1)
+                total = int(s.sum())
+                bits = (64 * s > total)
+                lo = sum(1 << j for j in range(32) if bits[j])
+                hi = sum(1 << j for j in range(32) if bits[32 + j])
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "lo": pd.Series(los, dtype="int64"),
+                                "hi": pd.Series(his, dtype="int64")})
+
+    return df.mapInPandas(batches, "id bigint, lo bigint, hi bigint")

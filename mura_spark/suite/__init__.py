@@ -171,6 +171,9 @@ _NEXT_WINDOW = [
     # round-6l: Adamic-Adar link prediction + Jensen-Shannon
     # language-pair divergence
     "graph_adamic_adar", "text_js_divergence",
+    # round-6m: perceptual-hash image dedup (real decode, banded
+    # Hamming join)
+    "mm_phash_pairs",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -219,3 +219,67 @@ def mm_video_frame_stats(spark, sf):
                   .alias("content")))
     return (MM.video_frame_stats(d, stride=2)
             .withColumnRenamed("id", "doc_id"))
+
+
+@q("mm_phash_pairs",
+   "WITH img AS (SELECT doc_id, substr(text, 1, 192) AS px "
+   "FROM documents WHERE n_chars >= 192), "
+   "s AS (SELECT doc_id, [ascii(px[3*j+1]) + ascii(px[3*j+2]) "
+   "+ ascii(px[3*j+3]) for j in range(0, 64)] AS ss FROM img), "
+   "h AS (SELECT doc_id, "
+   "CAST(list_sum([CASE WHEN 64 * ss[j+1] > list_sum(ss) "
+   "THEN CAST(1 AS BIGINT) << j ELSE 0 END for j in range(0, 32)]) "
+   "AS BIGINT) AS lo, "
+   "CAST(list_sum([CASE WHEN 64 * ss[j+33] > list_sum(ss) "
+   "THEN CAST(1 AS BIGINT) << j ELSE 0 END for j in range(0, 32)]) "
+   "AS BIGINT) AS hi FROM s), "
+   "b AS (SELECT doc_id, lo, hi, "
+   "unnest([lo & 65535, lo >> 16, hi & 65535, hi >> 16]) AS band, "
+   "unnest([0, 1, 2, 3]) AS k FROM h), "
+   "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, "
+   "a.lo AS la, a.hi AS ha, c.lo AS lb, c.hi AS hb "
+   "FROM b a JOIN b c ON a.k = c.k AND a.band = c.band "
+   "AND a.doc_id < c.doc_id) "
+   "SELECT id_a, id_b, CAST(bit_count(xor(la, lb)) "
+   "+ bit_count(xor(ha, hb)) AS INT) AS hamming FROM cand "
+   "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3")
+def mm_phash_pairs(spark, sf):
+    """Perceptual-hash near-duplicate image pairs — the multimodal dedup
+    operator: REAL-decoded 8×8 images (each document's first 192 bytes
+    as a genuine P6 PPM, same convention as mm_image_stats) hash to a
+    64-bit aHash via pure integer arithmetic (bit_j = 64·luma_j > Σluma),
+    and pairs within Hamming distance 3 surface via pigeonhole banding —
+    4 × 16-bit bands, so ≤ 3 flipped bits GUARANTEE a shared band
+    (lossless), and the all-pairs space is never touched. The oracle
+    recomputes the hash from raw character codes, pinning decoder +
+    packing + banding + popcount end-to-end. Signatures are a narrow
+    Arrow map (blobs never shuffle); candidates are a band equi-join;
+    verification is two XOR popcounts per candidate."""
+    d = (table(spark, sf, "documents")
+         .filter(F.col("n_chars") >= 192)
+         .select(F.col("doc_id").alias("id"),
+                 F.concat(F.lit(b"P6\n8 8\n255\n"),
+                          F.substring("text", 1, 192).cast("binary"))
+                  .alias("content")))
+    h = MM.ahash64(d)
+    bands = F.array(
+        F.col("lo").bitwiseAND(F.lit(65535)),
+        F.shiftright("lo", 16),
+        F.col("hi").bitwiseAND(F.lit(65535)),
+        F.shiftright("hi", 16))
+    b = h.select(F.col("id").alias("doc_id"), "lo", "hi",
+                 F.posexplode(bands).alias("k", "band"))
+    left = b.select(F.col("doc_id").alias("id_a"),
+                    F.col("lo").alias("la"), F.col("hi").alias("ha"),
+                    "k", "band")
+    right = b.select(F.col("doc_id").alias("id_b"),
+                     F.col("lo").alias("lb"), F.col("hi").alias("hb"),
+                     "k", "band")
+    cand = (left.join(right, ["k", "band"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "la", "ha", "lb", "hb")
+                .distinct())
+    ham = (F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+           + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+    return (cand.where(ham <= 3)
+                .select("id_a", "id_b", ham.cast("int").alias("hamming")))

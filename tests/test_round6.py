@@ -647,3 +647,40 @@ def test_js_divergence_identical_and_disjoint(spark, tmp_path):
     assert got[("en", "fr")].jsd_nano == math.floor(ln2 / 2.0 + 0.5)
     assert got[("en", "fr")].n_shared == 0          # pair still reported
     assert len(got) == 3
+
+
+def test_ahash64_known_pattern_and_single_bit_flip(spark):
+    import numpy as np
+    from mura_spark.multimodal.binary_ops import ahash64, encode_ppm
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    a[:, 4:, :] = 255                      # right half bright
+    b = a.copy()
+    b[0, 0, :] = 255                       # one dark pixel flipped
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_ppm(a))), (1, bytearray(encode_ppm(b)))],
+        "id long, content binary")
+    got = {r.id: (r.lo, r.hi) for r in ahash64(df).collect()}
+
+    def expect(arr):
+        s = arr.astype("int64").sum(axis=2).reshape(-1)
+        t = int(s.sum())
+        bits = (64 * s > t)
+        return (sum(1 << j for j in range(32) if bits[j]),
+                sum(1 << j for j in range(32) if bits[32 + j]))
+
+    assert got[0] == expect(a)
+    assert got[1] == expect(b)
+    ham = (bin(got[0][0] ^ got[1][0]).count("1")
+           + bin(got[0][1] ^ got[1][1]).count("1"))
+    assert ham == 1  # exactly the flipped pixel's bit
+
+
+def test_phash_pairs_identical_docs_match(spark, tmp_path):
+    text = "".join("abcdefgh"[(i * 7) % 8] for i in range(192))
+    docs = [(text, "en", "s"), (text, "en", "s"),
+            ("".join("zyxwvuts"[(i * 5) % 8] for i in range(200)), "en", "s")]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           SPARK_QUERIES["mm_phash_pairs"](spark, sf).collect()}
+    assert got.get((0, 1)) == 0  # identical pixels -> hamming 0
