@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "graph_adamic_adar",
     "text_js_divergence",
     "mm_phash_pairs",
+    "mm_audio_fingerprint_pairs",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -540,3 +540,30 @@ def ahash64(df: DataFrame, id_col: str = "id",
                                 "hi": pd.Series(his, dtype="int64")})
 
     return df.mapInPandas(batches, "id bigint, lo bigint, hi bigint")
+
+
+def audio_fingerprint31(df: DataFrame, id_col: str = "id",
+                        content_col: str = "content") -> DataFrame:
+    """Acoustic fingerprint of REAL-decoded PCM16 audio: 32 two-sample
+    frame energies, bit_i set iff ``energy(i+1) > energy(i)`` — the
+    energy-delta sign chain (the integer skeleton of a Shazam/
+    chromaprint-style fingerprint; identical audio → identical bits,
+    local edits → local bit flips). All arithmetic is exact int64
+    (sample², sums, comparisons), so an oracle recomputes the 31-bit
+    fingerprint from raw byte values. Narrow Arrow map; only the 8-byte
+    fingerprint leaves it."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for payload in pdf[content_col]:
+                samples, _ = _decode_wav(bytes(payload))
+                s = samples.reshape(-1).astype(np.int64)[:64]
+                e = (s[0::2] * s[0::2] + s[1::2] * s[1::2])
+                fp = sum(1 << i for i in range(31) if e[i + 1] > e[i])
+                fps.append(fp)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return df.mapInPandas(batches, "id bigint, fp bigint")

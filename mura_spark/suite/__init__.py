@@ -174,6 +174,8 @@ _NEXT_WINDOW = [
     # round-6m: perceptual-hash image dedup (real decode, banded
     # Hamming join)
     "mm_phash_pairs",
+    # round-6n: acoustic fingerprint dedup (energy-delta chain)
+    "mm_audio_fingerprint_pairs",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

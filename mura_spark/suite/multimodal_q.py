@@ -283,3 +283,64 @@ def mm_phash_pairs(spark, sf):
            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
     return (cand.where(ham <= 3)
                 .select("id_a", "id_b", ham.cast("int").alias("hamming")))
+
+
+def _wav_header(n_bytes: int) -> bytes:
+    """RIFF/WAVE PCM16 mono 8 kHz header for an ``n_bytes`` data chunk."""
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_bytes)
+            + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", n_bytes))
+
+
+@q("mm_audio_fingerprint_pairs",
+   "WITH pxt AS (SELECT doc_id, substr(text, 1, 128) AS px "
+   "FROM documents WHERE n_chars >= 128), "
+   "smp AS (SELECT doc_id, [ascii(px[2*j+1]) + 256 * ascii(px[2*j+2]) "
+   "for j in range(0, 64)] AS s FROM pxt), "
+   "en AS (SELECT doc_id, [CAST(s[2*i+1] AS BIGINT) * s[2*i+1] "
+   "+ CAST(s[2*i+2] AS BIGINT) * s[2*i+2] for i in range(0, 32)] AS e "
+   "FROM smp), "
+   "fp AS (SELECT doc_id, CAST(list_sum([CASE WHEN e[i+2] > e[i+1] "
+   "THEN CAST(1 AS BIGINT) << i ELSE 0 END for i in range(0, 31)]) "
+   "AS BIGINT) AS f FROM en), "
+   "b AS (SELECT doc_id, f, unnest([f & 65535, f >> 16]) AS band, "
+   "unnest([0, 1]) AS k FROM fp), "
+   "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, "
+   "a.f AS fa, c.f AS fb FROM b a JOIN b c "
+   "ON a.k = c.k AND a.band = c.band AND a.doc_id < c.doc_id) "
+   "SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming "
+   "FROM cand WHERE bit_count(xor(fa, fb)) <= 1")
+def mm_audio_fingerprint_pairs(spark, sf):
+    """Acoustic near-duplicate pairs — the audio member of the
+    multimodal dedup family (image twin: mm_phash_pairs): each
+    document's first 128 bytes become a genuine 64-sample PCM16 WAV
+    (same convention as mm_audio_stats), REAL-decoded and fingerprinted
+    by the integer energy-delta sign chain; pairs within Hamming
+    distance 1 surface via 2 × ~16-bit pigeonhole bands (lossless for
+    ≤ 1 flip). ASCII text keeps the high byte ≤ 127, so signed PCM16
+    equals the oracle's lo+256·hi rebuild. Fingerprints are a narrow
+    Arrow map (audio bytes never shuffle); candidates are a band
+    equi-join; verify is one XOR popcount."""
+    d = (table(spark, sf, "documents")
+         .filter(F.col("n_chars") >= 128)
+         .select(F.col("doc_id").alias("id"),
+                 F.concat(F.lit(_wav_header(128)),
+                          F.substring("text", 1, 128).cast("binary"))
+                  .alias("content")))
+    h = MM.audio_fingerprint31(d)
+    bands = F.array(F.col("fp").bitwiseAND(F.lit(65535)),
+                    F.shiftright("fp", 16))
+    b = h.select(F.col("id").alias("doc_id"), "fp",
+                 F.posexplode(bands).alias("k", "band"))
+    left = b.select(F.col("doc_id").alias("id_a"),
+                    F.col("fp").alias("fa"), "k", "band")
+    right = b.select(F.col("doc_id").alias("id_b"),
+                     F.col("fp").alias("fb"), "k", "band")
+    cand = (left.join(right, ["k", "band"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "fa", "fb").distinct())
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (cand.where(ham <= 1)
+                .select("id_a", "id_b", ham.cast("int").alias("hamming")))

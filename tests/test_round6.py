@@ -684,3 +684,22 @@ def test_phash_pairs_identical_docs_match(spark, tmp_path):
     got = {(r.id_a, r.id_b): r.hamming for r in
            SPARK_QUERIES["mm_phash_pairs"](spark, sf).collect()}
     assert got.get((0, 1)) == 0  # identical pixels -> hamming 0
+
+
+def test_audio_fingerprint_known_chain_and_local_edit(spark):
+    import numpy as np
+    from mura_spark.multimodal.binary_ops import (audio_fingerprint31,
+                                                  encode_wav)
+    # strictly increasing energies -> all 31 bits set
+    a = np.repeat(np.arange(1, 33, dtype=np.int16) * 100, 2)
+    # one frame's energy collapsed -> exactly two chain bits flip
+    b = a.copy()
+    b[20] = 0
+    b[21] = 0  # frame 10 energy -> 0: bits 9 (10>9) and 10 (11>10) change
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(a.reshape(-1, 1), 8000))),
+         (1, bytearray(encode_wav(b.reshape(-1, 1), 8000)))],
+        "id long, content binary")
+    got = {r.id: r.fp for r in audio_fingerprint31(df).collect()}
+    assert got[0] == (1 << 31) - 1
+    assert bin(got[0] ^ got[1]).count("1") == 1  # bit 9 only: 0 > e9 False flips it; bit 10: e11 > 0 stays True
