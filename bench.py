@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "text_js_divergence",
     "mm_phash_pairs",
     "mm_audio_fingerprint_pairs",
+    "pipeline_mm_dedup_report",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -176,6 +176,8 @@ _NEXT_WINDOW = [
     "mm_phash_pairs",
     # round-6n: acoustic fingerprint dedup (energy-delta chain)
     "mm_audio_fingerprint_pairs",
+    # round-6o: multimodal dedup pipeline rollup
+    "pipeline_mm_dedup_report",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

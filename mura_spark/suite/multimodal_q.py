@@ -344,3 +344,50 @@ def mm_audio_fingerprint_pairs(spark, sf):
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (cand.where(ham <= 1)
                 .select("id_a", "id_b", ham.cast("int").alias("hamming")))
+
+
+@q("pipeline_mm_dedup_report",
+   "WITH img AS (SELECT doc_id, source, substr(text, 1, 192) AS px "
+   "FROM documents WHERE n_chars >= 192), "
+   "s AS (SELECT doc_id, source, [ascii(px[3*j+1]) + ascii(px[3*j+2]) "
+   "+ ascii(px[3*j+3]) for j in range(0, 64)] AS ss FROM img), "
+   "h AS (SELECT doc_id, source, "
+   "CAST(list_sum([CASE WHEN 64 * ss[j+1] > list_sum(ss) "
+   "THEN CAST(1 AS BIGINT) << j ELSE 0 END for j in range(0, 32)]) "
+   "AS BIGINT) AS lo, "
+   "CAST(list_sum([CASE WHEN 64 * ss[j+33] > list_sum(ss) "
+   "THEN CAST(1 AS BIGINT) << j ELSE 0 END for j in range(0, 32)]) "
+   "AS BIGINT) AS hi FROM s) "
+   "SELECT source, COUNT(*) AS n_images, "
+   "COUNT(DISTINCT (lo, hi)) AS n_unique_hashes, "
+   "CAST(COUNT(*) - COUNT(DISTINCT (lo, hi)) AS BIGINT) "
+   "AS n_perceptual_dups, "
+   "CAST(floor(CAST(COUNT(DISTINCT (lo, hi)) AS DOUBLE) "
+   "/ COUNT(*) * 1000000.0 + 0.5) AS BIGINT) AS keep_rate_micro "
+   "FROM h GROUP BY source")
+def pipeline_mm_dedup_report(spark, sf):
+    """Multimodal dedup pipeline report — the per-source funnel a
+    curation team reads before dropping perceptual duplicates: images
+    in, distinct aHash signatures, perceptual dups (identical 64-bit
+    hash ⇒ visually identical under aHash), and the keep rate.
+    Signatures come from the REAL-decoded pixel path (ahash64; lo·2³²+hi
+    reassembles the full hash exactly — both halves < 2³², no overflow);
+    one narrow Arrow map + one source-grain distinct-count. The
+    pair-level view is mm_phash_pairs; this is its rollup twin."""
+    d = (table(spark, sf, "documents")
+         .filter(F.col("n_chars") >= 192)
+         .select(F.col("doc_id").alias("id"), "source",
+                 F.concat(F.lit(b"P6\n8 8\n255\n"),
+                          F.substring("text", 1, 192).cast("binary"))
+                  .alias("content")))
+    h = MM.ahash64(d.select("id", "content")).join(
+        d.select("id", "source"), "id")
+    uniq = F.countDistinct("lo", "hi")
+    return (h.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_images"),
+                  uniq.alias("n_unique_hashes"),
+                  (F.count(F.lit(1)) - uniq).cast("bigint")
+                   .alias("n_perceptual_dups"),
+                  F.floor(uniq.cast("double") / F.count(F.lit(1))
+                          * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+                   .alias("keep_rate_micro")))

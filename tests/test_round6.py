@@ -703,3 +703,18 @@ def test_audio_fingerprint_known_chain_and_local_edit(spark):
     got = {r.id: r.fp for r in audio_fingerprint31(df).collect()}
     assert got[0] == (1 << 31) - 1
     assert bin(got[0] ^ got[1]).count("1") == 1  # bit 9 only: 0 > e9 False flips it; bit 10: e11 > 0 stays True
+
+
+def test_mm_dedup_report_counts_exact_clones(spark, tmp_path):
+    text = "".join("qwertyui"[(i * 3) % 8] for i in range(192))
+    other = "".join("asdfghjk"[(i * 5) % 8] for i in range(192))
+    docs = [(text, "en", "s1"), (text, "en", "s1"), (other, "en", "s1"),
+            (other, "en", "s2")]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.source: r for r in
+           SPARK_QUERIES["pipeline_mm_dedup_report"](spark, sf).collect()}
+    assert (got["s1"].n_images, got["s1"].n_unique_hashes,
+            got["s1"].n_perceptual_dups) == (3, 2, 1)
+    assert got["s1"].keep_rate_micro == _micro(2 / 3)
+    assert (got["s2"].n_images, got["s2"].n_perceptual_dups) == (1, 0)
