@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "mm_phash_pairs",
     "mm_audio_fingerprint_pairs",
     "pipeline_mm_dedup_report",
+    "audit_k_anonymity",
+    "profile_join_cardinality",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -221,3 +221,83 @@ def benford_audit(df, value_col: str):
     return full.select("digit", "observed",
                        micro(e).alias("expected_micro"),
                        micro(contrib).alias("chi2_micro"))
+
+
+def k_anonymity_bands(df, qi_cols):
+    """k-anonymity audit over a quasi-identifier combination: bucket
+    every QI group by its size band — ``1_unique`` (k=1, re-identifiable
+    outright), ``2_lt5``, ``3_lt20``, ``4_ge20`` — and report
+    ``(k_band, qi_groups, n_rows, pct_rows_micro)``. The privacy gate a
+    corpus release runs before publishing: the share of rows sitting in
+    small QI groups IS the re-identification exposure. No reference
+    analog (the reference has no audit surface); extension alongside
+    the profiling layer.
+
+    Plan: one map-side-combined groupBy on the QI columns (the only
+    full shuffle), then a ≤4-row band rollup; the grand total rides in
+    as a broadcast single-row cross join, so the 100 TB input is
+    scanned once and never re-shuffled.
+    """
+    from pyspark.sql import functions as F
+    groups = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__gsz"))
+    band = (F.when(F.col("__gsz") == 1, "1_unique")
+             .when(F.col("__gsz") < 5, "2_lt5")
+             .when(F.col("__gsz") < 20, "3_lt20")
+             .otherwise("4_ge20"))
+    bands = (groups.groupBy(band.alias("k_band"))
+                   .agg(F.count(F.lit(1)).alias("qi_groups"),
+                        F.sum("__gsz").alias("n_rows")))
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    pct = F.floor(F.col("n_rows").cast("double")
+                  / F.col("__n").cast("double") * 1000000.0
+                  + F.lit(0.5)).cast("bigint")
+    return (bands.crossJoin(F.broadcast(total))
+                 .select("k_band", "qi_groups", "n_rows",
+                         pct.alias("pct_rows_micro")))
+
+
+def join_cardinality_report(pairs):
+    """Join-size estimation WITHOUT executing the join: for each
+    ``(name, left_df, left_key, right_df, right_key)`` relationship,
+    compute the exact inner-equi-join output cardinality
+    ``Σ_k cnt_l(k)·cnt_r(k)`` from per-key counts, plus the largest
+    single key's contribution and its share (``skew_micro``). This is
+    the planning probe a 100 TB pipeline runs BEFORE a join it cannot
+    afford to get wrong — a skew_micro near 10⁶ says one key produces
+    nearly the whole output (salt it); an est_rows far above both
+    inputs says the join explodes (rethink it).
+
+    Plan per relationship: two map-side-combined per-key counts (each a
+    reduction to the key's NDV, never the raw rows), an equi-join of
+    the two count tables, and a single-row rollup; totals arrive as
+    broadcast scalars. Nothing materializes the estimated join.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    outs = []
+    for name, left, lk, right, rk in pairs:
+        ca = (left.groupBy(F.col(lk).alias("__k"))
+                  .agg(F.count(F.lit(1)).alias("__ca")))
+        cb = (right.groupBy(F.col(rk).alias("__k"))
+                   .agg(F.count(F.lit(1)).alias("__cb")))
+        prod = F.col("__ca") * F.col("__cb")
+        est = (ca.join(cb, "__k")
+                 .agg(F.count(F.lit(1)).alias("matched_keys"),
+                      F.coalesce(F.sum(prod), F.lit(0).cast("bigint"))
+                       .alias("est_rows"),
+                      F.coalesce(F.max(prod), F.lit(0).cast("bigint"))
+                       .alias("max_key_rows")))
+        nl = left.agg(F.count(F.lit(1)).alias("n_left"))
+        nr = right.agg(F.count(F.lit(1)).alias("n_right"))
+        skew = (F.when(F.col("est_rows") > 0,
+                       F.floor(F.col("max_key_rows").cast("double")
+                               / F.col("est_rows").cast("double")
+                               * 1000000.0 + F.lit(0.5)).cast("bigint"))
+                 .otherwise(F.lit(0).cast("bigint")))
+        outs.append(
+            est.crossJoin(F.broadcast(nl)).crossJoin(F.broadcast(nr))
+               .select(F.lit(name).alias("join_name"), "n_left",
+                       "n_right", "matched_keys", "est_rows",
+                       "max_key_rows", skew.alias("skew_micro")))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -178,6 +178,8 @@ _NEXT_WINDOW = [
     "mm_audio_fingerprint_pairs",
     # round-6o: multimodal dedup pipeline rollup
     "pipeline_mm_dedup_report",
+    # round-6p: privacy release gate + join-size pre-flight
+    "audit_k_anonymity", "profile_join_cardinality",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

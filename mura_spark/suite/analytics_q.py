@@ -1903,3 +1903,76 @@ def events_mad_by_type(spark, sf):
     mad = group_percentiles(dev, ["event_type"], "d", [0.5], ["mad"])
     return med.join(mad, "event_type").select(
         "event_type", "med_micro", "mad_micro")
+
+
+# ------------------------------------------------------- round-6p additions
+
+@q("audit_k_anonymity",
+   "WITH g AS (SELECT lang, source, n_chars // 100 AS nb, "
+   "COUNT(*) AS gsz FROM documents GROUP BY 1, 2, 3), "
+   "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+   "bands AS (SELECT CASE WHEN gsz = 1 THEN '1_unique' "
+   "WHEN gsz < 5 THEN '2_lt5' WHEN gsz < 20 THEN '3_lt20' "
+   "ELSE '4_ge20' END AS k_band, COUNT(*) AS qi_groups, "
+   "CAST(SUM(gsz) AS BIGINT) AS n_rows FROM g GROUP BY 1) "
+   "SELECT k_band, qi_groups, n_rows, "
+   "CAST(floor(CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS pct_rows_micro "
+   "FROM bands CROSS JOIN tot")
+def audit_k_anonymity(spark, sf):
+    """k-anonymity exposure audit over the corpus's quasi-identifiers
+    (lang, source, length-bucket): what share of rows sit in QI groups
+    small enough to re-identify (k=1, k<5, k<20)? The release gate run
+    before publishing a training corpus (operators.profile
+    .k_anonymity_bands). One QI shuffle; total rides broadcast."""
+    from mura_spark.operators.profile import k_anonymity_bands
+    d = table(spark, sf, "documents")
+    qi = d.select("lang", "source",
+                  F.expr("n_chars DIV 100").alias("nb"))
+    return k_anonymity_bands(qi, ["lang", "source", "nb"])
+
+
+def _join_card_oracle() -> str:
+    blocks = []
+    for name, lt, lk, rt, rk in [
+            ("orders_lineitem", "orders", "o_orderkey",
+             "lineitem", "l_orderkey"),
+            ("customer_orders", "customer", "c_custkey",
+             "orders", "o_custkey"),
+            ("events_self_user", "events", "user_id",
+             "events", "user_id")]:
+        blocks.append(
+            f"SELECT '{name}' AS join_name, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {lt}) AS n_left, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS n_right, "
+            "CAST(COUNT(*) AS BIGINT) AS matched_keys, "
+            "CAST(coalesce(SUM(ca * cb), 0) AS BIGINT) AS est_rows, "
+            "CAST(coalesce(MAX(ca * cb), 0) AS BIGINT) AS max_key_rows, "
+            "CASE WHEN coalesce(SUM(ca * cb), 0) > 0 THEN "
+            "CAST(floor(CAST(MAX(ca * cb) AS DOUBLE) "
+            "/ CAST(SUM(ca * cb) AS DOUBLE) * 1000000.0 + 0.5) "
+            "AS BIGINT) ELSE 0 END AS skew_micro FROM "
+            f"(SELECT {lk} AS k, CAST(COUNT(*) AS BIGINT) AS ca "
+            f"FROM {lt} GROUP BY 1) la JOIN "
+            f"(SELECT {rk} AS k, CAST(COUNT(*) AS BIGINT) AS cb "
+            f"FROM {rt} GROUP BY 1) ra USING (k)")
+    return " UNION ALL ".join(blocks)
+
+
+@q("profile_join_cardinality", _join_card_oracle())
+def profile_join_cardinality(spark, sf):
+    """Exact join-output-size estimation from per-key counts — the
+    pre-flight a 100 TB pipeline runs before committing to a shuffle
+    join: Σ cnt_l·cnt_r per key gives the output rows the join WOULD
+    produce, max_key_rows/skew_micro flag the salt-this-key hotspot,
+    all without materializing a single joined row (operators.profile
+    .join_cardinality_report)."""
+    from mura_spark.operators.profile import join_cardinality_report
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    c = table(spark, sf, "customer")
+    ev = table(spark, sf, "events")
+    return join_cardinality_report([
+        ("orders_lineitem", o, "o_orderkey", li, "l_orderkey"),
+        ("customer_orders", c, "c_custkey", o, "o_custkey"),
+        ("events_self_user", ev, "user_id", ev, "user_id")])

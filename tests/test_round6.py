@@ -718,3 +718,43 @@ def test_mm_dedup_report_counts_exact_clones(spark, tmp_path):
             got["s1"].n_perceptual_dups) == (3, 2, 1)
     assert got["s1"].keep_rate_micro == _micro(2 / 3)
     assert (got["s2"].n_images, got["s2"].n_perceptual_dups) == (1, 0)
+
+
+def test_k_anonymity_bands_engineered(spark):
+    from mura_spark.operators.profile import k_anonymity_bands
+    # QI groups: a (1 row), b (3 rows), c (6 rows), d (25 rows)
+    rows = ([("a",)] * 1 + [("b",)] * 3 + [("c",)] * 6 + [("d",)] * 25)
+    df = spark.createDataFrame(rows, "qi string")
+    got = {r.k_band: r for r in
+           k_anonymity_bands(df, ["qi"]).collect()}
+    assert (got["1_unique"].qi_groups, got["1_unique"].n_rows) == (1, 1)
+    assert (got["2_lt5"].qi_groups, got["2_lt5"].n_rows) == (1, 3)
+    assert (got["3_lt20"].qi_groups, got["3_lt20"].n_rows) == (1, 6)
+    assert (got["4_ge20"].qi_groups, got["4_ge20"].n_rows) == (1, 25)
+    assert got["2_lt5"].pct_rows_micro == _micro(3 / 35)
+
+
+def test_join_cardinality_matches_real_join(spark):
+    from mura_spark.operators.profile import join_cardinality_report
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3, 9]], "k long")
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 2, 2, 4]], "k long")
+    rep = join_cardinality_report(
+        [("lr", left, "k", right, "k")]).collect()[0]
+    true_rows = left.join(right, "k").count()
+    assert rep.est_rows == true_rows == 3 * 2 + 1 * 3
+    assert rep.matched_keys == 2
+    assert rep.max_key_rows == 6
+    assert (rep.n_left, rep.n_right) == (6, 6)
+    assert rep.skew_micro == _micro(6 / 9)
+
+
+def test_join_cardinality_disjoint_keys_zero(spark):
+    from mura_spark.operators.profile import join_cardinality_report
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(3,)], "k long")
+    rep = join_cardinality_report(
+        [("none", left, "k", right, "k")]).collect()[0]
+    assert (rep.matched_keys, rep.est_rows,
+            rep.max_key_rows, rep.skew_micro) == (0, 0, 0, 0)
