@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "pipeline_mm_dedup_report",
     "audit_k_anonymity",
     "profile_join_cardinality",
+    "stats_cusum_shift",
+    "events_peak_concurrency",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -65,3 +65,47 @@ def sql_group_zscore(value: str, partition: str) -> str:
     num = f"CAST(CAST({value} AS HUGEINT) * {n} - {s} AS DOUBLE)"
     return (f"CASE WHEN {var_n2} > 0 "
             f"THEN {num} / sqrt({var_n2}) ELSE NULL END")
+
+
+def cusum_series(df, time_col, value_col, scale: int = 2):
+    """CUSUM change-point series over a time-bucketed total: cumulative
+    sum of ``(bucket_total − grand_mean)``, the classic level-shift
+    detector (Page 1954) — a drifting metric walks the CUSUM away from
+    zero, and the |max| bucket is the most likely change point.
+
+    Exactness: everything stays in integer fixed-point. With ``P_i`` the
+    running prefix of bucket totals (exact decimal), the mean-centered
+    cusum is ``P_i − i·T/n``; multiplying through by ``n`` gives
+    ``n·P_i − i·T`` — pure integer arithmetic in 10^-scale units, no
+    division anywhere (``cusum_scaled = n_buckets × cusum`` in those
+    units). Output: ``(bucket, total, cusum_scaled, is_peak)``.
+
+    Plan: one map-side-combined groupBy on the bucket (the only full
+    shuffle — reduces to #buckets rows), then single-partition windows
+    over the bucketed series. A time-bucketed series is ≤ thousands of
+    rows regardless of input scale (days × years), so the one-partition
+    window is bounded by the calendar, not the data.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    dec = f"decimal(18,{scale})"
+    daily = (df.groupBy(F.col(time_col).alias("bucket"))
+               .agg(F.sum(F.col(value_col).cast(dec)).alias("__tot")))
+    w = (Window.orderBy("bucket")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    tot = daily.agg(F.sum("__tot").alias("__T"),
+                    F.count(F.lit(1)).alias("__n"))
+    unit = 10 ** scale
+    scaled = (
+        daily.crossJoin(F.broadcast(tot))
+             .select("bucket",
+                     F.col("__tot").cast("double").alias("total"),
+                     ((F.col("__n") * F.sum("__tot").over(w)
+                       - F.row_number().over(Window.orderBy("bucket"))
+                       * F.col("__T")) * unit)
+                     .cast("bigint").alias("cusum_scaled")))
+    peak = F.max(F.abs(F.col("cusum_scaled"))).over(
+        Window.partitionBy())
+    return scaled.select(
+        "bucket", "total", "cusum_scaled",
+        (F.abs(F.col("cusum_scaled")) == peak).alias("is_peak"))

@@ -180,6 +180,8 @@ _NEXT_WINDOW = [
     "pipeline_mm_dedup_report",
     # round-6p: privacy release gate + join-size pre-flight
     "audit_k_anonymity", "profile_join_cardinality",
+    # round-6q: CUSUM change-point series + sweep-line peak concurrency
+    "stats_cusum_shift", "events_peak_concurrency",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

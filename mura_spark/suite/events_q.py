@@ -1000,3 +1000,55 @@ def events_count_distinct_rollup(spark, sf):
         "COUNT(DISTINCT user_id) AS n_users, "
         "CAST(grouping(date_trunc('day', ts)) AS INT) AS gid "
         "FROM mura_cdr_events GROUP BY ROLLUP(date_trunc('day', ts))")
+
+
+# ------------------------------------------------------- round-6q additions
+
+@q("stats_cusum_shift",
+   "WITH d AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket, "
+   "SUM(CAST(value AS DECIMAL(18,2))) AS tot FROM events GROUP BY 1), "
+   "t AS (SELECT SUM(tot) AS T, CAST(COUNT(*) AS BIGINT) AS n FROM d), "
+   "s AS (SELECT bucket, CAST(tot AS DOUBLE) AS total, "
+   "CAST((n * SUM(tot) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) "
+   "- ROW_NUMBER() OVER (ORDER BY bucket) * T) * 100 AS BIGINT) "
+   "AS cusum_scaled FROM d CROSS JOIN t) "
+   "SELECT bucket, total, cusum_scaled, "
+   "(abs(cusum_scaled) = MAX(abs(cusum_scaled)) OVER ()) AS is_peak "
+   "FROM s")
+def stats_cusum_shift(spark, sf):
+    """CUSUM level-shift detector over the daily event-value series —
+    the change-point monitor a pipeline runs on its own throughput
+    metrics. Division-free integer fixed-point (cusum × n_days × 100),
+    so the walk is exact in both engines; the |max| day is flagged as
+    the candidate change point (operators.anomaly.cusum_series)."""
+    from mura_spark.operators.anomaly import cusum_series
+    ev = table(spark, sf, "events")
+    return cusum_series(ev.select(F.date_trunc("day", "ts").alias("bucket"),
+                                  "value"), "bucket", "value")
+
+
+@q("events_peak_concurrency",
+   "WITH s AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, user_id, MIN(ts) AS st, "
+   "MAX(ts) AS en FROM events GROUP BY 1, 2), "
+   "sweep AS (SELECT day, st AS t, 1 AS d FROM s "
+   "UNION ALL SELECT day, en AS t, -1 AS d FROM s), "
+   "run AS (SELECT day, t, d, SUM(d) OVER (PARTITION BY day "
+   "ORDER BY t ASC, d DESC ROWS UNBOUNDED PRECEDING) AS r FROM sweep), "
+   "pk AS (SELECT day, t, d, r, MAX(r) OVER (PARTITION BY day) AS p "
+   "FROM run) "
+   "SELECT day, CAST(COUNT(*) / 2.0 AS BIGINT) AS n_sessions, "
+   "CAST(MAX(r) AS BIGINT) AS peak_concurrent, "
+   "MIN(CASE WHEN r = p AND d = 1 THEN t END) AS peak_at "
+   "FROM pk GROUP BY day")
+def events_peak_concurrency(spark, sf):
+    """Peak simultaneous active users per day via the relational
+    sweep-line: each user's daily [first,last] event span becomes a
+    +1/−1 marker pair, a day-partitioned running sum walks the
+    concurrency, and its max is the peak (first reached at peak_at).
+    The capacity-planning twin of events_sessionize
+    (operators.intervals.peak_concurrency)."""
+    from mura_spark.operators.intervals import peak_concurrency
+    ev = table(spark, sf, "events")
+    spans = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
+               .agg(F.min("ts").alias("st"), F.max("ts").alias("en")))
+    return peak_concurrency(spans, "day", "st", "en")

@@ -758,3 +758,34 @@ def test_join_cardinality_disjoint_keys_zero(spark):
         [("none", left, "k", right, "k")]).collect()[0]
     assert (rep.matched_keys, rep.est_rows,
             rep.max_key_rows, rep.skew_micro) == (0, 0, 0, 0)
+
+
+def test_cusum_series_engineered_shift(spark):
+    from mura_spark.operators.anomaly import cusum_series
+    rows = [(d, float(v)) for d, vals in
+            [(1, [4, 6]), (2, [10]), (3, [10]), (4, [20]), (5, [20])]
+            for v in vals]
+    df = spark.createDataFrame(rows, "bucket int, value double")
+    got = {r.bucket: r for r in
+           cusum_series(df, "bucket", "value").collect()}
+    # totals [10,10,10,20,20], T=70, n=5; cusum_scaled = (5*P_i - i*70)*100
+    assert [got[b].cusum_scaled for b in range(1, 6)] == [
+        -2000, -4000, -6000, -3000, 0]
+    assert [got[b].is_peak for b in range(1, 6)] == [
+        False, False, True, False, False]
+    assert got[4].total == 20.0
+
+
+def test_peak_concurrency_sweep_and_tie_rule(spark):
+    from mura_spark.operators.intervals import peak_concurrency
+    iv = spark.createDataFrame(
+        [("d1", 1, 5), ("d1", 2, 3), ("d1", 4, 6), ("d1", 7, 8),
+         # d2: touching intervals — closed semantics count both at t=2
+         ("d2", 1, 2), ("d2", 2, 3)],
+        "g string, st long, en long")
+    got = {r.g: r for r in
+           peak_concurrency(iv, "g", "st", "en").collect()}
+    assert (got["d1"].n_sessions, got["d1"].peak_concurrent,
+            got["d1"].peak_at) == (4, 2, 2)
+    assert (got["d2"].n_sessions, got["d2"].peak_concurrent,
+            got["d2"].peak_at) == (2, 2, 2)
