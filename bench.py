@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "profile_join_cardinality",
     "stats_cusum_shift",
     "events_peak_concurrency",
+    "feature_target_encode_loo",
+    "stats_auc_length",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -1,0 +1,74 @@
+"""Feature-engineering operators for model training prep (leakage-safe
+encodings, ranking-based evaluation).
+
+No reference analog (SURVEY.md §2 — the reference has no ML-prep
+surface); extension beside sampling/packing in the training-data
+pipeline family.
+
+Scale design: target encoding is one window shuffle on the grouping key
+(row grain preserved, no join back); AUC reduces the row scale to the
+score's distinct values BEFORE any ordered walk, so the sequential part
+is bounded by the score domain, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def target_encode_loo(df: DataFrame, group_cols: list[str],
+                      target_col: str, out_col: str) -> DataFrame:
+    """Leave-one-out target encoding: each row gets its group's mean of
+    ``target_col`` computed WITHOUT the row itself —
+    ``(Σ_group − x) / (n_group − 1)`` — the leakage-safe form (plain
+    group-mean encoding leaks each row's own label into its feature;
+    LOO is the standard fix). Singleton groups encode NULL rather than
+    a self-derived value.
+
+    One window shuffle on the group key; the subtraction happens at row
+    grain, so no second pass or join-back. Exact: integer/decimal sum
+    and count, one correctly-rounded double division per row.
+    """
+    w = Window.partitionBy(*group_cols)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(target_col).over(w)
+    loo = ((s - F.col(target_col)).cast("double")
+           / (n - F.lit(1)).cast("double"))
+    return df.withColumn(out_col, F.when(n > 1, loo))
+
+
+def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC of a numeric score against a boolean label, via
+    the rank formulation: AUC = P(score⁺ > score⁻) + ½·P(tie). Returns
+    one row ``(n_pos, n_neg, auc_micro)``.
+
+    Integer-exact: rows first reduce to per-distinct-score (pos, neg)
+    counts — the only row-scale shuffle — then a prefix walk over the
+    distinct scores accumulates ``2·pos·neg_below + pos·neg_same``
+    (doubled to keep half-credit ties integral). The ordered walk runs
+    over score NDV (domain-bounded), not rows; the single division to
+    micro-units happens once at the end.
+    """
+    cells = (df.groupBy(F.col(score_col).alias("__s"))
+               .agg(F.sum(F.when(F.col(label_col), 1).otherwise(0))
+                     .alias("__p"),
+                    F.sum(F.when(F.col(label_col), 0).otherwise(1))
+                     .alias("__n")))
+    below = (Window.orderBy("__s")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    contrib = (F.lit(2) * F.col("__p")
+               * F.coalesce(F.sum("__n").over(below), F.lit(0))
+               + F.col("__p") * F.col("__n"))
+    tot = (cells.select("__p", "__n", contrib.alias("__c"))
+                .agg(F.sum("__p").alias("n_pos"),
+                     F.sum("__n").alias("n_neg"),
+                     F.sum("__c").alias("__auc2")))
+    auc = (F.col("__auc2").cast("double")
+           / (F.lit(2.0) * F.col("n_pos").cast("double")
+              * F.col("n_neg").cast("double")))
+    return tot.select(
+        "n_pos", "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               F.floor(auc * 1000000.0 + F.lit(0.5)).cast("bigint"))
+         .alias("auc_micro"))

@@ -182,6 +182,8 @@ _NEXT_WINDOW = [
     "audit_k_anonymity", "profile_join_cardinality",
     # round-6q: CUSUM change-point series + sweep-line peak concurrency
     "stats_cusum_shift", "events_peak_concurrency",
+    # round-6r: leakage-safe LOO target encoding + exact rank AUC
+    "feature_target_encode_loo", "stats_auc_length",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

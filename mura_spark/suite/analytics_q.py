@@ -1976,3 +1976,51 @@ def profile_join_cardinality(spark, sf):
         ("orders_lineitem", o, "o_orderkey", li, "l_orderkey"),
         ("customer_orders", c, "c_custkey", o, "o_custkey"),
         ("events_self_user", ev, "user_id", ev, "user_id")])
+
+
+# ------------------------------------------------------- round-6r additions
+
+@q("feature_target_encode_loo",
+   "SELECT doc_id, lang, source, n_chars, "
+   "CASE WHEN COUNT(*) OVER w > 1 THEN "
+   "CAST(SUM(n_chars) OVER w - n_chars AS DOUBLE) "
+   "/ CAST(COUNT(*) OVER w - 1 AS DOUBLE) END AS loo_nchars "
+   "FROM documents WINDOW w AS (PARTITION BY lang, source)")
+def feature_target_encode_loo(spark, sf):
+    """Leakage-safe leave-one-out target encoding of (lang, source)
+    against document length — each row's categorical feature is its
+    group mean computed WITHOUT the row itself, the standard fix for
+    group-mean encoding leaking the row's own label (operators.features
+    .target_encode_loo). One window shuffle, row grain preserved."""
+    from mura_spark.operators.features import target_encode_loo
+    d = table(spark, sf, "documents")
+    return target_encode_loo(
+        d.select("doc_id", "lang", "source", "n_chars"),
+        ["lang", "source"], "n_chars", "loo_nchars")
+
+
+@q("stats_auc_length",
+   "WITH cells AS (SELECT n_chars AS s, "
+   "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p, "
+   "SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n "
+   "FROM documents GROUP BY 1), "
+   "pref AS (SELECT p, n, 2 * p * coalesce(SUM(n) OVER (ORDER BY s "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + p * n AS c "
+   "FROM cells), "
+   "tot AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos, "
+   "CAST(SUM(n) AS BIGINT) AS n_neg, SUM(c) AS auc2 FROM pref) "
+   "SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+   "CAST(floor(CAST(auc2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) "
+   "* CAST(n_neg AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END "
+   "AS auc_micro FROM tot")
+def stats_auc_length(spark, sf):
+    """Exact ROC AUC of document length as a predictor of lang='en' —
+    the rank-formulation evaluation (P(score⁺>score⁻) + ½ ties) every
+    quality-classifier loop needs, integer-exact until one final
+    division (operators.features.rank_auc). Rows reduce to per-score
+    counts before the domain-bounded prefix walk."""
+    from mura_spark.operators.features import rank_auc
+    d = table(spark, sf, "documents")
+    return rank_auc(
+        d.select("n_chars", (F.col("lang") == "en").alias("is_en")),
+        "n_chars", "is_en")

@@ -789,3 +789,35 @@ def test_peak_concurrency_sweep_and_tie_rule(spark):
             got["d1"].peak_at) == (4, 2, 2)
     assert (got["d2"].n_sessions, got["d2"].peak_concurrent,
             got["d2"].peak_at) == (2, 2, 2)
+
+
+def test_target_encode_loo_engineered(spark):
+    from mura_spark.operators.features import target_encode_loo
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 7)], "g string, x long")
+    got = {(r.g, r.x): r.loo for r in
+           target_encode_loo(df, ["g"], "x", "loo").collect()}
+    assert got[("a", 10)] == 25.0   # (20+30)/2
+    assert got[("a", 20)] == 20.0   # (10+30)/2
+    assert got[("a", 30)] == 15.0
+    assert got[("b", 7)] is None    # singleton group -> NULL
+
+
+def test_rank_auc_engineered(spark):
+    from mura_spark.operators.features import rank_auc
+    # pos scores {3, 4}, neg scores {1, 2}: perfect separation
+    df = spark.createDataFrame(
+        [(3, True), (4, True), (1, False), (2, False)],
+        "s long, y boolean")
+    assert rank_auc(df, "s", "y").first().auc_micro == 1000000
+    # pos {1,2}, neg {1,2}: symmetric with ties -> 0.5
+    df2 = spark.createDataFrame(
+        [(1, True), (2, True), (1, False), (2, False)],
+        "s long, y boolean")
+    assert rank_auc(df2, "s", "y").first().auc_micro == 500000
+    # pos {2}, neg {1,3}: one win one loss -> 0.5; and all-pos -> NULL
+    df3 = spark.createDataFrame(
+        [(2, True), (1, False), (3, False)], "s long, y boolean")
+    assert rank_auc(df3, "s", "y").first().auc_micro == 500000
+    df4 = spark.createDataFrame([(2, True)], "s long, y boolean")
+    assert rank_auc(df4, "s", "y").first().auc_micro is None
