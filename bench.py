@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "events_peak_concurrency",
     "feature_target_encode_loo",
     "stats_auc_length",
+    "stats_theil_sen_daily",
+    "events_seasonal_naive_mae",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

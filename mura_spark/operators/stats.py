@@ -384,3 +384,40 @@ def sql_mannwhitney_u(table_expr: str, value_expr: str, group_expr: str,
         "- CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
         f"/ (2.0 * sqrt({var12})) * 1000000.0 + 0.5) AS BIGINT) END "
         "AS z_micro FROM s CROSS JOIN t")
+
+
+def theil_sen_slope(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes
+    ``(y_j − y_i)/(x_j − x_i)``, x strictly increasing — up to ~29%
+    contaminated points cannot move it (the robust alternative to the
+    OLS slope in group_ols, which one outlier day can own). Returns one
+    row ``(n_points, n_pairs, slope)``.
+
+    Intended for SERIES data (a time-bucketed aggregate): the pair join
+    is O(n²) in the number of BUCKETS — calendar-bounded, not
+    data-bounded — so the input must already be reduced (the caller's
+    groupBy is the only row-scale shuffle). Exactness: slopes are one
+    correctly-rounded division of exact integers; the median is an
+    explicit order statistic (even counts average two doubles, which is
+    a single exact-input IEEE add + halving, associativity-free).
+    """
+    pts = df.select(F.col(x_col).cast("bigint").alias("__x"),
+                    F.col(y_col).cast("bigint").alias("__y"))
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = (a.join(b, F.col("b.__x") > F.col("a.__x"))
+                .select(((F.col("b.__y") - F.col("a.__y")).cast("double")
+                         / (F.col("b.__x") - F.col("a.__x"))
+                         .cast("double")).alias("__s")))
+    w = Window.orderBy("__s")
+    ranked = slopes.select(
+        "__s", F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"))
+    lo = F.floor((F.col("__m") + 1) / 2)
+    hi = F.floor(F.col("__m") / 2) + 1
+    med = (ranked.filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
+                 .agg((F.sum("__s") / F.count(F.lit(1))).alias("slope"),
+                      F.max("__m").alias("n_pairs")))
+    n = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    return (med.crossJoin(F.broadcast(n))
+               .select("n_points", F.col("n_pairs").cast("bigint"),
+                       "slope"))

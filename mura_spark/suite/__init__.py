@@ -184,6 +184,8 @@ _NEXT_WINDOW = [
     "stats_cusum_shift", "events_peak_concurrency",
     # round-6r: leakage-safe LOO target encoding + exact rank AUC
     "feature_target_encode_loo", "stats_auc_length",
+    # round-6s: robust trend + forecast-baseline backtest
+    "stats_theil_sen_daily", "events_seasonal_naive_mae",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1052,3 +1052,74 @@ def events_peak_concurrency(spark, sf):
     spans = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
                .agg(F.min("ts").alias("st"), F.max("ts").alias("en")))
     return peak_concurrency(spans, "day", "st", "en")
+
+
+# ------------------------------------------------------- round-6s additions
+
+@q("stats_theil_sen_daily",
+   "WITH d AS (SELECT CAST(ts AS DATE) AS day, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents "
+   "FROM events GROUP BY 1), "
+   "ix AS (SELECT CAST(day - DATE '2024-01-01' AS BIGINT) AS x, cents "
+   "FROM d), "
+   "p AS (SELECT CAST(b.cents - a.cents AS DOUBLE) "
+   "/ CAST(b.x - a.x AS DOUBLE) AS s FROM ix a JOIN ix b ON b.x > a.x), "
+   "r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, "
+   "COUNT(*) OVER () AS m FROM p), "
+   "med AS (SELECT SUM(s) / COUNT(*) AS slope, MAX(m) AS n_pairs FROM r "
+   "WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1) "
+   "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ix) AS n_points, "
+   "CAST(n_pairs AS BIGINT) AS n_pairs, slope FROM med")
+def stats_theil_sen_daily(spark, sf):
+    """Theil-Sen robust slope of the daily event-value series (cents/
+    day) — the trend estimate a single anomalous day cannot move,
+    median of all pairwise slopes over the calendar-bounded daily
+    aggregate (operators.stats.theil_sen_slope). The robust twin of
+    stats_ols_value_by_hour."""
+    from mura_spark.operators.stats import theil_sen_slope
+    ev = table(spark, sf, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+               .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+                    .cast("bigint").alias("cents")))
+    pts = daily.select(
+        F.datediff(F.col("day"), F.to_date(F.lit("2024-01-01")))
+         .alias("x"), "cents")
+    return theil_sen_slope(pts, "x", "cents")
+
+
+@q("events_seasonal_naive_mae",
+   "WITH d AS (SELECT CAST(ts AS DATE) AS day, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents "
+   "FROM events GROUP BY 1), "
+   "lagged AS (SELECT cents, "
+   "LAG(cents, 7) OVER (ORDER BY day) AS l7, "
+   "LAG(cents, 1) OVER (ORDER BY day) AS l1 FROM d) "
+   "SELECT CAST(COUNT(*) AS BIGINT) AS n_scored, "
+   "CAST(SUM(abs(cents - l7)) AS DOUBLE) / COUNT(*) AS mae7_cents, "
+   "CAST(SUM(abs(cents - l1)) AS DOUBLE) / COUNT(*) AS mae1_cents, "
+   "(CAST(SUM(abs(cents - l7)) AS DOUBLE) / COUNT(*) "
+   "< CAST(SUM(abs(cents - l1)) AS DOUBLE) / COUNT(*)) AS seasonal_wins "
+   "FROM lagged WHERE l7 IS NOT NULL")
+def events_seasonal_naive_mae(spark, sf):
+    """Forecast-baseline backtest over the daily value series: MAE of
+    the seasonal-naive forecast (value a week ago) vs the plain naive
+    (yesterday), scored on the days where both exist — the sanity gate
+    before any real forecasting model ships. Integer cents throughout;
+    the lag window runs over the calendar-bounded daily aggregate."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+               .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+                    .cast("bigint").alias("cents")))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents", F.lag("cents", 7).over(w).alias("l7"),
+        F.lag("cents", 1).over(w).alias("l1"))
+    sc = lagged.filter(F.col("l7").isNotNull())
+    mae7 = (F.sum(F.abs(F.col("cents") - F.col("l7"))).cast("double")
+            / F.count(F.lit(1)))
+    mae1 = (F.sum(F.abs(F.col("cents") - F.col("l1"))).cast("double")
+            / F.count(F.lit(1)))
+    return sc.agg(F.count(F.lit(1)).alias("n_scored"),
+                  mae7.alias("mae7_cents"), mae1.alias("mae1_cents"),
+                  (mae7 < mae1).alias("seasonal_wins"))

@@ -821,3 +821,33 @@ def test_rank_auc_engineered(spark):
     assert rank_auc(df3, "s", "y").first().auc_micro == 500000
     df4 = spark.createDataFrame([(2, True)], "s long, y boolean")
     assert rank_auc(df4, "s", "y").first().auc_micro is None
+
+
+def test_theil_sen_engineered_outlier_resistance(spark):
+    from mura_spark.operators.stats import theil_sen_slope
+    # y = 2x exactly except one wild outlier at x=5
+    pts = [(x, 2 * x) for x in range(5)] + [(5, 1000)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = theil_sen_slope(df, "x", "y").first()
+    assert (r.n_points, r.n_pairs) == (6, 15)
+    assert r.slope == 2.0          # OLS would be dragged far above 2
+    # even pair count: median averages the two central slopes
+    df2 = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 4), (3, 9)], "x long, y long")
+    # slopes: 1,2,3, 3,4, 5 -> sorted [1,2,3,3,4,5] -> median 3
+    assert theil_sen_slope(df2, "x", "y").first().slope == 3.0
+
+
+def test_seasonal_naive_mae_engineered(spark):
+    from mura_spark.suite import SPARK_QUERIES, ORACLE_SQL
+    import duckdb
+    # weekly-periodic series with noise: seasonal-naive must beat naive
+    con = duckdb.connect()
+    # reuse the real sf0.001 data for a cheap end-to-end equality check
+    sfd = "/root/testdata/sf0.001"
+    got = SPARK_QUERIES["events_seasonal_naive_mae"](spark, sfd).first()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sfd}/events.parquet'")
+    exp = con.execute(ORACLE_SQL["events_seasonal_naive_mae"]).fetchone()
+    assert (got.n_scored, got.mae7_cents, got.mae1_cents,
+            got.seasonal_wins) == exp
