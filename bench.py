@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "stats_auc_length",
     "stats_theil_sen_daily",
     "events_seasonal_naive_mae",
+    "emb_diversity_mean_cosine",
+    "text_bigram_logloss",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

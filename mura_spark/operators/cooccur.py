@@ -86,3 +86,55 @@ def pmi_bigrams(df: DataFrame, text_col: str, min_count: int = 5,
                  .alias("score_micro"))
             .orderBy(F.col("score_micro").desc(), F.col("bigram").asc())
             .limit(k))
+
+
+def bigram_logloss(df: DataFrame, id_col: str, text_col: str,
+                   lam: float = 0.7, lam_uni: float = 0.3) -> DataFrame:
+    """Per-document interpolated bigram LM surprisal — the
+    context-aware upgrade of corpus.unigram_logloss (which a list of
+    frequent words in random order can fool): each scored token
+    contributes ``⌊ln(1/P)·10⁶+½⌋`` with
+    ``P = λ·c(prev,cur)/c(prev) + λᵤ·c(cur)/T`` (Jelinek-Mercer
+    interpolation, the classic KenLM-style backoff shape), and the
+    document score is the integer mean over its n−1 scored positions.
+    Pass both λ literals explicitly — computing ``1−λ`` in binary
+    floating point would desynchronize from the oracle's literal.
+
+    Plan: bigram extraction is the narrow arrays_zip map (no shuffle);
+    unigram and bigram counting are one map-side-combined shuffle each;
+    the score join is keyed on the bigram/term (vocabulary-scale,
+    deliberately not broadcast); one integer-sum groupBy per document.
+    Quantize-then-sum keeps ``ln`` out of any float aggregation.
+    """
+    from mura_spark.functions.quantize import micro
+    from mura_spark.sources.parquet import ensure_min_partitions
+    df = ensure_min_partitions(df)
+    toks = TX.tokens(F.col(text_col))
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(toks, 1, n).alias("prev"),
+                         F.slice(toks, 2, n).alias("cur"))
+    st = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(id_col, F.col("p.prev").alias("prev"),
+                    F.col("p.cur").alias("cur")))
+    uni = (df.select(F.explode(TX.tokens(F.col(text_col))).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+    tot = uni.agg(F.sum("c").alias("T"))
+    bc = st.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    u1 = uni.select(F.col("term").alias("prev"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("cur"), F.col("c").alias("c2"))
+    p = (F.lit(lam) * (F.col("cb").cast("double")
+                       / F.col("c1").cast("double"))
+         + F.lit(lam_uni) * (F.col("c2").cast("double")
+                             / F.col("T").cast("double")))
+    scored = (st.join(bc, ["prev", "cur"]).join(u1, "prev")
+                .join(u2, "cur").crossJoin(F.broadcast(tot))
+                .select(F.col(id_col),
+                        micro(F.log(F.lit(1.0) / p)).alias("__s")))
+    per_doc = (scored.groupBy(id_col)
+                     .agg(F.count(F.lit(1)).alias("n_scored"),
+                          F.sum("__s").alias("__sum")))
+    return per_doc.select(
+        id_col, "n_scored",
+        F.floor(F.col("__sum").cast("double")
+                / F.col("n_scored").cast("double"))
+         .cast("bigint").alias("logloss_micro"))

@@ -733,3 +733,80 @@ def hard_negatives(test_df: DataFrame, train_df: DataFrame,
                   .select("query_id", "true_label",
                           F.col("neighbor_id").alias("neg_id"),
                           "neg_label"))
+
+
+def mean_pairwise_cosine(df: DataFrame, vec_col: str,
+                         dim: int = 64) -> DataFrame:
+    """Corpus-level embedding diversity in ONE linear pass: the exact
+    mean pairwise cosine over all n(n−1)/2 vector pairs, via the
+    sum-vector identity ``Σ_{i≠j} v̂_i·v̂_j = ‖Σv̂‖² − Σ‖v̂‖²`` — no pair
+    join ever forms (the O(n²) histogram twin is
+    emb_pair_cosine_histogram). A collapsing corpus (mode collapse,
+    crawler loop) drives the mean toward 1; a healthy one sits near 0.
+
+    Determinism: unit-normalized components are micro-quantized to
+    integers FIRST; every aggregate after that is exact integer
+    arithmetic in DECIMAL(38,0) (per-dim sums reach ~10⁶·n, their
+    squares overflow int64 at corpus scale), with one final double
+    division. The reported value is therefore the exact mean cosine of
+    the quantized unit vectors (≤1e-6/dim from the float value), not a
+    float-order artifact. Zero vectors are excluded.
+
+    Plan: one Arrow-batched numpy pass emits per-BATCH integer
+    partials — count, Σself-dot, and the dim per-dimension component
+    sums — so the only thing that ever leaves an executor is dim+2
+    scalars per batch (no explode, no row-scale shuffle, no
+    interpreted HOF: Spark evaluates transform/aggregate lambdas per
+    element, the same measured ~8× pitfall functions/vectors.py
+    documents). Bit-exactness: the squared-norm accumulates as an
+    explicit LEFT FOLD over dimensions (matching F.aggregate's and
+    DuckDB list_reduce's association order — np.sum's pairwise
+    reduction would drift low bits); sqrt/division/floor are IEEE
+    correctly-rounded elementwise ops; everything after quantization
+    is exact integer arithmetic. ``dim`` must be given (embedding
+    width is schema knowledge, not data).
+    """
+    from functools import reduce as _reduce
+
+    import numpy as np
+    import pandas as pd
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(vecs), dtype=np.float64)
+            for j in range(vecs.shape[1]):       # left fold, HOF order
+                acc = acc + vecs[:, j] * vecs[:, j]
+            nrm = np.sqrt(acc)
+            keep = nrm != 0.0
+            if not keep.any():
+                continue
+            u = vecs[keep] / nrm[keep, None]
+            q = np.floor(u * 1000000.0 + 0.5).astype(np.int64)
+            yield pd.DataFrame({
+                "n": [np.int64(len(q))],
+                "sd": [(q * q).sum(axis=1).sum()],
+                "s": [q.sum(axis=0)]})
+
+    partials = ensure_min_partitions(df.select(vec_col)).mapInPandas(
+        kernel, "n bigint, sd bigint, s array<bigint>")
+    one = partials.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("bigint")).alias("n_vecs"),
+        F.sum(F.col("sd").cast("decimal(38,0)")).alias("__sd"),
+        *[F.sum(F.element_at("s", i)).alias(f"__s{i}")
+          for i in range(1, dim + 1)])
+    ss = _reduce(
+        lambda a, b: a + b,
+        [F.col(f"__s{i}").cast("decimal(38,0)") * F.col(f"__s{i}")
+         for i in range(1, dim + 1)])
+    mean = ((ss - F.col("__sd")).cast("double")
+            / (F.col("n_vecs").cast("double")
+               * (F.col("n_vecs") - F.lit(1)).cast("double"))
+            / F.lit(1000000000000.0))
+    return one.select("n_vecs",
+                      F.when(F.col("n_vecs") > 1, mean)
+                       .alias("mean_cosine"))

@@ -186,6 +186,8 @@ _NEXT_WINDOW = [
     "feature_target_encode_loo", "stats_auc_length",
     # round-6s: robust trend + forecast-baseline backtest
     "stats_theil_sen_daily", "events_seasonal_naive_mae",
+    # round-6t: O(n) embedding diversity + bigram LM quality filter
+    "emb_diversity_mean_cosine", "text_bigram_logloss",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2024,3 +2024,31 @@ def stats_auc_length(spark, sf):
     return rank_auc(
         d.select("n_chars", (F.col("lang") == "en").alias("is_en")),
         "n_chars", "is_en")
+
+
+@q("text_bigram_logloss",
+   f"WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents), "
+   "uni AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1), "
+   "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS T FROM tok), "
+   "st AS (SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM "
+   "(SELECT doc_id, unnest([[t[i], t[i + 1]] "
+   "for i in range(1, len(t))]) AS pr FROM "
+   f"(SELECT doc_id, {_TOKS} AS t FROM documents))), "
+   "bc AS (SELECT prev, cur, COUNT(*) AS cb FROM st GROUP BY 1, 2), "
+   "sc AS (SELECT st.doc_id, CAST(floor(ln(1.0 / (0.7 "
+   "* (CAST(cb AS DOUBLE) / CAST(u1.c AS DOUBLE)) + 0.3 "
+   "* (CAST(u2.c AS DOUBLE) / CAST(T AS DOUBLE)))) * 1000000.0 + 0.5) "
+   "AS BIGINT) AS s FROM st JOIN bc ON st.prev = bc.prev "
+   "AND st.cur = bc.cur JOIN uni u1 ON u1.term = st.prev "
+   "JOIN uni u2 ON u2.term = st.cur CROSS JOIN tot) "
+   "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored, "
+   "CAST(floor(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) "
+   "AS BIGINT) AS logloss_micro FROM sc GROUP BY 1")
+def text_bigram_logloss(spark, sf):
+    """Per-document interpolated bigram LM surprisal (Jelinek-Mercer
+    λ=0.7 backoff to the unigram) — the context-aware LM quality filter
+    that frequent-words-in-random-order documents cannot fool, unlike
+    text_unigram_logloss (operators.cooccur.bigram_logloss)."""
+    from mura_spark.operators.cooccur import bigram_logloss
+    d = table(spark, sf, "documents")
+    return bigram_logloss(d, "doc_id", "text")

@@ -393,3 +393,37 @@ def emb_hard_negatives(spark, sf):
     e = table(spark, sf, "embeddings")
     return hard_negatives(e.filter(F.col("vec_id") < 50),
                           e.filter(F.col("vec_id") >= 50))
+
+
+# ------------------------------------------------------- round-6t additions
+
+@q("emb_diversity_mean_cosine",
+   "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+   f"n0 AS (SELECT v, {_SQ_NORM.format(v='v')} AS nrm FROM e), "
+   "nz AS (SELECT list_transform(v, x -> x / nrm) AS u FROM n0 "
+   "WHERE nrm <> 0), "
+   "qq AS (SELECT list_transform(u, x -> CAST(floor(x * 1000000.0 "
+   "+ 0.5) AS BIGINT)) AS q FROM nz), "
+   "r AS (SELECT q, CAST(list_sum(list_transform(q, x -> x * x)) "
+   "AS HUGEINT) AS selfdot FROM qq), "
+   "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, SUM(selfdot) "
+   "AS sd FROM r), "
+   "comp AS (SELECT unnest(q) AS x, unnest(range(1, len(q) + 1)) AS d "
+   "FROM r), "
+   "dims AS (SELECT d, CAST(SUM(x) AS HUGEINT) AS s FROM comp "
+   "GROUP BY 1), "
+   "s2 AS (SELECT SUM(s * s) AS ss FROM dims) "
+   "SELECT n_vecs, CASE WHEN n_vecs > 1 THEN "
+   "CAST(ss - sd AS DOUBLE) / (CAST(n_vecs AS DOUBLE) "
+   "* CAST(n_vecs - 1 AS DOUBLE)) / 1000000000000.0 END "
+   "AS mean_cosine FROM st CROSS JOIN s2")
+def emb_diversity_mean_cosine(spark, sf):
+    """Exact mean pairwise cosine over ALL embedding pairs in one
+    linear pass via the sum-vector identity ‖Σv̂‖² − Σ‖v̂‖² — the corpus
+    mode-collapse monitor that never forms a pair join (the O(n²)
+    histogram twin is emb_pair_cosine_histogram). Micro-quantized unit
+    components make every aggregate exact integer arithmetic
+    (operators.similarity.mean_pairwise_cosine)."""
+    from mura_spark.operators.similarity import mean_pairwise_cosine
+    e = table(spark, sf, "embeddings")
+    return mean_pairwise_cosine(e, "embedding")

@@ -851,3 +851,49 @@ def test_seasonal_naive_mae_engineered(spark):
     exp = con.execute(ORACLE_SQL["events_seasonal_naive_mae"]).fetchone()
     assert (got.n_scored, got.mae7_cents, got.mae1_cents,
             got.seasonal_wins) == exp
+
+
+def test_mean_pairwise_cosine_engineered(spark):
+    from mura_spark.operators.similarity import mean_pairwise_cosine
+    # two identical + one orthogonal: pairs (1,2)=1, (1,3)=0, (2,3)=0
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 5.0]),
+         (4, [0.0, 0.0])],                      # zero vector excluded
+        "vec_id long, embedding array<double>")
+    r = mean_pairwise_cosine(df, "embedding", dim=2).first()
+    assert r.n_vecs == 3
+    assert abs(r.mean_cosine - 1.0 / 3.0) < 1e-9
+    # all identical -> mean 1
+    df2 = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    assert abs(mean_pairwise_cosine(df2, "embedding", dim=2).first()
+               .mean_cosine - 1.0) < 1e-9
+    # singleton -> NULL
+    df3 = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    assert mean_pairwise_cosine(df3, "embedding", dim=2).first(
+        ).mean_cosine is None
+
+
+def test_bigram_logloss_orders_context(spark, tmp_path):
+    import math
+    from mura_spark.operators.cooccur import bigram_logloss
+    # corpus where "a b" is the only bigram after "a": P(b|a) high
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d"), (3, "d c b a")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bigram_logloss(docs, "doc_id", "text").collect()}
+    assert got[1].n_scored == 5 and got[2].n_scored == 3
+    # doc 1 repeats the corpus's dominant bigram -> lowest surprisal;
+    # doc 2 carries the two rarest bigrams (bc, cd) -> highest
+    assert (got[1].logloss_micro < got[3].logloss_micro
+            < got[2].logloss_micro)
+    # hand-check doc 1: bigrams = 3×"a b" + 2×"b a";
+    # P(b|a) = .7·c(ab)/c(a) + .3·c(b)/T = .7·(4/5) + .3·(5/14)
+    s_ab = math.floor(
+        math.log(1.0 / (0.7 * (4 / 5) + 0.3 * (5 / 14))) * 1e6 + 0.5)
+    s_ba = math.floor(
+        math.log(1.0 / (0.7 * (3 / 5) + 0.3 * (5 / 14))) * 1e6 + 0.5)
+    assert got[1].logloss_micro == math.floor((3 * s_ab + 2 * s_ba) / 5)
