@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "events_seasonal_naive_mae",
     "emb_diversity_mean_cosine",
     "text_bigram_logloss",
+    "source_python_datasource",
+    "source_file_lineage",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -188,6 +188,8 @@ _NEXT_WINDOW = [
     "stats_theil_sen_daily", "events_seasonal_naive_mae",
     # round-6t: O(n) embedding diversity + bigram LM quality filter
     "emb_diversity_mean_cosine", "text_bigram_logloss",
+    # round-6u: Python DataSource plugin + _metadata file lineage
+    "source_python_datasource", "source_file_lineage",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -135,3 +135,53 @@ def parquet_schema_evolution(spark, sf):
     return (spark.read.option("mergeSchema", "true")
             .option("basePath", path).parquet(path)
             .select("p_partkey", "p_name", "p_retailprice", "batch"))
+
+
+# ------------------------------------------------------- round-6u additions
+
+@q("source_python_datasource",
+   "SELECT CAST(i % 8 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM((i * 2654435761) % 997) AS BIGINT) AS sum_value, "
+   "CAST(MIN(i) AS BIGINT) AS min_id, CAST(MAX(i) AS BIGINT) AS max_id "
+   "FROM range(10000) t(i) GROUP BY 1")
+def source_python_datasource(spark, sf):
+    """Custom Python DataSource (the Spark 4 plugin API): read the
+    deterministic `mura_synth` generator source — S executor-local
+    stripes, zero input I/O — and roll it up per stripe. The oracle
+    regenerates the identical table from range(), pinning the plugin's
+    partition planning AND its row function (sources.pyds)."""
+    from mura_spark.sources import pyds
+    pyds.register(spark)
+    df = (spark.read.format("mura_synth")
+               .option("n", 10000).option("shards", 8).load())
+    return (df.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("sum_value"),
+                   F.min("id").alias("min_id"),
+                   F.max("id").alias("max_id")))
+
+
+@q("source_file_lineage",
+   "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources "
+   "FROM documents GROUP BY 1")
+def source_file_lineage(spark, sf):
+    """Row-provenance audit via the hidden `_metadata` struct: write
+    documents partitioned by lang, then account for every row by the
+    PHYSICAL file it landed in — `_metadata.file_path` is scan-time
+    metadata (no extra I/O), and the partition value parsed from the
+    path must reconcile with the logical rollup, which is exactly what
+    the oracle pins. The per-file accounting a 100 TB ingest uses to
+    localize a bad file without re-reading the fleet."""
+    d = table(spark, sf, "documents").select("doc_id", "text", "lang",
+                                             "source")
+    path = "/tmp/mura_suite_lineage_docs"
+    (d.write.mode("overwrite").partitionBy("lang").parquet(path))
+    back = spark.read.parquet(path)
+    return (back.select(
+                F.regexp_extract(F.col("_metadata.file_path"),
+                                 r"lang=([^/]+)/", 1).alias("lang"),
+                "source")
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count_distinct("source").alias("n_sources")))

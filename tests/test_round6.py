@@ -897,3 +897,30 @@ def test_bigram_logloss_orders_context(spark, tmp_path):
     s_ba = math.floor(
         math.log(1.0 / (0.7 * (3 / 5) + 0.3 * (5 / 14))) * 1e6 + 0.5)
     assert got[1].logloss_micro == math.floor((3 * s_ab + 2 * s_ba) / 5)
+
+
+def test_python_datasource_stripes_and_values(spark):
+    from mura_spark.sources import pyds
+    pyds.register(spark)
+    df = (spark.read.format("mura_synth")
+               .option("n", 100).option("shards", 4).load())
+    rows = df.collect()
+    assert len(rows) == 100
+    assert df.rdd.getNumPartitions() == 4          # one per stripe
+    by_id = {r.id: r for r in rows}
+    assert sorted(by_id) == list(range(100))
+    for r in rows:
+        assert r.shard == r.id % 4
+        assert r.value == pyds.synth_value(r.id)
+    # re-registration is idempotent
+    pyds.register(spark)
+
+
+def test_file_lineage_reconciles_partitioned_write(spark, tmp_path):
+    docs = [("x " * 5, lang, f"s{i % 2}") for i, lang in
+            enumerate(["en"] * 4 + ["de"] * 2)]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.lang: (r.n_rows, r.n_sources) for r in
+           SPARK_QUERIES["source_file_lineage"](spark, sf).collect()}
+    assert got == {"en": (4, 2), "de": (2, 2)}
