@@ -924,3 +924,24 @@ def test_file_lineage_reconciles_partitioned_write(spark, tmp_path):
     got = {r.lang: (r.n_rows, r.n_sources) for r in
            SPARK_QUERIES["source_file_lineage"](spark, sf).collect()}
     assert got == {"en": (4, 2), "de": (2, 2)}
+
+
+def test_session_new_query_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-6p..6u additions: broadcast totals stay
+    broadcast, reductions precede joins, no global sort sneaks in."""
+    from mura_spark.suite import SPARK_QUERIES
+    # k-anonymity: the grand total must ride as a broadcast, the QI
+    # groupBy is the only row-scale exchange
+    p = _plan(SPARK_QUERIES["audit_k_anonymity"](spark, sf_dir))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    # join-cardinality estimator: the estimated join NEVER executes -
+    # both sides reduce to per-key counts first (no SortMergeJoin of
+    # the raw fact tables against each other)
+    p = _plan(SPARK_QUERIES["profile_join_cardinality"](spark, sf_dir))
+    assert "HashAggregate" in p
+    # diversity metric: single pass, no join at all in the plan
+    p = _plan(SPARK_QUERIES["emb_diversity_mean_cosine"](spark, sf_dir))
+    assert "Join" not in p.replace("BroadcastNestedLoopJoin", "")
+    # LOO encoding: one window exchange, no join-back
+    p = _plan(SPARK_QUERIES["feature_target_encode_loo"](spark, sf_dir))
+    assert "Window" in p and "Join" not in p
