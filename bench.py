@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "text_bigram_logloss",
     "source_python_datasource",
     "source_file_lineage",
+    "stats_mutual_information",
+    "audit_sequence_gaps",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -301,3 +301,36 @@ def join_cardinality_report(pairs):
                        "n_right", "matched_keys", "est_rows",
                        "max_key_rows", skew.alias("skew_micro")))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def sequence_gaps(df, id_col: str):
+    """Dense-sequence integrity audit over an id column: how much of
+    the [min, max] span is missing, and where the holes start. The
+    dropped-batch detector for ingest pipelines whose upstream assigns
+    monotone ids — a nonzero ``n_missing`` localizes loss without any
+    row-level diff. Returns one row ``(n_ids, span_min, span_max,
+    n_missing, n_gap_runs, first_missing)``.
+
+    Plan: the distinct-id reduction is the only row-scale shuffle; gap
+    RUNS are found with a self ANTI join on the successor key
+    (``k+1 ∉ ids`` — an equi join on a computed key, never a sort or
+    window over the global sequence), so the audit scales as two
+    hash passes regardless of span size.
+    """
+    from pyspark.sql import functions as F
+    ids = df.select(F.col(id_col).alias("__k")).distinct()
+    b = ids.agg(F.min("__k").alias("span_min"),
+                F.max("__k").alias("span_max"),
+                F.count(F.lit(1)).alias("n_ids"))
+    ends = ids.alias("a").join(
+        ids.alias("bb"),
+        F.col("a.__k") + F.lit(1) == F.col("bb.__k"), "left_anti")
+    gaps = (ends.crossJoin(F.broadcast(b))
+                .filter(F.col("__k") < F.col("span_max")))
+    gagg = gaps.agg(F.count(F.lit(1)).alias("n_gap_runs"),
+                    (F.min("__k") + F.lit(1)).alias("first_missing"))
+    return (b.crossJoin(F.broadcast(gagg))
+             .select("n_ids", "span_min", "span_max",
+                     (F.col("span_max") - F.col("span_min") + F.lit(1)
+                      - F.col("n_ids")).alias("n_missing"),
+                     "n_gap_runs", "first_missing"))

@@ -421,3 +421,39 @@ def theil_sen_slope(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return (med.crossJoin(F.broadcast(n))
                .select("n_points", F.col("n_pairs").cast("bigint"),
                        "slope"))
+
+
+def mutual_information(df: DataFrame, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b)))
+    between two categorical columns, in micro-nats — the
+    feature-selection / redundancy screen beside the chi-square
+    independence test (chi2_contingency): MI reads in nats how much
+    knowing A tells you about B. Returns ``(n, n_cells, mi_micro)``.
+
+    Per-cell terms pass through ``ln`` so each is micro-quantized
+    BEFORE the sum (the usual libm-drift discipline); everything else
+    is exact counts. Plan: one (a,b) groupBy — the only row-scale
+    shuffle — then marginal rollups of the CELLS (already reduced) and
+    two cell-keyed joins; N rides broadcast.
+    """
+    cells = (df.groupBy(F.col(col_a).alias("__a"),
+                        F.col(col_b).alias("__b"))
+               .agg(F.count(F.lit(1)).alias("__c")))
+    ra = cells.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    rb = cells.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    j = (cells.join(ra, "__a").join(rb, "__b")
+              .crossJoin(F.broadcast(tot)))
+    c, ca, cb, n = (F.col("__c").cast("double"),
+                    F.col("__ca").cast("double"),
+                    F.col("__cb").cast("double"),
+                    F.col("__n").cast("double"))
+    term = (c / n) * F.log((c * n) / (ca * cb))
+    per = j.select(
+        F.col("__n"),
+        F.floor(term * 1000000.0 + F.lit(0.5)).cast("bigint")
+         .alias("__t"))
+    return per.agg(F.max("__n").alias("n"),
+                   F.count(F.lit(1)).alias("n_cells"),
+                   F.sum("__t").alias("mi_micro"))

@@ -190,6 +190,8 @@ _NEXT_WINDOW = [
     "emb_diversity_mean_cosine", "text_bigram_logloss",
     # round-6u: Python DataSource plugin + _metadata file lineage
     "source_python_datasource", "source_file_lineage",
+    # round-6v: information-theoretic association + dense-id gap audit
+    "stats_mutual_information", "audit_sequence_gaps",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

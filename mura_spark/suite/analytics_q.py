@@ -2052,3 +2052,49 @@ def text_bigram_logloss(spark, sf):
     from mura_spark.operators.cooccur import bigram_logloss
     d = table(spark, sf, "documents")
     return bigram_logloss(d, "doc_id", "text")
+
+
+@q("stats_mutual_information",
+   "WITH cells AS (SELECT lang, source, COUNT(*) AS c FROM documents "
+   "GROUP BY 1, 2), "
+   "ra AS (SELECT lang, SUM(c) AS ca FROM cells GROUP BY 1), "
+   "rb AS (SELECT source, SUM(c) AS cb FROM cells GROUP BY 1), "
+   "tot AS (SELECT SUM(c) AS n FROM cells), "
+   "per AS (SELECT n, CAST(floor((CAST(c AS DOUBLE) "
+   "/ CAST(n AS DOUBLE)) * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) "
+   "/ (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000000.0 + 0.5) "
+   "AS BIGINT) AS t FROM cells JOIN ra USING (lang) "
+   "JOIN rb USING (source) CROSS JOIN tot) "
+   "SELECT CAST(MAX(n) AS BIGINT) AS n, "
+   "CAST(COUNT(*) AS BIGINT) AS n_cells, "
+   "CAST(SUM(t) AS BIGINT) AS mi_micro FROM per")
+def stats_mutual_information(spark, sf):
+    """Mutual information between language and source in micro-nats —
+    the information-theoretic association screen beside
+    stats_chi2_lang_source: how much does knowing the source tell you
+    about the language of a document? Per-cell ln terms quantized
+    before the sum (operators.stats.mutual_information)."""
+    from mura_spark.operators.stats import mutual_information
+    d = table(spark, sf, "documents")
+    return mutual_information(d, "lang", "source")
+
+
+@q("audit_sequence_gaps",
+   "WITH ids AS (SELECT DISTINCT event_id AS k FROM events), "
+   "b AS (SELECT MIN(k) AS span_min, MAX(k) AS span_max, "
+   "CAST(COUNT(*) AS BIGINT) AS n_ids FROM ids), "
+   "g AS (SELECT a.k FROM ids a, b WHERE a.k < b.span_max "
+   "AND NOT EXISTS (SELECT 1 FROM ids i WHERE i.k = a.k + 1)) "
+   "SELECT n_ids, span_min, span_max, "
+   "span_max - span_min + 1 - n_ids AS n_missing, "
+   "(SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_gap_runs, "
+   "(SELECT MIN(k) + 1 FROM g) AS first_missing FROM b")
+def audit_sequence_gaps(spark, sf):
+    """Dense-id integrity audit over event_id: missing mass in the
+    [min,max] span and where the holes start — the dropped-batch
+    detector for monotone upstream ids, computed as a successor-key
+    ANTI join (never a global sort) — operators.profile
+    .sequence_gaps."""
+    from mura_spark.operators.profile import sequence_gaps
+    ev = table(spark, sf, "events")
+    return sequence_gaps(ev, "event_id")

@@ -945,3 +945,34 @@ def test_session_new_query_plan_shapes(spark, sf_dir):
     # LOO encoding: one window exchange, no join-back
     p = _plan(SPARK_QUERIES["feature_target_encode_loo"](spark, sf_dir))
     assert "Window" in p and "Join" not in p
+
+
+def test_mutual_information_engineered(spark):
+    import math
+    from mura_spark.operators.stats import mutual_information
+    # perfectly dependent: A determines B -> MI = H(A) = ln 2
+    df = spark.createDataFrame(
+        [("a", "x")] * 4 + [("b", "y")] * 4, "u string, v string")
+    r = mutual_information(df, "u", "v").first()
+    assert (r.n, r.n_cells) == (8, 2)
+    assert r.mi_micro == 2 * math.floor(
+        0.5 * math.log((4.0 * 8.0) / (4.0 * 4.0)) * 1e6 + 0.5)
+    # independent uniform 2x2 -> every cell term ln(1)=0
+    df2 = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "u string, v string")
+    assert mutual_information(df2, "u", "v").first().mi_micro == 0
+
+
+def test_sequence_gaps_engineered(spark):
+    from mura_spark.operators.profile import sequence_gaps
+    # ids 10..20 with {13, 14, 17} missing: 2 gap runs, 3 missing
+    present = [i for i in range(10, 21) if i not in (13, 14, 17)]
+    df = spark.createDataFrame([(i,) for i in present * 2], "k long")
+    r = sequence_gaps(df, "k").first()
+    assert (r.n_ids, r.span_min, r.span_max) == (8, 10, 20)
+    assert (r.n_missing, r.n_gap_runs, r.first_missing) == (3, 2, 13)
+    # dense sequence: zero gaps, NULL first_missing
+    d2 = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    r2 = sequence_gaps(d2, "k").first()
+    assert (r2.n_missing, r2.n_gap_runs, r2.first_missing) == (0, 0, None)
