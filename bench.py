@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "source_file_lineage",
     "stats_mutual_information",
     "audit_sequence_gaps",
+    "stats_weighted_median_spend",
+    "events_activity_streaks",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -98,3 +98,31 @@ def decayed_value(df: DataFrame, key: str, ts_col: str, value_col: str,
               .select(F.col(key), contrib.alias("__c"))
               .groupBy(key)
               .agg(F.sum("__c").alias("decayed_micro")))
+
+
+def activity_streaks(df, key_col: str, date_col):
+    """Gaps-and-islands per key: collapse each key's distinct active
+    days into maximal consecutive runs and report the longest streak —
+    ``(key, n_active_days, max_streak)``. The retention/habit metric
+    (DuoLingo-style) and the canonical islands formulation: within a
+    key, ``day_index − row_number`` is constant exactly on a
+    consecutive run, so one partitioned window + one groupBy finds all
+    islands with no self-join.
+
+    Plan: distinct (key, day) reduction → key-partitioned window
+    (ordered by day) → two key-grain groupBys. Everything after the
+    first reduction is day-grain, bounded by key × calendar.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    days = (df.select(F.col(key_col).alias("__k"),
+                      F.col(date_col).alias("__d")).distinct())
+    w = Window.partitionBy("__k").orderBy("__d")
+    isl = days.select(
+        "__k",
+        (F.col("__d") - F.row_number().over(w)).alias("__i"))
+    runs = (isl.groupBy("__k", "__i")
+               .agg(F.count(F.lit(1)).alias("__len")))
+    return (runs.groupBy(F.col("__k").alias(key_col))
+                .agg(F.sum("__len").alias("n_active_days"),
+                     F.max("__len").alias("max_streak")))

@@ -457,3 +457,33 @@ def mutual_information(df: DataFrame, col_a: str,
     return per.agg(F.max("__n").alias("n"),
                    F.count(F.lit(1)).alias("n_cells"),
                    F.sum("__t").alias("mi_micro"))
+
+
+def group_weighted_median(df: DataFrame, group_cols: list[str],
+                          value_col: str,
+                          weight_col: str) -> DataFrame:
+    """Lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total —
+    ``(group…, w_total, median_value)``. The survey-reweighting /
+    importance-weighted form of the exact percentile operator
+    (group_percentiles weights every row equally); integer weights keep
+    the threshold test exact (``2·cumw ≥ W``, no division).
+
+    Plan: one groupBy-key window pass (cumulative weight in value
+    order with a unique-ish tiebreak), then a min-conditional rollup.
+    The ordered scan per group is inherent to an exact weighted
+    quantile; the mergeable-sketch route is the approximate 100 TB
+    fallback, same contract.
+    """
+    w = (Window.partitionBy(*group_cols)
+               .orderBy(F.col(value_col).asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy(*group_cols)
+    cum = df.select(
+        *group_cols, value_col,
+        F.sum(weight_col).over(w).alias("__cw"),
+        F.sum(weight_col).over(wt).alias("__wt"))
+    return (cum.filter(F.lit(2) * F.col("__cw") >= F.col("__wt"))
+               .groupBy(*group_cols)
+               .agg(F.max("__wt").alias("w_total"),
+                    F.min(value_col).alias("median_value")))

@@ -192,6 +192,8 @@ _NEXT_WINDOW = [
     "source_python_datasource", "source_file_lineage",
     # round-6v: information-theoretic association + dense-id gap audit
     "stats_mutual_information", "audit_sequence_gaps",
+    # round-6w: weighted exact quantile + gaps-and-islands streaks
+    "stats_weighted_median_spend", "events_activity_streaks",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

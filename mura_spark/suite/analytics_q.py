@@ -2098,3 +2098,64 @@ def audit_sequence_gaps(spark, sf):
     from mura_spark.operators.profile import sequence_gaps
     ev = table(spark, sf, "events")
     return sequence_gaps(ev, "event_id")
+
+
+@q("stats_weighted_median_spend",
+   "WITH per AS (SELECT o_custkey, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+   "AS spend_cents, COUNT(*) AS n_orders FROM orders GROUP BY 1), "
+   "j AS (SELECT c_mktsegment, spend_cents, n_orders FROM per "
+   "JOIN customer ON c_custkey = o_custkey), "
+   "cum AS (SELECT c_mktsegment, spend_cents, "
+   "SUM(n_orders) OVER (PARTITION BY c_mktsegment ORDER BY spend_cents "
+   "ASC ROWS UNBOUNDED PRECEDING) AS cw, "
+   "SUM(n_orders) OVER (PARTITION BY c_mktsegment) AS wt FROM j) "
+   "SELECT c_mktsegment, CAST(MAX(wt) AS BIGINT) AS w_total, "
+   "CAST(MIN(spend_cents) AS BIGINT) AS median_value "
+   "FROM cum WHERE 2 * cw >= wt GROUP BY 1")
+def stats_weighted_median_spend(spark, sf):
+    """Order-count-weighted median customer spend per market segment —
+    the importance-weighted exact quantile (frequent buyers count
+    more), integer cents and integer weights so the half-total
+    threshold test is division-free (operators.stats
+    .group_weighted_median)."""
+    from mura_spark.operators.stats import group_weighted_median
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    per = (o.groupBy("o_custkey")
+            .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  * 100).cast("bigint").alias("spend_cents"),
+                 F.count(F.lit(1)).alias("n_orders")))
+    j = (per.join(c.select(F.col("c_custkey").alias("o_custkey"),
+                           "c_mktsegment"), "o_custkey")
+            .select("c_mktsegment", "spend_cents", "n_orders"))
+    return group_weighted_median(j, ["c_mktsegment"], "spend_cents",
+                                 "n_orders")
+
+
+@q("events_activity_streaks",
+   "WITH days AS (SELECT DISTINCT user_id, "
+   "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d "
+   "FROM events), "
+   "isl AS (SELECT user_id, d - ROW_NUMBER() OVER (PARTITION BY "
+   "user_id ORDER BY d) AS i FROM days), "
+   "runs AS (SELECT user_id, i, COUNT(*) AS len FROM isl "
+   "GROUP BY 1, 2), "
+   "per AS (SELECT user_id, MAX(len) AS max_streak FROM runs "
+   "GROUP BY 1) "
+   "SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users "
+   "FROM per GROUP BY 1")
+def events_activity_streaks(spark, sf):
+    """Longest consecutive-active-day streak distribution across users
+    — the habit/retention curve, via the canonical gaps-and-islands
+    window (day − row_number constant on a run; no self-join) —
+    operators.rolling.activity_streaks."""
+    from mura_spark.operators.rolling import activity_streaks
+    ev = table(spark, sf, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+         .cast("bigint").alias("dayix"))
+    st = activity_streaks(days, "user_id", "dayix")
+    return (st.groupBy("max_streak")
+              .agg(F.count(F.lit(1)).alias("n_users")))

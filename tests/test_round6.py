@@ -976,3 +976,34 @@ def test_sequence_gaps_engineered(spark):
     d2 = spark.createDataFrame([(i,) for i in range(5)], "k long")
     r2 = sequence_gaps(d2, "k").first()
     assert (r2.n_missing, r2.n_gap_runs, r2.first_missing) == (0, 0, None)
+
+
+def test_weighted_median_engineered(spark):
+    from mura_spark.operators.stats import group_weighted_median
+    # values 1..4 weights 1,1,1,10 -> half of W=13 is 6.5, reached at 4
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 1), ("g", 4, 10),
+         # h: symmetric weights -> lower median 10
+         ("h", 10, 5), ("h", 20, 5)],
+        "g string, v long, w long")
+    got = {r.g: r for r in
+           group_weighted_median(df, ["g"], "v", "w").collect()}
+    assert (got["g"].w_total, got["g"].median_value) == (13, 4)
+    assert (got["h"].w_total, got["h"].median_value) == (10, 10)
+    # unit weights reduce to the plain lower median
+    df2 = spark.createDataFrame(
+        [("u", v, 1) for v in (5, 1, 9, 7, 3)], "g string, v long, w long")
+    assert group_weighted_median(
+        df2, ["g"], "v", "w").first().median_value == 5
+
+
+def test_activity_streaks_engineered(spark):
+    from mura_spark.operators.rolling import activity_streaks
+    rows = ([(1, d) for d in (1, 2, 3, 7, 8)]       # streaks 3, 2
+            + [(2, d) for d in (4,)]                # streak 1
+            + [(3, d) for d in (1, 2, 3, 4, 5)])    # streak 5
+    df = spark.createDataFrame(rows * 2, "u long, d long")  # dup events
+    got = {r.u: r for r in activity_streaks(df, "u", "d").collect()}
+    assert (got[1].n_active_days, got[1].max_streak) == (5, 3)
+    assert (got[2].n_active_days, got[2].max_streak) == (1, 1)
+    assert (got[3].n_active_days, got[3].max_streak) == (5, 5)
