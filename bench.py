@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "audit_sequence_gaps",
     "stats_weighted_median_spend",
     "events_activity_streaks",
+    "emb_mutual_nn",
+    "text_hapax_rate",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -810,3 +810,115 @@ def mean_pairwise_cosine(df: DataFrame, vec_col: str,
     return one.select("n_vecs",
                       F.when(F.col("n_vecs") > 1, mean)
                        .alias("mean_cosine"))
+
+
+def mutual_nearest_neighbors(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_blocks: int = 16) -> DataFrame:
+    """Reciprocal best match over a vector corpus: pairs (a, b) where b
+    is a's cosine top-1 AND a is b's — the high-precision alignment/
+    pairing rule (translation pair mining, cross-corpus entity match,
+    near-dup confirmation): mutuality filters out hub vectors that are
+    everyone's neighbor but nobody's match. Output ``(id_a, id_b,
+    sim)`` with id_a < id_b.
+
+    Exact path via the same block-pair decomposition as
+    _blocked_exact_pairs: every unordered block pair scores its cross
+    product in one vectorized kernel but emits only each row's BEST
+    non-self candidate within that pair (ties → smallest id), so what
+    leaves a kernel is one partial row per (vector, block-pair) —
+    O(n·n_blocks), never O(n²) rows. A global per-id argmax (window,
+    sim desc / id asc) then one equi self-join of the 1-row-per-vector
+    best table tests reciprocity. Cosines accumulate dimension-major
+    left-to-right — bit-identical to the HOF/oracle arithmetic. At
+    100 TB the SAME top-1 + reciprocal-join tail runs over LSH/IVF
+    candidates instead of block pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("__id", id_type), T.StructField("__cand", id_type),
+        T.StructField("sim", T.DoubleType())])
+
+    pair_keys = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    all_keys = F.array(*[
+        F.struct(F.lit(i).alias("ba"), F.lit(j).alias("bb"))
+        for i, j in pair_keys])
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
+    dfm = ensure_min_partitions(df)
+    tagged = dfm.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        blk.alias("__blk"))
+    exploded = (tagged
+                .withColumn("__pk", F.explode(F.filter(
+                    all_keys,
+                    lambda p: (p["ba"] == F.col("__blk"))
+                              | (p["bb"] == F.col("__blk")))))
+                .select("__id", "__v", "__blk",
+                        F.col("__pk.ba").alias("__ba"),
+                        F.col("__pk.bb").alias("__bb")))
+
+    def _bests(ids_q, sim, ids_c, self_mask=None):
+        """Per query row: best candidate (ties -> smallest id)."""
+        if self_mask is not None:
+            sim = sim.copy()
+            sim[self_mask] = -np.inf
+        best = sim.max(axis=1)
+        ok = best > -np.inf
+        rows = []
+        order = np.argsort(ids_c, kind="stable")
+        sim_sorted = sim[:, order]
+        ids_sorted = ids_c[order]
+        pick = np.argmax(sim_sorted == best[:, None], axis=1)
+        return pd.DataFrame({
+            "__id": ids_q[ok], "__cand": ids_sorted[pick[ok]],
+            "sim": best[ok]})
+
+    def score(key, pdf):
+        ba, bb = key
+        side_a = pdf[pdf["__blk"] == ba]
+        side_b = side_a if ba == bb else pdf[pdf["__blk"] == bb]
+        if len(side_a) == 0 or len(side_b) == 0:
+            return pd.DataFrame({"__id": [], "__cand": [], "sim": []})
+        ma = np.stack(side_a["__v"].to_numpy()).astype(np.float64)
+        mb = (ma if ba == bb
+              else np.stack(side_b["__v"].to_numpy()).astype(np.float64))
+        dim = ma.shape[1]
+        dots = np.zeros((ma.shape[0], mb.shape[0]))
+        qa = np.zeros(ma.shape[0])
+        qb = np.zeros(mb.shape[0])
+        for d in range(dim):          # dimension-major == HOF order
+            xa, xb = ma[:, d], mb[:, d]
+            dots += np.outer(xa, xb)
+            qa += xa * xa
+            qb += xb * xb
+        denom = np.sqrt(qa)[:, None] * np.sqrt(qb)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom == 0.0, 0.0, dots / denom)
+        sim = np.clip(sim, -1.0, 1.0)
+        ids_a = side_a["__id"].to_numpy()
+        ids_b = side_b["__id"].to_numpy()
+        if ba == bb:
+            out = _bests(ids_a, sim, ids_b,
+                         ids_a[:, None] == ids_b[None, :])
+            return out
+        return pd.concat([
+            _bests(ids_a, sim, ids_b),
+            _bests(ids_b, sim.T, ids_a)], ignore_index=True)
+
+    partials = (exploded.groupBy("__ba", "__bb")
+                        .applyInPandas(score, out_schema))
+    w = Window.partitionBy("__id").orderBy(
+        F.col("sim").desc(), F.col("__cand").asc())
+    best = (partials.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .select("__id", "__cand", "sim"))
+    b2 = best.select(F.col("__id").alias("__bq"),
+                     F.col("__cand").alias("__bn"))
+    return (best.join(b2, (F.col("__id") == F.col("__bn"))
+                      & (F.col("__cand") == F.col("__bq")))
+                .filter(F.col("__id") < F.col("__cand"))
+                .select(F.col("__id").alias("id_a"),
+                        F.col("__cand").alias("id_b"), "sim"))

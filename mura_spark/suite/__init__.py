@@ -194,6 +194,8 @@ _NEXT_WINDOW = [
     "stats_mutual_information", "audit_sequence_gaps",
     # round-6w: weighted exact quantile + gaps-and-islands streaks
     "stats_weighted_median_spend", "events_activity_streaks",
+    # round-6x: reciprocal best-match pairing + hapax vocabulary health
+    "emb_mutual_nn", "text_hapax_rate",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

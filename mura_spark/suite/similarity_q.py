@@ -427,3 +427,24 @@ def emb_diversity_mean_cosine(spark, sf):
     from mura_spark.operators.similarity import mean_pairwise_cosine
     e = table(spark, sf, "embeddings")
     return mean_pairwise_cosine(e, "embedding")
+
+
+@q("emb_mutual_nn",
+   "WITH best AS (SELECT query_id, neighbor_id, sim FROM ("
+   "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+   f"{_COS} AS sim, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+   f"ORDER BY {_COS} DESC, c.vec_id ASC) AS rnk "
+   "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id) "
+   "WHERE rnk = 1) "
+   "SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.sim "
+   "FROM best a JOIN best b ON a.query_id = b.neighbor_id "
+   "AND a.neighbor_id = b.query_id AND a.query_id < a.neighbor_id")
+def emb_mutual_nn(spark, sf):
+    """Reciprocal best-match pairs over the embedding corpus (b is a's
+    top-1 AND a is b's) — the high-precision alignment rule that
+    filters out hub vectors; block-pair kernel emits one partial best
+    per (vector, block-pair), never O(n²) rows (operators.similarity
+    .mutual_nearest_neighbors)."""
+    from mura_spark.operators.similarity import mutual_nearest_neighbors
+    e = table(spark, sf, "embeddings")
+    return mutual_nearest_neighbors(e)

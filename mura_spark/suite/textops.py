@@ -1185,3 +1185,35 @@ def text_js_divergence(spark, sf):
     return agg.select(F.col("la").alias("lang_a"),
                       F.col("lb").alias("lang_b"),
                       "n_shared", jsd.alias("jsd_nano"))
+
+
+@q("text_hapax_rate",
+   f"WITH tok AS (SELECT source, unnest({_TOKS}) AS term "
+   "FROM documents), "
+   "cnt AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2) "
+   "SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+   "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+   "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, "
+   "CAST(floor(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+   "/ CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS hapax_rate_micro FROM cnt GROUP BY 1")
+def text_hapax_rate(spark, sf):
+    """Hapax-legomena rate per source: the share of each source's
+    vocabulary seen exactly once — a healthy natural-language slice
+    sits around 40-60%; far lower means boilerplate/templating, far
+    higher means OCR noise or encoding damage. One (source, term)
+    shuffle; every later aggregate runs on the reduced counts."""
+    d = table(spark, sf, "documents")
+    toks = d.select("source",
+                    F.explode(TX.tokens(F.col("text"))).alias("term"))
+    cnt = (toks.groupBy("source", "term")
+               .agg(F.count(F.lit(1)).alias("c")))
+    hap = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (cnt.groupBy("source")
+               .agg(F.sum("c").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_distinct"),
+                    hap.alias("n_hapax"),
+                    F.floor(hap.cast("double")
+                            / F.count(F.lit(1)).cast("double")
+                            * 1000000.0 + F.lit(0.5)).cast("bigint")
+                     .alias("hapax_rate_micro")))

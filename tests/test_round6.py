@@ -1007,3 +1007,39 @@ def test_activity_streaks_engineered(spark):
     assert (got[1].n_active_days, got[1].max_streak) == (5, 3)
     assert (got[2].n_active_days, got[2].max_streak) == (1, 1)
     assert (got[3].n_active_days, got[3].max_streak) == (5, 5)
+
+
+def test_mutual_nn_engineered(spark):
+    from mura_spark.operators.similarity import mutual_nearest_neighbors
+    # 1<->2 mutual (nearly parallel); 3's best is 1 but 1's best is 2;
+    # 4 orthogonal-ish pairs with 5
+    vecs = [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.14, 0.0]),
+            (3, [0.9, -0.44, 0.0]), (4, [0.0, 0.0, 1.0]),
+            (5, [0.1, 0.0, 0.995])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           mutual_nearest_neighbors(df, n_blocks=3).collect()}
+    assert got == {(1, 2), (4, 5)}
+    # exact duplicates: tie broken to smallest id, pair (1,2) mutual
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got2 = sorted((r.id_a, r.id_b) for r in
+                  mutual_nearest_neighbors(df2, n_blocks=2).collect())
+    # best(1)=2, best(2)=1, best(3)=1 -> only (1,2) reciprocal
+    assert got2 == [(1, 2)]
+
+
+def test_hapax_rate_engineered(spark, tmp_path):
+    docs = [("apple banana apple cherry", "en", "s1"),
+            ("banana banana dragon", "en", "s1"),
+            ("x y", "en", "s2")]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.source: r for r in
+           SPARK_QUERIES["text_hapax_rate"](spark, sf).collect()}
+    # s1: counts apple=2 banana=3 cherry=1 dragon=1 -> hapax 2/4
+    assert (got["s1"].n_tokens, got["s1"].n_distinct,
+            got["s1"].n_hapax) == (7, 4, 2)
+    assert got["s1"].hapax_rate_micro == 500000
+    assert (got["s2"].n_hapax, got["s2"].n_distinct) == (2, 2)
