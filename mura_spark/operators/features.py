@@ -72,3 +72,34 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
                F.floor(auc * 1000000.0 + F.lit(0.5)).cast("bigint"))
          .alias("auc_micro"))
+
+
+def quartile_migration(df: DataFrame, key_col: str, period_col: str,
+                       value_col: str, n_tiles: int = 4) -> DataFrame:
+    """Cohort-migration matrix: each key's value-quantile tile in
+    period P versus its tile in period P+1, counted over all adjacent
+    period pairs — the customer-upgrade/churn flow behind every
+    "segment movement" dashboard. Output ``(tile_from, tile_to,
+    n_moves)`` (n_tiles² rows).
+
+    NTILE over (period) partitions with a (value, key) tiebreak makes
+    tile assignment deterministic (both engines use the standard
+    front-loaded-remainder NTILE rule, pinned by window_ntile); the
+    self-join on (key, period+1) is an equi join at key grain.
+
+    Plan: one (key, period) reduction is the caller's job; here one
+    window shuffle per period partition + one key-grain equi join.
+    """
+    w = (Window.partitionBy(period_col)
+               .orderBy(F.col(value_col).asc(), F.col(key_col).asc()))
+    tiled = df.select(key_col, period_col,
+                      F.ntile(n_tiles).over(w).alias("__tile"))
+    nxt = tiled.select(F.col(key_col).alias("__k"),
+                       (F.col(period_col) - F.lit(1)).alias(period_col),
+                       F.col("__tile").alias("__tile_to"))
+    j = tiled.join(
+        nxt, (F.col(key_col) == F.col("__k"))
+        & (tiled[period_col] == nxt[period_col]))
+    return (j.groupBy(F.col("__tile").alias("tile_from"),
+                      F.col("__tile_to").alias("tile_to"))
+             .agg(F.count(F.lit(1)).alias("n_moves")))

@@ -487,3 +487,34 @@ def group_weighted_median(df: DataFrame, group_cols: list[str],
                .groupBy(*group_cols)
                .agg(F.max("__wt").alias("w_total"),
                     F.min(value_col).alias("median_value")))
+
+
+def group_entropy(df: DataFrame, group_cols: list[str],
+                  cat_col: str) -> DataFrame:
+    """Shannon entropy of a categorical distribution per group, in
+    micro-nats: ``(group…, n_rows, n_cats, entropy_micro)``. The
+    behavioral-diversity / concentration screen (a user who only ever
+    fires one event type scores 0; uniform across k types scores
+    ln k) — the per-group sibling of corpus.simpson_diversity, which
+    avoids ln entirely; here the per-category ``−p·ln p`` terms are
+    micro-quantized BEFORE the sum, the usual libm discipline.
+
+    Plan: one (group, cat) groupBy — the only row-scale shuffle — then
+    group-partitioned windows over the reduced cells and one final
+    group rollup.
+    """
+    cells = (df.groupBy(*group_cols, F.col(cat_col).alias("__cat"))
+               .agg(F.count(F.lit(1)).alias("__c")))
+    wg = Window.partitionBy(*group_cols)
+    w = cells.select(
+        *group_cols, "__c",
+        F.sum("__c").over(wg).alias("__n"),
+        F.count(F.lit(1)).over(wg).alias("__k"))
+    c, n = F.col("__c").cast("double"), F.col("__n").cast("double")
+    term = F.floor(-(c / n) * F.log(c / n) * F.lit(1000000.0)
+                   + F.lit(0.5)).cast("bigint")
+    t = w.select(*group_cols, "__n", "__k", term.alias("__t"))
+    return (t.groupBy(*group_cols)
+             .agg(F.max("__n").alias("n_rows"),
+                  F.max("__k").alias("n_cats"),
+                  F.sum("__t").alias("entropy_micro")))

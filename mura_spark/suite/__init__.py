@@ -196,6 +196,10 @@ _NEXT_WINDOW = [
     "stats_weighted_median_spend", "events_activity_streaks",
     # round-6x: reciprocal best-match pairing + hapax vocabulary health
     "emb_mutual_nn", "text_hapax_rate",
+    # round-6y: behavioral entropy + local clustering coefficient
+    "events_user_type_entropy", "graph_clustering_coeff",
+    # round-6z: multiple regression in one pass + quartile migration
+    "stats_ols2_lineitem", "orders_quartile_migration",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

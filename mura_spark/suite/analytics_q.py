@@ -2159,3 +2159,127 @@ def events_activity_streaks(spark, sf):
     st = activity_streaks(days, "user_id", "dayix")
     return (st.groupBy("max_streak")
               .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@q("graph_clustering_coeff",
+   f"WITH {_SUPPORTED_EDGES_CTE}, "
+   "deg AS (SELECT node, COUNT(*) AS dg FROM (SELECT a AS node FROM und "
+   "UNION ALL SELECT b AS node FROM und) GROUP BY 1), "
+   "keyed AS (SELECT a, b, da.dg AS dga, db.dg AS dgb FROM und "
+   "JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node), "
+   "oriented AS (SELECT "
+   "CASE WHEN (dga, a) < (dgb, b) THEN a ELSE b END AS u, "
+   "CASE WHEN (dga, a) < (dgb, b) THEN b ELSE a END AS v, "
+   "CASE WHEN (dga, a) < (dgb, b) THEN dgb ELSE dga END AS dv "
+   "FROM keyed), "
+   "wedges AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w "
+   "FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u "
+   "AND (e1.dv, e1.v) < (e2.dv, e2.v)), "
+   "tri AS (SELECT wedges.u AS u, wedges.v AS v, wedges.w AS w "
+   "FROM wedges JOIN oriented o ON wedges.v = o.u AND wedges.w = o.v), "
+   "corners AS (SELECT unnest([u, v, w]) AS node FROM tri), "
+   "tc AS (SELECT node, COUNT(*) AS n_triangles FROM corners "
+   "GROUP BY 1) "
+   "SELECT d.node, CAST(d.dg AS BIGINT) AS degree, "
+   "CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles, "
+   "CAST(floor(2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) "
+   "/ (CAST(d.dg AS DOUBLE) * CAST(d.dg - 1 AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS cc_micro "
+   "FROM deg d LEFT JOIN tc ON d.node = tc.node WHERE d.dg >= 2")
+def graph_clustering_coeff(spark, sf):
+    """Per-part local clustering coefficient over the support-≥2
+    co-purchase graph — 2T/(d(d−1)), the how-cliquish-is-my-
+    neighborhood community signal on top of the degree-ordered
+    triangle machinery (operators.graph.clustering_coefficients)."""
+    from mura_spark.operators.graph import (clustering_coefficients,
+                                            cooccurrence_edges_supported)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges_supported(li, "l_orderkey", "l_partkey",
+                                         min_support=2)
+    return clustering_coefficients(edges)
+
+
+def _ols2_sql(tbl: str) -> str:
+    """Two-regressor OLS (y=extendedprice¢ on quantity, discount%) via
+    exact raw moments + Cramer's rule — ONE text, run verbatim by BOTH
+    engines (Spark SQL over a temp view, DuckDB over its view), so the
+    double expression trees cannot desynchronize. Moments are per-row
+    BIGINT products summed in DECIMAL(38,0); everything after is
+    IEEE-deterministic double arithmetic on identical inputs."""
+    y = "CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT)"
+    x1 = "CAST(l_quantity AS BIGINT)"
+    x2 = "CAST(round(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT)"
+    dec = lambda e: f"SUM(CAST({e} AS DECIMAL(38,0)))"  # noqa: E731
+    return (
+        "WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST({dec(x1)} AS DOUBLE) AS s1, "
+        f"CAST({dec(x2)} AS DOUBLE) AS s2, "
+        f"CAST({dec(y)} AS DOUBLE) AS sy, "
+        f"CAST({dec(f'{x1} * {x1}')} AS DOUBLE) AS q11, "
+        f"CAST({dec(f'{x2} * {x2}')} AS DOUBLE) AS q22, "
+        f"CAST({dec(f'{x1} * {x2}')} AS DOUBLE) AS q12, "
+        f"CAST({dec(f'{x1} * {y}')} AS DOUBLE) AS p1y, "
+        f"CAST({dec(f'{x2} * {y}')} AS DOUBLE) AS p2y, "
+        f"CAST({dec(f'{y} * {y}')} AS DOUBLE) AS syy "
+        f"FROM {tbl}), "
+        "d AS (SELECT n_rows, n, sy, p1y, p2y, syy, "
+        "n * (q11 * q22 - q12 * q12) - s1 * (s1 * q22 - q12 * s2) "
+        "+ s2 * (s1 * q12 - q11 * s2) AS det, "
+        "sy * (q11 * q22 - q12 * q12) - s1 * (p1y * q22 - q12 * p2y) "
+        "+ s2 * (p1y * q12 - q11 * p2y) AS det0, "
+        "n * (p1y * q22 - p2y * q12) - sy * (s1 * q22 - q12 * s2) "
+        "+ s2 * (s1 * p2y - p1y * s2) AS det1, "
+        "n * (q11 * p2y - q12 * p1y) - s1 * (s1 * p2y - p1y * s2) "
+        "+ sy * (s1 * q12 - q11 * s2) AS det2 FROM m), "
+        "f AS (SELECT n_rows, n, sy, p1y, p2y, syy, "
+        "det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM d) "
+        "SELECT n_rows, "
+        "CAST(floor(b0 * 1000000.0 + 0.5) AS BIGINT) AS b0_micro, "
+        "CAST(floor(b1 * 1000000.0 + 0.5) AS BIGINT) AS b1_micro, "
+        "CAST(floor(b2 * 1000000.0 + 0.5) AS BIGINT) AS b2_micro, "
+        "CAST(floor((1.0 - (syy - b0 * sy - b1 * p1y - b2 * p2y) "
+        "/ (syy - sy * sy / n)) * 1000000.0 + 0.5) AS BIGINT) "
+        "AS r2_micro FROM f")
+
+
+@q("stats_ols2_lineitem", _ols2_sql("lineitem"))
+def stats_ols2_lineitem(spark, sf):
+    """Two-regressor least squares (revenue¢ ~ quantity + discount%)
+    from exact raw moments and Cramer's rule — multiple regression in
+    one aggregation pass (no iterative solver), the multivariate
+    sibling of stats_ols_value_by_hour. The SAME SQL text runs on both
+    engines, so the closed-form double arithmetic is mirrored by
+    construction."""
+    li = table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("mura_ols2_lineitem")
+    return spark.sql(_ols2_sql("mura_ols2_lineitem"))
+
+
+@q("orders_quartile_migration",
+   "WITH per AS (SELECT o_custkey, CAST(year(o_orderdate) AS INT) "
+   "AS yr, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+   "AS BIGINT) AS spend_cents FROM orders GROUP BY 1, 2), "
+   "tiled AS (SELECT o_custkey, yr, NTILE(4) OVER (PARTITION BY yr "
+   "ORDER BY spend_cents ASC, o_custkey ASC) AS tile FROM per) "
+   "SELECT CAST(a.tile AS INT) AS tile_from, "
+   "CAST(b.tile AS INT) AS tile_to, "
+   "CAST(COUNT(*) AS BIGINT) AS n_moves FROM tiled a JOIN tiled b "
+   "ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1 GROUP BY 1, 2")
+def orders_quartile_migration(spark, sf):
+    """Year-over-year spend-quartile migration matrix: which quartile
+    customers land in next year given this year's — the segment-
+    movement flow (upgrades on the upper triangle, churn-toward-Q1 on
+    the lower). Deterministic NTILE with a (value, key) tiebreak;
+    key-grain self-join on (customer, year+1) — operators.features
+    .quartile_migration."""
+    from mura_spark.operators.features import quartile_migration
+    o = table(spark, sf, "orders")
+    per = (o.groupBy("o_custkey",
+                     F.year("o_orderdate").alias("yr"))
+            .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  * 100).cast("bigint").alias("spend_cents")))
+    mig = quartile_migration(per, "o_custkey", "yr", "spend_cents")
+    return mig.select(F.col("tile_from").cast("int").alias("tile_from"),
+                      F.col("tile_to").cast("int").alias("tile_to"),
+                      "n_moves")

@@ -1123,3 +1123,25 @@ def events_seasonal_naive_mae(spark, sf):
     return sc.agg(F.count(F.lit(1)).alias("n_scored"),
                   mae7.alias("mae7_cents"), mae1.alias("mae1_cents"),
                   (mae7 < mae1).alias("seasonal_wins"))
+
+
+@q("events_user_type_entropy",
+   "WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events "
+   "GROUP BY 1, 2), "
+   "w AS (SELECT user_id, c, SUM(c) OVER (PARTITION BY user_id) AS n, "
+   "COUNT(*) OVER (PARTITION BY user_id) AS k FROM c), "
+   "t AS (SELECT user_id, n, k, CAST(floor(-(CAST(c AS DOUBLE) "
+   "/ CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS tm FROM w) "
+   "SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_rows, "
+   "CAST(MAX(k) AS BIGINT) AS n_cats, "
+   "CAST(SUM(tm) AS BIGINT) AS entropy_micro FROM t GROUP BY 1")
+def events_user_type_entropy(spark, sf):
+    """Per-user behavioral diversity: Shannon entropy of each user's
+    event-type mix in micro-nats — single-behavior users (bots,
+    scrapers) score 0, uniform explorers score ln 5; the per-group
+    sibling of the corpus Simpson diversity (operators.stats
+    .group_entropy)."""
+    from mura_spark.operators.stats import group_entropy
+    ev = table(spark, sf, "events")
+    return group_entropy(ev, ["user_id"], "event_type")

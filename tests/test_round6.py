@@ -1043,3 +1043,69 @@ def test_hapax_rate_engineered(spark, tmp_path):
             got["s1"].n_hapax) == (7, 4, 2)
     assert got["s1"].hapax_rate_micro == 500000
     assert (got["s2"].n_hapax, got["s2"].n_distinct) == (2, 2)
+
+
+def test_group_entropy_engineered(spark):
+    import math
+    from mura_spark.operators.stats import group_entropy
+    rows = ([("u1", "a")] * 4                       # single type -> 0
+            + [("u2", "a"), ("u2", "b")] * 2        # uniform 2 -> ln 2
+            + [("u3", "a")] * 3 + [("u3", "b")])    # skewed
+    df = spark.createDataFrame(rows, "u string, t string")
+    got = {r.u: r for r in group_entropy(df, ["u"], "t").collect()}
+    assert (got["u1"].n_rows, got["u1"].n_cats,
+            got["u1"].entropy_micro) == (4, 1, 0)
+    assert got["u2"].entropy_micro == 2 * math.floor(
+        -(0.5) * math.log(0.5) * 1e6 + 0.5)
+    exp3 = (math.floor(-(3 / 4) * math.log(3 / 4) * 1e6 + 0.5)
+            + math.floor(-(1 / 4) * math.log(1 / 4) * 1e6 + 0.5))
+    assert got["u3"].entropy_micro == exp3
+
+
+def test_clustering_coefficients_engineered(spark):
+    from mura_spark.operators.graph import clustering_coefficients
+    # triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1, cc(3)=1/3,
+    # 4 excluded (degree 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    got = {r.node: r for r in
+           clustering_coefficients(edges).collect()}
+    assert 4 not in got
+    assert (got[1].degree, got[1].n_triangles, got[1].cc_micro) == (
+        2, 1, 1000000)
+    assert (got[3].degree, got[3].n_triangles, got[3].cc_micro) == (
+        3, 1, 333333)
+    # square 5-6-7-8 (no diagonals): all cc 0, degree 2
+    sq = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 8), (8, 5)], "src long, dst long")
+    got2 = clustering_coefficients(sq).collect()
+    assert len(got2) == 4
+    assert all(r.cc_micro == 0 and r.n_triangles == 0 for r in got2)
+
+
+def test_ols2_recovers_planted_coefficients(spark):
+    # y = 7 + 3*x1 - 2*x2 exactly -> b0=7, b1=3, b2=-2, R^2=1
+    rows = [((7 + 3 * a - 2 * b) / 100.0, float(a), b / 100.0)
+            for a in range(1, 7) for b in range(1, 5)]
+    df = spark.createDataFrame(
+        rows, "l_extendedprice double, l_quantity double, "
+              "l_discount double")
+    df.createOrReplaceTempView("mura_ols2_test")
+    from mura_spark.suite.analytics_q import _ols2_sql
+    r = spark.sql(_ols2_sql("mura_ols2_test")).first()
+    assert r.n_rows == 24
+    assert (r.b0_micro, r.b1_micro, r.b2_micro) == (
+        7000000, 3000000, -2000000)
+    assert r.r2_micro == 1000000
+
+
+def test_quartile_migration_engineered(spark):
+    from mura_spark.operators.features import quartile_migration
+    # year 1: keys 1..8 with increasing value (tiles 1,1,2,2,3,3,4,4);
+    # year 2: reversed values -> each key flips to the mirror tile
+    rows = ([(k, 1, k * 10) for k in range(1, 9)]
+            + [(k, 2, (9 - k) * 10) for k in range(1, 9)])
+    df = spark.createDataFrame(rows, "k long, yr int, v long")
+    got = {(r.tile_from, r.tile_to): r.n_moves for r in
+           quartile_migration(df, "k", "yr", "v").collect()}
+    assert got == {(1, 4): 2, (2, 3): 2, (3, 2): 2, (4, 1): 2}
