@@ -258,6 +258,10 @@ BENCH_QUERIES = [
     "events_activity_streaks",
     "emb_mutual_nn",
     "text_hapax_rate",
+    "events_user_type_entropy",
+    "graph_clustering_coeff",
+    "stats_ols2_lineitem",
+    "orders_quartile_migration",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM
