@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "graph_clustering_coeff",
     "stats_ols2_lineitem",
     "orders_quartile_migration",
+    "mm_scene_changes",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

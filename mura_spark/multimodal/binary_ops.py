@@ -567,3 +567,62 @@ def audio_fingerprint31(df: DataFrame, id_col: str = "id",
                                 "fp": pd.Series(fps, dtype="int64")})
 
     return df.mapInPandas(batches, "id bigint, fp bigint")
+
+
+#: Output schema of :func:`scene_changes`.
+SCENE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_cuts", T.IntegerType()),
+    T.StructField("max_sad", T.LongType()),
+    T.StructField("first_cut", T.IntegerType()),
+])
+
+
+def scene_changes(df: DataFrame, threshold_sad: int,
+                  id_col: str = "id",
+                  content_col: str = "content") -> DataFrame:
+    """REAL shot-boundary detection over decoded Y4M luma: per video,
+    the sum-of-absolute-differences between adjacent frames, a cut
+    wherever SAD exceeds ``threshold_sad`` — the classic first pass of
+    every video-ingest pipeline (keyframe selection, dedup at shot
+    grain). Output ``(id, n_frames, n_cuts, max_sad, first_cut)``;
+    ``first_cut`` is the 0-based index of the first post-cut frame
+    (NULL if no cut). Undecodable payloads yield a NULL-stats row
+    (quarantine convention).
+
+    Pure-integer SAD over uint8 luma — exact, oracle-renderable for
+    SQL-reachable bytes. Arrow-batched; blobs never shuffle.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            ids, nf, nc, mx, fc = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames, w, h = _decode_y4m(bytes(p))
+                    a = frames.astype(np.int64)
+                    if a.shape[0] < 2:
+                        ids.append(int(i)); nf.append(a.shape[0])
+                        nc.append(0); mx.append(0); fc.append(None)
+                        continue
+                    sad = np.abs(a[1:] - a[:-1]).sum(axis=(1, 2))
+                    cuts = np.nonzero(sad > threshold_sad)[0]
+                    ids.append(int(i)); nf.append(int(a.shape[0]))
+                    nc.append(int(cuts.size))
+                    mx.append(int(sad.max()))
+                    fc.append(int(cuts[0] + 1) if cuts.size else None)
+                except Exception:
+                    ids.append(int(i)); nf.append(None); nc.append(None)
+                    mx.append(None); fc.append(None)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "n_frames": pd.Series(nf, dtype="Int32"),
+                "n_cuts": pd.Series(nc, dtype="Int32"),
+                "max_sad": pd.Series(mx, dtype="Int64"),
+                "first_cut": pd.Series(fc, dtype="Int32"),
+            })
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+    return ensure_min_partitions(df.select(id_col, content_col)) \
+        .mapInPandas(batches, schema=SCENE_SCHEMA)

@@ -200,6 +200,8 @@ _NEXT_WINDOW = [
     "events_user_type_entropy", "graph_clustering_coeff",
     # round-6z: multiple regression in one pass + quartile migration
     "stats_ols2_lineitem", "orders_quartile_migration",
+    # round-6aa: real-decode video shot-boundary detection
+    "mm_scene_changes",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -391,3 +391,39 @@ def pipeline_mm_dedup_report(spark, sf):
                   F.floor(uniq.cast("double") / F.count(F.lit(1))
                           * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
                    .alias("keep_rate_micro")))
+
+
+# ------------------------------------------------------- round-6aa addition
+
+@q("mm_scene_changes",
+   "WITH pxt AS (SELECT doc_id, substr(text, 1, 96) AS px "
+   "FROM documents WHERE n_chars >= 96), "
+   "d AS (SELECT doc_id, unnest(range(1, 6)) AS j, px FROM pxt), "
+   "sad AS (SELECT doc_id, j, CAST(list_sum([abs(ascii(px[j*16+i]) "
+   "- ascii(px[(j-1)*16+i])) for i in range(1, 17)]) AS BIGINT) "
+   "AS sadv FROM d) "
+   "SELECT doc_id, CAST(6 AS INT) AS n_frames, "
+   "CAST(SUM(CASE WHEN sadv > 500 THEN 1 ELSE 0 END) AS INT) "
+   "AS n_cuts, CAST(MAX(sadv) AS BIGINT) AS max_sad, "
+   "CAST(MIN(CASE WHEN sadv > 500 THEN j END) AS INT) AS first_cut "
+   "FROM sad GROUP BY doc_id")
+def mm_scene_changes(spark, sf):
+    """REAL shot-boundary detection: each document's first 96 bytes
+    become a genuine 6-frame 4×4 Cmono Y4M clip, decoded by the numpy
+    Y4M parser; adjacent-frame SAD over the luma plane marks a cut
+    where it exceeds 500 — the keyframe/shot-dedup first pass, exact
+    integer arithmetic end-to-end (multimodal.binary_ops
+    .scene_changes). The oracle rebuilds every SAD from raw byte
+    values."""
+    header = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n"
+    frame = F.lit(b"FRAME\n")
+    parts = [F.lit(header)]
+    for j in range(6):
+        parts += [frame,
+                  F.substring("text", j * 16 + 1, 16).cast("binary")]
+    d = (table(spark, sf, "documents")
+         .filter(F.col("n_chars") >= 96)
+         .select(F.col("doc_id").alias("id"),
+                 F.concat(*parts).alias("content")))
+    return (MM.scene_changes(d, threshold_sad=500)
+              .withColumnRenamed("id", "doc_id"))

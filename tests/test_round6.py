@@ -1109,3 +1109,24 @@ def test_quartile_migration_engineered(spark):
     got = {(r.tile_from, r.tile_to): r.n_moves for r in
            quartile_migration(df, "k", "yr", "v").collect()}
     assert got == {(1, 4): 2, (2, 3): 2, (3, 2): 2, (4, 1): 2}
+
+
+def test_scene_changes_engineered_cut(spark):
+    from mura_spark.multimodal.binary_ops import encode_ppm, scene_changes
+    import numpy as np
+    # build a 3-frame 4x4 Cmono clip: two identical dark frames then a
+    # bright frame -> exactly one cut at frame 2
+    dark = bytes([10] * 16)
+    bright = bytes([200] * 16)
+    clip = (b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n"
+            + b"FRAME\n" + dark + b"FRAME\n" + dark
+            + b"FRAME\n" + bright)
+    df = spark.createDataFrame([(1, bytearray(clip)),
+                                (2, bytearray(b"garbage"))],
+                               "id long, content binary")
+    got = {r.id: r for r in
+           scene_changes(df, threshold_sad=500).collect()}
+    assert (got[1].n_frames, got[1].n_cuts, got[1].first_cut) == (3, 1, 2)
+    assert got[1].max_sad == 16 * 190
+    # quarantine row for the undecodable payload
+    assert got[2].n_frames is None and got[2].n_cuts is None
