@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "stats_ols2_lineitem",
     "orders_quartile_migration",
     "mm_scene_changes",
+    "text_rake_keywords",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

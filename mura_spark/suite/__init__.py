@@ -202,6 +202,8 @@ _NEXT_WINDOW = [
     "stats_ols2_lineitem", "orders_quartile_migration",
     # round-6aa: real-decode video shot-boundary detection
     "mm_scene_changes",
+    # round-6bb: RAKE keyphrase extraction
+    "text_rake_keywords",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1217,3 +1217,36 @@ def text_hapax_rate(spark, sf):
                             / F.count(F.lit(1)).cast("double")
                             * 1000000.0 + F.lit(0.5)).cast("bigint")
                      .alias("hapax_rate_micro")))
+
+
+_RAKE_STOP = TX.LANG_STOPWORDS["en"]
+_RAKE_IN = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+@q("text_rake_keywords",
+   f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term, "
+   f"unnest(range(1, len({_TOKS}) + 1)) AS pos FROM documents), "
+   f"m AS (SELECT doc_id, pos, term, CASE WHEN term IN ({_RAKE_IN}) "
+   "THEN 1 ELSE 0 END AS st FROM tok), "
+   "ph AS (SELECT doc_id, pos, term, st, SUM(st) OVER (PARTITION BY "
+   "doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS pk FROM m), "
+   "w AS (SELECT doc_id, pk, pos, term FROM ph WHERE st = 0), "
+   "pl AS (SELECT doc_id, pk, pos, term, COUNT(*) OVER (PARTITION BY "
+   "doc_id, pk) AS plen FROM w), "
+   "ws AS (SELECT term, CAST(floor(CAST(SUM(plen) AS DOUBLE) "
+   "/ CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS wscore FROM pl GROUP BY 1), "
+   "ps AS (SELECT doc_id, pk, string_agg(term, ' ' ORDER BY pos) "
+   "AS phrase, CAST(SUM(wscore) AS BIGINT) AS score FROM pl "
+   "JOIN ws USING (term) GROUP BY 1, 2) "
+   "SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ, "
+   "CAST(MAX(score) AS BIGINT) AS score_micro FROM ps GROUP BY 1 "
+   "ORDER BY score_micro DESC, phrase ASC LIMIT 20")
+def text_rake_keywords(spark, sf):
+    """Top-20 RAKE keyphrases over the corpus — the zero-training
+    keyphrase extractor (stopword-delimited candidate runs, word score
+    deg/freq, phrase score = Σ word scores), the topic-inventory pass
+    of a corpus pipeline (operators.keywords.rake_keywords)."""
+    from mura_spark.operators.keywords import rake_keywords
+    d = table(spark, sf, "documents")
+    return rake_keywords(d, "doc_id", "text", _RAKE_STOP, k=20)

@@ -1130,3 +1130,23 @@ def test_scene_changes_engineered_cut(spark):
     assert got[1].max_sad == 16 * 190
     # quarantine row for the undecodable payload
     assert got[2].n_frames is None and got[2].n_cuts is None
+
+
+def test_rake_keywords_engineered(spark):
+    from mura_spark.operators.keywords import rake_keywords
+    # classic RAKE toy: "red apple" phrase repeated, split by stopwords
+    docs = [(1, "red apple and the green pear"),
+            (2, "red apple of doom"),
+            (3, "the pear")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stop = ["the", "a", "of", "and", "to"]
+    got = {r.phrase: r for r in
+           rake_keywords(df, "doc_id", "text", stop, k=10).collect()}
+    # freq: red=2 apple=2 green=1 pear=2 doom=1
+    # deg:  red: 2+2, apple: 2+2, green: 2, pear: 2+1, doom: 1
+    # score: red=2 apple=2 green=2 pear=1.5 doom=1
+    assert got["red apple"].n_occ == 2
+    assert got["red apple"].score_micro == 4000000
+    assert got["green pear"].score_micro == 2000000 + 1500000
+    assert got["doom"].score_micro == 1000000
+    assert got["pear"].n_occ == 1       # standalone occurrence (doc 3)
