@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "orders_quartile_migration",
     "mm_scene_changes",
     "text_rake_keywords",
+    "stats_wilson_error_rate",
+    "events_sequence_entropy_rate",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -204,6 +204,8 @@ _NEXT_WINDOW = [
     "mm_scene_changes",
     # round-6bb: RAKE keyphrase extraction
     "text_rake_keywords",
+    # round-6cc: Wilson proportion CI + Markov entropy rate
+    "stats_wilson_error_rate", "events_sequence_entropy_rate",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

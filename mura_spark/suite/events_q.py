@@ -1145,3 +1145,98 @@ def events_user_type_entropy(spark, sf):
     from mura_spark.operators.stats import group_entropy
     ev = table(spark, sf, "events")
     return group_entropy(ev, ["user_id"], "event_type")
+
+
+# ------------------------------------------------------- round-6cc additions
+
+@q("stats_wilson_error_rate",
+   "WITH d AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, "
+   "CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS e FROM events GROUP BY 1) "
+   "SELECT day, n, e, "
+   "CAST(floor(((CAST(e AS DOUBLE) / CAST(n AS DOUBLE) "
+   "+ (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)) "
+   "- 1.96 * sqrt((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "* (1.0 - CAST(e AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "/ CAST(n AS DOUBLE) + (1.96 * 1.96) "
+   "/ (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) "
+   "/ (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))) * 1000000.0 + 0.5) "
+   "AS BIGINT) AS lo_micro, "
+   "CAST(floor(((CAST(e AS DOUBLE) / CAST(n AS DOUBLE) "
+   "+ (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)) "
+   "+ 1.96 * sqrt((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "* (1.0 - CAST(e AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "/ CAST(n AS DOUBLE) + (1.96 * 1.96) "
+   "/ (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) "
+   "/ (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))) * 1000000.0 + 0.5) "
+   "AS BIGINT) AS hi_micro FROM d")
+def stats_wilson_error_rate(spark, sf):
+    """Daily error-rate with a Wilson 95% score interval — the
+    proportion CI that behaves at small n and p near 0 (unlike the
+    Wald interval every naive dashboard ships). Closed-form sqrt is
+    IEEE-correctly-rounded, so the bounds are deterministic; the
+    expression tree is mirrored term-for-term in the oracle."""
+    ev = table(spark, sf, "events")
+    d = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("event_type") == "error", 1)
+                       .otherwise(0)).alias("e")))
+    nD = F.col("n").cast("double")
+    p = F.col("e").cast("double") / nD
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (F.lit(2.0) * nD)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / nD
+        + z2 / (F.lit(4.0) * nD * nD))
+    denom = F.lit(1.0) + z2 / nD
+    mk = lambda c: (F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                    .cast("bigint"))
+    return d.select("day", "n", "e",
+                    mk((center - half) / denom).alias("lo_micro"),
+                    mk((center + half) / denom).alias("hi_micro"))
+
+
+@q("events_sequence_entropy_rate",
+   "WITH t AS (SELECT lag(event_type) OVER "
+   "(PARTITION BY user_id ORDER BY ts, event_id) AS src_type, "
+   "event_type AS dst_type FROM events), "
+   "c AS (SELECT src_type, dst_type, COUNT(*) AS cij FROM t "
+   "WHERE src_type IS NOT NULL GROUP BY 1, 2), "
+   "r AS (SELECT src_type, dst_type, cij, "
+   "SUM(cij) OVER (PARTITION BY src_type) AS ci, "
+   "SUM(cij) OVER () AS nn FROM c), "
+   "q AS (SELECT nn, CAST(floor(-(CAST(cij AS DOUBLE) "
+   "/ CAST(nn AS DOUBLE)) * ln(CAST(cij AS DOUBLE) "
+   "/ CAST(ci AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS tm, "
+   "src_type FROM r) "
+   "SELECT CAST(MAX(nn) AS BIGINT) AS n_transitions, "
+   "CAST(COUNT(DISTINCT src_type) AS BIGINT) AS n_states, "
+   "CAST(SUM(tm) AS BIGINT) AS entropy_rate_micro FROM q")
+def events_sequence_entropy_rate(spark, sf):
+    """Entropy RATE of the user event process, H(next|current) =
+    −Σ (c_ij/N)·ln(c_ij/c_i) in micro-nats — how predictable the next
+    action is given the current one; the conditional complement of
+    events_user_type_entropy and the scalar health of the
+    events_markov_transitions matrix. Per-pair ln terms quantized
+    before the sum; everything rides on the reduced transition cells."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(F.lag("event_type").over(w).alias("src_type"),
+                  F.col("event_type").alias("dst_type"))
+    c = (t.filter(F.col("src_type").isNotNull())
+          .groupBy("src_type", "dst_type")
+          .agg(F.count(F.lit(1)).alias("cij")))
+    r = c.select(
+        "src_type", "cij",
+        F.sum("cij").over(Window.partitionBy("src_type")).alias("ci"),
+        F.sum("cij").over(Window.partitionBy()).alias("nn"))
+    term = F.floor(
+        -(F.col("cij").cast("double") / F.col("nn").cast("double"))
+        * F.log(F.col("cij").cast("double") / F.col("ci").cast("double"))
+        * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    q_ = r.select("nn", "src_type", term.alias("tm"))
+    return q_.agg(F.max("nn").alias("n_transitions"),
+                  F.count_distinct("src_type").alias("n_states"),
+                  F.sum("tm").alias("entropy_rate_micro"))

@@ -1150,3 +1150,46 @@ def test_rake_keywords_engineered(spark):
     assert got["green pear"].score_micro == 2000000 + 1500000
     assert got["doom"].score_micro == 1000000
     assert got["pear"].n_occ == 1       # standalone occurrence (doc 3)
+
+
+def test_wilson_interval_engineered(spark, tmp_path):
+    import math
+    # one day, 100 events, 10 errors: hand-compute the Wilson bounds
+    rows = []
+    for i in range(100):
+        t = "error" if i < 10 else "view"
+        rows.append((i, f"2024-01-05T10:{i % 60:02d}:00", 1, t, 1.0, "{}"))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_wilson_error_rate"](spark, out).first()
+    assert (r.n, r.e) == (100, 10)
+    p, n, z = 0.1, 100.0, 1.96
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    den = 1 + z * z / n
+    assert r.lo_micro == math.floor((center - half) / den * 1e6 + 0.5)
+    assert r.hi_micro == math.floor((center + half) / den * 1e6 + 0.5)
+    assert r.lo_micro < 100000 < r.hi_micro
+
+
+def test_sequence_entropy_rate_deterministic_chain(spark, tmp_path):
+    import math
+    # user cycles a->b->a->b: transitions ab, ba, ab deterministic
+    # -> entropy rate 0; add user with a->a, a->b mix for nonzero
+    rows = [(i, f"2024-01-01T00:00:{i:02d}", 1, t, 1.0, "{}")
+            for i, t in enumerate(["a", "b", "a", "b"])]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["events_sequence_entropy_rate"](spark, out).first()
+    # every observed transition is deterministic: ln(1) terms -> 0
+    assert (r.n_transitions, r.n_states, r.entropy_rate_micro) == (3, 2, 0)
