@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "text_rake_keywords",
     "stats_wilson_error_rate",
     "events_sequence_entropy_rate",
+    "events_ab_cuped",
+    "graph_modularity",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -390,3 +390,73 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     return j.select("node", "degree", "n_triangles",
                     F.floor(cc * F.lit(1000000.0) + F.lit(0.5))
                      .cast("bigint").alias("cc_micro"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Deterministic synchronous label propagation: labels seed with
+    node ids; each round every node adopts the MAJORITY label among
+    its neighbors AND itself (self-loops must be present in ``edges``
+    — the self-vote breaks synchronous LPA's bipartite oscillation),
+    ties to the smallest label. Returns ``(node, lbl)``. The same
+    per-round shape as pagerank: one edge-keyed join, one count
+    groupBy, one ranked window; materialize the edge list ONCE before
+    calling (localCheckpoint) so iterations don't re-derive it.
+    """
+    from pyspark.sql import Window
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+                   .select("node", F.col("node").alias("lbl")))
+    for _ in range(rounds):
+        votes = (edges.join(labels.withColumnRenamed("node", "dst"),
+                            "dst")
+                      .groupBy(F.col("src").alias("node"), "lbl")
+                      .agg(F.count(F.lit(1)).alias("__n")))
+        w = (Window.partitionBy("node")
+                   .orderBy(F.col("__n").desc(), F.col("lbl").asc()))
+        labels = (votes.withColumn("__rnk", F.row_number().over(w))
+                       .filter(F.col("__rnk") == 1)
+                       .select("node", "lbl"))
+    return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity per community over an undirected simple graph:
+    ``Q_c = e_c/m − (d_c/2m)²`` — how much denser each community is
+    than the degree-preserving random expectation (ΣQ_c is the global
+    modularity; ≥ ~0.3 total is conventionally 'real structure'). The
+    quality gate for any community assignment (LPA, CC, metadata
+    splits). ``labels``: (node, lbl). Output: ``(community, n_nodes,
+    e_in, d_tot, q_micro)``.
+
+    Plan: undirected dedup (one shuffle), two label joins keyed on the
+    node, reduced per-community rollups; m rides broadcast. Exact
+    integer counts; two mirrored double divisions per community row.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+                .filter(F.col("a") != F.col("b")).distinct())
+    mm = und.agg(F.count(F.lit(1)).alias("m"))
+    la = labels.select(F.col("node").alias("a"), F.col("lbl").alias("__ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("lbl").alias("__cb"))
+    ein = (und.join(la, "a").join(lb, "b")
+              .filter(F.col("__ca") == F.col("__cb"))
+              .groupBy(F.col("__ca").alias("community"))
+              .agg(F.count(F.lit(1)).alias("e_in")))
+    deg = (und.select(F.col("a").alias("node"))
+              .unionByName(und.select(F.col("b").alias("node")))
+              .groupBy("node").agg(F.count(F.lit(1)).alias("__dg")))
+    dc = (deg.join(labels, "node")
+             .groupBy(F.col("lbl").alias("community"))
+             .agg(F.sum("__dg").alias("d_tot"),
+                  F.count(F.lit(1)).alias("n_nodes")))
+    half = (F.col("d_tot").cast("double")
+            / (F.lit(2.0) * F.col("m").cast("double")))
+    q = (F.col("e_in").cast("double") / F.col("m").cast("double")
+         - half * half)
+    return (dc.join(ein, "community", "left")
+              .crossJoin(F.broadcast(mm))
+              .select("community", "n_nodes",
+                      F.coalesce("e_in", F.lit(0).cast("bigint"))
+                       .alias("e_in"), "d_tot", "m")
+              .select("community", "n_nodes", "e_in", "d_tot",
+                      F.floor(q * F.lit(1000000.0) + F.lit(0.5))
+                       .cast("bigint").alias("q_micro")))

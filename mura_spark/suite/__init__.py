@@ -206,6 +206,8 @@ _NEXT_WINDOW = [
     "text_rake_keywords",
     # round-6cc: Wilson proportion CI + Markov entropy rate
     "stats_wilson_error_rate", "events_sequence_entropy_rate",
+    # round-6dd: CUPED variance-reduced A/B readout + modularity
+    "events_ab_cuped", "graph_modularity",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2283,3 +2283,98 @@ def orders_quartile_migration(spark, sf):
     return mig.select(F.col("tile_from").cast("int").alias("tile_from"),
                       F.col("tile_to").cast("int").alias("tile_to"),
                       "n_moves")
+
+
+_CUPED_CUT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@q("events_ab_cuped",
+   "WITH u AS (SELECT user_id, "
+   f"CAST(coalesce(SUM(CASE WHEN ts < {_CUPED_CUT} THEN "
+   "CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS pre, "
+   f"CAST(coalesce(SUM(CASE WHEN ts >= {_CUPED_CUT} THEN "
+   "CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS post "
+   "FROM events GROUP BY 1), "
+   "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+   "CAST(SUM(CAST(pre AS DECIMAL(38,0))) AS DOUBLE) AS sp, "
+   "CAST(SUM(CAST(post AS DECIMAL(38,0))) AS DOUBLE) AS sq, "
+   "CAST(SUM(CAST(pre * post AS DECIMAL(38,0))) AS DOUBLE) AS spq, "
+   "CAST(SUM(CAST(pre * pre AS DECIMAL(38,0))) AS DOUBLE) AS spp, "
+   "CAST(SUM(CAST(post * post AS DECIMAL(38,0))) AS DOUBLE) AS sqq "
+   "FROM u), "
+   "t AS (SELECT n, sp, "
+   "CASE WHEN (n * spp - sp * sp) > 0 THEN "
+   "(n * spq - sp * sq) / (n * spp - sp * sp) ELSE 0 END AS theta, "
+   "CASE WHEN (n * spp - sp * sp) > 0 AND (n * sqq - sq * sq) > 0 "
+   "THEN (n * spq - sp * sq) * (n * spq - sp * sq) "
+   "/ ((n * spp - sp * sp) * (n * sqq - sq * sq)) ELSE 0 END AS rho2 "
+   "FROM m), "
+   f"y AS (SELECT {_AB_BUCKET} % 2 AS variant, post, rho2, "
+   "CAST(floor((CAST(post AS DOUBLE) - theta "
+   "* (CAST(pre AS DOUBLE) - sp / n)) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS ym FROM u CROSS JOIN t) "
+   "SELECT CAST(variant AS INT) AS variant, "
+   "CAST(COUNT(*) AS BIGINT) AS n_users, "
+   "CAST(floor(CAST(SUM(CAST(post AS DECIMAL(38,0))) AS DOUBLE) "
+   "/ CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS raw_mean_micro, "
+   "CAST(floor(CAST(SUM(CAST(ym AS DECIMAL(38,0))) AS DOUBLE) "
+   "/ CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS adj_mean_micro, "
+   "CAST(floor(MAX(rho2) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS var_reduction_micro FROM y GROUP BY 1")
+def events_ab_cuped(spark, sf):
+    """CUPED-adjusted A/B readout: each user's post-period spend is
+    shifted by θ·(pre − mean_pre) with θ = cov/var from the pooled
+    pre-period — the standard experimentation variance-reduction
+    transform (rho² ≈ the variance removed). Exact moments in
+    DECIMAL(38,0); the per-user adjusted metric is quantized BEFORE
+    the variant sum; assignment reuses the portable MD5 bucket."""
+    from mura_spark.functions.hashing import md5_hash48
+    ev = table(spark, sf, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    dec = F.col("value").cast("decimal(18,2)")
+    u = (ev.groupBy("user_id")
+           .agg((F.coalesce(F.sum(F.when(F.col("ts") < cut, dec)),
+                            F.lit(0)) * 100).cast("bigint").alias("pre"),
+                (F.coalesce(F.sum(F.when(F.col("ts") >= cut, dec)),
+                            F.lit(0)) * 100).cast("bigint")
+                .alias("post")))
+    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = u.agg(F.count(F.lit(1)).cast("double").alias("n"),
+              d38(F.col("pre")).alias("sp"),
+              d38(F.col("post")).alias("sq"),
+              d38(F.col("pre") * F.col("post")).alias("spq"),
+              d38(F.col("pre") * F.col("pre")).alias("spp"),
+              d38(F.col("post") * F.col("post")).alias("sqq"))
+    n, sp, sq = F.col("n"), F.col("sp"), F.col("sq")
+    spq, spp, sqq = F.col("spq"), F.col("spp"), F.col("sqq")
+    varp = n * spp - sp * sp
+    theta = F.when(varp > 0,
+                   (n * spq - sp * sq) / varp).otherwise(F.lit(0.0))
+    rho2 = F.when((varp > 0) & ((n * sqq - sq * sq) > 0),
+                  (n * spq - sp * sq) * (n * spq - sp * sq)
+                  / (varp * (n * sqq - sq * sq))).otherwise(F.lit(0.0))
+    t = m.select(n.alias("n"), sp.alias("sp"), theta.alias("theta"),
+                 rho2.alias("rho2"))
+    ym = F.floor((F.col("post").cast("double") - F.col("theta")
+                  * (F.col("pre").cast("double")
+                     - F.col("sp") / F.col("n"))) * F.lit(1000000.0)
+                 + F.lit(0.5)).cast("bigint")
+    y = (u.crossJoin(F.broadcast(t))
+          .select((md5_hash48(F.col("user_id").cast("string"))
+                   % 1000 % 2).cast("int").alias("variant"),
+                  "post", "rho2", ym.alias("ym")))
+    return (y.groupBy("variant")
+             .agg(F.count(F.lit(1)).alias("n_users"),
+                  F.floor(F.sum(F.col("post").cast("decimal(38,0)"))
+                           .cast("double")
+                          / F.count(F.lit(1)).cast("double")
+                          * F.lit(1000000.0) + F.lit(0.5))
+                   .cast("bigint").alias("raw_mean_micro"),
+                  F.floor(F.sum(F.col("ym").cast("decimal(38,0)"))
+                           .cast("double")
+                          / F.count(F.lit(1)).cast("double"))
+                   .cast("bigint").alias("adj_mean_micro"),
+                  F.floor(F.max("rho2") * F.lit(1000000.0)
+                          + F.lit(0.5)).cast("bigint")
+                   .alias("var_reduction_micro")))

