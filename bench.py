@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "events_sequence_entropy_rate",
     "events_ab_cuped",
     "graph_modularity",
+    "stats_anova_value_by_type",
+    "stats_brown_forsythe",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -518,3 +518,52 @@ def group_entropy(df: DataFrame, group_cols: list[str],
              .agg(F.max("__n").alias("n_rows"),
                   F.max("__k").alias("n_cats"),
                   F.sum("__t").alias("entropy_micro")))
+
+
+def oneway_anova(df: DataFrame, group_col: str,
+                 value_col: str) -> DataFrame:
+    """One-way ANOVA over an INTEGER-valued (fixed-point) metric:
+    ``(k, n, f_micro, eta2_micro)`` — does the group mean differ across
+    k groups? F = (SSB/(k−1))/(SSW/(n−k)), η² = SSB/SST the effect
+    size. The omnibus sibling of the two-sample z/KS/MWU tests.
+
+    Determinism: group sums and sums-of-squares are exact
+    DECIMAL(38,0); each group's ``S_g²/n_g`` term and the grand
+    ``S²/n`` are quantized to integer UNITS before the cross-group
+    sums (a k-group float sum would be association-ordered), so SSB is
+    an exact DECIMAL integer of unit-scale resolution (unit² sums
+    overflow int64 at scale) and the two final
+    divisions are mirrored doubles. Negative-by-quantization SSB
+    clamps to 0. One map-side-combined groupBy; everything after runs
+    on k rows.
+    """
+    v = F.col(value_col).cast("bigint")
+    g = (df.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("__ng"),
+                F.sum(v.cast("decimal(38,0)")).alias("__sg"),
+                F.sum((v * v).cast("decimal(38,0)")).alias("__qg")))
+    term = F.floor(F.col("__sg").cast("double")
+                   * F.col("__sg").cast("double")
+                   / F.col("__ng").cast("double")
+                   + F.lit(0.5)).cast("decimal(38,0)")
+    tot = (g.select("__ng", "__sg", "__qg", term.alias("__t"))
+            .agg(F.count(F.lit(1)).alias("k"),
+                 F.sum("__ng").alias("n"),
+                 F.sum("__t").alias("__a"),
+                 F.sum("__sg").alias("__s"),
+                 F.sum("__qg").alias("__q")))
+    b = F.floor(F.col("__s").cast("double") * F.col("__s").cast("double")
+                / F.col("n").cast("double")
+                + F.lit(0.5)).cast("decimal(38,0)")
+    ssb = F.greatest(F.col("__a") - b, F.lit(0).cast("decimal(38,0)"))
+    ssw = F.col("__q").cast("double") - F.col("__a").cast("double")
+    f = ((ssb.cast("double") / (F.col("k") - F.lit(1)).cast("double"))
+         / (ssw / (F.col("n") - F.col("k")).cast("double")))
+    eta2 = ssb.cast("double") / (ssb.cast("double") + ssw)
+    mk = lambda c: (F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                    .cast("bigint"))
+    cond = (F.col("k") > 1) & (ssw > 0)
+    return tot.select(
+        "k", "n",
+        F.when(cond, mk(f)).alias("f_micro"),
+        F.when(cond, mk(eta2)).alias("eta2_micro"))

@@ -208,6 +208,8 @@ _NEXT_WINDOW = [
     "stats_wilson_error_rate", "events_sequence_entropy_rate",
     # round-6dd: CUPED variance-reduced A/B readout + modularity
     "events_ab_cuped", "graph_modularity",
+    # round-6ee: omnibus mean test + robust variance-homogeneity test
+    "stats_anova_value_by_type", "stats_brown_forsythe",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2378,3 +2378,89 @@ def events_ab_cuped(spark, sf):
                   F.floor(F.max("rho2") * F.lit(1000000.0)
                           + F.lit(0.5)).cast("bigint")
                    .alias("var_reduction_micro")))
+
+
+def _sql_anova(cells: str, group: str, value: str) -> str:
+    """DuckDB rendering of operators.stats.oneway_anova over integer
+    values — mirrored term-for-term (quantize-to-units before any
+    cross-group sum)."""
+    return (
+        f"WITH g AS (SELECT {group} AS grp, COUNT(*) AS ng, "
+        f"SUM(CAST({value} AS DECIMAL(38,0))) AS sg, "
+        f"SUM(CAST({value} * {value} AS DECIMAL(38,0))) AS qg "
+        f"FROM {cells} GROUP BY 1), "
+        "t AS (SELECT ng, sg, qg, CAST(floor(CAST(sg AS DOUBLE) "
+        "* CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) + 0.5) "
+        "AS DECIMAL(38,0)) AS tm FROM g), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+        "CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(tm) AS DECIMAL(38,0)) "
+        "AS a, SUM(sg) AS s, SUM(qg) AS q FROM t), "
+        "d AS (SELECT k, n, greatest(a - CAST(floor(CAST(s AS DOUBLE) "
+        "* CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) "
+        "AS DECIMAL(38,0)), 0) AS ssb, "
+        "CAST(q AS DOUBLE) - CAST(a AS DOUBLE) AS ssw FROM m) "
+        "SELECT k, n, CASE WHEN k > 1 AND ssw > 0 THEN "
+        "CAST(floor((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) "
+        "/ (ssw / CAST(n - k AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+        "END AS f_micro, CASE WHEN k > 1 AND ssw > 0 THEN "
+        "CAST(floor(CAST(ssb AS DOUBLE) / (CAST(ssb AS DOUBLE) + ssw) "
+        "* 1000000.0 + 0.5) AS BIGINT) END AS eta2_micro FROM d")
+
+
+@q("stats_anova_value_by_type",
+   _sql_anova("(SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) "
+              "* 100 AS BIGINT) AS cents FROM events)",
+              "event_type", "cents"))
+def stats_anova_value_by_type(spark, sf):
+    """One-way ANOVA: do mean event values differ across the five
+    event types? F statistic + η² effect size from exact decimal
+    moments, group terms quantized to integer cents² before any
+    cross-group float sum (operators.stats.oneway_anova)."""
+    from mura_spark.operators.stats import oneway_anova
+    ev = table(spark, sf, "events")
+    cells = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+         .alias("cents"))
+    return oneway_anova(cells, "event_type", "cents")
+
+
+def _bf_oracle() -> str:
+    from mura_spark.operators.stats import sql_group_percentiles
+    med = sql_group_percentiles(
+        "(SELECT event_type, value FROM events "
+        "WHERE value IS NOT NULL)", ["event_type"], "value",
+        [0.5], ["med"])
+    # deviations rescaled to 100-micro units: the ANOVA terms S_g²/n_g
+    # must stay below 2⁶³ THROUGH Spark's floor(double)->LONG (micro
+    # units put S²/n at ~10¹⁹ and wrap silently — caught by the oracle
+    # gate on first run)
+    dev = ("(SELECT e.event_type, CAST(floor(abs(CAST(floor(value "
+           "* 1000000.0 + 0.5) AS BIGINT) - med_micro) / 10000.0) "
+           "AS BIGINT) AS d FROM events e "
+           f"JOIN ({med}) m ON e.event_type = m.event_type "
+           "WHERE e.value IS NOT NULL)")
+    return _sql_anova(dev, "event_type", "d")
+
+
+@q("stats_brown_forsythe", _bf_oracle())
+def stats_brown_forsythe(spark, sf):
+    """Brown-Forsythe variance-homogeneity test: one-way ANOVA on
+    absolute deviations from each type's MEDIAN (robust to heavy
+    tails, unlike Levene-on-means) — do the event types differ in
+    SPREAD, not just level? Composed from the exact order-statistic
+    median and the same quantize-then-sum ANOVA core."""
+    from mura_spark.functions.quantize import micro
+    from mura_spark.operators.stats import (group_percentiles,
+                                            oneway_anova)
+    ev = (table(spark, sf, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    med = group_percentiles(ev, ["event_type"], "value", [0.5], ["med"])
+    dev = (ev.join(F.broadcast(med), "event_type")
+             .select("event_type",
+                     F.floor(F.abs(micro(F.col("value"))
+                                   - F.col("med_micro"))
+                             / F.lit(10000.0)).cast("bigint")
+                      .alias("d")))
+    return oneway_anova(dev, "event_type", "d")

@@ -1227,3 +1227,27 @@ def test_modularity_two_cliques(spark):
                                 "node long, lbl long")
     assert all(r.q_micro == 0 and r.e_in == 6
                for r in modularity(edges, one).collect())
+
+
+def test_oneway_anova_engineered(spark):
+    import math
+    from mura_spark.operators.stats import oneway_anova
+    # identical group means -> SSB 0 -> F 0
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 10), ("b", 20)], "g string, v long")
+    r = oneway_anova(df, "g", "v").first()
+    assert (r.k, r.n, r.f_micro, r.eta2_micro) == (2, 4, 0, 0)
+    # hand-computed: a={0,0}, b={10,10} -> SSB=100, SSW=0 -> undefined
+    df2 = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 10), ("b", 10)], "g string, v long")
+    r2 = oneway_anova(df2, "g", "v").first()
+    assert r2.f_micro is None            # zero within-variance guard
+    # textbook case: a={1,2,3}, b={4,5,6}: SSB=13.5, SSW=4, F=13.5/2
+    df3 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)],
+        "g string, v long")
+    r3 = oneway_anova(df3, "g", "v").first()
+    # quantized terms: A=floor(36/3+.5)+floor(225/3+.5)=12+75=87,
+    # B=floor(441/6+.5)=74 -> ssb=13, ssw=91-87=4, F=13/(4/4)=3.25
+    assert r3.f_micro == math.floor(13.0 / (4.0 / 4.0) * 1e6 + 0.5)
+    assert r3.eta2_micro == math.floor(13.0 / 17.0 * 1e6 + 0.5)
