@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "graph_modularity",
     "stats_anova_value_by_type",
     "stats_brown_forsythe",
+    "events_survival_km",
+    "text_term_burstiness",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

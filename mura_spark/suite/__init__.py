@@ -210,6 +210,8 @@ _NEXT_WINDOW = [
     "events_ab_cuped", "graph_modularity",
     # round-6ee: omnibus mean test + robust variance-homogeneity test
     "stats_anova_value_by_type", "stats_brown_forsythe",
+    # round-6ff: survival analysis + term burstiness
+    "events_survival_km", "text_term_burstiness",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1240,3 +1240,66 @@ def events_sequence_entropy_rate(spark, sf):
     return q_.agg(F.max("nn").alias("n_transitions"),
                   F.count_distinct("src_type").alias("n_states"),
                   F.sum("tm").alias("entropy_rate_micro"))
+
+
+@q("events_survival_km",
+   "WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events), "
+   "u AS (SELECT user_id, "
+   "CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT) "
+   "AS dur, CASE WHEN MAX(CAST(ts AS DATE)) >= (SELECT mxd FROM mx) "
+   "- 3 THEN 0 ELSE 1 END AS ev FROM events GROUP BY 1), "
+   "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u), "
+   "g AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS d, "
+   "CAST(SUM(1 - ev) AS BIGINT) AS c FROM u GROUP BY 1), "
+   "r AS (SELECT dur, d, c, n - coalesce(SUM(d + c) OVER (ORDER BY dur "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk "
+   "FROM g CROSS JOIN tot), "
+   "s AS (SELECT dur, d, c, CAST(n_risk AS BIGINT) AS n_risk, "
+   "CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS term FROM r WHERE d < n_risk) "
+   "SELECT dur AS t_days, n_risk, d AS n_deaths, c AS n_censored, "
+   "CAST(SUM(term) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) "
+   "AS BIGINT) AS km_ln_micro FROM s")
+def events_survival_km(spark, sf):
+    """Kaplan-Meier product-limit survival of user lifetimes (first→
+    last event day), right-censoring users still active in the final
+    3 days — the churn curve with the estimator every retention team
+    uses. Reported in ln-domain (cumulative Σ ln(1−d/n), per-step ln
+    micro-quantized then integer-summed) so no cross-engine exp ulp
+    ever enters; steps where the whole risk set dies are excluded
+    (S→0, ln −∞)."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    per = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("__f"),
+                  F.max(F.to_date("ts")).alias("__l")))
+    mx = per.agg(F.max("__l").alias("__mx"))
+    u = (per.crossJoin(F.broadcast(mx))
+            .select(F.datediff("__l", "__f").cast("bigint").alias("dur"),
+                    F.when(F.col("__l") >= F.date_sub("__mx", 3), 0)
+                     .otherwise(1).alias("ev")))
+    tot = u.agg(F.count(F.lit(1)).alias("__n"))
+    g = (u.groupBy("dur")
+          .agg(F.sum("ev").alias("d"),
+               F.sum(F.lit(1) - F.col("ev")).alias("c")))
+    before = (Window.orderBy("dur")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+    r = (g.crossJoin(F.broadcast(tot))
+          .select("dur", "d", "c",
+                  (F.col("__n") - F.coalesce(
+                      F.sum(F.col("d") + F.col("c")).over(before),
+                      F.lit(0))).alias("n_risk")))
+    term = F.floor(
+        F.log(F.lit(1.0) - F.col("d").cast("double")
+              / F.col("n_risk").cast("double")) * F.lit(1000000.0)
+        + F.lit(0.5)).cast("bigint")
+    s = (r.filter(F.col("d") < F.col("n_risk"))
+          .select("dur", "d", "c",
+                  F.col("n_risk").cast("bigint").alias("n_risk"),
+                  term.alias("__term")))
+    kw = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return s.select(F.col("dur").alias("t_days"), "n_risk",
+                    F.col("d").alias("n_deaths"),
+                    F.col("c").alias("n_censored"),
+                    F.sum("__term").over(kw).cast("bigint")
+                     .alias("km_ln_micro"))

@@ -1250,3 +1250,48 @@ def text_rake_keywords(spark, sf):
     from mura_spark.operators.keywords import rake_keywords
     d = table(spark, sf, "documents")
     return rake_keywords(d, "doc_id", "text", _RAKE_STOP, k=20)
+
+
+@q("text_term_burstiness",
+   f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term "
+   "FROM documents), "
+   "nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs "
+   "FROM documents), "
+   "per AS (SELECT term, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2), "
+   "m AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+   "CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q "
+   "FROM per GROUP BY 1), "
+   "top AS (SELECT term, df, s, q FROM m CROSS JOIN nd "
+   "ORDER BY s DESC, term ASC LIMIT 50) "
+   "SELECT term, df, s AS n_occ, "
+   "CAST(floor((CAST(q AS DOUBLE) * (SELECT CAST(ndocs AS DOUBLE) "
+   "FROM nd) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - 1.0) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS burst_micro "
+   "FROM top")
+def text_term_burstiness(spark, sf):
+    """Burstiness of the top-50 corpus terms: the variance-to-mean
+    shape ``q·D/s² − 1`` over per-document counts (0-count docs
+    included analytically — the identity needs only Σc, Σc², D).
+    Function words spread evenly (≈ uniform), content words clump in
+    few documents (high burst) — the content-word detector beside
+    TF-IDF. Exact integer moments; one mirrored division per term."""
+    d = table(spark, sf, "documents")
+    toks = d.select("doc_id",
+                    F.explode(TX.tokens(F.col("text"))).alias("term"))
+    nd = d.agg(F.count_distinct("doc_id").alias("ndocs"))
+    per = (toks.groupBy("term", "doc_id")
+               .agg(F.count(F.lit(1)).alias("c")))
+    m = (per.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("c").alias("s"),
+                 F.sum(F.col("c") * F.col("c")).alias("q")))
+    top = (m.crossJoin(F.broadcast(nd))
+            .orderBy(F.col("s").desc(), F.col("term").asc())
+            .limit(50))
+    burst = (F.col("q").cast("double") * F.col("ndocs").cast("double")
+             / (F.col("s").cast("double") * F.col("s").cast("double"))
+             - F.lit(1.0))
+    return top.select(
+        "term", "df", F.col("s").alias("n_occ"),
+        F.floor(burst * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+         .alias("burst_micro"))

@@ -1251,3 +1251,54 @@ def test_oneway_anova_engineered(spark):
     # B=floor(441/6+.5)=74 -> ssb=13, ssw=91-87=4, F=13/(4/4)=3.25
     assert r3.f_micro == math.floor(13.0 / (4.0 / 4.0) * 1e6 + 0.5)
     assert r3.eta2_micro == math.floor(13.0 / 17.0 * 1e6 + 0.5)
+
+
+def test_survival_km_engineered(spark, tmp_path):
+    import math
+    # 4 users: durations 0,0,1,2 (all observed; censor window empty
+    # because last events are far from corpus max... build explicitly)
+    # users: u1 day0 only (dur 0), u2 days 0-1 (dur 1), u3 days 0-2
+    # (dur 2), u4 day 0 only (dur 0); corpus max day = day 10 via u5
+    rows, eid = [], 0
+    def ev(u, day):
+        nonlocal eid
+        eid += 1
+        return (eid, f"2024-01-{day + 1:02d}T00:00:00", u, "view",
+                1.0, "{}")
+    for u, days in [(1, [0]), (2, [0, 1]), (3, [0, 1, 2]), (4, [0]),
+                    (5, [0, 10])]:
+        rows += [ev(u, d) for d in days]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.t_days: r for r in
+           SPARK_QUERIES["events_survival_km"](spark, out).collect()}
+    # u5 is censored (active at day 10 >= max-3); risk sets:
+    # t=0: n=5, d=2 -> ln(3/5); t=1: n=3, d=1 -> +ln(2/3);
+    # t=2: n=2, d=1 -> +ln(1/2); t=10: d=0<n=1 row with d=0
+    assert (got[0].n_risk, got[0].n_deaths, got[0].n_censored) == (5, 2, 0)
+    assert got[0].km_ln_micro == math.floor(math.log(0.6) * 1e6 + 0.5)
+    exp1 = (math.floor(math.log(0.6) * 1e6 + 0.5)
+            + math.floor(math.log(2 / 3) * 1e6 + 0.5))
+    assert got[1].km_ln_micro == exp1
+    assert got[2].km_ln_micro == exp1 + math.floor(
+        math.log(0.5) * 1e6 + 0.5)
+    assert got[10].n_censored == 1 and got[10].n_deaths == 0
+
+
+def test_term_burstiness_engineered(spark, tmp_path):
+    # "zzz" clumps in one doc (bursty); "aa" spread evenly (flat)
+    docs = [("aa zzz zzz zzz zzz", "en", "s"), ("aa x", "en", "s"),
+            ("aa y", "en", "s"), ("aa w", "en", "s")]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.term: r for r in
+           SPARK_QUERIES["text_term_burstiness"](spark, sf).collect()}
+    # aa: c=1 in 4 docs -> q=4, s=4, D=4 -> burst = 4*4/16 - 1 = 0
+    assert got["aa"].burst_micro == 0 and got["aa"].df == 4
+    # zzz: c=4 in 1 doc -> q=16, s=4, D=4 -> 16*4/16 - 1 = 3
+    assert got["zzz"].burst_micro == 3000000 and got["zzz"].df == 1
