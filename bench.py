@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "stats_brown_forsythe",
     "events_survival_km",
     "text_term_burstiness",
+    "xml_roundtrip",
+    "text_mojibake_audit",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

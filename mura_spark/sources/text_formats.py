@@ -91,3 +91,24 @@ def scan_jsonl_permissive(spark: SparkSession, path: str,
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(path))
+
+
+def scan_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema: str | None = None) -> DataFrame:
+    """Native XML scan (built into Spark 4 — the former spark-xml
+    package): one DataFrame row per ``row_tag`` element. Always pass a
+    schema in pipelines: XML inference reads the data twice and types
+    drift per slice (same rule as CSV/JSONL here)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "error") -> None:
+    """Native XML sink; doubles round-trip via shortest-representation
+    literals like the JSONL writer."""
+    (df.write.mode(mode).format("xml")
+       .option("rootTag", root_tag).option("rowTag", row_tag)
+       .save(path))

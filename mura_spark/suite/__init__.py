@@ -212,6 +212,8 @@ _NEXT_WINDOW = [
     "stats_anova_value_by_type", "stats_brown_forsythe",
     # round-6ff: survival analysis + term burstiness
     "events_survival_km", "text_term_burstiness",
+    # round-6gg: native XML source + encoding-damage audit
+    "xml_roundtrip", "text_mojibake_audit",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -185,3 +185,19 @@ def source_file_lineage(spark, sf):
                 .groupBy("lang")
                 .agg(F.count(F.lit(1)).alias("n_rows"),
                      F.count_distinct("source").alias("n_sources")))
+
+
+@q("xml_roundtrip",
+   "SELECT s_suppkey, s_name, s_acctbal FROM supplier")
+def xml_roundtrip(spark, sf):
+    """supplier → native XML (Spark 4 built-in, the merged spark-xml) →
+    scan with explicit schema. Typed columns round-trip exactly
+    (doubles as shortest-round-trip literals); the oracle is the
+    source table (sources.text_formats.scan_xml/write_xml)."""
+    src = (table(spark, sf, "supplier")
+           .select("s_suppkey", "s_name", "s_acctbal"))
+    path = "/tmp/mura_suite_xml_supplier"
+    TF.write_xml(src, path, mode="overwrite")
+    return TF.scan_xml(spark, path,
+                       schema="s_suppkey bigint, s_name string, "
+                              "s_acctbal double")

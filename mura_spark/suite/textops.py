@@ -1295,3 +1295,34 @@ def text_term_burstiness(spark, sf):
         "term", "df", F.col("s").alias("n_occ"),
         F.floor(burst * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
          .alias("burst_micro"))
+
+
+_MOJI = "(Ã©|Ã¨|Ã¼|Ã¤|Ã¶|â€|Â )"
+_CTRL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+@q("text_mojibake_audit",
+   "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   f"CAST(SUM(CASE WHEN regexp_matches(text, '{_MOJI}') THEN 1 "
+   "ELSE 0 END) AS BIGINT) AS n_mojibake, "
+   "CAST(SUM(CASE WHEN regexp_matches(text, '�') THEN 1 "
+   "ELSE 0 END) AS BIGINT) AS n_replacement, "
+   f"CAST(SUM(CASE WHEN regexp_matches(text, '{_CTRL}') THEN 1 "
+   "ELSE 0 END) AS BIGINT) AS n_control "
+   "FROM documents GROUP BY 1")
+def text_mojibake_audit(spark, sf):
+    """Encoding-damage audit per source: docs showing UTF-8-as-Latin-1
+    mojibake sequences (Ã©, â€…), U+FFFD replacement characters, or
+    raw control bytes — the double-decode detector every web-crawl
+    ingest runs before training (a clean corpus reports zeros; the
+    engineered pytest pins the positive paths). Identical RE2-safe
+    patterns run in both engines; pure scan-side predicates."""
+    d = table(spark, sf, "documents")
+    return (d.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.when(F.col("text").rlike(_MOJI), 1)
+                         .otherwise(0)).alias("n_mojibake"),
+                  F.sum(F.when(F.col("text").rlike("�"), 1)
+                         .otherwise(0)).alias("n_replacement"),
+                  F.sum(F.when(F.col("text").rlike(_CTRL), 1)
+                         .otherwise(0)).alias("n_control")))

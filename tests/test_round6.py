@@ -1302,3 +1302,33 @@ def test_term_burstiness_engineered(spark, tmp_path):
     assert got["aa"].burst_micro == 0 and got["aa"].df == 4
     # zzz: c=4 in 1 doc -> q=16, s=4, D=4 -> 16*4/16 - 1 = 3
     assert got["zzz"].burst_micro == 3000000 and got["zzz"].df == 1
+
+
+def test_xml_roundtrip_preserves_types(spark, tmp_path):
+    from mura_spark.sources import text_formats as TF
+    src = spark.createDataFrame(
+        [(1, "Supplier#1", 123.45), (2, "S <&> weird", -0.125)],
+        "s_suppkey long, s_name string, s_acctbal double")
+    path = str(tmp_path / "xml")
+    TF.write_xml(src, path, mode="overwrite")
+    back = TF.scan_xml(spark, path,
+                       schema="s_suppkey bigint, s_name string, "
+                              "s_acctbal double")
+    got = sorted((r.s_suppkey, r.s_name, r.s_acctbal)
+                 for r in back.collect())
+    # XML entity escaping round-trips the <&> payload; doubles exact
+    assert got == [(1, "Supplier#1", 123.45), (2, "S <&> weird", -0.125)]
+
+
+def test_mojibake_audit_engineered(spark, tmp_path):
+    docs = [("clean text here", "en", "s1"),
+            ("broken Ã© name", "en", "s1"),           # mojibake
+            ("lost � char", "en", "s1"),         # replacement
+            ("ctrl \x07 bell", "en", "s2")]           # control byte
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.source: r for r in
+           SPARK_QUERIES["text_mojibake_audit"](spark, sf).collect()}
+    assert (got["s1"].n_docs, got["s1"].n_mojibake,
+            got["s1"].n_replacement, got["s1"].n_control) == (3, 1, 1, 0)
+    assert (got["s2"].n_control, got["s2"].n_mojibake) == (1, 0)
