@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "text_term_burstiness",
     "xml_roundtrip",
     "text_mojibake_audit",
+    "stats_spearman_qty_discount",
+    "emb_dim_variance",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -567,3 +567,41 @@ def oneway_anova(df: DataFrame, group_col: str,
         "k", "n",
         F.when(cond, mk(f)).alias("f_micro"),
         F.when(cond, mk(eta2)).alias("eta2_micro"))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation: Pearson on AVERAGE ranks, the
+    monotone-association measure robust to any monotone rescaling
+    (Pearson, stats_corr_lineitem, sees only linearity). Returns one
+    row ``(n, rho_micro)``.
+
+    Exactness: doubled average ranks are pure integers —
+    ``2·avg_rank = 2·RANK() + tie_count − 1`` — so every moment is
+    exact DECIMAL arithmetic and the single final division is a
+    mirrored double. The global rank windows are the honest cost of
+    exact Spearman (rank needs a total order); at 100 TB the same
+    operator runs per-group or on a stratified sample.
+    """
+    wx = Window.orderBy(x_col)
+    wy = Window.orderBy(y_col)
+    cx = Window.partitionBy(x_col)
+    cy = Window.partitionBy(y_col)
+    r = df.select(
+        (F.lit(2) * F.rank().over(wx)
+         + F.count(F.lit(1)).over(cx) - F.lit(1)).alias("__rx"),
+        (F.lit(2) * F.rank().over(wy)
+         + F.count(F.lit(1)).over(cy) - F.lit(1)).alias("__ry"))
+    d = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = r.agg(F.count(F.lit(1)).alias("n"),
+              d(F.col("__rx")).alias("sx"), d(F.col("__ry")).alias("sy"),
+              d(F.col("__rx") * F.col("__ry")).alias("sxy"),
+              d(F.col("__rx") * F.col("__rx")).alias("sxx"),
+              d(F.col("__ry") * F.col("__ry")).alias("syy"))
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (n * F.col("syy") - F.col("sy") * F.col("sy")))
+    rho = F.when(den > 0, num / den)
+    return m.select("n",
+                    F.floor(rho * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").alias("rho_micro"))

@@ -214,6 +214,8 @@ _NEXT_WINDOW = [
     "events_survival_km", "text_term_burstiness",
     # round-6gg: native XML source + encoding-damage audit
     "xml_roundtrip", "text_mojibake_audit",
+    # round-6hh: rank correlation + embedding dimension health
+    "stats_spearman_qty_discount", "emb_dim_variance",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

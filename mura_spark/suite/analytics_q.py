@@ -2464,3 +2464,34 @@ def stats_brown_forsythe(spark, sf):
                              / F.lit(10000.0)).cast("bigint")
                       .alias("d")))
     return oneway_anova(dev, "event_type", "d")
+
+
+@q("stats_spearman_qty_discount",
+   "WITH r AS (SELECT 2 * RANK() OVER (ORDER BY l_quantity) "
+   "+ COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rx, "
+   "2 * RANK() OVER (ORDER BY l_discount) "
+   "+ COUNT(*) OVER (PARTITION BY l_discount) - 1 AS ry "
+   "FROM lineitem), "
+   "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+   "CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+   "CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy, "
+   "CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx, "
+   "CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy "
+   "FROM r) "
+   "SELECT n, CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) "
+   "* (CAST(n AS DOUBLE) * syy - sy * sy)) > 0 THEN "
+   "CAST(floor((CAST(n AS DOUBLE) * sxy - sx * sy) "
+   "/ sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) "
+   "* (CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000.0 + 0.5) "
+   "AS BIGINT) END AS rho_micro FROM m")
+def stats_spearman_qty_discount(spark, sf):
+    """Spearman rank correlation between quantity and discount — the
+    monotone-association screen beside the Pearson pair matrix
+    (stats_corr_lineitem): doubled average ranks are pure integers,
+    so only the final division is floating point (operators.stats
+    .spearman_corr)."""
+    from mura_spark.operators.stats import spearman_corr
+    li = table(spark, sf, "lineitem")
+    return spearman_corr(li.select("l_quantity", "l_discount"),
+                         "l_quantity", "l_discount")

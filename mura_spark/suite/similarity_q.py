@@ -448,3 +448,41 @@ def emb_mutual_nn(spark, sf):
     from mura_spark.operators.similarity import mutual_nearest_neighbors
     e = table(spark, sf, "embeddings")
     return mutual_nearest_neighbors(e)
+
+
+@q("emb_dim_variance",
+   "WITH comp AS (SELECT unnest(list_transform(CAST(embedding AS "
+   "DOUBLE[]), x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS x, "
+   "unnest(range(1, len(embedding) + 1)) AS d FROM embeddings), "
+   "m AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n, "
+   "SUM(CAST(x AS DECIMAL(38,0))) AS s, "
+   "SUM(CAST(x * x AS DECIMAL(38,0))) AS q FROM comp GROUP BY 1) "
+   "SELECT CAST(d AS INT) AS dim, n, "
+   "CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) "
+   "AS mean_micro, "
+   "CAST(floor(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) "
+   "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) "
+   "* CAST(n AS DOUBLE))) + 0.5) AS BIGINT) AS std_micro FROM m")
+def emb_dim_variance(spark, sf):
+    """Per-dimension mean/std health profile of the embedding space —
+    the dead-dimension and bias detector (a dim with std ≈ 0 carries
+    no signal; a large |mean| marks the common component ABTT
+    removes). Components micro-quantized, moments in DECIMAL(38,0),
+    mirrored sqrt; one narrow explode + a 64-group reduction."""
+    e = table(spark, sf, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint"))
+    comp = e.select(F.posexplode(q).alias("d0", "x"))
+    m = (comp.groupBy((F.col("d0") + 1).cast("int").alias("dim"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                  F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+                   .alias("q")))
+    nD, sD, qD = (F.col("n").cast("double"), F.col("s").cast("double"),
+                  F.col("q").cast("double"))
+    return m.select(
+        "dim", "n",
+        F.floor(sD / nD + F.lit(0.5)).cast("bigint").alias("mean_micro"),
+        F.floor(F.sqrt((nD * qD - sD * sD) / (nD * nD)) + F.lit(0.5))
+         .cast("bigint").alias("std_micro"))

@@ -1332,3 +1332,40 @@ def test_mojibake_audit_engineered(spark, tmp_path):
     assert (got["s1"].n_docs, got["s1"].n_mojibake,
             got["s1"].n_replacement, got["s1"].n_control) == (3, 1, 1, 0)
     assert (got["s2"].n_control, got["s2"].n_mojibake) == (1, 0)
+
+
+def test_spearman_engineered(spark):
+    from mura_spark.operators.stats import spearman_corr
+    # perfect monotone (nonlinear) relation -> rho = 1
+    df = spark.createDataFrame(
+        [(x, x * x * x) for x in range(1, 8)], "x long, y long")
+    assert spearman_corr(df, "x", "y").first().rho_micro == 1000000
+    # perfect inverse -> -1
+    df2 = spark.createDataFrame(
+        [(x, -x) for x in range(1, 8)], "x long, y long")
+    assert spearman_corr(df2, "x", "y").first().rho_micro == -1000000
+    # ties handled via average ranks: x=[1,1,2], y=[10,10,20] -> 1
+    df3 = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20)], "x long, y long")
+    assert spearman_corr(df3, "x", "y").first().rho_micro == 1000000
+    # constant column -> NULL (zero denominator)
+    df4 = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5)], "x long, y long")
+    assert spearman_corr(df4, "x", "y").first().rho_micro is None
+
+
+def test_dim_variance_engineered(spark, tmp_path):
+    out = str(tmp_path / "mini")
+    rows = [(1, [1.0, 0.5, 2.0], 0), (2, [1.0, -0.5, 2.0], 0),
+            (3, [1.0, 0.5, 2.0], 1), (4, [1.0, -0.5, 2.0], 1)]
+    (spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+        .coalesce(1).write.parquet(f"{out}/embeddings.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.dim: r for r in
+           SPARK_QUERIES["emb_dim_variance"](spark, out).collect()}
+    # dim 1: constant 1.0 -> std 0, mean 1e6 (dead dimension)
+    assert (got[1].mean_micro, got[1].std_micro) == (1000000, 0)
+    # dim 2: ±0.5 -> mean 0, std 0.5e6
+    assert (got[2].mean_micro, got[2].std_micro) == (0, 500000)
+    assert got[3].std_micro == 0 and got[3].mean_micro == 2000000
