@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "text_mojibake_audit",
     "stats_spearman_qty_discount",
     "emb_dim_variance",
+    "events_debounce",
+    "feature_trailing_windows",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -216,6 +216,8 @@ _NEXT_WINDOW = [
     "xml_roundtrip", "text_mojibake_audit",
     # round-6hh: rank correlation + embedding dimension health
     "stats_spearman_qty_discount", "emb_dim_variance",
+    # round-6ii: event debouncing + PIT trailing-window features
+    "events_debounce", "feature_trailing_windows",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

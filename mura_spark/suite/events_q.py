@@ -1303,3 +1303,89 @@ def events_survival_km(spark, sf):
                     F.col("c").alias("n_censored"),
                     F.sum("__term").over(kw).cast("bigint")
                      .alias("km_ln_micro"))
+
+
+# ------------------------------------------------------- round-6ii additions
+
+@q("events_debounce",
+   "WITH t AS (SELECT event_id, user_id, event_type, ts, value, "
+   "lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, "
+   "event_id) AS prev_ts FROM events), "
+   "kept AS (SELECT * FROM t WHERE prev_ts IS NULL "
+   "OR CAST(floor(epoch(ts)) AS BIGINT) "
+   "- CAST(floor(epoch(prev_ts)) AS BIGINT) > 5) "
+   "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+   "(SELECT CAST(COUNT(*) AS BIGINT) FROM events e2 "
+   "WHERE e2.event_type = kept.event_type) - CAST(COUNT(*) AS BIGINT) "
+   "AS n_debounced, "
+   f"{sql_dsum('value')} AS kept_value FROM kept GROUP BY event_type")
+def events_debounce(spark, sf):
+    """Debounce rapid repeats: drop events of the same (user, type)
+    arriving ≤ 5s after the previous one — the double-click /
+    retry-storm filter every clickstream ingest applies before
+    aggregation (the id-level twin is events_dedup_replay, which
+    drops EXACT redeliveries; debouncing drops DISTINCT events that
+    are semantically repeats). One (user, type) window; integer
+    epoch-second gaps."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    w = (Window.partitionBy("user_id", "event_type")
+               .orderBy("ts", "event_id"))
+    gap = (F.floor(F.unix_timestamp("ts"))
+           - F.floor(F.unix_timestamp(F.lag("ts").over(w))))
+    t = ev.select("event_type", "value",
+                  F.lag("ts").over(w).alias("prev_ts"),
+                  gap.alias("__gap"))
+    kept = t.filter(F.col("prev_ts").isNull() | (F.col("__gap") > 5))
+    tot = (ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("__all")))
+    return (kept.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     dsum("value").alias("kept_value"))
+                .join(tot, "event_type")
+                .select("event_type", "n_kept",
+                        (F.col("__all") - F.col("n_kept"))
+                         .alias("n_debounced"), "kept_value"))
+
+
+@q("feature_trailing_windows",
+   "WITH mx AS (SELECT MAX(ts) AS cutoff FROM events) "
+   "SELECT user_id, "
+   "CAST(SUM(CASE WHEN ts > cutoff - INTERVAL 1 DAY THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_1d, "
+   "CAST(coalesce(SUM(CASE WHEN ts > cutoff - INTERVAL 1 DAY THEN "
+   "CAST(value AS DECIMAL(18,2)) END) * 100, 0) AS BIGINT) AS v_1d_cents, "
+   "CAST(SUM(CASE WHEN ts > cutoff - INTERVAL 7 DAY THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_7d, "
+   "CAST(coalesce(SUM(CASE WHEN ts > cutoff - INTERVAL 7 DAY THEN "
+   "CAST(value AS DECIMAL(18,2)) END) * 100, 0) AS BIGINT) AS v_7d_cents, "
+   "CAST(SUM(CASE WHEN ts > cutoff - INTERVAL 30 DAY THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_30d, "
+   "CAST(floor(epoch(MAX(cutoff))) - floor(epoch(MAX(ts))) AS BIGINT) "
+   "AS secs_since_last "
+   "FROM events CROSS JOIN mx GROUP BY user_id")
+def feature_trailing_windows(spark, sf):
+    """Feature-store snapshot as-of the corpus cutoff: per-user
+    trailing 1d/7d/30d activity counts and exact-decimal spend plus
+    recency — the point-in-time feature matrix a training job joins
+    against labels (leakage-safe sibling of events_asof_join's
+    row-level PIT lookup). Pure conditional aggregation — one user
+    shuffle, no window functions, no per-window self-joins."""
+    ev = table(spark, sf, "events")
+    mx = ev.agg(F.max("ts").alias("cutoff"))
+    dec = F.col("value").cast("decimal(18,2)")
+    win = lambda d: F.col("ts") > F.col("cutoff") - F.expr(  # noqa: E731
+        f"INTERVAL {d} DAY")
+    vsum = lambda d: (F.coalesce(  # noqa: E731
+        F.sum(F.when(win(d), dec)) * 100,
+        F.lit(0)).cast("bigint"))
+    return (ev.crossJoin(F.broadcast(mx))
+              .groupBy("user_id")
+              .agg(F.sum(F.when(win(1), 1).otherwise(0)).alias("n_1d"),
+                   vsum(1).alias("v_1d_cents"),
+                   F.sum(F.when(win(7), 1).otherwise(0)).alias("n_7d"),
+                   vsum(7).alias("v_7d_cents"),
+                   F.sum(F.when(win(30), 1).otherwise(0)).alias("n_30d"),
+                   (F.floor(F.unix_timestamp(F.max("cutoff")))
+                    - F.floor(F.unix_timestamp(F.max("ts"))))
+                    .cast("bigint").alias("secs_since_last")))

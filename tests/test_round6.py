@@ -1369,3 +1369,54 @@ def test_dim_variance_engineered(spark, tmp_path):
     # dim 2: ±0.5 -> mean 0, std 0.5e6
     assert (got[2].mean_micro, got[2].std_micro) == (0, 500000)
     assert got[3].std_micro == 0 and got[3].mean_micro == 2000000
+
+
+def test_debounce_engineered(spark, tmp_path):
+    rows = [
+        # user 1 'click': t=0, t=3 (debounced), t=10 (kept)
+        (1, "2024-01-01T00:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01T00:00:03", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01T00:00:10", 1, "click", 4.0, "{}"),
+        # different type same instant: never debounced against click
+        (4, "2024-01-01T00:00:03", 1, "view", 8.0, "{}"),
+        # user 2: single event kept
+        (5, "2024-01-01T00:00:01", 2, "click", 16.0, "{}"),
+    ]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.event_type: r for r in
+           SPARK_QUERIES["events_debounce"](spark, out).collect()}
+    assert (got["click"].n_kept, got["click"].n_debounced) == (3, 1)
+    assert got["click"].kept_value == 1.0 + 4.0 + 16.0
+    assert (got["view"].n_kept, got["view"].n_debounced) == (1, 0)
+
+
+def test_trailing_windows_engineered(spark, tmp_path):
+    rows = [
+        # cutoff = max ts = day 30
+        (1, "2024-01-30T12:00:00", 1, "view", 10.0, "{}"),   # in 1d
+        (2, "2024-01-28T12:00:00", 1, "view", 5.0, "{}"),    # in 7d
+        (3, "2024-01-05T12:00:00", 1, "view", 2.5, "{}"),    # in 30d
+        (4, "2024-01-30T12:00:00", 2, "view", 1.0, "{}"),    # cutoff row
+    ]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.user_id: r for r in
+           SPARK_QUERIES["feature_trailing_windows"](spark, out)
+           .collect()}
+    r1 = got[1]
+    assert (r1.n_1d, r1.v_1d_cents) == (1, 1000)
+    assert (r1.n_7d, r1.v_7d_cents) == (2, 1500)
+    assert r1.n_30d == 3
+    assert r1.secs_since_last == 0
+    assert (got[2].n_1d, got[2].secs_since_last) == (1, 0)
