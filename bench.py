@@ -278,6 +278,8 @@ BENCH_QUERIES = [
     "emb_dim_variance",
     "events_debounce",
     "feature_trailing_windows",
+    "emb_triplet_accuracy",
+    "events_velocity_screen",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -218,6 +218,8 @@ _NEXT_WINDOW = [
     "stats_spearman_qty_discount", "emb_dim_variance",
     # round-6ii: event debouncing + PIT trailing-window features
     "events_debounce", "feature_trailing_windows",
+    # round-6jj: triplet-accuracy embedding eval + velocity screen
+    "emb_triplet_accuracy", "events_velocity_screen",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

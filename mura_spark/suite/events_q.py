@@ -1389,3 +1389,31 @@ def feature_trailing_windows(spark, sf):
                    (F.floor(F.unix_timestamp(F.max("cutoff")))
                     - F.floor(F.unix_timestamp(F.max("ts"))))
                     .cast("bigint").alias("secs_since_last")))
+
+
+@q("events_velocity_screen",
+   "WITH t AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es "
+   "FROM events), "
+   "w AS (SELECT user_id, CAST(COUNT(*) OVER (PARTITION BY user_id "
+   "ORDER BY es RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS BIGINT) "
+   "AS r60 FROM t) "
+   "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+   "CAST(MAX(r60) AS BIGINT) AS peak_60s FROM w GROUP BY 1 "
+   "HAVING MAX(r60) >= 2")
+def events_velocity_screen(spark, sf):
+    """Velocity rule: users who ever fired ≥ 2 events inside a sliding
+    60-second window — the rate-based bot/fraud screen (the numeric
+    RANGE frame counts each event's trailing minute; the complementary
+    volume screen is events_bot_screen). One user-keyed range window
+    on integer epoch seconds."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    t = ev.select("user_id",
+                  F.floor(F.unix_timestamp("ts")).alias("es"))
+    w = (Window.partitionBy("user_id").orderBy("es")
+               .rangeBetween(-60, 0))
+    r = t.select("user_id", F.count(F.lit(1)).over(w).alias("r60"))
+    return (r.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.max("r60").alias("peak_60s"))
+             .filter(F.col("peak_60s") >= 2))

@@ -486,3 +486,83 @@ def emb_dim_variance(spark, sf):
         F.floor(sD / nD + F.lit(0.5)).cast("bigint").alias("mean_micro"),
         F.floor(F.sqrt((nD * qD - sD * sD) / (nD * nD)) + F.lit(0.5))
          .cast("bigint").alias("std_micro"))
+
+
+def _triplet_oracle() -> str:
+    cos_ap = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+              "CAST(p.embedding AS DOUBLE[]))")
+    cos_an = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+              "CAST(ng.embedding AS DOUBLE[]))")
+    return (
+        "WITH lc AS (SELECT CAST(COUNT(DISTINCT label) AS INT) AS nl "
+        "FROM embeddings), "
+        "r AS (SELECT vec_id, label, embedding, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) "
+        "AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY label) "
+        "AS BIGINT) AS cnt FROM embeddings), "
+        "anch AS (SELECT a.vec_id AS aid, a.label AS albl, "
+        "a.embedding, a.rn, p.vec_id AS pid FROM r a JOIN r p "
+        "ON p.label = a.label AND p.rn = a.rn + 1), "
+        "trip AS (SELECT anch.aid, anch.pid, ng.vec_id AS nid, "
+        "anch.embedding AS aemb FROM anch CROSS JOIN lc "
+        "JOIN r ng ON ng.label = (anch.albl + 1) % lc.nl "
+        "AND ng.rn = (anch.rn - 1) % ng.cnt + 1) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triplets, "
+        "CAST(SUM(CASE WHEN cap > can THEN 2 WHEN cap = can THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS wins2, "
+        "CAST(floor(CAST(SUM(CASE WHEN cap > can THEN 2 "
+        "WHEN cap = can THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ (2.0 * CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) "
+        "AS BIGINT) AS acc_micro FROM (SELECT t.aid, "
+        f"{cos_ap.replace('a.embedding', 't.aemb')} AS cap, "
+        f"{cos_an.replace('a.embedding', 't.aemb')} AS can "
+        "FROM trip t JOIN embeddings p ON p.vec_id = t.pid "
+        "JOIN embeddings ng ON ng.vec_id = t.nid)")
+
+
+@q("emb_triplet_accuracy", _triplet_oracle())
+def emb_triplet_accuracy(spark, sf):
+    """Triplet accuracy of the embedding space: over deterministic
+    (anchor, next-same-label, rank-matched-next-label) triplets, how
+    often is the anchor closer to its positive than its negative
+    (ties half-credit)? The metric every contrastive training loop
+    reports, built without randomness so it oracle-hashes. Linear:
+    each anchor joins exactly one positive and one negative."""
+    from pyspark.sql import Window
+    from mura_spark.functions.vectors import cosine
+    e = table(spark, sf, "embeddings")
+    nl = e.agg(F.count_distinct("label").cast("int").alias("nl"))
+    wr = Window.partitionBy("label").orderBy("vec_id")
+    r = e.select("vec_id", "label", "embedding",
+                 F.row_number().over(wr).cast("bigint").alias("rn"),
+                 F.count(F.lit(1)).over(Window.partitionBy("label"))
+                  .cast("bigint").alias("cnt"))
+    a = r.select(F.col("vec_id").alias("aid"),
+                 F.col("label").alias("albl"),
+                 F.col("embedding").alias("aemb"), "rn")
+    p = r.select(F.col("label").alias("albl"),
+                 (F.col("rn") - 1).alias("rn"),
+                 F.col("vec_id").alias("pid"),
+                 F.col("embedding").alias("pemb"))
+    anch = a.join(p, ["albl", "rn"])
+    ng = r.select(F.col("label").alias("nlbl"),
+                  F.col("rn").alias("nrn"), F.col("cnt").alias("ncnt"),
+                  F.col("vec_id").alias("nid"),
+                  F.col("embedding").alias("nemb"))
+    trip = (anch.crossJoin(F.broadcast(nl))
+                .join(ng, ((F.col("nlbl")
+                            == (F.col("albl") + 1) % F.col("nl"))
+                           & (F.col("nrn") == (F.col("rn") - 1)
+                              % F.col("ncnt") + 1))))
+    cap = cosine(F.col("aemb"), F.col("pemb"))
+    can = cosine(F.col("aemb"), F.col("nemb"))
+    scored = trip.select(
+        F.when(cap > can, 2).when(cap == can, 1).otherwise(0)
+         .alias("__w"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_triplets"),
+        F.sum("__w").cast("bigint").alias("wins2"),
+        F.floor(F.sum("__w").cast("double")
+                / (F.lit(2.0) * F.count(F.lit(1)).cast("double"))
+                * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+         .alias("acc_micro"))

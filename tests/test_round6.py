@@ -1420,3 +1420,45 @@ def test_trailing_windows_engineered(spark, tmp_path):
     assert r1.n_30d == 3
     assert r1.secs_since_last == 0
     assert (got[2].n_1d, got[2].secs_since_last) == (1, 0)
+
+
+def test_triplet_accuracy_engineered(spark, tmp_path):
+    out = str(tmp_path / "mini")
+    # two tight clusters: label 0 near e1, label 1 near e2 -> acc 1.0
+    rows = [(0, [1.0, 0.0], 0), (1, [0.99, 0.1], 0), (2, [0.98, 0.2], 0),
+            (3, [0.0, 1.0], 1), (4, [0.1, 0.99], 1), (5, [0.2, 0.98], 1)]
+    (spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+        .coalesce(1).write.parquet(f"{out}/embeddings.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["emb_triplet_accuracy"](spark, out).first()
+    # anchors with a same-label successor: 2 per label -> 4 triplets
+    assert r.n_triplets == 4
+    assert r.acc_micro == 1000000
+
+
+def test_velocity_screen_engineered(spark, tmp_path):
+    rows = [
+        # user 1: 3 events in 30s -> peak 3
+        (1, "2024-01-01T00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01T00:00:20", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01T00:00:40", 1, "view", 1.0, "{}"),
+        # user 2: events 2 min apart -> peak 1, not flagged
+        (4, "2024-01-01T00:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-01T00:02:30", 2, "view", 1.0, "{}"),
+        # user 3: exactly 60s apart -> inclusive window counts both
+        (6, "2024-01-01T00:00:00", 3, "view", 1.0, "{}"),
+        (7, "2024-01-01T00:01:00", 3, "view", 1.0, "{}"),
+    ]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.user_id: r for r in
+           SPARK_QUERIES["events_velocity_screen"](spark, out).collect()}
+    assert got[1].peak_60s == 3
+    assert 2 not in got
+    assert got[3].peak_60s == 2      # RANGE frame is inclusive
