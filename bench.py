@@ -280,6 +280,8 @@ BENCH_QUERIES = [
     "feature_trailing_windows",
     "emb_triplet_accuracy",
     "events_velocity_screen",
+    "text_script_mismatch",
+    "stats_power_analysis",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

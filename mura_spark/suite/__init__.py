@@ -220,6 +220,8 @@ _NEXT_WINDOW = [
     "events_debounce", "feature_trailing_windows",
     # round-6jj: triplet-accuracy embedding eval + velocity screen
     "emb_triplet_accuracy", "events_velocity_screen",
+    # round-6kk: script-label audit + A/B power planner
+    "text_script_mismatch", "stats_power_analysis",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2495,3 +2495,51 @@ def stats_spearman_qty_discount(spark, sf):
     li = table(spark, sf, "lineitem")
     return spearman_corr(li.select("l_quantity", "l_discount"),
                          "l_quantity", "l_discount")
+
+
+@q("stats_power_analysis",
+   "WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+   "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s, "
+   "SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "* CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "AS DECIMAL(38,0))) AS q FROM events), "
+   "v AS (SELECT n, (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) "
+   "* CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "/ CAST(n - 1 AS DOUBLE) AS var_cents, "
+   "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents FROM m) "
+   "SELECT n, CAST(floor(mean_cents + 0.5) AS BIGINT) AS mean_cents, "
+   "CAST(floor(sqrt(var_cents) + 0.5) AS BIGINT) AS sd_cents, "
+   "CAST(ceil(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621)) "
+   "* var_cents / ((0.02 * mean_cents) * (0.02 * mean_cents))) "
+   "AS BIGINT) AS n_per_arm_mde2pct, "
+   "CAST(ceil(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621)) "
+   "* var_cents / ((0.05 * mean_cents) * (0.05 * mean_cents))) "
+   "AS BIGINT) AS n_per_arm_mde5pct FROM v")
+def stats_power_analysis(spark, sf):
+    """A/B sample-size planner: users-per-arm needed to detect a 2% /
+    5% lift of mean event value at α=.05, power=.80 — the closed-form
+    2(z_α/2+z_β)²σ²/δ² every experimentation platform runs before
+    launch, with σ² measured from the corpus (exact decimal moments,
+    z constants as shared literals, mirrored ceil)."""
+    ev = table(spark, sf, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    m = ev.agg(F.count(F.lit(1)).alias("n"),
+               F.sum(cents).alias("s"),
+               F.sum((cents * cents).cast("decimal(38,0)")).alias("q"))
+    nD = F.col("n").cast("double")
+    var = ((F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / nD)
+           / (F.col("n") - F.lit(1)).cast("double"))
+    mean = F.col("s").cast("double") / nD
+    z2 = (F.lit(1.959964) + F.lit(0.841621)) \
+        * (F.lit(1.959964) + F.lit(0.841621))
+    arm = lambda f: F.ceil(F.lit(2.0) * z2 * var  # noqa: E731
+                           / ((F.lit(f) * mean) * (F.lit(f) * mean))) \
+        .cast("bigint")
+    return m.select(
+        "n",
+        F.floor(mean + F.lit(0.5)).cast("bigint").alias("mean_cents"),
+        F.floor(F.sqrt(var) + F.lit(0.5)).cast("bigint")
+         .alias("sd_cents"),
+        arm(0.02).alias("n_per_arm_mde2pct"),
+        arm(0.05).alias("n_per_arm_mde5pct"))

@@ -1326,3 +1326,36 @@ def text_mojibake_audit(spark, sf):
                          .otherwise(0)).alias("n_replacement"),
                   F.sum(F.when(F.col("text").rlike(_CTRL), 1)
                          .otherwise(0)).alias("n_control")))
+
+
+_CJK = "[一-鿿]"
+_LATIN = "[A-Za-z]"
+
+
+@q("text_script_mismatch",
+   "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   f"CAST(SUM(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1 ELSE 0 "
+   "END) AS BIGINT) AS n_cjk, "
+   f"CAST(SUM(CASE WHEN regexp_matches(text, '[A-Za-z]') THEN 1 ELSE 0 "
+   "END) AS BIGINT) AS n_latin, "
+   "CAST(SUM(CASE WHEN lang = 'zh' AND NOT regexp_matches(text, "
+   f"'[一-鿿]') THEN 1 WHEN lang <> 'zh' AND regexp_matches(text, "
+   f"'[一-鿿]') THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch "
+   "FROM documents GROUP BY 1")
+def text_script_mismatch(spark, sf):
+    """Script-vs-label consistency audit: docs labelled zh must
+    contain CJK codepoints, non-zh docs must not — the wrong-language-
+    routing detector run after language ID (the label sibling of
+    text_langid_confusion, which audits the CLASSIFIER; this audits
+    the LABELS). Identical literal character-class patterns run in
+    both engines; pure scan-side predicates."""
+    d = table(spark, sf, "documents")
+    has_cjk = F.col("text").rlike(_CJK)
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.when(has_cjk, 1).otherwise(0)).alias("n_cjk"),
+                  F.sum(F.when(F.col("text").rlike(_LATIN), 1)
+                         .otherwise(0)).alias("n_latin"),
+                  F.sum(F.when((F.col("lang") == "zh") & ~has_cjk, 1)
+                         .when((F.col("lang") != "zh") & has_cjk, 1)
+                         .otherwise(0)).alias("n_mismatch")))

@@ -1462,3 +1462,41 @@ def test_velocity_screen_engineered(spark, tmp_path):
     assert got[1].peak_60s == 3
     assert 2 not in got
     assert got[3].peak_60s == 2      # RANGE frame is inclusive
+
+
+def test_script_mismatch_engineered(spark, tmp_path):
+    docs = [("hello latin text", "en", "s"),     # clean en
+            ("这是中文文本", "zh", "s"),             # clean zh
+            ("no cjk here at all", "zh", "s"),   # zh label, no CJK
+            ("mixed 中文 inside", "en", "s")]      # en label with CJK
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.lang: r for r in
+           SPARK_QUERIES["text_script_mismatch"](spark, sf).collect()}
+    assert (got["zh"].n_docs, got["zh"].n_cjk, got["zh"].n_mismatch) \
+        == (2, 1, 1)
+    assert (got["en"].n_docs, got["en"].n_cjk, got["en"].n_mismatch) \
+        == (2, 1, 1)
+
+
+def test_power_analysis_hand_computed(spark, tmp_path):
+    import math
+    rows = [(i, "2024-01-01T00:00:00", 1, "view", v, "{}")
+            for i, v in enumerate([10.0, 12.0, 8.0, 10.0])]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_power_analysis"](spark, out).first()
+    # cents: 1000,1200,800,1000 -> mean 1000, var = (40000+0+40000)/3
+    assert (r.n, r.mean_cents) == (4, 1000)
+    var = 80000 / 3
+    z2 = (1.959964 + 0.841621) ** 2
+    exp = math.ceil(2 * z2 * var / ((0.02 * 1000.0) * (0.02 * 1000.0)))
+    assert r.n_per_arm_mde2pct == exp
+    # 5% MDE needs (5/2)^2 = 6.25x fewer samples (ceil-rounded)
+    assert r.n_per_arm_mde5pct == math.ceil(
+        2 * z2 * var / ((0.05 * 1000.0) * (0.05 * 1000.0)))
