@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "events_velocity_screen",
     "text_script_mismatch",
     "stats_power_analysis",
+    "events_error_budget_burn",
+    "text_feature_hashing",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

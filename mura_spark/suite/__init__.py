@@ -222,6 +222,8 @@ _NEXT_WINDOW = [
     "emb_triplet_accuracy", "events_velocity_screen",
     # round-6kk: script-label audit + A/B power planner
     "text_script_mismatch", "stats_power_analysis",
+    # round-6ll: SRE burn-rate monitor + feature hashing
+    "events_error_budget_burn", "text_feature_hashing",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1417,3 +1417,56 @@ def events_velocity_screen(spark, sf):
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.max("r60").alias("peak_60s"))
              .filter(F.col("peak_60s") >= 2))
+
+
+@q("events_error_budget_burn",
+   "WITH d AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, "
+   "CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS e FROM events GROUP BY 1), "
+   "ix AS (SELECT day, n, e, CAST(floor(epoch(day)) AS BIGINT) "
+   "// 86400 AS di FROM d), "
+   "r AS (SELECT day, n, e, "
+   "CAST(SUM(n) OVER (ORDER BY di RANGE BETWEEN 6 PRECEDING AND "
+   "CURRENT ROW) AS BIGINT) AS n7, "
+   "CAST(SUM(e) OVER (ORDER BY di RANGE BETWEEN 6 PRECEDING AND "
+   "CURRENT ROW) AS BIGINT) AS e7 FROM ix) "
+   "SELECT day, n, e, "
+   "CAST(floor((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)) / 0.25 "
+   "* 1000000.0 + 0.5) AS BIGINT) AS burn_1d_micro, "
+   "CAST(floor((CAST(e7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / 0.25 "
+   "* 1000000.0 + 0.5) AS BIGINT) AS burn_7d_micro, "
+   "(CAST(floor((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)) / 0.25 "
+   "* 1000000.0 + 0.5) AS BIGINT) > 1000000 AND "
+   "CAST(floor((CAST(e7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / 0.25 "
+   "* 1000000.0 + 0.5) AS BIGINT) > 1000000) AS alert "
+   "FROM r")
+def events_error_budget_burn(spark, sf):
+    """SRE error-budget burn-rate monitor (75% SLO on non-error
+    events): per-day burn = error_rate / budget, paired with the
+    trailing-7-day burn, alerting only when BOTH exceed 1 — the
+    standard multiwindow rule that suppresses one-day blips while
+    catching sustained burns. Day-grain numeric RANGE window over the
+    calendar-bounded daily rollup; alert computed on the quantized
+    values so the boolean is deterministic."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    d = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("event_type") == "error", 1)
+                       .otherwise(0)).alias("e")))
+    # day is a UTC midnight, so epoch-seconds divide 86400 exactly
+    di = (F.col("day").cast("long") / F.lit(86400)).cast("bigint")
+    w = Window.orderBy("di").rangeBetween(-6, 0)
+    r = (d.select("day", "n", "e", di.alias("di"))
+          .select("day", "n", "e",
+                  F.sum("n").over(w).alias("n7"),
+                  F.sum("e").over(w).alias("e7")))
+    mk = lambda e, n: F.floor(  # noqa: E731
+        (e.cast("double") / n.cast("double")) / F.lit(0.25)
+        * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    b1 = mk(F.col("e"), F.col("n"))
+    b7 = mk(F.col("e7"), F.col("n7"))
+    return r.select("day", "n", "e", b1.alias("burn_1d_micro"),
+                    b7.alias("burn_7d_micro"),
+                    ((b1 > 1000000) & (b7 > 1000000)).alias("alert"))

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from mura_spark.functions import text as TX
 from mura_spark.sources.parquet import ensure_min_partitions
-from mura_spark.suite.common import sql_tokens, table
+from mura_spark.suite.common import sql_hash48, sql_tokens, table
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
@@ -1359,3 +1359,35 @@ def text_script_mismatch(spark, sf):
                   F.sum(F.when((F.col("lang") == "zh") & ~has_cjk, 1)
                          .when((F.col("lang") != "zh") & has_cjk, 1)
                          .otherwise(0)).alias("n_mismatch")))
+
+
+_FH_DIMS = 16
+
+
+@q("text_feature_hashing",
+   f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term "
+   "FROM documents), "
+   "h AS (SELECT doc_id, "
+   f"CAST({sql_hash48('term')} % {_FH_DIMS} AS INT) AS dim, "
+   f"CASE WHEN ({sql_hash48(chr(39) + 's|' + chr(39) + ' || term')}) "
+   "% 2 = 0 THEN 1 ELSE -1 END AS sgn FROM tok) "
+   "SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight "
+   "FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0")
+def text_feature_hashing(spark, sf):
+    """Feature hashing (the HashingVectorizer): every token folds into
+    one of 16 dimensions via the portable MD5 hash, with an
+    independent MD5 sign hash so collisions cancel in expectation —
+    the fixed-width, vocabulary-free text vectorizer that bridges the
+    text tables into the embedding operators. Sparse (doc, dim,
+    weight) triples; zero-weight cells drop on both sides."""
+    from mura_spark.functions.hashing import md5_hash48
+    d = table(spark, sf, "documents")
+    toks = d.select("doc_id",
+                    F.explode(TX.tokens(F.col("text"))).alias("term"))
+    dim = (md5_hash48(F.col("term")) % _FH_DIMS).cast("int")
+    sgn = F.when(md5_hash48(F.concat(F.lit("s|"), F.col("term")))
+                 % 2 == 0, 1).otherwise(-1)
+    return (toks.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+                .groupBy("doc_id", "dim")
+                .agg(F.sum("sgn").alias("weight"))
+                .filter(F.col("weight") != 0))

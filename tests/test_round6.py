@@ -1500,3 +1500,52 @@ def test_power_analysis_hand_computed(spark, tmp_path):
     # 5% MDE needs (5/2)^2 = 6.25x fewer samples (ceil-rounded)
     assert r.n_per_arm_mde5pct == math.ceil(
         2 * z2 * var / ((0.05 * 1000.0) * (0.05 * 1000.0)))
+
+
+def test_error_budget_burn_engineered(spark, tmp_path):
+    rows, eid = [], 0
+    # day 1: 50% errors (burn 2.0); days 2-3: 0% (7d burn dilutes)
+    for day, n_err, n_ok in [(1, 5, 5), (2, 0, 10), (3, 0, 10)]:
+        for i in range(n_err + n_ok):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day}T00:{i:02d}:00", 1,
+                         "error" if i < n_err else "view", 1.0, "{}"))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.day.day: r for r in
+           SPARK_QUERIES["events_error_budget_burn"](spark, out)
+           .collect()}
+    assert got[1].burn_1d_micro == 2000000 and got[1].alert
+    # day 2: 1d burn 0, 7d burn = 5/20/.25 = 1.0 -> no alert either way
+    assert got[2].burn_1d_micro == 0 and not got[2].alert
+    assert got[2].burn_7d_micro == 1000000
+    assert got[3].burn_7d_micro < 1000000
+
+
+def test_feature_hashing_deterministic_and_folds(spark, tmp_path):
+    docs = [("alpha beta alpha", "en", "s"), ("beta", "en", "s")]
+    sf = _mini_docs(spark, tmp_path, docs)
+    from mura_spark.suite import SPARK_QUERIES
+    rows = SPARK_QUERIES["text_feature_hashing"](spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.dim] = r.weight
+    # same token always lands in the same signed dimension
+    from mura_spark.functions.hashing import md5_hash48
+    import hashlib
+    def h48(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+    d_alpha, d_beta = h48("alpha") % 16, h48("beta") % 16
+    s_alpha = 1 if h48("s|alpha") % 2 == 0 else -1
+    s_beta = 1 if h48("s|beta") % 2 == 0 else -1
+    exp0 = {}
+    exp0[d_alpha] = exp0.get(d_alpha, 0) + 2 * s_alpha
+    exp0[d_beta] = exp0.get(d_beta, 0) + s_beta
+    exp0 = {k: v for k, v in exp0.items() if v != 0}
+    assert by_doc[0] == exp0
+    assert by_doc[1] == {d_beta: s_beta}
