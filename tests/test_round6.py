@@ -1549,3 +1549,26 @@ def test_feature_hashing_deterministic_and_folds(spark, tmp_path):
     exp0 = {k: v for k, v in exp0.items() if v != 0}
     assert by_doc[0] == exp0
     assert by_doc[1] == {d_beta: s_beta}
+
+
+def test_late_session_query_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-6v..6ll additions."""
+    from mura_spark.suite import SPARK_QUERIES
+    # sequence-gaps: successor test is an equi anti join on a computed
+    # key, never a sort of the id sequence
+    p = _plan(SPARK_QUERIES["audit_sequence_gaps"](spark, sf_dir))
+    assert "LeftAnti" in p
+    # trailing-window features: ONE aggregate, no self-joins of events
+    p = _plan(SPARK_QUERIES["feature_trailing_windows"](spark, sf_dir))
+    assert p.count("HashAggregate") <= 4      # partial+final, no extra
+    assert "SortMergeJoin" not in p
+    # velocity screen: a RANGE window frame, not a pair self-join
+    p = _plan(SPARK_QUERIES["events_velocity_screen"](spark, sf_dir))
+    assert "RANGE BETWEEN" in p.upper() or "specifiedwindowframe" in p.lower() or "Window" in p
+    assert "CartesianProduct" not in p
+    # ANOVA: moments reduce before anything else; no window, no join
+    p = _plan(SPARK_QUERIES["stats_anova_value_by_type"](spark, sf_dir))
+    assert "Window" not in p and "SortMergeJoin" not in p
+    # feature hashing: scan-side projection + one aggregate, no join
+    p = _plan(SPARK_QUERIES["text_feature_hashing"](spark, sf_dir))
+    assert "Join" not in p
