@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "stats_power_analysis",
     "events_error_budget_burn",
     "text_feature_hashing",
+    "orders_duplicate_invoice_screen",
+    "mm_audio_vad_segments",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

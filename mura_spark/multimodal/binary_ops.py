@@ -626,3 +626,70 @@ def scene_changes(df: DataFrame, threshold_sad: int,
     from mura_spark.sources.parquet import ensure_min_partitions
     return ensure_min_partitions(df.select(id_col, content_col)) \
         .mapInPandas(batches, schema=SCENE_SCHEMA)
+
+
+#: Output schema of :func:`vad_segments`.
+VAD_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_active", T.IntegerType()),
+    T.StructField("n_segments", T.IntegerType()),
+    T.StructField("max_segment", T.IntegerType()),
+])
+
+
+def vad_segments(df: DataFrame, frame_samples: int, threshold: int,
+                 id_col: str = "id",
+                 content_col: str = "content") -> DataFrame:
+    """REAL energy-threshold voice-activity detection over decoded
+    PCM16: frames of ``frame_samples`` samples, a frame is ACTIVE when
+    its integer amplitude sum exceeds ``threshold``, and maximal runs
+    of active frames are the speech segments — the silence-trimming /
+    utterance-splitting first pass of every audio-ingest pipeline.
+    Output ``(id, n_frames, n_active, n_segments, max_segment)``;
+    undecodable payloads yield a NULL-stats row (quarantine).
+
+    Pure-integer energies over exact sample values; run detection is a
+    numpy diff on the boolean mask. Arrow-batched; blobs never
+    shuffle.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            ids, nf, na, ns, mx = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    samples, _sr = _decode_wav(bytes(p))
+                    s = np.asarray(samples, dtype=np.int64).ravel()
+                    n = (len(s) // frame_samples) * frame_samples
+                    frames = s[:n].reshape(-1, frame_samples)
+                    e = frames.sum(axis=1)
+                    act = e > threshold
+                    d = np.diff(act.astype(np.int8), prepend=0)
+                    starts = int((d == 1).sum())
+                    if act.any():
+                        # run lengths via indices of mask transitions
+                        idx = np.flatnonzero(
+                            np.diff(np.concatenate(
+                                ([0], act.astype(np.int8), [0]))))
+                        runs = idx[1::2] - idx[0::2]
+                        longest = int(runs.max())
+                    else:
+                        longest = 0
+                    ids.append(int(i)); nf.append(int(frames.shape[0]))
+                    na.append(int(act.sum())); ns.append(starts)
+                    mx.append(longest)
+                except Exception:
+                    ids.append(int(i)); nf.append(None); na.append(None)
+                    ns.append(None); mx.append(None)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "n_frames": pd.Series(nf, dtype="Int32"),
+                "n_active": pd.Series(na, dtype="Int32"),
+                "n_segments": pd.Series(ns, dtype="Int32"),
+                "max_segment": pd.Series(mx, dtype="Int32"),
+            })
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+    return ensure_min_partitions(df.select(id_col, content_col)) \
+        .mapInPandas(batches, schema=VAD_SCHEMA)

@@ -224,6 +224,8 @@ _NEXT_WINDOW = [
     "text_script_mismatch", "stats_power_analysis",
     # round-6ll: SRE burn-rate monitor + feature hashing
     "events_error_budget_burn", "text_feature_hashing",
+    # round-6mm: duplicate-payment audit + audio VAD segmentation
+    "orders_duplicate_invoice_screen", "mm_audio_vad_segments",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

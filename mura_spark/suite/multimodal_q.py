@@ -427,3 +427,43 @@ def mm_scene_changes(spark, sf):
                  F.concat(*parts).alias("content")))
     return (MM.scene_changes(d, threshold_sad=500)
               .withColumnRenamed("id", "doc_id"))
+
+
+@q("mm_audio_vad_segments",
+   "WITH pxt AS (SELECT doc_id, substr(text, 1, 48) AS px "
+   "FROM documents WHERE n_chars >= 48), "
+   "fr AS (SELECT doc_id, unnest(range(0, 6)) AS j, px FROM pxt), "
+   "en AS (SELECT doc_id, j, CAST(list_sum([ascii(px[8*j+2*i+1]) "
+   "+ 256 * ascii(px[8*j+2*i+2]) for i in range(0, 4)]) AS BIGINT) "
+   "AS e FROM fr), "
+   "act AS (SELECT doc_id, j, CASE WHEN e > 95000 THEN 1 ELSE 0 END "
+   "AS a FROM en), "
+   "st AS (SELECT doc_id, j, a, CASE WHEN a = 1 AND "
+   "coalesce(lag(a) OVER (PARTITION BY doc_id ORDER BY j), 0) = 0 "
+   "THEN 1 ELSE 0 END AS s FROM act), "
+   "isl AS (SELECT doc_id, j - CAST(ROW_NUMBER() OVER (PARTITION BY "
+   "doc_id ORDER BY j) AS BIGINT) AS g FROM st WHERE a = 1), "
+   "runs AS (SELECT doc_id, g, COUNT(*) AS len FROM isl GROUP BY 1, 2), "
+   "mx AS (SELECT doc_id, CAST(MAX(len) AS INT) AS max_segment "
+   "FROM runs GROUP BY 1) "
+   "SELECT st.doc_id, CAST(6 AS INT) AS n_frames, "
+   "CAST(SUM(a) AS INT) AS n_active, CAST(SUM(s) AS INT) "
+   "AS n_segments, CAST(coalesce(MAX(mx.max_segment), 0) AS INT) "
+   "AS max_segment FROM st LEFT JOIN mx ON st.doc_id = mx.doc_id "
+   "GROUP BY st.doc_id")
+def mm_audio_vad_segments(spark, sf):
+    """REAL voice-activity detection: each document's first 48 bytes
+    become a genuine 24-sample PCM16 WAV; 4-sample frames whose
+    integer amplitude sum exceeds 95000 are active, and maximal active
+    runs are the utterance segments — the silence-trimming first pass,
+    exact integers end-to-end (multimodal.binary_ops.vad_segments).
+    The oracle rebuilds energies from byte values and finds runs with
+    the islands window."""
+    d = (table(spark, sf, "documents")
+         .filter(F.col("n_chars") >= 48)
+         .select(F.col("doc_id").alias("id"),
+                 F.concat(F.lit(_wav_header_48()),
+                          F.substring("text", 1, 48).cast("binary"))
+                  .alias("content")))
+    return (MM.vad_segments(d, frame_samples=4, threshold=95000)
+              .withColumnRenamed("id", "doc_id"))

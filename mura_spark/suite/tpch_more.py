@@ -744,3 +744,41 @@ def orders_priority_mix_drift(spark, sf):
               * F.first("pt").cast("double")))
     return (cells.groupBy("mon")
                  .agg(micro(tvd).alias("tvd_micro")))
+
+
+# ------------------------------------------------------- round-6mm addition
+
+@q("orders_duplicate_invoice_screen",
+   "SELECT a.o_custkey, a.o_orderkey AS o1, b.o_orderkey AS o2, "
+   "CAST(CAST(a.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "AS amount_cents, "
+   "CAST(abs(CAST(a.o_orderdate AS DATE) "
+   "- CAST(b.o_orderdate AS DATE)) AS BIGINT) AS days_apart "
+   "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+   "AND CAST(CAST(a.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "= CAST(CAST(b.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "AND a.o_orderkey < b.o_orderkey "
+   "AND abs(CAST(a.o_orderdate AS DATE) - CAST(b.o_orderdate AS DATE)) "
+   "<= 7")
+def orders_duplicate_invoice_screen(spark, sf):
+    """Duplicate-payment screen: order pairs from the same customer
+    with the SAME exact amount within 7 days — the classic
+    accounts-payable audit (double-submits, retry storms). The join
+    key is (customer, exact cents) — an equi join; the date proximity
+    is a residual filter, so no pair explosion beyond true amount
+    collisions."""
+    o = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    s = o.select("o_custkey", "o_orderkey",
+                 cents.alias("__c"), F.to_date("o_orderdate").alias("__d"))
+    a = s.alias("a")
+    b = (s.withColumnRenamed("o_orderkey", "o2")
+          .withColumnRenamed("__d", "__d2").alias("b"))
+    return (a.join(b, ["o_custkey", "__c"])
+             .filter((F.col("o_orderkey") < F.col("o2"))
+                     & (F.abs(F.datediff("__d", "__d2")) <= 7))
+             .select("o_custkey", F.col("o_orderkey").alias("o1"), "o2",
+                     F.col("__c").alias("amount_cents"),
+                     F.abs(F.datediff("__d", "__d2")).cast("bigint")
+                      .alias("days_apart")))

@@ -1572,3 +1572,51 @@ def test_late_session_query_plan_shapes(spark, sf_dir):
     # feature hashing: scan-side projection + one aggregate, no join
     p = _plan(SPARK_QUERIES["text_feature_hashing"](spark, sf_dir))
     assert "Join" not in p
+
+
+def test_duplicate_invoice_screen_engineered(spark, tmp_path):
+    out = str(tmp_path / "mini")
+    rows = [
+        (1, 10, "F", 500.00, "1995-01-01", "P"),
+        (2, 10, "F", 500.00, "1995-01-05", "P"),   # dup within 7d
+        (3, 10, "F", 500.00, "1995-02-01", "P"),   # same amt, too late
+        (4, 10, "F", 123.45, "1995-01-01", "P"),   # different amount
+        (5, 20, "F", 500.00, "1995-01-02", "P"),   # other customer
+    ]
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = [(r.o1, r.o2, r.amount_cents, r.days_apart) for r in
+           SPARK_QUERIES["orders_duplicate_invoice_screen"](
+               spark, out).collect()]
+    assert got == [(1, 2, 50000, 4)]
+
+
+def test_vad_segments_engineered(spark):
+    from mura_spark.multimodal.binary_ops import (encode_wav,
+                                                  vad_segments)
+    import numpy as np
+    # 12 samples, frames of 4: [loud, quiet, loud] -> 2 segments
+    samples = np.array([9000] * 4 + [10] * 4 + [9000] * 4,
+                       dtype=np.int16).reshape(-1, 1)
+    wav = encode_wav(samples, 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk"))],
+        "id long, content binary")
+    got = {r.id: r for r in
+           vad_segments(df, frame_samples=4,
+                        threshold=20000).collect()}
+    assert (got[1].n_frames, got[1].n_active,
+            got[1].n_segments, got[1].max_segment) == (3, 2, 2, 1)
+    assert got[2].n_frames is None
+    # one long run: all loud -> single segment of 3
+    wav2 = encode_wav(np.array([9000] * 12, dtype=np.int16)
+                      .reshape(-1, 1), 8000)
+    df2 = spark.createDataFrame([(3, bytearray(wav2))],
+                                "id long, content binary")
+    r3 = vad_segments(df2, 4, 20000).first()
+    assert (r3.n_segments, r3.max_segment, r3.n_active) == (1, 3, 3)
