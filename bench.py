@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "text_feature_hashing",
     "orders_duplicate_invoice_screen",
     "mm_audio_vad_segments",
+    "scripting_monthly_accumulator",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -226,6 +226,8 @@ _NEXT_WINDOW = [
     "events_error_budget_burn", "text_feature_hashing",
     # round-6mm: duplicate-payment audit + audio VAD segmentation
     "orders_duplicate_invoice_screen", "mm_audio_vad_segments",
+    # round-6nn: SQL-scripting procedural surface
+    "scripting_monthly_accumulator",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

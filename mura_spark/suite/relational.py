@@ -1232,3 +1232,46 @@ def scalar_try_functions(spark, sf):
                    .cast("bigint").alias("n_bad_cast"),
                   F.sum(micro(F.col("d"))).cast("bigint")
                    .alias("sum_div_micro")))
+
+
+# ------------------------------------------------------- round-6nn addition
+
+@q("scripting_monthly_accumulator",
+   "SELECT CAST(12 AS INT) AS n_months, "
+   "CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN "
+   "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) "
+   "AS BIGINT) AS total_cents, "
+   "CAST(MAX(CASE WHEN year(o_orderdate) = 1995 THEN "
+   "CAST(month(o_orderdate) AS INT) END) AS INT) AS last_month "
+   "FROM orders")
+def scripting_monthly_accumulator(spark, sf):
+    """SQL scripting (Spark 4.1 BEGIN/DECLARE/WHILE/SET): a procedural
+    loop walks the twelve months of 1995 accumulating exact-decimal
+    revenue through a scripting variable with a correlated scalar
+    subquery per iteration — the stored-procedure-style surface, pinned
+    against the equivalent declarative aggregate. (Use the declarative
+    form in production — this pins that the procedural surface computes
+    the same answer.)"""
+    o = table(spark, sf, "orders")
+    o.createOrReplaceTempView("mura_script_orders")
+    return spark.sql("""
+BEGIN
+  DECLARE total BIGINT DEFAULT 0;
+  DECLARE last_m INT DEFAULT 0;
+  DECLARE i INT DEFAULT 1;
+  WHILE i <= 12 DO
+    SET total = total + coalesce(
+      (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT)
+       FROM mura_script_orders
+       WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = i), 0);
+    SET last_m = CASE WHEN EXISTS (
+        SELECT 1 FROM mura_script_orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = i)
+      THEN i ELSE last_m END;
+    SET i = i + 1;
+  END WHILE;
+  SELECT CAST(12 AS INT) AS n_months, total AS total_cents,
+         last_m AS last_month;
+END
+""")

@@ -1620,3 +1620,19 @@ def test_vad_segments_engineered(spark):
                                 "id long, content binary")
     r3 = vad_segments(df2, 4, 20000).first()
     assert (r3.n_segments, r3.max_segment, r3.n_active) == (1, 3, 3)
+
+
+def test_scripting_loop_semantics(spark):
+    # the procedural surface itself: WHILE/SET/DECLARE fixed point
+    r = spark.sql("""
+BEGIN
+  DECLARE acc BIGINT DEFAULT 1;
+  DECLARE i INT DEFAULT 0;
+  WHILE i < 5 DO
+    SET acc = acc * 2;
+    SET i = i + 1;
+  END WHILE;
+  SELECT acc AS v, i AS iters;
+END
+""").first()
+    assert (r.v, r.iters) == (32, 5)
