@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "orders_duplicate_invoice_screen",
     "mm_audio_vad_segments",
     "scripting_monthly_accumulator",
+    "events_holt_forecast",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

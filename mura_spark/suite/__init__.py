@@ -228,6 +228,8 @@ _NEXT_WINDOW = [
     "orders_duplicate_invoice_screen", "mm_audio_vad_segments",
     # round-6nn: SQL-scripting procedural surface
     "scripting_monthly_accumulator",
+    # round-6oo: recursive-CTE Holt smoothing + linear forecast
+    "events_holt_forecast",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

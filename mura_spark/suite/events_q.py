@@ -1470,3 +1470,61 @@ def events_error_budget_burn(spark, sf):
     return r.select("day", "n", "e", b1.alias("burn_1d_micro"),
                     b7.alias("burn_7d_micro"),
                     ((b1 > 1000000) & (b7 > 1000000)).alias("alert"))
+
+
+# ------------------------------------------------------- round-6oo addition
+
+#: Shared Holt recursion text — α=β=1/2 makes every update an integer
+#: floor-halving, so the recursion is pure fixed-point arithmetic.
+_HOLT_SQL = (
+    "WITH RECURSIVE "
+    "holt(i, l, b) AS ("
+    "SELECT CAST(0 AS BIGINT), "
+    "(SELECT y FROM {daily} WHERE i = 0), "
+    "(SELECT y FROM {daily} WHERE i = 1) "
+    "- (SELECT y FROM {daily} WHERE i = 0) "
+    "UNION ALL "
+    "SELECT h.i + 1, "
+    "CAST(floor((d.y + h.l + h.b) / 2.0) AS BIGINT), "
+    "CAST(floor((CAST(floor((d.y + h.l + h.b) / 2.0) AS BIGINT) "
+    "- h.l + h.b) / 2.0) AS BIGINT) "
+    "FROM holt h JOIN {daily} d ON d.i = h.i + 1), "
+    "fin AS (SELECT l, b FROM holt "
+    "WHERE i = (SELECT MAX(i) FROM holt)) "
+    "SELECT CAST(k AS INT) AS horizon, "
+    "CAST(l + k * b AS BIGINT) AS forecast_cents "
+    "FROM fin CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) "
+    "AS k) ks")
+
+_HOLT_DAILY = (
+    "(SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) "
+    "AS i, y FROM (SELECT CAST(ts AS DATE) AS day, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y "
+    "FROM events GROUP BY 1))")
+
+
+@q("events_holt_forecast",
+   "WITH RECURSIVE daily AS MATERIALIZED " + _HOLT_DAILY + ", "
+   + _HOLT_SQL.format(daily="daily").replace("WITH RECURSIVE ", "", 1))
+def events_holt_forecast(spark, sf):
+    """Holt double-exponential smoothing of the daily value series and
+    its 0-7-day-ahead linear forecast, run as an ACTUAL recursive CTE
+    walking the calendar: with α=β=½ every level/trend update is an
+    integer floor-halving, so the whole recursion is exact fixed-point
+    arithmetic identical in both engines. The daily series materializes
+    ONCE before the walk (eager localCheckpoint / AS MATERIALIZED —
+    the recursion-materialization trap); the per-step state is one row,
+    so the recursion depth (≤ #days) is the only sequential cost."""
+    ev = table(spark, sf, "events")
+    from pyspark.sql import Window
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+               .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+                    .cast("bigint").alias("y"))
+               .select((F.row_number().over(Window.orderBy("day")) - 1)
+                       .cast("bigint").alias("i"), "y")
+               .localCheckpoint(eager=True))
+    daily.createOrReplaceTempView("__mura_holt_daily")
+    sql = _HOLT_SQL.format(daily="__mura_holt_daily").replace(
+        "(SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS k) ks",
+        "(SELECT explode(array(0, 1, 2, 3, 4, 5, 6, 7)) AS k) ks")
+    return spark.sql(sql)

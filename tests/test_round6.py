@@ -1636,3 +1636,28 @@ BEGIN
 END
 """).first()
     assert (r.v, r.iters) == (32, 5)
+
+
+def test_holt_forecast_matches_reference_loop(spark, tmp_path):
+    # daily cents: [1000, 1200, 1100, 1500] over 4 days
+    vals = [10.0, 12.0, 11.0, 15.0]
+    rows = [(i, f"2024-01-{i + 1:02d}T00:00:00", 1, "view", v, "{}")
+            for i, v in enumerate(vals)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.horizon: r.forecast_cents for r in
+           SPARK_QUERIES["events_holt_forecast"](spark, out).collect()}
+    # reference fixed-point Holt with alpha=beta=1/2
+    import math
+    y = [1000, 1200, 1100, 1500]
+    l, b = y[0], y[1] - y[0]
+    for t in range(1, len(y)):
+        l_new = math.floor((y[t] + l + b) / 2)
+        b = math.floor((l_new - l + b) / 2)
+        l = l_new
+    assert got == {k: l + k * b for k in range(8)}
