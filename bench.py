@@ -288,6 +288,8 @@ BENCH_QUERIES = [
     "mm_audio_vad_segments",
     "scripting_monthly_accumulator",
     "events_holt_forecast",
+    "orders_seasonal_index",
+    "events_markov_baseline_acc",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -230,6 +230,8 @@ _NEXT_WINDOW = [
     "scripting_monthly_accumulator",
     # round-6oo: recursive-CTE Holt smoothing + linear forecast
     "events_holt_forecast",
+    # round-6pp: seasonal index + next-event baseline accuracy
+    "orders_seasonal_index", "events_markov_baseline_acc",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

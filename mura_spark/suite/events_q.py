@@ -1528,3 +1528,39 @@ def events_holt_forecast(spark, sf):
         "(SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS k) ks",
         "(SELECT explode(array(0, 1, 2, 3, 4, 5, 6, 7)) AS k) ks")
     return spark.sql(sql)
+
+
+@q("events_markov_baseline_acc",
+   "WITH t AS (SELECT lag(event_type) OVER "
+   "(PARTITION BY user_id ORDER BY ts, event_id) AS src_type, "
+   "event_type AS dst_type FROM events), "
+   "c AS (SELECT src_type, dst_type, COUNT(*) AS n FROM t "
+   "WHERE src_type IS NOT NULL GROUP BY 1, 2), "
+   "b AS (SELECT src_type, MAX(n) AS best, SUM(n) AS tot FROM c "
+   "GROUP BY 1) "
+   "SELECT CAST(SUM(tot) AS BIGINT) AS n_transitions, "
+   "CAST(SUM(best) AS BIGINT) AS n_correct, "
+   "CAST(floor(CAST(SUM(best) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS acc_micro FROM b")
+def events_markov_baseline_acc(spark, sf):
+    """Accuracy of the best possible first-order next-event predictor:
+    always guess the modal successor of the current state — the
+    baseline every sequence model must beat (its accuracy is
+    Σ_i max_j c_ij / N, computed on the reduced transition cells).
+    The evaluation scalar over events_markov_transitions' matrix."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(F.lag("event_type").over(w).alias("src_type"),
+                  F.col("event_type").alias("dst_type"))
+    c = (t.filter(F.col("src_type").isNotNull())
+          .groupBy("src_type", "dst_type")
+          .agg(F.count(F.lit(1)).alias("n")))
+    b = (c.groupBy("src_type")
+          .agg(F.max("n").alias("best"), F.sum("n").alias("tot")))
+    return b.agg(
+        F.sum("tot").alias("n_transitions"),
+        F.sum("best").alias("n_correct"),
+        F.floor(F.sum("best").cast("double")
+                / F.sum("tot").cast("double") * F.lit(1000000.0)
+                + F.lit(0.5)).cast("bigint").alias("acc_micro"))

@@ -782,3 +782,35 @@ def orders_duplicate_invoice_screen(spark, sf):
                      F.col("__c").alias("amount_cents"),
                      F.abs(F.datediff("__d", "__d2")).cast("bigint")
                       .alias("days_apart")))
+
+
+@q("orders_seasonal_index",
+   "WITH m AS (SELECT CAST(month(o_orderdate) AS INT) AS mon, "
+   "CAST(COUNT(*) AS BIGINT) AS n, "
+   "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s FROM orders "
+   "GROUP BY 1), "
+   "t AS (SELECT SUM(n) AS tn, SUM(s) AS ts_ FROM m) "
+   "SELECT mon, n, "
+   "CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+   "/ (CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE)) * 1000000.0 + 0.5) "
+   "AS BIGINT) AS index_micro FROM m CROSS JOIN t")
+def orders_seasonal_index(spark, sf):
+    """Classical monthly seasonal index: each calendar month's mean
+    order value relative to the overall mean (10⁶ = no seasonality) —
+    the multiplicative-decomposition table a demand planner reads
+    before any forecast. Exact decimal sums; two mirrored divisions
+    per month row; 12-row rollup + broadcast total."""
+    o = table(spark, sf, "orders")
+    m = (o.groupBy(F.month("o_orderdate").cast("int").alias("mon"))
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("__s")))
+    t = m.agg(F.sum("n").alias("__tn"), F.sum("__s").alias("__ts"))
+    idx = ((F.col("__s").cast("double") / F.col("n").cast("double"))
+           / (F.col("__ts").cast("double") / F.col("__tn").cast("double")))
+    return (m.crossJoin(F.broadcast(t))
+             .select("mon", "n",
+                     F.floor(idx * F.lit(1000000.0) + F.lit(0.5))
+                      .cast("bigint").alias("index_micro")))
+
+

@@ -1661,3 +1661,40 @@ def test_holt_forecast_matches_reference_loop(spark, tmp_path):
         b = math.floor((l_new - l + b) / 2)
         l = l_new
     assert got == {k: l + k * b for k in range(8)}
+
+
+def test_seasonal_index_engineered(spark, tmp_path):
+    out = str(tmp_path / "mini")
+    rows = [(1, 1, "F", 200.0, "1995-01-15", "P"),
+            (2, 1, "F", 100.0, "1995-02-15", "P"),
+            (3, 1, "F", 100.0, "1996-02-15", "P")]
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.mon: r.index_micro for r in
+           SPARK_QUERIES["orders_seasonal_index"](spark, out).collect()}
+    # overall mean 400/3; Jan mean 200 -> 1.5x; Feb mean 100 -> 0.75x
+    assert got[1] == 1500000
+    assert got[2] == 750000
+
+
+def test_markov_baseline_engineered(spark, tmp_path):
+    # chain a->b, a->b, a->c: best guess after 'a' is b -> 2/3
+    rows = [(i, f"2024-01-01T00:0{i}:00", u, t, 1.0, "{}")
+            for i, (u, t) in enumerate(
+                [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+                 (3, "a"), (3, "c")])]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["events_markov_baseline_acc"](spark, out).first()
+    assert (r.n_transitions, r.n_correct) == (3, 2)
+    assert r.acc_micro == 666667
