@@ -290,6 +290,8 @@ BENCH_QUERIES = [
     "events_holt_forecast",
     "orders_seasonal_index",
     "events_markov_baseline_acc",
+    "text_ks_drift_by_source",
+    "stats_simpson_screen",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

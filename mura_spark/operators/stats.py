@@ -605,3 +605,105 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return m.select("n",
                     F.floor(rho * F.lit(1000000.0) + F.lit(0.5))
                      .cast("bigint").alias("rho_micro"))
+
+
+def ks_by_group(df: DataFrame, group_col: str,
+                value_col: str) -> DataFrame:
+    """One-vs-rest Kolmogorov-Smirnov distance for EVERY group in one
+    pass: ``(group, n_group, n_rest, ks_micro)`` — which slices of the
+    corpus are distributionally drifted from everything else (the
+    per-slice generalization of the two-sample ks_2sample). The KS sup
+    is evaluated on the union grid of distinct values — correct for
+    step ECDFs, whose sup sits at a jump of either side.
+
+    Plan: one (group, value) cell reduction, a global per-value
+    cumulative, then a groups × distinct-values grid (bounded by
+    |groups|·NDV — for integer-ish metrics this is a small reduced
+    frame, NOT row-scale) with each group's cumulative carried by a
+    running sum over coalesced cell counts. Exact integer counts
+    end-to-end; floating
+    point enters only in one terminal division per group.
+    """
+    cells = (df.groupBy(F.col(group_col).alias("__g"),
+                        F.col(value_col).alias("__v"))
+               .agg(F.count(F.lit(1)).alias("__c")))
+    vals = cells.groupBy("__v").agg(F.sum("__c").alias("__cv"))
+    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = vals.select("__v", F.sum("__cv").over(wv).alias("__gc"))
+    groups = cells.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    tot = vals.agg(F.sum("__cv").alias("__n"))
+    grid = gcum.crossJoin(F.broadcast(groups))
+    own = grid.join(cells, ["__g", "__v"], "left")
+    wg = (Window.partitionBy("__g").orderBy("__v")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    cum = own.select(
+        "__g", "__v", "__ng", "__gc",
+        F.sum(F.coalesce("__c", F.lit(0))).over(wg).alias("__sc"))
+    rest = F.col("__gc") - F.col("__sc")
+    nrest = F.col("__n") - F.col("__ng")
+    # exact-integer sup numerator |sc·n_rest − rest·n_g| (the common
+    # denominator n_g·n_rest is constant per group, and floor is
+    # monotone, so max-then-divide == divide-then-max) — only the ONE
+    # terminal division per group touches floating point
+    num = F.abs(F.col("__sc").cast("decimal(38,0)")
+                * nrest.cast("decimal(38,0)")
+                - rest.cast("decimal(38,0)")
+                * F.col("__ng").cast("decimal(38,0)"))
+    per = (cum.crossJoin(F.broadcast(tot))
+              .filter(nrest > 0)
+              .select("__g", "__ng", nrest.alias("__nr"),
+                      num.alias("__num")))
+    return (per.groupBy(F.col("__g").alias(group_col))
+               .agg(F.max("__ng").alias("n_group"),
+                    F.max("__nr").alias("n_rest"),
+                    F.floor(F.max("__num").cast("double")
+                            / (F.max("__ng").cast("double")
+                               * F.max("__nr").cast("double"))
+                            * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").alias("ks_micro")))
+
+
+def simpson_screen(df: DataFrame, stratum_col: str, treat: "F.Column",
+                   value_col: str) -> DataFrame:
+    """Simpson's-paradox screen: does the treated-vs-control mean gap
+    of ``value_col`` point the SAME way inside each stratum as it does
+    in the pooled aggregate? Per stratum: ``(stratum, n_treat,
+    n_ctrl, stratum_sign, overall_sign, is_reversed)`` — the
+    confounding detector run before trusting any aggregate comparison
+    (stratum mix can flip the pooled sign).
+
+    Exact end-to-end: mean comparison is done by integer
+    cross-multiplication sign(s_t·n_c − s_c·n_t) in DECIMAL(38,0) —
+    no division, no floats anywhere. One shuffle to the stratum grain;
+    the pooled row is a broadcast singleton.
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    cells = (df.groupBy(F.col(stratum_col).alias("__s"))
+               .agg(F.sum(F.when(treat, 1).otherwise(0)).alias("__nt"),
+                    F.sum(F.when(treat, v).otherwise(F.lit(0)
+                          .cast("decimal(38,0)"))).alias("__st"),
+                    F.sum(F.when(~treat, 1).otherwise(0)).alias("__nc"),
+                    F.sum(F.when(~treat, v).otherwise(F.lit(0)
+                          .cast("decimal(38,0)"))).alias("__sc")))
+    overall = cells.agg(F.sum("__nt").alias("__ont"),
+                        F.sum("__st").alias("__ost"),
+                        F.sum("__nc").alias("__onc"),
+                        F.sum("__sc").alias("__osc"))
+
+    def _sign(num):
+        return (F.when(num > 0, 1).when(num < 0, -1).otherwise(0)
+                 .cast("int"))
+
+    s_sign = _sign(F.col("__st") * F.col("__nc")
+                   - F.col("__sc") * F.col("__nt"))
+    o_sign = _sign(F.col("__ost") * F.col("__onc")
+                   - F.col("__osc") * F.col("__ont"))
+    both = (F.col("__nt") > 0) & (F.col("__nc") > 0)
+    return (cells.crossJoin(F.broadcast(overall))
+                 .select(F.col("__s").alias(stratum_col),
+                         F.col("__nt").alias("n_treat"),
+                         F.col("__nc").alias("n_ctrl"),
+                         F.when(both, s_sign).alias("stratum_sign"),
+                         o_sign.alias("overall_sign"),
+                         F.when(both, (s_sign * o_sign == -1)
+                                .cast("int")).alias("is_reversed")))

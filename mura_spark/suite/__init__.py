@@ -232,6 +232,12 @@ _NEXT_WINDOW = [
     "events_holt_forecast",
     # round-6pp: seasonal index + next-event baseline accuracy
     "orders_seasonal_index", "events_markov_baseline_acc",
+    # round-6qq: one-vs-rest KS drift per source + Simpson's-paradox
+    # sign-reversal screen
+    "text_ks_drift_by_source", "stats_simpson_screen",
+    # round-6rr: blocking-quality meta-eval (reduction ratio + pair
+    # completeness, exact truth) + time-weighted average value
+    "dedup_blocking_quality", "events_twap_value",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2543,3 +2543,42 @@ def stats_power_analysis(spark, sf):
          .alias("sd_cents"),
         arm(0.02).alias("n_per_arm_mde2pct"),
         arm(0.05).alias("n_per_arm_mde5pct"))
+
+
+@q("stats_simpson_screen",
+   "WITH c AS (SELECT source, "
+   "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt, "
+   "SUM(CASE WHEN lang = 'en' THEN CAST(n_chars AS DECIMAL(38,0)) "
+   "ELSE CAST(0 AS DECIMAL(38,0)) END) AS st, "
+   "CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nc, "
+   "SUM(CASE WHEN lang <> 'en' THEN CAST(n_chars AS DECIMAL(38,0)) "
+   "ELSE CAST(0 AS DECIMAL(38,0)) END) AS sc "
+   "FROM documents GROUP BY 1), "
+   "o AS (SELECT SUM(nt) AS ont, SUM(st) AS ost, "
+   "SUM(nc) AS onc, SUM(sc) AS osc FROM c) "
+   "SELECT source, nt AS n_treat, nc AS n_ctrl, "
+   "CASE WHEN nt > 0 AND nc > 0 THEN "
+   "CAST(CASE WHEN st * nc - sc * nt > 0 THEN 1 "
+   "WHEN st * nc - sc * nt < 0 THEN -1 ELSE 0 END AS INT) END "
+   "AS stratum_sign, "
+   "CAST(CASE WHEN ost * onc - osc * ont > 0 THEN 1 "
+   "WHEN ost * onc - osc * ont < 0 THEN -1 ELSE 0 END AS INT) "
+   "AS overall_sign, "
+   "CASE WHEN nt > 0 AND nc > 0 THEN "
+   "CAST((CASE WHEN st * nc - sc * nt > 0 THEN 1 "
+   "WHEN st * nc - sc * nt < 0 THEN -1 ELSE 0 END) "
+   "* (CASE WHEN ost * onc - osc * ont > 0 THEN 1 "
+   "WHEN ost * onc - osc * ont < 0 THEN -1 ELSE 0 END) = -1 AS INT) END "
+   "AS is_reversed "
+   "FROM c CROSS JOIN o")
+def stats_simpson_screen(spark, sf):
+    """Simpson's-paradox screen: is English text longer than
+    non-English INSIDE each source the same way it is in the pooled
+    corpus? Per-source sign of the mean-length gap vs the aggregate
+    sign, with a reversal flag — the confounding check (source mix can
+    flip a pooled comparison) run before trusting any corpus-level A/B
+    readout. Exact integer cross-multiplication signs, zero divisions
+    (operators.stats.simpson_screen)."""
+    from mura_spark.operators.stats import simpson_screen
+    d = table(spark, sf, "documents")
+    return simpson_screen(d, "source", F.col("lang") == "en", "n_chars")

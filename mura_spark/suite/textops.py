@@ -1391,3 +1391,37 @@ def text_feature_hashing(spark, sf):
                 .groupBy("doc_id", "dim")
                 .agg(F.sum("sgn").alias("weight"))
                 .filter(F.col("weight") != 0))
+
+
+# ------------------------------------------------------- round-6qq additions
+
+@q("text_ks_drift_by_source",
+   "WITH cells AS (SELECT source AS g, n_chars AS v, COUNT(*) AS c "
+   "FROM documents GROUP BY 1, 2), "
+   "vals AS (SELECT v, SUM(c) AS cv FROM cells GROUP BY 1), "
+   "gcum AS (SELECT v, SUM(cv) OVER (ORDER BY v) AS gc FROM vals), "
+   "grp AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY 1), "
+   "tot AS (SELECT SUM(cv) AS n FROM vals), "
+   "cum AS (SELECT g, v, ng, gc, "
+   "SUM(COALESCE(c, 0)) OVER (PARTITION BY g ORDER BY v) AS sc "
+   "FROM gcum CROSS JOIN grp LEFT JOIN cells USING (g, v)) "
+   "SELECT g AS source, CAST(MAX(ng) AS BIGINT) AS n_group, "
+   "CAST(MAX(n - ng) AS BIGINT) AS n_rest, "
+   "CAST(floor(CAST(MAX(abs(CAST(sc AS DECIMAL(38,0)) "
+   "* CAST(n - ng AS DECIMAL(38,0)) "
+   "- CAST(gc - sc AS DECIMAL(38,0)) * CAST(ng AS DECIMAL(38,0)))) "
+   "AS DOUBLE) / (CAST(MAX(ng) AS DOUBLE) * CAST(MAX(n - ng) AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS ks_micro "
+   "FROM cum CROSS JOIN tot WHERE n - ng > 0 GROUP BY g")
+def text_ks_drift_by_source(spark, sf):
+    """Per-source distribution drift: one-vs-rest Kolmogorov–Smirnov
+    distance of each source's document-length distribution against the
+    rest of the corpus, ALL sources in one pass — the per-slice
+    generalization of stats_ks_value that answers "which ingest feed
+    changed shape?" without running |sources| pairwise tests. One
+    (source, length) cell reduction, then a bounded sources×NDV grid;
+    exact-integer sup numerator, one terminal division per source
+    (operators.stats.ks_by_group)."""
+    from mura_spark.operators.stats import ks_by_group
+    d = table(spark, sf, "documents")
+    return ks_by_group(d, "source", "n_chars")

@@ -1698,3 +1698,38 @@ def test_markov_baseline_engineered(spark, tmp_path):
     r = SPARK_QUERIES["events_markov_baseline_acc"](spark, out).first()
     assert (r.n_transitions, r.n_correct) == (3, 2)
     assert r.acc_micro == 666667
+
+
+def test_ks_by_group_engineered(spark, tmp_path):
+    # group A = {1,2}, group B = {3,4}: ECDFs never overlap -> D = 1
+    # for both one-vs-rest tests; group C identical to the pooled rest
+    # is exercised at suite level (sf0.01 oracle row).
+    rows = [(1, "t", "A", "s", 1), (2, "t", "A", "s", 2),
+            (3, "t", "B", "s", 3), (4, "t", "B", "s", 4)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.operators.stats import ks_by_group
+    d = spark.read.parquet(f"{out}/documents.parquet")
+    got = {r.lang: (r.n_group, r.n_rest, r.ks_micro)
+           for r in ks_by_group(d, "lang", "n_chars").collect()}
+    assert got == {"A": (2, 2, 1000000), "B": (2, 2, 1000000)}
+
+
+def test_simpson_screen_engineered(spark):
+    # Inside each stratum treated < control, but the pooled means flip
+    # because stratum s2 (high values, mostly treated) dominates the
+    # treated pool: the textbook reversal -> is_reversed = 1.
+    rows = ([("s1", 1, 10)] * 1 + [("s1", 0, 20)] * 9
+            + [("s2", 1, 90)] * 9 + [("s2", 0, 100)] * 1)
+    df = spark.createDataFrame(rows, "source string, t int, v long")
+    from pyspark.sql import functions as SF
+    from mura_spark.operators.stats import simpson_screen
+    got = {r.source: r for r in
+           simpson_screen(df, "source", SF.col("t") == 1, "v").collect()}
+    assert got["s1"].stratum_sign == -1 and got["s2"].stratum_sign == -1
+    assert got["s1"].overall_sign == 1
+    assert got["s1"].is_reversed == 1 and got["s2"].is_reversed == 1
+    assert (got["s1"].n_treat, got["s1"].n_ctrl) == (1, 9)
