@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "events_markov_baseline_acc",
     "text_ks_drift_by_source",
     "stats_simpson_screen",
+    "dedup_blocking_quality",
+    "events_twap_value",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

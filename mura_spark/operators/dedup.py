@@ -716,7 +716,8 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
                               window: int = 3,
-                              partitions: int = 64) -> DataFrame:
+                              partitions: int = 64,
+                              verify: bool = True) -> DataFrame:
     """Sorted-neighborhood (SNM) duplicate detection: globally sort on
     the blocking key, then compare only records within ``window``
     positions of each other — the classic entity-resolution blocking
@@ -772,6 +773,11 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
     cand = (lhs.join(rhs, "__jb")
                .filter((F.col("__rb") > F.col("__ra"))
                        & (F.col("__rb") - F.col("__ra") <= window)))
+    if not verify:
+        # blocking-quality callers want the raw candidate set the
+        # window generates (each qualifying pair appears exactly once:
+        # the rhs bucket matches exactly one of the lhs's two bands)
+        return cand.select("id_a", "id_b")
     return (cand.filter(F.col("__ka") == F.col("__kb"))  # verify
                 .select("id_a", "id_b"))
 

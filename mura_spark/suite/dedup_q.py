@@ -486,3 +486,97 @@ def dedup_sorted_neighborhood(spark, sf):
         F.array_join(F.array_sort(F.array_distinct(
             TX.tokens(F.col("text")))), " "))
     return sorted_neighborhood_pairs(d, "doc_id", "snm_key", window=3)
+
+
+# ------------------------------------------------------- round-6rr addition
+
+_BQ_KEY = (f"array_to_string(list_sort(list_distinct({sql_tokens('text')})),"
+           f" ' ')")
+
+_BQ_ORACLE = (
+    f"{_SH_CTE}, "
+    "t AS (SELECT id_a, id_b FROM "
+    "(SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "len(list_intersect(a.sh, b.sh)) AS inter, "
+    "len(a.sh) AS la, len(b.sh) AS lb "
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+    "AND least(len(a.sh), len(b.sh)) >= "
+    "ceiling(0.8 * greatest(len(a.sh), len(b.sh)))) "
+    "WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8), "
+    f"r AS (SELECT doc_id AS id, ROW_NUMBER() OVER "
+    f"(ORDER BY {_BQ_KEY}, doc_id) AS rn FROM documents), "
+    "bk AS (SELECT id, rn, "
+    "CAST(floor(CAST(rn - 1 AS DOUBLE) / 3.0) AS BIGINT) AS bkt FROM r), "
+    "c AS (SELECT LEAST(a.id, c2.id) AS id_a, "
+    "GREATEST(a.id, c2.id) AS id_b FROM bk a JOIN bk c2 "
+    "ON (c2.bkt = a.bkt OR c2.bkt = a.bkt + 1) "
+    "AND c2.rn > a.rn AND c2.rn - a.rn <= 3), "
+    "m AS (SELECT (SELECT COUNT(*) FROM d) AS n_docs, "
+    "(SELECT COUNT(*) FROM t) AS n_true, "
+    "(SELECT COUNT(*) FROM c) AS n_cand, "
+    "(SELECT COUNT(*) FROM c JOIN t USING (id_a, id_b)) AS n_caught) "
+    "SELECT CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(n_true AS BIGINT) AS n_true, "
+    "CAST(n_cand AS BIGINT) AS n_cand, "
+    "CAST(n_caught AS BIGINT) AS n_caught, "
+    "CASE WHEN n_true > 0 THEN CAST(floor(CAST(n_caught AS DOUBLE) "
+    "/ CAST(n_true AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END "
+    "AS completeness_micro, "
+    "CAST(floor((1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs AS DOUBLE) "
+    "* CAST(n_docs - 1 AS DOUBLE) / 2.0)) * 1000000.0 + 0.5) AS BIGINT) "
+    "AS reduction_micro FROM m")
+
+
+@q("dedup_blocking_quality", _BQ_ORACLE)
+def dedup_blocking_quality(spark, sf):
+    """Blocking-scheme evaluation (the entity-resolution literature's
+    reduction ratio + pair completeness): how many of the TRUE Jaccard
+    ≥ 0.8 near-dup pairs does sorted-neighborhood blocking (window 3 on
+    the sorted-token-bag key) put in the same candidate window, and
+    what fraction of the n(n−1)/2 all-pairs space does it avoid? The
+    meta-query run before trusting any blocking config at corpus scale
+    — both the truth set and the candidate set are exact and
+    deterministic, so recall itself is oracle-hashable (unlike the
+    MinHash family, whose recall is probabilistic). All counts exact;
+    two terminal divisions."""
+    from mura_spark.functions import text as TX
+    from mura_spark.operators.dedup import (jaccard_dup_pairs,
+                                            sorted_neighborhood_pairs)
+    d = table(spark, sf, "documents")
+    truth = (jaccard_dup_pairs(d, "doc_id", "text", threshold=0.8)
+             .select("id_a", "id_b"))
+    keyed = d.withColumn(
+        "snm_key",
+        F.array_join(F.array_sort(F.array_distinct(
+            TX.tokens(F.col("text")))), " "))
+    cand = (sorted_neighborhood_pairs(keyed, "doc_id", "snm_key",
+                                      window=3, verify=False)
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b")))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # one full-outer pair join so the (expensive) truth and candidate
+    # subtrees each evaluate exactly ONCE — separate count + intersect
+    # aggregates would re-run both pair miners
+    j = (truth.withColumn("__t", F.lit(1))
+              .join(cand.withColumn("__c", F.lit(1)),
+                    ["id_a", "id_b"], "full_outer"))
+    m = (n_docs.crossJoin(F.broadcast(j.agg(
+        F.coalesce(F.sum("__t"), F.lit(0).cast("bigint"))
+         .alias("n_true"),
+        F.coalesce(F.sum("__c"), F.lit(0).cast("bigint"))
+         .alias("n_cand"),
+        F.sum(F.when(F.col("__t").isNotNull()
+                     & F.col("__c").isNotNull(), 1)
+              .otherwise(0)).alias("n_caught")))))
+    comp = (F.floor(F.col("n_caught").cast("double")
+                    / F.col("n_true").cast("double")
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    red = (F.floor((F.lit(1.0) - F.col("n_cand").cast("double")
+                    / (F.col("n_docs").cast("double")
+                       * (F.col("n_docs") - F.lit(1)).cast("double")
+                       / F.lit(2.0)))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return m.select(
+        "n_docs", "n_true", "n_cand", "n_caught",
+        F.when(F.col("n_true") > 0, comp).alias("completeness_micro"),
+        red.alias("reduction_micro"))

@@ -1564,3 +1564,46 @@ def events_markov_baseline_acc(spark, sf):
         F.floor(F.sum("best").cast("double")
                 / F.sum("tot").cast("double") * F.lit(1000000.0)
                 + F.lit(0.5)).cast("bigint").alias("acc_micro"))
+
+
+# ------------------------------------------------------- round-6rr addition
+
+@q("events_twap_value",
+   "WITH iv AS (SELECT user_id, "
+   "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+   "epoch_us(LEAD(ts) OVER (PARTITION BY user_id "
+   "ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us "
+   "FROM events) "
+   "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals, "
+   "CAST(SUM(dur_us) AS BIGINT) AS total_dur_us, "
+   "CAST(floor(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dur_us) "
+   "AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE) * 10000.0 + 0.5) "
+   "AS BIGINT) AS twap_micro "
+   "FROM iv WHERE dur_us IS NOT NULL AND dur_us > 0 GROUP BY 1")
+def events_twap_value(spark, sf):
+    """Per-user time-weighted average value (TWAP): each event's value
+    weighted by how long it remained the user's latest state — the
+    duration-honest mean that plain AVG gets wrong whenever sampling is
+    bursty (the same correction a market-data pipeline applies to
+    quotes). One user-keyed window shuffle produces the LEAD duration;
+    the groupBy reuses the same hash partitioning, so no second
+    shuffle. Exact cents·µs products in DECIMAL(38,0); one terminal
+    division per user, micro-floored."""
+    ev = table(spark, sf, "events")
+    from pyspark.sql import Window
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    iv = ev.select(
+        "user_id", cents.alias("cents"),
+        (F.unix_micros(F.lead("ts").over(wu))
+         - F.unix_micros("ts")).alias("dur_us"))
+    return (iv.filter(F.col("dur_us").isNotNull()
+                      & (F.col("dur_us") > 0))
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_intervals"),
+                   F.sum("dur_us").alias("total_dur_us"),
+                   F.floor(F.sum(F.col("cents").cast("decimal(38,0)")
+                                 * F.col("dur_us")).cast("double")
+                           / F.sum("dur_us").cast("double")
+                           * F.lit(10000.0) + F.lit(0.5))
+                    .cast("bigint").alias("twap_micro")))

@@ -1733,3 +1733,42 @@ def test_simpson_screen_engineered(spark):
     assert got["s1"].overall_sign == 1
     assert got["s1"].is_reversed == 1 and got["s2"].is_reversed == 1
     assert (got["s1"].n_treat, got["s1"].n_ctrl) == (1, 9)
+
+
+def test_blocking_quality_engineered(spark, tmp_path):
+    # 4 docs: 1 & 2 identical (SNM-adjacent AND Jaccard 1.0),
+    # 3 & 4 unrelated -> truth = {(1,2)}, candidates include (1,2),
+    # completeness = 1.0; with only 4 ranks and window 3 every pair is
+    # a candidate, so reduction is exactly 0 (the degenerate floor).
+    rows = [(1, "alpha beta gamma delta epsilon", "en", "s", 29),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 29),
+            (3, "one two three four five six", "en", "s", 27),
+            (4, "zed yank xray wolf victor up", "en", "s", 28)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["dedup_blocking_quality"](spark, out).first()
+    assert r.n_docs == 4 and r.n_true == 1 and r.n_caught == 1
+    assert r.completeness_micro == 1000000
+    assert r.n_cand == 6 and r.reduction_micro == 0
+
+
+def test_twap_engineered(spark, tmp_path):
+    # user 1: value 10 held 3s, value 20 held 1s (last event unweighted)
+    # -> TWAP = (10*3 + 20*1) / 4 = 12.5
+    rows = [(1, "2024-01-01T00:00:00", 1, "a", 10.0, "{}"),
+            (2, "2024-01-01T00:00:03", 1, "a", 20.0, "{}"),
+            (3, "2024-01-01T00:00:04", 1, "a", 99.0, "{}")]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["events_twap_value"](spark, out).first()
+    assert (r.n_intervals, r.total_dur_us) == (2, 4000000)
+    assert r.twap_micro == 12500000
