@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "stats_simpson_screen",
     "dedup_blocking_quality",
     "events_twap_value",
+    "orders_revenue_bridge",
+    "events_xcorr_lag",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

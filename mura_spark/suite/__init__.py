@@ -238,6 +238,9 @@ _NEXT_WINDOW = [
     # round-6rr: blocking-quality meta-eval (reduction ratio + pair
     # completeness, exact truth) + time-weighted average value
     "dedup_blocking_quality", "events_twap_value",
+    # round-6ss: YoY price/volume revenue bridge + lead-lag daily
+    # cross-correlation
+    "orders_revenue_bridge", "events_xcorr_lag",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1607,3 +1607,69 @@ def events_twap_value(spark, sf):
                            / F.sum("dur_us").cast("double")
                            * F.lit(10000.0) + F.lit(0.5))
                     .cast("bigint").alias("twap_micro")))
+
+
+@q("events_xcorr_lag",
+   "WITH e AS (SELECT event_type, "
+   "epoch_us(date_trunc('day', ts)) // 86400000000 AS d FROM events), "
+   "x AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS xv FROM e "
+   "WHERE event_type = 'click' GROUP BY 1), "
+   "y AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS yv FROM e "
+   "WHERE event_type = 'purchase' GROUP BY 1), "
+   "l AS (SELECT CAST(i AS INT) AS lag FROM range(-3, 4) t(i)), "
+   "p AS (SELECT l.lag, x.xv, y.yv FROM l CROSS JOIN x "
+   "JOIN y ON y.d = x.d + l.lag), "
+   "m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days, "
+   "CAST(SUM(CAST(xv AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+   "CAST(SUM(CAST(yv AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+   "CAST(SUM(CAST(xv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS sxy, "
+   "CAST(SUM(CAST(xv AS DECIMAL(19,0)) * CAST(xv AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS sxx, "
+   "CAST(SUM(CAST(yv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS syy FROM p GROUP BY 1) "
+   "SELECT lag, n_days, "
+   "CASE WHEN sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx) "
+   "* (CAST(n_days AS DOUBLE) * syy - sy * sy)) > 0 THEN "
+   "CAST(floor((CAST(n_days AS DOUBLE) * sxy - sx * sy) "
+   "/ sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx) "
+   "* (CAST(n_days AS DOUBLE) * syy - sy * sy)) * 1000000.0 + 0.5) "
+   "AS BIGINT) END AS r_micro FROM m")
+def events_xcorr_lag(spark, sf):
+    """Lead–lag cross-correlation: Pearson r between the daily click
+    series and the daily purchase series shifted by −3..+3 days — does
+    click volume LEAD purchases (the marketing-mix / conversion-delay
+    question)? Everything runs on the tiny reduced day grid: one
+    event-type-pruned daily rollup (exact integer counts), a 7-lag
+    broadcast grid, exact decimal moments, and the same one-division
+    closed form as the Spearman/OLS family. Days present in both
+    shifted series only (inner join)."""
+    ev = table(spark, sf, "events")
+    day = F.expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+    e = ev.select("event_type", day.alias("d"))
+    x = (e.filter(F.col("event_type") == "click")
+          .groupBy("d").agg(F.count(F.lit(1)).alias("xv")))
+    yd = (e.filter(F.col("event_type") == "purchase")
+           .groupBy("d").agg(F.count(F.lit(1)).alias("yv"))
+           .select(F.col("d").alias("dy"), "yv"))
+    lags = (ev.sparkSession.range(-3, 4)
+              .select(F.col("id").cast("int").alias("lag")))
+    p = (x.crossJoin(F.broadcast(lags))
+          .join(yd, F.col("dy") == F.col("d") + F.col("lag")))
+    dec19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("xv").cast("decimal(38,0)")).cast("double")
+         .alias("sx"),
+        F.sum(F.col("yv").cast("decimal(38,0)")).cast("double")
+         .alias("sy"),
+        F.sum(dec19("xv") * dec19("yv")).cast("double").alias("sxy"),
+        F.sum(dec19("xv") * dec19("xv")).cast("double").alias("sxx"),
+        F.sum(dec19("yv") * dec19("yv")).cast("double").alias("syy"))
+    nd = F.col("n_days").cast("double")
+    den = F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (nd * F.col("syy") - F.col("sy") * F.col("sy")))
+    r = F.floor((nd * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+                * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return m.select("lag", "n_days",
+                    F.when(den > 0, r).alias("r_micro"))

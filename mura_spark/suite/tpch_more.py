@@ -814,3 +814,67 @@ def orders_seasonal_index(spark, sf):
                       .cast("bigint").alias("index_micro")))
 
 
+
+
+# ------------------------------------------------------- round-6ss addition
+
+@q("orders_revenue_bridge",
+   "WITH c AS (SELECT o_orderpriority, "
+   "CAST(SUM(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n1, "
+   "CAST(SUM(CASE WHEN year(o_orderdate) = 1999 THEN "
+   "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "ELSE 0 END) AS BIGINT) AS s1, "
+   "CAST(SUM(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n2, "
+   "CAST(SUM(CASE WHEN year(o_orderdate) = 2000 THEN "
+   "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "ELSE 0 END) AS BIGINT) AS s2 "
+   "FROM orders WHERE year(o_orderdate) IN (1999, 2000) GROUP BY 1) "
+   "SELECT o_orderpriority, n1 AS n_prev, n2 AS n_curr, "
+   "s1 AS rev_prev_cents, s2 AS rev_curr_cents, "
+   "s2 - s1 AS change_cents, "
+   "CASE WHEN n1 > 0 AND n2 > 0 THEN "
+   "CAST(floor(CAST(n2 - n1 AS DOUBLE) * CAST(s1 AS DOUBLE) "
+   "/ CAST(n1 AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) END "
+   "AS volume_effect_micro, "
+   "CASE WHEN n1 > 0 AND n2 > 0 THEN "
+   "CAST(floor((CAST(s2 AS DOUBLE) - CAST(n2 AS DOUBLE) "
+   "* CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 10000.0 + 0.5) "
+   "AS BIGINT) END AS price_effect_micro FROM c")
+def orders_revenue_bridge(spark, sf):
+    """Year-over-year revenue bridge (the FP&A price/volume
+    decomposition): per priority segment, how much of the 1999→2000
+    revenue change came from order COUNT (volume effect
+    (n₂−n₁)·p̄₁) vs average ticket (price effect n₂·(p̄₂−p̄₁))?
+    The two effects sum to the exact change by construction. One
+    conditional-aggregate groupBy (the year filter pushes to the
+    scan); exact cents sums; effects are single mirrored double
+    expressions, micro-floored (value units)."""
+    o = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    y = F.year("o_orderdate")
+    c = (o.filter(y.isin(1999, 2000))
+          .groupBy("o_orderpriority")
+          .agg(F.sum(F.when(y == 1999, 1).otherwise(0)).alias("n1"),
+               F.sum(F.when(y == 1999, cents).otherwise(0)).alias("s1"),
+               F.sum(F.when(y == 2000, 1).otherwise(0)).alias("n2"),
+               F.sum(F.when(y == 2000, cents).otherwise(0)).alias("s2")))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    both = (F.col("n1") > 0) & (F.col("n2") > 0)
+    vol = F.floor((F.col("n2") - F.col("n1")).cast("double") * s1d
+                  / n1d * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    price = F.floor((s2d - n2d * s1d / n1d) * F.lit(10000.0)
+                    + F.lit(0.5)).cast("bigint")
+    return c.select(
+        "o_orderpriority",
+        F.col("n1").alias("n_prev"), F.col("n2").alias("n_curr"),
+        F.col("s1").alias("rev_prev_cents"),
+        F.col("s2").alias("rev_curr_cents"),
+        (F.col("s2") - F.col("s1")).alias("change_cents"),
+        F.when(both, vol).alias("volume_effect_micro"),
+        F.when(both, price).alias("price_effect_micro"))

@@ -1772,3 +1772,48 @@ def test_twap_engineered(spark, tmp_path):
     r = SPARK_QUERIES["events_twap_value"](spark, out).first()
     assert (r.n_intervals, r.total_dur_us) == (2, 4000000)
     assert r.twap_micro == 12500000
+
+
+def test_revenue_bridge_engineered(spark, tmp_path):
+    # prev year: 2 orders x $100; curr year: 3 orders x $120.
+    # volume = (3-2)*100 = $100; price = 3*(120-100) = $60;
+    # change = $160 = volume + price exactly.
+    rows = [(1, 1, "F", 100.0, "1999-03-01", "P"),
+            (2, 1, "F", 100.0, "1999-06-01", "P"),
+            (3, 1, "F", 120.0, "2000-01-01", "P"),
+            (4, 1, "F", 120.0, "2000-05-01", "P"),
+            (5, 1, "F", 120.0, "2000-09-01", "P")]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["orders_revenue_bridge"](spark, out).first()
+    assert (r.n_prev, r.n_curr) == (2, 3)
+    assert r.change_cents == 16000
+    assert r.volume_effect_micro == 100000000
+    assert r.price_effect_micro == 60000000
+
+
+def test_xcorr_lag_engineered(spark, tmp_path):
+    # purchases = clicks shifted by +1 day (purchase day d+1 count ==
+    # click day d count): r at lag +1 is exactly 1.0; lag 0 pairs the
+    # unshifted (anti-correlated) counts.
+    clicks = [(i, f"2024-01-0{d}T00:00:00", 1, "click", 1.0, "{}")
+              for i, d in enumerate([1]*1 + [2]*2 + [3]*3 + [4]*1)]
+    buys = [(100 + i, f"2024-01-0{d}T00:00:00", 1, "purchase", 1.0, "{}")
+            for i, d in enumerate([2]*1 + [3]*2 + [4]*3 + [5]*1)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        clicks + buys,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.lag: (r.n_days, r.r_micro) for r in
+           SPARK_QUERIES["events_xcorr_lag"](spark, out).collect()}
+    assert got[1] == (4, 1000000)
