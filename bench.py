@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "events_twap_value",
     "orders_revenue_bridge",
     "events_xcorr_lag",
+    "stats_cmh_odds",
+    "emb_silhouette",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

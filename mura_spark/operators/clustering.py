@@ -53,16 +53,15 @@ def _sqdist(a, b):
         F.lit(0).cast("bigint"), lambda acc, d: acc + d)
 
 
-def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
+def kmeans_scored(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", k: int = 8,
                   iterations: int = 2) -> DataFrame:
-    """Deterministic k-means: assignments after ``iterations`` rounds of
-    Lloyd's algorithm from the k-lowest-id initialization.
-    Output: (id_col, cluster: int, dist: bigint — squared fixed-point L2
-    to the final centroid). Clusters that lose all members simply drop
-    out of later rounds (both engines agree: the assignment is an inner
-    join against the surviving centroid set).
-    """
+    """The final-round point×centroid distance frame ``(__vid,
+    cluster, __d)`` — every surviving centroid's exact fixed-point
+    squared L2 per vector (k rows per point). :func:`kmeans_assign` is
+    its per-point argmin; silhouette-style diagnostics need the full
+    frame (nearest AND second-nearest). Mirrors the ``s{N}`` CTE of
+    :func:`sql_kmeans_ctes`."""
     q = quantize_vectors(df, id_col, vec_col)
     centroids = (q.orderBy("__vid").limit(k)
                   .select(F.row_number().over(Window.orderBy("__vid"))
@@ -74,15 +73,14 @@ def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
                     .select("__vid", "cluster",
                             _sqdist(F.col("__v"), F.col("__c"))
                             .alias("__d")))
+        if it == iterations - 1:
+            return scored
         assign = (scored.groupBy("__vid")
                         .agg(F.min(F.struct("__d", "cluster"))
                               .alias("__best"))
                         .select("__vid",
                                 F.col("__best.cluster").alias("cluster"),
                                 F.col("__best.__d").alias("dist")))
-        if it == iterations - 1:
-            return assign.select(F.col("__vid").alias(id_col),
-                                 "cluster", "dist")
         comp = (assign.join(q, "__vid")
                       .select("cluster", F.posexplode("__v")
                               .alias("pos", "x")))
@@ -95,6 +93,64 @@ def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
                                     F.struct("pos", "c"))),
                                 lambda s: s["c"]).alias("__c")))
     raise AssertionError("unreachable")  # pragma: no cover
+
+
+def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", k: int = 8,
+                  iterations: int = 2) -> DataFrame:
+    """Deterministic k-means: assignments after ``iterations`` rounds of
+    Lloyd's algorithm from the k-lowest-id initialization.
+    Output: (id_col, cluster: int, dist: bigint — squared fixed-point L2
+    to the final centroid). Clusters that lose all members simply drop
+    out of later rounds (both engines agree: the assignment is an inner
+    join against the surviving centroid set).
+    """
+    scored = kmeans_scored(df, id_col, vec_col, k, iterations)
+    return (scored.groupBy("__vid")
+                  .agg(F.min(F.struct("__d", "cluster")).alias("__best"))
+                  .select(F.col("__vid").alias(id_col),
+                          F.col("__best.cluster").alias("cluster"),
+                          F.col("__best.__d").alias("dist")))
+
+
+def kmeans_silhouette(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", k: int = 8,
+                      iterations: int = 2) -> DataFrame:
+    """Per-cluster simplified (centroid-based) silhouette: s_i =
+    (b−a)/max(a,b) with a = Euclidean distance to the OWN final
+    centroid and b = distance to the nearest OTHER centroid — the
+    O(n·k) clustering-quality score (the classic O(n²) silhouette's
+    standard large-scale surrogate). Output: ``(cluster, n_points,
+    mean_silhouette_micro)``.
+
+    Deterministic: distances are exact integer squared-L2 on the 1e-6
+    grid; sqrt and the (b−a)/max(a,b) ratio are one per-row
+    correctly-rounded double expression, micro-floored BEFORE the mean
+    (an exact integer sum, one terminal division per cluster).
+    """
+    scored = kmeans_scored(df, id_col, vec_col, k, iterations)
+    wv = Window.partitionBy("__vid").orderBy("__d", "cluster")
+    a = (scored.withColumn("__rn", F.row_number().over(wv))
+               .filter(F.col("__rn") == 1)
+               .select("__vid", F.col("cluster").alias("__ca"),
+                       F.col("__d").alias("__da")))
+    b = (scored.join(a, "__vid")
+               .filter(F.col("cluster") != F.col("__ca"))
+               .groupBy("__vid").agg(F.min("__d").alias("__db")))
+    da = F.sqrt(F.col("__da").cast("double"))
+    db = F.sqrt(F.col("__db").cast("double"))
+    mx = F.greatest(da, db)
+    sm = (F.when(mx > 0,
+                 F.floor((db - da) / mx * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("bigint"))
+           .otherwise(F.lit(0).cast("bigint")))
+    return (a.join(b, "__vid")
+             .select(F.col("__ca").alias("cluster"), sm.alias("__sm"))
+             .groupBy("cluster")
+             .agg(F.count(F.lit(1)).alias("n_points"),
+                  F.floor(F.sum("__sm").cast("double")
+                          / F.count(F.lit(1)) + F.lit(0.5))
+                   .cast("bigint").alias("mean_silhouette_micro")))
 
 
 def sql_kmeans_ctes(k: int = 8, iterations: int = 2,

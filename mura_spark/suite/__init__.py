@@ -241,6 +241,9 @@ _NEXT_WINDOW = [
     # round-6ss: YoY price/volume revenue bridge + lead-lag daily
     # cross-correlation
     "orders_revenue_bridge", "events_xcorr_lag",
+    # round-6tt: stratum-adjusted pooled odds ratio + k-means
+    # clustering-quality silhouette
+    "stats_cmh_odds", "emb_silhouette",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2582,3 +2582,64 @@ def stats_simpson_screen(spark, sf):
     from mura_spark.operators.stats import simpson_screen
     d = table(spark, sf, "documents")
     return simpson_screen(d, "source", F.col("lang") == "en", "n_chars")
+
+
+@q("stats_cmh_odds",
+   "WITH c AS (SELECT hour(ts) AS stratum, "
+   "CAST(SUM(CASE WHEN isodow(ts) >= 6 AND event_type = 'purchase' "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+   "CAST(SUM(CASE WHEN isodow(ts) >= 6 AND event_type <> 'purchase' "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS b, "
+   "CAST(SUM(CASE WHEN isodow(ts) < 6 AND event_type = 'purchase' "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS cc, "
+   "CAST(SUM(CASE WHEN isodow(ts) < 6 AND event_type <> 'purchase' "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS dd "
+   "FROM events GROUP BY 1), "
+   "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata, "
+   "SUM(CASE WHEN a + b + cc + dd > 0 THEN "
+   "CAST(floor(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) "
+   "/ CAST(a + b + cc + dd AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "ELSE 0 END) AS s_ad, "
+   "SUM(CASE WHEN a + b + cc + dd > 0 THEN "
+   "CAST(floor(CAST(b AS DOUBLE) * CAST(cc AS DOUBLE) "
+   "/ CAST(a + b + cc + dd AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "ELSE 0 END) AS s_bc FROM c) "
+   "SELECT n_strata, CAST(s_ad AS BIGINT) AS sum_ad_micro, "
+   "CAST(s_bc AS BIGINT) AS sum_bc_micro, "
+   "CASE WHEN s_bc > 0 THEN CAST(floor(CAST(s_ad AS DOUBLE) "
+   "/ CAST(s_bc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END "
+   "AS or_micro FROM t")
+def stats_cmh_odds(spark, sf):
+    """Cochran–Mantel–Haenszel pooled odds ratio: is a purchase more
+    likely on weekends, CONTROLLING for hour-of-day? — the inferential
+    sibling of stats_simpson_screen (that one flags confounding; this
+    one gives the stratum-adjusted effect). 2×2 cells per hour stratum
+    from one conditional rollup; each stratum's a·d/n and b·c/n terms
+    are micro-floored BEFORE the sums (the convention for per-stratum
+    rationals — float sums would be order-dependent); one terminal
+    division for the pooled OR."""
+    ev = table(spark, sf, "events")
+    wkend = F.expr("weekday(ts)") >= 5
+    purch = F.col("event_type") == "purchase"
+    cell = lambda p: F.sum(F.when(p, 1).otherwise(0))  # noqa: E731
+    c = (ev.groupBy(F.hour("ts").alias("stratum"))
+           .agg(cell(wkend & purch).alias("a"),
+                cell(wkend & ~purch).alias("b"),
+                cell(~wkend & purch).alias("cc"),
+                cell(~wkend & ~purch).alias("dd")))
+    n = (F.col("a") + F.col("b") + F.col("cc") + F.col("dd"))
+    term = lambda x, y: F.when(  # noqa: E731
+        n > 0,
+        F.floor(F.col(x).cast("double") * F.col(y).cast("double")
+                / n.cast("double") * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    t = c.agg(F.count(F.lit(1)).alias("n_strata"),
+              F.sum(term("a", "dd")).alias("s_ad"),
+              F.sum(term("b", "cc")).alias("s_bc"))
+    orm = (F.floor(F.col("s_ad").cast("double")
+                   / F.col("s_bc").cast("double")
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return t.select("n_strata",
+                    F.col("s_ad").alias("sum_ad_micro"),
+                    F.col("s_bc").alias("sum_bc_micro"),
+                    F.when(F.col("s_bc") > 0, orm).alias("or_micro"))

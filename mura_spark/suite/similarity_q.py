@@ -566,3 +566,46 @@ def emb_triplet_accuracy(spark, sf):
                 / (F.lit(2.0) * F.count(F.lit(1)).cast("double"))
                 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
          .alias("acc_micro"))
+
+
+# ------------------------------------------------------- round-6tt addition
+
+def _silhouette_oracle() -> str:
+    from mura_spark.operators.clustering import sql_kmeans_ctes
+    parts, final = sql_kmeans_ctes(k=8, iterations=2)
+    # `s2` (the final-round point x centroid distance frame) is already
+    # among the CTEs; rank it for nearest / nearest-other
+    scored = final.replace("a", "s")  # a2 -> s2
+    extra = [
+        f"rk AS (SELECT vid, cluster, d, ROW_NUMBER() OVER "
+        f"(PARTITION BY vid ORDER BY d, cluster) AS rn FROM {scored})",
+        "own AS (SELECT vid, cluster AS ca, d AS da FROM rk WHERE rn = 1)",
+        f"oth AS (SELECT s.vid, MIN(s.d) AS db FROM {scored} s "
+        "JOIN own o ON s.vid = o.vid AND s.cluster <> o.ca GROUP BY 1)",
+        "sil AS (SELECT o.ca AS cluster, "
+        "CASE WHEN greatest(sqrt(CAST(o.da AS DOUBLE)), "
+        "sqrt(CAST(t.db AS DOUBLE))) > 0 THEN "
+        "CAST(floor((sqrt(CAST(t.db AS DOUBLE)) "
+        "- sqrt(CAST(o.da AS DOUBLE))) "
+        "/ greatest(sqrt(CAST(o.da AS DOUBLE)), "
+        "sqrt(CAST(t.db AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS sm "
+        "FROM own o JOIN oth t ON o.vid = t.vid)",
+    ]
+    return ("WITH " + ", ".join(parts + extra)
+            + " SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points, "
+            "CAST(floor(CAST(SUM(sm) AS DOUBLE) / COUNT(*) + 0.5) "
+            "AS BIGINT) AS mean_silhouette_micro FROM sil GROUP BY 1")
+
+
+@q("emb_silhouette", _silhouette_oracle())
+def emb_silhouette(spark, sf):
+    """Clustering-quality readout for the deterministic k-means:
+    per-cluster simplified silhouette (distance to own centroid vs
+    nearest other centroid, (b−a)/max(a,b)) — the O(n·k) score every
+    clustering pipeline reports where the O(n²) classic silhouette is
+    unpayable. Exact fixed-point distances; per-row micro-floor before
+    the exact-integer mean (operators.clustering.kmeans_silhouette)."""
+    from mura_spark.operators.clustering import kmeans_silhouette
+    e = table(spark, sf, "embeddings")
+    return kmeans_silhouette(e, "vec_id", "embedding", k=8, iterations=2)

@@ -1817,3 +1817,51 @@ def test_xcorr_lag_engineered(spark, tmp_path):
     got = {r.lag: (r.n_days, r.r_micro) for r in
            SPARK_QUERIES["events_xcorr_lag"](spark, out).collect()}
     assert got[1] == (4, 1000000)
+
+
+def test_cmh_engineered(spark, tmp_path):
+    # Two strata, each with a within-stratum weekend purchase odds
+    # ratio of exactly 4 -> CMH pooled OR = 4. Stratum = hour (0, 1).
+    # Sat 2024-01-06 (weekend), Wed 2024-01-03 (weekday).
+    def mk(i, day, hour, typ):
+        return (i, f"2024-01-0{day}T0{hour}:00:00", 1, typ, 1.0, "{}")
+    rows, i = [], 0
+    for hour in (0, 1):
+        for day, n_p, n_o in ((6, 4, 1), (3, 1, 1)):
+            for _ in range(n_p):
+                rows.append(mk(i, day, hour, "purchase")); i += 1
+            for _ in range(n_o):
+                rows.append(mk(i, day, hour, "click")); i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_cmh_odds"](spark, out).first()
+    # per stratum: a=4, b=1, c=1, d=1, n=7 -> ad/n=4/7, bc/n=1/7
+    assert r.n_strata == 2
+    assert r.sum_ad_micro == 2 * 571429 and r.sum_bc_micro == 2 * 142857
+    assert r.or_micro == 4000007  # floor(1142858/285714*1e6+0.5)
+
+
+def test_silhouette_engineered(spark, tmp_path):
+    # Two tight 2-point clusters far apart (k=2, ids 1..4): every
+    # point sits on its own centroid's grid cell after one update.
+    rows = [(1, [0.0, 0.0]), (2, [0.2, 0.0]),
+            (3, [10.0, 0.0]), (4, [10.2, 0.0])]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .coalesce(1).write.parquet(f"{out}/embeddings.parquet"))
+    from mura_spark.operators.clustering import kmeans_silhouette
+    e = spark.read.parquet(f"{out}/embeddings.parquet")
+    got = {r.cluster: r for r in
+           kmeans_silhouette(e, "vec_id", "embedding",
+                             k=2, iterations=3).collect()}
+    # a = 0.1 (to own centroid at the pair midpoint), b = 10.0-ish:
+    # s = (b-a)/b ~ 0.99 for all four points, mean well above 0.9
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert r.n_points == 2
+        assert r.mean_silhouette_micro > 900000
