@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "events_xcorr_lag",
     "stats_cmh_odds",
     "emb_silhouette",
+    "dedup_cluster_cohesion",
+    "events_psi_drift",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

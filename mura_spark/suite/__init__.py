@@ -244,6 +244,8 @@ _NEXT_WINDOW = [
     # round-6tt: stratum-adjusted pooled odds ratio + k-means
     # clustering-quality silhouette
     "stats_cmh_odds", "emb_silhouette",
+    # round-6uu: near-dup cluster cohesion audit + PSI drift metric
+    "dedup_cluster_cohesion", "events_psi_drift",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

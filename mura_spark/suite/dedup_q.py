@@ -580,3 +580,55 @@ def dedup_blocking_quality(spark, sf):
         "n_docs", "n_true", "n_cand", "n_caught",
         F.when(F.col("n_true") > 0, comp).alias("completeness_micro"),
         red.alias("reduction_micro"))
+
+
+@q("dedup_cluster_cohesion",
+   f"WITH RECURSIVE pairs AS MATERIALIZED ({_PAIRS_08}), "
+   "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
+   "UNION SELECT id_b, id_a FROM pairs), "
+   "reach(src, dst) AS ("
+   "  SELECT src, src FROM edges "
+   "  UNION SELECT e.src, r.dst FROM edges e JOIN reach r "
+   "ON e.dst = r.src), "
+   "lab AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach "
+   "GROUP BY src), "
+   "sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members "
+   "FROM lab GROUP BY 1), "
+   "dp AS (SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_direct "
+   "FROM pairs p JOIN lab l ON p.id_a = l.id GROUP BY 1) "
+   "SELECT s.cluster_id, s.n_members, "
+   "COALESCE(d.n_direct, CAST(0 AS BIGINT)) AS n_direct, "
+   "CAST(floor(COALESCE(d.n_direct, CAST(0 AS BIGINT)) "
+   "/ (CAST(s.n_members AS DOUBLE) "
+   "* CAST(s.n_members - 1 AS DOUBLE) / 2.0) * 1000000.0 + 0.5) "
+   "AS BIGINT) AS density_micro "
+   "FROM sz s LEFT JOIN dp d USING (cluster_id)")
+def dedup_cluster_cohesion(spark, sf):
+    """Near-dup cluster quality: per connected component, how close is
+    the direct-pair graph to a clique? density = n_direct/(m(m−1)/2)
+    — 1.0 means every member pair verified directly; low density
+    flags CHAINED clusters (a~b~c with a,c dissimilar), the classic
+    transitive-closure over-merge a dedup pipeline must audit before
+    keep-one deletion. Exact counts over the already-computed pair
+    graph + CC labels; one terminal division per cluster."""
+    d = table(spark, sf, "documents")
+    # materialize the mined pairs ONCE: they feed both the CC loop and
+    # the direct-pair count (same posture as dup_clusters' internal
+    # edge materialization; at 100 TB swap for a reliable checkpoint
+    # via dup_clusters(checkpoint_dir=...))
+    pairs = (dedup.jaccard_dup_pairs(d, "doc_id", "text", threshold=0.8)
+                  .localCheckpoint(eager=True))
+    lab = dedup.dup_clusters(pairs)
+    sz = (lab.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n_members")))
+    dp = (pairs.join(lab.withColumnRenamed("id", "id_a"), "id_a")
+               .groupBy("cluster_id")
+               .agg(F.count(F.lit(1)).alias("n_direct")))
+    nd = F.coalesce(F.col("n_direct"), F.lit(0).cast("bigint"))
+    dens = (F.floor(nd / (F.col("n_members").cast("double")
+                          * (F.col("n_members") - F.lit(1))
+                          .cast("double") / F.lit(2.0))
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return (sz.join(dp, "cluster_id", "left")
+              .select("cluster_id", "n_members",
+                      nd.alias("n_direct"), dens.alias("density_micro")))

@@ -1673,3 +1673,96 @@ def events_xcorr_lag(spark, sf):
                 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
     return m.select("lag", "n_days",
                     F.when(den > 0, r).alias("r_micro"))
+
+
+_PSI_REF = "ts < TIMESTAMP '2024-01-08'"
+_PSI_CMP = "ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'"
+
+
+@q("events_psi_drift",
+   "WITH er AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+   f"AS BIGINT) AS c FROM events WHERE {_PSI_REF} "
+   "AND value IS NOT NULL), "
+   "ec AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   f"AS c FROM events WHERE {_PSI_CMP} AND value IS NOT NULL), "
+   "cells AS (SELECT c, COUNT(*) AS k FROM er GROUP BY 1), "
+   "nr AS (SELECT SUM(k) AS n FROM cells), "
+   "cum AS (SELECT c, SUM(k) OVER (ORDER BY c) AS gc FROM cells), "
+   "th AS (SELECT i, (SELECT MIN(c) FROM cum CROSS JOIN nr "
+   "WHERE gc >= (i * n + 9) // 10) AS bv "
+   "FROM range(1, 10) t(i)), "
+   "tl AS (SELECT list(bv ORDER BY i) AS bl FROM th), "
+   "rb AS (SELECT len(list_filter(bl, x -> c > x)) AS bin, "
+   "COUNT(*) AS n_ref FROM er CROSS JOIN tl GROUP BY 1), "
+   "cb AS (SELECT len(list_filter(bl, x -> c > x)) AS bin, "
+   "COUNT(*) AS n_cmp FROM ec CROSS JOIN tl GROUP BY 1), "
+   "m AS (SELECT COALESCE(rb.bin, cb.bin) AS bin, "
+   "CAST(COALESCE(rb.n_ref, 0) AS BIGINT) AS n_ref, "
+   "CAST(COALESCE(cb.n_cmp, 0) AS BIGINT) AS n_cmp "
+   "FROM rb FULL JOIN cb ON rb.bin = cb.bin), "
+   "t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr, "
+   "CAST(SUM(n_cmp) AS DOUBLE) AS tc FROM m) "
+   "SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cmp, "
+   "CASE WHEN n_ref > 0 AND n_cmp > 0 THEN "
+   "CAST(floor((CAST(n_ref AS DOUBLE) / tr "
+   "- CAST(n_cmp AS DOUBLE) / tc) "
+   "* ln((CAST(n_ref AS DOUBLE) / tr) / (CAST(n_cmp AS DOUBLE) / tc)) "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS psi_contrib_micro "
+   "FROM m CROSS JOIN t")
+def events_psi_drift(spark, sf):
+    """Population Stability Index — THE industry drift metric — of the
+    event-value distribution: week 4 vs the week-1 reference, decile
+    bins. Boundaries are type-1 order statistics selected by exact
+    integer rank on the reduced cents-cell grid (NO interpolation —
+    cross-engine exact); bin assignment is a broadcast boundary-array
+    count; each bin's (p−q)·ln(p/q) is micro-floored per bin (10 bins)
+    so Σ is an exact integer. Only the ln is floating point."""
+    ev = table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    ref = (ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+             .select(cents.alias("c")))
+    cmp_ = (ev.filter(
+                (F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-29").cast("timestamp")))
+              .select(cents.alias("c")))
+    cells = ref.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    from pyspark.sql import Window
+    cum = cells.select(
+        "c", F.sum("k").over(Window.orderBy("c")
+                             .rowsBetween(Window.unboundedPreceding, 0))
+             .alias("gc"))
+    nr = cells.agg(F.sum("k").alias("n"))
+    # 9 interior decile thresholds: smallest cell value whose running
+    # count reaches ceil(i*n/10) — pure integer rank selection
+    th = (cum.crossJoin(F.broadcast(nr))
+             .crossJoin(F.broadcast(
+                 ev.sparkSession.range(1, 10).select(
+                     F.col("id").alias("i"))))
+             .filter(F.col("gc") >= F.expr("(i * n + 9) div 10"))
+             .groupBy("i").agg(F.min("c").alias("bv")))
+    tl = th.agg(F.array_sort(F.collect_list(
+        F.struct("i", "bv"))).alias("__s")).select(
+        F.transform("__s", lambda s: s["bv"]).alias("bl"))
+    assign = lambda side: (  # noqa: E731
+        side.crossJoin(F.broadcast(tl))
+            .select(F.size(F.filter(
+                F.col("bl"), lambda x: F.col("c") > x)).alias("bin")))
+    rb = assign(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("n_ref"))
+    cb = assign(cmp_).groupBy("bin").agg(F.count(F.lit(1)).alias("n_cmp"))
+    m = (rb.join(cb, "bin", "full_outer")
+           .select("bin",
+                   F.coalesce("n_ref", F.lit(0).cast("bigint"))
+                    .alias("n_ref"),
+                   F.coalesce("n_cmp", F.lit(0).cast("bigint"))
+                    .alias("n_cmp")))
+    t = m.agg(F.sum("n_ref").cast("double").alias("tr"),
+              F.sum("n_cmp").cast("double").alias("tc"))
+    p = F.col("n_ref").cast("double") / F.col("tr")
+    qq = F.col("n_cmp").cast("double") / F.col("tc")
+    contrib = (F.floor((p - qq) * F.log(p / qq) * F.lit(1000000.0)
+                       + F.lit(0.5)).cast("bigint"))
+    return (m.crossJoin(F.broadcast(t))
+             .select(F.col("bin").cast("bigint").alias("bin"),
+                     "n_ref", "n_cmp",
+                     F.when((F.col("n_ref") > 0) & (F.col("n_cmp") > 0),
+                            contrib).alias("psi_contrib_micro")))

@@ -1865,3 +1865,45 @@ def test_silhouette_engineered(spark, tmp_path):
     for r in got.values():
         assert r.n_points == 2
         assert r.mean_silhouette_micro > 900000
+
+
+def test_cluster_cohesion_engineered(spark, tmp_path):
+    # 3 identical docs -> one 3-clique cluster: density exactly 1.0
+    # (3 direct pairs / C(3,2)).
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en", "s", 35)
+            for i in (1, 2, 3)] + \
+           [(9, "one two three four five six seven", "en", "s", 33)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["dedup_cluster_cohesion"](spark, out).collect()
+    assert len(r) == 1
+    assert (r[0].cluster_id, r[0].n_members, r[0].n_direct) == (1, 3, 3)
+    assert r[0].density_micro == 1000000
+
+
+def test_psi_engineered(spark, tmp_path):
+    # reference week: values 1..100 (uniform); comparison week: values
+    # 91..100 only -> all comparison mass lands in the top decile.
+    rows = [(i, "2024-01-02T00:00:00", 1, "click", float(i), "{}")
+            for i in range(1, 101)]
+    rows += [(200 + i, "2024-01-25T00:00:00", 1, "click",
+              float(90 + i), "{}") for i in range(1, 11)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.bin: r for r in
+           SPARK_QUERIES["events_psi_drift"](spark, out).collect()}
+    assert all(got[b].n_ref == 10 for b in range(10))
+    assert got[9].n_cmp == 10 and all(
+        got[b].n_cmp == 0 for b in range(9))
+    # bin 9: p=.1, q=1.0 -> (p-q)*ln(p/q) = .9*ln(10) = 2.0723...
+    assert got[9].psi_contrib_micro == 2072327
+    assert got[0].psi_contrib_micro is None
