@@ -300,6 +300,8 @@ BENCH_QUERIES = [
     "emb_silhouette",
     "dedup_cluster_cohesion",
     "events_psi_drift",
+    "text_quality_gains",
+    "text_conformal_threshold",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -246,6 +246,9 @@ _NEXT_WINDOW = [
     "stats_cmh_odds", "emb_silhouette",
     # round-6uu: near-dup cluster cohesion audit + PSI drift metric
     "dedup_cluster_cohesion", "events_psi_drift",
+    # round-6vv: cumulative gains/lift table + split-conformal
+    # threshold calibration for the quality scorer
+    "text_quality_gains", "text_conformal_threshold",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -562,11 +562,34 @@ def sample_group_kfold(spark, sf):
 
 # ------------------------------------------------------- round-5bb addition
 
+#: ONE copy of the logistic-quality sigmoid (SQL form) — shared by the
+#: scoring query and the gains / conformal evaluations built on it (a
+#: one-sided coefficient edit cannot desynchronize them).
+_LOGIT_SCORE_SQL = (
+    f"1.0 / (1.0 + exp(-(-3.0 + 4.0 * (CAST(len(list_distinct({_TOKS})) "
+    f"AS DOUBLE) / len({_TOKS})) + 6.0 * (CAST(len(list_filter({_TOKS}, "
+    f"t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
+    f"/ len({_TOKS})) - 2.0 * (CAST(length(text) "
+    f"- length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) "
+    f"/ length(text)) + 1.5 * (least(CAST(len({_TOKS}) AS DOUBLE), "
+    f"200.0) / 200.0))))")
+
+
+def _logit_score():
+    """Spark twin of ``_LOGIT_SCORE_SQL`` (a double Column over
+    ``text``)."""
+    t = TX.tokens(F.col("text"))
+    dr = TX.distinct_token_ratio(F.col("text"))
+    sr = TX.stopword_ratio(F.col("text"))
+    dg = TX.digit_ratio(F.col("text"))
+    cap = F.least(F.size(t).cast("double"), F.lit(200.0)) / F.lit(200.0)
+    z = (F.lit(-3.0) + F.lit(4.0) * dr + F.lit(6.0) * sr
+         - F.lit(2.0) * dg + F.lit(1.5) * cap)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 @q("text_quality_logistic",
-   # ONE copy of the sigmoid expression; score_micro and keep both
-   # derive from the shared CTE column (a one-sided coefficient edit
-   # can no longer desynchronize them)
-   f"WITH s AS (SELECT doc_id, 1.0 / (1.0 + exp(-(-3.0 + 4.0 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) + 6.0 * (CAST(len(list_filter({_TOKS}, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len({_TOKS})) - 2.0 * (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)) + 1.5 * (least(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0)))) "
+   f"WITH s AS (SELECT doc_id, {_LOGIT_SCORE_SQL} "
    f"AS score FROM documents) "
    "SELECT doc_id, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) "
    "AS score_micro, score >= 0.5 AS keep FROM s")
@@ -581,14 +604,7 @@ def text_quality_logistic(spark, sf):
     of events_decayed_value)."""
     d = table(spark, sf, "documents")
     from mura_spark.functions.quantize import micro
-    t = TX.tokens(F.col("text"))
-    dr = TX.distinct_token_ratio(F.col("text"))
-    sr = TX.stopword_ratio(F.col("text"))
-    dg = TX.digit_ratio(F.col("text"))
-    cap = F.least(F.size(t).cast("double"), F.lit(200.0)) / F.lit(200.0)
-    z = (F.lit(-3.0) + F.lit(4.0) * dr + F.lit(6.0) * sr
-         - F.lit(2.0) * dg + F.lit(1.5) * cap)
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    score = _logit_score()
     return d.select("doc_id", micro(score).alias("score_micro"),
                     (score >= F.lit(0.5)).alias("keep"))
 
@@ -1425,3 +1441,150 @@ def text_ks_drift_by_source(spark, sf):
     from mura_spark.operators.stats import ks_by_group
     d = table(spark, sf, "documents")
     return ks_by_group(d, "source", "n_chars")
+
+
+# ------------------------------------------------------- round-6vv additions
+
+@q("text_quality_gains",
+   f"WITH s AS (SELECT lang, CAST(floor({_LOGIT_SCORE_SQL} * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS sm FROM documents), "
+   "cells AS (SELECT sm, COUNT(*) AS k FROM s GROUP BY 1), "
+   "nn AS (SELECT SUM(k) AS n FROM cells), "
+   "cum AS (SELECT sm, SUM(k) OVER (ORDER BY sm) AS gc FROM cells), "
+   "th AS (SELECT i, (SELECT MIN(sm) FROM cum CROSS JOIN nn "
+   "WHERE gc >= (i * n + 9) // 10) AS bv FROM range(1, 10) t(i)), "
+   "tl AS (SELECT list(bv ORDER BY i) AS bl FROM th), "
+   "a AS (SELECT len(list_filter(bl, x -> sm > x)) AS decile, "
+   "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos "
+   "FROM s CROSS JOIN tl), "
+   "g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   "CAST(SUM(pos) AS BIGINT) AS n_pos FROM a GROUP BY 1), "
+   "t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn, "
+   "CAST(SUM(n_pos) AS BIGINT) AS tp FROM g), "
+   "c AS (SELECT decile, n_docs, n_pos, "
+   "SUM(n_docs) OVER (ORDER BY decile DESC) AS cn, "
+   "SUM(n_pos) OVER (ORDER BY decile DESC) AS cp FROM g) "
+   "SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos, "
+   "CAST(floor(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS capture_micro, "
+   "CAST(floor((CAST(cp AS DOUBLE) * CAST(tn AS DOUBLE)) "
+   "/ (CAST(cn AS DOUBLE) * CAST(tp AS DOUBLE)) * 1000000.0 + 0.5) "
+   "AS BIGINT) AS lift_micro FROM c CROSS JOIN t")
+def text_quality_gains(spark, sf):
+    """Cumulative gains / lift table for the logistic quality scorer
+    against the lang='en' label: reading deciles from the TOP score
+    down, what share of positives is captured and at what lift over
+    random? — the model-eval report that complements stats_auc_length
+    (AUC ranks; gains answer 'how deep must I read'). Score deciles
+    come from exact integer rank selection on micro scores (no
+    interpolation); cumulatives run on the 10-row decile frame."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    d = table(spark, sf, "documents")
+    s = d.select(micro(_logit_score()).alias("sm"),
+                 F.when(F.col("lang") == "en", 1).otherwise(0)
+                  .alias("pos"))
+    cells = s.groupBy("sm").agg(F.count(F.lit(1)).alias("k"))
+    cum = cells.select(
+        "sm", F.sum("k").over(Window.orderBy("sm")
+                              .rowsBetween(Window.unboundedPreceding, 0))
+              .alias("gc"))
+    nn = cells.agg(F.sum("k").alias("n"))
+    th = (cum.crossJoin(F.broadcast(nn))
+             .crossJoin(F.broadcast(
+                 d.sparkSession.range(1, 10).select(
+                     F.col("id").alias("i"))))
+             .filter(F.col("gc") >= F.expr("(i * n + 9) div 10"))
+             .groupBy("i").agg(F.min("sm").alias("bv")))
+    tl = th.agg(F.array_sort(F.collect_list(
+        F.struct("i", "bv"))).alias("__s")).select(
+        F.transform("__s", lambda x: x["bv"]).alias("bl"))
+    a = (s.crossJoin(F.broadcast(tl))
+          .select(F.size(F.filter(F.col("bl"),
+                                  lambda x: F.col("sm") > x))
+                   .alias("decile"), "pos"))
+    g = a.groupBy("decile").agg(F.count(F.lit(1)).alias("n_docs"),
+                                F.sum("pos").alias("n_pos"))
+    t = g.agg(F.sum("n_docs").alias("tn"), F.sum("n_pos").alias("tp"))
+    wd = Window.orderBy(F.desc("decile")) \
+               .rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("decile", "n_docs", "n_pos",
+                 F.sum("n_docs").over(wd).alias("cn"),
+                 F.sum("n_pos").over(wd).alias("cp"))
+    cap = (F.floor(F.col("cp").cast("double") / F.col("tp").cast("double")
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    lift = (F.floor((F.col("cp").cast("double") * F.col("tn").cast("double"))
+                    / (F.col("cn").cast("double")
+                       * F.col("tp").cast("double"))
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return (c.crossJoin(F.broadcast(t))
+             .select(F.col("decile").cast("bigint").alias("decile"),
+                     "n_docs", "n_pos", cap.alias("capture_micro"),
+                     lift.alias("lift_micro")))
+
+
+@q("text_conformal_threshold",
+   f"WITH s AS (SELECT doc_id, CAST(floor({_LOGIT_SCORE_SQL} "
+   "* 1000000.0 + 0.5) AS BIGINT) AS sm FROM documents), "
+   "sp AS (SELECT doc_id, 1000000 - sm AS nc, "
+   f"CASE WHEN ({sql_hash48('CAST(doc_id AS VARCHAR)')}) % 1000 < 500 "
+   "THEN 1 ELSE 0 END AS cal FROM s), "
+   "cc AS (SELECT nc, COUNT(*) AS k FROM sp WHERE cal = 1 GROUP BY 1), "
+   "nn AS (SELECT CAST(SUM(k) AS BIGINT) AS n_cal FROM cc), "
+   "cum AS (SELECT nc, SUM(k) OVER (ORDER BY nc) AS gc FROM cc), "
+   "qr AS (SELECT n_cal, ((n_cal + 1) * 9 + 9) // 10 AS q_rank FROM nn), "
+   "th AS (SELECT n_cal, q_rank, (SELECT MIN(nc) FROM cum "
+   "WHERE gc >= q_rank) AS threshold_nc FROM qr), "
+   "te AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test, "
+   "CAST(SUM(CASE WHEN nc <= (SELECT threshold_nc FROM th) THEN 1 "
+   "ELSE 0 END) AS BIGINT) AS n_covered FROM sp WHERE cal = 0) "
+   "SELECT t.n_cal, CAST(t.q_rank AS BIGINT) AS q_rank, "
+   "t.threshold_nc, e.n_test, e.n_covered, "
+   "CAST(floor(CAST(e.n_covered AS DOUBLE) / CAST(e.n_test AS DOUBLE) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS coverage_micro "
+   "FROM th t CROSS JOIN te e")
+def text_conformal_threshold(spark, sf):
+    """Split-conformal calibration of the quality scorer at α = 0.1:
+    the ⌈(n+1)(1−α)⌉-th smallest calibration nonconformity (1 − score,
+    micro-integer) becomes the deployment threshold, and the held-out
+    half reports empirical coverage — the distribution-free
+    prediction-interval recipe (Vovk; split CP) a filtering pipeline
+    runs before trusting 'keep if score ≥ t'. Hash-bucket split (the
+    sample_split_train convention); threshold by exact integer rank
+    on the reduced nonconformity cells; zero floats until the final
+    coverage division."""
+    from pyspark.sql import Window
+    from mura_spark.functions.quantize import micro
+    from mura_spark.operators.sampling import hash_bucket
+    d = table(spark, sf, "documents")
+    sp = d.select(
+        (F.lit(1000000) - micro(_logit_score())).alias("nc"),
+        (hash_bucket(F.col("doc_id")) < 500).alias("cal"))
+    cc = (sp.filter("cal").groupBy("nc")
+            .agg(F.count(F.lit(1)).alias("k")))
+    nn = cc.agg(F.sum("k").alias("n_cal"))
+    cum = cc.select(
+        "nc", F.sum("k").over(Window.orderBy("nc")
+                              .rowsBetween(Window.unboundedPreceding, 0))
+              .alias("gc"))
+    qr = nn.select("n_cal",
+                   F.expr("((n_cal + 1) * 9 + 9) div 10").alias("q_rank"))
+    th = (cum.crossJoin(F.broadcast(qr))
+             .filter(F.col("gc") >= F.col("q_rank"))
+             .groupBy("n_cal", "q_rank")
+             .agg(F.min("nc").alias("threshold_nc")))
+    te = (sp.filter(~F.col("cal"))
+            .crossJoin(F.broadcast(th))
+            .agg(F.first("n_cal").alias("n_cal"),
+                 F.first("q_rank").alias("q_rank"),
+                 F.first("threshold_nc").alias("threshold_nc"),
+                 F.count(F.lit(1)).alias("n_test"),
+                 F.sum(F.when(F.col("nc") <= F.col("threshold_nc"), 1)
+                        .otherwise(0)).alias("n_covered")))
+    cov = (F.floor(F.col("n_covered").cast("double")
+                   / F.col("n_test").cast("double")
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return te.select("n_cal",
+                     F.col("q_rank").cast("bigint").alias("q_rank"),
+                     "threshold_nc", "n_test", "n_covered",
+                     cov.alias("coverage_micro"))

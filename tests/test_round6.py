@@ -1907,3 +1907,51 @@ def test_psi_engineered(spark, tmp_path):
     # bin 9: p=.1, q=1.0 -> (p-q)*ln(p/q) = .9*ln(10) = 2.0723...
     assert got[9].psi_contrib_micro == 2072327
     assert got[0].psi_contrib_micro is None
+
+
+def test_gains_engineered(spark, tmp_path):
+    # perfectly separating scorer (long docs = en): top deciles capture
+    # all positives; lift in the top decile = tn/tp
+    rows = []
+    for i in range(100):
+        if i < 20:
+            # en docs: long, stopword-rich -> high score
+            rows.append((i, "the cat and the dog of the house "
+                         "went to the big market " * 4, "en", "s", 100))
+        else:
+            rows.append((i, f"x{i} y{i}", "de", "s", 8))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.decile: r for r in
+           SPARK_QUERIES["text_quality_gains"](spark, out).collect()}
+    total_pos = sum(r.n_pos for r in got.values())
+    assert total_pos == 20
+    top = got[max(got)]
+    assert top.n_pos == top.n_docs  # purest top bucket
+    assert top.capture_micro == round(top.n_pos / 20 * 1e6)
+    # reading ALL deciles captures everything at lift 1.0
+    bottom = got[min(got)]
+    assert bottom.capture_micro == 1000000
+    assert bottom.lift_micro == 1000000
+
+
+def test_conformal_engineered(spark, tmp_path):
+    # identical docs -> every nonconformity equal: threshold == that
+    # value, coverage = 1.0 on the test half
+    rows = [(i, "the cat and the dog of the mouse", "en", "s", 32)
+            for i in range(40)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["text_conformal_threshold"](spark, out).first()
+    assert r.n_cal + r.n_test == 40
+    assert r.q_rank == (r.n_cal + 1) * 9 // 10 + (
+        1 if ((r.n_cal + 1) * 9) % 10 else 0)
+    assert r.coverage_micro == 1000000
