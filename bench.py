@@ -302,6 +302,8 @@ BENCH_QUERIES = [
     "events_psi_drift",
     "text_quality_gains",
     "text_conformal_threshold",
+    "dedup_minhash_calibration",
+    "stats_runs_test_daily",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -249,6 +249,9 @@ _NEXT_WINDOW = [
     # round-6vv: cumulative gains/lift table + split-conformal
     # threshold calibration for the quality scorer
     "text_quality_gains", "text_conformal_threshold",
+    # round-6ww: MinHash estimator calibration curve + Wald–Wolfowitz
+    # runs test
+    "dedup_minhash_calibration", "stats_runs_test_daily",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

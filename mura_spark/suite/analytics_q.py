@@ -2643,3 +2643,73 @@ def stats_cmh_odds(spark, sf):
                     F.col("s_ad").alias("sum_ad_micro"),
                     F.col("s_bc").alias("sum_bc_micro"),
                     F.when(F.col("s_bc") > 0, orm).alias("or_micro"))
+
+
+@q("stats_runs_test_daily",
+   "WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) "
+   "// 86400000000 AS d, "
+   "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s "
+   "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+   "dif AS (SELECT d, s - LAG(s) OVER (ORDER BY d) AS df FROM daily), "
+   "sgn AS (SELECT d, CASE WHEN df > 0 THEN 1 ELSE -1 END AS sg "
+   "FROM dif WHERE df IS NOT NULL AND df <> 0), "
+   "rn AS (SELECT sg, CASE WHEN LAG(sg) OVER (ORDER BY d) IS NULL "
+   "OR LAG(sg) OVER (ORDER BY d) <> sg THEN 1 ELSE 0 END AS brk "
+   "FROM sgn), "
+   "m AS (SELECT CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_up, "
+   "CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down, "
+   "CAST(SUM(brk) AS BIGINT) AS n_runs FROM rn) "
+   "SELECT n_up, n_down, n_runs, "
+   "CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1 "
+   "AND 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
+   "* (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
+   "- CAST(n_up + n_down AS DOUBLE)) > 0 THEN "
+   "CAST(floor((CAST(n_runs AS DOUBLE) "
+   "- (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
+   "/ CAST(n_up + n_down AS DOUBLE) + 1.0)) "
+   "/ sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
+   "* (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
+   "- CAST(n_up + n_down AS DOUBLE)) "
+   "/ (CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE) "
+   "* CAST(n_up + n_down - 1 AS DOUBLE))) * 1000000.0 + 0.5) "
+   "AS BIGINT) END AS z_micro FROM m")
+def stats_runs_test_daily(spark, sf):
+    """Wald–Wolfowitz runs test on the up/down sequence of daily total
+    event value: too FEW runs = momentum/trend, too MANY = mean
+    reversion — the randomness check run on any KPI series before
+    fitting trend models to it. Exact daily decimal sums, integer
+    run/sign counts on the tiny day frame; z is one mirrored
+    closed-form expression (μ = 2n₊n₋/n + 1, σ² =
+    2n₊n₋(2n₊n₋−n)/(n²(n−1))), micro-floored."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (ev.groupBy(F.expr("unix_micros(date_trunc('DAY', ts)) "
+                               "div 86400000000").alias("d"))
+               .agg(F.sum(cents).alias("s")))
+    wd = Window.orderBy("d")
+    dif = daily.select("d", (F.col("s") - F.lag("s").over(wd)).alias("df"))
+    sgn = (dif.filter(F.col("df").isNotNull() & (F.col("df") != 0))
+              .select("d", F.when(F.col("df") > 0, 1).otherwise(-1)
+                            .alias("sg")))
+    lagsg = F.lag("sg").over(wd)
+    rn = sgn.select("sg", F.when(lagsg.isNull() | (lagsg != F.col("sg")),
+                                 1).otherwise(0).alias("brk"))
+    m = rn.agg(
+        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("sg") == -1, 1).otherwise(0)).alias("n_down"),
+        F.sum("brk").alias("n_runs"))
+    nu = F.col("n_up").cast("double")
+    nd = F.col("n_down").cast("double")
+    n = (F.col("n_up") + F.col("n_down")).cast("double")
+    nm1 = (F.col("n_up") + F.col("n_down") - F.lit(1)).cast("double")
+    two_ud = F.lit(2.0) * nu * nd
+    var_num = two_ud * (two_ud - n)
+    z = ((F.col("n_runs").cast("double") - (two_ud / n + F.lit(1.0)))
+         / F.sqrt(var_num / (n * n * nm1)))
+    ok = ((F.col("n_up") > 0) & (F.col("n_down") > 0)
+          & (F.col("n_up") + F.col("n_down") > 1) & (var_num > 0))
+    return m.select("n_up", "n_down", "n_runs",
+                    F.when(ok, F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+                               .cast("bigint")).alias("z_micro"))

@@ -632,3 +632,81 @@ def dedup_cluster_cohesion(spark, sf):
     return (sz.join(dp, "cluster_id", "left")
               .select("cluster_id", "n_members",
                       nd.alias("n_direct"), dens.alias("density_micro")))
+
+
+# ------------------------------------------------------- round-6ww addition
+
+def _minhash_calibration_oracle() -> str:
+    from mura_spark.functions.hashing import MERSENNE_P, MINHASH_SEEDS
+    h = sql_hash48("s")
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS))
+    match = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(len(MINHASH_SEEDS)))
+    k = len(MINHASH_SEEDS)
+    return (
+        f"{_SH_CTE}, "
+        # the t=0.5 pair miner, inlined as a CTE over the shared d
+        "p AS ("
+        "SELECT id_a, id_b, CAST(inter AS DOUBLE) / (la + lb - inter) "
+        "AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "len(list_intersect(a.sh, b.sh)) AS inter, "
+        "len(a.sh) AS la, len(b.sh) AS lb "
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+        "AND least(len(a.sh), len(b.sh)) >= "
+        "ceiling(0.5 * greatest(len(a.sh), len(b.sh)))) "
+        "WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5), "
+        "ex AS (SELECT doc_id, unnest(sh) AS s FROM d), "
+        f"hh AS (SELECT doc_id, ({h}) % {MERSENNE_P} AS h FROM ex), "
+        f"sig AS (SELECT doc_id, {mins} FROM hh GROUP BY 1), "
+        "pm AS (SELECT CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT) "
+        f"AS jm, ({match}) AS mt FROM p "
+        "JOIN sig a ON p.id_a = a.doc_id "
+        "JOIN sig b ON p.id_b = b.doc_id) "
+        "SELECT CAST(floor(jm / 100000.0) AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(floor(CAST(SUM(jm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) "
+        "AS mean_true_micro, "
+        "CAST(floor(CAST(SUM(mt) AS DOUBLE) * 1000000.0 "
+        f"/ ({k}.0 * CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT) "
+        "AS mean_est_micro FROM pm GROUP BY 1")
+
+
+@q("dedup_minhash_calibration", _minhash_calibration_oracle())
+def dedup_minhash_calibration(spark, sf):
+    """MinHash estimator calibration: bucket true-Jaccard ≥ 0.5 pairs
+    by J decile and compare the mean 32-permutation signature-agreement
+    estimate against the mean true J — the audit that justifies the LSH
+    family's banding math before anyone trusts its candidate
+    thresholds. Signatures from the zero-shuffle Arrow kernel (pinned
+    identical to the expression form); exact integer agreement counts;
+    two terminal divisions per bucket."""
+    from mura_spark.functions.hashing import MINHASH_SEEDS
+    d = table(spark, sf, "documents")
+    pairs = dedup.jaccard_dup_pairs(d, "doc_id", "text", threshold=0.5)
+    sigs = dedup.minhash_signatures(d, "doc_id", "text")
+    k = len(MINHASH_SEEDS)
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(k)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(k)])
+    mt = None
+    for i in range(k):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        mt = term if mt is None else mt + term
+    jm = F.floor(F.col("jaccard") * F.lit(1000000.0) + F.lit(0.5)) \
+          .cast("bigint")
+    pm = (pairs.join(sa, "id_a").join(sb, "id_b")
+               .select(jm.alias("jm"), mt.alias("mt")))
+    nD = F.count(F.lit(1)).cast("double")
+    return (pm.groupBy(F.floor(F.col("jm") / F.lit(100000.0))
+                        .cast("bigint").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_pairs"),
+                   F.floor(F.sum("jm").cast("double") / F.count(F.lit(1))
+                           + F.lit(0.5)).cast("bigint")
+                    .alias("mean_true_micro"),
+                   F.floor(F.sum("mt").cast("double") * F.lit(1000000.0)
+                           / (F.lit(float(k)) * nD) + F.lit(0.5))
+                    .cast("bigint").alias("mean_est_micro")))

@@ -1955,3 +1955,52 @@ def test_conformal_engineered(spark, tmp_path):
     assert r.q_rank == (r.n_cal + 1) * 9 // 10 + (
         1 if ((r.n_cal + 1) * 9) % 10 else 0)
     assert r.coverage_micro == 1000000
+
+
+def test_minhash_calibration_engineered(spark, tmp_path):
+    # two identical docs (J = 1.0 -> bucket 10, estimator exact) plus a
+    # moderately-overlapping pair: its bucket's mean estimate must sit
+    # within ~3 sigma (32 perms -> sigma < 0.09) of the true J.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    half = "alpha beta gamma delta epsilon zeta mu nu xi omicron"
+    rows = [(1, base, "en", "s", len(base)),
+            (2, base, "en", "s", len(base)),
+            (3, half, "en", "s", len(half)),
+            (4, base.replace("kappa", "lambda"), "en", "s", 60)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.bucket: r for r in
+           SPARK_QUERIES["dedup_minhash_calibration"](spark, out)
+           .collect()}
+    assert got[10].mean_true_micro == 1000000
+    assert got[10].mean_est_micro == 1000000
+    mid = [r for b, r in got.items() if b < 10]
+    assert mid  # the engineered partial-overlap pairs exist
+    for r in mid:
+        assert abs(r.mean_est_micro - r.mean_true_micro) < 300000
+
+
+def test_runs_test_engineered(spark, tmp_path):
+    # daily sums 1,3,2,4,3,5 -> diffs +,-,+,-,+: n_up=3, n_down=2,
+    # 5 runs (every step alternates)
+    import math
+    vals = [1.0, 3.0, 2.0, 4.0, 3.0, 5.0]
+    rows = [(i, f"2024-01-0{i+1}T00:00:00", 1, "click", v, "{}")
+            for i, v in enumerate(vals)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_runs_test_daily"](spark, out).first()
+    assert (r.n_up, r.n_down, r.n_runs) == (3, 2, 5)
+    mu = 2 * 3 * 2 / 5 + 1
+    var = 2 * 3 * 2 * (2 * 3 * 2 - 5) / (5 * 5 * 4)
+    z = (5 - mu) / math.sqrt(var)
+    assert r.z_micro == math.floor(z * 1e6 + 0.5)
