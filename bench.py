@@ -304,6 +304,8 @@ BENCH_QUERIES = [
     "text_conformal_threshold",
     "dedup_minhash_calibration",
     "stats_runs_test_daily",
+    "audit_order_totals",
+    "emb_centroid_drift",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

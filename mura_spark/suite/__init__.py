@@ -252,6 +252,9 @@ _NEXT_WINDOW = [
     # round-6ww: MinHash estimator calibration curve + Wald–Wolfowitz
     # runs test
     "dedup_minhash_calibration", "stats_runs_test_daily",
+    # round-6xx: header-vs-lines totals reconciliation + embedding
+    # centroid drift monitor
+    "audit_order_totals", "emb_centroid_drift",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2713,3 +2713,54 @@ def stats_runs_test_daily(spark, sf):
     return m.select("n_up", "n_down", "n_runs",
                     F.when(ok, F.floor(z * F.lit(1000000.0) + F.lit(0.5))
                                .cast("bigint")).alias("z_micro"))
+
+
+@q("audit_order_totals",
+   "WITH l AS (SELECT l_orderkey, "
+   "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+   "AS line_cents FROM lineitem GROUP BY 1), "
+   "j AS (SELECT o.o_orderkey, "
+   "CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "AS order_cents, l.line_cents FROM orders o "
+   "LEFT JOIN l ON o.o_orderkey = l.l_orderkey) "
+   "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
+   "CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_no_lines, "
+   "CAST(SUM(CASE WHEN line_cents = order_cents THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_matched, "
+   "CAST(SUM(CASE WHEN line_cents IS NOT NULL "
+   "AND line_cents <> order_cents THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_mismatched, "
+   "CAST(MAX(CASE WHEN line_cents IS NOT NULL "
+   "THEN abs(order_cents - line_cents) END) AS BIGINT) "
+   "AS max_abs_diff_cents, "
+   "CAST(SUM(CASE WHEN line_cents IS NOT NULL "
+   "THEN abs(order_cents - line_cents) ELSE 0 END) AS BIGINT) "
+   "AS total_abs_diff_cents FROM j")
+def audit_order_totals(spark, sf):
+    """Cross-table reconciliation: does each order's header total equal
+    the exact-decimal sum of its line extended prices? — the
+    finance-grade consistency audit (the totals sibling of
+    audit_referential's key checks), reported as a one-row discrepancy
+    summary rather than assumed. Header-side LEFT join keeps
+    line-less orders visible; all arithmetic in exact cents."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100) \
+        .cast("bigint")  # noqa: E731
+    l = (li.groupBy("l_orderkey")
+           .agg(F.sum(cents("l_extendedprice")).alias("line_cents")))
+    j = (o.select("o_orderkey", cents("o_totalprice").alias("order_cents"))
+          .join(l, o["o_orderkey"] == l["l_orderkey"], "left"))
+    has = F.col("line_cents").isNotNull()
+    diff = F.abs(F.col("order_cents") - F.col("line_cents"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).alias("n_no_lines"),
+        F.sum(F.when(F.col("line_cents") == F.col("order_cents"), 1)
+               .otherwise(0)).alias("n_matched"),
+        F.sum(F.when(has & (F.col("line_cents") != F.col("order_cents")),
+                     1).otherwise(0)).alias("n_mismatched"),
+        F.max(F.when(has, diff)).alias("max_abs_diff_cents"),
+        F.sum(F.when(has, diff).otherwise(0))
+         .alias("total_abs_diff_cents"))

@@ -609,3 +609,60 @@ def emb_silhouette(spark, sf):
     from mura_spark.operators.clustering import kmeans_silhouette
     e = table(spark, sf, "embeddings")
     return kmeans_silhouette(e, "vec_id", "embedding", k=8, iterations=2)
+
+
+@q("emb_centroid_drift",
+   "WITH q AS (SELECT vec_id % 2 AS h, "
+   "unnest(list_zip(list_transform(CAST(embedding AS DOUBLE[]), "
+   "x -> CAST(floor(x * 1000000.0) AS BIGINT)), "
+   "range(0, len(embedding)))) AS z FROM embeddings), "
+   "c AS (SELECT CAST(z[2] AS INT) AS pos, "
+   "SUM(CASE WHEN h = 0 THEN z[1] ELSE 0 END) AS sa, "
+   "SUM(CASE WHEN h = 1 THEN z[1] ELSE 0 END) AS sb FROM q GROUP BY 1), "
+   "n AS (SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_a, "
+   "CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_b FROM embeddings), "
+   "m AS (SELECT CAST(SUM(CAST(sa AS DECIMAL(38,0)) "
+   "* CAST(sb AS DECIMAL(38,0))) AS DOUBLE) AS dot, "
+   "CAST(SUM(CAST(sa AS DECIMAL(38,0)) * CAST(sa AS DECIMAL(38,0))) "
+   "AS DOUBLE) AS naa, "
+   "CAST(SUM(CAST(sb AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0))) "
+   "AS DOUBLE) AS nbb FROM c) "
+   "SELECT n_a, n_b, "
+   "CASE WHEN naa > 0 AND nbb > 0 THEN "
+   "CAST(floor(dot / (sqrt(naa) * sqrt(nbb)) * 1000000.0 + 0.5) "
+   "AS BIGINT) END AS cos_micro FROM m CROSS JOIN n")
+def emb_centroid_drift(spark, sf):
+    """Embedding-space drift monitor: cosine between the mean vectors
+    of two corpus halves (vec_id parity standing in for before/after
+    snapshots) — the cheap whole-space check run before re-tuning ANN
+    indexes or thresholds after a model/data refresh. Cosine of means
+    equals cosine of SUMS (scale-invariance), so the whole statistic
+    reduces to exact fixed-point component sums (one 2×dim-cell
+    rollup) and a single mirrored double expression."""
+    from mura_spark.operators.clustering import quantize_vectors
+    e = table(spark, sf, "embeddings")
+    q = (quantize_vectors(e, "vec_id", "embedding")
+         .select((F.col("__vid") % 2).alias("h"),
+                 F.posexplode("__v").alias("pos", "x")))
+    c = q.groupBy("pos").agg(
+        F.sum(F.when(F.col("h") == 0, F.col("x")).otherwise(0))
+         .alias("sa"),
+        F.sum(F.when(F.col("h") == 1, F.col("x")).otherwise(0))
+         .alias("sb"))
+    n = e.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+         .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+         .alias("n_b"))
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = c.agg(F.sum(d38("sa") * d38("sb")).cast("double").alias("dot"),
+              F.sum(d38("sa") * d38("sa")).cast("double").alias("naa"),
+              F.sum(d38("sb") * d38("sb")).cast("double").alias("nbb"))
+    cosm = (F.floor(F.col("dot") / (F.sqrt("naa") * F.sqrt("nbb"))
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return (m.crossJoin(F.broadcast(n))
+             .select("n_a", "n_b",
+                     F.when((F.col("naa") > 0) & (F.col("nbb") > 0),
+                            cosm).alias("cos_micro")))

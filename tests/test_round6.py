@@ -2004,3 +2004,52 @@ def test_runs_test_engineered(spark, tmp_path):
     var = 2 * 3 * 2 * (2 * 3 * 2 - 5) / (5 * 5 * 4)
     z = (5 - mu) / math.sqrt(var)
     assert r.z_micro == math.floor(z * 1e6 + 0.5)
+
+
+def test_order_totals_engineered(spark, tmp_path):
+    # order 1 matches its lines exactly, order 2 is off by 50 cents,
+    # order 3 has no lines
+    orows = [(1, 1, "F", 30.0, "1999-01-01", "P"),
+             (2, 1, "F", 20.0, "1999-01-02", "P"),
+             (3, 1, "F", 10.0, "1999-01-03", "P")]
+    lrows = [(1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "1999-01-05"),
+             (1, 1, 1, 2, 1.0, 20.0, 0.0, 0.0, "N", "O", "1999-01-05"),
+             (2, 1, 1, 1, 1.0, 19.5, 0.0, 0.0, "N", "O", "1999-01-05")]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        orows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate string, "
+               "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    (spark.createDataFrame(
+        lrows, "l_orderkey long, l_partkey long, l_suppkey long, "
+               "l_linenumber int, l_quantity double, "
+               "l_extendedprice double, l_discount double, l_tax double, "
+               "l_returnflag string, l_linestatus string, "
+               "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["audit_order_totals"](spark, out).first()
+    assert (r.n_orders, r.n_no_lines, r.n_matched, r.n_mismatched) \
+        == (3, 1, 1, 1)
+    assert r.max_abs_diff_cents == 50
+    assert r.total_abs_diff_cents == 50
+
+
+def test_centroid_drift_engineered(spark, tmp_path):
+    # even half along +x, odd half along +y -> centroid cosine 0;
+    # then odd half also along +x -> cosine 1
+    for vecs, want in ([([1.0, 0.0], [0.0, 1.0]), 0],
+                       [([1.0, 0.0], [2.0, 0.0]), 1000000]):
+        rows = [(0, vecs[0], 0), (2, vecs[0], 0),
+                (1, vecs[1], 0), (3, vecs[1], 0)]
+        out = str(tmp_path / f"mini{want}")
+        (spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+            .coalesce(1).write.parquet(f"{out}/embeddings.parquet"))
+        from mura_spark.suite import SPARK_QUERIES
+        r = SPARK_QUERIES["emb_centroid_drift"](spark, out).first()
+        assert (r.n_a, r.n_b) == (2, 2)
+        assert r.cos_micro == want
