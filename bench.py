@@ -306,6 +306,8 @@ BENCH_QUERIES = [
     "stats_runs_test_daily",
     "audit_order_totals",
     "emb_centroid_drift",
+    "stats_eb_shrinkage",
+    "sample_importance_weights",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -255,6 +255,9 @@ _NEXT_WINDOW = [
     # round-6xx: header-vs-lines totals reconciliation + embedding
     # centroid drift monitor
     "audit_order_totals", "emb_centroid_drift",
+    # round-6yy: empirical-Bayes rate shrinkage + domain importance
+    # reweighting plan
+    "stats_eb_shrinkage", "sample_importance_weights",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2764,3 +2764,75 @@ def audit_order_totals(spark, sf):
         F.max(F.when(has, diff)).alias("max_abs_diff_cents"),
         F.sum(F.when(has, diff).otherwise(0))
          .alias("total_abs_diff_cents"))
+
+
+@q("stats_eb_shrinkage",
+   "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k "
+   "FROM documents GROUP BY 1), "
+   "p AS (SELECT source, n, k, CAST(floor(CAST(k AS DOUBLE) "
+   "/ CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS pm FROM c), "
+   "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng, "
+   "CAST(floor(CAST(SUM(pm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) "
+   "AS mbar FROM p), "
+   "v AS (SELECT g.ng, g.mbar, SUM((pm - mbar) * (pm - mbar)) AS ss "
+   "FROM p CROSS JOIN g GROUP BY 1, 2) "
+   "SELECT p.source, p.n AS n_docs, p.k AS n_pos, p.pm AS raw_micro, "
+   "CASE WHEN v.ng > 1 AND v.ss > 0 "
+   "AND (CAST(v.mbar AS DOUBLE) / 1000000.0) "
+   "* (1.0 - CAST(v.mbar AS DOUBLE) / 1000000.0) "
+   "/ (CAST(v.ss AS DOUBLE) / CAST(v.ng - 1 AS DOUBLE) "
+   "/ 1000000000000.0) - 1.0 > 0 THEN "
+   "CAST(floor((CAST(p.k AS DOUBLE) "
+   "+ (CAST(v.mbar AS DOUBLE) / 1000000.0) "
+   "* ((CAST(v.mbar AS DOUBLE) / 1000000.0) "
+   "* (1.0 - CAST(v.mbar AS DOUBLE) / 1000000.0) "
+   "/ (CAST(v.ss AS DOUBLE) / CAST(v.ng - 1 AS DOUBLE) "
+   "/ 1000000000000.0) - 1.0)) "
+   "/ (CAST(p.n AS DOUBLE) "
+   "+ ((CAST(v.mbar AS DOUBLE) / 1000000.0) "
+   "* (1.0 - CAST(v.mbar AS DOUBLE) / 1000000.0) "
+   "/ (CAST(v.ss AS DOUBLE) / CAST(v.ng - 1 AS DOUBLE) "
+   "/ 1000000000000.0) - 1.0)) * 1000000.0 + 0.5) AS BIGINT) "
+   "ELSE p.pm END AS shrunk_micro "
+   "FROM p CROSS JOIN v")
+def stats_eb_shrinkage(spark, sf):
+    """Empirical-Bayes shrinkage of per-source English rates toward the
+    corpus prior (beta-binomial method of moments: prior strength s =
+    m̄(1−m̄)/v − 1, posterior (k + m̄·s)/(n + s)) — how a pipeline
+    scores SPARSE domains without trusting 3-document rates. The
+    between-source variance is computed on per-source MICRO-QUANTIZED
+    rates (exact integer Σdev², order-independent — a raw float sum
+    over groups would not be); the shrink itself is one mirrored
+    double expression per source; sources where v ≥ m̄(1−m̄) (no
+    evidence of overdispersion) pass through unshrunk."""
+    d = table(spark, sf, "documents")
+    c = (d.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                .alias("k")))
+    pm = (F.floor(F.col("k").cast("double") / F.col("n").cast("double")
+                  * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    p = c.select("source", "n", "k", pm.alias("pm"))
+    g = p.agg(F.count(F.lit(1)).alias("ng"),
+              F.floor(F.sum("pm").cast("double") / F.count(F.lit(1))
+                      + F.lit(0.5)).cast("bigint").alias("mbar"))
+    v = (p.crossJoin(F.broadcast(g))
+          .groupBy("ng", "mbar")
+          .agg(F.sum((F.col("pm") - F.col("mbar"))
+                     * (F.col("pm") - F.col("mbar"))).alias("ss")))
+    mb = F.col("mbar").cast("double") / F.lit(1000000.0)
+    var = (F.col("ss").cast("double")
+           / (F.col("ng") - F.lit(1)).cast("double")
+           / F.lit(1000000000000.0))
+    s = mb * (F.lit(1.0) - mb) / var - F.lit(1.0)
+    shrunk = (F.floor((F.col("k").cast("double") + mb * s)
+                      / (F.col("n").cast("double") + s)
+                      * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    ok = (F.col("ng") > 1) & (F.col("ss") > 0) & (s > 0)
+    return (p.crossJoin(F.broadcast(v))
+             .select("source", F.col("n").alias("n_docs"),
+                     F.col("k").alias("n_pos"),
+                     F.col("pm").alias("raw_micro"),
+                     F.when(ok, shrunk).otherwise(F.col("pm"))
+                      .alias("shrunk_micro")))

@@ -1588,3 +1588,40 @@ def text_conformal_threshold(spark, sf):
                      F.col("q_rank").cast("bigint").alias("q_rank"),
                      "threshold_nc", "n_test", "n_covered",
                      cov.alias("coverage_micro"))
+
+
+@q("sample_importance_weights",
+   "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n "
+   "FROM documents GROUP BY 1), "
+   "g AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, "
+   "CAST(COUNT(*) AS BIGINT) AS ng FROM c) "
+   "SELECT source, n AS n_docs, "
+   "CAST(floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS actual_micro, "
+   "CAST(floor(1.0 / CAST(ng AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS target_micro, "
+   "CAST(floor(least((1.0 / CAST(ng AS DOUBLE)) "
+   "/ (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 10.0) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS weight_micro "
+   "FROM c CROSS JOIN g")
+def sample_importance_weights(spark, sf):
+    """Domain-reweighting plan: per-source importance weight
+    target/actual (uniform target mixture, capped at 10×) — the
+    distribution-matching table a training pipeline multiplies into
+    its sampling probabilities to de-bias source skew (the
+    deterministic core of DoReMi-style reweighting; swap the uniform
+    target for learned weights). One count rollup; per-source single
+    mirrored divisions, micro-floored."""
+    d = table(spark, sf, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    g = c.agg(F.sum("n").alias("tot"), F.count(F.lit(1)).alias("ng"))
+    actual = F.col("n").cast("double") / F.col("tot").cast("double")
+    target = F.lit(1.0) / F.col("ng").cast("double")
+    mic = lambda x: F.floor(x * F.lit(1000000.0)  # noqa: E731
+                            + F.lit(0.5)).cast("bigint")
+    return (c.crossJoin(F.broadcast(g))
+             .select("source", F.col("n").alias("n_docs"),
+                     mic(actual).alias("actual_micro"),
+                     mic(target).alias("target_micro"),
+                     mic(F.least(target / actual, F.lit(10.0)))
+                      .alias("weight_micro")))

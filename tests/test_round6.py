@@ -2053,3 +2053,49 @@ def test_centroid_drift_engineered(spark, tmp_path):
         r = SPARK_QUERIES["emb_centroid_drift"](spark, out).first()
         assert (r.n_a, r.n_b) == (2, 2)
         assert r.cos_micro == want
+
+
+def test_eb_shrinkage_engineered(spark, tmp_path):
+    # source A: 1/2 en (tiny, extreme rate), B..E: 100 docs each at
+    # ~20% en. A's shrunk rate must move toward the prior; the large
+    # sources barely move.
+    rows, i = [], 0
+    for lang in ("en", "de"):
+        rows.append((i, "t", lang, "A", 1)); i += 1
+    for src in ("B", "C", "D", "E"):
+        for j in range(100):
+            rows.append((i, "t", "en" if j < 20 else "de", src, 1))
+            i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.source: r for r in
+           SPARK_QUERIES["stats_eb_shrinkage"](spark, out).collect()}
+    assert got["A"].raw_micro == 500000
+    # A shrinks strictly toward the ~26% prior mean
+    assert got["A"].shrunk_micro < got["A"].raw_micro
+    assert got["A"].shrunk_micro > 260000
+    for s in "BCDE":
+        assert abs(got[s].shrunk_micro - got[s].raw_micro) < 30000
+
+
+def test_importance_weights_engineered(spark, tmp_path):
+    # 90/10 split over two sources, uniform target 50%: weights
+    # 0.5/0.9 and 0.5/0.1 -> 555556 and 5000000 micro
+    rows = [(i, "t", "en", "big" if i < 90 else "small", 1)
+            for i in range(100)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.source: r for r in
+           SPARK_QUERIES["sample_importance_weights"](spark, out)
+           .collect()}
+    assert got["big"].weight_micro == 555556
+    assert got["small"].weight_micro == 5000000
+    assert got["small"].target_micro == 500000
