@@ -308,6 +308,8 @@ BENCH_QUERIES = [
     "emb_centroid_drift",
     "stats_eb_shrinkage",
     "sample_importance_weights",
+    "stats_adf_value_daily",
+    "orders_backlog_aging",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -258,6 +258,8 @@ _NEXT_WINDOW = [
     # round-6yy: empirical-Bayes rate shrinkage + domain importance
     # reweighting plan
     "stats_eb_shrinkage", "sample_importance_weights",
+    # round-6zz: ADF unit-root pre-flight + open-order backlog aging
+    "stats_adf_value_daily", "orders_backlog_aging",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

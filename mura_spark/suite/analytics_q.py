@@ -2836,3 +2836,110 @@ def stats_eb_shrinkage(spark, sf):
                      F.col("pm").alias("raw_micro"),
                      F.when(ok, shrunk).otherwise(F.col("pm"))
                       .alias("shrunk_micro")))
+
+
+def _adf_sql(tbl: str) -> str:
+    """Augmented Dickey–Fuller (one lagged difference, constant, no
+    trend) on the daily value series — ONE portable SQL text run
+    verbatim by BOTH engines (the _ols2_sql posture): Δy on
+    (1, y₋₁, Δy₋₁) via exact decimal moments + Cramer's rule, then
+    t(b₁) = b₁ / √(σ̂²·[(X'X)⁻¹]₁₁). Only portable functions
+    (date_trunc, LAG, CAST, floor, sqrt) appear."""
+    dec = lambda a, b: (f"SUM(CAST({a} AS DECIMAL(19,0)) "  # noqa: E731
+                        f"* CAST({b} AS DECIMAL(19,0)))")
+    return (
+        "WITH daily AS (SELECT date_trunc('day', ts) AS d, "
+        "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y "
+        f"FROM {tbl} WHERE value IS NOT NULL GROUP BY 1), "
+        "l AS (SELECT d, y, LAG(y) OVER (ORDER BY d) AS yl FROM daily), "
+        "r AS (SELECT d, CAST(y - yl AS BIGINT) AS dy, yl, "
+        "LAG(y - yl) OVER (ORDER BY d) AS dyl FROM l "
+        "WHERE yl IS NOT NULL), "
+        "obs AS (SELECT dy AS yv, yl AS x1, dyl AS x2 FROM r "
+        "WHERE dyl IS NOT NULL), "
+        "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS n_obs, "
+        f"CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1, "
+        f"CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2, "
+        f"CAST(SUM(CAST(yv AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+        f"CAST({dec('x1', 'x1')} AS DOUBLE) AS q11, "
+        f"CAST({dec('x2', 'x2')} AS DOUBLE) AS q22, "
+        f"CAST({dec('x1', 'x2')} AS DOUBLE) AS q12, "
+        f"CAST({dec('x1', 'yv')} AS DOUBLE) AS p1y, "
+        f"CAST({dec('x2', 'yv')} AS DOUBLE) AS p2y, "
+        f"CAST({dec('yv', 'yv')} AS DOUBLE) AS syy FROM obs), "
+        "dt AS (SELECT n_obs, n, sy, p1y, p2y, syy, q22, s2, "
+        "n * (q11 * q22 - q12 * q12) - s1 * (s1 * q22 - q12 * s2) "
+        "+ s2 * (s1 * q12 - q11 * s2) AS det, "
+        "sy * (q11 * q22 - q12 * q12) - s1 * (p1y * q22 - q12 * p2y) "
+        "+ s2 * (p1y * q12 - q11 * p2y) AS det0, "
+        "n * (p1y * q22 - p2y * q12) - sy * (s1 * q22 - q12 * s2) "
+        "+ s2 * (s1 * p2y - p1y * s2) AS det1, "
+        "n * (q11 * p2y - q12 * p1y) - s1 * (s1 * p2y - p1y * s2) "
+        "+ sy * (s1 * q12 - q11 * s2) AS det2 FROM m), "
+        "f AS (SELECT n_obs, n, det, q22, s2, "
+        "det0 / det AS b0, det1 / det AS b1, det2 / det AS b2, "
+        "syy - det0 / det * sy - det1 / det * p1y - det2 / det * p2y "
+        "AS rss FROM dt) "
+        "SELECT n_obs, "
+        "CAST(floor(b1 * 1000000.0 + 0.5) AS BIGINT) AS b1_micro, "
+        "CASE WHEN n_obs > 3 AND det <> 0.0 "
+        "AND rss / (n - 3.0) * ((n * q22 - s2 * s2) / det) > 0.0 THEN "
+        "CAST(floor(b1 / sqrt(rss / (n - 3.0) "
+        "* ((n * q22 - s2 * s2) / det)) * 1000000.0 + 0.5) AS BIGINT) "
+        "END AS adf_micro, "
+        "CASE WHEN n_obs > 3 AND det <> 0.0 "
+        "AND rss / (n - 3.0) * ((n * q22 - s2 * s2) / det) > 0.0 THEN "
+        "CAST(b1 / sqrt(rss / (n - 3.0) "
+        "* ((n * q22 - s2 * s2) / det)) < -2.86 AS INT) END "
+        "AS is_stationary FROM f")
+
+
+@q("stats_adf_value_daily", _adf_sql("events"))
+def stats_adf_value_daily(spark, sf):
+    """Augmented Dickey–Fuller unit-root test on the daily value
+    series: is the KPI stationary (adf < −2.86, the 5% critical
+    value) or a random walk that trend models will hallucinate on? —
+    the pre-flight every forecasting pipeline owes its users. Same
+    one-text SQL on both engines (_ols2_sql posture); exact decimal
+    moments, Cramer closed form, one sqrt."""
+    ev = table(spark, sf, "events")
+    ev.createOrReplaceTempView("mura_adf_events")
+    return spark.sql(_adf_sql("mura_adf_events"))
+
+
+@q("orders_backlog_aging",
+   "WITH ref AS (SELECT MAX(o_orderdate) AS mx FROM orders), "
+   "a AS (SELECT o_orderstatus, "
+   "CASE WHEN epoch_us(mx) - epoch_us(o_orderdate) "
+   "<= 30 * 86400000000 THEN '0-30d' "
+   "WHEN epoch_us(mx) - epoch_us(o_orderdate) "
+   "<= 90 * 86400000000 THEN '31-90d' "
+   "WHEN epoch_us(mx) - epoch_us(o_orderdate) "
+   "<= 365 * 86400000000 THEN '91-365d' ELSE '>365d' END AS age_bucket, "
+   "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+   "FROM orders CROSS JOIN ref WHERE o_orderstatus <> 'F') "
+   "SELECT o_orderstatus, age_bucket, CAST(COUNT(*) AS BIGINT) "
+   "AS n_orders, CAST(SUM(cents) AS BIGINT) AS backlog_cents "
+   "FROM a GROUP BY 1, 2")
+def orders_backlog_aging(spark, sf):
+    """Open-order backlog aging: non-finalized orders bucketed by age
+    from the newest order date (0-30/31-90/91-365/>365 days), with
+    exact-cents value at risk per (status, bucket) — the operational
+    WIP report every order system runs nightly. Broadcast max-date
+    singleton; one conditional rollup; age in exact µs integers."""
+    o = table(spark, sf, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("mx"))
+    age_us = F.unix_micros("mx") - F.unix_micros("o_orderdate")
+    day = 86400000000
+    bucket = (F.when(age_us <= 30 * day, "0-30d")
+               .when(age_us <= 90 * day, "31-90d")
+               .when(age_us <= 365 * day, "91-365d")
+               .otherwise(">365d"))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    return (o.filter(F.col("o_orderstatus") != "F")
+             .crossJoin(F.broadcast(ref))
+             .groupBy("o_orderstatus", bucket.alias("age_bucket"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(cents).alias("backlog_cents")))

@@ -2099,3 +2099,55 @@ def test_importance_weights_engineered(spark, tmp_path):
     assert got["big"].weight_micro == 555556
     assert got["small"].weight_micro == 5000000
     assert got["small"].target_micro == 500000
+
+
+def test_adf_engineered(spark, tmp_path):
+    # strongly mean-reverting series (alternating high/low): ADF must
+    # reject the unit root decisively (adf << -2.86, is_stationary=1);
+    # statsmodels-free closed-form cross-check via numpy lstsq.
+    import numpy as np
+    vals = []
+    for i in range(15):
+        vals += [100.0 + (i % 3), 10.0 + (i % 2)]
+    rows = [(i, f"2024-01-{i+1:02d}T00:00:00", 1, "click", v, "{}")
+            for i, v in enumerate(vals)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_adf_value_daily"](spark, out).first()
+    y = np.array([round(v * 100) for v in vals], dtype=float)
+    dy, yl = np.diff(y), y[:-1]
+    yv, x1, x2 = dy[1:], yl[1:], dy[:-1]
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    b, res, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    rss = float(((yv - X @ b) ** 2).sum())
+    cov = rss / (len(yv) - 3) * np.linalg.inv(X.T @ X)[1, 1]
+    adf = b[1] / np.sqrt(cov)
+    assert r.n_obs == len(yv)
+    assert r.is_stationary == 1 and r.adf_micro < -2860000
+    assert abs(r.adf_micro - adf * 1e6) < 10  # closed form == lstsq
+
+
+def test_backlog_aging_engineered(spark, tmp_path):
+    rows = [(1, 1, "O", 10.0, "2024-01-10", "P"),   # 0d  -> 0-30d
+            (2, 1, "O", 20.0, "2023-12-01", "P"),   # 40d -> 31-90d
+            (3, 1, "P", 30.0, "2022-01-01", "P"),   # >365d
+            (4, 1, "F", 99.0, "2024-01-01", "P")]   # finalized: excluded
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {(r.o_orderstatus, r.age_bucket): r for r in
+           SPARK_QUERIES["orders_backlog_aging"](spark, out).collect()}
+    assert got[("O", "0-30d")].backlog_cents == 1000
+    assert got[("O", "31-90d")].backlog_cents == 2000
+    assert got[("P", ">365d")].backlog_cents == 3000
+    assert len(got) == 3
