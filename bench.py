@@ -310,6 +310,8 @@ BENCH_QUERIES = [
     "sample_importance_weights",
     "stats_adf_value_daily",
     "orders_backlog_aging",
+    "audit_primary_keys",
+    "supplier_return_rate_lcb",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

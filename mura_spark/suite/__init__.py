@@ -260,6 +260,8 @@ _NEXT_WINDOW = [
     "stats_eb_shrinkage", "sample_importance_weights",
     # round-6zz: ADF unit-root pre-flight + open-order backlog aging
     "stats_adf_value_daily", "orders_backlog_aging",
+    # round-6aaa: PK-uniqueness audit + Wilson-LCB supplier ranking
+    "audit_primary_keys", "supplier_return_rate_lcb",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -2943,3 +2943,101 @@ def orders_backlog_aging(spark, sf):
              .groupBy("o_orderstatus", bucket.alias("age_bucket"))
              .agg(F.count(F.lit(1)).alias("n_orders"),
                   F.sum(cents).alias("backlog_cents")))
+
+
+_PK_SPECS = [
+    ("region", "CAST(r_regionkey AS VARCHAR)"),
+    ("nation", "CAST(n_nationkey AS VARCHAR)"),
+    ("customer", "CAST(c_custkey AS VARCHAR)"),
+    ("supplier", "CAST(s_suppkey AS VARCHAR)"),
+    ("part", "CAST(p_partkey AS VARCHAR)"),
+    ("orders", "CAST(o_orderkey AS VARCHAR)"),
+    ("lineitem", "CAST(l_orderkey AS VARCHAR) || '|' "
+                 "|| CAST(l_linenumber AS VARCHAR)"),
+    ("events", "CAST(event_id AS VARCHAR)"),
+    ("documents", "CAST(doc_id AS VARCHAR)"),
+    ("embeddings", "CAST(vec_id AS VARCHAR)"),
+]
+
+_PK_KEYS = {
+    "region": ["r_regionkey"], "nation": ["n_nationkey"],
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"], "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"], "events": ["event_id"],
+    "documents": ["doc_id"], "embeddings": ["vec_id"],
+}
+
+
+@q("audit_primary_keys",
+   " UNION ALL ".join(
+       f"SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+       f"CAST(COUNT(DISTINCT {k}) AS BIGINT) AS n_distinct_pk, "
+       f"CAST(COUNT(*) - COUNT(DISTINCT {k}) AS BIGINT) AS n_dup_pk "
+       f"FROM {t}" for t, k in _PK_SPECS))
+def audit_primary_keys(spark, sf):
+    """Primary-key contract audit across the whole star schema: row
+    count vs distinct key count per table (composite key for
+    lineitem) — the uniqueness half of audit_referential's FK checks,
+    run as one unioned report so a single driver row guards every
+    table's key contract. Each leg is one count-distinct rollup; the
+    union is 10 single-row frames."""
+    parts = []
+    for t, _k in _PK_SPECS:
+        df = table(spark, sf, t)
+        keys = [F.col(c).cast("string") for c in _PK_KEYS[t]]
+        key = keys[0] if len(keys) == 1 else F.concat_ws("|", *keys)
+        parts.append(df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct_pk"))
+            .select(F.lit(t).alias("tbl"), "n_rows", "n_distinct_pk",
+                    (F.col("n_rows") - F.col("n_distinct_pk"))
+                    .alias("n_dup_pk")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@q("supplier_return_rate_lcb",
+   "WITH c AS (SELECT l.l_suppkey AS s_suppkey, "
+   "CAST(COUNT(*) AS BIGINT) AS n_lines, "
+   "CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_returns FROM lineitem l GROUP BY 1) "
+   "SELECT s_suppkey, n_lines, n_returns, "
+   "CAST(floor(CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS rate_micro, "
+   "CAST(floor((CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) "
+   "+ 1.959964 * 1.959964 / (2.0 * CAST(n_lines AS DOUBLE)) "
+   "- 1.959964 * sqrt(CAST(n_returns AS DOUBLE) "
+   "/ CAST(n_lines AS DOUBLE) * (1.0 - CAST(n_returns AS DOUBLE) "
+   "/ CAST(n_lines AS DOUBLE)) / CAST(n_lines AS DOUBLE) "
+   "+ 1.959964 * 1.959964 / (4.0 * CAST(n_lines AS DOUBLE) "
+   "* CAST(n_lines AS DOUBLE)))) "
+   "/ (1.0 + 1.959964 * 1.959964 / CAST(n_lines AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS lcb_micro FROM c")
+def supplier_return_rate_lcb(spark, sf):
+    """Supplier return-rate ranking by Wilson LOWER confidence bound —
+    the small-sample-safe ranking rule (Evan Miller's 'how not to
+    sort by average rating', here: which suppliers are provably bad,
+    not just unlucky on 3 lines). One supplier rollup; the Wilson
+    bound is one mirrored closed-form double expression per supplier,
+    micro-floored. Complements stats_wilson_error_rate (global) and
+    stats_eb_shrinkage (Bayesian smoothing) as the frequentist
+    per-group guard."""
+    li = table(spark, sf, "lineitem")
+    c = (li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                       .otherwise(0)).alias("n_returns")))
+    nD = F.col("n_lines").cast("double")
+    p = F.col("n_returns").cast("double") / nD
+    z = F.lit(1.959964)
+    lcb = ((p + z * z / (F.lit(2.0) * nD)
+            - z * F.sqrt(p * (F.lit(1.0) - p) / nD
+                         + z * z / (F.lit(4.0) * nD * nD)))
+           / (F.lit(1.0) + z * z / nD))
+    mic = lambda x: F.floor(x * F.lit(1000000.0)  # noqa: E731
+                            + F.lit(0.5)).cast("bigint")
+    return c.select("s_suppkey", "n_lines", "n_returns",
+                    mic(p).alias("rate_micro"),
+                    mic(lcb).alias("lcb_micro"))

@@ -2151,3 +2151,55 @@ def test_backlog_aging_engineered(spark, tmp_path):
     assert got[("O", "31-90d")].backlog_cents == 2000
     assert got[("P", ">365d")].backlog_cents == 3000
     assert len(got) == 3
+
+
+def test_pk_audit_engineered(spark):
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.tbl: r for r in
+           SPARK_QUERIES["audit_primary_keys"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == {"region", "nation", "customer", "supplier",
+                        "part", "orders", "lineitem", "events",
+                        "documents", "embeddings"}
+    # single-key tables honor their contracts; the synthetic lineitem
+    # genuinely violates (l_orderkey, l_linenumber) uniqueness — the
+    # audit's whole purpose is to surface that
+    for t, r in got.items():
+        if t == "lineitem":
+            assert r.n_dup_pk > 0
+        else:
+            assert r.n_dup_pk == 0 and r.n_rows == r.n_distinct_pk
+
+
+def test_wilson_lcb_engineered(spark, tmp_path):
+    # supplier 1: 2/4 returns (tiny n -> LCB far below 0.5);
+    # supplier 2: 500/1000 (LCB close to 0.5). Ranking by LCB must
+    # put the well-measured supplier above the noisy one.
+    rows = ([(i, 1, 1, i, 1.0, 10.0, 0.0, 0.0,
+              "R" if i < 2 else "N", "O", "1999-01-01")
+             for i in range(4)]
+            + [(100 + i, 1, 2, i, 1.0, 10.0, 0.0, 0.0,
+                "R" if i < 500 else "N", "O", "1999-01-01")
+               for i in range(1000)])
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.s_suppkey: r for r in
+           SPARK_QUERIES["supplier_return_rate_lcb"](spark, out)
+           .collect()}
+    assert got[1].rate_micro == got[2].rate_micro == 500000
+    assert got[1].lcb_micro < got[2].lcb_micro < 500000
+    # closed-form spot value: Wilson LCB for 500/1000 at z=1.959964
+    import math
+    p, n, z = 0.5, 1000.0, 1.959964
+    lcb = ((p + z * z / (2 * n)
+            - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+           / (1 + z * z / n))
+    assert got[2].lcb_micro == math.floor(lcb * 1e6 + 0.5)
