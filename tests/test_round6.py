@@ -2203,3 +2203,85 @@ def test_wilson_lcb_engineered(spark, tmp_path):
             - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
            / (1 + z * z / n))
     assert got[2].lcb_micro == math.floor(lcb * 1e6 + 0.5)
+
+
+# ------------------------- plan pinning: round-6qq..6aaa additions
+
+def test_ks_drift_plan_broadcasts_grid(spark, sf_dir):
+    # the sources x NDV grid must come from a broadcast of the tiny
+    # group table, never a shuffle of the cells
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["text_ks_drift_by_source"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_twap_plan_reuses_user_partitioning(spark, sf_dir):
+    # the window shuffle on user_id must be the ONLY exchange of the
+    # events rows: the groupBy reuses the same hash partitioning
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["events_twap_value"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_revenue_bridge_plan_pushes_year_filter(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["orders_revenue_bridge"](spark, sf_dir))
+    # year() wraps the column, so the scan keeps a residual filter but
+    # must still prune to the two needed columns + date
+    assert "o_orderkey" not in p.split("ReadSchema")[-1]
+    assert "CartesianProduct" not in p
+
+
+def test_psi_plan_no_cartesian_and_broadcast_bounds(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["events_psi_drift"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_blocking_quality_plan_single_mining(spark, sf_dir):
+    # the mined truth pairs are eagerly materialized: both their uses
+    # (count + intersect) must read the checkpoint (ExistingRDD), so
+    # the expensive Jaccard mining can never re-execute
+    from mura_spark.suite import SPARK_QUERIES
+    df = SPARK_QUERIES["dedup_blocking_quality"](spark, sf_dir)
+    p = _plan(df)
+    assert p.count("ExistingRDD") >= 1
+    assert "CartesianProduct" not in p
+
+
+def test_cmh_plan_single_rollup(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["stats_cmh_odds"](spark, sf_dir))
+    # one scan of events feeds the 24-stratum rollup
+    assert p.count("events.parquet") == 1
+
+
+def test_silhouette_plan_broadcasts_centroids(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["emb_silhouette"](spark, sf_dir))
+    assert "BroadcastExchange" in p  # k-row centroid table broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_adf_plan_single_scan(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["stats_adf_value_daily"](spark, sf_dir))
+    assert p.count("events.parquet") == 1
+
+
+def test_lcb_plan_pruned_scan(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["supplier_return_rate_lcb"](spark, sf_dir))
+    # only the two needed columns reach the scan
+    tail = p.split("ReadSchema")[-1]
+    assert "l_suppkey" in tail and "l_returnflag" in tail
+    assert "l_extendedprice" not in tail
+
+
+def test_centroid_drift_plan_one_scan_per_use(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    p = _plan(SPARK_QUERIES["emb_centroid_drift"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # counts singleton broadcast
