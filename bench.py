@@ -312,6 +312,8 @@ BENCH_QUERIES = [
     "orders_backlog_aging",
     "audit_primary_keys",
     "supplier_return_rate_lcb",
+    "agg_group_by_all",
+    "string_collation_filter",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -262,6 +262,8 @@ _NEXT_WINDOW = [
     "stats_adf_value_daily", "orders_backlog_aging",
     # round-6aaa: PK-uniqueness audit + Wilson-LCB supplier ranking
     "audit_primary_keys", "supplier_return_rate_lcb",
+    # round-6bbb: GROUP BY ALL + collation surface pins
+    "agg_group_by_all", "string_collation_filter",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1275,3 +1275,41 @@ BEGIN
          last_m AS last_month;
 END
 """)
+
+
+# ------------------------------------------------------- round-6bbb additions
+
+@q("agg_group_by_all",
+   "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+   "FROM documents GROUP BY ALL")
+def agg_group_by_all(spark, sf):
+    """GROUP BY ALL surface pin (SQL:2023-adjacent sugar both engines
+    share): every non-aggregate select item becomes a grouping key —
+    the footgun-free rollup form analysts reach for first. Plans
+    identically to the explicit GROUP BY (one map-side-combined
+    rollup)."""
+    d = table(spark, sf, "documents")
+    d.createOrReplaceTempView("mura_gba_docs")
+    return spark.sql(
+        "SELECT lang, source, COUNT(*) AS n_docs, "
+        "SUM(n_chars) AS total_chars FROM mura_gba_docs GROUP BY ALL")
+
+
+@q("string_collation_filter",
+   "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents "
+   "WHERE lower(lang) = lower('EN') OR lower(lang) = lower('Zh') "
+   "GROUP BY 1")
+def string_collation_filter(spark, sf):
+    """Spark 4 COLLATION surface pin: a case-insensitive
+    (UTF8_LCASE) equality filter — the collation engine does the
+    folding inside the comparison (no lower() wrapping on the Spark
+    side, so at scale the filter still pushes as a predicate instead
+    of an expression over every row). The DuckDB oracle expresses the
+    identical semantics with explicit lower() folding."""
+    d = table(spark, sf, "documents")
+    d.createOrReplaceTempView("mura_coll_docs")
+    return spark.sql(
+        "SELECT lang, COUNT(*) AS n_docs FROM mura_coll_docs "
+        "WHERE lang COLLATE UTF8_LCASE = 'EN' "
+        "OR lang COLLATE UTF8_LCASE = 'Zh' GROUP BY 1")

@@ -2285,3 +2285,32 @@ def test_centroid_drift_plan_one_scan_per_use(spark, sf_dir):
     p = _plan(SPARK_QUERIES["emb_centroid_drift"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # counts singleton broadcast
+
+
+def test_group_by_all_matches_explicit(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    explicit = {(r.lang, r.source): (r.n_docs, r.total_chars) for r in
+                d.groupBy("lang", "source")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_chars").alias("total_chars")).collect()}
+    got = {(r.lang, r.source): (r.n_docs, r.total_chars) for r in
+           SPARK_QUERIES["agg_group_by_all"](spark, sf_dir).collect()}
+    assert got == explicit
+
+
+def test_collation_filter_case_insensitive(spark, tmp_path):
+    rows = [(1, "t", "EN", "s", 1), (2, "t", "en", "s", 1),
+            (3, "t", "eN", "s", 1), (4, "t", "de", "s", 1),
+            (5, "t", "ZH", "s", 1)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.lang: r.n_docs for r in
+           SPARK_QUERIES["string_collation_filter"](spark, out)
+           .collect()}
+    # all EN casings match 'EN'; 'ZH' matches 'Zh'; 'de' excluded
+    assert got == {"EN": 1, "en": 1, "eN": 1, "ZH": 1}
