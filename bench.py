@@ -314,6 +314,8 @@ BENCH_QUERIES = [
     "supplier_return_rate_lcb",
     "agg_group_by_all",
     "string_collation_filter",
+    "stats_paired_ttest",
+    "pipeline_dedup_savings",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

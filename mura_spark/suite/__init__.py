@@ -264,6 +264,8 @@ _NEXT_WINDOW = [
     "audit_primary_keys", "supplier_return_rate_lcb",
     # round-6bbb: GROUP BY ALL + collation surface pins
     "agg_group_by_all", "string_collation_filter",
+    # round-6ccc: paired t-test + dedup token-savings report
+    "stats_paired_ttest", "pipeline_dedup_savings",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

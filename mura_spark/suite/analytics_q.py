@@ -3041,3 +3041,68 @@ def supplier_return_rate_lcb(spark, sf):
     return c.select("s_suppkey", "n_lines", "n_returns",
                     mic(p).alias("rate_micro"),
                     mic(lcb).alias("lcb_micro"))
+
+
+@q("stats_paired_ttest",
+   "WITH per AS (SELECT o_custkey, "
+   "SUM(CASE WHEN year(o_orderdate) = 1999 THEN "
+   "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "ELSE 0 END) AS s1, "
+   "SUM(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END) AS n1, "
+   "SUM(CASE WHEN year(o_orderdate) = 2000 THEN "
+   "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "ELSE 0 END) AS s2, "
+   "SUM(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS n2 "
+   "FROM orders WHERE year(o_orderdate) IN (1999, 2000) GROUP BY 1), "
+   "d AS (SELECT CAST(s2 - s1 AS BIGINT) AS df FROM per "
+   "WHERE n1 > 0 AND n2 > 0), "
+   "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+   "CAST(SUM(CAST(df AS DECIMAL(38,0))) AS DOUBLE) AS sd, "
+   "CAST(SUM(CAST(df AS DECIMAL(19,0)) * CAST(df AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS sdd FROM d) "
+   "SELECT n_pairs, "
+   "CAST(floor(sd / CAST(n_pairs AS DOUBLE) + 0.5) AS BIGINT) "
+   "AS mean_diff_cents, "
+   "CASE WHEN n_pairs > 1 AND sdd - sd * sd / CAST(n_pairs AS DOUBLE) "
+   "> 0.0 THEN CAST(floor(sd / CAST(n_pairs AS DOUBLE) "
+   "/ sqrt((sdd - sd * sd / CAST(n_pairs AS DOUBLE)) "
+   "/ CAST(n_pairs - 1 AS DOUBLE) / CAST(n_pairs AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS t_micro FROM m")
+def stats_paired_ttest(spark, sf):
+    """Paired t-test on per-customer annual spend (1999 vs 2000,
+    customers active BOTH years): t = d̄ / √(s²_d/n) — the
+    within-subject design that cancels between-customer variance the
+    unpaired z-test (stats_ab_ztest) cannot. One customer-grain
+    conditional rollup; exact decimal moments of the integer cent
+    diffs; one mirrored closed form."""
+    o = table(spark, sf, "orders")
+    y = F.year("o_orderdate")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    per = (o.filter(y.isin(1999, 2000))
+            .groupBy("o_custkey")
+            .agg(F.sum(F.when(y == 1999, cents).otherwise(0)).alias("s1"),
+                 F.sum(F.when(y == 1999, 1).otherwise(0)).alias("n1"),
+                 F.sum(F.when(y == 2000, cents).otherwise(0)).alias("s2"),
+                 F.sum(F.when(y == 2000, 1).otherwise(0)).alias("n2")))
+    d = (per.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+            .select((F.col("s2") - F.col("s1")).alias("df")))
+    m = d.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("df").cast("decimal(38,0)")).cast("double")
+         .alias("sd"),
+        F.sum(F.col("df").cast("decimal(19,0)")
+              * F.col("df").cast("decimal(19,0)")).cast("double")
+         .alias("sdd"))
+    nD = F.col("n_pairs").cast("double")
+    var_num = F.col("sdd") - F.col("sd") * F.col("sd") / nD
+    t = (F.col("sd") / nD
+         / F.sqrt(var_num / (F.col("n_pairs") - F.lit(1)).cast("double")
+                  / nD))
+    return m.select(
+        "n_pairs",
+        F.floor(F.col("sd") / nD + F.lit(0.5)).cast("bigint")
+         .alias("mean_diff_cents"),
+        F.when((F.col("n_pairs") > 1) & (var_num > 0),
+               F.floor(t * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+         .alias("t_micro"))

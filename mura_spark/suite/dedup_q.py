@@ -710,3 +710,49 @@ def dedup_minhash_calibration(spark, sf):
                    F.floor(F.sum("mt").cast("double") * F.lit(1000000.0)
                            / (F.lit(float(k)) * nD) + F.lit(0.5))
                     .cast("bigint").alias("mean_est_micro")))
+
+
+@q("pipeline_dedup_savings",
+   f"WITH k AS (SELECT doc_id, source, len({_Q_TOKS}) AS toks, "
+   "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ck "
+   "FROM documents), "
+   "keep AS (SELECT ck, MIN(doc_id) AS kid FROM k GROUP BY 1), "
+   "j AS (SELECT k.source, k.toks, "
+   "CASE WHEN k.doc_id = keep.kid THEN 1 ELSE 0 END AS iskeep "
+   "FROM k JOIN keep ON k.ck = keep.ck) "
+   "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   "CAST(SUM(iskeep) AS BIGINT) AS n_kept, "
+   "CAST(SUM(toks) AS BIGINT) AS tokens_total, "
+   "CAST(SUM(CASE WHEN iskeep = 1 THEN toks ELSE 0 END) AS BIGINT) "
+   "AS tokens_kept, "
+   "CAST(floor((1.0 - CAST(SUM(CASE WHEN iskeep = 1 THEN toks "
+   "ELSE 0 END) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE)) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS savings_micro "
+   "FROM j GROUP BY 1")
+def pipeline_dedup_savings(spark, sf):
+    """Dedup budget impact: per source, how many training TOKENS does
+    exact keep-one deduplication save? — the number that justifies the
+    dedup stage's compute bill to whoever owns the training budget.
+    One normalized-key groupBy for keepers + one join back; exact
+    token counts; one terminal division per source."""
+    from mura_spark.functions import text as TXT
+    d = table(spark, sf, "documents")
+    k = d.select("doc_id", "source",
+                 F.size(TXT.tokens(F.col("text"))).alias("toks"),
+                 F.md5(TXT.normalize(F.col("text"))).alias("ck"))
+    keep = k.groupBy("ck").agg(F.min("doc_id").alias("kid"))
+    j = (k.join(keep, "ck")
+          .select("source", "toks",
+                  (F.col("doc_id") == F.col("kid")).cast("int")
+                   .alias("iskeep")))
+    kept_toks = F.sum(F.when(F.col("iskeep") == 1, F.col("toks"))
+                       .otherwise(0))
+    sav = (F.floor((F.lit(1.0) - kept_toks.cast("double")
+                    / F.sum("toks").cast("double"))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return (j.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("iskeep").cast("bigint").alias("n_kept"),
+                  F.sum("toks").alias("tokens_total"),
+                  kept_toks.alias("tokens_kept"),
+                  sav.alias("savings_micro")))

@@ -2314,3 +2314,50 @@ def test_collation_filter_case_insensitive(spark, tmp_path):
            .collect()}
     # all EN casings match 'EN'; 'ZH' matches 'Zh'; 'de' excluded
     assert got == {"EN": 1, "en": 1, "eN": 1, "ZH": 1}
+
+
+def test_paired_ttest_engineered(spark, tmp_path):
+    # three paired customers with diffs +10, +20, +30 dollars; one
+    # 1999-only customer must be excluded from the pairs
+    rows, k = [], 0
+    for cust, a, b in ((1, 100.0, 110.0), (2, 100.0, 120.0),
+                       (3, 100.0, 130.0)):
+        rows.append((k, cust, "F", a, "1999-06-01", "P")); k += 1
+        rows.append((k, cust, "F", b, "2000-06-01", "P")); k += 1
+    rows.append((k, 9, "F", 55.0, "1999-01-01", "P"))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_paired_ttest"](spark, out).first()
+    import math
+    diffs = [1000, 2000, 3000]
+    n, mean = 3, 2000.0
+    var = sum((d - mean) ** 2 for d in diffs) / (n - 1)
+    t = mean / math.sqrt(var / n)
+    assert r.n_pairs == 3 and r.mean_diff_cents == 2000
+    assert r.t_micro == math.floor(t * 1e6 + 0.5)
+
+
+def test_dedup_savings_engineered(spark, tmp_path):
+    # source s1: two identical 5-token docs -> keeps one (50% tokens
+    # saved); source s2: unique doc -> nothing saved
+    rows = [(1, "alpha beta gamma delta epsilon", "en", "s1", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "s1", 30),
+            (3, "one two three", "en", "s2", 13)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.source: r for r in
+           SPARK_QUERIES["pipeline_dedup_savings"](spark, out).collect()}
+    assert (got["s1"].n_docs, got["s1"].n_kept) == (2, 1)
+    assert got["s1"].tokens_total == 10 and got["s1"].tokens_kept == 5
+    assert got["s1"].savings_micro == 500000
+    assert got["s2"].savings_micro == 0
