@@ -316,6 +316,8 @@ BENCH_QUERIES = [
     "string_collation_filter",
     "stats_paired_ttest",
     "pipeline_dedup_savings",
+    "csv_malformed_recovery",
+    "jsonl_malformed_recovery",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

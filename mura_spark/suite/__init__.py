@@ -266,6 +266,8 @@ _NEXT_WINDOW = [
     "agg_group_by_all", "string_collation_filter",
     # round-6ccc: paired t-test + dedup token-savings report
     "stats_paired_ttest", "pipeline_dedup_savings",
+    # round-6ddd: malformed-input recovery (CSV + JSONL PERMISSIVE)
+    "csv_malformed_recovery", "jsonl_malformed_recovery",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -201,3 +201,77 @@ def xml_roundtrip(spark, sf):
     return TF.scan_xml(spark, path,
                        schema="s_suppkey bigint, s_name string, "
                               "s_acctbal double")
+
+
+# ------------------------------------------------------- round-6ddd addition
+
+@q("csv_malformed_recovery",
+   "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_clean, "
+   "CAST(3 AS BIGINT) AS n_corrupt, "
+   "(SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation) AS key_sum")
+def csv_malformed_recovery(spark, sf):
+    """Malformed-input recovery: a CSV feed with 3 corrupt lines read
+    in PERMISSIVE mode with ``columnNameOfCorruptRecord`` — the clean
+    rows flow through, the damage is COUNTED instead of killing the
+    job (the posture a 100 TB ingest must take: DROPMALFORMED hides
+    loss, FAILFAST loses the night). Oracle pins clean-row count +
+    key sum against the source table and the injected-corruption
+    count as a literal.
+
+    Spark caveat this query deliberately pins: the CSV corrupt flag
+    is COLUMN-PRUNING-DEPENDENT — a wrong-arity line whose
+    *referenced* fields parse fine is NOT flagged when the query
+    touches only those fields. Every injected corruption therefore
+    damages the typed key column itself, making the flag
+    pruning-invariant."""
+    src = (table(spark, sf, "nation")
+           .select("n_nationkey", "n_name", "n_regionkey"))
+    path = "/tmp/mura_suite_csv_malformed"
+    TF.write_csv(src, path, mode="overwrite")
+    # deterministic corruption: its own part file; first line is a
+    # header (every file's line 1 is skipped under header=true)
+    with open(f"{path}/part-junk.csv", "w") as fh:
+        fh.write("n_nationkey,n_name,n_regionkey\n")
+        fh.write("not_a_number,BROKEN,also_bad\n")
+        fh.write("bad_key,TOO,0,MANY,FIELDS\n")
+        fh.write("NaN-key,\"unterminated,2\n")
+    df = TF.scan_csv(
+        spark, path,
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint, "
+               "_corrupt_record string",
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("n_nationkey"))).alias("key_sum"))
+
+
+@q("jsonl_malformed_recovery",
+   "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS n_clean, "
+   "CAST(3 AS BIGINT) AS n_corrupt, "
+   "(SELECT CAST(SUM(s_suppkey) AS BIGINT) FROM supplier) AS key_sum")
+def jsonl_malformed_recovery(spark, sf):
+    """The JSON-lines twin of csv_malformed_recovery — JSONL is the
+    de-facto LLM-corpus interchange format, and a crawler feed always
+    contains truncated/garbage lines. PERMISSIVE scan with
+    ``columnNameOfCorruptRecord``: clean objects parse, damage is
+    counted. Oracle pins clean count + key sum to the source table."""
+    src = (table(spark, sf, "supplier")
+           .select("s_suppkey", "s_name", "s_nationkey"))
+    path = "/tmp/mura_suite_jsonl_malformed"
+    TF.write_jsonl(src, path, mode="overwrite")
+    with open(f"{path}/part-junk.json", "w") as fh:
+        fh.write('{"s_suppkey": "not_a_number", "s_name": 5}\n')
+        fh.write('{"s_suppkey": 1, "s_name": "TRUNCAT\n')
+        fh.write('garbage line, not json at all\n')
+    df = TF.scan_jsonl(
+        spark, path,
+        schema="s_suppkey bigint, s_name string, s_nationkey bigint, "
+               "_corrupt_record string",
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("s_suppkey"))).alias("key_sum"))

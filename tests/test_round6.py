@@ -2361,3 +2361,17 @@ def test_dedup_savings_engineered(spark, tmp_path):
     assert got["s1"].tokens_total == 10 and got["s1"].tokens_kept == 5
     assert got["s1"].savings_micro == 500000
     assert got["s2"].savings_micro == 0
+
+
+def test_malformed_recovery_counts(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    import duckdb
+    for name, tbl, key in (("csv_malformed_recovery", "nation",
+                            "n_nationkey"),
+                           ("jsonl_malformed_recovery", "supplier",
+                            "s_suppkey")):
+        r = SPARK_QUERIES[name](spark, sf_dir).first()
+        exp = duckdb.sql(
+            f"SELECT COUNT(*), SUM({key}) FROM "
+            f"'{sf_dir}/{tbl}.parquet'").fetchone()
+        assert (r.n_clean, r.n_corrupt, r.key_sum) == (exp[0], 3, exp[1])
