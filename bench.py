@@ -318,6 +318,8 @@ BENCH_QUERIES = [
     "pipeline_dedup_savings",
     "csv_malformed_recovery",
     "jsonl_malformed_recovery",
+    "source_compaction_report",
+    "stats_pinball_quantile_eval",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -268,6 +268,8 @@ _NEXT_WINDOW = [
     "stats_paired_ttest", "pipeline_dedup_savings",
     # round-6ddd: malformed-input recovery (CSV + JSONL PERMISSIVE)
     "csv_malformed_recovery", "jsonl_malformed_recovery",
+    # round-6eee: small-files compaction report + pinball quantile eval
+    "source_compaction_report", "stats_pinball_quantile_eval",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -3106,3 +3106,54 @@ def stats_paired_ttest(spark, sf):
         F.when((F.col("n_pairs") > 1) & (var_num > 0),
                F.floor(t * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
          .alias("t_micro"))
+
+
+def _pinball_oracle() -> str:
+    from mura_spark.operators.stats import sql_group_percentiles
+    med = sql_group_percentiles(
+        "(SELECT event_type, value FROM events WHERE value IS NOT NULL)",
+        ["event_type"], "value", [0.5, 0.9], ["p50", "p90"])
+    return (
+        f"WITH q AS ({med}), "
+        "e AS (SELECT e.event_type, "
+        "CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) AS vm, "
+        "q.p50_micro, q.p90_micro FROM events e "
+        "JOIN q ON e.event_type = q.event_type "
+        "WHERE e.value IS NOT NULL) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(greatest(5 * (vm - p50_micro), "
+        "-5 * (vm - p50_micro))) AS BIGINT) AS pinball_p50_x10, "
+        "CAST(SUM(greatest(9 * (vm - p90_micro), "
+        "-1 * (vm - p90_micro))) AS BIGINT) AS pinball_p90_x10 "
+        "FROM e GROUP BY 1")
+
+
+@q("stats_pinball_quantile_eval", _pinball_oracle())
+def stats_pinball_quantile_eval(spark, sf):
+    """Pinball (quantile) loss of the exact p50/p90 per-type values as
+    constant quantile forecasts — the eval every quantile-forecasting
+    pipeline reports (and the check that the claimed quantile actually
+    MINIMIZES its own pinball loss). Kept exact end-to-end: per-row
+    micro values, losses as 10×-scaled integers (q=.5 → 5·|d|;
+    q=.9 → max(9d, −d)), summed as exact BIGINTs — no floats
+    anywhere past the percentile's own quantization."""
+    from mura_spark.functions.quantize import micro
+    from mura_spark.operators.stats import group_percentiles
+    ev = (table(spark, sf, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    qs = group_percentiles(ev, ["event_type"], "value",
+                           [0.5, 0.9], ["p50", "p90"])
+    e = (ev.join(F.broadcast(qs), "event_type")
+           .select("event_type",
+                   (micro(F.col("value")) - F.col("p50_micro"))
+                   .alias("d50"),
+                   (micro(F.col("value")) - F.col("p90_micro"))
+                   .alias("d90")))
+    return (e.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.greatest(5 * F.col("d50"), -5 * F.col("d50")))
+                   .cast("bigint").alias("pinball_p50_x10"),
+                  F.sum(F.greatest(9 * F.col("d90"),
+                                   F.lit(-1) * F.col("d90")))
+                   .cast("bigint").alias("pinball_p90_x10")))

@@ -275,3 +275,34 @@ def jsonl_malformed_recovery(spark, sf):
         F.sum(F.when(~bad, 1).otherwise(0)).alias("n_clean"),
         F.sum(F.when(bad, 1).otherwise(0)).alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("s_suppkey"))).alias("key_sum"))
+
+
+@q("source_compaction_report",
+   "SELECT CAST(64 AS BIGINT) AS n_files_before, "
+   "CAST(ceil(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) "
+   "/ 200.0) AS BIGINT) AS n_files_after, "
+   "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows")
+def source_compaction_report(spark, sf):
+    """Small-files compaction — THE operational disease of long-lived
+    100 TB tables (every tiny file is a task, a footer fetch, a
+    NameNode entry): write the corpus as 64 shards, compact via
+    coalesced write with ``maxRecordsPerFile``, and report
+    before/after file counts from ``_metadata`` introspection (never
+    a filesystem listing). File counts are deterministic: after =
+    ⌈rows / 200⌉ by construction."""
+    d = table(spark, sf, "documents")
+    frag = "/tmp/mura_suite_compact_frag"
+    comp = "/tmp/mura_suite_compact_out"
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    (spark.read.parquet(frag).coalesce(1)
+        .write.mode("overwrite").option("maxRecordsPerFile", 200)
+        .parquet(comp))
+    nf = lambda p: (spark.read.format("parquet").load(p)  # noqa: E731
+                    .select(F.col("_metadata.file_path").alias("fp"))
+                    .agg(F.countDistinct("fp").alias("n")))
+    before = nf(frag).select(F.col("n").alias("n_files_before"))
+    after = nf(comp).select(F.col("n").alias("n_files_after"))
+    rows = spark.read.parquet(comp).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    return (before.crossJoin(F.broadcast(after))
+                  .crossJoin(F.broadcast(rows)))

@@ -2375,3 +2375,39 @@ def test_malformed_recovery_counts(spark, sf_dir):
             f"SELECT COUNT(*), SUM({key}) FROM "
             f"'{sf_dir}/{tbl}.parquet'").fetchone()
         assert (r.n_clean, r.n_corrupt, r.key_sum) == (exp[0], 3, exp[1])
+
+
+def test_compaction_report_engineered(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    import duckdb
+    n = duckdb.sql(f"SELECT COUNT(*) FROM "
+                   f"'{sf_dir}/documents.parquet'").fetchone()[0]
+    r = SPARK_QUERIES["source_compaction_report"](spark, sf_dir).first()
+    assert r.n_files_before == 64
+    assert r.n_files_after == -(-n // 200)  # ceil
+    assert r.n_rows == n
+
+
+def test_pinball_p50_is_minimizer(spark, sf_dir):
+    # the exact median must (weakly) beat nearby constants on its own
+    # pinball loss — the defining property of the quantile
+    from mura_spark.suite import SPARK_QUERIES
+    from mura_spark.functions.quantize import micro
+    from mura_spark.operators.stats import group_percentiles
+    from mura_spark.suite.common import table as _t
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    qs = group_percentiles(ev, ["event_type"], "value", [0.5], ["p50"])
+    e = ev.join(F.broadcast(qs), "event_type")
+    for shift in (-1000000, 1000000):  # ±1.0 in micro units
+        base = (e.groupBy("event_type")
+                 .agg(F.sum(F.abs(micro(F.col("value"))
+                                  - F.col("p50_micro"))).alias("l")))
+        moved = (e.groupBy("event_type")
+                  .agg(F.sum(F.abs(micro(F.col("value"))
+                                   - (F.col("p50_micro")
+                                      + F.lit(shift)))).alias("l")))
+        b = {r.event_type: r.l for r in base.collect()}
+        m = {r.event_type: r.l for r in moved.collect()}
+        assert all(b[k] <= m[k] for k in b)
