@@ -320,6 +320,8 @@ BENCH_QUERIES = [
     "jsonl_malformed_recovery",
     "source_compaction_report",
     "stats_pinball_quantile_eval",
+    "source_federated_join",
+    "stats_dispersion_orders",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -270,6 +270,8 @@ _NEXT_WINDOW = [
     "csv_malformed_recovery", "jsonl_malformed_recovery",
     # round-6eee: small-files compaction report + pinball quantile eval
     "source_compaction_report", "stats_pinball_quantile_eval",
+    # round-6fff: multi-format federated join + dispersion check
+    "source_federated_join", "stats_dispersion_orders",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -3157,3 +3157,54 @@ def stats_pinball_quantile_eval(spark, sf):
                   F.sum(F.greatest(9 * F.col("d90"),
                                    F.lit(-1) * F.col("d90")))
                    .cast("bigint").alias("pinball_p90_x10")))
+
+
+@q("stats_dispersion_orders",
+   "WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k "
+   "FROM lineitem GROUP BY 1), "
+   "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(k) AS BIGINT) AS s, "
+   "CAST(SUM(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS q FROM c) "
+   "SELECT n, "
+   "CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS mean_micro, "
+   "CASE WHEN n > 1 AND s > 0 THEN "
+   "CAST(floor(((q - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+   "/ CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) "
+   "/ (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) "
+   "AS BIGINT) END AS dispersion_micro, "
+   "CASE WHEN n > 1 AND s > 0 THEN "
+   "CAST(floor((((q - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+   "/ CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) "
+   "/ (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0) "
+   "* sqrt(CAST(n - 1 AS DOUBLE) / 2.0) * 1000000.0 + 0.5) "
+   "AS BIGINT) END AS z_micro FROM m")
+def stats_dispersion_orders(spark, sf):
+    """Index of dispersion (variance-to-mean ratio) of lines-per-order
+    with its normal-approximation z — the Poissonness check run before
+    modeling count data (D≈1 Poisson, D>1 overdispersed → negative
+    binomial territory; z = (D−1)·√((n−1)/2)). One orderkey rollup to
+    the count frame; exact decimal moments; one mirrored closed
+    form."""
+    li = table(spark, sf, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    m = c.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("k").alias("s"),
+              F.sum(F.col("k").cast("decimal(19,0)")
+                    * F.col("k").cast("decimal(19,0)")).cast("double")
+               .alias("q"))
+    nD = F.col("n").cast("double")
+    sD = F.col("s").cast("double")
+    mean = sD / nD
+    var = (F.col("q") - sD * sD / nD) / (F.col("n") - F.lit(1)) \
+        .cast("double")
+    disp = var / mean
+    z = (disp - F.lit(1.0)) * F.sqrt((F.col("n") - F.lit(1))
+                                     .cast("double") / F.lit(2.0))
+    ok = (F.col("n") > 1) & (F.col("s") > 0)
+    mic = lambda x: F.floor(x * F.lit(1000000.0)  # noqa: E731
+                            + F.lit(0.5)).cast("bigint")
+    return m.select("n", mic(mean).alias("mean_micro"),
+                    F.when(ok, mic(disp)).alias("dispersion_micro"),
+                    F.when(ok, mic(z)).alias("z_micro"))

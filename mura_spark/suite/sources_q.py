@@ -306,3 +306,43 @@ def source_compaction_report(spark, sf):
         F.count(F.lit(1)).alias("n_rows"))
     return (before.crossJoin(F.broadcast(after))
                   .crossJoin(F.broadcast(rows)))
+
+
+@q("source_federated_join",
+   "SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) "
+   "AS n_nations, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+   "CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) "
+   "AS total_acctbal "
+   "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+   "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1")
+def source_federated_join(spark, sf):
+    """Federated multi-format join: supplier from JSONL ⋈ nation from
+    CSV ⋈ region from Parquet, one rollup — the every-warehouse
+    reality where reference data lives in whatever format its owner
+    exports. The two text scans are leaf-size (broadcast); only the
+    parquet fact side would scale, and conversion-to-parquet is the
+    documented fast path (sources.text_formats.to_parquet)."""
+    sup = table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    jp = "/tmp/mura_suite_fed_supplier"
+    TF.write_jsonl(sup, jp, mode="overwrite")
+    s = TF.scan_jsonl(spark, jp,
+                      schema="s_suppkey bigint, s_name string, "
+                             "s_nationkey bigint, s_acctbal double")
+    nat = table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    cp = "/tmp/mura_suite_fed_nation"
+    TF.write_csv(nat, cp, mode="overwrite")
+    n = TF.scan_csv(spark, cp,
+                    schema="n_nationkey bigint, n_name string, "
+                           "n_regionkey bigint")
+    r = table(spark, sf, "region")
+    return (s.join(F.broadcast(n),
+                   s["s_nationkey"] == n["n_nationkey"])
+             .join(F.broadcast(r),
+                   n["n_regionkey"] == r["r_regionkey"])
+             .groupBy("r_name")
+             .agg(F.countDistinct("n_nationkey").alias("n_nations"),
+                  F.count(F.lit(1)).alias("n_suppliers"),
+                  F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+                   .cast("double").alias("total_acctbal")))

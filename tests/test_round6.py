@@ -2411,3 +2411,53 @@ def test_pinball_p50_is_minimizer(spark, sf_dir):
         b = {r.event_type: r.l for r in base.collect()}
         m = {r.event_type: r.l for r in moved.collect()}
         assert all(b[k] <= m[k] for k in b)
+
+
+def test_federated_join_matches_parquet_only(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    from mura_spark.suite.common import table as _t
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    exp = {row.r_name: (row.n_nations, row.n_suppliers,
+                        row.total_acctbal) for row in
+           (s.join(n, s["s_nationkey"] == n["n_nationkey"])
+             .join(r, n["n_regionkey"] == r["r_regionkey"])
+             .groupBy("r_name")
+             .agg(F.countDistinct("n_nationkey").alias("n_nations"),
+                  F.count(F.lit(1)).alias("n_suppliers"),
+                  F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+                   .cast("double").alias("total_acctbal"))).collect()}
+    got = {row.r_name: (row.n_nations, row.n_suppliers,
+                        row.total_acctbal) for row in
+           SPARK_QUERIES["source_federated_join"](spark, sf_dir)
+           .collect()}
+    assert got == exp  # text roundtrips are lossless
+
+
+def test_dispersion_engineered(spark, tmp_path):
+    # 4 orders with 1,2,3,4,5,6 lines... use counts [1,1,1,5]:
+    # mean=2, var=(1+1+1+9)*... exact: n=4, s=8, q=1+1+1+25=28
+    # var=(28-16)/3=4, D=2, z=(2-1)*sqrt(3/2)
+    import math
+    rows = []
+    oid = 0
+    for k in (1, 1, 1, 5):
+        oid += 1
+        for j in range(k):
+            rows.append((oid, 1, 1, j, 1.0, 10.0, 0.0, 0.0,
+                         "N", "O", "1999-01-01"))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_dispersion_orders"](spark, out).first()
+    assert (r.n, r.mean_micro, r.dispersion_micro) \
+        == (4, 2000000, 2000000)
+    assert r.z_micro == math.floor(math.sqrt(1.5) * 1e6 + 0.5)
