@@ -322,6 +322,8 @@ BENCH_QUERIES = [
     "stats_pinball_quantile_eval",
     "source_federated_join",
     "stats_dispersion_orders",
+    "mm_brightness_by_source",
+    "graph_degree_assortativity",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

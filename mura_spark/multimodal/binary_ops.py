@@ -693,3 +693,38 @@ def vad_segments(df: DataFrame, frame_samples: int, threshold: int,
     from mura_spark.sources.parquet import ensure_min_partitions
     return ensure_min_partitions(df.select(id_col, content_col)) \
         .mapInPandas(batches, schema=VAD_SCHEMA)
+
+
+def image_luma_sums(df: DataFrame, id_col: str = "id",
+                    content_col: str = "content") -> DataFrame:
+    """Exact integer luminance: ``(id, n_pixels, luma_milli_sum)``
+    with per-pixel ITU-R 601 luma in milli-units (299·R + 587·G +
+    114·B — integers end-to-end, so per-source rollups stay
+    order-independent and oracle-hashable). REAL decode via
+    :func:`decode_image`; undecodable payloads yield NULLs."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, np_, ls = [], [], []
+            for i, p in zip(pdf[id_col], pdf[content_col]):
+                ids.append(int(i))
+                try:
+                    img = decode_image(bytes(p)).astype("int64")
+                    flat = img.reshape(-1, img.shape[-1])
+                    luma = (299 * flat[:, 0] + 587 * flat[:, 1]
+                            + 114 * flat[:, 2])
+                    np_.append(int(flat.shape[0]))
+                    ls.append(int(luma.sum()))
+                except Exception:
+                    np_.append(None)
+                    ls.append(None)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "n_pixels": pd.Series(np_, dtype="Int64"),
+                "luma_milli_sum": pd.Series(ls, dtype="Int64"),
+            })
+
+    from mura_spark.sources.parquet import ensure_min_partitions
+    return ensure_min_partitions(
+        df.select(F.col(id_col).alias("id"), content_col)).mapInPandas(
+        batches, schema="id bigint, n_pixels bigint, "
+                        "luma_milli_sum bigint")

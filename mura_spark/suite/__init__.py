@@ -272,6 +272,8 @@ _NEXT_WINDOW = [
     "source_compaction_report", "stats_pinball_quantile_eval",
     # round-6fff: multi-format federated join + dispersion check
     "source_federated_join", "stats_dispersion_orders",
+    # round-6ggg: real-decode brightness drift + degree assortativity
+    "mm_brightness_by_source", "graph_degree_assortativity",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

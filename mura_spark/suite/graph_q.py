@@ -290,3 +290,58 @@ def graph_modularity(spark, sf):
                      .localCheckpoint(eager=True))
     lab = graph.label_propagation(with_self, rounds=2)
     return graph.modularity(base, lab)
+
+
+@q("graph_degree_assortativity",
+   f"WITH {_EDGES_CTE}, "
+   "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+   "FROM edges GROUP BY 1), "
+   "p AS (SELECT a.d AS dx, b.d AS dy FROM edges e "
+   "JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node), "
+   "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges, "
+   "CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+   "CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+   "CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS sxy, "
+   "CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS sxx, "
+   "CAST(SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS syy FROM p) "
+   "SELECT n_edges, "
+   "CASE WHEN sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx) "
+   "* (CAST(n_edges AS DOUBLE) * syy - sy * sy)) > 0 THEN "
+   "CAST(floor((CAST(n_edges AS DOUBLE) * sxy - sx * sy) "
+   "/ sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx) "
+   "* (CAST(n_edges AS DOUBLE) * syy - sy * sy)) * 1000000.0 + 0.5) "
+   "AS BIGINT) END AS assortativity_micro FROM m")
+def graph_degree_assortativity(spark, sf):
+    """Degree assortativity of the co-purchase graph: Pearson r of
+    (deg(src), deg(dst)) over directed edges — do hubs connect to hubs
+    (assortative, r>0) or to the periphery (disassortative, r<0)? The
+    network-topology summary completing the degree / triangle /
+    clustering-coefficient / modularity family. Degrees from one edge
+    rollup, broadcast-joined back; exact decimal moments; the
+    Spearman-family closed form."""
+    e = _copurchase_edges(spark, sf)
+    deg = (e.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d")))
+    p = (e.join(F.broadcast(deg.select(F.col("node").alias("src"),
+                                       F.col("d").alias("dx"))), "src")
+          .join(F.broadcast(deg.select(F.col("node").alias("dst"),
+                                       F.col("d").alias("dy"))), "dst"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = p.agg(F.count(F.lit(1)).alias("n_edges"),
+              F.sum(F.col("dx").cast("decimal(38,0)")).cast("double")
+               .alias("sx"),
+              F.sum(F.col("dy").cast("decimal(38,0)")).cast("double")
+               .alias("sy"),
+              F.sum(d19("dx") * d19("dy")).cast("double").alias("sxy"),
+              F.sum(d19("dx") * d19("dx")).cast("double").alias("sxx"),
+              F.sum(d19("dy") * d19("dy")).cast("double").alias("syy"))
+    nD = F.col("n_edges").cast("double")
+    den = F.sqrt((nD * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (nD * F.col("syy") - F.col("sy") * F.col("sy")))
+    r = F.floor((nD * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+                * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return m.select("n_edges",
+                    F.when(den > 0, r).alias("assortativity_micro"))

@@ -467,3 +467,40 @@ def mm_audio_vad_segments(spark, sf):
                   .alias("content")))
     return (MM.vad_segments(d, frame_samples=4, threshold=95000)
               .withColumnRenamed("id", "doc_id"))
+
+
+# ------------------------------------------------------- round-6ggg addition
+
+@q("mm_brightness_by_source",
+   "WITH pxt AS (SELECT doc_id, source, substr(text, 1, 48) AS px "
+   "FROM documents WHERE n_chars >= 48), "
+   "l AS (SELECT source, "
+   "CAST(list_sum([299 * ascii(px[3*j+1]) + 587 * ascii(px[3*j+2]) "
+   "+ 114 * ascii(px[3*j+3]) for j in range(0, 16)]) AS BIGINT) "
+   "AS ls FROM pxt) "
+   "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images, "
+   "CAST(SUM(ls) AS BIGINT) AS luma_milli_sum, "
+   "CAST(floor(CAST(SUM(ls) AS DOUBLE) / (16.0 * COUNT(*)) + 0.5) "
+   "AS BIGINT) AS mean_luma_milli FROM l GROUP BY 1")
+def mm_brightness_by_source(spark, sf):
+    """Per-source image brightness drift: exact integer ITU-R 601 luma
+    over REAL-decoded 4×4 PPM pixels, rolled up by ingest source — the
+    multimodal sibling of text_ks_drift_by_source ('did feed X's
+    camera/exposure pipeline change?'). Integer milli-luma sums keep
+    the rollup order-independent; one terminal division per source
+    (multimodal.binary_ops.image_luma_sums)."""
+    d = (table(spark, sf, "documents")
+         .filter(F.col("n_chars") >= 48)
+         .select(F.col("doc_id").alias("id"), "source",
+                 F.concat(F.lit(b"P6\n4 4\n255\n"),
+                          F.substring("text", 1, 48).cast("binary"))
+                  .alias("content")))
+    luma = MM.image_luma_sums(d)
+    return (d.select("id", "source").join(luma, "id")
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_images"),
+                  F.sum("luma_milli_sum").alias("luma_milli_sum"),
+                  F.floor(F.sum("luma_milli_sum").cast("double")
+                          / (F.lit(16.0) * F.count(F.lit(1)))
+                          + F.lit(0.5)).cast("bigint")
+                   .alias("mean_luma_milli")))

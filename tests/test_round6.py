@@ -2461,3 +2461,45 @@ def test_dispersion_engineered(spark, tmp_path):
     assert (r.n, r.mean_micro, r.dispersion_micro) \
         == (4, 2000000, 2000000)
     assert r.z_micro == math.floor(math.sqrt(1.5) * 1e6 + 0.5)
+
+
+def test_luma_sums_engineered(spark, tmp_path):
+    # a text of 48 identical chars 'A' (65): every pixel is gray 65 ->
+    # luma_milli = (299+587+114)*65 = 65000 per pixel, 16 pixels
+    rows = [(1, "A" * 48, "en", "s1", 48),
+            (2, "A" * 48, "en", "s1", 48)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["mm_brightness_by_source"](spark, out).first()
+    assert (r.source, r.n_images) == ("s1", 2)
+    assert r.luma_milli_sum == 2 * 16 * 65000
+    assert r.mean_luma_milli == 65000
+
+
+def test_assortativity_engineered(spark, tmp_path):
+    # star graph (hub 1 <-> leaves 2,3,4): hub deg 3 pairs with leaf
+    # deg 1 on every edge -> perfectly disassortative, r = -1
+    # each (hub, leaf) co-occurs in its own order
+    rows = []
+    for oid, leaf in enumerate((2, 3, 4), start=1):
+        rows.append((oid, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     "1999-01-01"))
+        rows.append((oid, leaf, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     "1999-01-01"))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["graph_degree_assortativity"](spark, out).first()
+    assert r.n_edges == 6
+    assert r.assortativity_micro == -1000000
