@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "stats_dispersion_orders",
     "mm_brightness_by_source",
     "graph_degree_assortativity",
+    "join_bucketed_colocate",
+    "stats_mann_kendall_daily",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

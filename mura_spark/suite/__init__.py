@@ -274,6 +274,8 @@ _NEXT_WINDOW = [
     "source_federated_join", "stats_dispersion_orders",
     # round-6ggg: real-decode brightness drift + degree assortativity
     "mm_brightness_by_source", "graph_degree_assortativity",
+    # round-6hhh: shuffle-free bucketed join + Mann–Kendall trend test
+    "join_bucketed_colocate", "stats_mann_kendall_daily",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

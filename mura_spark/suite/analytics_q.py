@@ -3208,3 +3208,67 @@ def stats_dispersion_orders(spark, sf):
     return m.select("n", mic(mean).alias("mean_micro"),
                     F.when(ok, mic(disp)).alias("dispersion_micro"),
                     F.when(ok, mic(z)).alias("z_micro"))
+
+
+@q("stats_mann_kendall_daily",
+   "WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) "
+   "// 86400000000 AS d, "
+   "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y "
+   "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+   "s AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1 "
+   "WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS mk_s "
+   "FROM daily a JOIN daily b ON b.d > a.d), "
+   "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily), "
+   "ties AS (SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) "
+   "AS BIGINT), 0) AS tie_term FROM "
+   "(SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y) "
+   "WHERE t > 1) "
+   "SELECT n_days, mk_s, "
+   "CASE WHEN n_days > 2 AND (CAST(n_days AS DOUBLE) "
+   "* CAST(n_days - 1 AS DOUBLE) * CAST(2 * n_days + 5 AS DOUBLE) "
+   "- CAST(tie_term AS DOUBLE)) / 18.0 > 0.0 THEN "
+   "CAST(floor((CASE WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE) "
+   "WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE) ELSE 0.0 END) "
+   "/ sqrt((CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE) "
+   "* CAST(2 * n_days + 5 AS DOUBLE) - CAST(tie_term AS DOUBLE)) "
+   "/ 18.0) * 1000000.0 + 0.5) AS BIGINT) END AS z_micro "
+   "FROM s CROSS JOIN n CROSS JOIN ties")
+def stats_mann_kendall_daily(spark, sf):
+    """Mann–Kendall trend test on daily total value: S = Σ sign(yⱼ−yᵢ)
+    over all day pairs, tie-corrected variance, continuity-corrected
+    z — the NONPARAMETRIC significance companion to the Theil–Sen
+    slope (same robustness, now with an accept/reject). The pair join
+    runs on the tiny day frame (≤ days² pairs); S and the tie term
+    are exact integers; one mirrored closed form."""
+    ev = table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (ev.groupBy(F.expr("unix_micros(date_trunc('DAY', ts)) "
+                               "div 86400000000").alias("d"))
+               .agg(F.sum(cents).alias("y")))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = (a.join(b, F.col("db") > F.col("da"))
+          .agg(F.sum(F.when(F.col("yb") > F.col("ya"), 1)
+                      .when(F.col("yb") < F.col("ya"), -1)
+                      .otherwise(0)).alias("mk_s")))
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (daily.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+                 .filter(F.col("t") > 1)
+                 .agg(F.coalesce(
+                     F.sum(F.col("t") * (F.col("t") - 1)
+                           * (2 * F.col("t") + 5)),
+                     F.lit(0).cast("bigint")).alias("tie_term")))
+    ndD = F.col("n_days").cast("double")
+    var = ((ndD * (F.col("n_days") - F.lit(1)).cast("double")
+            * (F.lit(2) * F.col("n_days") + F.lit(5)).cast("double")
+            - F.col("tie_term").cast("double")) / F.lit(18.0))
+    num = (F.when(F.col("mk_s") > 0,
+                  (F.col("mk_s") - F.lit(1)).cast("double"))
+            .when(F.col("mk_s") < 0,
+                  (F.col("mk_s") + F.lit(1)).cast("double"))
+            .otherwise(F.lit(0.0)))
+    ok = (F.col("n_days") > 2) & (var > 0)
+    z = F.floor(num / F.sqrt(var) * F.lit(1000000.0) + F.lit(0.5)) \
+         .cast("bigint")
+    return (s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+             .select("n_days", "mk_s", F.when(ok, z).alias("z_micro")))

@@ -1313,3 +1313,43 @@ def string_collation_filter(spark, sf):
         "SELECT lang, COUNT(*) AS n_docs FROM mura_coll_docs "
         "WHERE lang COLLATE UTF8_LCASE = 'EN' "
         "OR lang COLLATE UTF8_LCASE = 'Zh' GROUP BY 1")
+
+
+@q("join_bucketed_colocate",
+   "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+   "AS revenue "
+   "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+   "GROUP BY 1")
+def join_bucketed_colocate(spark, sf):
+    """Shuffle-free fact-fact join via bucketing — the write-once /
+    join-many layout decision that removes BOTH sides' Exchange at
+    100 TB: orders and lineitem written bucketed on the order key
+    (same bucket count), then sort-merge joined with zero shuffle
+    (plan pinned in pytest: no Exchange above either scan). The
+    oracle is the plain logical join — layout must never change
+    answers."""
+    import shutil
+    from urllib.parse import urlparse
+    from mura_spark.sources.bucketing import bucketed_join, write_bucketed
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("mura_q_borders", "mura_q_blineitem"):
+        # a fresh in-memory metastore doesn't know tables an earlier
+        # session left in the warehouse — drop BOTH the catalog entry
+        # and any orphaned location before the bucketed write
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    write_bucketed(o, "mura_q_borders", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"], mode="overwrite")
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "mura_q_blineitem", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"], mode="overwrite")
+    j = bucketed_join(spark, "mura_q_borders", "mura_q_blineitem",
+                      ["o_orderkey"])
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                   .cast("double").alias("revenue")))

@@ -2503,3 +2503,44 @@ def test_assortativity_engineered(spark, tmp_path):
     r = SPARK_QUERIES["graph_degree_assortativity"](spark, out).first()
     assert r.n_edges == 6
     assert r.assortativity_micro == -1000000
+
+
+def test_bucketed_join_plan_no_exchange(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    # at test scale the tables fit the broadcast threshold, which would
+    # sidestep the layout entirely — disable it so the plan must rely
+    # on bucketing (the 100 TB situation, where neither side broadcasts)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPARK_QUERIES["join_bucketed_colocate"](spark, sf_dir)
+        p = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # no Exchange may appear between the bucketed scans and the
+    # SortMergeJoin (the final 5-group aggregate may exchange AFTER)
+    assert "SortMergeJoin" in p
+    assert "SelectedBucketsCount: 8 out of 8" in p
+    join_part = p.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part
+
+
+def test_mann_kendall_engineered(spark, tmp_path):
+    # strictly increasing daily sums -> S = C(n,2), maximal trend
+    import math
+    vals = [float(10 * (i + 1)) for i in range(8)]
+    rows = [(i, f"2024-01-0{i+1}T00:00:00", 1, "click", v, "{}")
+            for i, v in enumerate(vals)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_mann_kendall_daily"](spark, out).first()
+    n = 8
+    assert (r.n_days, r.mk_s) == (n, n * (n - 1) // 2)
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    z = (r.mk_s - 1) / math.sqrt(var)
+    assert r.z_micro == math.floor(z * 1e6 + 0.5)
