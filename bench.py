@@ -326,6 +326,8 @@ BENCH_QUERIES = [
     "graph_degree_assortativity",
     "join_bucketed_colocate",
     "stats_mann_kendall_daily",
+    "events_anomaly_deseasonalized",
+    "orders_deseasonalized_growth",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -276,6 +276,9 @@ _NEXT_WINDOW = [
     "mm_brightness_by_source", "graph_degree_assortativity",
     # round-6hhh: shuffle-free bucketed join + Mann–Kendall trend test
     "join_bucketed_colocate", "stats_mann_kendall_daily",
+    # round-6iii: seasonality-aware anomaly screen + deseasonalized
+    # growth
+    "events_anomaly_deseasonalized", "orders_deseasonalized_growth",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1766,3 +1766,80 @@ def events_psi_drift(spark, sf):
                      "n_ref", "n_cmp",
                      F.when((F.col("n_ref") > 0) & (F.col("n_cmp") > 0),
                             contrib).alias("psi_contrib_micro")))
+
+
+@q("events_anomaly_deseasonalized",
+   "WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) "
+   "// 86400000000 AS d, "
+   "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y "
+   "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+   "dcells AS (SELECT d % 7 AS dow, y, COUNT(*) AS k FROM daily "
+   "GROUP BY 1, 2), "
+   "dtot AS (SELECT dow, SUM(k) AS t FROM dcells GROUP BY 1), "
+   "dcum AS (SELECT dow, y, SUM(k) OVER (PARTITION BY dow ORDER BY y) "
+   "AS gc FROM dcells), "
+   "dw AS (SELECT c.dow, CAST(MIN(c.y) AS BIGINT) AS dow_median "
+   "FROM dcum c JOIN dtot t ON c.dow = t.dow "
+   "AND c.gc >= (t.t + 1) // 2 GROUP BY 1), "
+   "r AS (SELECT daily.d, daily.y, dw.dow_median, "
+   "daily.y - dw.dow_median AS res FROM daily "
+   "JOIN dw ON daily.d % 7 = dw.dow), "
+   "cells AS (SELECT abs(res) AS a, COUNT(*) AS k FROM r GROUP BY 1), "
+   "n AS (SELECT SUM(k) AS n FROM cells), "
+   "cum AS (SELECT a, SUM(k) OVER (ORDER BY a) AS gc FROM cells), "
+   "mad AS (SELECT (SELECT MIN(a) FROM cum CROSS JOIN n "
+   "WHERE gc >= (n + 1) // 2) AS m) "
+   "SELECT r.d AS day_id, CAST(r.y AS BIGINT) AS total_cents, "
+   "r.dow_median, "
+   "CAST(r.res AS BIGINT) AS residual_cents, "
+   "CAST(mad.m AS BIGINT) AS mad_cents, "
+   "CAST(CASE WHEN mad.m > 0 THEN abs(r.res) > 3 * mad.m "
+   "ELSE r.res <> 0 END AS INT) AS is_outlier "
+   "FROM r CROSS JOIN mad")
+def events_anomaly_deseasonalized(spark, sf):
+    """Seasonality-aware daily anomaly screen: subtract each
+    day-of-week's MEDIAN from the daily total (the weekend dip is not
+    an incident — and unlike a dow MEAN, the median baseline is not
+    contaminated by the very spike being hunted, so the spike's
+    weekday siblings stay unflagged), then flag |residual| > 3·MAD.
+    Exact integers throughout: dow medians and the MAD both by
+    integer rank selection; zero floats."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (ev.groupBy(F.expr("unix_micros(date_trunc('DAY', ts)) "
+                               "div 86400000000").alias("d"))
+               .agg(F.sum(cents).alias("y")))
+    dcells = (daily.groupBy((F.col("d") % 7).alias("dow"), "y")
+                   .agg(F.count(F.lit(1)).alias("k")))
+    dtot = dcells.groupBy("dow").agg(F.sum("k").alias("t"))
+    wdow = Window.partitionBy("dow").orderBy("y") \
+                 .rowsBetween(Window.unboundedPreceding, 0)
+    dcum = dcells.select("dow", "y",
+                         F.sum("k").over(wdow).alias("gc"))
+    dw = (dcum.join(dtot, "dow")
+              .filter(F.col("gc") >= F.expr("(t + 1) div 2"))
+              .groupBy("dow")
+              .agg(F.min("y").cast("bigint").alias("dow_median")))
+    r = (daily.join(F.broadcast(dw), daily["d"] % 7 == dw["dow"])
+              .select("d", "y", "dow_median",
+                      (F.col("y") - F.col("dow_median")).alias("res")))
+    cells = r.groupBy(F.abs("res").alias("a")) \
+             .agg(F.count(F.lit(1)).alias("k"))
+    nn = cells.agg(F.sum("k").alias("n"))
+    cum = cells.select(
+        "a", F.sum("k").over(Window.orderBy("a")
+                             .rowsBetween(Window.unboundedPreceding, 0))
+             .alias("gc"))
+    mad = (cum.crossJoin(F.broadcast(nn))
+              .filter(F.col("gc") >= F.expr("(n + 1) div 2"))
+              .agg(F.min("a").alias("m")))
+    out = (F.when(F.col("m") > 0,
+                  F.abs(F.col("res")) > 3 * F.col("m"))
+            .otherwise(F.col("res") != 0)).cast("int")
+    return (r.crossJoin(F.broadcast(mad))
+             .select(F.col("d").alias("day_id"),
+                     F.col("y").alias("total_cents"), "dow_median",
+                     F.col("res").cast("bigint").alias("residual_cents"),
+                     F.col("m").cast("bigint").alias("mad_cents"),
+                     out.alias("is_outlier")))

@@ -878,3 +878,63 @@ def orders_revenue_bridge(spark, sf):
         (F.col("s2") - F.col("s1")).alias("change_cents"),
         F.when(both, vol).alias("volume_effect_micro"),
         F.when(both, price).alias("price_effect_micro"))
+
+
+@q("orders_deseasonalized_growth",
+   "WITH m AS (SELECT year(o_orderdate) AS yr, "
+   "month(o_orderdate) AS mon, "
+   "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+   "AS rev FROM orders GROUP BY 1, 2), "
+   "idx AS (SELECT mon, CAST(floor(CAST(SUM(rev) AS DOUBLE) "
+   "/ COUNT(*) / (SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) FROM m) "
+   "* 1000000.0 + 0.5) AS BIGINT) AS index_micro FROM m GROUP BY 1), "
+   "adj AS (SELECT m.yr, m.mon, m.rev, idx.index_micro, "
+   "CAST(floor(CAST(m.rev AS DOUBLE) * 1000000.0 "
+   "/ CAST(idx.index_micro AS DOUBLE) + 0.5) AS BIGINT) AS adj_cents "
+   "FROM m JOIN idx ON m.mon = idx.mon), "
+   "g AS (SELECT yr, mon, rev, index_micro, adj_cents, "
+   "LAG(adj_cents) OVER (ORDER BY yr, mon) AS prev FROM adj) "
+   "SELECT CAST(yr AS INT) AS yr, CAST(mon AS INT) AS mon, "
+   "CAST(rev AS BIGINT) AS rev_cents, index_micro, adj_cents, "
+   "CASE WHEN prev > 0 THEN CAST(floor((CAST(adj_cents AS DOUBLE) "
+   "/ CAST(prev AS DOUBLE) - 1.0) * 1000000.0 + 0.5) AS BIGINT) END "
+   "AS growth_micro FROM g")
+def orders_deseasonalized_growth(spark, sf):
+    """Seasonally-adjusted month-over-month growth: divide each
+    month's revenue by its multiplicative seasonal index (month mean /
+    grand mean — the orders_seasonal_index statistic) before computing
+    growth, so December doesn't read as a boom and January as a crash.
+    Two quantize-once divisions per month; growth on the adjusted
+    integer series."""
+    from pyspark.sql import Window
+    o = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    m = (o.groupBy(F.year("o_orderdate").alias("yr"),
+                   F.month("o_orderdate").alias("mon"))
+          .agg(F.sum(cents).alias("rev")))
+    grand = m.agg((F.sum("rev").cast("double")
+                   / F.count(F.lit(1))).alias("g"))
+    idx = (m.crossJoin(F.broadcast(grand))
+            .groupBy("mon")
+            .agg(F.floor(F.sum("rev").cast("double") / F.count(F.lit(1))
+                         / F.first("g") * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("bigint").alias("index_micro")))
+    adj = (m.join(F.broadcast(idx), "mon")
+            .select("yr", "mon", "rev", "index_micro",
+                    F.floor(F.col("rev").cast("double")
+                            * F.lit(1000000.0)
+                            / F.col("index_micro").cast("double")
+                            + F.lit(0.5)).cast("bigint")
+                     .alias("adj_cents")))
+    w = Window.orderBy("yr", "mon")
+    g = adj.withColumn("prev", F.lag("adj_cents").over(w))
+    growth = (F.floor((F.col("adj_cents").cast("double")
+                       / F.col("prev").cast("double") - F.lit(1.0))
+                      * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return g.select(F.col("yr").cast("int").alias("yr"),
+                    F.col("mon").cast("int").alias("mon"),
+                    F.col("rev").alias("rev_cents"),
+                    "index_micro", "adj_cents",
+                    F.when(F.col("prev") > 0, growth)
+                     .alias("growth_micro"))

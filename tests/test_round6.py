@@ -2544,3 +2544,56 @@ def test_mann_kendall_engineered(spark, tmp_path):
     var = n * (n - 1) * (2 * n + 5) / 18.0
     z = (r.mk_s - 1) / math.sqrt(var)
     assert r.z_micro == math.floor(z * 1e6 + 0.5)
+
+
+def test_anomaly_deseasonalized_engineered(spark, tmp_path):
+    # two full weeks of a perfect weekly pattern plus one spiked day:
+    # only the spike is flagged (a plain threshold would flag every
+    # weekend-shaped day)
+    rows, i = [], 0
+    for day in range(1, 29):
+        dow_val = 100.0 if (day - 1) % 7 < 5 else 10.0
+        jitter = float(day % 3)  # keeps MAD > 0 on clean days
+        v = dow_val + jitter + (900.0 if day == 10 else 0.0)
+        rows.append((i, f"2024-01-{day:02d}T00:00:00", 1, "click",
+                     v, "{}")); i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.day_id: r for r in
+           SPARK_QUERIES["events_anomaly_deseasonalized"](spark, out)
+           .collect()}
+    flagged = [d for d, r in got.items() if r.is_outlier == 1]
+    spike = [d for d, r in got.items() if r.total_cents > 90000]
+    assert flagged == spike and len(flagged) == 1
+
+
+def test_deseasonalized_growth_engineered(spark, tmp_path):
+    # month effect x2 in Feb: raw growth Jan->Feb = +100%, adjusted
+    # growth ~= 0 (the index absorbs the seasonality)
+    rows, k = [], 0
+    for yr in (1999, 2000):
+        for mon, amt in ((1, 100.0), (2, 200.0)):
+            rows.append((k, 1, "F", amt, f"{yr}-{mon:02d}-15", "P"))
+            k += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {(r.yr, r.mon): r for r in
+           SPARK_QUERIES["orders_deseasonalized_growth"](spark, out)
+           .collect()}
+    # grand mean 150: Jan index 100/150, Feb index 200/150
+    assert got[(1999, 1)].index_micro == 666667
+    assert got[(1999, 2)].index_micro == 1333333
+    # adjusted series is flat -> growth ~ 0 (within quantization)
+    for key in ((1999, 2), (2000, 1), (2000, 2)):
+        assert abs(got[key].growth_micro) < 5
