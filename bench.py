@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "stats_mann_kendall_daily",
     "events_anomaly_deseasonalized",
     "orders_deseasonalized_growth",
+    "ann_ivf_recall_at10",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -279,6 +279,9 @@ _NEXT_WINDOW = [
     # round-6iii: seasonality-aware anomaly screen + deseasonalized
     # growth
     "events_anomaly_deseasonalized", "orders_deseasonalized_growth",
+    # round-6jjj: hash-checked IVF recall@10 (exactly-measured ANN
+    # quality)
+    "ann_ivf_recall_at10",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -666,3 +666,99 @@ def emb_centroid_drift(spark, sf):
              .select("n_a", "n_b",
                      F.when((F.col("naa") > 0) & (F.col("nbb") > 0),
                             cosm).alias("cos_micro")))
+
+
+# ------------------------------------------------------- round-6jjj addition
+
+def _ivf_recall_oracle() -> str:
+    from mura_spark.operators.clustering import sql_kmeans_ctes
+    parts, final = sql_kmeans_ctes(k=8, iterations=2)
+    cos = ("list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), "
+           "CAST(ce.embedding AS DOUBLE[]))")
+    extra = [
+        f"qa AS (SELECT vid AS qid, cluster FROM {final} "
+        f"WHERE vid < {_NQ})",
+        f"ivp AS (SELECT qa.qid, c2.vid AS nid FROM qa "
+        f"JOIN {final} c2 ON qa.cluster = c2.cluster)",
+        "ivs AS (SELECT p.qid, p.nid, ROW_NUMBER() OVER "
+        "(PARTITION BY p.qid ORDER BY "
+        f"{cos} DESC, p.nid ASC) AS rnk "
+        "FROM ivp p JOIN embeddings qe ON qe.vec_id = p.qid "
+        "JOIN embeddings ce ON ce.vec_id = p.nid)",
+        f"it AS (SELECT qid, nid FROM ivs WHERE rnk <= {_K})",
+        "ets AS (SELECT qe.vec_id AS qid, ce.vec_id AS nid, "
+        "ROW_NUMBER() OVER (PARTITION BY qe.vec_id ORDER BY "
+        f"{cos} DESC, ce.vec_id ASC) AS rnk "
+        f"FROM embeddings qe JOIN embeddings ce "
+        f"ON qe.vec_id < {_NQ})",
+        f"et AS (SELECT qid, nid FROM ets WHERE rnk <= {_K})",
+        "nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates "
+        "FROM ivp GROUP BY 1)",
+        "h AS (SELECT et.qid, CAST(COUNT(it.nid) AS BIGINT) AS n_hits "
+        "FROM et LEFT JOIN it ON et.qid = it.qid AND et.nid = it.nid "
+        "GROUP BY 1)",
+    ]
+    return ("WITH " + ", ".join(parts + extra)
+            + " SELECT h.qid AS query_id, nc.n_candidates, h.n_hits, "
+            f"CAST(floor(CAST(h.n_hits AS DOUBLE) / {_K}.0 * 1000000.0 "
+            "+ 0.5) AS BIGINT) AS recall_micro "
+            "FROM h JOIN nc ON h.qid = nc.qid")
+
+
+@q("ann_ivf_recall_at10", _ivf_recall_oracle())
+def ann_ivf_recall_at10(spark, sf):
+    """EXACTLY-measured ANN quality: recall@10 of a probe-1 IVF built
+    on the deterministic integer k-means (each query searches only its
+    own centroid's inverted list) against the brute-force truth — the
+    approximate family's quality metric promoted from a pytest
+    envelope to a hash-checked driver row (possible because every
+    ingredient — assignment, cosine, tie-break — is deterministic on
+    both engines). Recall audits run on a probe sample at 100 TB; the
+    candidate generation itself never leaves the cluster-mates
+    equi-join."""
+    from mura_spark.functions.vectors import cosine
+    from mura_spark.operators.clustering import kmeans_assign
+    from pyspark.sql import Window
+    e = table(spark, sf, "embeddings")
+    assign = kmeans_assign(e, "vec_id", "embedding",
+                           k=8, iterations=2).select("vec_id", "cluster")
+    emb = e.select("vec_id", "embedding")
+    qa = (assign.filter(F.col("vec_id") < _NQ)
+                .select(F.col("vec_id").alias("qid"), "cluster"))
+    ivp = (qa.join(assign.select(F.col("vec_id").alias("nid"),
+                                 "cluster"), "cluster")
+             .select("qid", "nid"))
+    withv = (ivp.join(emb.select(F.col("vec_id").alias("qid"),
+                                 F.col("embedding").alias("qe")), "qid")
+                .join(emb.select(F.col("vec_id").alias("nid"),
+                                 F.col("embedding").alias("ce")), "nid"))
+    wq = Window.partitionBy("qid")
+    ivs = withv.select(
+        "qid", "nid",
+        F.row_number().over(
+            wq.orderBy(F.desc(cosine(F.col("qe"), F.col("ce"))),
+                       F.asc("nid"))).alias("rnk"))
+    it = ivs.filter(F.col("rnk") <= _K).select("qid", "nid")
+    qs = (e.filter(F.col("vec_id") < _NQ)
+           .select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qe")))
+    ets = (qs.crossJoin(emb.select(F.col("vec_id").alias("nid"),
+                                   F.col("embedding").alias("ce")))
+             .select("qid", "nid",
+                     F.row_number().over(
+                         wq.orderBy(F.desc(cosine(F.col("qe"),
+                                                  F.col("ce"))),
+                                    F.asc("nid"))).alias("rnk")))
+    et = ets.filter(F.col("rnk") <= _K).select("qid", "nid")
+    nc = ivp.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = (et.alias("e").join(it.alias("i"),
+                            (F.col("e.qid") == F.col("i.qid"))
+                            & (F.col("e.nid") == F.col("i.nid")),
+                            "left")
+           .groupBy(F.col("e.qid").alias("query_id"))
+           .agg(F.count(F.col("i.nid")).alias("n_hits")))
+    rec = (F.floor(F.col("n_hits").cast("double") / F.lit(float(_K))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return (h.join(nc.withColumnRenamed("qid", "query_id"), "query_id")
+             .select("query_id", "n_candidates", "n_hits",
+                     rec.alias("recall_micro")))

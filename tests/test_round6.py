@@ -2597,3 +2597,28 @@ def test_deseasonalized_growth_engineered(spark, tmp_path):
     # adjusted series is flat -> growth ~ 0 (within quantization)
     for key in ((1999, 2), (2000, 1), (2000, 2)):
         assert abs(got[key].growth_micro) < 5
+
+
+def test_ivf_recall_engineered(spark, tmp_path):
+    # 8 tight blobs at distinct angles, one per centroid (k = 8, and
+    # the k-lowest-id init seeds one point per blob): every query's
+    # true cosine top-10 is its blob-mates -> probe-1 recall = 1.0
+    import math
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(96):
+        ang = (i % 8) * math.pi / 4
+        rows.append((i, [10.0 * math.cos(ang) + rng.uniform(-0.05, 0.05),
+                         10.0 * math.sin(ang) + rng.uniform(-0.05, 0.05)],
+                     i % 8))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>, "
+                                 "label int")
+        .coalesce(1).write.parquet(f"{out}/embeddings.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = SPARK_QUERIES["ann_ivf_recall_at10"](spark, out).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.n_candidates == 12
+        assert r.n_hits == 10 and r.recall_micro == 1000000
