@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "events_anomaly_deseasonalized",
     "orders_deseasonalized_growth",
     "ann_ivf_recall_at10",
+    "ann_pq_adc_recall_at10",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -95,6 +95,45 @@ def kmeans_scored(df: DataFrame, id_col: str = "vec_id",
     raise AssertionError("unreachable")  # pragma: no cover
 
 
+def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 8,
+                     iterations: int = 2) -> DataFrame:
+    """The centroid table the FINAL scoring round of
+    :func:`kmeans_assign` uses — ``(cluster, __c: array<bigint>)`` on
+    the 1e-6 integer grid (mirrors the ``c{N-1}`` CTE of
+    :func:`sql_kmeans_ctes`). Needed by codebook consumers
+    (PQ asymmetric-distance scoring) that must reproduce assignment
+    distances exactly."""
+    q = quantize_vectors(df, id_col, vec_col)
+    centroids = (q.orderBy("__vid").limit(k)
+                  .select(F.row_number().over(Window.orderBy("__vid"))
+                          .alias("__rn"), "__v")
+                  .select((F.col("__rn") - 1).cast("int").alias("cluster"),
+                          F.col("__v").alias("__c")))
+    for it in range(iterations - 1):
+        scored = (q.join(F.broadcast(centroids))
+                    .select("__vid", "cluster",
+                            _sqdist(F.col("__v"), F.col("__c"))
+                            .alias("__d")))
+        assign = (scored.groupBy("__vid")
+                        .agg(F.min(F.struct("__d", "cluster"))
+                              .alias("__best"))
+                        .select("__vid",
+                                F.col("__best.cluster").alias("cluster")))
+        comp = (assign.join(q, "__vid")
+                      .select("cluster", F.posexplode("__v")
+                              .alias("pos", "x")))
+        upd = (comp.groupBy("cluster", "pos")
+                   .agg(F.floor(F.sum("x").cast("double")
+                                / F.count(F.lit(1))).alias("c")))
+        centroids = (upd.groupBy("cluster")
+                        .agg(F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct("pos", "c"))),
+                                lambda s: s["c"]).alias("__c")))
+    return centroids
+
+
 def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", k: int = 8,
                   iterations: int = 2) -> DataFrame:

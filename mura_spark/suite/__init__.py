@@ -282,6 +282,8 @@ _NEXT_WINDOW = [
     # round-6jjj: hash-checked IVF recall@10 (exactly-measured ANN
     # quality)
     "ann_ivf_recall_at10",
+    # round-6kkk: exactly-measured PQ asymmetric-distance recall
+    "ann_pq_adc_recall_at10",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -762,3 +762,113 @@ def ann_ivf_recall_at10(spark, sf):
     return (h.join(nc.withColumnRenamed("qid", "query_id"), "query_id")
              .select("query_id", "n_candidates", "n_hits",
                      rec.alias("recall_micro")))
+
+
+def _pq_recall_oracle() -> str:
+    from mura_spark.operators.clustering import SCALE, sql_kmeans_ctes
+    c0, f0 = sql_kmeans_ctes(k=8, iterations=2, vec_expr="embedding[1:32]",
+                             prefix="p0")
+    c1, f1 = sql_kmeans_ctes(k=8, iterations=2,
+                             vec_expr="embedding[33:64]", prefix="p1")
+    sq = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
+    extra = [
+        # full-vector quantized frame for the exact-L2 truth
+        f"fq AS (SELECT vec_id AS vid, "
+        f"list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS v "
+        f"FROM embeddings)",
+        # ADC: query subvectors vs each candidate's CODEBOOK entry
+        f"adc AS (SELECT q0.vid AS qid, a0.vid AS nid, "
+        f"{sq.format(a='q0.v', b='cc0.v')} "
+        f"+ {sq.format(a='q1.v', b='cc1.v')} AS d "
+        f"FROM p0q q0 JOIN p1q q1 ON q0.vid = q1.vid "
+        f"AND q0.vid < {_NQ} "
+        f"JOIN {f0} a0 ON TRUE JOIN {f1} a1 ON a1.vid = a0.vid "
+        f"JOIN p0c1 cc0 ON cc0.cluster = a0.cluster "
+        f"JOIN p1c1 cc1 ON cc1.cluster = a1.cluster)",
+        "pqs AS (SELECT qid, nid, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY d ASC, nid ASC) AS rnk FROM adc)",
+        f"pt AS (SELECT qid, nid FROM pqs WHERE rnk <= {_K})",
+        f"exs AS (SELECT q.vid AS qid, c.vid AS nid, "
+        f"ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY "
+        f"{sq.format(a='q.v', b='c.v')} ASC, c.vid ASC) AS rnk "
+        f"FROM fq q JOIN fq c ON q.vid < {_NQ})",
+        f"et AS (SELECT qid, nid FROM exs WHERE rnk <= {_K})",
+        "h AS (SELECT et.qid, CAST(COUNT(pt.nid) AS BIGINT) AS n_hits "
+        "FROM et LEFT JOIN pt ON et.qid = pt.qid AND et.nid = pt.nid "
+        "GROUP BY 1)",
+    ]
+    return ("WITH " + ", ".join(c0 + c1 + extra)
+            + " SELECT qid AS query_id, n_hits, "
+            f"CAST(floor(CAST(n_hits AS DOUBLE) / {_K}.0 * 1000000.0 "
+            "+ 0.5) AS BIGINT) AS recall_micro FROM h")
+
+
+@q("ann_pq_adc_recall_at10", _pq_recall_oracle())
+def ann_pq_adc_recall_at10(spark, sf):
+    """Product-quantization retrieval quality, exactly measured:
+    recall@10 of asymmetric-distance scoring (query subvectors against
+    each candidate's CODEBOOK reconstruction, 2×8 integer codebooks)
+    vs the exact fixed-point L2 truth — the compression/recall trade
+    every vector store quotes, as a hash-checked driver row (integer
+    distances and tie-breaks on both engines). The codebook is k·dim
+    integers (broadcast); ADC itself never touches full candidate
+    vectors — the 100 TB read-saving that justifies PQ."""
+    from pyspark.sql import Window
+    from mura_spark.operators.clustering import (_sqdist, kmeans_assign,
+                                                 kmeans_centroids,
+                                                 quantize_vectors)
+    e = table(spark, sf, "embeddings")
+    sub = lambda lo: e.select("vec_id", F.slice(  # noqa: E731
+        "embedding", lo, 32).alias("embedding"))
+    s0, s1 = sub(1), sub(33)
+    a0 = kmeans_assign(s0, "vec_id", "embedding", 8, 2) \
+        .select(F.col("vec_id").alias("nid"),
+                F.col("cluster").alias("c0"))
+    a1 = kmeans_assign(s1, "vec_id", "embedding", 8, 2) \
+        .select(F.col("vec_id").alias("nid"),
+                F.col("cluster").alias("c1"))
+    cc0 = kmeans_centroids(s0, "vec_id", "embedding", 8, 2) \
+        .select(F.col("cluster").alias("c0"), F.col("__c").alias("v0"))
+    cc1 = kmeans_centroids(s1, "vec_id", "embedding", 8, 2) \
+        .select(F.col("cluster").alias("c1"), F.col("__c").alias("v1"))
+    q0 = (quantize_vectors(s0, "vec_id", "embedding")
+          .filter(F.col("__vid") < _NQ)
+          .select(F.col("__vid").alias("qid"), F.col("__v").alias("q0")))
+    q1 = (quantize_vectors(s1, "vec_id", "embedding")
+          .filter(F.col("__vid") < _NQ)
+          .select(F.col("__vid").alias("qid"), F.col("__v").alias("q1")))
+    adc = (q0.join(q1, "qid")
+             .crossJoin(a0.join(a1, "nid"))
+             .join(F.broadcast(cc0), "c0").join(F.broadcast(cc1), "c1")
+             .select("qid", "nid",
+                     (_sqdist(F.col("q0"), F.col("v0"))
+                      + _sqdist(F.col("q1"), F.col("v1"))).alias("d")))
+    wq = Window.partitionBy("qid")
+    pt = (adc.select("qid", "nid",
+                     F.row_number().over(
+                         wq.orderBy(F.asc("d"), F.asc("nid")))
+                      .alias("rnk"))
+             .filter(F.col("rnk") <= _K).select("qid", "nid"))
+    fq = quantize_vectors(e, "vec_id", "embedding")
+    exs = (fq.filter(F.col("__vid") < _NQ)
+             .select(F.col("__vid").alias("qid"),
+                     F.col("__v").alias("qv"))
+             .crossJoin(fq.select(F.col("__vid").alias("nid"),
+                                  F.col("__v").alias("cv")))
+             .select("qid", "nid",
+                     F.row_number().over(
+                         wq.orderBy(F.asc(_sqdist(F.col("qv"),
+                                                  F.col("cv"))),
+                                    F.asc("nid"))).alias("rnk")))
+    et = exs.filter(F.col("rnk") <= _K).select("qid", "nid")
+    h = (et.alias("e").join(pt.alias("p"),
+                            (F.col("e.qid") == F.col("p.qid"))
+                            & (F.col("e.nid") == F.col("p.nid")),
+                            "left")
+           .groupBy(F.col("e.qid").alias("query_id"))
+           .agg(F.count(F.col("p.nid")).alias("n_hits")))
+    rec = (F.floor(F.col("n_hits").cast("double") / F.lit(float(_K))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return h.select("query_id", "n_hits", rec.alias("recall_micro"))

@@ -2622,3 +2622,16 @@ def test_ivf_recall_engineered(spark, tmp_path):
     for r in got:
         assert r.n_candidates == 12
         assert r.n_hits == 10 and r.recall_micro == 1000000
+
+
+def test_pq_adc_recall_bounds(spark, sf_dir):
+    # recall must be a valid fraction per query, and ADC must beat the
+    # random-10-of-N floor comfortably on real data
+    from mura_spark.suite import SPARK_QUERIES
+    got = SPARK_QUERIES["ann_pq_adc_recall_at10"](spark, sf_dir).collect()
+    assert len(got) == 10
+    for r in got:
+        assert 0 <= r.n_hits <= 10
+        assert r.recall_micro == round(r.n_hits / 10 * 1e6)
+    mean = sum(r.n_hits for r in got) / 100.0
+    assert mean > 0.2  # 2x8 codes on 64 dims: crude, but far from random
