@@ -330,6 +330,8 @@ BENCH_QUERIES = [
     "orders_deseasonalized_growth",
     "ann_ivf_recall_at10",
     "ann_pq_adc_recall_at10",
+    "stats_hill_tail_index",
+    "graph_rich_club",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -284,6 +284,8 @@ _NEXT_WINDOW = [
     "ann_ivf_recall_at10",
     # round-6kkk: exactly-measured PQ asymmetric-distance recall
     "ann_pq_adc_recall_at10",
+    # round-6lll: Hill heavy-tail index + rich-club coefficient
+    "stats_hill_tail_index", "graph_rich_club",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -3272,3 +3272,67 @@ def stats_mann_kendall_daily(spark, sf):
          .cast("bigint")
     return (s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
              .select("n_days", "mk_s", F.when(ok, z).alias("z_micro")))
+
+
+@q("stats_hill_tail_index",
+   "WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+   "AS BIGINT) AS c FROM events WHERE value IS NOT NULL "
+   "AND CAST(value AS DECIMAL(18,2)) > 0), "
+   "cells AS (SELECT c, COUNT(*) AS k FROM v GROUP BY 1), "
+   "cum AS (SELECT c, k, SUM(k) OVER (ORDER BY c DESC) AS gc "
+   "FROM cells), "
+   "xk AS (SELECT MAX(c) AS xkc FROM cum WHERE gc >= 101), "
+   "t AS (SELECT cum.c, GREATEST(0, LEAST(100 - (gc - k), k)) AS w "
+   "FROM cum CROSS JOIN xk WHERE cum.c > xk.xkc), "
+   "s AS (SELECT CAST(SUM(w * CAST(floor(ln(CAST(c AS DOUBLE) "
+   "/ CAST((SELECT xkc FROM xk) AS DOUBLE)) * 1000000.0 + 0.5) "
+   "AS BIGINT)) AS BIGINT) AS hsum FROM t) "
+   "SELECT CAST(100 AS BIGINT) AS k_order, "
+   "(SELECT CAST(xkc AS BIGINT) FROM xk) AS xk_cents, "
+   "CAST(floor(CAST(hsum AS DOUBLE) / 100.0 + 0.5) AS BIGINT) "
+   "AS hill_micro, "
+   "CASE WHEN hsum > 0 THEN CAST(floor(1000000000000.0 "
+   "/ (CAST(floor(CAST(hsum AS DOUBLE) / 100.0 + 0.5) AS DOUBLE)) "
+   "+ 0.5) AS BIGINT) END AS alpha_micro FROM s")
+def stats_hill_tail_index(spark, sf):
+    """Hill estimator of the value distribution's tail index over the
+    top-100 order statistics (α = 1/mean ln(x₍ᵢ₎/x₍ₖ₊₁₎)) — the
+    heavy-tail diagnosis that decides whether means/variances are even
+    meaningful for this KPI (α ≤ 2 → infinite variance). Order
+    statistics by exact integer rank on the cents cells; one ln per
+    DISTINCT value, micro-quantized before the exact weighted sum;
+    two terminal divisions."""
+    from pyspark.sql import Window
+    ev = (table(spark, sf, "events")
+          .where(F.col("value").isNotNull()
+                 & (F.col("value").cast("decimal(18,2)") > 0)))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cells = (ev.select(cents.alias("c"))
+               .groupBy("c").agg(F.count(F.lit(1)).alias("k")))
+    cum = cells.select(
+        "c", "k",
+        F.sum("k").over(Window.orderBy(F.desc("c"))
+                        .rowsBetween(Window.unboundedPreceding, 0))
+         .alias("gc"))
+    xk = cum.filter(F.col("gc") >= 101).agg(F.max("c").alias("xkc"))
+    t = (cum.crossJoin(F.broadcast(xk))
+            .filter(F.col("c") > F.col("xkc"))
+            .select("c", "xkc",
+                    F.greatest(F.lit(0),
+                               F.least(F.lit(100)
+                                       - (F.col("gc") - F.col("k")),
+                                       F.col("k"))).alias("w")))
+    lnq = (F.floor(F.log(F.col("c").cast("double")
+                         / F.col("xkc").cast("double"))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    s = t.agg(F.sum(F.col("w") * lnq).alias("hsum"))
+    hill = F.floor(F.col("hsum").cast("double") / F.lit(100.0)
+                   + F.lit(0.5)).cast("bigint")
+    alpha = (F.floor(F.lit(1000000000000.0) / hill.cast("double")
+                     + F.lit(0.5)).cast("bigint"))
+    return (s.crossJoin(F.broadcast(xk))
+             .select(F.lit(100).cast("bigint").alias("k_order"),
+                     F.col("xkc").cast("bigint").alias("xk_cents"),
+                     hill.alias("hill_micro"),
+                     F.when(F.col("hsum") > 0, alpha)
+                      .alias("alpha_micro")))

@@ -345,3 +345,60 @@ def graph_degree_assortativity(spark, sf):
                 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
     return m.select("n_edges",
                     F.when(den > 0, r).alias("assortativity_micro"))
+
+
+@q("graph_rich_club",
+   f"WITH {_EDGES_CTE}, "
+   "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+   "FROM edges GROUP BY 1), "
+   "dc AS (SELECT d, COUNT(*) AS k FROM deg GROUP BY 1), "
+   "dn AS (SELECT SUM(k) AS n FROM dc), "
+   "dcum AS (SELECT d, SUM(k) OVER (ORDER BY d) AS gc FROM dc), "
+   "kt AS (SELECT (SELECT MIN(d) FROM dcum CROSS JOIN dn "
+   "WHERE gc >= (n + 1) // 2) AS kstar), "
+   "rich AS (SELECT node FROM deg CROSS JOIN kt WHERE d > kstar), "
+   "re AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges e "
+   "JOIN rich a ON e.src = a.node JOIN rich b ON e.dst = b.node), "
+   "rn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM rich) "
+   "SELECT (SELECT CAST(kstar AS BIGINT) FROM kt) AS k_threshold, "
+   "rn.nr AS n_rich, re.m AS n_edges_rich, "
+   "CASE WHEN rn.nr > 1 THEN CAST(floor(CAST(re.m AS DOUBLE) "
+   "/ (CAST(rn.nr AS DOUBLE) * CAST(rn.nr - 1 AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS phi_micro "
+   "FROM re CROSS JOIN rn")
+def graph_rich_club(spark, sf):
+    """Rich-club coefficient at the median degree: among nodes with
+    above-median degree, what fraction of the possible directed edges
+    actually exists? — do the hubs form their own dense club (the
+    topology question assortativity answers in correlation form,
+    here as a density). Median degree by exact rank selection; one
+    semi-joined edge count; one terminal division."""
+    from pyspark.sql import Window
+    e = _copurchase_edges(spark, sf)
+    deg = (e.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d")))
+    dc = deg.groupBy("d").agg(F.count(F.lit(1)).alias("k"))
+    dn = dc.agg(F.sum("k").alias("n"))
+    dcum = dc.select(
+        "d", F.sum("k").over(Window.orderBy("d")
+                             .rowsBetween(Window.unboundedPreceding, 0))
+             .alias("gc"))
+    kt = (dcum.crossJoin(F.broadcast(dn))
+              .filter(F.col("gc") >= F.expr("(n + 1) div 2"))
+              .agg(F.min("d").alias("kstar")))
+    rich = (deg.crossJoin(F.broadcast(kt))
+               .filter(F.col("d") > F.col("kstar"))
+               .select("node"))
+    re_ = (e.join(rich.withColumnRenamed("node", "src"), "src")
+            .join(rich.withColumnRenamed("node", "dst"), "dst")
+            .agg(F.count(F.lit(1)).alias("m")))
+    rn = rich.agg(F.count(F.lit(1)).alias("nr"))
+    phi = (F.floor(F.col("m").cast("double")
+                   / (F.col("nr").cast("double")
+                      * (F.col("nr") - F.lit(1)).cast("double"))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return (re_.crossJoin(F.broadcast(rn)).crossJoin(F.broadcast(kt))
+               .select(F.col("kstar").cast("bigint").alias("k_threshold"),
+                       F.col("nr").alias("n_rich"),
+                       F.col("m").alias("n_edges_rich"),
+                       F.when(F.col("nr") > 1, phi).alias("phi_micro")))

@@ -2635,3 +2635,53 @@ def test_pq_adc_recall_bounds(spark, sf_dir):
         assert r.recall_micro == round(r.n_hits / 10 * 1e6)
     mean = sum(r.n_hits for r in got) / 100.0
     assert mean > 0.2  # 2x8 codes on 64 dims: crude, but far from random
+
+
+def test_hill_engineered(spark, tmp_path):
+    # exact Pareto(alpha=2) grid: x_(i) = 1000/sqrt(i); Hill over the
+    # top 100 must recover alpha ~ 2 (within quantization + grid noise)
+    import math
+    rows = [(i, "2024-01-01T00:00:00", 1, "click",
+             round(1000.0 / math.sqrt(i + 1), 2), "{}")
+            for i in range(300)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_hill_tail_index"](spark, out).first()
+    assert r.k_order == 100
+    assert 1700000 < r.alpha_micro < 2300000
+
+
+def test_rich_club_engineered(spark, tmp_path):
+    # 4-clique (parts 1-4 in one order) + pendant pairs: the clique
+    # members have degree 3+, pendants 1 -> rich set = clique, and the
+    # clique is fully connected -> phi = 1.0
+    rows = []
+    for ln, p in enumerate((1, 2, 3, 4), 1):
+        rows.append((100, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     "1999-01-01"))
+    oid = 0
+    for a, b in ((10, 11), (12, 13), (14, 15), (16, 17)):
+        oid += 1
+        rows.append((oid, a, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     "1999-01-01"))
+        rows.append((oid, b, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     "1999-01-01"))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["graph_rich_club"](spark, out).first()
+    # degrees: clique nodes 3, pendants 1 -> median 1, rich = degree>1
+    assert (r.k_threshold, r.n_rich) == (1, 4)
+    assert r.n_edges_rich == 12 and r.phi_micro == 1000000
