@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "ann_pq_adc_recall_at10",
     "stats_hill_tail_index",
     "graph_rich_club",
+    "text_burrows_delta",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

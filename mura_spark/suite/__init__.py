@@ -286,6 +286,8 @@ _NEXT_WINDOW = [
     "ann_pq_adc_recall_at10",
     # round-6lll: Hill heavy-tail index + rich-club coefficient
     "stats_hill_tail_index", "graph_rich_club",
+    # round-6mmm: Burrows' Delta stylometric source distance
+    "text_burrows_delta",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

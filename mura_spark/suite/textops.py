@@ -1625,3 +1625,99 @@ def sample_importance_weights(spark, sf):
                      mic(target).alias("target_micro"),
                      mic(F.least(target / actual, F.lit(10.0)))
                       .alias("weight_micro")))
+
+
+@q("text_burrows_delta",
+   f"WITH tok AS (SELECT source, unnest({_TOKS}) AS term "
+   "FROM documents), "
+   "tc AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1), "
+   "top AS (SELECT term FROM (SELECT term, ROW_NUMBER() OVER "
+   "(ORDER BY n DESC, term ASC) AS rnk FROM tc) WHERE rnk <= 50), "
+   "st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot FROM tok "
+   "GROUP BY 1), "
+   "c AS (SELECT t.source, t.term, CAST(COUNT(*) AS BIGINT) AS cnt "
+   "FROM tok t JOIN top ON t.term = top.term GROUP BY 1, 2), "
+   "grid AS (SELECT st.source, top.term, st.tot, "
+   "COALESCE(c.cnt, 0) AS cnt FROM st CROSS JOIN top "
+   "LEFT JOIN c ON c.source = st.source AND c.term = top.term), "
+   "f AS (SELECT source, term, CAST(floor(CAST(cnt AS DOUBLE) "
+   "/ CAST(tot AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS fm "
+   "FROM grid), "
+   "mu AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS g, "
+   "CAST(floor(CAST(SUM(fm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) "
+   "AS m FROM f GROUP BY 1), "
+   "sd AS (SELECT f.term, mu.m, CAST(floor(sqrt(CAST(SUM((fm - m) "
+   "* (fm - m)) AS DOUBLE) / CAST(mu.g - 1 AS DOUBLE)) + 0.5) "
+   "AS BIGINT) AS s FROM f JOIN mu ON f.term = mu.term "
+   "GROUP BY 1, 2, mu.g), "
+   "z AS (SELECT f.source, f.term, CAST(floor(CAST(fm - sd.m "
+   "AS DOUBLE) / CAST(sd.s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS zm FROM f JOIN sd ON f.term = sd.term WHERE sd.s > 0) "
+   "SELECT a.source AS source_a, b.source AS source_b, "
+   "CAST(COUNT(*) AS BIGINT) AS n_terms, "
+   "CAST(floor(CAST(SUM(abs(a.zm - b.zm)) AS DOUBLE) / COUNT(*) "
+   "+ 0.5) AS BIGINT) AS delta_micro "
+   "FROM z a JOIN z b ON a.term = b.term AND a.source < b.source "
+   "GROUP BY 1, 2")
+def text_burrows_delta(spark, sf):
+    """Burrows' Delta — the computational-stylometry distance between
+    sources: z-score each source's relative frequency of the 50 most
+    common tokens, Delta(a,b) = mean |z_a − z_b| — the
+    who-wrote-this / same-generator signal used for corpus provenance
+    auditing. Quantize-at-every-stage determinism: per-cell micro
+    frequencies, integer means, one sqrt per token, integer z-scores;
+    the pair distance is an exact integer mean."""
+    from pyspark.sql import Window
+    d = table(spark, sf, "documents")
+    tok = d.select("source",
+                   F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = (tc.select("term", F.row_number().over(
+               Window.orderBy(F.desc("n"), F.asc("term"))).alias("rnk"))
+             .filter(F.col("rnk") <= 50).select("term"))
+    st = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    c = (tok.join(F.broadcast(top), "term")
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    grid = (st.crossJoin(F.broadcast(top))
+              .join(c, ["source", "term"], "left")
+              .select("source", "term", "tot",
+                      F.coalesce("cnt", F.lit(0).cast("bigint"))
+                       .alias("cnt")))
+    f = grid.select(
+        "source", "term",
+        F.floor(F.col("cnt").cast("double") / F.col("tot").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+         .alias("fm"))
+    mu = f.groupBy("term").agg(
+        F.count(F.lit(1)).alias("g"),
+        F.floor(F.sum("fm").cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)).cast("bigint").alias("m"))
+    sd = (f.join(mu, "term")
+           .groupBy("term", "m", "g")
+           .agg(F.floor(F.sqrt(
+               F.sum((F.col("fm") - F.col("m"))
+                     * (F.col("fm") - F.col("m"))).cast("double")
+               / (F.col("g") - F.lit(1)).cast("double"))
+               + F.lit(0.5)).cast("bigint").alias("s"))
+           .filter(F.col("s") > 0)
+           .select("term", "m", "s"))
+    z = (f.join(sd, "term")
+          .select("source", "term",
+                  F.floor((F.col("fm") - F.col("m")).cast("double")
+                          / F.col("s").cast("double")
+                          * F.lit(1000000.0) + F.lit(0.5))
+                   .cast("bigint").alias("zm")))
+    a = z.select(F.col("source").alias("source_a"), "term",
+                 F.col("zm").alias("za"))
+    b = z.select(F.col("source").alias("source_b"),
+                 F.col("term").alias("term_b"),
+                 F.col("zm").alias("zb"))
+    return (a.join(b, (F.col("term") == F.col("term_b"))
+                   & (F.col("source_a") < F.col("source_b")))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_terms"),
+                  F.floor(F.sum(F.abs(F.col("za") - F.col("zb")))
+                          .cast("double") / F.count(F.lit(1))
+                          + F.lit(0.5)).cast("bigint")
+                   .alias("delta_micro")))

@@ -2685,3 +2685,27 @@ def test_rich_club_engineered(spark, tmp_path):
     # degrees: clique nodes 3, pendants 1 -> median 1, rich = degree>1
     assert (r.k_threshold, r.n_rich) == (1, 4)
     assert r.n_edges_rich == 12 and r.phi_micro == 1000000
+
+
+def test_burrows_delta_engineered(spark, tmp_path):
+    # sources A and B share a vocabulary profile; C is lexically
+    # different -> Delta(A,B) must be the smallest pair distance
+    rows, i = [], 0
+    for src, text in (("A", "the cat and the dog ran to the house"),
+                      ("A", "the cat and the dog sat in the house"),
+                      ("B", "the cat and the dog walk to the house"),
+                      ("B", "the cat and the dog hid in the house"),
+                      ("C", "zeta omega psi chi phi upsilon tau rho"),
+                      ("C", "omega zeta chi psi upsilon phi rho tau")):
+        rows.append((i, text, "en", src, len(text))); i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {(r.source_a, r.source_b): r.delta_micro for r in
+           SPARK_QUERIES["text_burrows_delta"](spark, out).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert got[("A", "B")] < got[("A", "C")]
+    assert got[("A", "B")] < got[("B", "C")]
