@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "stats_hill_tail_index",
     "graph_rich_club",
     "text_burrows_delta",
+    "events_type_affinity",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -288,6 +288,8 @@ _NEXT_WINDOW = [
     "stats_hill_tail_index", "graph_rich_club",
     # round-6mmm: Burrows' Delta stylometric source distance
     "text_burrows_delta",
+    # round-6nnn: within-session event-type affinity (lift)
+    "events_type_affinity",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

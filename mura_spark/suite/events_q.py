@@ -1843,3 +1843,83 @@ def events_anomaly_deseasonalized(spark, sf):
                      F.col("res").cast("bigint").alias("residual_cents"),
                      F.col("m").cast("bigint").alias("mad_cents"),
                      out.alias("is_outlier")))
+
+
+@q("events_type_affinity",
+   "WITH flagged AS (SELECT user_id, ts, event_id, event_type, "
+   "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+   "WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+   "AS new_session FROM events "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+   "sess AS (SELECT user_id, event_type, "
+   "CAST(SUM(new_session) OVER (PARTITION BY user_id "
+   "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+   "CURRENT ROW) AS BIGINT) AS session_id FROM flagged), "
+   "st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess), "
+   "ns AS (SELECT CAST(COUNT(DISTINCT user_id || '|' "
+   "|| CAST(session_id AS VARCHAR)) AS BIGINT) AS n FROM st), "
+   "tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c "
+   "FROM st GROUP BY 1), "
+   "pc AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+   "CAST(COUNT(*) AS BIGINT) AS c_ab FROM st a JOIN st b "
+   "ON a.user_id = b.user_id AND a.session_id = b.session_id "
+   "AND a.event_type < b.event_type GROUP BY 1, 2) "
+   "SELECT pc.type_a, pc.type_b, pc.c_ab AS n_cooccur, "
+   "ta.c AS n_a, tb.c AS n_b, "
+   "CAST(floor(CAST(ns.n AS DOUBLE) * CAST(pc.c_ab AS DOUBLE) "
+   "/ (CAST(ta.c AS DOUBLE) * CAST(tb.c AS DOUBLE)) * 1000000.0 "
+   "+ 0.5) AS BIGINT) AS lift_micro "
+   "FROM pc JOIN tc ta ON pc.type_a = ta.event_type "
+   "JOIN tc tb ON pc.type_b = tb.event_type CROSS JOIN ns")
+def events_type_affinity(spark, sf):
+    """Within-session event-type affinity: lift
+    N·n(a∧b)/(n(a)·n(b)) over 30-minute sessions — which behaviors
+    co-occur in the same visit (the UNORDERED complement of the
+    Markov transition view; lift < 1 = substitutes, > 1 =
+    complements). Sessionization shares the streaming module's window
+    logic; the pair join runs on the distinct (session, type) frame
+    (≤ 5 types per session)."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flg = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+         .when(F.col("ts") > F.lag("ts").over(w)
+               + F.expr("INTERVAL 30 MINUTE"), 1)
+         .otherwise(0).alias("new_session"))
+    sess = flg.select(
+        "user_id", "event_type",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("session_id"))
+    st = sess.distinct()
+    ns = st.select(
+        F.concat_ws("|", F.col("user_id").cast("string"),
+                    F.col("session_id").cast("string")).alias("sk")) \
+        .agg(F.countDistinct("sk").alias("n"))
+    tc = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = st.select("user_id", "session_id",
+                  F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_id",
+                  F.col("event_type").alias("type_b"))
+    pc = (a.join(b, ["user_id", "session_id"])
+           .filter(F.col("type_a") < F.col("type_b"))
+           .groupBy("type_a", "type_b")
+           .agg(F.count(F.lit(1)).alias("c_ab")))
+    lift = (F.floor(F.col("n").cast("double")
+                    * F.col("c_ab").cast("double")
+                    / (F.col("ca").cast("double")
+                       * F.col("cb").cast("double"))
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return (pc.join(F.broadcast(tc.select(
+                F.col("event_type").alias("type_a"),
+                F.col("c").alias("ca"))), "type_a")
+              .join(F.broadcast(tc.select(
+                  F.col("event_type").alias("type_b"),
+                  F.col("c").alias("cb"))), "type_b")
+              .crossJoin(F.broadcast(ns))
+              .select("type_a", "type_b",
+                      F.col("c_ab").alias("n_cooccur"),
+                      F.col("ca").alias("n_a"), F.col("cb").alias("n_b"),
+                      lift.alias("lift_micro")))

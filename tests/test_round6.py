@@ -2709,3 +2709,24 @@ def test_burrows_delta_engineered(spark, tmp_path):
     assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
     assert got[("A", "B")] < got[("A", "C")]
     assert got[("A", "B")] < got[("B", "C")]
+
+
+def test_type_affinity_engineered(spark, tmp_path):
+    # 4 sessions (distinct users, same hour): {a,b} x2, {a} x1, {b} x1
+    # -> n=4, n_a=3, n_b=3, n_ab=2: lift = 4*2/(3*3) = 8/9
+    rows, i = [], 0
+    for u, types in ((1, "ab"), (2, "ab"), (3, "a"), (4, "b")):
+        for t in types:
+            rows.append((i, "2024-01-01T00:00:00", u, t, 1.0, "{}"))
+            i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["events_type_affinity"](spark, out).first()
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert (r.n_cooccur, r.n_a, r.n_b) == (2, 3, 3)
+    assert r.lift_micro == 888889
