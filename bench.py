@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "graph_rich_club",
     "text_burrows_delta",
     "events_type_affinity",
+    "emb_cluster_balance",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

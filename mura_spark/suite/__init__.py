@@ -290,6 +290,8 @@ _NEXT_WINDOW = [
     "text_burrows_delta",
     # round-6nnn: within-session event-type affinity (lift)
     "events_type_affinity",
+    # round-6ooo: clustering balance health check
+    "emb_cluster_balance",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -872,3 +872,55 @@ def ann_pq_adc_recall_at10(spark, sf):
     rec = (F.floor(F.col("n_hits").cast("double") / F.lit(float(_K))
                    * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
     return h.select("query_id", "n_hits", rec.alias("recall_micro"))
+
+
+def _cluster_balance_oracle() -> str:
+    from mura_spark.operators.clustering import sql_kmeans_ctes
+    parts, final = sql_kmeans_ctes(k=8, iterations=2)
+    extra = [
+        f"cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS m "
+        f"FROM {final} GROUP BY 1)",
+        "tt AS (SELECT CAST(SUM(m) AS BIGINT) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS k_used FROM cs)",
+        # per-cluster -p·ln p, micro-quantized BEFORE the sum
+        "ent AS (SELECT CAST(SUM(CAST(floor(-(CAST(m AS DOUBLE) "
+        "/ CAST(tt.n AS DOUBLE)) * ln(CAST(m AS DOUBLE) "
+        "/ CAST(tt.n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS h, MAX(m) AS mx FROM cs CROSS JOIN tt "
+        "GROUP BY tt.n)",
+    ]
+    return ("WITH " + ", ".join(parts + extra)
+            + " SELECT tt.k_used, tt.n AS n_vectors, ent.h "
+            "AS entropy_micro, "
+            "CAST(floor(CAST(ent.mx AS DOUBLE) / CAST(tt.n AS DOUBLE) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS max_share_micro "
+            "FROM tt CROSS JOIN ent")
+
+
+@q("emb_cluster_balance", _cluster_balance_oracle())
+def emb_cluster_balance(spark, sf):
+    """Clustering-health balance check: size entropy and
+    largest-cluster share of the deterministic k-means assignment —
+    the collapsed-cluster detector (one giant cluster = the index
+    degenerates to brute force; many empty ones = wasted codebook).
+    Per-cluster −p·ln p micro-quantized before the exact sum; shares
+    are one terminal division."""
+    from mura_spark.operators.clustering import kmeans_assign
+    e = table(spark, sf, "embeddings")
+    cs = (kmeans_assign(e, "vec_id", "embedding", 8, 2)
+          .groupBy("cluster").agg(F.count(F.lit(1)).alias("m")))
+    tt = cs.agg(F.sum("m").alias("n"),
+                F.count(F.lit(1)).alias("k_used"))
+    p = F.col("m").cast("double") / F.col("n").cast("double")
+    hterm = (F.floor(-p * F.log(p) * F.lit(1000000.0) + F.lit(0.5))
+              .cast("bigint"))
+    ent = (cs.crossJoin(F.broadcast(tt))
+             .groupBy("n")
+             .agg(F.sum(hterm).alias("h"), F.max("m").alias("mx")))
+    share = (F.floor(F.col("mx").cast("double")
+                     / F.col("n").cast("double") * F.lit(1000000.0)
+                     + F.lit(0.5)).cast("bigint"))
+    return (tt.crossJoin(F.broadcast(ent.drop("n")))
+              .select("k_used", F.col("n").alias("n_vectors"),
+                      F.col("h").alias("entropy_micro"),
+                      share.alias("max_share_micro")))

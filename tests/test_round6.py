@@ -2730,3 +2730,27 @@ def test_type_affinity_engineered(spark, tmp_path):
     assert (r.type_a, r.type_b) == ("a", "b")
     assert (r.n_cooccur, r.n_a, r.n_b) == (2, 3, 3)
     assert r.lift_micro == 888889
+
+
+def test_cluster_balance_engineered(spark, tmp_path):
+    # 8 equal blobs matching k=8 -> perfectly balanced: entropy =
+    # ln(8), max share = 1/8
+    import math
+    import random
+    rng = random.Random(11)
+    rows = []
+    for i in range(64):
+        ang = (i % 8) * math.pi / 4
+        rows.append((i, [10.0 * math.cos(ang) + rng.uniform(-0.05, 0.05),
+                         10.0 * math.sin(ang) + rng.uniform(-0.05, 0.05)],
+                     i % 8))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>, "
+                                 "label int")
+        .coalesce(1).write.parquet(f"{out}/embeddings.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["emb_cluster_balance"](spark, out).first()
+    assert (r.k_used, r.n_vectors, r.max_share_micro) == (8, 64, 125000)
+    # 8 x floor(-(1/8)ln(1/8)*1e6+0.5) = 8 * 259930
+    assert r.entropy_micro == 8 * math.floor(
+        (1 / 8) * math.log(8) * 1e6 + 0.5)
