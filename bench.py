@@ -335,6 +335,8 @@ BENCH_QUERIES = [
     "text_burrows_delta",
     "events_type_affinity",
     "emb_cluster_balance",
+    "stats_tost_equivalence",
+    "stats_circular_time_of_day",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

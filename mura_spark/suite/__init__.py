@@ -292,6 +292,8 @@ _NEXT_WINDOW = [
     "events_type_affinity",
     # round-6ooo: clustering balance health check
     "emb_cluster_balance",
+    # round-6ppp: TOST equivalence + circular time-of-day statistics
+    "stats_tost_equivalence", "stats_circular_time_of_day",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

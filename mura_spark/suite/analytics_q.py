@@ -3336,3 +3336,137 @@ def stats_hill_tail_index(spark, sf):
                      hill.alias("hill_micro"),
                      F.when(F.col("hsum") > 0, alpha)
                       .alias("alpha_micro")))
+
+
+@q("stats_tost_equivalence",
+   f"WITH u AS (SELECT user_id, {_AB_BUCKET} % 2 AS variant, "
+   "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s "
+   "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+   "v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DOUBLE) AS sv, "
+   "CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS qv FROM u GROUP BY 1), "
+   "w AS (SELECT MAX(CASE WHEN variant = 0 THEN n END) AS na, "
+   "MAX(CASE WHEN variant = 0 THEN sv END) AS sa, "
+   "MAX(CASE WHEN variant = 0 THEN qv END) AS qa, "
+   "MAX(CASE WHEN variant = 1 THEN n END) AS nb, "
+   "MAX(CASE WHEN variant = 1 THEN sv END) AS sb, "
+   "MAX(CASE WHEN variant = 1 THEN qv END) AS qb FROM v), "
+   "m AS (SELECT na, nb, "
+   "sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb, "
+   "((qa - sa * sa / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)) "
+   "/ CAST(na AS DOUBLE) "
+   "+ ((qb - sb * sb / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)) "
+   "/ CAST(nb AS DOUBLE) AS se2 FROM w), "
+   "t AS (SELECT na, nb, mb - ma AS diff, sqrt(se2) AS se, "
+   "0.05 * ma AS margin FROM m) "
+   "SELECT na, nb, CAST(floor(diff + 0.5) AS BIGINT) AS diff_cents, "
+   "CASE WHEN se > 0 THEN CAST(floor((diff + margin) / se "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS z_lower_micro, "
+   "CASE WHEN se > 0 THEN CAST(floor((margin - diff) / se "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS z_upper_micro, "
+   "CASE WHEN se > 0 THEN CAST((diff + margin) / se > 1.644854 "
+   "AND (margin - diff) / se > 1.644854 AS INT) END AS is_equivalent "
+   "FROM t")
+def stats_tost_equivalence(spark, sf):
+    """TOST equivalence test (two one-sided z-tests at α=.05): is the
+    B variant's mean user spend within ±5% of A — the 'prove it's NOT
+    worse' question a non-inferiority launch review asks, which a
+    failed superiority test can never answer. Exact decimal moments
+    of per-user cent sums; Welch SE; both one-sided z's mirrored;
+    equivalent iff min(z₁,z₂) > 1.645."""
+    from mura_spark.operators.sampling import hash_bucket
+    ev = table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    u = (ev.groupBy("user_id")
+           .agg(F.sum(cents).alias("s"))
+           .select((hash_bucket(F.col("user_id")) % 2).alias("variant"),
+                   "s"))
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("double")
+         .alias("sv"),
+        F.sum(F.col("s").cast("decimal(19,0)")
+              * F.col("s").cast("decimal(19,0)")).cast("double")
+         .alias("qv"))
+    pick = lambda c, var: F.max(  # noqa: E731
+        F.when(F.col("variant") == var, F.col(c)))
+    w = v.agg(pick("n", 0).alias("na"), pick("sv", 0).alias("sa"),
+              pick("qv", 0).alias("qa"), pick("n", 1).alias("nb"),
+              pick("sv", 1).alias("sb"), pick("qv", 1).alias("qb"))
+    naD = F.col("na").cast("double")
+    nbD = F.col("nb").cast("double")
+    ma = F.col("sa") / naD
+    mb = F.col("sb") / nbD
+    se2 = (((F.col("qa") - F.col("sa") * F.col("sa") / naD)
+            / (F.col("na") - F.lit(1)).cast("double")) / naD
+           + ((F.col("qb") - F.col("sb") * F.col("sb") / nbD)
+              / (F.col("nb") - F.lit(1)).cast("double")) / nbD)
+    diff = mb - ma
+    se = F.sqrt(se2)
+    margin = F.lit(0.05) * ma
+    zl = (diff + margin) / se
+    zu = (margin - diff) / se
+    mic = lambda x: F.floor(x * F.lit(1000000.0)  # noqa: E731
+                            + F.lit(0.5)).cast("bigint")
+    return w.select(
+        "na", "nb",
+        F.floor(diff + F.lit(0.5)).cast("bigint").alias("diff_cents"),
+        F.when(se > 0, mic(zl)).alias("z_lower_micro"),
+        F.when(se > 0, mic(zu)).alias("z_upper_micro"),
+        F.when(se > 0, ((zl > 1.644854) & (zu > 1.644854)).cast("int"))
+         .alias("is_equivalent"))
+
+
+_TWO_PI = "6.283185307179586"
+
+
+@q("stats_circular_time_of_day",
+   "WITH a AS (SELECT event_type, "
+   "CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0 "
+   f"* {_TWO_PI} AS th FROM events), "
+   "qz AS (SELECT event_type, "
+   "CAST(floor(sin(th) * 1000000.0 + 0.5) AS BIGINT) AS s, "
+   "CAST(floor(cos(th) * 1000000.0 + 0.5) AS BIGINT) AS c FROM a), "
+   "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(s) AS DOUBLE) AS ss, CAST(SUM(c) AS DOUBLE) AS sc "
+   "FROM qz GROUP BY 1) "
+   "SELECT event_type, n, "
+   "CAST(floor((CASE WHEN atan2(ss, sc) < 0 THEN atan2(ss, sc) "
+   f"+ {_TWO_PI} ELSE atan2(ss, sc) END) / {_TWO_PI} * 24.0 "
+   "* 1000000.0 + 0.5) AS BIGINT) AS mean_hour_micro, "
+   "CAST(floor(sqrt(ss * ss + sc * sc) / (1000000.0 "
+   "* CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS r_micro "
+   "FROM m")
+def stats_circular_time_of_day(spark, sf):
+    """Circular (directional) statistics of event time-of-day per
+    type: the circular mean hour and the resultant length R (1 =
+    perfectly peaked daily habit, 0 = uniform around the clock) —
+    the CORRECT average for clock data, where the arithmetic mean of
+    23:00 and 01:00 is noon. Per-row sin/cos micro-quantized before
+    the exact integer sums (the transcendental convention); atan2 and
+    R are one mirrored terminal expression per type."""
+    ev = table(spark, sf, "events")
+    th = (F.expr("CAST(unix_micros(ts) % 86400000000 AS DOUBLE)")
+          / F.lit(86400000000.0) * F.lit(6.283185307179586))
+    qz = ev.select(
+        "event_type",
+        F.floor(F.sin(th) * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").alias("s"),
+        F.floor(F.cos(th) * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").alias("c"))
+    m = qz.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").cast("double").alias("ss"),
+        F.sum("c").cast("double").alias("sc"))
+    ang = F.atan2(F.col("ss"), F.col("sc"))
+    ang = F.when(ang < 0, ang + F.lit(6.283185307179586)).otherwise(ang)
+    mean_hour = (F.floor(ang / F.lit(6.283185307179586) * F.lit(24.0)
+                         * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    r = (F.floor(F.sqrt(F.col("ss") * F.col("ss")
+                        + F.col("sc") * F.col("sc"))
+                 / (F.lit(1000000.0) * F.col("n").cast("double"))
+                 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return m.select("event_type", "n",
+                    mean_hour.alias("mean_hour_micro"),
+                    r.alias("r_micro"))

@@ -2754,3 +2754,43 @@ def test_cluster_balance_engineered(spark, tmp_path):
     # 8 x floor(-(1/8)ln(1/8)*1e6+0.5) = 8 * 259930
     assert r.entropy_micro == 8 * math.floor(
         (1 / 8) * math.log(8) * 1e6 + 0.5)
+
+
+def test_tost_engineered(spark, tmp_path):
+    # identical A/B spend distributions with tiny jitter: diff ~ 0,
+    # margin 5% of a ~$100 mean -> decisively equivalent
+    rows, i = [], 0
+    for uid in range(200):
+        v = 100.0 + (uid % 7) * 0.1
+        rows.append((i, "2024-01-01T00:00:00", uid, "click", v, "{}"))
+        i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_tost_equivalence"](spark, out).first()
+    assert r.na + r.nb == 200
+    assert r.is_equivalent == 1
+    assert abs(r.diff_cents) < 50
+
+
+def test_circular_engineered(spark, tmp_path):
+    # events at 23:00 and 01:00: circular mean = midnight (hour 0),
+    # R = cos(15 deg) ~ 0.966 (each event 1h = pi/12 from mean)
+    rows = [(0, "2024-01-01T23:00:00", 1, "a", 1.0, "{}"),
+            (1, "2024-01-02T01:00:00", 1, "a", 1.0, "{}")]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_circular_time_of_day"](spark, out).first()
+    # mean hour 0 (or 24 - epsilon): distance to midnight < 1 minute
+    assert min(r.mean_hour_micro, 24000000 - r.mean_hour_micro) < 20000
+    import math
+    assert abs(r.r_micro - round(math.cos(math.pi / 12) * 1e6)) < 5
