@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     "emb_cluster_balance",
     "stats_tost_equivalence",
     "stats_circular_time_of_day",
+    "sample_negative_pairs",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -294,6 +294,8 @@ _NEXT_WINDOW = [
     "emb_cluster_balance",
     # round-6ppp: TOST equivalence + circular time-of-day statistics
     "stats_tost_equivalence", "stats_circular_time_of_day",
+    # round-6qqq: deterministic implicit-feedback negative sampling
+    "sample_negative_pairs",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

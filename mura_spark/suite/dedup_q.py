@@ -756,3 +756,60 @@ def pipeline_dedup_savings(spark, sf):
                   F.sum("toks").alias("tokens_total"),
                   kept_toks.alias("tokens_kept"),
                   sav.alias("savings_micro")))
+
+
+@q("sample_negative_pairs",
+   "WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part), "
+   "pos AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p "
+   "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), "
+   "cust AS (SELECT DISTINCT c FROM pos), "
+   "cand AS (SELECT cust.c, j, "
+   f"({sql_hash48(chr(39) + 'neg|' + chr(39) + ' || CAST(cust.c AS VARCHAR) || ' + chr(39) + '|' + chr(39) + ' || CAST(j AS VARCHAR)')}) "
+   "% (SELECT n_parts FROM np) AS p "
+   "FROM cust CROSS JOIN (SELECT CAST(i AS INT) AS j "
+   "FROM range(0, 5) t(i))), "
+   "neg AS (SELECT cand.c, cand.p FROM cand "
+   "LEFT JOIN pos ON cand.c = pos.c AND cand.p = pos.p "
+   "WHERE pos.c IS NULL), "
+   "pp AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_pos FROM pos "
+   "GROUP BY 1), "
+   "nn AS (SELECT c, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_neg "
+   "FROM neg GROUP BY 1) "
+   "SELECT pp.c AS custkey, pp.n_pos, "
+   "COALESCE(nn.n_neg, CAST(0 AS BIGINT)) AS n_neg "
+   "FROM pp LEFT JOIN nn ON pp.c = nn.c")
+def sample_negative_pairs(spark, sf):
+    """Deterministic negative sampling for implicit-feedback training
+    (customer, part) pairs: 5 hash-generated candidate parts per
+    customer, anti-joined against true purchases — the
+    recommendation-pipeline step that usually leaks RNG
+    nondeterminism into training data; here the MD5 candidate stream
+    is reproducible across engines and retries. One interactions
+    rollup + one anti-join; candidates never materialize beyond
+    5×|customers| rows."""
+    from mura_spark.functions.hashing import md5_hash48
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    np_ = table(spark, sf, "part").agg(
+        F.count(F.lit(1)).alias("n_parts"))
+    pos = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(F.col("o_custkey").alias("c"),
+                    F.col("l_partkey").alias("p")).distinct())
+    cust = pos.select("c").distinct()
+    j = o.sparkSession.range(0, 5).select(F.col("id").cast("int")
+                                          .alias("j"))
+    cand = (cust.crossJoin(F.broadcast(j))
+                .crossJoin(F.broadcast(np_))
+                .select("c", (md5_hash48(
+                    F.concat(F.lit("neg|"),
+                             F.col("c").cast("string"),
+                             F.lit("|"),
+                             F.col("j").cast("string")))
+                    % F.col("n_parts")).alias("p")))
+    neg = cand.join(pos, ["c", "p"], "left_anti")
+    pp = pos.groupBy("c").agg(F.count(F.lit(1)).alias("n_pos"))
+    nn = neg.groupBy("c").agg(F.countDistinct("p").alias("n_neg"))
+    return (pp.join(nn, "c", "left")
+              .select(F.col("c").alias("custkey"), "n_pos",
+                      F.coalesce("n_neg", F.lit(0).cast("bigint"))
+                       .alias("n_neg")))

@@ -2794,3 +2794,38 @@ def test_circular_engineered(spark, tmp_path):
     assert min(r.mean_hour_micro, 24000000 - r.mean_hour_micro) < 20000
     import math
     assert abs(r.r_micro - round(math.cos(math.pi / 12) * 1e6)) < 5
+
+
+def test_negative_pairs_engineered(spark, tmp_path):
+    # one customer owning EVERY part -> zero negatives possible; one
+    # customer owning one part -> up to 5 hash negatives, none equal
+    # to the positive
+    parts = [(p, f"part{p}") for p in range(4)]
+    orows = [(1, 1, "F", 1.0, "1999-01-01", "P"),
+             (2, 2, "F", 1.0, "1999-01-01", "P")]
+    lrows = [(1, p, 1, p + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              "1999-01-01") for p in range(4)]
+    lrows.append((2, 0, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                  "1999-01-01"))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(parts, "p_partkey long, p_name string")
+        .coalesce(1).write.parquet(f"{out}/part.parquet"))
+    (spark.createDataFrame(
+        orows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate string, "
+               "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    (spark.createDataFrame(
+        lrows, "l_orderkey long, l_partkey long, l_suppkey long, "
+               "l_linenumber int, l_quantity double, "
+               "l_extendedprice double, l_discount double, l_tax double, "
+               "l_returnflag string, l_linestatus string, "
+               "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.custkey: r for r in
+           SPARK_QUERIES["sample_negative_pairs"](spark, out).collect()}
+    assert got[1].n_pos == 4 and got[1].n_neg == 0
+    assert got[2].n_pos == 1 and 1 <= got[2].n_neg <= 5
