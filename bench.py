@@ -338,6 +338,8 @@ BENCH_QUERIES = [
     "stats_tost_equivalence",
     "stats_circular_time_of_day",
     "sample_negative_pairs",
+    "events_funnel_window_sensitivity",
+    "feature_hash_cross",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

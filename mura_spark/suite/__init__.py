@@ -296,6 +296,8 @@ _NEXT_WINDOW = [
     "stats_tost_equivalence", "stats_circular_time_of_day",
     # round-6qqq: deterministic implicit-feedback negative sampling
     "sample_negative_pairs",
+    # round-6rrr: attribution-window sensitivity + hashed feature cross
+    "events_funnel_window_sensitivity", "feature_hash_cross",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -1923,3 +1923,60 @@ def events_type_affinity(spark, sf):
                       F.col("c_ab").alias("n_cooccur"),
                       F.col("ca").alias("n_a"), F.col("cb").alias("n_b"),
                       lift.alias("lift_micro")))
+
+
+@q("events_funnel_window_sensitivity",
+   "WITH fv AS (SELECT user_id, MIN(ts) AS v0 FROM events "
+   "WHERE event_type = 'view' GROUP BY 1), "
+   "fp AS (SELECT fv.user_id, MIN(e.ts) AS p0 FROM fv "
+   "JOIN events e ON e.user_id = fv.user_id "
+   "AND e.event_type = 'purchase' AND e.ts >= fv.v0 GROUP BY 1), "
+   "d AS (SELECT fv.user_id, "
+   "epoch_us(fp.p0) - epoch_us(fv.v0) AS lag_us FROM fv "
+   "LEFT JOIN fp ON fv.user_id = fp.user_id), "
+   "g AS (SELECT w.label, w.win_us, d.lag_us FROM d CROSS JOIN "
+   "(SELECT * FROM (VALUES ('1h', 3600000000), "
+   "('6h', 21600000000), ('24h', 86400000000)) t(label, win_us)) w) "
+   "SELECT label AS window_label, "
+   "CAST(MAX(win_us) AS BIGINT) AS window_us, "
+   "CAST(COUNT(*) AS BIGINT) AS n_viewers, "
+   "CAST(SUM(CASE WHEN lag_us IS NOT NULL AND lag_us <= win_us "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS n_converted, "
+   "CAST(floor(CAST(SUM(CASE WHEN lag_us IS NOT NULL "
+   "AND lag_us <= win_us THEN 1 ELSE 0 END) AS DOUBLE) "
+   "/ CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS rate_micro FROM g GROUP BY 1")
+def events_funnel_window_sensitivity(spark, sf):
+    """Attribution-window sensitivity: view→purchase conversion at 1h,
+    6h and 24h windows in ONE pass — the table that settles every
+    'our conversion rate depends on the window we picked' argument
+    before anyone re-runs the funnel three times. Per-user first-view
+    and first-subsequent-purchase scalars (no collect_list), then a
+    broadcast 3-row window grid; exact µs lags."""
+    ev = table(spark, sf, "events")
+    fv = (ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("ts").alias("v0")))
+    fp = (fv.join(ev.filter(F.col("event_type") == "purchase")
+                    .select("user_id", F.col("ts").alias("pts")),
+                  "user_id")
+            .filter(F.col("pts") >= F.col("v0"))
+            .groupBy("user_id").agg(F.min("pts").alias("p0")))
+    d = (fv.join(fp, "user_id", "left")
+           .select("user_id",
+                   (F.unix_micros("p0") - F.unix_micros("v0"))
+                   .alias("lag_us")))
+    wins = ev.sparkSession.createDataFrame(
+        [("1h", 3600000000), ("6h", 21600000000),
+         ("24h", 86400000000)], "label string, win_us long")
+    conv = F.sum(F.when(F.col("lag_us").isNotNull()
+                        & (F.col("lag_us") <= F.col("win_us")), 1)
+                  .otherwise(0))
+    return (d.crossJoin(F.broadcast(wins))
+             .groupBy(F.col("label").alias("window_label"))
+             .agg(F.max("win_us").alias("window_us"),
+                  F.count(F.lit(1)).alias("n_viewers"),
+                  conv.alias("n_converted"),
+                  F.floor(conv.cast("double")
+                          / F.count(F.lit(1)).cast("double")
+                          * F.lit(1000000.0) + F.lit(0.5))
+                   .cast("bigint").alias("rate_micro")))

@@ -1721,3 +1721,27 @@ def text_burrows_delta(spark, sf):
                           .cast("double") / F.count(F.lit(1))
                           + F.lit(0.5)).cast("bigint")
                    .alias("delta_micro")))
+
+
+@q("feature_hash_cross",
+   f"WITH h AS (SELECT doc_id, "
+   f"CAST(({sql_hash48(chr(39) + 'x|' + chr(39) + ' || lang || ' + chr(39) + '|' + chr(39) + ' || source')}) "
+   "% 32 AS INT) AS bucket, lang || '|' || source AS cross_val "
+   "FROM documents) "
+   "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+   "CAST(COUNT(DISTINCT cross_val) AS BIGINT) AS n_distinct_crosses "
+   "FROM h GROUP BY 1")
+def feature_hash_cross(spark, sf):
+    """Hashed feature cross (lang × source → 32 buckets): the
+    fixed-width categorical-interaction encoder (the 'crossed_column'
+    of every CTR feature pipeline), with per-bucket collision counts
+    so the width choice is auditable. Portable MD5 fold; one
+    rollup."""
+    from mura_spark.functions.hashing import md5_hash48
+    d = table(spark, sf, "documents")
+    cross = F.concat(F.col("lang"), F.lit("|"), F.col("source"))
+    b = (md5_hash48(F.concat(F.lit("x|"), cross)) % 32).cast("int")
+    return (d.select(b.alias("bucket"), cross.alias("cv"))
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct("cv").alias("n_distinct_crosses")))

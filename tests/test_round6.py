@@ -2829,3 +2829,37 @@ def test_negative_pairs_engineered(spark, tmp_path):
            SPARK_QUERIES["sample_negative_pairs"](spark, out).collect()}
     assert got[1].n_pos == 4 and got[1].n_neg == 0
     assert got[2].n_pos == 1 and 1 <= got[2].n_neg <= 5
+
+
+def test_funnel_sensitivity_engineered(spark, tmp_path):
+    # user 1 converts in 30m, user 2 in 12h, user 3 never: rates
+    # 1/3 at 1h and 6h, 2/3 at 24h
+    rows = [(0, "2024-01-01T00:00:00", 1, "view", 1.0, "{}"),
+            (1, "2024-01-01T00:30:00", 1, "purchase", 1.0, "{}"),
+            (2, "2024-01-01T00:00:00", 2, "view", 1.0, "{}"),
+            (3, "2024-01-01T12:00:00", 2, "purchase", 1.0, "{}"),
+            (4, "2024-01-01T00:00:00", 3, "view", 1.0, "{}")]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.window_label: r for r in
+           SPARK_QUERIES["events_funnel_window_sensitivity"](spark, out)
+           .collect()}
+    assert all(got[w].n_viewers == 3 for w in ("1h", "6h", "24h"))
+    assert (got["1h"].n_converted, got["6h"].n_converted,
+            got["24h"].n_converted) == (1, 1, 2)
+    assert got["24h"].rate_micro == 666667
+
+
+def test_hash_cross_partitions_docs(spark, sf_dir):
+    from mura_spark.suite import SPARK_QUERIES
+    import duckdb
+    n = duckdb.sql(f"SELECT COUNT(*) FROM "
+                   f"'{sf_dir}/documents.parquet'").fetchone()[0]
+    got = SPARK_QUERIES["feature_hash_cross"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in got) == n
+    assert all(0 <= r.bucket < 32 for r in got)
