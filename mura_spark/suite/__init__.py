@@ -85,10 +85,11 @@ _PRIORITY = [
 # ROUND-7 ROTATION PLAN: assuming CORRECTNESS_r06 comes back green for
 # this window, round 7's window takes the FIRST 50 of _NEXT_WINDOW
 # below — the round-5v..5ii overflow (27 queries) followed by the
-# round-6 additions, oldest first, exactly as ordered. _NEXT_WINDOW has
-# grown past one window (27 + the round-6 batch), so the remainder
-# stays contiguous as the head of ROUND 8's window; after it drains,
-# backfill by staleness: (a) the r1-only greens displaced in round 5
+# round-6 additions, oldest first, exactly as ordered. _NEXT_WINDOW now
+# holds 161 never-driver-verified queries (27 r5 overflow + 134 round-6
+# additions) = rounds 7, 8 and 9 of windows, each taking the next
+# contiguous 50, oldest first. After it drains, backfill by staleness:
+# (a) the r1-only greens displaced in round 5
 # (join_cross_small, setop_union, setop_intersect,
 # window_topk_per_group, window_running_sum, q6_revenue_change,
 # q10_returned_items, q14_promo_share, q18_large_orders, agg_rollup,
