@@ -624,7 +624,12 @@ def ks_by_group(df: DataFrame, group_col: str,
     end-to-end; floating
     point enters only in one terminal division per group.
     """
-    cells = (df.groupBy(F.col(group_col).alias("__g"),
+    # null groups/values are excluded up front: a NULL group key would
+    # silently drop out of the grid equi-join (NULL ≠ NULL) and skew
+    # every other group's "rest" side
+    cells = (df.where(F.col(group_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+               .groupBy(F.col(group_col).alias("__g"),
                         F.col(value_col).alias("__v"))
                .agg(F.count(F.lit(1)).alias("__c")))
     vals = cells.groupBy("__v").agg(F.sum("__c").alias("__cv"))

@@ -1413,7 +1413,8 @@ def text_feature_hashing(spark, sf):
 
 @q("text_ks_drift_by_source",
    "WITH cells AS (SELECT source AS g, n_chars AS v, COUNT(*) AS c "
-   "FROM documents GROUP BY 1, 2), "
+   "FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL "
+   "GROUP BY 1, 2), "
    "vals AS (SELECT v, SUM(c) AS cv FROM cells GROUP BY 1), "
    "gcum AS (SELECT v, SUM(cv) OVER (ORDER BY v) AS gc FROM vals), "
    "grp AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY 1), "
