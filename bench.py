@@ -340,6 +340,8 @@ BENCH_QUERIES = [
     "sample_negative_pairs",
     "events_funnel_window_sensitivity",
     "feature_hash_cross",
+    "audit_split_leakage",
+    "stats_cohens_d_value",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -299,6 +299,8 @@ _NEXT_WINDOW = [
     "sample_negative_pairs",
     # round-6rrr: attribution-window sensitivity + hashed feature cross
     "events_funnel_window_sensitivity", "feature_hash_cross",
+    # round-6sss: naive-split leakage audit + Cohen's d effect size
+    "audit_split_leakage", "stats_cohens_d_value",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

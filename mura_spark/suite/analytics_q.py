@@ -3470,3 +3470,63 @@ def stats_circular_time_of_day(spark, sf):
     return m.select("event_type", "n",
                     mean_hour.alias("mean_hour_micro"),
                     r.alias("r_micro"))
+
+
+@q("stats_cohens_d_value",
+   "WITH v AS (SELECT event_type, "
+   "CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+   "AS DOUBLE) AS s, "
+   "CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
+   "AS DECIMAL(19,0)) * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+   "AS BIGINT) AS DECIMAL(19,0))) AS DOUBLE) AS q "
+   "FROM events WHERE value IS NOT NULL "
+   "AND event_type IN ('click', 'purchase') GROUP BY 1), "
+   "w AS (SELECT MAX(CASE WHEN event_type = 'click' THEN n END) AS na, "
+   "MAX(CASE WHEN event_type = 'click' THEN s END) AS sa, "
+   "MAX(CASE WHEN event_type = 'click' THEN q END) AS qa, "
+   "MAX(CASE WHEN event_type = 'purchase' THEN n END) AS nb, "
+   "MAX(CASE WHEN event_type = 'purchase' THEN s END) AS sb, "
+   "MAX(CASE WHEN event_type = 'purchase' THEN q END) AS qb FROM v) "
+   "SELECT na, nb, "
+   "CASE WHEN na > 1 AND nb > 1 AND (qa - sa * sa "
+   "/ CAST(na AS DOUBLE) + qb - sb * sb / CAST(nb AS DOUBLE)) "
+   "/ CAST(na + nb - 2 AS DOUBLE) > 0.0 THEN "
+   "CAST(floor((sb / CAST(nb AS DOUBLE) - sa / CAST(na AS DOUBLE)) "
+   "/ sqrt((qa - sa * sa / CAST(na AS DOUBLE) + qb - sb * sb "
+   "/ CAST(nb AS DOUBLE)) / CAST(na + nb - 2 AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS cohens_d_micro FROM w")
+def stats_cohens_d_value(spark, sf):
+    """Cohen's d standardized effect size between click and purchase
+    values (pooled-SD mean difference) — the magnitude companion every
+    significance test in the suite owes its reader (a 'significant'
+    z with d = 0.02 ships nothing). Exact decimal moments; one
+    mirrored closed form."""
+    ev = (table(spark, sf, "events")
+          .where(F.col("value").isNotNull()
+                 & F.col("event_type").isin("click", "purchase")))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    v = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("double").alias("s"),
+        F.sum(cents.cast("decimal(19,0)")
+              * cents.cast("decimal(19,0)")).cast("double").alias("q"))
+    pick = lambda c, t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col(c)))
+    w = v.agg(pick("n", "click").alias("na"),
+              pick("s", "click").alias("sa"),
+              pick("q", "click").alias("qa"),
+              pick("n", "purchase").alias("nb"),
+              pick("s", "purchase").alias("sb"),
+              pick("q", "purchase").alias("qb"))
+    naD, nbD = F.col("na").cast("double"), F.col("nb").cast("double")
+    ssa = F.col("qa") - F.col("sa") * F.col("sa") / naD
+    ssb = F.col("qb") - F.col("sb") * F.col("sb") / nbD
+    pooled = (ssa + ssb) / (F.col("na") + F.col("nb") - F.lit(2)) \
+        .cast("double")
+    d = ((F.col("sb") / nbD - F.col("sa") / naD) / F.sqrt(pooled))
+    ok = (F.col("na") > 1) & (F.col("nb") > 1) & (pooled > 0)
+    return w.select("na", "nb",
+                    F.when(ok, F.floor(d * F.lit(1000000.0)
+                                       + F.lit(0.5)).cast("bigint"))
+                     .alias("cohens_d_micro"))

@@ -813,3 +813,45 @@ def sample_negative_pairs(spark, sf):
               .select(F.col("c").alias("custkey"), "n_pos",
                       F.coalesce("n_neg", F.lit(0).cast("bigint"))
                        .alias("n_neg")))
+
+
+@q("audit_split_leakage",
+   f"WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s, "
+   f"CASE WHEN ({sql_hash48('CAST(doc_id AS VARCHAR)')}) % 1000 < 800 "
+   "THEN 1 ELSE 0 END AS tr FROM documents), "
+   "trn AS (SELECT DISTINCT s FROM sh WHERE tr = 1), "
+   "tst AS (SELECT DISTINCT s FROM sh WHERE tr = 0), "
+   "m AS (SELECT CAST((SELECT COUNT(*) FROM tst) AS BIGINT) "
+   "AS n_test_shingles, "
+   "CAST((SELECT COUNT(*) FROM tst JOIN trn USING (s)) AS BIGINT) "
+   "AS n_leaked) "
+   "SELECT n_test_shingles, n_leaked, "
+   "CASE WHEN n_test_shingles > 0 THEN "
+   "CAST(floor(CAST(n_leaked AS DOUBLE) "
+   "/ CAST(n_test_shingles AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+   "END AS leakage_micro FROM m")
+def audit_split_leakage(spark, sf):
+    """Train/test contamination measurement for the NAIVE hash split:
+    what fraction of the test half's distinct 3-gram shingles also
+    appear in train? — the number that justifies leak-safe
+    (cluster-aware) splitting (sample_split_leak_safe) over row
+    hashing whenever near-dups exist. One shingle pass, two distinct
+    sets, one semi-join count."""
+    from mura_spark.operators.dedup import shingle_sets
+    from mura_spark.operators.sampling import hash_bucket
+    d = table(spark, sf, "documents")
+    sh = (shingle_sets(d, "doc_id", "text")
+          .select("doc_id", F.explode("shset").alias("s"),
+                  (hash_bucket(F.col("doc_id")) < 800).alias("tr")))
+    trn = sh.filter("tr").select("s").distinct()
+    tst = sh.filter(~F.col("tr")).select("s").distinct()
+    leaked = tst.join(trn, "s").agg(
+        F.count(F.lit(1)).alias("n_leaked"))
+    m = (tst.agg(F.count(F.lit(1)).alias("n_test_shingles"))
+            .crossJoin(F.broadcast(leaked)))
+    rate = (F.floor(F.col("n_leaked").cast("double")
+                    / F.col("n_test_shingles").cast("double")
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return m.select("n_test_shingles", "n_leaked",
+                    F.when(F.col("n_test_shingles") > 0, rate)
+                     .alias("leakage_micro"))

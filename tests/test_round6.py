@@ -2863,3 +2863,46 @@ def test_hash_cross_partitions_docs(spark, sf_dir):
     got = SPARK_QUERIES["feature_hash_cross"](spark, sf_dir).collect()
     assert sum(r.n_docs for r in got) == n
     assert all(0 <= r.bucket < 32 for r in got)
+
+
+def test_split_leakage_engineered(spark, tmp_path):
+    # corpus of identical docs: every test shingle exists in train ->
+    # leakage exactly 1.0 (the pathology leak-safe splitting prevents)
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en", "s", 34)
+            for i in range(40)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["audit_split_leakage"](spark, out).first()
+    assert r.n_leaked == r.n_test_shingles > 0
+    assert r.leakage_micro == 1000000
+
+
+def test_cohens_d_engineered(spark, tmp_path):
+    # clicks ~ N-ish around 100 with spread, purchases shifted +10:
+    # cross-check d against the numpy closed form
+    import numpy as np
+    a = [100.0 + (i % 5) for i in range(50)]
+    b = [110.0 + (i % 5) for i in range(40)]
+    rows = [(i, "2024-01-01T00:00:00", 1, "click", v, "{}")
+            for i, v in enumerate(a)]
+    rows += [(100 + i, "2024-01-01T00:00:00", 1, "purchase", v, "{}")
+             for i, v in enumerate(b)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_cohens_d_value"](spark, out).first()
+    ca = np.array(a) * 100
+    cb = np.array(b) * 100
+    pooled = ((ca.var(ddof=0) * len(ca) + cb.var(ddof=0) * len(cb))
+              / (len(ca) + len(cb) - 2))
+    d = (cb.mean() - ca.mean()) / np.sqrt(pooled)
+    assert (r.na, r.nb) == (50, 40)
+    assert abs(r.cohens_d_micro - d * 1e6) < 2
