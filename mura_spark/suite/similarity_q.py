@@ -742,8 +742,9 @@ def ann_ivf_recall_at10(spark, sf):
     qs = (e.filter(F.col("vec_id") < _NQ)
            .select(F.col("vec_id").alias("qid"),
                    F.col("embedding").alias("qe")))
-    ets = (qs.crossJoin(emb.select(F.col("vec_id").alias("nid"),
-                                   F.col("embedding").alias("ce")))
+    ets = (emb.select(F.col("vec_id").alias("nid"),
+                      F.col("embedding").alias("ce"))
+              .crossJoin(F.broadcast(qs))
              .select("qid", "nid",
                      F.row_number().over(
                          wq.orderBy(F.desc(cosine(F.col("qe"),
@@ -839,8 +840,8 @@ def ann_pq_adc_recall_at10(spark, sf):
     q1 = (quantize_vectors(s1, "vec_id", "embedding")
           .filter(F.col("__vid") < _NQ)
           .select(F.col("__vid").alias("qid"), F.col("__v").alias("q1")))
-    adc = (q0.join(q1, "qid")
-             .crossJoin(a0.join(a1, "nid"))
+    adc = (a0.join(a1, "nid")
+             .crossJoin(F.broadcast(q0.join(q1, "qid")))
              .join(F.broadcast(cc0), "c0").join(F.broadcast(cc1), "c1")
              .select("qid", "nid",
                      (_sqdist(F.col("q0"), F.col("v0"))
@@ -852,11 +853,12 @@ def ann_pq_adc_recall_at10(spark, sf):
                       .alias("rnk"))
              .filter(F.col("rnk") <= _K).select("qid", "nid"))
     fq = quantize_vectors(e, "vec_id", "embedding")
-    exs = (fq.filter(F.col("__vid") < _NQ)
-             .select(F.col("__vid").alias("qid"),
-                     F.col("__v").alias("qv"))
-             .crossJoin(fq.select(F.col("__vid").alias("nid"),
-                                  F.col("__v").alias("cv")))
+    exs = (fq.select(F.col("__vid").alias("nid"),
+                     F.col("__v").alias("cv"))
+             .crossJoin(F.broadcast(
+                 fq.filter(F.col("__vid") < _NQ)
+                   .select(F.col("__vid").alias("qid"),
+                           F.col("__v").alias("qv"))))
              .select("qid", "nid",
                      F.row_number().over(
                          wq.orderBy(F.asc(_sqdist(F.col("qv"),
