@@ -342,6 +342,7 @@ BENCH_QUERIES = [
     "feature_hash_cross",
     "audit_split_leakage",
     "stats_cohens_d_value",
+    "stats_qini_curve",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -301,6 +301,8 @@ _NEXT_WINDOW = [
     "events_funnel_window_sensitivity", "feature_hash_cross",
     # round-6sss: naive-split leakage audit + Cohen's d effect size
     "audit_split_leakage", "stats_cohens_d_value",
+    # round-6ttt: Qini uplift curve
+    "stats_qini_curve",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

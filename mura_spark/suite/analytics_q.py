@@ -3530,3 +3530,99 @@ def stats_cohens_d_value(spark, sf):
                     F.when(ok, F.floor(d * F.lit(1000000.0)
                                        + F.lit(0.5)).cast("bigint"))
                      .alias("cohens_d_micro"))
+
+
+@q("stats_qini_curve",
+   f"WITH u AS (SELECT user_id, {_AB_BUCKET} % 2 AS variant, "
+   "SUM(CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 "
+   "AS BIGINT)) AS sp, "
+   "CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) "
+   ">= 15 THEN 1 ELSE 0 END AS conv FROM events GROUP BY 1), "
+   "cells AS (SELECT sp, COUNT(*) AS k FROM u GROUP BY 1), "
+   "nn AS (SELECT SUM(k) AS n FROM cells), "
+   "cum AS (SELECT sp, SUM(k) OVER (ORDER BY sp) AS gc FROM cells), "
+   "th AS (SELECT i, (SELECT MIN(sp) FROM cum CROSS JOIN nn "
+   "WHERE gc >= (i * n + 9) // 10) AS bv FROM range(1, 10) t(i)), "
+   "tl AS (SELECT list(bv ORDER BY i) AS bl FROM th), "
+   "a AS (SELECT len(list_filter(bl, x -> sp > x)) AS decile, "
+   "variant, conv FROM u CROSS JOIN tl), "
+   "g AS (SELECT decile, "
+   "CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_t, "
+   "CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_c, "
+   "CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) "
+   "AS conv_t, "
+   "CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) "
+   "AS conv_c FROM a GROUP BY 1), "
+   "c AS (SELECT decile, n_t, n_c, conv_t, conv_c, "
+   "SUM(n_t) OVER (ORDER BY decile DESC) AS ct_n, "
+   "SUM(n_c) OVER (ORDER BY decile DESC) AS cc_n, "
+   "SUM(conv_t) OVER (ORDER BY decile DESC) AS ct_c, "
+   "SUM(conv_c) OVER (ORDER BY decile DESC) AS cc_c FROM g) "
+   "SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, conv_t, "
+   "conv_c, CASE WHEN cc_n > 0 THEN "
+   "CAST(floor((CAST(ct_c AS DOUBLE) - CAST(cc_c AS DOUBLE) "
+   "* CAST(ct_n AS DOUBLE) / CAST(cc_n AS DOUBLE)) * 1000000.0 "
+   "+ 0.5) AS BIGINT) END AS qini_micro FROM c")
+def stats_qini_curve(spark, sf):
+    """Qini uplift curve: reading spend deciles from the top, the
+    cumulative incremental conversions of the treated arm over the
+    control arm's rate-matched expectation — the uplift-modeling eval
+    that tells you WHOM to treat, which the plain A/B z-test cannot.
+    Hash-bucket variants (the stats_ab_ztest convention); decile
+    boundaries by exact integer rank; exact counts with one mirrored
+    expression per decile."""
+    from pyspark.sql import Window
+    from mura_spark.operators.sampling import hash_bucket
+    ev = table(spark, sf, "events")
+    cents = (F.coalesce(F.col("value").cast("decimal(18,2)"),
+                        F.lit(0).cast("decimal(18,2)")) * 100) \
+        .cast("bigint")
+    u = (ev.groupBy("user_id")
+           .agg(F.sum(cents).alias("sp"),
+                F.when(F.sum(F.when(F.col("event_type") == "purchase",
+                                    1).otherwise(0)) >= 15, 1)
+                 .otherwise(0).alias("conv"))
+           .select((hash_bucket(F.col("user_id")) % 2).alias("variant"),
+                   "sp", "conv"))
+    cells = u.groupBy("sp").agg(F.count(F.lit(1)).alias("k"))
+    nn = cells.agg(F.sum("k").alias("n"))
+    cum = cells.select(
+        "sp", F.sum("k").over(Window.orderBy("sp")
+                              .rowsBetween(Window.unboundedPreceding, 0))
+              .alias("gc"))
+    th = (cum.crossJoin(F.broadcast(nn))
+             .crossJoin(F.broadcast(
+                 ev.sparkSession.range(1, 10).select(
+                     F.col("id").alias("i"))))
+             .filter(F.col("gc") >= F.expr("(i * n + 9) div 10"))
+             .groupBy("i").agg(F.min("sp").alias("bv")))
+    tl = th.agg(F.array_sort(F.collect_list(
+        F.struct("i", "bv"))).alias("__s")).select(
+        F.transform("__s", lambda x: x["bv"]).alias("bl"))
+    a = (u.crossJoin(F.broadcast(tl))
+          .select(F.size(F.filter(F.col("bl"),
+                                  lambda x: F.col("sp") > x))
+                   .alias("decile"), "variant", "conv"))
+    cnt = lambda var, c: F.sum(  # noqa: E731
+        F.when(F.col("variant") == var, c).otherwise(0))
+    g = a.groupBy("decile").agg(
+        cnt(1, F.lit(1)).alias("n_t"), cnt(0, F.lit(1)).alias("n_c"),
+        cnt(1, F.col("conv")).alias("conv_t"),
+        cnt(0, F.col("conv")).alias("conv_c"))
+    wd = Window.orderBy(F.desc("decile")) \
+               .rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("decile", "n_t", "n_c", "conv_t", "conv_c",
+                 F.sum("n_t").over(wd).alias("ct_n"),
+                 F.sum("n_c").over(wd).alias("cc_n"),
+                 F.sum("conv_t").over(wd).alias("ct_c"),
+                 F.sum("conv_c").over(wd).alias("cc_c"))
+    qini = (F.floor((F.col("ct_c").cast("double")
+                     - F.col("cc_c").cast("double")
+                     * F.col("ct_n").cast("double")
+                     / F.col("cc_n").cast("double"))
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return c.select(F.col("decile").cast("bigint").alias("decile"),
+                    "n_t", "n_c", "conv_t", "conv_c",
+                    F.when(F.col("cc_n") > 0, qini).alias("qini_micro"))

@@ -2906,3 +2906,42 @@ def test_cohens_d_engineered(spark, tmp_path):
     d = (cb.mean() - ca.mean()) / np.sqrt(pooled)
     assert (r.na, r.nb) == (50, 40)
     assert abs(r.cohens_d_micro - d * 1e6) < 2
+
+
+def test_qini_engineered(spark, tmp_path):
+    # per-user conversions need >= 15 purchases; build 40 users where
+    # treated high-spenders convert and control never does: the top
+    # decile's qini must be positive and the curve monotone-ish down
+    rows, i = [], 0
+    import hashlib
+    def variant(uid):
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        return (h % 1000) % 2
+    treated = [u for u in range(200) if variant(u) == 1][:10]
+    control = [u for u in range(200) if variant(u) == 0][:10]
+    for rank, u in enumerate(treated):
+        spend = 1000.0 - rank  # distinct spends -> clean deciles
+        rows.append((i, "2024-01-01T00:00:00", u, "view", spend, "{}"))
+        i += 1
+        if rank < 5:  # top treated spenders convert
+            for _ in range(15):
+                rows.append((i, "2024-01-01T01:00:00", u, "purchase",
+                             1.0, "{}")); i += 1
+    for rank, u in enumerate(control):
+        rows.append((i, "2024-01-01T00:00:00", u, "view",
+                     900.5 - rank, "{}")); i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.decile: r for r in
+           SPARK_QUERIES["stats_qini_curve"](spark, out).collect()}
+    total_conv_t = sum(r.conv_t for r in got.values())
+    assert total_conv_t == 5
+    assert sum(r.conv_c for r in got.values()) == 0
+    # bottom decile's cumulative row covers everything: qini = 5 - 0
+    bottom = got[min(got)]
+    assert bottom.qini_micro == 5000000
