@@ -2945,3 +2945,17 @@ def test_qini_engineered(spark, tmp_path):
     # bottom decile's cumulative row covers everything: qini = 5 - 0
     bottom = got[min(got)]
     assert bottom.qini_micro == 5000000
+
+
+def test_late_session_plan_shapes(spark, sf_dir):
+    # structural pins for the later round-6 additions: broadcast grids
+    # everywhere, no raw cartesians, checkpointed pair reuse
+    from mura_spark.suite import SPARK_QUERIES
+    for name in ("stats_qini_curve", "text_burrows_delta",
+                 "events_type_affinity", "stats_hill_tail_index",
+                 "ann_pq_adc_recall_at10", "ann_ivf_recall_at10"):
+        p = _plan(SPARK_QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, name
+    p = _plan(SPARK_QUERIES["dedup_cluster_cohesion"](spark, sf_dir))
+    assert p.count("ExistingRDD") >= 1  # pairs mined once
