@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "audit_split_leakage",
     "stats_cohens_d_value",
     "stats_qini_curve",
+    "stats_mahalanobis_outliers",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

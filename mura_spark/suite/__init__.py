@@ -303,6 +303,8 @@ _NEXT_WINDOW = [
     "audit_split_leakage", "stats_cohens_d_value",
     # round-6ttt: Qini uplift curve
     "stats_qini_curve",
+    # round-6uuu: bivariate Mahalanobis outlier screen
+    "stats_mahalanobis_outliers",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -3626,3 +3626,80 @@ def stats_qini_curve(spark, sf):
     return c.select(F.col("decile").cast("bigint").alias("decile"),
                     "n_t", "n_c", "conv_t", "conv_c",
                     F.when(F.col("cc_n") > 0, qini).alias("qini_micro"))
+
+
+@q("stats_mahalanobis_outliers",
+   "WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x, "
+   "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y "
+   "FROM lineitem), "
+   "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+   "CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+   "CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS sxx, "
+   "CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS syy, "
+   "CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS sxy FROM b), "
+   "c AS (SELECT n, sx / CAST(n AS DOUBLE) AS mx, "
+   "sy / CAST(n AS DOUBLE) AS my, "
+   "(sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS vx, "
+   "(syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS vy, "
+   "(sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS cxy "
+   "FROM m), "
+   "d AS (SELECT c.n, "
+   "SUM(CASE WHEN (vy * (x - mx) * (x - mx) "
+   "- 2.0 * cxy * (x - mx) * (y - my) "
+   "+ vx * (y - my) * (y - my)) / (vx * vy - cxy * cxy) > 5.991465 "
+   "THEN 1 ELSE 0 END) AS n_out95, "
+   "SUM(CASE WHEN (vy * (x - mx) * (x - mx) "
+   "- 2.0 * cxy * (x - mx) * (y - my) "
+   "+ vx * (y - my) * (y - my)) / (vx * vy - cxy * cxy) > 9.21034 "
+   "THEN 1 ELSE 0 END) AS n_out99 "
+   "FROM b CROSS JOIN c GROUP BY 1) "
+   "SELECT n AS n_rows, CAST(n_out95 AS BIGINT) AS n_out95, "
+   "CAST(n_out99 AS BIGINT) AS n_out99 FROM d")
+def stats_mahalanobis_outliers(spark, sf):
+    """Bivariate Mahalanobis outlier screen on (quantity, price):
+    points beyond the χ²₂ 95%/99% ellipses — the MULTIVARIATE anomaly
+    detector that catches jointly-weird rows (high qty at low price)
+    every univariate fence (IQR/MAD) misses. Exact decimal moments;
+    the 2×2 inverse is a closed form, one mirrored per-row double
+    expression; exact counts out."""
+    li = table(spark, sf, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("y"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = b.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
+               .alias("sx"),
+              F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+               .alias("sy"),
+              F.sum(d19("x") * d19("x")).cast("double").alias("sxx"),
+              F.sum(d19("y") * d19("y")).cast("double").alias("syy"),
+              F.sum(d19("x") * d19("y")).cast("double").alias("sxy"))
+    nD = F.col("n").cast("double")
+    nm1 = (F.col("n") - F.lit(1)).cast("double")
+    c = m.select(
+        "n",
+        (F.col("sx") / nD).alias("mx"), (F.col("sy") / nD).alias("my"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / nD) / nm1)
+        .alias("vx"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / nD) / nm1)
+        .alias("vy"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / nD) / nm1)
+        .alias("cxy"))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    md2 = ((F.col("vy") * dx * dx - F.lit(2.0) * F.col("cxy") * dx * dy
+            + F.col("vx") * dy * dy)
+           / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")))
+    return (b.crossJoin(F.broadcast(c))
+             .groupBy("n")
+             .agg(F.sum(F.when(md2 > 5.991465, 1).otherwise(0))
+                   .cast("bigint").alias("n_out95"),
+                  F.sum(F.when(md2 > 9.21034, 1).otherwise(0))
+                   .cast("bigint").alias("n_out99"))
+             .select(F.col("n").alias("n_rows"), "n_out95", "n_out99"))

@@ -2959,3 +2959,29 @@ def test_late_session_plan_shapes(spark, sf_dir):
         assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, name
     p = _plan(SPARK_QUERIES["dedup_cluster_cohesion"](spark, sf_dir))
     assert p.count("ExistingRDD") >= 1  # pairs mined once
+
+
+def test_mahalanobis_engineered(spark, tmp_path):
+    # tight correlated cloud + one jointly-weird point (high qty, LOW
+    # price — inside both marginal ranges, far outside the ellipse)
+    rows = []
+    for i in range(100):
+        q_ = 10 + (i % 10)
+        rows.append((i, 1, 1, 1, float(q_), float(q_ * 10), 0.0, 0.0,
+                     "N", "O", "1999-01-01"))
+    rows.append((100, 1, 1, 1, 19.0, 100.0, 0.0, 0.0, "N", "O",
+                 "1999-01-01"))
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_mahalanobis_outliers"](spark, out).first()
+    assert r.n_rows == 101
+    assert r.n_out99 >= 1          # the planted point
+    assert r.n_out95 <= 10         # the cloud itself stays inside
