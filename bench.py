@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "stats_cohens_d_value",
     "stats_qini_curve",
     "stats_mahalanobis_outliers",
+    "stats_partial_corr",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -305,6 +305,8 @@ _NEXT_WINDOW = [
     "stats_qini_curve",
     # round-6uuu: bivariate Mahalanobis outlier screen
     "stats_mahalanobis_outliers",
+    # round-6vvv: confounder-adjusted partial correlation
+    "stats_partial_corr",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -3703,3 +3703,53 @@ def stats_mahalanobis_outliers(spark, sf):
                   F.sum(F.when(md2 > 9.21034, 1).otherwise(0))
                    .cast("bigint").alias("n_out99"))
              .select(F.col("n").alias("n_rows"), "n_out95", "n_out99"))
+
+
+def _pcorr_sql() -> str:
+    """One-text partial-correlation SQL (the _ols2_sql posture): run
+    verbatim by BOTH engines over a view named by the caller."""
+    x = "CAST(l_quantity AS BIGINT)"
+    y = "CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT)"
+    z = "CAST(round(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT)"
+    dec = lambda a, b: (f"SUM(CAST({a} AS DECIMAL(19,0)) "  # noqa: E731
+                        f"* CAST({b} AS DECIMAL(19,0)))")
+    corr = (lambda sab, sa, sb, qa, qb:
+            f"(n * {sab} - {sa} * {sb}) "
+            f"/ sqrt((n * {qa} - {sa} * {sa}) * (n * {qb} - {sb} * {sb}))")
+    return (
+        "WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+        f"CAST(SUM(CAST({y} AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+        f"CAST(SUM(CAST({z} AS DECIMAL(38,0))) AS DOUBLE) AS sz, "
+        f"CAST({dec(x, x)} AS DOUBLE) AS qx, "
+        f"CAST({dec(y, y)} AS DOUBLE) AS qy, "
+        f"CAST({dec(z, z)} AS DOUBLE) AS qz, "
+        f"CAST({dec(x, y)} AS DOUBLE) AS sxy, "
+        f"CAST({dec(x, z)} AS DOUBLE) AS sxz, "
+        f"CAST({dec(y, z)} AS DOUBLE) AS syz "
+        "FROM {tbl}), "
+        "r AS (SELECT n_rows, "
+        f"{corr('sxy', 'sx', 'sy', 'qx', 'qy')} AS rxy, "
+        f"{corr('sxz', 'sx', 'sz', 'qx', 'qz')} AS rxz, "
+        f"{corr('syz', 'sy', 'sz', 'qy', 'qz')} AS ryz FROM m) "
+        "SELECT n_rows, "
+        "CAST(floor(rxy * 1000000.0 + 0.5) AS BIGINT) AS rxy_micro, "
+        "CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0 THEN "
+        "CAST(floor((rxy - rxz * ryz) "
+        "/ sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1000000.0 "
+        "+ 0.5) AS BIGINT) END AS partial_rxy_z_micro FROM r")
+
+
+@q("stats_partial_corr", _pcorr_sql().replace("{tbl}", "lineitem"))
+def stats_partial_corr(spark, sf):
+    """Partial correlation of quantity and price CONTROLLING for
+    discount: (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the
+    continuous-variable confounder adjustment completing the
+    Simpson-screen / CMH family (those handle categorical strata;
+    this nets out a numeric covariate). All ten moments in one exact
+    decimal pass; same SQL text runs on both engines."""
+    li = table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("mura_pcorr_lineitem")
+    return spark.sql(_pcorr_sql().replace("{tbl}",
+                                          "mura_pcorr_lineitem"))

@@ -2985,3 +2985,38 @@ def test_mahalanobis_engineered(spark, tmp_path):
     assert r.n_rows == 101
     assert r.n_out99 >= 1          # the planted point
     assert r.n_out95 <= 10         # the cloud itself stays inside
+
+
+def test_partial_corr_engineered(spark, tmp_path):
+    # y = x + z with independent-ish x and z grids: r(x,y) is strong,
+    # but r(x,y|z) must be ~1 (controlling z removes its noise);
+    # cross-check against numpy
+    import numpy as np
+    rows, i = [], 0
+    for xi in range(10):
+        for zi in range(10):
+            x, z = float(xi + 1), float(zi) / 100.0
+            y = (x + zi) / 1.0  # price = qty + discount-index dollars
+            rows.append((i, 1, 1, 1, x, y, z, 0.0, "N", "O",
+                         "1999-01-01")); i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_partial_corr"](spark, out).first()
+    xs = np.array([int(row[4]) for row in rows], dtype=float)
+    ys = np.array([round(row[5] * 100) for row in rows], dtype=float)
+    zs = np.array([round(row[6] * 100) for row in rows], dtype=float)
+    def corr(a, b):
+        return np.corrcoef(a, b)[0, 1]
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    part = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert r.n_rows == 100
+    assert abs(r.partial_rxy_z_micro - part * 1e6) < 5
+    assert r.partial_rxy_z_micro > 995000  # ~1 after controlling z
