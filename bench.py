@@ -345,6 +345,7 @@ BENCH_QUERIES = [
     "stats_qini_curve",
     "stats_mahalanobis_outliers",
     "stats_partial_corr",
+    "stats_deming_qty_price",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -307,6 +307,8 @@ _NEXT_WINDOW = [
     "stats_mahalanobis_outliers",
     # round-6vvv: confounder-adjusted partial correlation
     "stats_partial_corr",
+    # round-6www: errors-in-variables Deming regression
+    "stats_deming_qty_price",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

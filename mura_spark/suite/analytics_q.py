@@ -3753,3 +3753,49 @@ def stats_partial_corr(spark, sf):
     li.createOrReplaceTempView("mura_pcorr_lineitem")
     return spark.sql(_pcorr_sql().replace("{tbl}",
                                           "mura_pcorr_lineitem"))
+
+
+def _deming_sql() -> str:
+    """One-text Deming regression (λ=1) — slope from centered moments:
+    ((Syy−Sxx) + √((Syy−Sxx)² + 4·Sxy²)) / (2·Sxy)."""
+    x = "CAST(l_quantity AS BIGINT)"
+    y = "CAST(round(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT)"
+    dec = lambda a, b: (f"SUM(CAST({a} AS DECIMAL(19,0)) "  # noqa: E731
+                        f"* CAST({b} AS DECIMAL(19,0)))")
+    return (
+        "WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+        f"CAST(SUM(CAST({y} AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+        f"CAST({dec(x, x)} AS DOUBLE) AS qx, "
+        f"CAST({dec(y, y)} AS DOUBLE) AS qy, "
+        f"CAST({dec(x, y)} AS DOUBLE) AS qxy "
+        "FROM {tbl}), "
+        "c AS (SELECT n_rows, n, "
+        "(qx - sx * sx / n) / n AS cxx, "
+        "(qy - sy * sy / n) / n AS cyy, "
+        "(qxy - sx * sy / n) / n AS cxy, "
+        "sx / n AS mx, sy / n AS my FROM m) "
+        "SELECT n_rows, "
+        "CASE WHEN cxy <> 0.0 THEN "
+        "CAST(floor(((cyy - cxx) + sqrt((cyy - cxx) * (cyy - cxx) "
+        "+ 4.0 * cxy * cxy)) / (2.0 * cxy) * 1000000.0 + 0.5) "
+        "AS BIGINT) END AS slope_micro, "
+        "CASE WHEN cxy <> 0.0 THEN "
+        "CAST(floor((my - ((cyy - cxx) + sqrt((cyy - cxx) * (cyy - cxx) "
+        "+ 4.0 * cxy * cxy)) / (2.0 * cxy) * mx) * 1000000.0 + 0.5) "
+        "AS BIGINT) END AS intercept_micro FROM c")
+
+
+@q("stats_deming_qty_price", _deming_sql().replace("{tbl}", "lineitem"))
+def stats_deming_qty_price(spark, sf):
+    """Deming regression (errors in BOTH variables, λ=1) of discount%
+    on quantity — the calibration-grade line for when x is as noisy as
+    y and OLS's attenuation bias is unacceptable (instrument
+    cross-calibration, sensor reconciliation). Closed form from five
+    exact decimal moments; same SQL text runs verbatim on both
+    engines (the _ols2_sql posture)."""
+    li = table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("mura_deming_lineitem")
+    return spark.sql(_deming_sql().replace("{tbl}",
+                                           "mura_deming_lineitem"))

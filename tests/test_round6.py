@@ -3020,3 +3020,39 @@ def test_partial_corr_engineered(spark, tmp_path):
     assert r.n_rows == 100
     assert abs(r.partial_rxy_z_micro - part * 1e6) < 5
     assert r.partial_rxy_z_micro > 995000  # ~1 after controlling z
+
+
+def test_deming_engineered(spark, tmp_path):
+    # symmetric noise on both axes around y = 2x + 3 (in the query's
+    # integer units): Deming must recover the slope where OLS would
+    # attenuate; cross-check against the closed form in numpy
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows, i = [], 0
+    for k in range(200):
+        x_true = float(k % 40)
+        y_true = 2.0 * x_true + 3.0
+        x = x_true + float(rng.randint(-2, 3))
+        y = y_true + float(rng.randint(-2, 3))
+        # query units: x = quantity (int), y = discount*100 (int)
+        rows.append((i, 1, 1, 1, x, 1.0, y / 100.0, 0.0, "N", "O",
+                     "1999-01-01")); i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_deming_qty_price"](spark, out).first()
+    xs = np.array([int(row[4]) for row in rows], dtype=float)
+    ys = np.array([round(row[6] * 100) for row in rows], dtype=float)
+    cxx, cyy = xs.var(), ys.var()
+    cxy = ((xs - xs.mean()) * (ys - ys.mean())).mean()
+    slope = ((cyy - cxx) + np.sqrt((cyy - cxx) ** 2 + 4 * cxy ** 2)) \
+        / (2 * cxy)
+    assert abs(r.slope_micro - slope * 1e6) < 5
+    assert 1800000 < r.slope_micro < 2200000
