@@ -346,6 +346,7 @@ BENCH_QUERIES = [
     "stats_mahalanobis_outliers",
     "stats_partial_corr",
     "stats_deming_qty_price",
+    "stats_kendall_tau_daily",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -309,6 +309,8 @@ _NEXT_WINDOW = [
     "stats_partial_corr",
     # round-6www: errors-in-variables Deming regression
     "stats_deming_qty_price",
+    # round-6xxx: Kendall's tau-a between daily series
+    "stats_kendall_tau_daily",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -3799,3 +3799,58 @@ def stats_deming_qty_price(spark, sf):
     li.createOrReplaceTempView("mura_deming_lineitem")
     return spark.sql(_deming_sql().replace("{tbl}",
                                            "mura_deming_lineitem"))
+
+
+@q("stats_kendall_tau_daily",
+   "WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) "
+   "// 86400000000 AS d, "
+   "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS xc, "
+   "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS yc FROM events GROUP BY 1), "
+   "p AS (SELECT CAST(SUM(CASE WHEN (b.xc - a.xc) * (b.yc - a.yc) > 0 "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS conc, "
+   "CAST(SUM(CASE WHEN (b.xc - a.xc) * (b.yc - a.yc) < 0 THEN 1 "
+   "ELSE 0 END) AS BIGINT) AS disc, "
+   "CAST(SUM(CASE WHEN b.xc = a.xc OR b.yc = a.yc THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS ties, "
+   "CAST(COUNT(*) AS BIGINT) AS n_pairs "
+   "FROM daily a JOIN daily b ON b.d > a.d) "
+   "SELECT n_pairs, conc, disc, ties, "
+   "CASE WHEN n_pairs > 0 THEN "
+   "CAST(floor(CAST(conc - disc AS DOUBLE) "
+   "/ CAST(n_pairs AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END "
+   "AS tau_a_micro FROM p")
+def stats_kendall_tau_daily(spark, sf):
+    """Kendall's τ-a between the daily click and purchase count
+    series: (concordant − discordant) / C(n,2) over all day pairs —
+    the rank-association member completing the correlation family
+    (Pearson = stats_corr_lineitem, Spearman =
+    stats_spearman_qty_discount; τ is the most outlier-proof of the
+    three). Exact integer pair classification on the tiny day frame;
+    one terminal division."""
+    ev = table(spark, sf, "events")
+    daily = (ev.groupBy(F.expr("unix_micros(date_trunc('DAY', ts)) "
+                               "div 86400000000").alias("d"))
+               .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                           .otherwise(0)).alias("xc"),
+                    F.sum(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("yc")))
+    a = daily.select(F.col("d").alias("da"), F.col("xc").alias("xa"),
+                     F.col("yc").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("xc").alias("xb"),
+                     F.col("yc").alias("yb"))
+    prod = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    p = (a.join(b, F.col("db") > F.col("da"))
+          .agg(F.sum(F.when(prod > 0, 1).otherwise(0)).alias("conc"),
+               F.sum(F.when(prod < 0, 1).otherwise(0)).alias("disc"),
+               F.sum(F.when((F.col("xb") == F.col("xa"))
+                            | (F.col("yb") == F.col("ya")), 1)
+                      .otherwise(0)).alias("ties"),
+               F.count(F.lit(1)).alias("n_pairs")))
+    tau = (F.floor((F.col("conc") - F.col("disc")).cast("double")
+                   / F.col("n_pairs").cast("double")
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return p.select("n_pairs", "conc", "disc", "ties",
+                    F.when(F.col("n_pairs") > 0, tau)
+                     .alias("tau_a_micro"))

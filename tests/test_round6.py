@@ -3056,3 +3056,26 @@ def test_deming_engineered(spark, tmp_path):
         / (2 * cxy)
     assert abs(r.slope_micro - slope * 1e6) < 5
     assert 1800000 < r.slope_micro < 2200000
+
+
+def test_kendall_engineered(spark, tmp_path):
+    # purchases exactly track clicks across days -> every pair
+    # concordant: tau-a = 1
+    rows, i = [], 0
+    for day, n in ((1, 2), (2, 4), (3, 6), (4, 8)):
+        for _ in range(n):
+            rows.append((i, f"2024-01-0{day}T00:00:00", 1, "click",
+                         1.0, "{}")); i += 1
+        for _ in range(n // 2):
+            rows.append((i, f"2024-01-0{day}T01:00:00", 1, "purchase",
+                         1.0, "{}")); i += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_kendall_tau_daily"](spark, out).first()
+    assert (r.n_pairs, r.conc, r.disc) == (6, 6, 0)
+    assert r.tau_a_micro == 1000000
