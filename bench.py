@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "stats_partial_corr",
     "stats_deming_qty_price",
     "stats_kendall_tau_daily",
+    "parts_price_dispersion_topk",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -311,6 +311,8 @@ _NEXT_WINDOW = [
     "stats_deming_qty_price",
     # round-6xxx: Kendall's tau-a between daily series
     "stats_kendall_tau_daily",
+    # round-6yyy: pricing-integrity dispersion top-k
+    "parts_price_dispersion_topk",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -938,3 +938,60 @@ def orders_deseasonalized_growth(spark, sf):
                     "index_micro", "adj_cents",
                     F.when(F.col("prev") > 0, growth)
                      .alias("growth_micro"))
+
+
+@q("parts_price_dispersion_topk",
+   "WITH up AS (SELECT l_partkey, "
+   "CAST(floor(CAST(l_extendedprice AS DOUBLE) "
+   "/ CAST(l_quantity AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS u "
+   "FROM lineitem WHERE l_quantity > 0), "
+   "m AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+   "CAST(SUM(CAST(u AS DECIMAL(38,0))) AS DOUBLE) AS s, "
+   "CAST(SUM(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0))) "
+   "AS DOUBLE) AS q FROM up GROUP BY 1), "
+   "c AS (SELECT l_partkey, n_lines, "
+   "CAST(floor(s / CAST(n_lines AS DOUBLE) + 0.5) AS BIGINT) "
+   "AS mean_unit_micro, "
+   "CASE WHEN n_lines > 1 AND s > 0.0 "
+   "AND q - s * s / CAST(n_lines AS DOUBLE) > 0.0 THEN "
+   "CAST(floor(sqrt((q - s * s / CAST(n_lines AS DOUBLE)) "
+   "/ CAST(n_lines - 1 AS DOUBLE)) / (s / CAST(n_lines AS DOUBLE)) "
+   "* 1000000.0 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END "
+   "AS cv_micro FROM m) "
+   "SELECT l_partkey, n_lines, mean_unit_micro, cv_micro FROM c "
+   "WHERE n_lines >= 3 ORDER BY cv_micro DESC, l_partkey ASC LIMIT 20")
+def parts_price_dispersion_topk(spark, sf):
+    """Pricing-integrity screen: the 20 parts (≥3 lines) whose unit
+    price varies most (coefficient of variation of per-line
+    extendedprice/quantity) — inconsistent pricing is either a
+    discount policy or a data bug, and this ranks where to look.
+    Per-row unit price micro-quantized once; exact decimal moments
+    per part; top-k with unique-key tiebreak."""
+    li = table(spark, sf, "lineitem").where(F.col("l_quantity") > 0)
+    u = (F.floor(F.col("l_extendedprice").cast("double")
+                 / F.col("l_quantity").cast("double")
+                 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    up = li.select("l_partkey", u.alias("u"))
+    m = up.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("u").cast("decimal(38,0)")).cast("double")
+         .alias("s"),
+        F.sum(F.col("u").cast("decimal(19,0)")
+              * F.col("u").cast("decimal(19,0)")).cast("double")
+         .alias("q"))
+    nD = F.col("n_lines").cast("double")
+    mean = F.col("s") / nD
+    varn = F.col("q") - F.col("s") * F.col("s") / nD
+    cv = (F.sqrt(varn / (F.col("n_lines") - F.lit(1)).cast("double"))
+          / mean)
+    ok = (F.col("n_lines") > 1) & (F.col("s") > 0) & (varn > 0)
+    c = m.select(
+        "l_partkey", "n_lines",
+        F.floor(mean + F.lit(0.5)).cast("bigint")
+         .alias("mean_unit_micro"),
+        F.when(ok, F.floor(cv * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("bigint"))
+         .otherwise(F.lit(0).cast("bigint")).alias("cv_micro"))
+    return (c.filter(F.col("n_lines") >= 3)
+             .orderBy(F.desc("cv_micro"), F.asc("l_partkey"))
+             .limit(20))

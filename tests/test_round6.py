@@ -3079,3 +3079,31 @@ def test_kendall_engineered(spark, tmp_path):
     r = SPARK_QUERIES["stats_kendall_tau_daily"](spark, out).first()
     assert (r.n_pairs, r.conc, r.disc) == (6, 6, 0)
     assert r.tau_a_micro == 1000000
+
+
+def test_price_dispersion_engineered(spark, tmp_path):
+    # part 1: constant unit price (cv 0); part 2: unit prices 10 and
+    # 30 (high cv); part 3: only 2 lines -> filtered by n >= 3
+    rows = [(1, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", "1999-01-01"),
+            (2, 1, 1, 1, 3.0, 30.0, 0.0, 0.0, "N", "O", "1999-01-01"),
+            (3, 1, 1, 1, 4.0, 40.0, 0.0, 0.0, "N", "O", "1999-01-01"),
+            (4, 2, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "1999-01-01"),
+            (5, 2, 1, 1, 1.0, 30.0, 0.0, 0.0, "N", "O", "1999-01-01"),
+            (6, 2, 1, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", "1999-01-01"),
+            (7, 3, 1, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", "1999-01-01"),
+            (8, 3, 1, 1, 1.0, 9.0, 0.0, 0.0, "N", "O", "1999-01-01")]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate string")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/lineitem.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = SPARK_QUERIES["parts_price_dispersion_topk"](spark, out) \
+        .collect()
+    assert [r.l_partkey for r in got] == [2, 1]  # part 3 filtered
+    assert got[0].cv_micro == 500000  # sd 10 / mean 20
+    assert got[1].cv_micro == 0
