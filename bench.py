@@ -348,6 +348,7 @@ BENCH_QUERIES = [
     "stats_deming_qty_price",
     "stats_kendall_tau_daily",
     "parts_price_dispersion_topk",
+    "audit_event_disorder",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

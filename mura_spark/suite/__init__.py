@@ -313,6 +313,8 @@ _NEXT_WINDOW = [
     "stats_kendall_tau_daily",
     # round-6yyy: pricing-integrity dispersion top-k
     "parts_price_dispersion_topk",
+    # round-6zzz: event-time disorder / watermark-sizing audit
+    "audit_event_disorder",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

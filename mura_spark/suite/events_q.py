@@ -1980,3 +1980,62 @@ def events_funnel_window_sensitivity(spark, sf):
                           / F.count(F.lit(1)).cast("double")
                           * F.lit(1000000.0) + F.lit(0.5))
                    .cast("bigint").alias("rate_micro")))
+
+
+@q("audit_event_disorder",
+   "WITH s AS (SELECT user_id, ts, "
+   "MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax "
+   "FROM events), "
+   "l AS (SELECT CASE WHEN runmax IS NOT NULL AND ts < runmax "
+   "THEN epoch_us(runmax) - epoch_us(ts) ELSE 0 END AS late_us "
+   "FROM s), "
+   "cells AS (SELECT late_us, COUNT(*) AS k FROM l "
+   "WHERE late_us > 0 GROUP BY 1), "
+   "nn AS (SELECT SUM(k) AS n FROM cells), "
+   "cum AS (SELECT late_us, SUM(k) OVER (ORDER BY late_us) AS gc "
+   "FROM cells), "
+   "p95 AS (SELECT (SELECT MIN(late_us) FROM cum CROSS JOIN nn "
+   "WHERE gc >= (n * 95 + 99) // 100) AS v) "
+   "SELECT CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_events, "
+   "CAST((SELECT COUNT(*) FROM l WHERE late_us > 0) AS BIGINT) "
+   "AS n_late, "
+   "CAST((SELECT MAX(late_us) FROM l) AS BIGINT) AS max_late_us, "
+   "(SELECT CAST(v AS BIGINT) FROM p95) AS p95_late_us")
+def audit_event_disorder(spark, sf):
+    """Event-time disorder audit: within each user's ARRIVAL order
+    (event_id), how many events arrive with an event time earlier
+    than something already seen, how late at worst, and the p95
+    lateness — exactly the numbers that size a streaming watermark
+    (too small drops these events; too large bloats state). Per-user
+    running max is a keyed window (distributed — never a global
+    arrival sort); lateness percentile by integer rank selection."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    s = ev.select("user_id", "ts", F.max("ts").over(w).alias("runmax"))
+    late = (F.when(F.col("runmax").isNotNull()
+                   & (F.col("ts") < F.col("runmax")),
+                   F.unix_micros("runmax") - F.unix_micros("ts"))
+             .otherwise(F.lit(0))).alias("late_us")
+    l = s.select(late)
+    cells = (l.filter(F.col("late_us") > 0)
+              .groupBy("late_us").agg(F.count(F.lit(1)).alias("k")))
+    nn = cells.agg(F.sum("k").alias("n"))
+    cum = cells.select(
+        "late_us",
+        F.sum("k").over(Window.orderBy("late_us")
+                        .rowsBetween(Window.unboundedPreceding, 0))
+         .alias("gc"))
+    p95 = (cum.crossJoin(F.broadcast(nn))
+              .filter(F.col("gc") >= F.expr("(n * 95 + 99) div 100"))
+              .agg(F.min("late_us").alias("v")))
+    tot = l.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+         .alias("n_late"),
+        F.max("late_us").cast("bigint").alias("max_late_us"))
+    return (tot.crossJoin(F.broadcast(p95))
+               .select("n_events", "n_late", "max_late_us",
+                       F.col("v").cast("bigint").alias("p95_late_us")))

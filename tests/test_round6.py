@@ -3107,3 +3107,23 @@ def test_price_dispersion_engineered(spark, tmp_path):
     assert [r.l_partkey for r in got] == [2, 1]  # part 3 filtered
     assert got[0].cv_micro == 500000  # sd 10 / mean 20
     assert got[1].cv_micro == 0
+
+
+def test_event_disorder_engineered(spark, tmp_path):
+    # user 1's third arrival (event_id order) carries an event time
+    # 10 minutes BEFORE an already-seen one; everything else in order
+    rows = [(0, "2024-01-01T00:00:00", 1, "a", 1.0, "{}"),
+            (1, "2024-01-01T01:00:00", 1, "a", 1.0, "{}"),
+            (2, "2024-01-01T00:50:00", 1, "a", 1.0, "{}"),
+            (3, "2024-01-01T02:00:00", 2, "a", 1.0, "{}")]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["audit_event_disorder"](spark, out).first()
+    assert (r.n_events, r.n_late) == (4, 1)
+    assert r.max_late_us == 10 * 60 * 1000000
+    assert r.p95_late_us == r.max_late_us
