@@ -349,6 +349,7 @@ BENCH_QUERIES = [
     "stats_kendall_tau_daily",
     "parts_price_dispersion_topk",
     "audit_event_disorder",
+    "stats_ljung_box_daily",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

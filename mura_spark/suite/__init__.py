@@ -315,6 +315,8 @@ _NEXT_WINDOW = [
     "parts_price_dispersion_topk",
     # round-6zzz: event-time disorder / watermark-sizing audit
     "audit_event_disorder",
+    # round-6aaaa: Ljung–Box whiteness test
+    "stats_ljung_box_daily",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

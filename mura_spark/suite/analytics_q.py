@@ -3854,3 +3854,82 @@ def stats_kendall_tau_daily(spark, sf):
     return p.select("n_pairs", "conc", "disc", "ties",
                     F.when(F.col("n_pairs") > 0, tau)
                      .alias("tau_a_micro"))
+
+
+@q("stats_ljung_box_daily",
+   "WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) "
+   "// 86400000000 AS d, "
+   "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y "
+   "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+   "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+   "CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s FROM daily), "
+   "c AS (SELECT d, CAST(y AS DOUBLE) - s / CAST(n AS DOUBLE) AS e "
+   "FROM daily CROSS JOIN nn), "
+   "v AS (SELECT SUM(e * e) AS c0 FROM c), "
+   "l AS (SELECT k, SUM(a.e * b.e) AS ck FROM "
+   "(SELECT CAST(i AS INT) AS k FROM range(1, 6) t(i)) ks "
+   "JOIN c a ON TRUE JOIN c b ON b.d = a.d + ks.k GROUP BY 1), "
+   "r AS (SELECT l.k, CAST(floor(l.ck / v.c0 * 1000000.0 + 0.5) "
+   "AS BIGINT) AS rk FROM l CROSS JOIN v), "
+   "q AS (SELECT CAST(SUM(CAST(floor(CAST(rk AS DOUBLE) "
+   "* CAST(rk AS DOUBLE) / CAST((SELECT n FROM nn) - k AS DOUBLE) "
+   "+ 0.5) AS BIGINT)) AS BIGINT) AS qsum FROM r) "
+   "SELECT nn.n AS n_days, "
+   "CAST(floor(CAST(nn.n AS DOUBLE) * CAST(nn.n + 2 AS DOUBLE) "
+   "* CAST(q.qsum AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) "
+   "AS q_micro, CAST(5 AS INT) AS df, "
+   "CAST(CAST(nn.n AS DOUBLE) * CAST(nn.n + 2 AS DOUBLE) "
+   "* CAST(q.qsum AS DOUBLE) / 1000000.0 < 11.0705 AS INT) "
+   "AS is_white_noise FROM nn CROSS JOIN q")
+def stats_ljung_box_daily(spark, sf):
+    """Ljung–Box portmanteau whiteness test on the daily value series
+    (lags 1–5): Q = n(n+2)·Σ r²ₖ/(n−k) vs the χ²₅ 5% critical value —
+    the autocorrelation-based residual check that complements the
+    runs test (runs sees sign patterns; Q sees linear memory at any
+    of 5 lags). Exact daily sums; per-lag autocorrelations quantized
+    to micro BEFORE the Q sum (each term floor-quantized, so the sum
+    is exact integers); one mirrored terminal scaling."""
+    from pyspark.sql import Window
+    ev = table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (ev.groupBy(F.expr("unix_micros(date_trunc('DAY', ts)) "
+                               "div 86400000000").alias("d"))
+               .agg(F.sum(cents).alias("y")))
+    nn = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+         .alias("s"))
+    c = (daily.crossJoin(F.broadcast(nn))
+              .select("d", "n",
+                      (F.col("y").cast("double")
+                       - F.col("s") / F.col("n").cast("double"))
+                      .alias("e")))
+    v = c.agg(F.sum(F.col("e") * F.col("e")).alias("c0"))
+    ks = ev.sparkSession.range(1, 6).select(F.col("id").cast("int")
+                                            .alias("k"))
+    a = c.select(F.col("d").alias("da"), F.col("e").alias("ea"))
+    b = c.select(F.col("d").alias("db"), F.col("e").alias("eb"))
+    l = (a.crossJoin(F.broadcast(ks))
+          .join(b, F.col("db") == F.col("da") + F.col("k"))
+          .groupBy("k")
+          .agg(F.sum(F.col("ea") * F.col("eb")).alias("ck")))
+    r = (l.crossJoin(F.broadcast(v))
+          .select("k", F.floor(F.col("ck") / F.col("c0")
+                               * F.lit(1000000.0) + F.lit(0.5))
+                       .cast("bigint").alias("rk")))
+    q = (r.crossJoin(F.broadcast(nn.select("n")))
+          .select(F.floor(F.col("rk").cast("double")
+                          * F.col("rk").cast("double")
+                          / (F.col("n") - F.col("k")).cast("double")
+                          + F.lit(0.5)).cast("bigint").alias("t"))
+          .agg(F.sum("t").alias("qsum")))
+    nD = F.col("n").cast("double")
+    qv = (nD * (F.col("n") + F.lit(2)).cast("double")
+          * F.col("qsum").cast("double") / F.lit(1000000.0))
+    return (nn.crossJoin(F.broadcast(q))
+              .select(F.col("n").alias("n_days"),
+                      F.floor(qv + F.lit(0.5)).cast("bigint")
+                       .alias("q_micro"),
+                      F.lit(5).cast("int").alias("df"),
+                      (qv < F.lit(11.0705)).cast("int")
+                       .alias("is_white_noise")))

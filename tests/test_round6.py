@@ -3127,3 +3127,22 @@ def test_event_disorder_engineered(spark, tmp_path):
     assert (r.n_events, r.n_late) == (4, 1)
     assert r.max_late_us == 10 * 60 * 1000000
     assert r.p95_late_us == r.max_late_us
+
+
+def test_ljung_box_engineered(spark, tmp_path):
+    # strongly alternating daily series: lag-1 autocorrelation ~ -1
+    # -> Q blows past the chi2(5) critical value (not white noise)
+    vals = [100.0 if i % 2 == 0 else 10.0 for i in range(28)]
+    rows = [(i, f"2024-01-{i+1:02d}T00:00:00", 1, "click", v, "{}")
+            for i, v in enumerate(vals)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_ljung_box_daily"](spark, out).first()
+    assert r.n_days == 28 and r.df == 5
+    assert r.is_white_noise == 0
+    assert r.q_micro > 11070500  # far beyond the critical value
