@@ -350,6 +350,7 @@ BENCH_QUERIES = [
     "parts_price_dispersion_topk",
     "audit_event_disorder",
     "stats_ljung_box_daily",
+    "orders_churn_risk_flags",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -317,6 +317,8 @@ _NEXT_WINDOW = [
     "audit_event_disorder",
     # round-6aaaa: Ljung–Box whiteness test
     "stats_ljung_box_daily",
+    # round-6bbbb: personalized churn-risk dormancy flags
+    "orders_churn_risk_flags",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -995,3 +995,63 @@ def parts_price_dispersion_topk(spark, sf):
     return (c.filter(F.col("n_lines") >= 3)
              .orderBy(F.desc("cv_micro"), F.asc("l_partkey"))
              .limit(20))
+
+
+@q("orders_churn_risk_flags",
+   "WITH ref AS (SELECT MAX(o_orderdate) AS mx FROM orders), "
+   "g AS (SELECT o_custkey, "
+   "epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER "
+   "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) "
+   "AS gap_us, o_orderdate FROM orders), "
+   "last AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+   "MAX(o_orderdate) AS last_dt FROM g GROUP BY 1), "
+   "gr AS (SELECT o_custkey, gap_us, ROW_NUMBER() OVER "
+   "(PARTITION BY o_custkey ORDER BY gap_us) AS rn, "
+   "COUNT(*) OVER (PARTITION BY o_custkey) AS m FROM g "
+   "WHERE gap_us IS NOT NULL), "
+   "med AS (SELECT o_custkey, CAST(MIN(gap_us) AS BIGINT) AS med_gap "
+   "FROM gr WHERE rn >= (m + 1) // 2 GROUP BY 1) "
+   "SELECT l.o_custkey, l.n_orders, med.med_gap AS median_gap_us, "
+   "CAST(epoch_us(ref.mx) - epoch_us(l.last_dt) AS BIGINT) "
+   "AS idle_us, "
+   "CAST(epoch_us(ref.mx) - epoch_us(l.last_dt) > 2 * med.med_gap "
+   "AS INT) AS churn_risk "
+   "FROM last l JOIN med ON l.o_custkey = med.o_custkey "
+   "CROSS JOIN ref WHERE l.n_orders >= 3")
+def orders_churn_risk_flags(spark, sf):
+    """Per-customer churn-risk dormancy flag: idle time since the last
+    order exceeding 2× the customer's OWN median inter-order gap —
+    the personalized reactivation trigger (a global cutoff punishes
+    naturally infrequent buyers). Customer-keyed lag window; median
+    gap by in-group rank selection (exact, no interpolation);
+    broadcast max-date reference; ≥3 orders so the median means
+    something."""
+    from pyspark.sql import Window
+    o = table(spark, sf, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("mx"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    g = o.select("o_custkey", "o_orderdate",
+                 (F.unix_micros("o_orderdate")
+                  - F.unix_micros(F.lag("o_orderdate").over(w)))
+                 .alias("gap_us"))
+    last = g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_orderdate").alias("last_dt"))
+    wg = Window.partitionBy("o_custkey").orderBy("gap_us")
+    gr = (g.filter(F.col("gap_us").isNotNull())
+           .select("o_custkey", "gap_us",
+                   F.row_number().over(wg).alias("rn"),
+                   F.count(F.lit(1)).over(
+                       Window.partitionBy("o_custkey")).alias("m")))
+    med = (gr.filter(F.col("rn") >= F.expr("(m + 1) div 2"))
+             .groupBy("o_custkey")
+             .agg(F.min("gap_us").cast("bigint").alias("med_gap")))
+    idle = F.unix_micros("mx") - F.unix_micros("last_dt")
+    return (last.join(med, "o_custkey").crossJoin(F.broadcast(ref))
+                .filter(F.col("n_orders") >= 3)
+                .select("o_custkey", "n_orders",
+                        F.col("med_gap").alias("median_gap_us"),
+                        idle.cast("bigint").alias("idle_us"),
+                        (idle > 2 * F.col("med_gap")).cast("int")
+                         .alias("churn_risk")))

@@ -3146,3 +3146,27 @@ def test_ljung_box_engineered(spark, tmp_path):
     assert r.n_days == 28 and r.df == 5
     assert r.is_white_noise == 0
     assert r.q_micro > 11070500  # far beyond the critical value
+
+
+def test_churn_flags_engineered(spark, tmp_path):
+    # cust 1: monthly buyer, last order right at the end -> no risk;
+    # cust 2: monthly buyer gone silent for 6 months -> flagged
+    rows, k = [], 0
+    for m in range(1, 13):
+        rows.append((k, 1, "F", 10.0, f"1999-{m:02d}-01", "P")); k += 1
+    for m in range(1, 7):
+        rows.append((k, 2, "F", 10.0, f"1999-{m:02d}-01", "P")); k += 1
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/orders.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    got = {r.o_custkey: r for r in
+           SPARK_QUERIES["orders_churn_risk_flags"](spark, out)
+           .collect()}
+    assert got[1].churn_risk == 0
+    assert got[2].churn_risk == 1
+    assert got[2].idle_us > 2 * got[2].median_gap_us
