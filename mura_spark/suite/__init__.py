@@ -33,77 +33,16 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
             multimodal_q, relational, tpch_more, tpch_ps]
 
 # Registry order == the order the driver verifies queries in, and the driver
-# checks only the FIRST 50 entries per round. Round-6 rotation: the whole
-# round-5 window came back green in CORRECTNESS_r05 (50/50 hash-match), so
-# it rotates out and the window is filled entirely from the round-5g..5u
-# overflow that sat at positions 51+ last round — never-driver-verified
-# queries always outrank re-verification, oldest additions first, exactly
-# as the round-5 plan ordered them. The remaining round-5v..5ii overflow
-# (27 queries) stays contiguous at positions 51+ as the head of round 7's
-# window, followed by round-6 additions. The 5 rows-only approximate
-# queries stay pinned to the registry tail (their driver-facing signal is
-# their deterministic companions, all r5-green).
+# checks only the FIRST 50 entries per round. Round-7 rotation: the whole
+# round-6 window came back green in CORRECTNESS_r06 (50/50 hash-match), so
+# it rotates out and the window is filled entirely from the head of the
+# round-6 overflow that sat at positions 51+ last round (rounds 5v..6g,
+# oldest first, exactly as the round-6 plan ordered them) — never-driver-
+# verified queries always outrank re-verification. The remaining overflow
+# (122 queries) stays contiguous at positions 51+ = rounds 8 and 9 of
+# windows. The 5 rows-only approximate queries stay pinned to the registry
+# tail (their driver-facing signal is their deterministic companions).
 _PRIORITY = [
-    # round-5g: retrieval / graph-structure / profiling / corpus analytics
-    "search_bm25_topk", "search_rrf_fusion", "graph_triangle_counts",
-    "stats_corr_lineitem", "text_simpson_by_lang", "text_tvd_by_source",
-    # round-5h: grouped OLS / chi-square / centroid separation / path
-    # mining / cross-source score normalization
-    "stats_ols_value_by_hour", "stats_chi2_lang_source",
-    "emb_centroid_cosine", "events_path_trigrams", "text_quality_qnorm",
-    # round-5i: relational gap-fillers + integrity audit / snapshot diff /
-    # k-core pruning
-    "join_full_outer", "agg_unpivot", "hof_array_ops",
-    "audit_referential", "events_snapshot_diff", "graph_kcore_prune",
-    # round-5j: vocabulary planning / LM quality scoring / growth curve /
-    # time-decay features / classifier evaluation / Benford audit
-    "text_vocab_coverage", "text_unigram_logloss",
-    "events_cumulative_users", "events_decayed_value",
-    "emb_knn_confusion", "audit_benford",
-    # round-5k: bag-semantics set ops, ordered string aggregation,
-    # null-placement top-k, exact group percentiles
-    "setop_intersect_all", "setop_except_all", "agg_string_concat",
-    "sort_nulls_last_topk", "events_value_p50_p95_by_type",
-    # round-5l..5n: funnel, embedding outliers, conversion latency,
-    # language-ID confidence, dedup-rate rollup, DAU/WAU, ABC/Pareto
-    "events_funnel_1h", "emb_outlier_distance",
-    "events_time_to_convert", "text_langid_confidence",
-    "text_dedup_rate_by_source", "events_dau_wau", "parts_abc_pareto",
-    # round-5o..5q: A/B z-test, inter-arrival burstiness, contract audit,
-    # corpus health, concentration, shingle novelty
-    "stats_ab_ztest", "events_interarrival_stats", "audit_value_ranges",
-    "pipeline_corpus_health",
-    "supplier_concentration_hhi", "text_ngram_novelty",
-    # round-5r..5u: two-sample rank tests, RIGHT OUTER, percent_rank,
-    # RFM segments, autocorrelation, top-PC, recursive BFS, growth curve
-    "stats_ks_value", "stats_mwu_value",
-    "join_right_outer", "window_percent_rank",
-    "events_rfm_segments", "events_hourly_autocorr",
-    "emb_top_pc", "graph_bfs_reach", "orders_monthly_growth",
-]
-
-# ROUND-7 ROTATION PLAN: assuming CORRECTNESS_r06 comes back green for
-# this window, round 7's window takes the FIRST 50 of _NEXT_WINDOW
-# below — the round-5v..5ii overflow (27 queries) followed by the
-# round-6 additions, oldest first, exactly as ordered. _NEXT_WINDOW now
-# holds 161 never-driver-verified queries (27 r5 overflow + 134 round-6
-# additions) = rounds 7, 8 and 9 of windows, each taking the next
-# contiguous 50, oldest first. After it drains, backfill by staleness:
-# (a) the r1-only greens displaced in round 5
-# (join_cross_small, setop_union, setop_intersect,
-# window_topk_per_group, window_running_sum, q6_revenue_change,
-# q10_returned_items, q14_promo_share, q18_large_orders, agg_rollup,
-# agg_cube, subquery_scalar, subquery_exists,
-# subquery_correlated_scalar, setop_except, agg_pivot, agg_median,
-# date_functions), (b) the remaining r1-only cohort, (c) the r3 cohort
-# (text_* / sample_* / pack_train_* / csv_roundtrip), oldest first.
-# tests/test_registry.py enforces the overflow contiguity mechanically.
-
-#: Queries landed AFTER the 50-slot window was already full of
-#: never-verified entries: first in line for round 7's window (positions
-#: 51+ now). All are locally oracle-green; this is the driver-window
-#: overflow the rotation tests bound to at most one more round.
-_NEXT_WINDOW = [
     # round-5v: modern SQL surfaces — VARIANT semi-structured path,
     # correlated LATERAL top-n, null-safe equi-join
     "events_variant_extract", "join_lateral_topn", "join_null_safe",
@@ -160,6 +99,25 @@ _NEXT_WINDOW = [
     "events_pattern_regex", "subquery_not_in", "sort_offset_page",
     # round-6g: streaming CEP (view->purchase detector) batch twin
     "events_conversion_pairs",
+]
+
+# ROUND-8 ROTATION PLAN: assuming CORRECTNESS_r07 comes back green for
+# this window, round 8's window takes the FIRST 50 of _NEXT_WINDOW below
+# (round-6h..6ww), and round 9 takes the rest (72). After the debt drains,
+# backfill by staleness: (a) the r1-only greens displaced in round 5
+# (join_cross_small, setop_union, setop_intersect, window_topk_per_group,
+# window_running_sum, q6_revenue_change, q10_returned_items,
+# q14_promo_share, q18_large_orders, agg_rollup, agg_cube, subquery_scalar,
+# subquery_exists, subquery_correlated_scalar, setop_except, agg_pivot,
+# agg_median, date_functions), (b) the remaining r1-only cohort, (c) the
+# r3 cohort (text_* / sample_* / pack_train_* / csv_roundtrip), oldest
+# first. tests/test_registry.py enforces the overflow contiguity.
+
+#: Queries landed AFTER the 50-slot window was already full of
+#: never-verified entries: first in line for round 8's window (positions
+#: 51+ now). All are locally oracle-green; this is the driver-window
+#: overflow the rotation tests bound to at most one more round.
+_NEXT_WINDOW = [
     # round-6h: robust scale (MAD) + spend-inequality Gini
     "events_mad_by_type", "orders_gini_spend",
     # round-6i: exact distinct under ROLLUP (Expand x two-phase
