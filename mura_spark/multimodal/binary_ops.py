@@ -518,9 +518,12 @@ def ahash64(df: DataFrame, id_col: str = "id",
     (identical pixels → identical hash; small edits → small Hamming
     distance). The bit rule is pure integer arithmetic — bit_j set iff
     ``64·luma_j > Σluma`` with luma = r+g+b — so an oracle can recompute
-    the hash from raw channel values without any float. Narrow Arrow map
-    over the decoded bytes; blobs never shuffle — only the 16-byte
-    signature leaves the map."""
+    the hash from raw channel values without any float. Images of any
+    size are first downsampled to the canonical 8×8 aHash grid by the
+    same nearest-neighbor index map as :func:`resize_image` (identity
+    for already-8×8 inputs, so existing oracle hashes are unchanged).
+    Narrow Arrow map over the decoded bytes; blobs never shuffle — only
+    the 16-byte signature leaves the map."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -528,6 +531,12 @@ def ahash64(df: DataFrame, id_col: str = "id",
             los, his = [], []
             for payload in pdf[content_col]:
                 arr = decode_image(bytes(payload))
+                if arr.ndim == 2:
+                    arr = np.stack([arr] * 3, axis=-1)
+                h, w = arr.shape[:2]
+                if (h, w) != (8, 8):
+                    arr = arr[(np.arange(8) * h) // 8][
+                        :, (np.arange(8) * w) // 8]
                 s = arr.astype(np.int64).sum(axis=2).reshape(-1)
                 total = int(s.sum())
                 bits = (64 * s > total)

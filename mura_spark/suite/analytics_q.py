@@ -3759,7 +3759,7 @@ def _deming_sql() -> str:
     """One-text Deming regression (λ=1) — slope from centered moments:
     ((Syy−Sxx) + √((Syy−Sxx)² + 4·Sxy²)) / (2·Sxy)."""
     x = "CAST(l_quantity AS BIGINT)"
-    y = "CAST(round(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT)"
+    y = "CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT)"
     dec = lambda a, b: (f"SUM(CAST({a} AS DECIMAL(19,0)) "  # noqa: E731
                         f"* CAST({b} AS DECIMAL(19,0)))")
     return (
@@ -3789,9 +3789,9 @@ def _deming_sql() -> str:
 
 @q("stats_deming_qty_price", _deming_sql().replace("{tbl}", "lineitem"))
 def stats_deming_qty_price(spark, sf):
-    """Deming regression (errors in BOTH variables, λ=1) of discount%
-    on quantity — the calibration-grade line for when x is as noisy as
-    y and OLS's attenuation bias is unacceptable (instrument
+    """Deming regression (errors in BOTH variables, λ=1) of extended
+    price (cents) on quantity — the calibration-grade line for when x
+    is as noisy as y and OLS's attenuation bias is unacceptable (instrument
     cross-calibration, sensor reconciliation). Closed form from five
     exact decimal moments; same SQL text runs verbatim on both
     engines (the _ols2_sql posture)."""
@@ -3879,7 +3879,7 @@ def stats_kendall_tau_daily(spark, sf):
    "* CAST(q.qsum AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) "
    "AS q_micro, CAST(5 AS INT) AS df, "
    "CAST(CAST(nn.n AS DOUBLE) * CAST(nn.n + 2 AS DOUBLE) "
-   "* CAST(q.qsum AS DOUBLE) / 1000000.0 < 11.0705 AS INT) "
+   "* CAST(q.qsum AS DOUBLE) / 1000000.0 < 11070500.0 AS INT) "
    "AS is_white_noise FROM nn CROSS JOIN q")
 def stats_ljung_box_daily(spark, sf):
     """Ljung–Box portmanteau whiteness test on the daily value series
@@ -3888,7 +3888,10 @@ def stats_ljung_box_daily(spark, sf):
     runs test (runs sees sign patterns; Q sees linear memory at any
     of 5 lags). Exact daily sums; per-lag autocorrelations quantized
     to micro BEFORE the Q sum (each term floor-quantized, so the sum
-    is exact integers); one mirrored terminal scaling."""
+    is exact integers); one mirrored terminal scaling. q_micro and the
+    whiteness comparison are BOTH in micro units: rk is r·1e6 so each
+    Q-sum term carries 1e12, and dividing by 1e6 once leaves Q·1e6 —
+    hence the χ²₅ 5% critical value is 11.0705e6 on this scale."""
     from pyspark.sql import Window
     ev = table(spark, sf, "events").where(F.col("value").isNotNull())
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
@@ -3931,5 +3934,5 @@ def stats_ljung_box_daily(spark, sf):
                       F.floor(qv + F.lit(0.5)).cast("bigint")
                        .alias("q_micro"),
                       F.lit(5).cast("int").alias("df"),
-                      (qv < F.lit(11.0705)).cast("int")
+                      (qv < F.lit(11070500.0)).cast("int")
                        .alias("is_white_noise")))

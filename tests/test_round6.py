@@ -675,6 +675,28 @@ def test_ahash64_known_pattern_and_single_bit_flip(spark):
     assert ham == 1  # exactly the flipped pixel's bit
 
 
+def test_ahash64_downsamples_non_8x8_images(spark):
+    # aHash canonicalizes to the 8x8 grid: a 16x16 2x-upscale of an
+    # 8x8 image hashes identically (nearest-neighbor picks the
+    # top-left of each 2x2 block), and an odd 13x9 image hashes
+    # without error instead of raising IndexError
+    import numpy as np
+    from mura_spark.multimodal.binary_ops import ahash64, encode_ppm
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    a[:, 4:, :] = 255
+    big = np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)   # 16x16
+    odd = np.zeros((13, 9, 3), dtype=np.uint8)
+    odd[:, 5:, :] = 200
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_ppm(a))), (1, bytearray(encode_ppm(big))),
+         (2, bytearray(encode_ppm(odd)))],
+        "id long, content binary")
+    got = {r.id: (r.lo, r.hi) for r in ahash64(df).collect()}
+    assert got[0] == got[1]          # upscale is hash-invariant
+    n_set = (bin(got[2][0]).count("1") + bin(got[2][1]).count("1"))
+    assert 0 < n_set < 64            # odd size decodes to a real hash
+
+
 def test_phash_pairs_identical_docs_match(spark, tmp_path):
     text = "".join("abcdefgh"[(i * 7) % 8] for i in range(192))
     docs = [(text, "en", "s"), (text, "en", "s"),
@@ -3034,8 +3056,8 @@ def test_deming_engineered(spark, tmp_path):
         y_true = 2.0 * x_true + 3.0
         x = x_true + float(rng.randint(-2, 3))
         y = y_true + float(rng.randint(-2, 3))
-        # query units: x = quantity (int), y = discount*100 (int)
-        rows.append((i, 1, 1, 1, x, 1.0, y / 100.0, 0.0, "N", "O",
+        # query units: x = quantity (int), y = extendedprice*100 (int)
+        rows.append((i, 1, 1, 1, x, y / 100.0, 0.0, 0.0, "N", "O",
                      "1999-01-01")); i += 1
     out = str(tmp_path / "mini")
     (spark.createDataFrame(
@@ -3049,7 +3071,7 @@ def test_deming_engineered(spark, tmp_path):
     from mura_spark.suite import SPARK_QUERIES
     r = SPARK_QUERIES["stats_deming_qty_price"](spark, out).first()
     xs = np.array([int(row[4]) for row in rows], dtype=float)
-    ys = np.array([round(row[6] * 100) for row in rows], dtype=float)
+    ys = np.array([round(row[5] * 100) for row in rows], dtype=float)
     cxx, cyy = xs.var(), ys.var()
     cxy = ((xs - xs.mean()) * (ys - ys.mean())).mean()
     slope = ((cyy - cxx) + np.sqrt((cyy - cxx) ** 2 + 4 * cxy ** 2)) \
@@ -3146,6 +3168,31 @@ def test_ljung_box_engineered(spark, tmp_path):
     assert r.n_days == 28 and r.df == 5
     assert r.is_white_noise == 0
     assert r.q_micro > 11070500  # far beyond the critical value
+
+
+def test_ljung_box_white_noise_direction(spark, tmp_path):
+    # iid series -> Q stays UNDER the chi2(5) critical value and the
+    # flag fires; pins that q_micro and the threshold share the micro
+    # scale (a natural-unit 11.0705 would never flag anything white)
+    import datetime
+
+    import numpy as np
+    rng = np.random.RandomState(0)
+    vals = [round(float(v), 2) for v in rng.uniform(5, 150, 60)]
+    d0 = datetime.date(2024, 1, 1)
+    rows = [(i, f"{d0 + datetime.timedelta(days=i)}T00:00:00",
+             1, "click", v, "{}") for i, v in enumerate(vals)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_ljung_box_daily"](spark, out).first()
+    assert r.n_days == 60 and r.df == 5
+    assert r.q_micro == 4607693  # exact under the pinned quantization
+    assert r.is_white_noise == 1
 
 
 def test_churn_flags_engineered(spark, tmp_path):
