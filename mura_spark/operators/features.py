@@ -38,7 +38,8 @@ def target_encode_loo(df: DataFrame, group_cols: list[str],
     return df.withColumn(out_col, F.when(n > 1, loo))
 
 
-def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def rank_auc(df: DataFrame, score_col: str, label_col: str,
+             domain_budget: int | None = None) -> DataFrame:
     """Exact ROC AUC of a numeric score against a boolean label, via
     the rank formulation: AUC = P(score⁺ > score⁻) + ½·P(tie). Returns
     one row ``(n_pos, n_neg, auc_micro)``.
@@ -49,7 +50,17 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     (doubled to keep half-credit ties integral). The ordered walk runs
     over score NDV (domain-bounded), not rows; the single division to
     micro-units happens once at the end.
+
+    ``domain_budget`` asserts the bounded-score-domain contract: totals
+    ride a broadcast singleton crossJoined BEFORE the prefix window, so
+    a continuous unquantized score column fails loudly (during the
+    broadcast build) instead of feeding the single-partition walk n
+    rows. The guard defaults OFF because it costs a second reduction
+    pass over the data; pass guards.DEFAULT_DOMAIN_BUDGET (or any
+    ceiling) when the score column's domain is not pinned by
+    construction.
     """
+    from mura_spark.operators.guards import guarded_scalar
     cells = (df.groupBy(F.col(score_col).alias("__s"))
                .agg(F.sum(F.when(F.col(label_col), 1).otherwise(0))
                      .alias("__p"),
@@ -60,10 +71,22 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     contrib = (F.lit(2) * F.col("__p")
                * F.coalesce(F.sum("__n").over(below), F.lit(0))
                + F.col("__p") * F.col("__n"))
-    tot = (cells.select("__p", "__n", contrib.alias("__c"))
-                .agg(F.sum("__p").alias("n_pos"),
-                     F.sum("__n").alias("n_neg"),
-                     F.sum("__c").alias("__auc2")))
+    if domain_budget is not None:
+        t = (cells.agg(F.sum("__p").alias("n_pos"),
+                       F.sum("__n").alias("n_neg"),
+                       F.count(F.lit(1)).alias("__ndv"))
+                  .select(guarded_scalar(F.col("n_pos"), F.col("__ndv"),
+                                         domain_budget, "rank_auc")
+                          .alias("n_pos"), "n_neg"))
+        tot = (cells.crossJoin(F.broadcast(t))
+                    .select("n_pos", "n_neg", contrib.alias("__c"))
+                    .groupBy("n_pos", "n_neg")
+                    .agg(F.sum("__c").alias("__auc2")))
+    else:
+        tot = (cells.select("__p", "__n", contrib.alias("__c"))
+                    .agg(F.sum("__p").alias("n_pos"),
+                         F.sum("__n").alias("n_neg"),
+                         F.sum("__c").alias("__auc2")))
     auc = (F.col("__auc2").cast("double")
            / (F.lit(2.0) * F.col("n_pos").cast("double")
               * F.col("n_neg").cast("double")))

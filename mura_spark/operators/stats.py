@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mura_spark.functions.quantize import micro
+from mura_spark.operators.guards import (DEFAULT_DOMAIN_BUDGET,
+                                         DEFAULT_ROW_BUDGET,
+                                         guarded_scalar)
 
 #: fixed-point scale for continuous y values: 1e9 keeps |y| < 9e9 exact
 #: in double·scale and is far below double precision at telemetry scale.
@@ -236,7 +239,9 @@ def _two_sample_value_counts(df: DataFrame, value_col: str, group_col: str,
 
 
 def ks_2sample(df: DataFrame, value_col: str, group_col: str,
-               a, b) -> DataFrame:
+               a, b,
+               domain_budget: int | None = DEFAULT_DOMAIN_BUDGET
+               ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between the ``value_col``
     distributions of groups ``a`` and ``b``: one row
     ``(na, nb, ks_micro)`` with D = max_v |F_a(v) − F_b(v)|.
@@ -247,14 +252,22 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
     order-dependent double aggregation anywhere.
 
     Plan: groupBy to the value domain, cumulative window over the
-    reduced frame, totals as a broadcast singleton crossJoin.
+    reduced frame, totals as a broadcast singleton crossJoin. The
+    value-domain NDV is asserted against ``domain_budget`` inside the
+    totals aggregate (guards.guarded_scalar) — a continuous double
+    column fails loudly during the broadcast build instead of feeding
+    the single-partition cumulative window n rows.
     """
     g = _two_sample_value_counts(df, value_col, group_col, a, b)
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     c = g.select(F.sum("__da").over(w).alias("__ca"),
                  F.sum("__db").over(w).alias("__cb"))
-    t = g.agg(F.sum("__da").cast("bigint").alias("na"),
-              F.sum("__db").cast("bigint").alias("nb"))
+    t = (g.agg(F.sum("__da").cast("bigint").alias("na"),
+               F.sum("__db").cast("bigint").alias("nb"),
+               F.count(F.lit(1)).alias("__ndv"))
+          .select(guarded_scalar(F.col("na"), F.col("__ndv"),
+                                 domain_budget, "ks_2sample")
+                  .alias("na"), "nb"))
     from mura_spark.functions.quantize import dec18 as d18
     num = F.abs(d18(F.col("__ca")) * d18(F.col("nb"))
                 - d18(F.col("__cb")) * d18(F.col("na")))
@@ -295,7 +308,9 @@ def sql_ks_2sample(table_expr: str, value_expr: str, group_expr: str,
 
 
 def mannwhitney_u(df: DataFrame, value_col: str, group_col: str,
-                  a, b) -> DataFrame:
+                  a, b,
+                  domain_budget: int | None = DEFAULT_DOMAIN_BUDGET
+                  ) -> DataFrame:
     """Mann–Whitney U (mid-rank tie handling) between the ``value_col``
     distributions of groups ``a`` and ``b``: one row
     ``(na, nb, u2, auc_micro, z_micro)`` where
@@ -317,7 +332,8 @@ def mannwhitney_u(df: DataFrame, value_col: str, group_col: str,
     micro-floored.
 
     Plan: identical to :func:`ks_2sample` — one reducing groupBy, a
-    bucket-domain window, broadcast-singleton totals.
+    bucket-domain window, broadcast-singleton totals, and the same
+    NDV-budget guard riding the totals aggregate.
     """
     g = _two_sample_value_counts(df, value_col, group_col, a, b)
     wexc = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
@@ -331,8 +347,12 @@ def mannwhitney_u(df: DataFrame, value_col: str, group_col: str,
               * d18(F.lit(2) * F.col("__cbb") + F.col("__db")))
          .cast("decimal(38,0)").alias("__u2"),
         F.sum((td * td * td - td).cast("decimal(38,0)")).alias("__ts"))
-    t = g.agg(F.sum("__da").cast("bigint").alias("na"),
-              F.sum("__db").cast("bigint").alias("nb"))
+    t = (g.agg(F.sum("__da").cast("bigint").alias("na"),
+               F.sum("__db").cast("bigint").alias("nb"),
+               F.count(F.lit(1)).alias("__ndv"))
+          .select(guarded_scalar(F.col("na"), F.col("__ndv"),
+                                 domain_budget, "mannwhitney_u")
+                  .alias("na"), "nb"))
     j = s.crossJoin(F.broadcast(t))
     na_d = F.col("na").cast("double")
     nb_d = F.col("nb").cast("double")
@@ -386,7 +406,8 @@ def sql_mannwhitney_u(table_expr: str, value_expr: str, group_expr: str,
         "AS z_micro FROM s CROSS JOIN t")
 
 
-def theil_sen_slope(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def theil_sen_slope(df: DataFrame, x_col: str, y_col: str,
+                    max_points: int | None = 100_000) -> DataFrame:
     """Theil-Sen robust trend: the MEDIAN of all pairwise slopes
     ``(y_j − y_i)/(x_j − x_i)``, x strictly increasing — up to ~29%
     contaminated points cannot move it (the robust alternative to the
@@ -400,10 +421,20 @@ def theil_sen_slope(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     correctly-rounded division of exact integers; the median is an
     explicit order statistic (even counts average two doubles, which is
     a single exact-input IEEE add + halving, associativity-free).
+    ``max_points`` asserts the already-reduced contract: the guard is
+    folded into the a-side join key (evaluated per point, before any
+    pair materializes), so an unreduced row-scale input fails loudly
+    instead of exploding into n² pairs.
     """
     pts = df.select(F.col(x_col).cast("bigint").alias("__x"),
                     F.col(y_col).cast("bigint").alias("__y"))
-    a, b = pts.alias("a"), pts.alias("b")
+    n = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    a = (pts.crossJoin(F.broadcast(n))
+            .select(guarded_scalar(F.col("__x"), F.col("n_points"),
+                                   max_points, "theil_sen_slope")
+                    .alias("__x"), "__y")
+            .alias("a"))
+    b = pts.alias("b")
     slopes = (a.join(b, F.col("b.__x") > F.col("a.__x"))
                 .select(((F.col("b.__y") - F.col("a.__y")).cast("double")
                          / (F.col("b.__x") - F.col("a.__x"))
@@ -417,7 +448,6 @@ def theil_sen_slope(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     med = (ranked.filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
                  .agg((F.sum("__s") / F.count(F.lit(1))).alias("slope"),
                       F.max("__m").alias("n_pairs")))
-    n = pts.agg(F.count(F.lit(1)).alias("n_points"))
     return (med.crossJoin(F.broadcast(n))
                .select("n_points", F.col("n_pairs").cast("bigint"),
                        "slope"))
@@ -569,7 +599,9 @@ def oneway_anova(df: DataFrame, group_col: str,
         F.when(cond, mk(eta2)).alias("eta2_micro"))
 
 
-def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  row_budget: int | None = DEFAULT_ROW_BUDGET
+                  ) -> DataFrame:
     """Spearman rank correlation: Pearson on AVERAGE ranks, the
     monotone-association measure robust to any monotone rescaling
     (Pearson, stats_corr_lineitem, sees only linearity). Returns one
@@ -580,13 +612,21 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     exact DECIMAL arithmetic and the single final division is a
     mirrored double. The global rank windows are the honest cost of
     exact Spearman (rank needs a total order); at 100 TB the same
-    operator runs per-group or on a stratified sample.
+    operator runs per-group or on a stratified sample — and
+    ``row_budget`` enforces that ceiling: the guard is folded into the
+    x-rank window's SORT KEY (evaluated per row before the global sort
+    shuffles), so an over-budget frame fails loudly before the
+    single-task rank pass, at the cost of one extra counting pass.
     """
-    wx = Window.orderBy(x_col)
+    cnt = df.agg(F.count(F.lit(1)).alias("__n_rows"))
+    base = df.crossJoin(F.broadcast(cnt))
+    xg = guarded_scalar(F.col(x_col), F.col("__n_rows"), row_budget,
+                        "spearman_corr")
+    wx = Window.orderBy(xg)
     wy = Window.orderBy(y_col)
     cx = Window.partitionBy(x_col)
     cy = Window.partitionBy(y_col)
-    r = df.select(
+    r = base.select(
         (F.lit(2) * F.rank().over(wx)
          + F.count(F.lit(1)).over(cx) - F.lit(1)).alias("__rx"),
         (F.lit(2) * F.rank().over(wy)
@@ -607,8 +647,9 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                      .cast("bigint").alias("rho_micro"))
 
 
-def ks_by_group(df: DataFrame, group_col: str,
-                value_col: str) -> DataFrame:
+def ks_by_group(df: DataFrame, group_col: str, value_col: str,
+                domain_budget: int | None = DEFAULT_DOMAIN_BUDGET
+                ) -> DataFrame:
     """One-vs-rest Kolmogorov-Smirnov distance for EVERY group in one
     pass: ``(group, n_group, n_rest, ks_micro)`` — which slices of the
     corpus are distributionally drifted from everything else (the
@@ -636,7 +677,13 @@ def ks_by_group(df: DataFrame, group_col: str,
     wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     gcum = vals.select("__v", F.sum("__cv").over(wv).alias("__gc"))
     groups = cells.groupBy("__g").agg(F.sum("__c").alias("__ng"))
-    tot = vals.agg(F.sum("__cv").alias("__n"))
+    # NDV guard rides the totals singleton: __n is load-bearing (the
+    # rest-side size), so pruning cannot drop the budget check
+    tot = (vals.agg(F.sum("__cv").alias("__n"),
+                    F.count(F.lit(1)).alias("__ndv"))
+               .select(guarded_scalar(F.col("__n"), F.col("__ndv"),
+                                      domain_budget, "ks_by_group")
+                       .alias("__n")))
     grid = gcum.crossJoin(F.broadcast(groups))
     own = grid.join(cells, ["__g", "__v"], "left")
     wg = (Window.partitionBy("__g").orderBy("__v")
