@@ -20,16 +20,18 @@ from mura_spark.suite import (
     graph_q,
     multimodal_q,
     packing_q,
+    quality_q,
     relational,
     similarity_q,
     sources_q,
+    stats_q,
     textops,
     tpch_more,
     tpch_ps,
 )
 
 _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
-            graph_q, analytics_q,
+            graph_q, analytics_q, stats_q, quality_q,
             multimodal_q, relational, tpch_more, tpch_ps]
 
 # Registry order == the order the driver verifies queries in, and the driver

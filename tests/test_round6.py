@@ -1113,7 +1113,7 @@ def test_ols2_recovers_planted_coefficients(spark):
         rows, "l_extendedprice double, l_quantity double, "
               "l_discount double")
     df.createOrReplaceTempView("mura_ols2_test")
-    from mura_spark.suite.analytics_q import _ols2_sql
+    from mura_spark.suite.stats_q import _ols2_sql
     r = spark.sql(_ols2_sql("mura_ols2_test")).first()
     assert r.n_rows == 24
     assert (r.b0_micro, r.b1_micro, r.b2_micro) == (
