@@ -144,22 +144,32 @@ def decode_image(payload: bytes):
     """Decode an encoded image payload to a (height, width[, channels])
     uint8 numpy array.
 
-    PPM (P6) and uncompressed 24-bit BMP decode for REAL via pure numpy
-    (no media libs needed — header parse + frombuffer/reshape). Other
-    formats (JPEG/PNG/...) go through PIL when importable (probed at
-    module load; this container normally lacks PIL/libjpeg, but the
-    operator upgrades itself the moment the library appears), else raise
-    NotImplementedError.
+    PPM (P6), uncompressed 24-bit BMP, and baseline JPEG (SOF0/SOF1,
+    any chroma subsampling) decode for REAL via pure numpy — no media
+    libs needed (JPEG: multimodal/jpeg.decode_jpeg, a full baseline
+    Huffman+IDCT decoder reading its tables from the stream). Remaining
+    formats (PNG, progressive JPEG, ...) go through PIL when importable
+    (probed at module load; this container normally lacks PIL/libjpeg,
+    but the operator upgrades itself the moment the library appears),
+    else raise NotImplementedError.
     """
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from mura_spark.multimodal.jpeg import decode_jpeg
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            if _PIL_Image is None:  # progressive etc. without PIL
+                raise
     if _PIL_Image is None:
         raise NotImplementedError(
-            "JPEG/PNG decoding requires PIL/libjpeg, not present in this "
-            "container; PPM/BMP decode natively — use extract_features "
-            "(deterministic stub) for format-agnostic pipeline testing")
+            "PNG/progressive-JPEG decoding requires PIL, not present in "
+            "this container; PPM/BMP/baseline-JPEG decode natively — use "
+            "extract_features (deterministic stub) for format-agnostic "
+            "pipeline testing")
     import io
 
     import numpy as np

@@ -1,0 +1,474 @@
+"""Pure-numpy baseline JPEG (SOF0) codec — no PIL/libjpeg dependency.
+
+Decoder: baseline sequential DCT, 8-bit, grayscale or YCbCr with any
+H/V sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart markers, byte
+stuffing. All quantization and Huffman tables are read from the stream
+(DQT/DHT segments), so any spec-conformant baseline file decodes;
+progressive (SOF2) and arithmetic-coded files raise NotImplementedError
+with the marker named. Closes the decode gap noted for
+``decode_image`` — the reference has no image surface at all
+(/root/reference/src/main.rs ships only a Parquet demo), so this serves
+the multimodal extension family (mm_* queries, ahash64, image_stats).
+
+Encoder: the test-fixture counterpart — grayscale or color, 4:4:4 or
+4:2:0, standard Annex-K-style tables scaled by a quality factor and
+WRITTEN INTO the stream (the decoder trusts the stream, never these
+constants). Both sides are plain Python/numpy: fast enough for
+fixtures and Arrow-batched per-row decode of thumbnail-scale payloads,
+and fully deterministic (fixed IEEE ops, no SIMD reassociation).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------- tables
+
+#: zigzag scan: position k in the stream -> (row, col) in the 8x8 block
+def _zigzag() -> list[tuple[int, int]]:
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (reversed(rows) if s % 2 == 0 else rows):
+            order.append((r, s - r))
+    return order
+
+
+_ZIGZAG = _zigzag()
+
+#: orthonormal DCT-II matrix: F = _C @ f @ _C.T, f = _C.T @ F @ _C
+_C = np.array([[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)] for u in range(8)])
+
+#: Annex-K-style base quantization tables (natural order), luma/chroma
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99]).reshape(8, 8)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99]).reshape(8, 8)
+
+#: encoder Huffman specs (counts per code length 1..16, then symbols).
+#: These only need to be valid prefix codes — they are serialized into
+#: the DHT segment, so the decoder reads them back from the stream.
+#: flat tables: every symbol at one code length keeps construction
+#: trivially canonical and decode unambiguous; they are serialized into
+#: DHT, so conformance only requires a valid prefix code, not the
+#: Annex-K statistics. DC categories 0..12 cover the worst-case diff of
+#: +-2048 (orthonormal DC <= 1024 at q=1); AC sizes 1..11 cover
+#: |coef| <= 1024.
+_DC_SYMBOLS = list(range(13))
+_DC_COUNTS = [0] * 16
+_DC_COUNTS[7] = len(_DC_SYMBOLS)  # all 13 DC symbols at 8 bits
+_AC_SYMBOLS = ([0x00, 0xF0]
+               + [(r << 4) | s for r in range(16) for s in range(1, 12)])
+_AC_COUNTS = [0] * 16
+_AC_COUNTS[8] = len(_AC_SYMBOLS)  # all 178 symbols at 9 bits
+
+
+def _canonical_codes(counts, symbols):
+    """(symbol -> (code, length)) for a canonical Huffman table."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# --------------------------------------------------------------- decode
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers are surfaced to the caller."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt - 0xD0)
+            else:
+                raise EOFError(f"marker 0x{nxt:02x} inside scan")
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        out = (self.bits >> self.nbits) & ((1 << n) - 1)
+        return out
+
+    def align(self):
+        self.nbits = 0
+        self.bits = 0
+
+    def skip_restart(self):
+        # consume the FFDn marker after align()
+        assert self.buf[self.pos] == 0xFF
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, n):
+        self.n = n
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w) uint8 (grayscale) or (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # parameterless
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg, np.uint8, 64, i)
+                    i += 64
+                else:
+                    vals = np.frombuffer(seg, ">u2", 64, i)
+                    i += 128
+                q = np.zeros((8, 8))
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    q[r, c] = vals[k]
+                qtables[tq] = q
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1:i + 17])
+                n = sum(counts)
+                symbols = list(seg[i + 17:i + 17 + n])
+                i += 17 + n
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = symbols[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
+                "baseline sequential (SOF0/SOF1) is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(payload, pos, frame, scan, qtables,
+                                htables, restart_interval)
+        # APPn/COM/others: skipped
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(payload, pos, frame, scan, qtables, htables,
+                 restart_interval):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-frame["w"] // mcu_w)
+    mcus_y = -(-frame["h"] // mcu_h)
+    planes = []
+    for c in comps:
+        pw, ph = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
+        planes.append(np.zeros((ph, pw)))
+    reader = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                reader.align()
+                reader.skip_restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan[c["id"]]
+                dc_t = htables[(0, td)]
+                ac_t = htables[(1, ta)]
+                q = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros((8, 8))
+                        s = _huff_decode(reader, dc_t)
+                        diff = _extend(reader.read(s), s)
+                        preds[ci] += diff
+                        coef[0, 0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0x0F
+                            r, cc = _ZIGZAG[k]
+                            coef[r, cc] = _extend(reader.read(size),
+                                                  size)
+                            k += 1
+                        block = _C.T @ (coef * q) @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            n_mcu += 1
+    h, w = frame["h"], frame["w"]
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(out[0].round(), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------- encode
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _size_of(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(writer, coef_q, pred, dc_codes, ac_codes):
+    zz = np.array([coef_q[r, c] for (r, c) in _ZIGZAG], dtype=np.int64)
+    diff = int(zz[0]) - pred
+    s = _size_of(diff)
+    writer.write(*dc_codes[s])
+    if s:
+        writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                writer.write(*ac_codes[0x00])  # EOB
+                break
+            run += 1
+            continue
+        while run >= 16:
+            writer.write(*ac_codes[0xF0])
+            run -= 16
+        s = _size_of(v)
+        writer.write(*ac_codes[(run << 4) | s])
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    return int(zz[0])
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((q * scale + 50) / 100), 1, 255)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """(h, w) or (h, w, 3) uint8 -> baseline JPEG bytes.
+
+    Color uses YCbCr; ``subsampling`` is ``"444"`` or ``"420"`` (2x2
+    box-averaged chroma — exercises the decoder's multi-block MCU +
+    upsampling path). Tables are written into DQT/DHT, so any
+    conformant decoder (including :func:`decode_jpeg`) reads them back.
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qly = _quality_scale(_Q_LUMA, quality)
+    qlc = _quality_scale(_Q_CHROMA, quality)
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+    if gray:
+        planes = [a]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        y = (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+             + 0.114 * a[:, :, 2])
+        cb = 128.0 + (a[:, :, 2] - y) / 1.772
+        cr = 128.0 + (a[:, :, 0] - y) / 1.402
+        if subsampling == "420":
+            def down(p):
+                ph, pw = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+                pp = np.pad(p, ((0, ph - p.shape[0]),
+                                (0, pw - p.shape[1])), mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2]
+                        + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
+        padded.append(np.pad(p, ((0, ph - p.shape[0]),
+                                 (0, pw - p.shape[1])), mode="edge"))
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    qtabs = [qly, qlc]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                q = qtabs[qsel[ci]]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = _C @ block @ _C.T
+                        coef_q = np.round(coef / q)
+                        preds[ci] = _encode_block(
+                            writer, coef_q, preds[ci], dc_codes,
+                            ac_codes)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq, q in enumerate(qtabs[:1 if gray else 2]):
+        zz = bytes(int(q[r, c]) for (r, c) in _ZIGZAG)
+        out += _seg(0xDB, bytes([tq]) + zz)
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, qsel[ci])
+    out += _seg(0xC0, sof)
+    for tc, counts, symbols in ((0, _DC_COUNTS, _DC_SYMBOLS),
+                                (1, _AC_COUNTS, _AC_SYMBOLS)):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(symbols)
+        out += _seg(0xC4, body)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0 for all
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

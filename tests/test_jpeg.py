@@ -1,0 +1,94 @@
+"""Pure-numpy baseline JPEG codec (multimodal/jpeg.py) and its
+decode_image integration — closes the "JPEG decode absent without PIL"
+gap: the NotImplementedError branch is now unreachable for baseline
+JPEG payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mura_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 200, h)
+    return np.stack(np.meshgrid(x, y) + [np.full((h, w), 77.0)],
+                    axis=-1).astype(np.uint8)
+
+
+def test_roundtrip_solid_gray_exact():
+    a = np.full((16, 24), 99, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(a, quality=90))
+    assert d.shape == (16, 24) and d.dtype == np.uint8
+    assert np.abs(d.astype(int) - 99).max() == 0
+
+
+def test_roundtrip_color_gradient_444():
+    img = _gradient(32, 40)
+    d = decode_jpeg(encode_jpeg(img, quality=92))
+    assert d.shape == img.shape
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_roundtrip_420_subsampling_odd_size():
+    # odd dims + 2x2 chroma downsample: exercises multi-block MCUs,
+    # edge padding, and the decoder's upsample/crop path
+    img = _gradient(29, 37)
+    d = decode_jpeg(encode_jpeg(img, quality=92, subsampling="420"))
+    assert d.shape == img.shape
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_roundtrip_noise_quality_100_near_lossless():
+    rng = np.random.RandomState(7)
+    n = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(n, quality=100))
+    # residual error is the YCbCr float roundtrip, not quantization
+    assert np.abs(d.astype(int) - n.astype(int)).max() <= 2
+
+
+def test_decode_is_deterministic():
+    img = _gradient(16, 16)
+    payload = encode_jpeg(img, quality=80)
+    assert np.array_equal(decode_jpeg(payload), decode_jpeg(payload))
+
+
+def test_non_baseline_raises_named_marker():
+    # progressive (SOF2) must be refused loudly, not mis-decoded
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="FFC2"):
+        decode_jpeg(bytes(payload))
+
+
+def test_decode_image_dispatches_jpeg_natively():
+    from mura_spark.multimodal.binary_ops import decode_image
+    img = _gradient(16, 16)
+    d = decode_image(encode_jpeg(img, quality=95))
+    assert d.shape == img.shape
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_image_ops_run_on_jpeg_payloads(spark):
+    # the Spark-side plumbing accepts JPEG content end-to-end: stats
+    # and perceptual hashing over a mixed PPM/JPEG corpus
+    from mura_spark.multimodal.binary_ops import (ahash64, encode_ppm,
+                                                  image_stats)
+    img = _gradient(16, 16)
+    rows = [(0, bytearray(encode_jpeg(img, quality=95))),
+            (1, bytearray(encode_ppm(img))),
+            (2, bytearray(b"\xff\xd8garbage"))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    stats = {r.id: r for r in image_stats(df).collect()}
+    assert stats[0].width == 16 and stats[0].height == 16
+    assert stats[2].width is None  # quarantine row, not a crash
+    assert abs(stats[0].mean_r - stats[1].mean_r) < 3.0
+    hashes = {r.id: (r.lo, r.hi) for r in
+              ahash64(df.where("id < 2")).collect()}
+    ham = (bin(hashes[0][0] ^ hashes[1][0]).count("1")
+           + bin(hashes[0][1] ^ hashes[1][1]).count("1"))
+    assert ham <= 6  # same picture, lossy codec: near-identical hash
