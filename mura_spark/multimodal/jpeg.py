@@ -380,13 +380,18 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """(h, w) or (h, w, 3) uint8 -> baseline JPEG bytes.
 
     Color uses YCbCr; ``subsampling`` is ``"444"`` or ``"420"`` (2x2
     box-averaged chroma — exercises the decoder's multi-block MCU +
     upsampling path). Tables are written into DQT/DHT, so any
     conformant decoder (including :func:`decode_jpeg`) reads them back.
+    ``restart_interval`` > 0 writes a DRI segment and emits RST0..RST7
+    markers every that many MCUs (byte-aligned, DC predictors reset) —
+    the resync structure camera JPEGs carry, and the decoder's
+    restart path.
     """
     a = np.asarray(arr, dtype=np.float64)
     gray = a.ndim == 2
@@ -434,8 +439,17 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     writer = _BitWriter()
     preds = [0] * len(planes)
     qtabs = [qly, qlc]
+    n_mcu = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            n_mcu += 1
             for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
                 q = qtabs[qsel[ci]]
                 for by in range(sv):
@@ -464,6 +478,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                                 (1, _AC_COUNTS, _AC_SYMBOLS)):
         body = bytes([tc << 4]) + bytes(counts) + bytes(symbols)
         out += _seg(0xC4, body)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0 for all

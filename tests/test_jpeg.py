@@ -92,3 +92,25 @@ def test_image_ops_run_on_jpeg_payloads(spark):
     ham = (bin(hashes[0][0] ^ hashes[1][0]).count("1")
            + bin(hashes[0][1] ^ hashes[1][1]).count("1"))
     assert ham <= 6  # same picture, lossy codec: near-identical hash
+
+
+def test_restart_markers_decode_identically():
+    # DRI/RSTn: the resync structure camera JPEGs carry. The restart
+    # stream must decode to exactly the same pixels as the plain one
+    # (byte-aligned boundaries + DC predictor resets are lossless), and
+    # the wrap past RST7 must be exercised (>8 restarts).
+    img = _gradient(24, 48)  # 3x6 MCUs at 4:4:4 -> 17 restarts at DRI=1
+    plain = decode_jpeg(encode_jpeg(img, quality=92))
+    for interval in (1, 2, 5):
+        payload = encode_jpeg(img, quality=92, restart_interval=interval)
+        assert b"\xff\xdd" in payload  # DRI segment present
+        assert np.array_equal(decode_jpeg(payload), plain)
+
+
+def test_restart_markers_420_color():
+    # restart + multi-block MCUs (2x2 luma sampling) together
+    img = _gradient(33, 31)  # odd size: edge-padded partial MCUs
+    plain = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    payload = encode_jpeg(img, quality=90, subsampling="420",
+                          restart_interval=2)
+    assert np.array_equal(decode_jpeg(payload), plain)
