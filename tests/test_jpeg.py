@@ -114,3 +114,42 @@ def test_restart_markers_420_color():
     payload = encode_jpeg(img, quality=90, subsampling="420",
                           restart_interval=2)
     assert np.array_equal(decode_jpeg(payload), plain)
+
+
+# ------------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40),
+    quality=st.integers(30, 100),
+    color=st.booleans(),
+    subsampling=st.sampled_from(["444", "420"]),
+    dri=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_codec_total_on_random_images(h, w, quality, color,
+                                      subsampling, dri, seed):
+    # totality: any size (incl. 1x1 and non-multiple-of-8/16 edges),
+    # any quality, both samplings, with/without restarts -> decodes to
+    # the right shape/dtype with plausible error, never crashes
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    if not color:
+        subsampling = "444"
+    payload = encode_jpeg(img, quality=quality, subsampling=subsampling,
+                          restart_interval=dri)
+    d = decode_jpeg(payload)
+    assert d.shape == img.shape and d.dtype == np.uint8
+    if quality >= 90 and subsampling == "444":
+        # near-lossless regime: bounded per-pixel error on pure noise
+        assert np.abs(d.astype(int) - img.astype(int)).max() <= 64
+    if dri:
+        # restarts are lossless re-sync: identical to the plain stream
+        plain = decode_jpeg(encode_jpeg(img, quality=quality,
+                                        subsampling=subsampling))
+        assert np.array_equal(d, plain)
