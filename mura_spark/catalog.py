@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_SUPPORTED_FILE_TYPES = {"parquet", "csv", "json", "orc"}
+_SUPPORTED_FILE_TYPES = {"parquet", "csv", "json", "orc", "mura"}
 
 
 def _ns_timestamp_columns(location: str) -> list[str]:
@@ -103,12 +103,16 @@ class Catalog:
                 f"Unsupported file type {file_type!r}; the reference names "
                 f"only PARQUET (src/parser/mod.rs:21-24); this engine adds "
                 f"{sorted(_SUPPORTED_FILE_TYPES - {'parquet'})}")
-        reader = self.spark.read.format(ft)
-        if options:
-            reader = reader.options(**options)
-        if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.load(location)
+        if ft == "mura":  # versioned table (sources/table_format.py)
+            from mura_spark.sources.table_format import MuraTable
+            df = MuraTable.load(self.spark, location).read()
+        else:
+            reader = self.spark.read.format(ft)
+            if options:
+                reader = reader.options(**options)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.load(location)
         if ft == "parquet" and schema is None:
             df = _fix_ns_timestamps(df, _ns_timestamp_columns(location))
         df.createOrReplaceTempView(name)

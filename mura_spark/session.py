@@ -127,5 +127,18 @@ class MuraSession:
     def table(self, name: str) -> DataFrame:
         return self.catalog.table(name)
 
+    def table_at(self, name: str, version: int) -> DataFrame:
+        """Time-travel read of a registered versioned table (the
+        ``VERSION AS OF`` surface): ``name`` must have been registered
+        with ``file_type="mura"`` (sources/table_format.py). Returns
+        the snapshot exactly as committed at ``version``."""
+        info = self.catalog._tables.get(name)
+        if info is None or info.file_type != "mura":
+            raise ValueError(
+                f"{name!r} is not a registered mura versioned table "
+                f"(register with file_type='mura' to time travel)")
+        from mura_spark.sources.table_format import MuraTable
+        return MuraTable.load(self.spark, info.location).read(version)
+
     def stop(self) -> None:
         self.spark.stop()

@@ -163,3 +163,19 @@ def test_filtered_time_travel_read_prunes_partitions(spark, tmp_path):
     import re
     fills = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert fills and all("m" in s for s in fills)
+
+
+def test_catalog_registration_and_session_time_travel(spark, tmp_path):
+    # the engine-facade integration: file_type="mura" registers the
+    # latest snapshot for SQL; table_at() time-travels
+    from mura_spark.session import MuraSession
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _base(spark),
+                         partition_cols=["m"])
+    t.merge(_df(spark, [(20, 2, "UPD")]), key_cols=["k"])
+    ms = MuraSession(spark)
+    ms.create_external_table("vt", path, file_type="mura")
+    assert ms.sql("SELECT val FROM vt WHERE k = 20").first()[0] == "UPD"
+    assert ms.table_at("vt", 1).where("k = 20").first()["val"] == "v20"
+    with pytest.raises(ValueError, match="not a registered mura"):
+        ms.table_at("nope", 1)
