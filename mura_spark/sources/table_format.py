@@ -173,21 +173,16 @@ class MuraTable:
 
     # ------------------------------------------------------------ read
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The table as of ``version`` (default: latest).
-
-        Each commit's files are read under their own hive ``basePath``
-        (partition columns re-derived from the layout) and the commits
-        are unioned — partition and predicate pruning apply per
-        subtree, so a filtered time-travel read still skips files.
-        """
-        m = self._manifest(version)
-        if not m["files"]:  # fully-deleted table: typed empty frame
+    def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
+        """Union the given table-relative files grouped per commit dir
+        (each under its own hive basePath so partition columns and
+        pruning survive); typed empty frame when the list is empty."""
+        if not files:
             from pyspark.sql.types import StructType
-            schema = StructType.fromJson(json.loads(m["schema"]))
+            schema = StructType.fromJson(json.loads(schema_json))
             return self.spark.createDataFrame([], schema)
         by_commit: dict[str, list[str]] = {}
-        for rel in m["files"]:
+        for rel in files:
             parts = rel.split(os.sep)
             base = os.path.join(self.path, *parts[:2])  # _data/<commit>
             by_commit.setdefault(base, []).append(
@@ -199,9 +194,38 @@ class MuraTable:
             out = df if out is None else out.unionByName(df)
         return out
 
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest).
+
+        Each commit's files are read under their own hive ``basePath``
+        (partition columns re-derived from the layout) and the commits
+        are unioned — partition and predicate pruning apply per
+        subtree, so a filtered time-travel read still skips files.
+        """
+        m = self._manifest(version)
+        return self._read_files(m["files"], m["schema"])
+
     def history(self) -> list[dict]:
         """Every retained commit, oldest first."""
         return [self._manifest(v) for v in self._versions()]
+
+    def changes(self, since_version: int,
+                version: int | None = None) -> DataFrame:
+        """Rows in files ADDED after ``since_version`` (exclusive), up
+        to ``version`` (default latest) — the incremental-consumption
+        surface: a pipeline that processed version N tails the table
+        with ``changes(N)`` and touches only the new files, never the
+        table. For ``append`` commits this is exactly the inserted
+        rows. ``merge``/``overwrite``/``compact`` commits REWRITE
+        files, so their changed frames contain every row of the
+        rewritten partitions (copies included) — the reader must upsert
+        by key, the same contract Delta's file-level CDC has without
+        the change-data-feed option. Cost is O(new files): the baseline
+        file set is a manifest diff, no data read."""
+        m_to = self._manifest(version)
+        base = set(self._manifest(since_version)["files"])
+        new = [f for f in m_to["files"] if f not in base]
+        return self._read_files(new, m_to["schema"])
 
     # ----------------------------------------------------------- write
 

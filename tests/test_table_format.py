@@ -179,3 +179,28 @@ def test_catalog_registration_and_session_time_travel(spark, tmp_path):
     assert ms.table_at("vt", 1).where("k = 20").first()["val"] == "v20"
     with pytest.raises(ValueError, match="not a registered mura"):
         ms.table_at("nope", 1)
+
+
+def test_changes_tails_appends_incrementally(spark, tmp_path):
+    # incremental consumption: changes(N) reads ONLY post-N files
+    t = MuraTable.create(spark, str(tmp_path / "t"), _base(spark),
+                         partition_cols=["m"])
+    t.append(_df(spark, [(100, 1, "a")]))
+    t.append(_df(spark, [(101, 2, "b")]))
+    assert _vals(t.changes(1)) == {(100, 1, "a"), (101, 2, "b")}
+    assert _vals(t.changes(2)) == {(101, 2, "b")}
+    assert _vals(t.changes(1, version=2)) == {(100, 1, "a")}
+    empty = t.changes(3)
+    assert empty.count() == 0 and empty.columns == ["k", "m", "val"]
+
+
+def test_changes_after_merge_carries_rewritten_partition(spark, tmp_path):
+    # merge commits rewrite whole partitions: the changed frame holds
+    # every row of the touched partition (upsert-by-key contract)
+    t = MuraTable.create(spark, str(tmp_path / "t"), _base(spark),
+                         partition_cols=["m"])
+    t.merge(_df(spark, [(20, 2, "UPD")]), key_cols=["k"])
+    ch = _vals(t.changes(1))
+    assert (20, 2, "UPD") in ch
+    assert ch == {(k, m, v) for (k, m, v) in
+                  _vals(t.read()) if m == 2}
