@@ -1,0 +1,200 @@
+"""Structured Streaming source over MuraTable versions.
+
+``spark.readStream.format("mura_table").option("path", p).load()``
+tails a versioned table (sources/table_format.py) exactly-once:
+
+- **Offsets are manifest versions.** ``latestOffset`` is one log-dir
+  listing; a micro-batch (start, end] plans the file-set DIFF of the
+  two manifests — O(new files) planning, no data read on the driver,
+  the same contract as ``MuraTable.changes``.
+- **Partitions are added files.** Each executor task reads its parquet
+  file with pyarrow, injects the hive partition values parsed from the
+  file path (typed per the table schema), and yields Arrow record
+  batches — no Python row loop.
+- **Exactly-once across restarts** comes from Spark's offset log: the
+  checkpoint stores the version reached, redelivery replans the same
+  file diff (manifests and data files are immutable). ``vacuum`` that
+  removes a version a checkpoint still references fails the stream
+  loudly on restart (missing manifest) rather than skipping data —
+  retain at least as many versions as your longest stream downtime.
+- Append commits stream exactly their inserted rows; merge/compact
+  commits rewrite files, so their batches carry every row of the
+  rewritten partitions — downstream must upsert by key (file-level
+  CDC, the contract Delta has without its change-data-feed option).
+
+A batch reader (``spark.read.format("mura_table")``) is included for
+symmetry: latest snapshot, or ``option("version", n)`` to time travel
+through the same plugin surface. Registration:
+``mura_spark.sources.table_stream.register(spark)``.
+
+No reference analog (the reference is batch/read-only —
+/root/reference/src/parser/mod.rs:21-24); this is the Spark-4 Python
+DataSource extension point (same API as sources/pyds.py) applied to
+the repo's own table format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader,
+                                    InputPartition)
+from pyspark.sql.types import StructType
+
+from mura_spark.sources import table_format as tf
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, tf._LOG_DIR, f"v{version:08d}.json")
+
+
+def _load_manifest(table_path: str, version: int) -> dict:
+    p = _manifest_path(table_path, version)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"MuraTable version {version} missing at {table_path} — "
+            f"vacuumed while a stream checkpoint still referenced it? "
+            f"retain_versions must cover stream downtime") from None
+
+
+def _latest_version(table_path: str) -> int:
+    log_dir = os.path.join(table_path, tf._LOG_DIR)
+    versions = [int(m.group(1)) for f in os.listdir(log_dir)
+                if (m := tf._V_RE.match(f))]
+    if not versions:
+        raise FileNotFoundError(f"no MuraTable log at {table_path}")
+    return max(versions)
+
+
+def _typed_partition_value(raw: str | None, dtype):
+    """Parse a hive path partition value into the schema's type (the
+    executor-side twin of Spark's partition-column inference)."""
+    if raw is None:
+        return None
+    t = dtype.simpleString()
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    if t == "date":
+        import datetime
+        return datetime.date.fromisoformat(raw)
+    return raw  # string and friends
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, file_path: str, part_vals: dict):
+        self.file_path = file_path
+        self.part_vals = part_vals  # col -> raw string (hive-decoded)
+
+
+def _plan_partitions(table_path: str, files: list[str],
+                     pcols: list[str]) -> list[InputPartition]:
+    out = []
+    for rel in files:
+        vals = dict(zip(pcols, tf._partition_values(rel, pcols))) \
+            if pcols else {}
+        out.append(_FilesPartition(os.path.join(table_path, rel), vals))
+    # Spark's plugin API requires >= 1 partition per (micro-)batch;
+    # an empty diff still plans one no-op task
+    return out or [_FilesPartition("", {})]
+
+
+def _read_partition(partition, schema: StructType):
+    """Executor side: one parquet file -> arrow batches matching the
+    full table schema (partition columns injected as constants)."""
+    if not partition.file_path:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+    target = pa.schema([pa.field(f.name, to_arrow_type(f.dataType),
+                                 nullable=f.nullable)
+                        for f in schema.fields])
+    tbl = pq.read_table(partition.file_path)
+    n = tbl.num_rows
+    arrays = []
+    for f in schema.fields:
+        at = to_arrow_type(f.dataType)
+        if f.name in partition.part_vals:
+            v = _typed_partition_value(partition.part_vals[f.name],
+                                       f.dataType)
+            arrays.append(pa.array([v] * n, type=at))
+        else:
+            arrays.append(tbl.column(f.name).cast(at).combine_chunks())
+    yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
+
+
+class _TableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        # version 0 = nothing consumed; the first batch carries the
+        # whole current snapshot (manifest diff against the empty set)
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = start["version"], end["version"]
+        base = set(_load_manifest(self.path, sv)["files"]) if sv else set()
+        m = _load_manifest(self.path, ev)
+        new = [f for f in m["files"] if f not in base]
+        return _plan_partitions(self.path, new, m["partition_cols"])
+
+    def read(self, partition):
+        yield from _read_partition(partition, self.schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log is the source of truth
+
+
+class _TableBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options["path"]
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+
+    def partitions(self):
+        v = self.version or _latest_version(self.path)
+        m = _load_manifest(self.path, v)
+        return _plan_partitions(self.path, m["files"],
+                                m["partition_cols"])
+
+    def read(self, partition):
+        yield from _read_partition(partition, self.schema)
+
+
+class MuraTableDataSource(DataSource):
+    """``format("mura_table")``: batch snapshot / time travel reads and
+    a version-offset streaming tail of a MuraTable."""
+
+    @classmethod
+    def name(cls):
+        return "mura_table"
+
+    def schema(self):
+        path = self.options["path"]
+        m = _load_manifest(path, _latest_version(path))
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def reader(self, schema):
+        return _TableBatchReader(schema, self.options)
+
+    def streamReader(self, schema):
+        return _TableStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(MuraTableDataSource)
