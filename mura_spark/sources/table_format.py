@@ -139,15 +139,32 @@ class MuraTable:
     def _write_data(self, df: DataFrame,
                     partition_cols: list[str] | None) -> list[str]:
         """Write ``df`` as immutable files under a fresh commit dir;
-        return their table-relative paths."""
+        return their table-relative paths. The commit dir is remembered
+        so a losing optimistic commit can discard its orphaned files."""
         commit = uuid.uuid4().hex
         commit_dir = os.path.join(self.path, _DATA_DIR, commit)
         w = df.write.mode("error")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(commit_dir)
+        self._pending_commit_dir = commit_dir
         return [os.path.relpath(p, self.path)
                 for p in _list_part_files(commit_dir)]
+
+    def _commit_new(self, version: int, manifest: dict) -> None:
+        """Publish a manifest whose new files were just written by
+        :meth:`_write_data`; on a lost optimistic race, delete those
+        files (no other version references them) before re-raising."""
+        try:
+            self._commit(version, manifest)
+        except CommitConflict:
+            pending = getattr(self, "_pending_commit_dir", None)
+            if pending and os.path.isdir(pending):
+                import shutil
+                shutil.rmtree(pending, ignore_errors=True)
+            raise
+        finally:
+            self._pending_commit_dir = None
 
     # ------------------------------------------------------- lifecycle
 
@@ -159,7 +176,7 @@ class MuraTable:
         if t._versions():
             raise FileExistsError(f"MuraTable already exists at {path}")
         files = t._write_data(df, partition_cols)
-        t._commit(1, {"version": 1, "action": "create",
+        t._commit_new(1, {"version": 1, "action": "create",
                       "partition_cols": partition_cols or [],
                       "schema": df.schema.json(),
                       "files": files})
@@ -237,7 +254,7 @@ class MuraTable:
         """Commit ``df`` as new rows; returns the new version."""
         v, prev = self._next_version()
         files = self._write_data(df, prev["partition_cols"] or None)
-        self._commit(v, {"version": v, "action": "append",
+        self._commit_new(v, {"version": v, "action": "append",
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
                          "files": prev["files"] + files})
@@ -247,7 +264,7 @@ class MuraTable:
         """Replace the table's contents (old versions stay readable)."""
         v, prev = self._next_version()
         files = self._write_data(df, prev["partition_cols"] or None)
-        self._commit(v, {"version": v, "action": "overwrite",
+        self._commit_new(v, {"version": v, "action": "overwrite",
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
                          "files": files})
@@ -335,7 +352,7 @@ class MuraTable:
             final = final.where(F.col("__status") != "insert")
         new_files = self._write_data(final.drop("__status"),
                                      pcols or None)
-        self._commit(v, {"version": v, "action": "merge",
+        self._commit_new(v, {"version": v, "action": "merge",
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
                          "files": keep_files + new_files})
@@ -359,7 +376,7 @@ class MuraTable:
             self.read().repartition(target_files,
                                     *prev["partition_cols"])
         files = self._write_data(df, prev["partition_cols"] or None)
-        self._commit(v, {"version": v, "action": "compact",
+        self._commit_new(v, {"version": v, "action": "compact",
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
                          "files": files})

@@ -204,3 +204,30 @@ def test_changes_after_merge_carries_rewritten_partition(spark, tmp_path):
     assert (20, 2, "UPD") in ch
     assert ch == {(k, m, v) for (k, m, v) in
                   _vals(t.read()) if m == 2}
+
+
+def test_losing_commit_cleans_up_its_orphaned_files(spark, tmp_path):
+    # two writers race version 2 (the window between manifest read and
+    # commit): the loser must delete its own data files — nothing
+    # references them — and leave the winner intact. Handles are
+    # stateless, so the race is reproduced by pinning the version
+    # BEFORE the winner lands, exactly what a concurrent process sees.
+    path = str(tmp_path / "t")
+    t1 = MuraTable.create(spark, path, _base(spark),
+                          partition_cols=["m"])
+    t2 = MuraTable.load(spark, path)
+    v, prev = t2._next_version()  # loser plans version 2...
+    t1.append(_df(spark, [(100, 1, "winner")]))  # ...winner takes it
+    n_files = len(glob.glob(f"{path}/_data/*/**/*.parquet",
+                            recursive=True))
+    files = t2._write_data(_df(spark, [(200, 2, "loser")]),
+                           prev["partition_cols"] or None)
+    with pytest.raises(CommitConflict):
+        t2._commit_new(v, {"version": v, "action": "append",
+                           "partition_cols": prev["partition_cols"],
+                           "schema": prev.get("schema"),
+                           "files": prev["files"] + files})
+    assert len(glob.glob(f"{path}/_data/*/**/*.parquet",
+                         recursive=True)) == n_files
+    assert _vals(MuraTable.load(spark, path).read()) \
+        == _vals(_base(spark)) | {(100, 1, "winner")}
