@@ -193,10 +193,13 @@ class MuraTable:
     def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
         """Union the given table-relative files grouped per commit dir
         (each under its own hive basePath so partition columns and
-        pruning survive); typed empty frame when the list is empty."""
+        pruning survive); typed empty frame when the list is empty.
+        Every commit is aligned to the manifest schema, so files
+        written before a schema evolution read their newer columns as
+        typed NULLs."""
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(json.loads(schema_json))
         if not files:
-            from pyspark.sql.types import StructType
-            schema = StructType.fromJson(json.loads(schema_json))
             return self.spark.createDataFrame([], schema)
         by_commit: dict[str, list[str]] = {}
         for rel in files:
@@ -208,6 +211,11 @@ class MuraTable:
         for base, paths in sorted(by_commit.items()):
             df = (self.spark.read.option("basePath", base)
                   .parquet(*paths))
+            have = set(df.columns)
+            df = df.select(*[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields])
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -250,23 +258,66 @@ class MuraTable:
         m = self._manifest()
         return m["version"] + 1, m
 
-    def append(self, df: DataFrame) -> int:
-        """Commit ``df`` as new rows; returns the new version."""
+    def _check_schema(self, df: DataFrame, prev: dict,
+                      merge_schema: bool) -> str:
+        """Validate ``df`` against the table schema; return the (maybe
+        evolved) manifest schema JSON. Evolution is ADD-COLUMN only
+        (the Delta mergeSchema rule): existing columns must keep their
+        exact types, new columns are appended and read as NULL from
+        files written before them."""
+        from pyspark.sql.types import StructType
+        cur = StructType.fromJson(json.loads(prev["schema"]))
+        cur_types = {f.name: f.dataType for f in cur.fields}
+        for f in df.schema.fields:
+            if f.name in cur_types:
+                if f.dataType != cur_types[f.name]:
+                    raise ValueError(
+                        f"column {f.name!r}: {f.dataType.simpleString()}"
+                        f" != table type "
+                        f"{cur_types[f.name].simpleString()} (type "
+                        f"changes are not supported)")
+            elif not merge_schema:
+                raise ValueError(
+                    f"new column {f.name!r} — pass merge_schema=True "
+                    f"to evolve the table schema")
+        missing = set(cur_types) - {f.name for f in df.schema.fields}
+        if missing:
+            raise ValueError(
+                f"frame lacks table columns {sorted(missing)} — fill "
+                f"them (with NULL if needed) before committing")
+        if not merge_schema:
+            return prev["schema"]
+        from pyspark.sql.types import StructField
+        # added columns are nullable BY CONSTRUCTION: every file from
+        # before the evolution reads them as NULL
+        evolved = StructType(cur.fields + [
+            StructField(f.name, f.dataType, nullable=True,
+                        metadata=f.metadata)
+            for f in df.schema.fields if f.name not in cur_types])
+        return evolved.json()
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Commit ``df`` as new rows; returns the new version.
+        ``merge_schema=True`` lets ``df`` carry NEW columns (appended
+        to the table schema; earlier files read them as NULL)."""
         v, prev = self._next_version()
+        schema = self._check_schema(df, prev, merge_schema)
         files = self._write_data(df, prev["partition_cols"] or None)
         self._commit_new(v, {"version": v, "action": "append",
                          "partition_cols": prev["partition_cols"],
-                         "schema": prev.get("schema"),
+                         "schema": schema,
                          "files": prev["files"] + files})
         return v
 
     def overwrite(self, df: DataFrame) -> int:
-        """Replace the table's contents (old versions stay readable)."""
+        """Replace the table's contents (old versions stay readable).
+        The manifest schema follows ``df`` — a full replacement may
+        reshape freely; historical versions keep their own schema."""
         v, prev = self._next_version()
         files = self._write_data(df, prev["partition_cols"] or None)
         self._commit_new(v, {"version": v, "action": "overwrite",
                          "partition_cols": prev["partition_cols"],
-                         "schema": prev.get("schema"),
+                         "schema": df.schema.json(),
                          "files": files})
         return v
 
@@ -282,6 +333,13 @@ class MuraTable:
         publishes a manifest that keeps every untouched file by
         reference. Old versions remain time-travel readable until
         :meth:`vacuum`.
+
+        Partition-pruned matching carries the standard precondition of
+        partitioned upserts (Delta's replaceWhere rule): a key's
+        partition values must be stable — a source row whose partition
+        differs from its target row's would not see that row (it lives
+        in an unread partition) and would insert a duplicate key. Keep
+        partition columns functionally dependent on the merge key.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete, "

@@ -127,8 +127,10 @@ def _read_partition(partition, schema: StructType):
             v = _typed_partition_value(partition.part_vals[f.name],
                                        f.dataType)
             arrays.append(pa.array([v] * n, type=at))
-        else:
+        elif f.name in tbl.column_names:
             arrays.append(tbl.column(f.name).cast(at).combine_chunks())
+        else:  # file predates a schema evolution: typed nulls
+            arrays.append(pa.nulls(n, type=at))
     yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
 
 

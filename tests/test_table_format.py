@@ -231,3 +231,103 @@ def test_losing_commit_cleans_up_its_orphaned_files(spark, tmp_path):
                          recursive=True)) == n_files
     assert _vals(MuraTable.load(spark, path).read()) \
         == _vals(_base(spark)) | {(100, 1, "winner")}
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = MuraTable.create(spark, str(tmp_path / "t"), _base(spark),
+                         partition_cols=["m"])
+    wide = _df(spark, [(200, 2, "w")]).withColumn(
+        "score", F.lit(7).cast("int"))
+    # refused without opt-in; partial frames refused either way
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.append(wide)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        t.append(wide.drop("val"), merge_schema=True)
+    t.append(wide, merge_schema=True)
+    out = t.read()
+    assert out.columns == ["k", "m", "val", "score"]
+    rows = {(r.k, r.score) for r in out.collect()}
+    assert (200, 7) in rows
+    assert all(s is None for (k, s) in rows if k != 200)  # typed NULLs
+    # pre-evolution version keeps its own (narrow) schema
+    assert t.read(version=1).columns == ["k", "m", "val"]
+    # type changes stay refused
+    bad = _df(spark, [(1, 1, "x")]).withColumn(
+        "score", F.lit(1.5))  # double vs int
+    with pytest.raises(ValueError, match="type"):
+        t.append(bad, merge_schema=True)
+    # the plugin batch reader aligns old files the same way
+    from mura_spark.sources.table_stream import register
+    register(spark)
+    via_plugin = (spark.read.format("mura_table")
+                  .option("path", str(tmp_path / "t")).load())
+    assert via_plugin.columns == ["k", "m", "val", "score"]
+    assert via_plugin.where("score IS NULL").count() == 9
+
+
+# ------------------------------------------------------ model-based
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KEYS = st.integers(0, 9)
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(_KEYS, min_size=1,
+                                          max_size=3)),
+    st.tuples(st.just("upsert"), st.lists(_KEYS, min_size=1,
+                                          max_size=3, unique=True)),
+    st.tuples(st.just("delete"), st.lists(_KEYS, min_size=1,
+                                          max_size=3, unique=True)),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_OP, min_size=1, max_size=4),
+       probe=st.integers(0, 100))
+def test_model_based_random_op_sequences(spark, tmp_path_factory,
+                                         ops, probe):
+    """Random append/upsert/delete sequences vs a row-list model; the
+    final snapshot AND one random historical version must both match.
+    Partition m = k % 3 (stable per key — the documented partitioned-
+    merge precondition)."""
+    tag = [0]
+
+    def rows(keys):
+        tag[0] += 1
+        return [(k, k % 3, f"t{tag[0]}_{k}") for k in keys]
+
+    path = str(tmp_path_factory.mktemp("mbt") / "t")
+    model = rows(range(3))
+    t = MuraTable.create(spark, path, _df(spark, model),
+                         partition_cols=["m"])
+    snapshots = {1: list(model)}
+    for op, keys in ops:
+        r = rows(keys)
+        if op == "append":
+            t.append(_df(spark, r))
+            model = model + r
+        elif op == "upsert":
+            t.merge(_df(spark, r), key_cols=["k"])
+            by_key = {row[0]: row for row in r}
+            model = [by_key.get(row[0], row) for row in model]
+            present = {row[0] for row in model}
+            model += [row for row in r if row[0] not in present]
+        else:  # delete
+            t.merge(_df(spark, r), key_cols=["k"],
+                    when_matched="delete", insert_not_matched=False)
+            gone = set(keys)
+            model = [row for row in model if row[0] not in gone]
+        snapshots[t._manifest()["version"]] = list(model)
+
+    def as_multiset(rows_):
+        from collections import Counter
+        return Counter(rows_)
+
+    got = [(r.k, r.m, r.val) for r in t.read().collect()]
+    assert as_multiset(got) == as_multiset(model)
+    # one random historical version must match its recorded snapshot
+    versions = sorted(snapshots)
+    v = versions[probe % len(versions)]
+    got_v = [(r.k, r.m, r.val) for r in t.read(v).collect()]
+    assert as_multiset(got_v) == as_multiset(snapshots[v])
