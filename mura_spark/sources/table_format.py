@@ -151,6 +151,49 @@ class MuraTable:
         return [os.path.relpath(p, self.path)
                 for p in _list_part_files(commit_dir)]
 
+    def _collect_stats(self, files: list[str],
+                       stats_cols: list[str]) -> dict:
+        """Per-file min/max for ``stats_cols``, read from the parquet
+        FOOTERS of freshly written files (O(files) metadata reads, no
+        data). This is the Delta/Iceberg data-skipping idea: at 100 TB
+        the manifest answers \"which files can hold k in [lo, hi]\"
+        before the engine lists or opens anything. Numeric columns
+        only — parquet string min/max may be footer-truncated, which
+        would make max-based pruning unsound."""
+        if not stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+        out = {}
+        for rel in files:
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            col_stats = {}
+            for c in stats_cols:
+                if c not in idx:
+                    continue  # file predates this column
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(idx[c]).statistics
+                    if s is None or not s.has_min_max:
+                        ok = False  # no stats -> never prune this file
+                        break
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+                if ok and mn is not None:
+                    col_stats[c] = [mn, mx]
+            out[rel] = col_stats
+        return out
+
+    @staticmethod
+    def _default_stats_cols(schema, partition_cols) -> list[str]:
+        numeric = ("byte", "short", "int", "integer", "long", "float",
+                   "double", "bigint", "smallint", "tinyint")
+        return [f.name for f in schema.fields
+                if f.name not in (partition_cols or [])
+                and f.dataType.typeName() in numeric][:8]
+
     def _commit_new(self, version: int, manifest: dict) -> None:
         """Publish a manifest whose new files were just written by
         :meth:`_write_data`; on a lost optimistic race, delete those
@@ -170,15 +213,24 @@ class MuraTable:
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
-               partition_cols: list[str] | None = None) -> "MuraTable":
-        """First commit (version 1) of a new table."""
+               partition_cols: list[str] | None = None,
+               stats_cols: list[str] | None = None) -> "MuraTable":
+        """First commit (version 1) of a new table. ``stats_cols``
+        picks the columns whose per-file min/max the manifests track
+        for :meth:`read`'s ``skip`` pruning (default: up to 8 numeric
+        non-partition columns)."""
         t = cls(spark, path)
         if t._versions():
             raise FileExistsError(f"MuraTable already exists at {path}")
+        if stats_cols is None:
+            stats_cols = cls._default_stats_cols(df.schema,
+                                                 partition_cols)
         files = t._write_data(df, partition_cols)
         t._commit_new(1, {"version": 1, "action": "create",
                       "partition_cols": partition_cols or [],
                       "schema": df.schema.json(),
+                      "stats_cols": stats_cols,
+                      "stats": t._collect_stats(files, stats_cols),
                       "files": files})
         return t
 
@@ -219,16 +271,46 @@ class MuraTable:
             out = df if out is None else out.unionByName(df)
         return out
 
-    def read(self, version: int | None = None) -> DataFrame:
+    @staticmethod
+    def _file_survives(col_stats: dict | None, skip: dict) -> bool:
+        """Can a file with these min/max stats hold a row inside every
+        requested range? Missing stats keep the file (conservative)."""
+        if not col_stats:
+            return True
+        for c, (lo, hi) in skip.items():
+            if c not in col_stats:
+                continue
+            mn, mx = col_stats[c]
+            if (hi is not None and mn > hi) or \
+                    (lo is not None and mx < lo):
+                return False
+        return True
+
+    def read(self, version: int | None = None,
+             skip: dict | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest).
 
         Each commit's files are read under their own hive ``basePath``
         (partition columns re-derived from the layout) and the commits
         are unioned — partition and predicate pruning apply per
         subtree, so a filtered time-travel read still skips files.
+
+        ``skip`` is manifest-level data skipping: ``{col: (lo, hi)}``
+        drops every file whose footer min/max proves it holds no row
+        with ``col`` in ``[lo, hi]`` (either bound may be None). This
+        prunes the FILE LIST from driver-side metadata — at 100 TB the
+        scan never lists or opens skipped files — but it is an I/O
+        optimization, not a filter: surviving files still carry rows
+        outside the range, so apply the real predicate on top (which
+        Catalyst then also pushes into the surviving footers).
         """
         m = self._manifest(version)
-        return self._read_files(m["files"], m["schema"])
+        files = m["files"]
+        if skip:
+            stats = m.get("stats", {})
+            files = [f for f in files
+                     if self._file_survives(stats.get(f), skip)]
+        return self._read_files(files, m["schema"])
 
     def history(self) -> list[dict]:
         """Every retained commit, oldest first."""
@@ -303,9 +385,13 @@ class MuraTable:
         v, prev = self._next_version()
         schema = self._check_schema(df, prev, merge_schema)
         files = self._write_data(df, prev["partition_cols"] or None)
+        scols = prev.get("stats_cols", [])
+        stats = {**prev.get("stats", {}),
+                 **self._collect_stats(files, scols)}
         self._commit_new(v, {"version": v, "action": "append",
                          "partition_cols": prev["partition_cols"],
                          "schema": schema,
+                         "stats_cols": scols, "stats": stats,
                          "files": prev["files"] + files})
         return v
 
@@ -315,9 +401,12 @@ class MuraTable:
         reshape freely; historical versions keep their own schema."""
         v, prev = self._next_version()
         files = self._write_data(df, prev["partition_cols"] or None)
+        scols = prev.get("stats_cols", [])
         self._commit_new(v, {"version": v, "action": "overwrite",
                          "partition_cols": prev["partition_cols"],
                          "schema": df.schema.json(),
+                         "stats_cols": scols,
+                         "stats": self._collect_stats(files, scols),
                          "files": files})
         return v
 
@@ -410,9 +499,15 @@ class MuraTable:
             final = final.where(F.col("__status") != "insert")
         new_files = self._write_data(final.drop("__status"),
                                      pcols or None)
+        scols = prev.get("stats_cols", [])
+        keep = set(keep_files)
+        stats = {f: s for f, s in prev.get("stats", {}).items()
+                 if f in keep}
+        stats.update(self._collect_stats(new_files, scols))
         self._commit_new(v, {"version": v, "action": "merge",
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
+                         "stats_cols": scols, "stats": stats,
                          "files": keep_files + new_files})
         return MergeStats(
             updated=counts.get("matched", 0) if when_matched == "update"
@@ -434,9 +529,12 @@ class MuraTable:
             self.read().repartition(target_files,
                                     *prev["partition_cols"])
         files = self._write_data(df, prev["partition_cols"] or None)
+        scols = prev.get("stats_cols", [])
         self._commit_new(v, {"version": v, "action": "compact",
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
+                         "stats_cols": scols,
+                         "stats": self._collect_stats(files, scols),
                          "files": files})
         return v
 

@@ -331,3 +331,39 @@ def test_model_based_random_op_sequences(spark, tmp_path_factory,
     v = versions[probe % len(versions)]
     got_v = [(r.k, r.m, r.val) for r in t.read(v).collect()]
     assert as_multiset(got_v) == as_multiset(snapshots[v])
+
+
+def test_manifest_stats_file_skipping(spark, tmp_path):
+    # Delta-style data skipping: range-clustered files + footer min/max
+    # in the manifest -> read(skip=...) prunes the file list before
+    # Spark ever opens anything
+    path = str(tmp_path / "t")
+    big = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("m"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"))
+    t = MuraTable.create(spark, path,
+                         big.repartitionByRange(8, "k"))
+    m = t._manifest()
+    assert m["stats_cols"] == ["k", "m"]  # numeric defaults
+    # every non-empty file carries k stats (empty part files carry {})
+    assert all("k" in s for s in m["stats"].values() if s)
+    full = t.read()
+    skipped = t.read(skip={"k": (100, 120)})
+    # the pruned manifest keeps fewer files, at least one
+    n0 = len(m["files"])
+    survivors = [f for f in m["files"]
+                 if t._file_survives(m["stats"].get(f), {"k": (100, 120)})
+                 and m["stats"].get(f)]
+    assert 1 <= len(survivors) < n0
+    # skipping is an I/O bound, not a filter: with the real predicate
+    # on top, results are identical to the unpruned read
+    want = {r.k for r in full.where("k BETWEEN 100 AND 120").collect()}
+    got = {r.k for r in skipped.where("k BETWEEN 100 AND 120").collect()}
+    assert got == want == set(range(100, 121))
+    # open-ended bounds + stats survive an append
+    t.append(_df(spark, [(5000, 2, "x")]))
+    m2 = t._manifest()
+    assert len(m2["stats"]) == len(m2["files"])  # stats track files
+    hi = t.read(skip={"k": (2000, None)})
+    assert {r.k for r in hi.where("k >= 2000").collect()} == {5000}
