@@ -518,17 +518,39 @@ class MuraTable:
             else 0,
             copied=counts.get("copy", 0))
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(self, target_files: int = 1,
+                cluster_by: list[str] | None = None) -> int:
         """Rewrite the CURRENT version into ``target_files`` files per
         partition (one commit; old layout stays time-travel readable).
         Keeps the manifest small and scans coalesced after many small
-        appends/merges."""
+        appends/merges.
+
+        ``cluster_by`` lays the rewrite out for data skipping: one
+        column sorts linearly; two or more use the Z-order (Morton)
+        key, clustering rows so EVERY listed column gets tight per-file
+        min/max — the layout that makes the manifest stats (and
+        ``read(skip=...)``) effective on multi-column range predicates,
+        where a linear sort only serves its leading column."""
         v, prev = self._next_version()
-        df = self.read().coalesce(target_files) \
-            if not prev["partition_cols"] else \
-            self.read().repartition(target_files,
-                                    *prev["partition_cols"])
-        files = self._write_data(df, prev["partition_cols"] or None)
+        df = self.read()
+        pcols = prev["partition_cols"]
+        if cluster_by:
+            if len(cluster_by) == 1:
+                key = F.col(cluster_by[0])
+            else:
+                from mura_spark.sources.parquet import zorder_key
+                key = zorder_key(df, cluster_by)
+            df = (df.withColumn("__z", key)
+                    .repartitionByRange(target_files, *(
+                        [F.col(c) for c in pcols] + [F.col("__z")]
+                        if pcols else [F.col("__z")]))
+                    .sortWithinPartitions(*(pcols or []), "__z")
+                    .drop("__z"))
+        elif pcols:
+            df = df.repartition(target_files, *pcols)
+        else:
+            df = df.coalesce(target_files)
+        files = self._write_data(df, pcols or None)
         scols = prev.get("stats_cols", [])
         self._commit_new(v, {"version": v, "action": "compact",
                          "partition_cols": prev["partition_cols"],

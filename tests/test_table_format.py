@@ -367,3 +367,38 @@ def test_manifest_stats_file_skipping(spark, tmp_path):
     assert len(m2["stats"]) == len(m2["files"])  # stats track files
     hi = t.read(skip={"k": (2000, None)})
     assert {r.k for r in hi.where("k >= 2000").collect()} == {5000}
+
+
+def test_compact_zorder_clustering_enables_multi_col_skipping(
+        spark, tmp_path):
+    # after a Z-order compact, BOTH clustered columns skip files; a
+    # linear layout only serves its leading column
+    path = str(tmp_path / "t")
+    big = spark.range(0, 4096).select(
+        F.col("id").alias("k"),
+        (F.hash(F.col("id").cast("string")) % 1000).alias("a"),
+        (F.hash(F.concat(F.lit("x"), F.col("id").cast("string")))
+         % 1000).alias("b"),
+        F.lit("v").alias("val"))
+    t = MuraTable.create(spark, path, big.repartition(8),
+                         stats_cols=["a", "b"])
+    before = t._manifest()
+
+    def survivors(m, skip):
+        return [f for f in m["files"]
+                if t._file_survives(m["stats"].get(f), skip)]
+
+    # random layout: stats cover the whole domain, nothing skips
+    assert len(survivors(before, {"a": (0, 50)})) == len(before["files"])
+    v = t.compact(target_files=8, cluster_by=["a", "b"])
+    after = t._manifest(v)
+    n = len(after["files"])
+    sa = survivors(after, {"a": (0, 50)})
+    sb = survivors(after, {"b": (0, 50)})
+    assert len(sa) < n and len(sb) < n  # both dims prune now
+    # rows unchanged, and skip+predicate stays exact
+    want = {r.k for r in t.read(version=1)
+            .where("a BETWEEN 0 AND 50").collect()}
+    got = {r.k for r in t.read(skip={"a": (0, 50)})
+           .where("a BETWEEN 0 AND 50").collect()}
+    assert got == want
