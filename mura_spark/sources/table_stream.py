@@ -197,6 +197,107 @@ class MuraTableDataSource(DataSource):
     def streamReader(self, schema):
         return _TableStreamReader(schema, self.options)
 
+    def streamWriter(self, schema, overwrite):
+        if overwrite:
+            raise ValueError("mura_table streaming sink is append-only")
+        return _TableStreamWriter(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(MuraTableDataSource)
+
+
+# -------------------------------------------------------------- sink
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (DataSourceStreamArrowWriter,
+                                    WriterCommitMessage)
+
+
+@dataclass
+class _FilesWritten(WriterCommitMessage):
+    relpaths: list  # table-relative parquet paths this task wrote
+
+
+class _TableStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("mura_table")``: each micro-batch is ONE
+    append commit. Executors write their Arrow batches straight to
+    parquet files under a per-micro-batch commit dir (no shuffle, no
+    driver data); the driver publishes the manifest in ``commit`` and
+    stamps it with the micro-batch id — a redelivered batch (sink-side
+    replay after a crash between sink commit and checkpoint write) is
+    recognized by the stamp and skipped, so the sink is exactly-once.
+    Unpartitioned tables only (a partitioned streaming append would
+    need executor-side hive layout); ``MuraTable.compact`` afterwards
+    restores layout/clustering. Files from failed/aborted tasks are
+    never referenced by a manifest, so ``vacuum`` reclaims them."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options["path"]
+        self.queryId = options.get("queryid", "stream")
+        m = _load_manifest(self.path, _latest_version(self.path))
+        if m["partition_cols"]:
+            raise ValueError(
+                "streaming append into a PARTITIONED MuraTable is not "
+                "supported — stream into an unpartitioned staging "
+                "table and merge, or drop the partitioning")
+        import uuid as _uuid
+        # the writer instance (and its pickled executor copies) spans
+        # the whole query: this names the query's commit dir; files
+        # stay per-task unique, manifests reference files not dirs
+        self._commit_dir_name = f"stream-{_uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        commit_dir = os.path.join(self.path, tf._DATA_DIR,
+                                  self._commit_dir_name)
+        os.makedirs(commit_dir, exist_ok=True)
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _FilesWritten([])
+        fname = f"part-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.Table.from_batches(batches),
+                       os.path.join(commit_dir, fname))
+        rel = os.path.join(tf._DATA_DIR, self._commit_dir_name, fname)
+        return _FilesWritten([rel])
+
+    def commit(self, messages, batchId) -> None:
+        table = tf.MuraTable.load(None, self.path)
+        while True:
+            m = table._manifest()
+            stamp = m.get("stream_batches", {})
+            if stamp.get(self.queryId) == batchId:
+                return  # redelivered micro-batch: already committed
+            files = [r for msg in messages if msg
+                     for r in msg.relpaths]
+            scols = m.get("stats_cols", [])
+            stats = {**m.get("stats", {}),
+                     **table._collect_stats(files, scols)}
+            try:
+                table._commit(m["version"] + 1, {
+                    "version": m["version"] + 1,
+                    "action": "stream_append",
+                    "partition_cols": m["partition_cols"],
+                    "schema": m.get("schema"),
+                    "stats_cols": scols, "stats": stats,
+                    "stream_batches": {**stamp, self.queryId: batchId},
+                    "files": m["files"] + files})
+                return
+            except tf.CommitConflict:
+                continue  # another writer advanced the version: rebase
+
+    def abort(self, messages, batchId) -> None:
+        # delete ONLY this batch's reported files — the query-level
+        # commit dir also holds files of earlier, committed batches
+        for msg in messages:
+            if msg:
+                for rel in msg.relpaths:
+                    try:
+                        os.unlink(os.path.join(self.path, rel))
+                    except OSError:
+                        pass

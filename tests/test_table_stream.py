@@ -85,3 +85,55 @@ def test_stream_compact_redelivers_rewritten_partition(registered,
     t.compact(target_files=1)
     assert _run_available(spark, path, ckpt, out) \
         == [(1, 1, "a"), (1, 1, "a")]  # rewritten rows redelivered
+
+
+def test_stream_sink_appends_one_commit_per_batch(registered, tmp_path):
+    # writeStream.format("mura_table"): executors write files, the
+    # driver publishes one stream_append commit per micro-batch
+    spark = registered
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    t_src = MuraTable.create(spark, src_path,
+                             _df(spark, [(1, 1, "a"), (2, 2, "b")]),
+                             partition_cols=["m"])
+    MuraTable.create(spark, dst_path, _df(spark, []))
+
+    def run():
+        q = (spark.readStream.format("mura_table")
+             .option("path", src_path).load()
+             .writeStream.format("mura_table").option("path", dst_path)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    dst = MuraTable.load(spark, dst_path)
+    assert {(r.k, r.m, r.val) for r in dst.read().collect()} \
+        == {(1, 1, "a"), (2, 2, "b")}
+    assert dst._manifest()["action"] == "stream_append"
+    # second pass with new source data: exactly the delta arrives
+    t_src.append(_df(spark, [(3, 1, "c")]))
+    run()
+    rows = [(r.k, r.m, r.val) for r in dst.read().collect()]
+    assert sorted(rows) == [(1, 1, "a"), (2, 2, "b"), (3, 1, "c")]
+    # idempotent re-run: no new commit, no duplicate rows
+    v_before = dst._manifest()["version"]
+    run()
+    assert sorted((r.k, r.m, r.val) for r in dst.read().collect()) \
+        == [(1, 1, "a"), (2, 2, "b"), (3, 1, "c")]
+
+
+def test_stream_sink_refuses_partitioned_target(registered, tmp_path):
+    spark = registered
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    MuraTable.create(spark, src_path, _df(spark, [(1, 1, "a")]))
+    MuraTable.create(spark, dst_path, _df(spark, [(0, 0, "z")]),
+                     partition_cols=["m"])
+    with pytest.raises(Exception, match="PARTITIONED"):
+        (spark.readStream.format("mura_table")
+         .option("path", src_path).load()
+         .writeStream.format("mura_table").option("path", dst_path)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start()
+         .awaitTermination(60))
