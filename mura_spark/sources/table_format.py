@@ -560,6 +560,23 @@ class MuraTable:
                          "files": files})
         return v
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE: make ``version``'s contents current again via
+        a NEW commit that references that version's files — no data is
+        copied or rewritten, and the rolled-back history stays
+        time-travel readable. The standard recovery move after a bad
+        merge/overwrite: ``t.restore(v_before_incident)``."""
+        v, prev = self._next_version()
+        old = self._manifest(version)
+        self._commit(v, {"version": v, "action": "restore",
+                         "restored_from": version,
+                         "partition_cols": old["partition_cols"],
+                         "schema": old.get("schema"),
+                         "stats_cols": old.get("stats_cols", []),
+                         "stats": old.get("stats", {}),
+                         "files": old["files"]})
+        return v
+
     # -------------------------------------------------------------- gc
 
     def vacuum(self, retain_versions: int = 2) -> int:

@@ -402,3 +402,25 @@ def test_compact_zorder_clustering_enables_multi_col_skipping(
     got = {r.k for r in t.read(skip={"a": (0, 50)})
            .where("a BETWEEN 0 AND 50").collect()}
     assert got == want
+
+
+def test_restore_rolls_back_by_reference(spark, tmp_path):
+    # the bad-merge recovery move: restore(v) re-publishes v's file
+    # list as a new commit — zero data rewritten, history intact
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _base(spark),
+                         partition_cols=["m"])
+    t.merge(_df(spark, [(20, 2, "OOPS")]), key_cols=["k"])
+    n_files = len(glob.glob(f"{path}/_data/*/**/*.parquet",
+                            recursive=True))
+    v = t.restore(1)
+    assert v == 3
+    assert _vals(t.read()) == _vals(_base(spark))  # rollback
+    assert t._manifest()["files"] == t._manifest(1)["files"]  # by ref
+    assert len(glob.glob(f"{path}/_data/*/**/*.parquet",
+                         recursive=True)) == n_files  # nothing written
+    # the bad version stays auditable until vacuum
+    assert (20, 2, "OOPS") in _vals(t.read(version=2))
+    # and vacuum keeps files the restored HEAD references
+    t.vacuum(retain_versions=1)
+    assert _vals(t.read()) == _vals(_base(spark))
