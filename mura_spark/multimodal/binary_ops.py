@@ -8,10 +8,10 @@ typed metadata struct::
                         sample_rate:int, n_frames:int>
 
 Processing runs through ``mapInPandas`` so bytes cross the Python boundary
-in Arrow batches (never row-at-a-time). Decoding: PPM (P6) and
-uncompressed 24-bit BMP decode for REAL via pure numpy
+in Arrow batches (never row-at-a-time). Decoding: PPM (P6), uncompressed
+24-bit BMP, baseline JPEG, and 8-bit PNG decode for REAL via pure numpy
 (:func:`decode_image` / :func:`image_stats` — no media libs needed);
-JPEG/PNG/audio/video need PIL/ffmpeg, absent in this environment, so the
+exotic variants and audio/video codecs need PIL/ffmpeg, absent here, so the
 format-agnostic feature kernel is STUBBED: a clearly-marked deterministic
 fake (byte-histogram features) behind the same batch-shaped API a real
 decoder would use — schema, partitioning, UDF signature, and batch shape
@@ -144,14 +144,16 @@ def decode_image(payload: bytes):
     """Decode an encoded image payload to a (height, width[, channels])
     uint8 numpy array.
 
-    PPM (P6), uncompressed 24-bit BMP, and baseline JPEG (SOF0/SOF1,
-    any chroma subsampling) decode for REAL via pure numpy — no media
-    libs needed (JPEG: multimodal/jpeg.decode_jpeg, a full baseline
-    Huffman+IDCT decoder reading its tables from the stream). Remaining
-    formats (PNG, progressive JPEG, ...) go through PIL when importable
-    (probed at module load; this container normally lacks PIL/libjpeg,
-    but the operator upgrades itself the moment the library appears),
-    else raise NotImplementedError.
+    PPM (P6), uncompressed 24-bit BMP, baseline JPEG (SOF0/SOF1, any
+    chroma subsampling), and 8-bit PNG (all color types and scanline
+    filters) decode for REAL via pure numpy — no media libs needed
+    (JPEG: multimodal/jpeg.decode_jpeg, a full baseline Huffman+IDCT
+    decoder reading its tables from the stream; PNG:
+    multimodal/png.decode_png over stdlib zlib). Remaining variants
+    (progressive JPEG, 16-bit/interlaced PNG, ...) go through PIL when
+    importable (probed at module load; this container normally lacks
+    PIL/libjpeg, but the operator upgrades itself the moment the
+    library appears), else raise NotImplementedError.
     """
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
@@ -164,12 +166,19 @@ def decode_image(payload: bytes):
         except NotImplementedError:
             if _PIL_Image is None:  # progressive etc. without PIL
                 raise
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from mura_spark.multimodal.png import decode_png
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            if _PIL_Image is None:  # 16-bit / interlaced without PIL
+                raise
     if _PIL_Image is None:
         raise NotImplementedError(
-            "PNG/progressive-JPEG decoding requires PIL, not present in "
-            "this container; PPM/BMP/baseline-JPEG decode natively — use "
-            "extract_features (deterministic stub) for format-agnostic "
-            "pipeline testing")
+            "this image variant requires PIL, not present in this "
+            "container; PPM/BMP/baseline-JPEG/8-bit-PNG decode natively "
+            "— use extract_features (deterministic stub) for "
+            "format-agnostic pipeline testing")
     import io
 
     import numpy as np
@@ -204,7 +213,11 @@ def image_stats(df: DataFrame, id_col: str = "id",
                 try:
                     img = decode_image(bytes(p))
                     h, w = img.shape[:2]
+                    if img.ndim == 2:  # grayscale: one channel, not w cols
+                        img = img[:, :, None]
                     means = img.reshape(-1, img.shape[-1]).mean(axis=0)
+                    if means.size < 3:  # gray / gray+alpha → replicate luma
+                        means = [means[0]] * 3
                     ws.append(w); hs.append(h)
                     mr.append(float(means[0]))
                     mg.append(float(means[1]))

@@ -1,0 +1,200 @@
+"""Pure-numpy PNG codec — no PIL/libpng dependency (zlib is stdlib).
+
+Decoder: non-interlaced 8-bit PNG, all five standard color types
+(grayscale 0, RGB 2, palette 3, gray+alpha 4, RGBA 6), all five scanline
+filters (None/Sub/Up/Average/Paeth), multi-IDAT streams, tRNS palette
+alpha. 16-bit, sub-8-bit, and Adam7-interlaced files raise
+NotImplementedError naming what was seen — refuse loudly, never
+mis-decode. Together with the baseline-JPEG codec (multimodal/jpeg.py)
+and the PPM/BMP readers (multimodal/binary_ops.py) this makes every
+common still-image container decodable natively; the reference has no
+image surface at all (/root/reference/src/main.rs ships only a Parquet
+demo), so this serves the multimodal extension family (mm_* queries,
+ahash64, image_stats).
+
+Encoder: the test-fixture counterpart — writes 8-bit gray/RGB/RGBA with
+a caller-chosen scanline filter (default Paeth, so roundtrips exercise
+the decoder's hardest unfilter path), zlib-compressed, single IDAT.
+Lossless: decode(encode(a)) == a exactly.
+
+Scale note: like the JPEG codec this runs inside Arrow-batched
+mapInPandas kernels (image_stats / extract_features) — per-row Python on
+thumbnail-scale payloads, never in a shuffle or on the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel (before palette expansion)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering. ``raw`` is h rows of
+    (1 filter byte + stride data bytes); returns (h, stride) uint8.
+
+    None/Up are fully vectorized; Sub is a per-byte-lane prefix sum
+    (mod-256 cumsum); Average/Paeth have a true left-neighbor data
+    dependency, so those rows fall back to a per-byte Python loop —
+    fixture-scale payloads only, same budget as the JPEG Huffman loop."""
+    rows = raw.reshape(h, 1 + stride)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:]
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            cur = line.astype(np.uint64).reshape(-1)
+            for lane in range(bpp):
+                lane_view = cur[lane::bpp]
+                np.cumsum(lane_view, out=lane_view)
+            cur = (cur & 0xFF).astype(np.uint8)
+        elif ftype == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256, exactly the spec
+        elif ftype == 3:  # Average
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype} on row {y}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to (h, w) or (h, w, channels) uint8.
+
+    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced,
+    multiple IDAT chunks, tRNS alpha for palette images. Anything else
+    raises NotImplementedError naming the feature."""
+    if payload[:8] != _SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    palette = None
+    trns = None
+    idat = []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc (crc not verified)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if color not in _CHANNELS:
+        raise ValueError(f"invalid PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    ch = _CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError(
+            f"PNG data size {raw.size} != expected {h * (1 + stride)}")
+    img = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color == 3:  # palette expansion
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = img[:, :, 0]
+        if idx.max(initial=0) >= palette.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(palette.shape[0], 255, dtype=np.uint8)
+            alpha[:trns.size] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if ch == 1:
+        return img[:, :, 0]
+    return img
+
+
+def encode_png(arr, filter_type: int = 4, level: int = 6) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 → PNG bytes.
+
+    ``filter_type`` applies to every scanline (0=None 1=Sub 2=Up
+    3=Average 4=Paeth — default Paeth so roundtrip tests hit the
+    decoder's sequential unfilter path). Lossless by construction."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_png expects (h,w), (h,w,3) or (h,w,4)")
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"invalid filter type {filter_type}")
+    flat = a.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            ul = np.zeros_like(prev)
+            ul[ch:] = prev[:-ch]
+            pred = np.array([_paeth(int(l), int(u), int(c))
+                             for l, u, c in zip(left, prev, ul)],
+                            dtype=np.int16)
+            f = cur - pred
+        lines.append(bytes([filter_type]) + (f & 0xFF).astype(np.uint8)
+                     .tobytes())
+        prev = cur
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+    return (_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))

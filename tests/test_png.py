@@ -1,0 +1,167 @@
+"""Pure-numpy PNG codec (multimodal/png.py) and its decode_image
+integration — closes the "PNG decode absent without PIL" gap: the
+NotImplementedError branch is now unreachable for 8-bit non-interlaced
+PNG payloads (every color type, every scanline filter)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from mura_spark.multimodal.png import decode_png, encode_png
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, shape).astype(np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_rgb_every_filter_lossless(filter_type):
+    img = _rand((13, 17, 3), seed=filter_type)
+    out = decode_png(encode_png(img, filter_type=filter_type))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 9), (9, 1), (24, 31),
+                                   (5, 5, 3), (7, 3, 4)])
+def test_roundtrip_shapes_and_channels(shape):
+    img = _rand(shape, seed=len(shape) + shape[0])
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_roundtrip_gradient_compresses_and_survives():
+    x = np.linspace(0, 255, 64)
+    img = np.stack(np.meshgrid(x, x)[0:1] * 3, axis=-1).astype(np.uint8)
+    payload = encode_png(img)
+    assert len(payload) < img.size  # filtering + zlib actually compress
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_decode_is_deterministic():
+    payload = encode_png(_rand((16, 16, 3), seed=3))
+    assert np.array_equal(decode_png(payload), decode_png(payload))
+
+
+def test_multi_idat_stream_decodes():
+    img = _rand((8, 8, 3), seed=5)
+    payload = encode_png(img, filter_type=0)
+    # split the single IDAT into two chunks: spec allows any split
+    sig, rest = payload[:8], payload[8:]
+    chunks = []
+    pos = 0
+    while pos < len(rest):
+        length, ctype = struct.unpack_from(">I4s", rest, pos)
+        chunks.append((ctype, rest[pos + 8:pos + 8 + length]))
+        pos += 12 + length
+    out = sig
+    for ctype, data in chunks:
+        parts = [data[:7], data[7:]] if ctype == b"IDAT" else [data]
+        for p in parts:
+            out += (struct.pack(">I", len(p)) + ctype + p
+                    + struct.pack(">I", zlib.crc32(ctype + p)))
+    assert np.array_equal(decode_png(out), img)
+
+
+def test_palette_png_expands_to_rgb_and_trns_alpha():
+    # hand-build a 2x3 color-type-3 image over a 4-entry palette
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                       dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    base = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette.tobytes())
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    out = decode_png(base)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out, palette[idx])
+    # with tRNS: entry 0 transparent, others default opaque
+    with_trns = (base[:8 + 25 + 12 + len(palette.tobytes())]
+                 + chunk(b"tRNS", b"\x00")
+                 + base[8 + 25 + 12 + len(palette.tobytes()):])
+    out_a = decode_png(with_trns)
+    assert out_a.shape == (2, 3, 4)
+    assert np.array_equal(out_a[:, :, :3], palette[idx])
+    expected_alpha = np.where(idx == 0, 0, 255)
+    assert np.array_equal(out_a[:, :, 3], expected_alpha)
+
+
+def test_gray_alpha_color_type_4():
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+    ga = _rand((4, 5, 2), seed=11)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(4))
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 4, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), ga)
+
+
+def test_unsupported_depth_and_interlace_raise_named():
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+    for depth, interlace, msg in [(16, 0, "bit depth 16"),
+                                  (8, 1, "interlaced")]:
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 0,
+                                                0, 0, interlace))
+                   + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+                   + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError, match=msg):
+            decode_png(payload)
+
+
+def test_truncated_and_non_png_rejected():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a....")
+    img = _rand((4, 4, 3), seed=2)
+    payload = bytearray(encode_png(img, filter_type=0))
+    # corrupt the decompressed length by dropping the last data row
+    # from the IDAT payload: size check must trip, not silent garbage
+    pos = 8
+    while True:
+        length, ctype = struct.unpack_from(">I4s", bytes(payload), pos)
+        if ctype == b"IDAT":
+            data = zlib.decompress(bytes(payload[pos + 8:pos + 8 + length]))
+            short = zlib.compress(data[:-13])
+            payload[pos:pos + 8 + length] = (
+                struct.pack(">I", len(short)) + b"IDAT" + short)
+            break
+        pos += 12 + length
+    with pytest.raises(ValueError, match="data size"):
+        decode_png(bytes(payload))
+
+
+def test_decode_image_dispatches_png():
+    from mura_spark.multimodal.binary_ops import decode_image
+    img = _rand((9, 12, 3), seed=21)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    gray = _rand((6, 6), seed=22)
+    assert np.array_equal(decode_image(encode_png(gray)), gray)
+
+
+def test_property_roundtrip_random_sizes_filters():
+    rng = np.random.RandomState(42)
+    for trial in range(20):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        ch = rng.choice([0, 3, 4])
+        shape = (h, w) if ch == 0 else (h, w, ch)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        ft = int(rng.randint(0, 5))
+        out = decode_png(encode_png(img, filter_type=ft))
+        assert np.array_equal(out, img), (shape, ft)
