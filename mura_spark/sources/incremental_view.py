@@ -1,0 +1,224 @@
+"""Incrementally-maintained aggregate materialization over a MuraTable.
+
+An ``IncrementalAggView`` is a MuraTable holding
+``source.groupBy(keys).agg(...)`` where every aggregate is MERGEABLE
+(sum / count / min / max — avg is sum+count composed at read time), kept
+current by :meth:`refresh`:
+
+- **O(delta) when the source history is append-only**: the refresh reads
+  ONLY the files added since the last processed source version
+  (``MuraTable.changes`` — a manifest diff, no table scan), pre-aggregates
+  them, combines with the view's current rows for just the touched keys,
+  and upserts via the view table's partition-pruned COW merge. A day's
+  ingest into a 100 TB table refreshes the rollup at the cost of the
+  day's files, never the table.
+- **Loud fallback otherwise**: any non-append source commit in the
+  unprocessed range (merge / overwrite / compact / restore — their
+  ``changes()`` frames contain rewritten copies, which would double-count)
+  or a vacuumed-away baseline manifest downgrades that refresh to a full
+  recompute of the source snapshot. The refresh result says which mode
+  ran; correctness never depends on the fast path applying.
+- **Exactly-once by construction**: the new source watermark rides the
+  SAME manifest commit as the refreshed data (``meta`` commit metadata,
+  the Delta userMetadata pattern). A crash before the commit leaves the
+  old watermark and old data (rerun = same delta, same result); there is
+  no window where data moved but the watermark didn't.
+
+Numeric note: for DOUBLE columns, sum-of-partials differs from a
+one-pass sum in the last ulp (float addition is not associative) — the
+same caveat any partial-aggregation plan has, including Spark's own
+map-side combine. Use DECIMAL for exact money totals; the view pins the
+decimal type against per-refresh re-widening.
+
+min/max are safe here precisely because the incremental path is gated on
+append-only history: appends can only extend a key's min down / max up,
+both mergeable. Deletions in the source arrive as non-append commits and
+take the full-recompute path, where min/max are recomputed from scratch.
+
+This is the relational twin of the streaming sink (table_stream.py): the
+same additive-partial pattern, driven by table versions instead of
+micro-batches, and restartable from the manifest log instead of a
+checkpoint dir. The reference has no incremental surface at all
+(/root/reference/src/execution/mod.rs is a read-only parquet scan); this
+serves the 100 TB pipeline story (SURVEY.md north-star extensions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mura_spark.sources.table_format import MuraTable
+
+_META_KEY = "incremental_view"
+
+#: aggregate kind -> (initial aggregate fn, combine fn). Combining
+#: partial counts is a SUM; everything else combines with itself.
+_AGG_INIT = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)),
+             "min": F.min, "max": F.max}
+_AGG_COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+#: source manifest actions whose changes() frames are pure inserts
+_APPEND_ACTIONS = {"create", "append", "stream_append"}
+
+
+@dataclass(frozen=True)
+class RefreshResult:
+    mode: str            # "noop" | "incremental" | "full"
+    source_from: int     # watermark before the refresh
+    source_to: int       # watermark after the refresh
+    reason: str = ""     # why a full refresh was taken
+
+
+class IncrementalAggView:
+    """Handle to a materialized aggregate view rooted at ``path``.
+
+    Construct via :meth:`create` (initial full build) or :meth:`load`.
+    The view's MuraTable is maintainer-owned: write to it only through
+    :meth:`refresh`, or the stored watermark stops describing the rows.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.table = MuraTable(spark, path)
+
+    # --------------------------------------------------------- state
+
+    def _state(self) -> dict:
+        """Newest commit metadata carrying the view spec + watermark."""
+        for m in reversed(self.table.history()):
+            meta = (m.get("meta") or {}).get(_META_KEY)
+            if meta is not None:
+                return meta
+        raise ValueError(
+            f"{self.path} has no {_META_KEY} commit metadata — not an "
+            f"IncrementalAggView (or its history was fully rewritten)")
+
+    # ----------------------------------------------------- aggregates
+
+    @staticmethod
+    def _check_aggs(aggs: dict) -> None:
+        for out, (kind, _col) in aggs.items():
+            if kind not in _AGG_INIT:
+                raise ValueError(
+                    f"aggregate {out!r}: kind {kind!r} is not mergeable "
+                    f"(supported: {sorted(_AGG_INIT)}; express avg as "
+                    f"sum+count and divide at read time)")
+
+    @staticmethod
+    def _aggregate(df: DataFrame, keys: list[str], aggs: dict,
+                   fns: dict, on_output: bool = False) -> DataFrame:
+        """Aggregate ``df`` with ``fns``. Initial pass (on_output=False)
+        reads the SOURCE columns; combine pass (on_output=True) re-reads
+        the view's OUTPUT columns (partials combining with partials)."""
+        return df.groupBy(*keys).agg(
+            *[fns[kind](out if on_output else col).alias(out)
+              for out, (kind, col) in aggs.items()])
+
+    @staticmethod
+    def _cast_like(df: DataFrame, template: DataFrame) -> DataFrame:
+        """Pin ``df``'s column types to ``template``'s — combining
+        sums re-widens decimals (sum(decimal(p,s)) -> decimal(p+10,s)),
+        which would drift the view schema a little wider every refresh."""
+        types = {f.name: f.dataType for f in template.schema.fields}
+        return df.select(*[F.col(c).cast(types[c]).alias(c)
+                           for c in template.columns])
+
+    # ------------------------------------------------------ lifecycle
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, source: MuraTable,
+               keys: list[str], aggs: dict[str, tuple[str, str]],
+               partition_cols: list[str] | None = None,
+               ) -> "IncrementalAggView":
+        """Full initial build of ``source.groupBy(keys)`` at the source's
+        current version. ``aggs`` maps output column -> (kind, source
+        column) with kind in sum|count|min|max (count ignores the column).
+        ``partition_cols`` (a subset of ``keys``) partitions the view so
+        refreshes rewrite only the key ranges the delta touches."""
+        cls._check_aggs(aggs)
+        if partition_cols and not set(partition_cols) <= set(keys):
+            raise ValueError("partition_cols must be a subset of keys")
+        src_version = source._manifest()["version"]
+        df = cls._aggregate(source.read(version=src_version), keys,
+                            aggs, _AGG_INIT)
+        MuraTable.create(spark, path, df, partition_cols=partition_cols,
+                         meta={_META_KEY: {
+                             "source_path": source.path,
+                             "source_version": src_version,
+                             "keys": keys,
+                             "aggs": {k: list(v) for k, v in aggs.items()},
+                         }})
+        return cls(spark, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IncrementalAggView":
+        v = cls(spark, path)
+        v._state()  # existence + shape check
+        return v
+
+    # ----------------------------------------------------------- read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The materialized aggregate (time travel via ``version``)."""
+        return self.table.read(version=version)
+
+    # -------------------------------------------------------- refresh
+
+    def refresh(self) -> RefreshResult:
+        """Advance the view to the source's current version.
+
+        Concurrency: raises CommitConflict if another maintainer commits
+        the view first — rerun refresh() (it restarts from the fresh
+        watermark, so the retry is safe and usually a noop)."""
+        state = self._state()
+        keys, aggs = state["keys"], {k: tuple(v) for k, v
+                                     in state["aggs"].items()}
+        source = MuraTable.load(self.spark, state["source_path"])
+        here, there = state["source_version"], source._manifest()["version"]
+        if there == here:
+            return RefreshResult("noop", here, there)
+        new_meta = {_META_KEY: {**state, "source_version": there}}
+
+        reason = ""
+        try:
+            actions = [source._manifest(v)["action"]
+                       for v in range(here + 1, there + 1)]
+            bad = [a for a in actions if a not in _APPEND_ACTIONS]
+            if bad:
+                reason = (f"non-append source commit(s) {sorted(set(bad))} "
+                          f"in ({here}, {there}]")
+            # changes() also needs the baseline manifest v{here} itself
+            source._manifest(here)
+        except ValueError:
+            reason = (f"source history ({here}, {there}] partially "
+                      f"vacuumed — manifest diff unavailable")
+
+        if reason:
+            full = self._aggregate(source.read(version=there), keys,
+                                   aggs, _AGG_INIT)
+            self.table.overwrite(full, meta=new_meta)
+            return RefreshResult("full", here, there, reason)
+
+        view_now = self.read()
+        delta = self._cast_like(
+            self._aggregate(source.changes(here, there), keys, aggs,
+                            _AGG_INIT), view_now)
+        if not delta.limit(1).count():
+            # zero-row delta (e.g. an empty append): still advance the
+            # watermark — a commit with no new data files
+            self.table.append(view_now.limit(0), meta=new_meta)
+            return RefreshResult("incremental", here, there,
+                                 "empty delta")
+        # current view rows for ONLY the touched keys; union the two
+        # partial frames and combine — count partials combine via SUM
+        current = view_now.join(delta.select(*keys).distinct(),
+                                on=keys, how="left_semi")
+        combined = self._cast_like(
+            self._aggregate(current.unionByName(delta), keys, aggs,
+                            _AGG_COMBINE, on_output=True), view_now)
+        self.table.merge(combined, key_cols=keys, meta=new_meta)
+        return RefreshResult("incremental", here, there)

@@ -214,7 +214,8 @@ class MuraTable:
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
                partition_cols: list[str] | None = None,
-               stats_cols: list[str] | None = None) -> "MuraTable":
+               stats_cols: list[str] | None = None,
+               meta: dict | None = None) -> "MuraTable":
         """First commit (version 1) of a new table. ``stats_cols``
         picks the columns whose per-file min/max the manifests track
         for :meth:`read`'s ``skip`` pruning (default: up to 8 numeric
@@ -231,6 +232,7 @@ class MuraTable:
                       "schema": df.schema.json(),
                       "stats_cols": stats_cols,
                       "stats": t._collect_stats(files, stats_cols),
+                      **({"meta": meta} if meta is not None else {}),
                       "files": files})
         return t
 
@@ -378,10 +380,14 @@ class MuraTable:
             for f in df.schema.fields if f.name not in cur_types])
         return evolved.json()
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False,
+               meta: dict | None = None) -> int:
         """Commit ``df`` as new rows; returns the new version.
         ``merge_schema=True`` lets ``df`` carry NEW columns (appended
-        to the table schema; earlier files read them as NULL)."""
+        to the table schema; earlier files read them as NULL).
+        ``meta`` rides the manifest (Delta's userMetadata analog) —
+        application state that must move atomically with the data,
+        e.g. the incremental view's source watermark."""
         v, prev = self._next_version()
         schema = self._check_schema(df, prev, merge_schema)
         files = self._write_data(df, prev["partition_cols"] or None)
@@ -392,10 +398,11 @@ class MuraTable:
                          "partition_cols": prev["partition_cols"],
                          "schema": schema,
                          "stats_cols": scols, "stats": stats,
+                         **({"meta": meta} if meta is not None else {}),
                          "files": prev["files"] + files})
         return v
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         """Replace the table's contents (old versions stay readable).
         The manifest schema follows ``df`` — a full replacement may
         reshape freely; historical versions keep their own schema."""
@@ -407,12 +414,14 @@ class MuraTable:
                          "schema": df.schema.json(),
                          "stats_cols": scols,
                          "stats": self._collect_stats(files, scols),
+                         **({"meta": meta} if meta is not None else {}),
                          "files": files})
         return v
 
     def merge(self, source: DataFrame, key_cols: list[str],
               when_matched: str = "update",
-              insert_not_matched: bool = True) -> MergeStats:
+              insert_not_matched: bool = True,
+              meta: dict | None = None) -> MergeStats:
         """Copy-on-write MERGE with snapshot semantics.
 
         Same row semantics as :func:`mura_spark.sources.merge.merge_into`
@@ -508,6 +517,7 @@ class MuraTable:
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
                          "stats_cols": scols, "stats": stats,
+                         **({"meta": meta} if meta is not None else {}),
                          "files": keep_files + new_files})
         return MergeStats(
             updated=counts.get("matched", 0) if when_matched == "update"
