@@ -284,7 +284,15 @@ def graph_modularity(spark, sf):
     structure'); exact counts, two mirrored divisions per community
     (operators.graph.modularity on label_propagation's output)."""
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    base = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    # checkpoint the edge list ONCE: both consumers (the LPA rounds,
+    # which checkpoint per round and so evaluate their input eagerly,
+    # and the modularity rollup's own plan) reuse the materialized
+    # edges instead of re-running the lineitem self-join per branch
+    base = (graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+                 .localCheckpoint(eager=True))
+    # cheap second checkpoint (scan + distinct over materialized base):
+    # LPA's nested 2-round plan references its edge input several
+    # times, each reference now a pure scan instead of a re-union
     with_self = (base.union(base.select("src").distinct()
                                 .select("src", F.col("src").alias("dst")))
                      .localCheckpoint(eager=True))
