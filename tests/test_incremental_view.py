@@ -196,6 +196,32 @@ def test_empty_delta_advances_watermark(spark, tmp_path):
     _assert_matches(view, src)
 
 
+def test_streamed_appends_take_the_incremental_path(spark, tmp_path):
+    """Composition with the streaming sink: stream_append commits are
+    append-shaped, so a view over a stream-fed table refreshes at
+    O(delta) — the full stream→table→rollup pipeline with no rescans."""
+    from mura_spark.sources.table_stream import register
+    register(spark)
+    src_path = str(tmp_path / "s")
+    src = _src(spark, src_path, _rows(("a", 1, 10)))
+    view = IncrementalAggView.create(spark, str(tmp_path / "v"), src,
+                                     keys=["g"], aggs=AGGS)
+    # feed the source table through the streaming sink
+    feed = MuraTable.create(
+        spark, str(tmp_path / "feed"),
+        spark.createDataFrame(_rows(("a", 2, 1), ("b", 3, 4)),
+                              "g string, k long, v long"))
+    q = (spark.readStream.format("mura_table")
+         .option("path", feed.path).load()
+         .writeStream.format("mura_table").option("path", src_path)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    r = view.refresh()
+    assert r.mode == "incremental"
+    _assert_matches(view, src)
+
+
 def test_incremental_refresh_reads_only_new_source_files(
         spark, tmp_path, monkeypatch):
     """O(delta) at the source side: the refresh must never request the
