@@ -151,21 +151,23 @@ class MuraTable:
         return [os.path.relpath(p, self.path)
                 for p in _list_part_files(commit_dir)]
 
-    def _collect_stats(self, files: list[str],
-                       stats_cols: list[str]) -> dict:
-        """Per-file min/max for ``stats_cols``, read from the parquet
-        FOOTERS of freshly written files (O(files) metadata reads, no
-        data). This is the Delta/Iceberg data-skipping idea: at 100 TB
-        the manifest answers \"which files can hold k in [lo, hi]\"
-        before the engine lists or opens anything. Numeric columns
-        only — parquet string min/max may be footer-truncated, which
-        would make max-based pruning unsound."""
-        if not stats_cols:
-            return {}
+    def _file_meta(self, files: list[str],
+                   stats_cols: list[str]) -> tuple[dict, dict]:
+        """Per-file footer metadata in ONE pass over freshly written
+        files (O(files) metadata reads, no data): min/max for
+        ``stats_cols`` and exact row counts.
+
+        The min/max side is the Delta/Iceberg data-skipping idea: at
+        100 TB the manifest answers \"which files can hold k in
+        [lo, hi]\" before the engine lists or opens anything. Numeric
+        columns only — parquet string min/max may be footer-truncated,
+        which would make max-based pruning unsound. The row-count side
+        makes COUNT(*) a manifest sum (:meth:`row_count`)."""
         import pyarrow.parquet as pq
-        out = {}
+        stats, rows = {}, {}
         for rel in files:
             md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            rows[rel] = md.num_rows
             idx = {md.schema.column(i).name: i
                    for i in range(md.num_columns)}
             col_stats = {}
@@ -183,8 +185,13 @@ class MuraTable:
                     mx = s.max if mx is None else max(mx, s.max)
                 if ok and mn is not None:
                     col_stats[c] = [mn, mx]
-            out[rel] = col_stats
-        return out
+            stats[rel] = col_stats
+        return stats, rows
+
+    def _collect_stats(self, files: list[str],
+                       stats_cols: list[str]) -> dict:
+        """Back-compat shim over :meth:`_file_meta` (stats only)."""
+        return self._file_meta(files, stats_cols)[0]
 
     @staticmethod
     def _default_stats_cols(schema, partition_cols) -> list[str]:
@@ -227,11 +234,12 @@ class MuraTable:
             stats_cols = cls._default_stats_cols(df.schema,
                                                  partition_cols)
         files = t._write_data(df, partition_cols)
+        stats, rows = t._file_meta(files, stats_cols)
         t._commit_new(1, {"version": 1, "action": "create",
                       "partition_cols": partition_cols or [],
                       "schema": df.schema.json(),
                       "stats_cols": stats_cols,
-                      "stats": t._collect_stats(files, stats_cols),
+                      "stats": stats, "rows": rows,
                       **({"meta": meta} if meta is not None else {}),
                       "files": files})
         return t
@@ -392,12 +400,14 @@ class MuraTable:
         schema = self._check_schema(df, prev, merge_schema)
         files = self._write_data(df, prev["partition_cols"] or None)
         scols = prev.get("stats_cols", [])
-        stats = {**prev.get("stats", {}),
-                 **self._collect_stats(files, scols)}
+        new_stats, new_rows = self._file_meta(files, scols)
+        stats = {**prev.get("stats", {}), **new_stats}
+        rows = {**prev.get("rows", {}), **new_rows}
         self._commit_new(v, {"version": v, "action": "append",
                          "partition_cols": prev["partition_cols"],
                          "schema": schema,
                          "stats_cols": scols, "stats": stats,
+                         "rows": rows,
                          **({"meta": meta} if meta is not None else {}),
                          "files": prev["files"] + files})
         return v
@@ -409,11 +419,12 @@ class MuraTable:
         v, prev = self._next_version()
         files = self._write_data(df, prev["partition_cols"] or None)
         scols = prev.get("stats_cols", [])
+        stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "overwrite",
                          "partition_cols": prev["partition_cols"],
                          "schema": df.schema.json(),
                          "stats_cols": scols,
-                         "stats": self._collect_stats(files, scols),
+                         "stats": stats, "rows": rows,
                          **({"meta": meta} if meta is not None else {}),
                          "files": files})
         return v
@@ -512,11 +523,16 @@ class MuraTable:
         keep = set(keep_files)
         stats = {f: s for f, s in prev.get("stats", {}).items()
                  if f in keep}
-        stats.update(self._collect_stats(new_files, scols))
+        rows = {f: n for f, n in prev.get("rows", {}).items()
+                if f in keep}
+        new_stats, new_rows = self._file_meta(new_files, scols)
+        stats.update(new_stats)
+        rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": "merge",
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
                          "stats_cols": scols, "stats": stats,
+                         "rows": rows,
                          **({"meta": meta} if meta is not None else {}),
                          "files": keep_files + new_files})
         return MergeStats(
@@ -527,6 +543,104 @@ class MuraTable:
             inserted=counts.get("insert", 0) if insert_not_matched
             else 0,
             copied=counts.get("copy", 0))
+
+    def row_count(self, version: int | None = None) -> int:
+        """Exact COUNT(*) as of ``version`` from manifest metadata —
+        a driver-side sum of the per-file footer row counts every
+        commit records, no scan, no job. Files committed before row
+        tracking existed lack an entry, in which case this falls back
+        to counting the snapshot the ordinary way."""
+        m = self._manifest(version)
+        rows = m.get("rows", {})
+        if all(f in rows for f in m["files"]):
+            return sum(rows[f] for f in m["files"])
+        return self.read(version=version).count()
+
+    def _rewrite_where(self, predicate, transform, action: str,
+                       meta: dict | None):
+        """Shared machinery of :meth:`delete_where` /
+        :meth:`update_where`: find the files that actually contain
+        predicate matches (one pruned scan collecting
+        ``input_file_name()`` — partition pruning and footer pushdown
+        both apply, and the collect is bounded by the file count),
+        rewrite ONLY those through ``transform``, and publish a
+        manifest carrying every untouched file by reference."""
+        import urllib.parse
+        pred = F.expr(predicate) if isinstance(predicate, str) \
+            else predicate
+        v, prev = self._next_version()
+        pcols = prev["partition_cols"]
+        hits = (self.read(version=prev["version"]).where(pred)
+                .select(F.input_file_name().alias("f"))
+                .distinct().collect())
+        table_root = os.path.abspath(self.path)
+        touched = set()
+        for r in hits:
+            p = urllib.parse.unquote(urllib.parse.urlparse(r["f"]).path)
+            touched.add(os.path.relpath(os.path.abspath(p), table_root))
+        if not touched:
+            return prev["version"], 0, 0
+        keep_files = [f for f in prev["files"] if f not in touched]
+        sub = self._read_files(sorted(touched), prev["schema"])
+        n_matched = sub.where(pred).count()
+        out = transform(sub, pred)
+        new_files = self._write_data(out, pcols or None)
+        scols = prev.get("stats_cols", [])
+        stats = {f: s for f, s in prev.get("stats", {}).items()
+                 if f in set(keep_files)}
+        rows = {f: n for f, n in prev.get("rows", {}).items()
+                if f in set(keep_files)}
+        new_stats, new_rows = self._file_meta(new_files, scols)
+        stats.update(new_stats)
+        rows.update(new_rows)
+        self._commit_new(v, {"version": v, "action": action,
+                         "predicate": str(predicate),
+                         "partition_cols": pcols,
+                         "schema": prev.get("schema"),
+                         "stats_cols": scols, "stats": stats,
+                         "rows": rows,
+                         **({"meta": meta} if meta is not None else {}),
+                         "files": keep_files + new_files})
+        return v, n_matched, len(touched)
+
+    def delete_where(self, predicate,
+                     meta: dict | None = None) -> tuple[int, int, int]:
+        """DELETE FROM ... WHERE: remove every row where ``predicate``
+        (SQL string or Column) is TRUE — rows where it is NULL are
+        kept, the ANSI DELETE rule. Copy-on-write: only files that
+        actually contain matches are rewritten (located by one pruned
+        scan, so a predicate on a partition or stats column touches
+        only that slice of a 100 TB table); everything else rides by
+        reference, and the old version stays time-travel readable —
+        the GDPR-erasure shape, with the audit trail in
+        :meth:`history`. Returns ``(new_version, rows_deleted,
+        files_rewritten)`` (no-op: current version, 0, 0)."""
+        return self._rewrite_where(
+            predicate,
+            lambda sub, pred: sub.where(~F.coalesce(pred, F.lit(False))),
+            "delete", meta)
+
+    def update_where(self, predicate, assignments: dict,
+                     meta: dict | None = None) -> tuple[int, int, int]:
+        """UPDATE ... SET ... WHERE: apply ``assignments`` (column ->
+        SQL string or Column, evaluated against the pre-update row) to
+        every row where ``predicate`` is TRUE; NULL/FALSE rows pass
+        through unchanged. Same copy-on-write file pruning as
+        :meth:`delete_where`. Returns ``(new_version, rows_updated,
+        files_rewritten)``."""
+        def transform(sub, pred):
+            cols = set(sub.columns)
+            bad = sorted(set(assignments) - cols)
+            if bad:
+                raise ValueError(f"assignment to unknown column(s) {bad}")
+            exprs = {c: (F.expr(e) if isinstance(e, str) else e)
+                     for c, e in assignments.items()}
+            return sub.select(*[
+                F.when(F.coalesce(pred, F.lit(False)),
+                       exprs[c].cast(sub.schema[c].dataType))
+                 .otherwise(F.col(c)).alias(c)
+                if c in exprs else F.col(c) for c in sub.columns])
+        return self._rewrite_where(predicate, transform, "update", meta)
 
     def compact(self, target_files: int = 1,
                 cluster_by: list[str] | None = None) -> int:
@@ -562,11 +676,12 @@ class MuraTable:
             df = df.coalesce(target_files)
         files = self._write_data(df, pcols or None)
         scols = prev.get("stats_cols", [])
+        stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "compact",
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
                          "stats_cols": scols,
-                         "stats": self._collect_stats(files, scols),
+                         "stats": stats, "rows": rows,
                          "files": files})
         return v
 
@@ -584,6 +699,7 @@ class MuraTable:
                          "schema": old.get("schema"),
                          "stats_cols": old.get("stats_cols", []),
                          "stats": old.get("stats", {}),
+                         "rows": old.get("rows", {}),
                          "files": old["files"]})
         return v
 

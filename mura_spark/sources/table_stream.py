@@ -276,15 +276,16 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
             files = [r for msg in messages if msg
                      for r in msg.relpaths]
             scols = m.get("stats_cols", [])
-            stats = {**m.get("stats", {}),
-                     **table._collect_stats(files, scols)}
+            new_stats, new_rows = table._file_meta(files, scols)
+            stats = {**m.get("stats", {}), **new_stats}
+            rows = {**m.get("rows", {}), **new_rows}
             try:
                 table._commit(m["version"] + 1, {
                     "version": m["version"] + 1,
                     "action": "stream_append",
                     "partition_cols": m["partition_cols"],
                     "schema": m.get("schema"),
-                    "stats_cols": scols, "stats": stats,
+                    "stats_cols": scols, "stats": stats, "rows": rows,
                     "stream_batches": {**stamp, self.queryId: batchId},
                     "files": m["files"] + files})
                 return
