@@ -20,6 +20,7 @@ Scale posture (100 TB readiness, tested on local[32]):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -105,13 +106,92 @@ class MuraSession:
         (``CREATE EXTERNAL TABLE ... STORED AS PARQUET LOCATION '...'``,
         reference src/parser/mod.rs:26-28) by rewriting it to Spark's
         ``CREATE TABLE ... USING parquet`` — plain Spark SQL reserves
-        ``STORED AS`` for Hive-enabled sessions."""
-        import re
+        ``STORED AS`` for Hive-enabled sessions.
+
+        Row-level DML (``DELETE FROM t [WHERE p]``, ``UPDATE t SET
+        c = e[, ...] [WHERE p]``) routes to the versioned-table engine
+        when ``t`` is registered with ``file_type="mura"`` — Spark's
+        parquet source has no mutation path, MuraTable's copy-on-write
+        DML does (sources/table_format.py). Returns a one-row frame
+        ``(version, rows_affected, files_rewritten)``. Registered but
+        non-versioned tables refuse loudly; unregistered names fall
+        through to Spark for its own error."""
+        dml = self._route_dml(query)
+        if dml is not None:
+            return dml
         rewritten = re.sub(r"(?i)\bCREATE\s+EXTERNAL\s+TABLE\b",
                            "CREATE TABLE", query)
         rewritten = re.sub(r"(?i)\bSTORED\s+AS\s+PARQUET\b",
                            "USING parquet", rewritten)
         return self.spark.sql(rewritten)
+
+    _DELETE_RE = re.compile(
+        r"(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)"
+        r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$")
+    _UPDATE_RE = re.compile(
+        r"(?is)^\s*UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+?)"
+        r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$")
+
+    @staticmethod
+    def _split_assignments(clause: str) -> dict[str, str]:
+        """``a = f(x, 1), b = 2`` -> {a: 'f(x, 1)', b: '2'} — commas
+        split only at paren depth 0 and outside string literals."""
+        parts, depth, quote, start = [], 0, None, 0
+        for i, ch in enumerate(clause):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(clause[start:i])
+                start = i + 1
+        parts.append(clause[start:])
+        out = {}
+        for p in parts:
+            m = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", p,
+                         re.DOTALL)
+            if not m:
+                raise ValueError(f"cannot parse SET assignment {p!r}")
+            out[m.group(1)] = m.group(2)
+        return out
+
+    def _route_dml(self, query: str):
+        """DELETE/UPDATE statements over registered mura tables; None
+        when the statement is not DML (caller falls through to Spark)."""
+        md = self._DELETE_RE.match(query)
+        mu = None if md else self._UPDATE_RE.match(query)
+        if md is None and mu is None:
+            return None
+        name = (md or mu).group(1)
+        info = self.catalog._tables.get(name) \
+            or self.catalog._tables.get(name.lower())
+        if info is None:
+            return None  # not ours: let Spark produce its own error
+        if info.file_type != "mura":
+            raise ValueError(
+                f"{name!r} is a read-only {info.file_type} external "
+                f"table — row-level DML needs a versioned table "
+                f"(register with file_type='mura')")
+        from mura_spark.sources.table_format import MuraTable
+        t = MuraTable.load(self.spark, info.location)
+        if md:
+            v, n, files = t.delete_where(md.group(2) or "true")
+        else:
+            v, n, files = t.update_where(
+                mu.group(3) or "true",
+                self._split_assignments(mu.group(2)))
+        # the catalog's temp view pins the file list seen at
+        # registration; re-register so readers see the new version
+        self.catalog.create_external_table(info.name, info.location,
+                                           file_type="mura")
+        return self.spark.createDataFrame(
+            [(v, n, files)],
+            "version long, rows_affected long, files_rewritten long")
 
     # -- DDL entry point (reference queryplanner.rs:73-95) --
     def create_external_table(self, name: str, location: str,

@@ -109,6 +109,47 @@ def test_row_count_falls_back_for_pre_tracking_manifests(spark, tmp_path):
     assert t.row_count() == 4  # falls back to a real count
 
 
+def test_sql_delete_and_update_route_to_mura_tables(spark, tmp_path):
+    from mura_spark.session import MuraSession
+    ms = MuraSession(spark)
+    path = str(tmp_path / "t")
+    MuraTable.create(spark, path, _df(spark, ROWS))
+    ms.create_external_table("dml_t", path, file_type="mura")
+    res = ms.sql("DELETE FROM dml_t WHERE k >= 3").collect()[0]
+    assert (res.version, res.rows_affected) == (2, 2)
+    assert sorted(r.k for r in ms.table("dml_t").collect()) == [1, 2]
+    res = ms.sql(
+        "UPDATE dml_t SET val = concat(val, '!'), m = m + 1 "
+        "WHERE k = 1").collect()[0]
+    assert res.rows_affected == 1
+    got = {(r.k, r.m, r.val) for r in ms.table("dml_t").collect()}
+    assert got == {(1, 2, "a!"), (2, 1, "b")}
+    # DELETE without WHERE empties the table (history stays readable)
+    res = ms.sql("DELETE FROM dml_t").collect()[0]
+    assert res.rows_affected == 2
+    assert ms.table("dml_t").count() == 0
+    assert MuraTable.load(spark, path).read(version=1).count() == 4
+
+
+def test_sql_dml_on_parquet_table_refuses(spark, tmp_path):
+    from mura_spark.session import MuraSession
+    ms = MuraSession(spark)
+    _df(spark, ROWS).write.mode("overwrite") \
+        .parquet(str(tmp_path / "plain"))
+    ms.create_external_table("plain_t", str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="read-only parquet"):
+        ms.sql("DELETE FROM plain_t WHERE k = 1")
+    # non-DML statements and unregistered names pass through to Spark
+    assert ms.sql("SELECT 1 AS one").collect()[0].one == 1
+
+
+def test_sql_set_clause_splits_on_top_level_commas_only(spark):
+    from mura_spark.session import MuraSession
+    got = MuraSession._split_assignments(
+        "a = coalesce(x, ',', 1), b = 'w, z', c = 2")
+    assert got == {"a": "coalesce(x, ',', 1)", "b": "'w, z'", "c": "2"}
+
+
 def test_delete_forces_view_full_refresh(spark, tmp_path):
     from mura_spark.sources.incremental_view import IncrementalAggView
     t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, ROWS))
