@@ -171,7 +171,7 @@ def decode_image(payload: bytes):
         try:
             return decode_png(payload)
         except NotImplementedError:
-            if _PIL_Image is None:  # 16-bit / interlaced without PIL
+            if _PIL_Image is None:  # 16-bit depth without PIL
                 raise
     if _PIL_Image is None:
         raise NotImplementedError(

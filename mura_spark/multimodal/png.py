@@ -1,11 +1,12 @@
 """Pure-numpy PNG codec — no PIL/libpng dependency (zlib is stdlib).
 
-Decoder: non-interlaced 8-bit PNG, all five standard color types
-(grayscale 0, RGB 2, palette 3, gray+alpha 4, RGBA 6), all five scanline
-filters (None/Sub/Up/Average/Paeth), multi-IDAT streams, tRNS palette
-alpha. 16-bit, sub-8-bit, and Adam7-interlaced files raise
-NotImplementedError naming what was seen — refuse loudly, never
-mis-decode. Together with the baseline-JPEG codec (multimodal/jpeg.py)
+Decoder: 8-bit PNG, all five standard color types (grayscale 0, RGB 2,
+palette 3, gray+alpha 4, RGBA 6), all five scanline filters
+(None/Sub/Up/Average/Paeth), both interlace methods (sequential and
+Adam7 — each of the 7 passes unfilters as its own sub-image and
+scatters onto the pixel grid), multi-IDAT streams, tRNS palette alpha.
+16-bit and sub-8-bit depths raise NotImplementedError naming what was
+seen — refuse loudly, never mis-decode. Together with the baseline-JPEG codec (multimodal/jpeg.py)
 and the PPM/BMP readers (multimodal/binary_ops.py) this makes every
 common still-image container decodable natively; the reference has no
 image surface at all (/root/reference/src/main.rs ships only a Parquet
@@ -33,6 +34,10 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 #: color type -> samples per pixel (before palette expansion)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -123,17 +128,37 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG color type {color}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if not idat:
         raise ValueError("PNG missing IDAT")
     ch = _CHANNELS[color]
-    stride = w * ch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (1 + stride):
-        raise ValueError(
-            f"PNG data size {raw.size} != expected {h * (1 + stride)}")
-    img = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if interlace == 0:
+        stride = w * ch
+        if raw.size != h * (1 + stride):
+            raise ValueError(
+                f"PNG data size {raw.size} != expected {h * (1 + stride)}")
+        img = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (1 + pw * ch)
+            sub = raw[pos:pos + need]
+            if sub.size != need:
+                raise ValueError(
+                    f"PNG data size {raw.size} short of Adam7 passes")
+            pos += need
+            part = _unfilter(sub, ph, pw * ch, ch).reshape(ph, pw, ch)
+            img[y0::dy, x0::dx] = part
+        if pos != raw.size:
+            raise ValueError(
+                f"PNG data size {raw.size} != Adam7 expectation {pos}")
     if color == 3:  # palette expansion
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -151,26 +176,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(arr, filter_type: int = 4, level: int = 6) -> bytes:
-    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 → PNG bytes.
-
-    ``filter_type`` applies to every scanline (0=None 1=Sub 2=Up
-    3=Average 4=Paeth — default Paeth so roundtrip tests hit the
-    decoder's sequential unfilter path). Lossless by construction."""
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
-        raise ValueError("encode_png expects (h,w), (h,w,3) or (h,w,4)")
-    h, w, ch = a.shape
-    color = {1: 0, 3: 2, 4: 6}[ch]
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError(f"invalid filter type {filter_type}")
-    flat = a.reshape(h, w * ch).astype(np.int16)
-    prev = np.zeros(w * ch, dtype=np.int16)
+def _filter_rows(sub: np.ndarray, ch: int, filter_type: int) -> bytes:
+    """Filter the rows of one (sub-)image (h, w*ch int16) per the PNG
+    scanline scheme; returns the (1 filter byte + data) row stream."""
+    prev = np.zeros(sub.shape[1], dtype=np.int16)
     lines = []
-    for y in range(h):
-        cur = flat[y]
+    for y in range(sub.shape[0]):
+        cur = sub[y]
         left = np.zeros_like(cur)
         left[ch:] = cur[:-ch]
         if filter_type == 0:
@@ -191,10 +203,42 @@ def encode_png(arr, filter_type: int = 4, level: int = 6) -> bytes:
         lines.append(bytes([filter_type]) + (f & 0xFF).astype(np.uint8)
                      .tobytes())
         prev = cur
+    return b"".join(lines)
+
+
+def encode_png(arr, filter_type: int = 4, level: int = 6,
+               interlace: bool = False) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 → PNG bytes.
+
+    ``filter_type`` applies to every scanline (0=None 1=Sub 2=Up
+    3=Average 4=Paeth — default Paeth so roundtrip tests hit the
+    decoder's sequential unfilter path). ``interlace=True`` writes
+    Adam7 (each pass filtered as its own sub-image). Lossless by
+    construction."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_png expects (h,w), (h,w,3) or (h,w,4)")
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"invalid filter type {filter_type}")
+    if interlace:
+        body = b"".join(
+            _filter_rows(a[y0::dy, x0::dx].reshape(
+                len(range(y0, h, dy)), -1).astype(np.int16),
+                ch, filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if len(range(y0, h, dy)) and len(range(x0, w, dx)))
+    else:
+        body = _filter_rows(a.reshape(h, w * ch).astype(np.int16),
+                            ch, filter_type)
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                       1 if interlace else 0)
+    idat = zlib.compress(body, level)
     return (_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))

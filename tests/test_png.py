@@ -111,19 +111,49 @@ def test_gray_alpha_color_type_4():
     assert np.array_equal(decode_png(payload), ga)
 
 
-def test_unsupported_depth_and_interlace_raise_named():
+def test_unsupported_depth_raises_named():
     def chunk(ctype, data):
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
-    for depth, interlace, msg in [(16, 0, "bit depth 16"),
-                                  (8, 1, "interlaced")]:
-        payload = (b"\x89PNG\r\n\x1a\n"
-                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 0,
-                                                0, 0, interlace))
-                   + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
-                   + chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError, match=msg):
-            decode_png(payload)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0,
+                                            0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+               + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(payload)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 9), (8, 8, 3), (13, 5, 4),
+                                   (2, 11), (16, 17, 3)])
+def test_adam7_interlaced_roundtrip_lossless(shape):
+    img = _rand(shape, seed=sum(shape))
+    out = decode_png(encode_png(img, interlace=True))
+    assert np.array_equal(out, img)
+
+
+def test_adam7_equals_sequential_decode():
+    img = _rand((21, 19, 3), seed=77)
+    seq = decode_png(encode_png(img, interlace=False))
+    adam = decode_png(encode_png(img, interlace=True, filter_type=2))
+    assert np.array_equal(seq, adam)
+
+
+def test_adam7_truncated_stream_rejected():
+    img = _rand((9, 9, 3), seed=5)
+    payload = bytearray(encode_png(img, interlace=True, filter_type=0))
+    pos = 8
+    while True:
+        length, ctype = struct.unpack_from(">I4s", bytes(payload), pos)
+        if ctype == b"IDAT":
+            data = zlib.decompress(bytes(payload[pos + 8:pos + 8 + length]))
+            short = zlib.compress(data[:-5])
+            payload[pos:pos + 8 + length] = (
+                struct.pack(">I", len(short)) + b"IDAT" + short)
+            break
+        pos += 12 + length
+    with pytest.raises(ValueError, match="data size"):
+        decode_png(bytes(payload))
 
 
 def test_truncated_and_non_png_rejected():
