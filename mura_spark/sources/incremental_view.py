@@ -214,9 +214,19 @@ class IncrementalAggView:
             return RefreshResult("incremental", here, there,
                                  "empty delta")
         # current view rows for ONLY the touched keys; union the two
-        # partial frames and combine — count partials combine via SUM
-        current = view_now.join(delta.select(*keys).distinct(),
-                                on=keys, how="left_semi")
+        # partial frames and combine — count partials combine via SUM.
+        # NULL-SAFE key match: a NULL group key is a real group in
+        # groupBy/merge semantics, so the semi join must see it too —
+        # plain `on=keys` equality would skip the view's NULL-key row
+        # and the merge (itself null-safe) would then overwrite it
+        # with delta-only partials, silently losing history
+        touched = delta.select(*keys).distinct().alias("d")
+        v = view_now.alias("v")
+        cond = None
+        for k in keys:
+            e = F.col(f"v.{k}").eqNullSafe(F.col(f"d.{k}"))
+            cond = e if cond is None else cond & e
+        current = v.join(touched, on=cond, how="left_semi")
         combined = self._cast_like(
             self._aggregate(current.unionByName(delta), keys, aggs,
                             _AGG_COMBINE, on_output=True), view_now)

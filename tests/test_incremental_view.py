@@ -38,7 +38,8 @@ def _expected(spark, source):
 
 def _assert_matches(view, source):
     def norm(rows):
-        return sorted((sorted(r.asDict().items()) for r in rows))
+        return sorted((sorted(r.asDict().items()) for r in rows),
+                      key=repr)
     got = norm(view.read().collect())
     want = norm(_expected(view.spark, source).collect())
     assert got == want
@@ -194,6 +195,22 @@ def test_empty_delta_advances_watermark(spark, tmp_path):
     assert view._state()["source_version"] == 2
     assert view.refresh().mode == "noop"
     _assert_matches(view, src)
+
+
+def test_null_group_key_accumulates_across_refreshes(spark, tmp_path):
+    """A NULL key is one group in groupBy/merge semantics; the refresh's
+    touched-key semi join must match it null-safely or the existing
+    NULL-key row silently loses its history on the next delta."""
+    src = _src(spark, str(tmp_path / "s"),
+               _rows((None, 1, 10), ("a", 2, 5)))
+    view = IncrementalAggView.create(spark, str(tmp_path / "v"), src,
+                                     keys=["g"], aggs=AGGS)
+    src.append(spark.createDataFrame(_rows((None, 3, 7)),
+                                     "g string, k long, v long"))
+    assert view.refresh().mode == "incremental"
+    _assert_matches(view, src)
+    null_row = [r for r in view.read().collect() if r["g"] is None][0]
+    assert (null_row["n"], null_row["total"]) == (2, 17)  # not 1 / 7
 
 
 def test_streamed_appends_take_the_incremental_path(spark, tmp_path):
