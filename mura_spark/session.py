@@ -207,18 +207,23 @@ class MuraSession:
     def table(self, name: str) -> DataFrame:
         return self.catalog.table(name)
 
-    def table_at(self, name: str, version: int) -> DataFrame:
+    def table_at(self, name: str, version: int | str) -> DataFrame:
         """Time-travel read of a registered versioned table (the
         ``VERSION AS OF`` surface): ``name`` must have been registered
-        with ``file_type="mura"`` (sources/table_format.py). Returns
-        the snapshot exactly as committed at ``version``."""
+        with ``file_type="mura"`` (sources/table_format.py). ``version``
+        is a commit number, or a tag name (str) pinned with
+        ``MuraTable.tag`` — the reproducible-snapshot handle vacuum
+        honors. Returns the snapshot exactly as committed."""
         info = self.catalog._tables.get(name)
         if info is None or info.file_type != "mura":
             raise ValueError(
                 f"{name!r} is not a registered mura versioned table "
                 f"(register with file_type='mura' to time travel)")
         from mura_spark.sources.table_format import MuraTable
-        return MuraTable.load(self.spark, info.location).read(version)
+        t = MuraTable.load(self.spark, info.location)
+        if isinstance(version, str):
+            return t.read(tag=version)
+        return t.read(version)
 
     def stop(self) -> None:
         self.spark.stop()

@@ -52,6 +52,7 @@ from mura_spark.sources.merge import MergeStats
 
 _LOG_DIR = "_mura_log"
 _DATA_DIR = "_data"
+_TAG_DIR = "_mura_tags"
 _V_RE = re.compile(r"^v(\d{8})\.json$")
 
 
@@ -297,8 +298,10 @@ class MuraTable:
         return True
 
     def read(self, version: int | None = None,
-             skip: dict | None = None) -> DataFrame:
-        """The table as of ``version`` (default: latest).
+             skip: dict | None = None,
+             tag: str | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest), or of the
+        version pinned by ``tag`` (mutually exclusive with version).
 
         Each commit's files are read under their own hive ``basePath``
         (partition columns re-derived from the layout) and the commits
@@ -314,6 +317,10 @@ class MuraTable:
         outside the range, so apply the real predicate on top (which
         Catalyst then also pushes into the surviving footers).
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self._resolve_tag(tag)
         m = self._manifest(version)
         files = m["files"]
         if skip:
@@ -544,6 +551,61 @@ class MuraTable:
             else 0,
             copied=counts.get("copy", 0))
 
+    # ----------------------------------------------------------- tags
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: latest) under an immutable name —
+        the reproducibility anchor: a training run tags the snapshot it
+        read (``t.tag("run-2026-08-15")``) and ``read(tag=...)``
+        reproduces it forever, because :meth:`vacuum` keeps every
+        tagged version's manifest and files regardless of the retention
+        window. Tag files commit with the same atomic hard-link as
+        manifests, so a name can never be reassigned silently; use
+        :meth:`untag` first to move one."""
+        if not re.fullmatch(r"[\w][\w.-]*", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        m = self._manifest(version)  # validates the version exists
+        tag_dir = os.path.join(self.path, _TAG_DIR)
+        os.makedirs(tag_dir, exist_ok=True)
+        tmp = os.path.join(tag_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": m["version"]}, f)
+        final = os.path.join(tag_dir, name + ".json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already pins version "
+                f"{self.tags()[name]} — tags are immutable; untag "
+                f"first to move it") from None
+        finally:
+            os.unlink(tmp)
+        return m["version"]
+
+    def untag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self.path, _TAG_DIR, name + ".json"))
+        except FileNotFoundError:
+            raise ValueError(f"no tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        """All tag names -> pinned version."""
+        tag_dir = os.path.join(self.path, _TAG_DIR)
+        out = {}
+        if os.path.isdir(tag_dir):
+            for f in os.listdir(tag_dir):
+                if f.endswith(".json") and not f.startswith("."):
+                    with open(os.path.join(tag_dir, f)) as fh:
+                        d = json.load(fh)
+                    out[d["name"]] = d["version"]
+        return out
+
+    def _resolve_tag(self, tag: str) -> int:
+        tags = self.tags()
+        if tag not in tags:
+            raise ValueError(f"no tag {tag!r} (have {sorted(tags)})")
+        return tags[tag]
+
     def row_count(self, version: int | None = None) -> int:
         """Exact COUNT(*) as of ``version`` from manifest metadata —
         a driver-side sum of the per-file footer row counts every
@@ -707,13 +769,17 @@ class MuraTable:
 
     def vacuum(self, retain_versions: int = 2) -> int:
         """Drop manifests older than the newest ``retain_versions`` and
-        delete every data file no retained version references. Returns
-        the number of files deleted. This is the ONLY operation that
-        removes data; until it runs, every version is reproducible."""
+        delete every data file no retained version references. TAGGED
+        versions are always retained (manifest and files) regardless of
+        the window — a tag is a promise of reproducibility that GC must
+        honor; ``untag`` first to release one. Returns the number of
+        files deleted. This is the ONLY operation that removes data;
+        until it runs, every version is reproducible."""
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         versions = self._versions()
-        keep_v = versions[-retain_versions:]
+        tagged = set(self.tags().values())
+        keep_v = sorted(set(versions[-retain_versions:]) | tagged)
         referenced = set()
         for v in keep_v:
             referenced.update(self._manifest(v)["files"])
