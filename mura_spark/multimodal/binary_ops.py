@@ -142,11 +142,12 @@ def encode_ppm(arr) -> bytes:
 
 def decode_image(payload: bytes):
     """Decode an encoded image payload to a (height, width[, channels])
-    uint8 numpy array.
+    numpy array — uint8, except 16-bit PNG which decodes to uint16.
 
     PPM (P6), uncompressed 24-bit BMP, baseline JPEG (SOF0/SOF1, any
-    chroma subsampling), and 8-bit PNG (all color types and scanline
-    filters) decode for REAL via pure numpy — no media libs needed
+    chroma subsampling), and PNG (8/16-bit, all color types, filters,
+    and interlace methods) decode for REAL via pure numpy — no media
+    libs needed
     (JPEG: multimodal/jpeg.decode_jpeg, a full baseline Huffman+IDCT
     decoder reading its tables from the stream; PNG:
     multimodal/png.decode_png over stdlib zlib). Remaining variants
@@ -171,12 +172,12 @@ def decode_image(payload: bytes):
         try:
             return decode_png(payload)
         except NotImplementedError:
-            if _PIL_Image is None:  # 16-bit depth without PIL
+            if _PIL_Image is None:  # sub-8-bit depth without PIL
                 raise
     if _PIL_Image is None:
         raise NotImplementedError(
             "this image variant requires PIL, not present in this "
-            "container; PPM/BMP/baseline-JPEG/8-bit-PNG decode natively "
+            "container; PPM/BMP/baseline-JPEG/PNG decode natively "
             "— use extract_features (deterministic stub) for "
             "format-agnostic pipeline testing")
     import io

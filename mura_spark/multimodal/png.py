@@ -1,12 +1,13 @@
 """Pure-numpy PNG codec — no PIL/libpng dependency (zlib is stdlib).
 
-Decoder: 8-bit PNG, all five standard color types (grayscale 0, RGB 2,
-palette 3, gray+alpha 4, RGBA 6), all five scanline filters
-(None/Sub/Up/Average/Paeth), both interlace methods (sequential and
-Adam7 — each of the 7 passes unfilters as its own sub-image and
-scatters onto the pixel grid), multi-IDAT streams, tRNS palette alpha.
-16-bit and sub-8-bit depths raise NotImplementedError naming what was
-seen — refuse loudly, never mis-decode. Together with the baseline-JPEG codec (multimodal/jpeg.py)
+Decoder: 8- and 16-bit PNG, all five standard color types (grayscale 0,
+RGB 2, palette 3, gray+alpha 4, RGBA 6), all five scanline filters
+(None/Sub/Up/Average/Paeth — filters run over the byte stream, so
+16-bit samples filter with bpp = channels·2 per spec), both interlace
+methods (sequential and Adam7 — each of the 7 passes unfilters as its
+own sub-image and scatters onto the pixel grid), multi-IDAT streams,
+tRNS palette alpha. Sub-8-bit depths raise NotImplementedError naming
+what was seen — refuse loudly, never mis-decode. Together with the baseline-JPEG codec (multimodal/jpeg.py)
 and the PPM/BMP readers (multimodal/binary_ops.py) this makes every
 common still-image container decodable natively; the reference has no
 image surface at all (/root/reference/src/main.rs ships only a Parquet
@@ -93,11 +94,12 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG payload to (h, w) or (h, w, channels) uint8.
+    """Decode a PNG payload to (h, w) or (h, w, channels), uint8 for
+    depth 8 and uint16 for depth 16.
 
-    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced,
-    multiple IDAT chunks, tRNS alpha for palette images. Anything else
-    raises NotImplementedError naming the feature."""
+    Supports color types 0/2/3/4/6, both interlace methods, multiple
+    IDAT chunks, tRNS alpha for palette images. Anything else raises
+    NotImplementedError naming the feature."""
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -122,10 +124,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} (8 and 16 supported)")
     if color not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color}")
+    if color == 3 and depth != 8:
+        raise ValueError("palette PNG must be <= 8-bit per spec")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
@@ -133,32 +138,36 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG missing IDAT")
     ch = _CHANNELS[color]
+    bpp = ch * (depth // 8)  # filters see BYTES: left neighbor is bpp back
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 0:
-        stride = w * ch
+        stride = w * bpp
         if raw.size != h * (1 + stride):
             raise ValueError(
                 f"PNG data size {raw.size} != expected {h * (1 + stride)}")
-        img = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+        img = _unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
     else:  # Adam7: 7 independently-filtered sub-images, scattered
-        img = np.zeros((h, w, ch), dtype=np.uint8)
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = max(0, -(-(w - x0) // dx))
             ph = max(0, -(-(h - y0) // dy))
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (1 + pw * ch)
+            need = ph * (1 + pw * bpp)
             sub = raw[pos:pos + need]
             if sub.size != need:
                 raise ValueError(
                     f"PNG data size {raw.size} short of Adam7 passes")
             pos += need
-            part = _unfilter(sub, ph, pw * ch, ch).reshape(ph, pw, ch)
+            part = _unfilter(sub, ph, pw * bpp, bpp).reshape(ph, pw, bpp)
             img[y0::dy, x0::dx] = part
         if pos != raw.size:
             raise ValueError(
                 f"PNG data size {raw.size} != Adam7 expectation {pos}")
+    if depth == 16:  # network byte order -> native uint16 samples
+        img = np.ascontiguousarray(img).view(">u2").astype(np.uint16) \
+                .reshape(h, w, ch)
     if color == 3:  # palette expansion
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -213,9 +222,13 @@ def encode_png(arr, filter_type: int = 4, level: int = 6,
     ``filter_type`` applies to every scanline (0=None 1=Sub 2=Up
     3=Average 4=Paeth — default Paeth so roundtrip tests hit the
     decoder's sequential unfilter path). ``interlace=True`` writes
-    Adam7 (each pass filtered as its own sub-image). Lossless by
-    construction."""
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    Adam7 (each pass filtered as its own sub-image). A uint16 input
+    writes bit depth 16 (big-endian samples, filters over bytes per
+    spec); anything else encodes as 8-bit. Lossless by construction."""
+    arr = np.asarray(arr)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    a = np.ascontiguousarray(arr,
+                             dtype=np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
@@ -224,20 +237,24 @@ def encode_png(arr, filter_type: int = 4, level: int = 6,
     color = {1: 0, 3: 2, 4: 6}[ch]
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"invalid filter type {filter_type}")
+    if depth == 16:  # filters run over the big-endian BYTE stream
+        a = np.ascontiguousarray(a.astype(">u2")).view(np.uint8) \
+              .reshape(h, w, ch * 2)
+    bpp = a.shape[2]
     if interlace:
         body = b"".join(
             _filter_rows(a[y0::dy, x0::dx].reshape(
                 len(range(y0, h, dy)), -1).astype(np.int16),
-                ch, filter_type)
+                bpp, filter_type)
             for x0, y0, dx, dy in _ADAM7
             if len(range(y0, h, dy)) and len(range(x0, w, dx)))
     else:
-        body = _filter_rows(a.reshape(h, w * ch).astype(np.int16),
-                            ch, filter_type)
+        body = _filter_rows(a.reshape(h, w * bpp).astype(np.int16),
+                            bpp, filter_type)
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
                        1 if interlace else 0)
     idat = zlib.compress(body, level)
     return (_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)

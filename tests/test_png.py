@@ -116,12 +116,32 @@ def test_unsupported_depth_raises_named():
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
     payload = (b"\x89PNG\r\n\x1a\n"
-               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0,
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0,
                                             0, 0, 0))
                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
                + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
         decode_png(payload)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_16bit_roundtrip_lossless(filter_type, interlace):
+    rng = np.random.RandomState(filter_type + 10 * interlace)
+    img = rng.randint(0, 65536, (9, 7, 3)).astype(np.uint16)
+    out = decode_png(encode_png(img, filter_type=filter_type,
+                                interlace=interlace))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, img)
+
+
+def test_16bit_gray_and_rgba_roundtrip():
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 65536, (5, 11)).astype(np.uint16)
+    out = decode_png(encode_png(gray))
+    assert out.dtype == np.uint16 and np.array_equal(out, gray)
+    rgba = rng.randint(0, 65536, (4, 6, 4)).astype(np.uint16)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
 
 
 @pytest.mark.parametrize("shape", [(1, 1), (7, 9), (8, 8, 3), (13, 5, 4),
