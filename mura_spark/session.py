@@ -123,7 +123,39 @@ class MuraSession:
                            "CREATE TABLE", query)
         rewritten = re.sub(r"(?i)\bSTORED\s+AS\s+PARQUET\b",
                            "USING parquet", rewritten)
+        rewritten = self._rewrite_time_travel(rewritten)
         return self.spark.sql(rewritten)
+
+    _TT_RE = re.compile(
+        r"(?is)\b([A-Za-z_]\w*)\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
+        r"|FOR\s+TAG\s+'([\w.-]+)')")
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        """``FROM t VERSION AS OF 3`` / ``FROM t FOR TAG 'golden'`` over
+        registered mura tables: each occurrence registers the snapshot
+        as a temp view and substitutes its name, so time travel composes
+        with arbitrary SQL (joins across versions included). Matches on
+        non-mura names are left for Spark to reject."""
+        from mura_spark.sources.table_format import MuraTable
+
+        def sub(m: "re.Match[str]") -> str:
+            name, version, tag = m.group(1), m.group(2), m.group(3)
+            info = self.catalog._tables.get(name) \
+                or self.catalog._tables.get(name.lower())
+            if info is None or info.file_type != "mura":
+                return m.group(0)
+            t = MuraTable.load(self.spark, info.location)
+            if version is not None:
+                view = f"{name}__v{version}"
+                df = t.read(version=int(version))
+            else:
+                view = f"{name}__tag_{tag}".replace(".", "_") \
+                                           .replace("-", "_")
+                df = t.read(tag=tag)
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._TT_RE.sub(sub, query)
 
     _DELETE_RE = re.compile(
         r"(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)"

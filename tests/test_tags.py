@@ -57,6 +57,26 @@ def test_session_table_at_resolves_tags(spark, tmp_path):
         == [1, 2]
 
 
+def test_sql_version_as_of_and_for_tag(spark, tmp_path):
+    from mura_spark.session import MuraSession
+    ms = MuraSession(spark)
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _df(spark, [(1, "a")]))
+    t.tag("gold")
+    t.append(_df(spark, [(2, "b")]))
+    ms.create_external_table("tt", path, file_type="mura")
+    assert ms.sql("SELECT count(*) AS n FROM tt VERSION AS OF 1") \
+        .collect()[0].n == 1
+    assert ms.sql("SELECT count(*) AS n FROM tt FOR TAG 'gold'") \
+        .collect()[0].n == 1
+    assert ms.sql("SELECT count(*) AS n FROM tt").collect()[0].n == 2
+    # time travel composes: join the table against its own past
+    got = ms.sql(
+        "SELECT cur.k FROM tt cur LEFT ANTI JOIN "
+        "tt VERSION AS OF 1 old ON cur.k = old.k").collect()
+    assert [r.k for r in got] == [2]
+
+
 def test_vacuum_keeps_tagged_versions_and_their_files(spark, tmp_path):
     t = MuraTable.create(spark, str(tmp_path / "t"),
                          _df(spark, [(1, "a")]))
