@@ -150,6 +150,25 @@ def test_sql_set_clause_splits_on_top_level_commas_only(spark):
     assert got == {"a": "coalesce(x, ',', 1)", "b": "'w, z'", "c": "2"}
 
 
+def test_delete_matching_scan_partition_prunes(spark, tmp_path):
+    """Scale pin: the scan that locates matching files must carry the
+    predicate (partition pruning + footer pushdown apply), so a
+    partition-keyed DELETE on a 100 TB table plans a one-partition
+    read, not a table scan."""
+    t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, ROWS),
+                         partition_cols=["m"])
+    from pyspark.sql import functions as F
+    plan = (t.read().where(F.expr("m = 2"))
+             .select(F.input_file_name())
+             ._jdf.queryExecution().executedPlan().toString())
+    # the union subtree for the m=1 files must be pruned to zero
+    # partitions: every surviving scan mentions only m=2 paths
+    import re as _re
+    scanned = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert scanned, "no file-source partition filters in plan"
+    assert any("m" in s for s in scanned), plan
+
+
 def test_delete_forces_view_full_refresh(spark, tmp_path):
     from mura_spark.sources.incremental_view import IncrementalAggView
     t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, ROWS))

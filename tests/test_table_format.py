@@ -278,6 +278,10 @@ _OP = st.one_of(
                                           max_size=3, unique=True)),
     st.tuples(st.just("delete"), st.lists(_KEYS, min_size=1,
                                           max_size=3, unique=True)),
+    st.tuples(st.just("delete_where"), st.lists(_KEYS, min_size=1,
+                                                max_size=3, unique=True)),
+    st.tuples(st.just("update_where"), st.lists(_KEYS, min_size=1,
+                                                max_size=3, unique=True)),
 )
 
 
@@ -313,12 +317,24 @@ def test_model_based_random_op_sequences(spark, tmp_path_factory,
             model = [by_key.get(row[0], row) for row in model]
             present = {row[0] for row in model}
             model += [row for row in r if row[0] not in present]
-        else:  # delete
+        elif op == "delete":
             t.merge(_df(spark, r), key_cols=["k"],
                     when_matched="delete", insert_not_matched=False)
             gone = set(keys)
             model = [row for row in model if row[0] not in gone]
+        elif op == "delete_where":  # predicate DML, multiplicity-aware
+            t.delete_where(f"k in ({','.join(map(str, keys))})")
+            gone = set(keys)
+            model = [row for row in model if row[0] not in gone]
+        else:  # update_where: transform matching rows in place
+            t.update_where(f"k in ({','.join(map(str, keys))})",
+                           {"val": "concat(val, '+')"})
+            hit = set(keys)
+            model = [(k, m, v + "+") if k in hit else (k, m, v)
+                     for (k, m, v) in model]
         snapshots[t._manifest()["version"]] = list(model)
+        # metadata COUNT(*) must agree with the model after EVERY op
+        assert t.row_count() == len(model)
 
     def as_multiset(rows_):
         from collections import Counter
