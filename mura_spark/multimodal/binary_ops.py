@@ -145,9 +145,9 @@ def decode_image(payload: bytes):
     numpy array — uint8, except 16-bit PNG which decodes to uint16.
 
     PPM (P6), uncompressed 24-bit BMP, baseline JPEG (SOF0/SOF1, any
-    chroma subsampling), and PNG (8/16-bit, all color types, filters,
-    and interlace methods) decode for REAL via pure numpy — no media
-    libs needed
+    chroma subsampling), and PNG (complete: every legal depth 1-16,
+    color type, filter, and interlace method) decode for REAL via pure
+    numpy — no media libs needed
     (JPEG: multimodal/jpeg.decode_jpeg, a full baseline Huffman+IDCT
     decoder reading its tables from the stream; PNG:
     multimodal/png.decode_png over stdlib zlib). Remaining variants
@@ -169,11 +169,8 @@ def decode_image(payload: bytes):
                 raise
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from mura_spark.multimodal.png import decode_png
-        try:
-            return decode_png(payload)
-        except NotImplementedError:
-            if _PIL_Image is None:  # sub-8-bit depth without PIL
-                raise
+        # full spec coverage: every legal depth/color/interlace combo
+        return decode_png(payload)
     if _PIL_Image is None:
         raise NotImplementedError(
             "this image variant requires PIL, not present in this "

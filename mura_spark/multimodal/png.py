@@ -1,13 +1,15 @@
 """Pure-numpy PNG codec — no PIL/libpng dependency (zlib is stdlib).
 
-Decoder: 8- and 16-bit PNG, all five standard color types (grayscale 0,
-RGB 2, palette 3, gray+alpha 4, RGBA 6), all five scanline filters
-(None/Sub/Up/Average/Paeth — filters run over the byte stream, so
-16-bit samples filter with bpp = channels·2 per spec), both interlace
-methods (sequential and Adam7 — each of the 7 passes unfilters as its
-own sub-image and scatters onto the pixel grid), multi-IDAT streams,
-tRNS palette alpha. Sub-8-bit depths raise NotImplementedError naming
-what was seen — refuse loudly, never mis-decode. Together with the baseline-JPEG codec (multimodal/jpeg.py)
+Decoder: every legal depth/color combination in the spec — bit depths
+1/2/4 (bit-packed gray and palette; gray scales to the full 8-bit
+range), 8, and 16 (big-endian uint16 out), all five color types
+(grayscale 0, RGB 2, palette 3, gray+alpha 4, RGBA 6), all five
+scanline filters (None/Sub/Up/Average/Paeth — filters run over the
+byte stream, so the left neighbor is max(1, channels·depth/8) bytes
+back per spec), both interlace methods (sequential and Adam7 — each of
+the 7 passes unfilters as its own sub-image and scatters onto the
+pixel grid), multi-IDAT streams, tRNS palette alpha. Illegal
+depth/color combinations raise ValueError naming them. Together with the baseline-JPEG codec (multimodal/jpeg.py)
 and the PPM/BMP readers (multimodal/binary_ops.py) this makes every
 common still-image container decodable natively; the reference has no
 image surface at all (/root/reference/src/main.rs ships only a Parquet
@@ -39,6 +41,10 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 #: Adam7 passes: (x_start, y_start, x_step, y_step)
 _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+#: legal bit depths per color type (PNG spec §11.2.2)
+_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -94,12 +100,12 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG payload to (h, w) or (h, w, channels), uint8 for
-    depth 8 and uint16 for depth 16.
+    """Decode a PNG payload to (h, w) or (h, w, channels) — uint8,
+    except depth 16 which yields uint16.
 
-    Supports color types 0/2/3/4/6, both interlace methods, multiple
-    IDAT chunks, tRNS alpha for palette images. Anything else raises
-    NotImplementedError naming the feature."""
+    Supports every legal depth (1/2/4/8/16) and color type (0/2/3/4/6)
+    combination, both interlace methods, multiple IDAT chunks, tRNS
+    alpha for palette images."""
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -124,13 +130,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} (8 and 16 supported)")
     if color not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color}")
-    if color == 3 and depth != 8:
-        raise ValueError("palette PNG must be <= 8-bit per spec")
+    if depth not in _LEGAL_DEPTHS.get(color, ()):
+        raise ValueError(
+            f"PNG bit depth {depth} is illegal for color type {color}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
@@ -138,36 +142,57 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG missing IDAT")
     ch = _CHANNELS[color]
-    bpp = ch * (depth // 8)  # filters see BYTES: left neighbor is bpp back
+    # filters see BYTES: the left neighbor is bpp bytes back (1 byte
+    # for sub-byte depths, per spec)
+    bpp = max(1, ch * depth // 8)
+
+    def pixels(rows: np.ndarray, width: int) -> np.ndarray:
+        """(n, scanline_bytes) decoded bytes -> (n, width, pixel_bytes);
+        sub-byte depths unpack bit-packed samples (one per pixel)."""
+        if depth >= 8:
+            return rows.reshape(rows.shape[0], width, bpp)
+        bits = np.unpackbits(rows, axis=1)[:, :width * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        samp = (bits.reshape(rows.shape[0], width, depth)
+                * weights).sum(axis=2).astype(np.uint8)
+        return samp[:, :, None]
+
+    def scan_bytes(width: int) -> int:
+        return -(-(width * ch * depth) // 8)  # ceil
+
+    pxb = bpp if depth >= 8 else 1  # bytes per pixel in sample space
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 0:
-        stride = w * bpp
+        stride = scan_bytes(w)
         if raw.size != h * (1 + stride):
             raise ValueError(
                 f"PNG data size {raw.size} != expected {h * (1 + stride)}")
-        img = _unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+        img = pixels(_unfilter(raw, h, stride, bpp), w)
     else:  # Adam7: 7 independently-filtered sub-images, scattered
-        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        img = np.zeros((h, w, pxb), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = max(0, -(-(w - x0) // dx))
             ph = max(0, -(-(h - y0) // dy))
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (1 + pw * bpp)
+            stride = scan_bytes(pw)
+            need = ph * (1 + stride)
             sub = raw[pos:pos + need]
             if sub.size != need:
                 raise ValueError(
                     f"PNG data size {raw.size} short of Adam7 passes")
             pos += need
-            part = _unfilter(sub, ph, pw * bpp, bpp).reshape(ph, pw, bpp)
-            img[y0::dy, x0::dx] = part
+            img[y0::dy, x0::dx] = pixels(_unfilter(sub, ph, stride, bpp),
+                                         pw)
         if pos != raw.size:
             raise ValueError(
                 f"PNG data size {raw.size} != Adam7 expectation {pos}")
     if depth == 16:  # network byte order -> native uint16 samples
         img = np.ascontiguousarray(img).view(">u2").astype(np.uint16) \
                 .reshape(h, w, ch)
+    elif depth < 8 and color == 0:  # gray: scale to full 8-bit range
+        img = img * np.uint8(255 // ((1 << depth) - 1))
     if color == 3:  # palette expansion
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -216,17 +241,22 @@ def _filter_rows(sub: np.ndarray, ch: int, filter_type: int) -> bytes:
 
 
 def encode_png(arr, filter_type: int = 4, level: int = 6,
-               interlace: bool = False) -> bytes:
-    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 → PNG bytes.
+               interlace: bool = False, depth: int | None = None) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA → PNG bytes.
 
     ``filter_type`` applies to every scanline (0=None 1=Sub 2=Up
     3=Average 4=Paeth — default Paeth so roundtrip tests hit the
     decoder's sequential unfilter path). ``interlace=True`` writes
-    Adam7 (each pass filtered as its own sub-image). A uint16 input
-    writes bit depth 16 (big-endian samples, filters over bytes per
-    spec); anything else encodes as 8-bit. Lossless by construction."""
+    Adam7 (each pass filtered as its own sub-image). ``depth`` defaults
+    to the dtype (uint16 → 16, else 8); 1/2/4 write bit-packed
+    grayscale (2-D input only, sample values < 2**depth — note the
+    DECODER scales these to the full 0..255 range per the PNG
+    convention, so roundtrips compare against scaled values). Filters
+    always run over the byte stream per spec. Lossless by
+    construction."""
     arr = np.asarray(arr)
-    depth = 16 if arr.dtype == np.uint16 else 8
+    if depth is None:
+        depth = 16 if arr.dtype == np.uint16 else 8
     a = np.ascontiguousarray(arr,
                              dtype=np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
@@ -235,22 +265,35 @@ def encode_png(arr, filter_type: int = 4, level: int = 6,
         raise ValueError("encode_png expects (h,w), (h,w,3) or (h,w,4)")
     h, w, ch = a.shape
     color = {1: 0, 3: 2, 4: 6}[ch]
+    if depth not in _LEGAL_DEPTHS[color]:
+        raise ValueError(
+            f"depth {depth} is illegal for {ch}-channel input")
+    if depth < 8 and a.max(initial=0) >= (1 << depth):
+        raise ValueError(f"samples exceed {depth}-bit range")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"invalid filter type {filter_type}")
     if depth == 16:  # filters run over the big-endian BYTE stream
         a = np.ascontiguousarray(a.astype(">u2")).view(np.uint8) \
               .reshape(h, w, ch * 2)
-    bpp = a.shape[2]
+    bpp = max(1, a.shape[2] if depth >= 8 else ch * depth // 8)
+
+    def scan(sub: np.ndarray) -> np.ndarray:
+        """(n, pw, pixel_bytes) pixels -> (n, scanline_bytes)."""
+        n = sub.shape[0]
+        if depth >= 8:
+            return sub.reshape(n, -1)
+        shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        bits = ((sub[:, :, 0, None] >> shifts) & 1).astype(np.uint8)
+        return np.packbits(bits.reshape(n, -1), axis=1)
+
     if interlace:
         body = b"".join(
-            _filter_rows(a[y0::dy, x0::dx].reshape(
-                len(range(y0, h, dy)), -1).astype(np.int16),
-                bpp, filter_type)
+            _filter_rows(scan(a[y0::dy, x0::dx]).astype(np.int16),
+                         bpp, filter_type)
             for x0, y0, dx, dy in _ADAM7
             if len(range(y0, h, dy)) and len(range(x0, w, dx)))
     else:
-        body = _filter_rows(a.reshape(h, w * bpp).astype(np.int16),
-                            bpp, filter_type)
+        body = _filter_rows(scan(a).astype(np.int16), bpp, filter_type)
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))

@@ -111,17 +111,59 @@ def test_gray_alpha_color_type_4():
     assert np.array_equal(decode_png(payload), ga)
 
 
-def test_unsupported_depth_raises_named():
+def test_illegal_depth_color_combinations_rejected():
     def chunk(ctype, data):
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
+    # RGB at depth 4 and palette at depth 16 are illegal per spec
+    for depth, color in [(4, 2), (16, 3), (2, 6)]:
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth,
+                                                color, 0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+                   + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="illegal"):
+            decode_png(payload)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_sub8_gray_roundtrip_scaled(depth, interlace):
+    rng = np.random.RandomState(depth)
+    # widths straddling byte boundaries exercise the bit packing
+    for w in (1, 7, 8, 9, 13):
+        samples = rng.randint(0, 1 << depth, (5, w)).astype(np.uint8)
+        out = decode_png(encode_png(samples, depth=depth, filter_type=1,
+                                    interlace=interlace))
+        scale = 255 // ((1 << depth) - 1)
+        assert np.array_equal(out, samples * scale), (depth, w)
+
+
+def test_sub8_palette_decodes_indices():
+    import struct as _s
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", zlib.crc32(ctype + data)))
+    palette = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]],
+                       dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3, 2], [3, 2, 1, 0, 1]], dtype=np.uint8)
+    # 2-bit palette: 5 samples -> 10 bits -> 2 bytes per scanline
+    rows = b""
+    for y in range(2):
+        bits = "".join(format(v, "02b") for v in idx[y])
+        bits += "0" * (-len(bits) % 8)
+        rows += b"\x00" + int(bits, 2).to_bytes(len(bits) // 8, "big")
     payload = (b"\x89PNG\r\n\x1a\n"
-               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0,
-                                            0, 0, 0))
-               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+               + chunk(b"IHDR", _s.pack(">IIBBBBB", 5, 2, 2, 3, 0, 0, 0))
+               + chunk(b"PLTE", palette.tobytes())
+               + chunk(b"IDAT", zlib.compress(rows))
                + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="bit depth 4"):
-        decode_png(payload)
+    assert np.array_equal(decode_png(payload), palette[idx])
+
+
+def test_encoder_rejects_out_of_range_sub8_samples():
+    with pytest.raises(ValueError, match="exceed"):
+        encode_png(np.full((2, 2), 4, dtype=np.uint8), depth=2)
 
 
 @pytest.mark.parametrize("interlace", [False, True])
