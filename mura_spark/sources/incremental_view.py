@@ -168,12 +168,26 @@ class IncrementalAggView:
 
     # -------------------------------------------------------- refresh
 
-    def refresh(self) -> RefreshResult:
+    def refresh(self, max_retries: int = 3) -> RefreshResult:
         """Advance the view to the source's current version.
 
-        Concurrency: raises CommitConflict if another maintainer commits
-        the view first — rerun refresh() (it restarts from the fresh
-        watermark, so the retry is safe and usually a noop)."""
+        Concurrency: if another maintainer commits the view first
+        (CommitConflict), the refresh rebases — re-reads the fresh
+        watermark and retries, up to ``max_retries`` times (the retry
+        is safe because every attempt derives everything from the
+        then-current state; a racing refresh that already absorbed the
+        delta turns the retry into a noop). The final conflict
+        propagates so a livelock is loud."""
+        from mura_spark.sources.table_format import CommitConflict
+        for attempt in range(max_retries + 1):
+            try:
+                return self._refresh_once()
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _refresh_once(self) -> RefreshResult:
         state = self._state()
         keys, aggs = state["keys"], {k: tuple(v) for k, v
                                      in state["aggs"].items()}

@@ -197,6 +197,35 @@ def test_empty_delta_advances_watermark(spark, tmp_path):
     _assert_matches(view, src)
 
 
+def test_refresh_rebases_on_commit_conflict(spark, tmp_path):
+    """A racing maintainer winning the version number must not fail the
+    refresh: it rebases from the fresh state and converges."""
+    from mura_spark.sources.table_format import CommitConflict, MuraTable
+
+    src = _src(spark, str(tmp_path / "s"), _rows(("a", 1, 10)))
+    view = IncrementalAggView.create(spark, str(tmp_path / "v"), src,
+                                     keys=["g"], aggs=AGGS)
+    src.append(spark.createDataFrame(_rows(("a", 2, 5)),
+                                     "g string, k long, v long"))
+    # steal the next version number once, right before the view commits
+    orig = MuraTable._commit
+    stolen = [False]
+
+    def thief(self, version, manifest):
+        if not stolen[0] and manifest.get("action") == "merge":
+            stolen[0] = True
+            m = self._manifest()
+            orig(self, version, {**m, "version": version,
+                                 "action": "append"})
+        return orig(self, version, manifest)
+
+    import unittest.mock as mock
+    with mock.patch.object(MuraTable, "_commit", thief):
+        r = view.refresh()
+    assert stolen[0] and r.mode == "incremental"
+    _assert_matches(view, src)
+
+
 def test_null_group_key_accumulates_across_refreshes(spark, tmp_path):
     """A NULL key is one group in groupBy/merge semantics; the refresh's
     touched-key semi join must match it null-safely or the existing
