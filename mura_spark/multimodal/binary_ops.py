@@ -144,17 +144,17 @@ def decode_image(payload: bytes):
     """Decode an encoded image payload to a (height, width[, channels])
     numpy array — uint8, except 16-bit PNG which decodes to uint16.
 
-    PPM (P6), uncompressed 24-bit BMP, baseline JPEG (SOF0/SOF1, any
-    chroma subsampling), and PNG (complete: every legal depth 1-16,
-    color type, filter, and interlace method) decode for REAL via pure
-    numpy — no media libs needed
-    (JPEG: multimodal/jpeg.decode_jpeg, a full baseline Huffman+IDCT
+    PPM (P6), uncompressed 24-bit BMP, JPEG (baseline SOF0/SOF1 AND
+    progressive SOF2, any chroma subsampling, restart markers), and
+    PNG (complete: every legal depth 1-16, color type, filter, and
+    interlace method) decode for REAL via pure numpy — no media libs
+    needed (JPEG: multimodal/jpeg.decode_jpeg, a full Huffman+IDCT
     decoder reading its tables from the stream; PNG:
-    multimodal/png.decode_png over stdlib zlib). Remaining variants
-    (progressive JPEG, 16-bit/interlaced PNG, ...) go through PIL when
-    importable (probed at module load; this container normally lacks
-    PIL/libjpeg, but the operator upgrades itself the moment the
-    library appears), else raise NotImplementedError.
+    multimodal/png.decode_png over stdlib zlib). Remaining exotica
+    (lossless/arithmetic JPEG, RLE BMP, GIF/TIFF/WebP containers) go
+    through PIL when importable (probed at module load; this container
+    normally lacks PIL/libjpeg, but the operator upgrades itself the
+    moment the library appears), else raise NotImplementedError.
     """
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
@@ -165,7 +165,7 @@ def decode_image(payload: bytes):
         try:
             return decode_jpeg(payload)
         except NotImplementedError:
-            if _PIL_Image is None:  # progressive etc. without PIL
+            if _PIL_Image is None:  # lossless/arithmetic without PIL
                 raise
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from mura_spark.multimodal.png import decode_png

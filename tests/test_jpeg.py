@@ -55,14 +55,66 @@ def test_decode_is_deterministic():
     assert np.array_equal(decode_jpeg(payload), decode_jpeg(payload))
 
 
-def test_non_baseline_raises_named_marker():
-    # progressive (SOF2) must be refused loudly, not mis-decoded
+def test_unsupported_coding_raises_named_marker():
+    # lossless (SOF3) must be refused loudly, not mis-decoded
     img = np.full((8, 8), 50, dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
     idx = payload.find(b"\xff\xc0")
-    payload[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="FFC2"):
+    payload[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="FFC3"):
         decode_jpeg(bytes(payload))
+
+
+def _prog_eq(img, **kw):
+    base = decode_jpeg(encode_jpeg(img, **kw))
+    prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+    assert np.array_equal(base, prog), "progressive != baseline decode"
+    return prog
+
+
+def test_progressive_bit_identical_to_baseline_gray():
+    _prog_eq(np.full((16, 24), 99, dtype=np.uint8), quality=90)
+
+
+def test_progressive_bit_identical_color_444_and_420():
+    img = _gradient(29, 37)
+    _prog_eq(img, quality=92)
+    _prog_eq(img, quality=92, subsampling="420")
+
+
+def test_progressive_noise_stresses_refinement_paths():
+    # dense high-frequency content exercises ZRL, EOB tails, and the
+    # AC-refinement correction-bit ordering
+    rng = np.random.RandomState(3)
+    for q in (35, 75, 100):
+        _prog_eq(rng.randint(0, 256, (24, 31, 3)).astype(np.uint8),
+                 quality=q)
+
+
+def test_progressive_property_random_shapes():
+    rng = np.random.RandomState(11)
+    for _ in range(8):
+        h, w = rng.randint(1, 50), rng.randint(1, 50)
+        gray = bool(rng.randint(0, 2))
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        kw = {} if gray else {"subsampling":
+                              "420" if rng.randint(0, 2) else "444"}
+        _prog_eq(img, quality=int(rng.choice([40, 85, 100])), **kw)
+
+
+def test_progressive_restart_combo_refused():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8),
+                    progressive=True, restart_interval=2)
+
+
+def test_decode_image_dispatches_progressive():
+    from mura_spark.multimodal.binary_ops import decode_image
+    img = _gradient(16, 16)
+    d = decode_image(encode_jpeg(img, quality=95, progressive=True))
+    assert d.shape == img.shape
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
 
 
 def test_decode_image_dispatches_jpeg_natively():
