@@ -23,6 +23,7 @@ logical plan; this package realizes the intended architecture on Spark SQL:
 
 from mura_spark.session import MuraSession, get_spark
 from mura_spark.plan import PlanBuilder
+from mura_spark.sources.table_format import MuraTable
 
-__all__ = ["MuraSession", "get_spark", "PlanBuilder"]
+__all__ = ["MuraSession", "get_spark", "PlanBuilder", "MuraTable"]
 __version__ = "0.1.0"

@@ -115,8 +115,19 @@ class MuraSession:
         DML does (sources/table_format.py). Returns a one-row frame
         ``(version, rows_affected, files_rewritten)``. Registered but
         non-versioned tables refuse loudly; unregistered names fall
-        through to Spark for its own error."""
+        through to Spark for its own error.
+
+        ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE
+        SET * | DELETE [WHEN NOT MATCHED THEN INSERT *]`` routes to the
+        copy-on-write :meth:`MuraTable.merge` (full-row actions — the
+        Delta upsert shape; ``s`` is any Spark-resolvable view/table
+        with the target's schema). Returns ``(version, rows_updated,
+        rows_deleted, rows_inserted)``."""
         dml = self._route_dml(query)
+        if dml is None:
+            dml = self._route_merge(query)
+        if dml is None:
+            dml = self._route_alter(query)
         if dml is not None:
             return dml
         rewritten = re.sub(r"(?i)\bCREATE\s+EXTERNAL\s+TABLE\b",
@@ -163,6 +174,97 @@ class MuraSession:
     _UPDATE_RE = re.compile(
         r"(?is)^\s*UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+?)"
         r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$")
+    _MERGE_RE = re.compile(
+        r"(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)(?:\s+AS\s+(\w+))?"
+        r"\s+USING\s+([A-Za-z_]\w*)(?:\s+AS\s+(\w+))?"
+        r"\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$")
+    _WHEN_RE = re.compile(
+        r"(?is)WHEN\s+(?:(MATCHED)\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)"
+        r"|(NOT\s+MATCHED)\s+THEN\s+(INSERT\s+\*))")
+
+    def _parse_merge_keys(self, on: str, target: str, t_alias,
+                          source: str, s_alias) -> list[str]:
+        """Key columns from the ON clause — a conjunction of
+        ``t.k = s.k`` equalities (qualifiers optional; when present
+        they must name the tables or their aliases, and both sides
+        must name the SAME column: full-row MERGE joins on shared key
+        columns, the Delta upsert shape)."""
+        ok_quals = {q.lower() for q in (target, t_alias, source,
+                                        s_alias) if q}
+        keys = []
+        for term in re.split(r"(?i)\s+AND\s+", on.strip()):
+            m = re.match(r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*"
+                         r"(?:(\w+)\.)?(\w+)\s*$", term)
+            if not m:
+                raise ValueError(
+                    f"cannot parse MERGE ON term {term!r} — expected "
+                    f"a conjunction of t.col = s.col equalities")
+            q1, c1, q2, c2 = m.groups()
+            for q in (q1, q2):
+                if q and q.lower() not in ok_quals:
+                    raise ValueError(
+                        f"unknown qualifier {q!r} in MERGE ON term "
+                        f"{term!r}")
+            if c1.lower() != c2.lower():
+                raise ValueError(
+                    f"MERGE ON term {term!r} joins different columns "
+                    f"— full-row MERGE requires shared key columns")
+            keys.append(c1)
+        return keys
+
+    def _route_merge(self, query: str):
+        m = self._MERGE_RE.match(query)
+        if m is None:
+            return None
+        target, t_alias, source, s_alias, on, clauses = m.groups()
+        info = self.catalog._tables.get(target) \
+            or self.catalog._tables.get(target.lower())
+        if info is None:
+            return None  # not ours: let Spark produce its own error
+        if info.file_type != "mura":
+            raise ValueError(
+                f"{target!r} is a read-only {info.file_type} external "
+                f"table — MERGE needs a versioned table (register "
+                f"with file_type='mura')")
+        when_matched, insert = None, False
+        pos = 0
+        for w in self._WHEN_RE.finditer(clauses):
+            if clauses[pos:w.start()].strip():
+                raise ValueError(
+                    f"cannot parse MERGE clause "
+                    f"{clauses[pos:w.start()].strip()!r} — supported: "
+                    f"WHEN MATCHED THEN UPDATE SET * | DELETE, "
+                    f"WHEN NOT MATCHED THEN INSERT *")
+            pos = w.end()
+            if w.group(1):
+                if when_matched is not None:
+                    raise ValueError("duplicate WHEN MATCHED clause")
+                when_matched = "delete" \
+                    if w.group(2).upper() == "DELETE" else "update"
+            else:
+                if insert:
+                    raise ValueError(
+                        "duplicate WHEN NOT MATCHED clause")
+                insert = True
+        if clauses[pos:].strip():
+            raise ValueError(
+                f"cannot parse MERGE clause {clauses[pos:].strip()!r}")
+        if when_matched is None and not insert:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        keys = self._parse_merge_keys(on, target, t_alias,
+                                      source, s_alias)
+        from mura_spark.sources.table_format import MuraTable
+        t = MuraTable.load(self.spark, info.location)
+        stats = t.merge(self.spark.table(source), key_cols=keys,
+                        when_matched=when_matched or "ignore",
+                        insert_not_matched=insert)
+        self.catalog.create_external_table(info.name, info.location,
+                                           file_type="mura")
+        return self.spark.createDataFrame(
+            [(t._versions()[-1], stats.updated, stats.deleted,
+              stats.inserted)],
+            "version long, rows_updated long, rows_deleted long, "
+            "rows_inserted long")
 
     @staticmethod
     def _split_assignments(clause: str) -> dict[str, str]:
@@ -191,6 +293,39 @@ class MuraSession:
                 raise ValueError(f"cannot parse SET assignment {p!r}")
             out[m.group(1)] = m.group(2)
         return out
+
+    _ALTER_RE = re.compile(
+        r"(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+"
+        r"(?:ADD\s+CONSTRAINT\s+([\w.-]+)\s+CHECK\s*\((.+)\)"
+        r"|DROP\s+CONSTRAINT\s+([\w.-]+))\s*;?\s*$")
+
+    def _route_alter(self, query: str):
+        """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` /
+        ``DROP CONSTRAINT n`` over registered mura tables (Delta's
+        constraint DDL); None when not an ALTER CONSTRAINT (falls
+        through to Spark)."""
+        m = self._ALTER_RE.match(query)
+        if m is None:
+            return None
+        name, add_name, expr, drop_name = m.groups()
+        info = self.catalog._tables.get(name) \
+            or self.catalog._tables.get(name.lower())
+        if info is None:
+            return None
+        if info.file_type != "mura":
+            raise ValueError(
+                f"{name!r} is a read-only {info.file_type} external "
+                f"table — constraints need a versioned table "
+                f"(register with file_type='mura')")
+        from mura_spark.sources.table_format import MuraTable
+        t = MuraTable.load(self.spark, info.location)
+        if add_name:
+            v = t.add_constraint(add_name, expr.strip())
+        else:
+            v = t.drop_constraint(drop_name)
+        return self.spark.createDataFrame(
+            [(v, add_name or drop_name)],
+            "version long, constraint string")
 
     def _route_dml(self, query: str):
         """DELETE/UPDATE statements over registered mura tables; None

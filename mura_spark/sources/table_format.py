@@ -137,11 +137,37 @@ class MuraTable:
         finally:
             os.unlink(tmp)
 
+    @staticmethod
+    def _constrained(df: DataFrame, constraints: dict | None) -> DataFrame:
+        """Enforce CHECK constraints IN the write plan: the first
+        output column is wrapped so any row whose constraint evaluates
+        to FALSE (NULL passes — the SQL CHECK rule) raises a
+        ``[mura constraint]`` error naming the constraint and the row,
+        and the commit never publishes. Zero extra passes — the check
+        rides the write scan itself, per-row, executor-side."""
+        if not constraints:
+            return df
+        cols = df.columns
+        first = cols[0]
+        out = F.col(first)
+        for name, expr in sorted(constraints.items()):
+            bad = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            msg = F.concat(
+                F.lit(f"[mura constraint] CHECK {name} ({expr}) "
+                      f"violated by row "),
+                F.substring(F.to_json(F.struct(*[F.col(c)
+                                                 for c in cols])),
+                            1, 500))
+            out = F.when(bad, F.raise_error(msg)).otherwise(out)
+        return df.withColumn(first, out)
+
     def _write_data(self, df: DataFrame,
-                    partition_cols: list[str] | None) -> list[str]:
+                    partition_cols: list[str] | None,
+                    constraints: dict | None = None) -> list[str]:
         """Write ``df`` as immutable files under a fresh commit dir;
         return their table-relative paths. The commit dir is remembered
         so a losing optimistic commit can discard its orphaned files."""
+        df = self._constrained(df, constraints)
         commit = uuid.uuid4().hex
         commit_dir = os.path.join(self.path, _DATA_DIR, commit)
         w = df.write.mode("error")
@@ -195,6 +221,59 @@ class MuraTable:
         return self._file_meta(files, stats_cols)[0]
 
     @staticmethod
+    def _carry(prev: dict, *keys: str) -> dict:
+        """Manifest keys carried verbatim from the previous version."""
+        return {k: prev[k] for k in keys if prev.get(k)}
+
+    #: manifest keys that describe the table SNAPSHOT (as opposed to
+    #: per-commit bookkeeping like action/meta/stream_batches/predicate)
+    _SNAPSHOT_KEYS = ("partition_cols", "schema", "stats_cols", "stats",
+                      "rows", "files", "bloom_cols", "bloom_bits",
+                      "bloom_k", "blooms", "constraints")
+
+    @classmethod
+    def _snapshot_fields(cls, m: dict) -> dict:
+        return {k: m[k] for k in cls._SNAPSHOT_KEYS if k in m}
+
+    def _bloom_fields(self, prev: dict, keep_files: list[str],
+                      new_files: list[str]) -> dict:
+        """Manifest bloom keys for a commit that keeps ``keep_files``
+        by reference and just wrote ``new_files``: carried bitmaps are
+        copied (immutable files, immutable blooms), new files get one
+        executor-side build pass. Empty when the table tracks no bloom
+        columns."""
+        bcols = prev.get("bloom_cols") or []
+        if not bcols:
+            return {}
+        from mura_spark.sources.bloom import (DEFAULT_BITS, DEFAULT_K,
+                                              build_blooms)
+        bits = prev.get("bloom_bits", DEFAULT_BITS)
+        k = prev.get("bloom_k", DEFAULT_K)
+        keep = set(keep_files)
+        blooms = {f: b for f, b in prev.get("blooms", {}).items()
+                  if f in keep}
+        blooms.update(build_blooms(self.spark, self.path, new_files,
+                                   bcols, bits, k))
+        return {"bloom_cols": bcols, "bloom_bits": bits,
+                "bloom_k": k, "blooms": blooms}
+
+    @staticmethod
+    def _check_bloom_cols(schema, bloom_cols, partition_cols) -> None:
+        from mura_spark.sources.bloom import BLOOMABLE_TYPES
+        types = {f.name: f.dataType.typeName() for f in schema.fields}
+        for c in bloom_cols:
+            if c in (partition_cols or []):
+                raise ValueError(
+                    f"bloom column {c!r} is a partition column — the "
+                    f"directory layout already prunes it exactly")
+            if c not in types:
+                raise ValueError(f"bloom column {c!r} not in schema")
+            if types[c] not in BLOOMABLE_TYPES:
+                raise ValueError(
+                    f"bloom column {c!r} has type {types[c]} — equality "
+                    f"lookups support {'/'.join(BLOOMABLE_TYPES)} only")
+
+    @staticmethod
     def _default_stats_cols(schema, partition_cols) -> list[str]:
         numeric = ("byte", "short", "int", "integer", "long", "float",
                    "double", "bigint", "smallint", "tinyint")
@@ -223,24 +302,43 @@ class MuraTable:
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
                partition_cols: list[str] | None = None,
                stats_cols: list[str] | None = None,
+               bloom_cols: list[str] | None = None,
+               constraints: dict | None = None,
                meta: dict | None = None) -> "MuraTable":
         """First commit (version 1) of a new table. ``stats_cols``
         picks the columns whose per-file min/max the manifests track
         for :meth:`read`'s ``skip`` pruning (default: up to 8 numeric
-        non-partition columns)."""
+        non-partition columns). ``bloom_cols`` (opt-in) adds a per-file
+        bloom filter per listed column — int/string/binary only — for
+        :meth:`read`'s ``lookup`` equality pruning; every subsequent
+        commit maintains them for its new files. ``constraints``
+        (``{name: sql_expr}``) are CHECK constraints every commit
+        enforces in-plan (see :meth:`add_constraint`)."""
         t = cls(spark, path)
         if t._versions():
             raise FileExistsError(f"MuraTable already exists at {path}")
         if stats_cols is None:
             stats_cols = cls._default_stats_cols(df.schema,
                                                  partition_cols)
-        files = t._write_data(df, partition_cols)
+        bloom_fields = {}
+        if bloom_cols:
+            cls._check_bloom_cols(df.schema, bloom_cols, partition_cols)
+            from mura_spark.sources.bloom import DEFAULT_BITS, DEFAULT_K
+            bloom_fields = {"bloom_cols": list(bloom_cols),
+                            "bloom_bits": DEFAULT_BITS,
+                            "bloom_k": DEFAULT_K}
+        files = t._write_data(df, partition_cols, constraints)
         stats, rows = t._file_meta(files, stats_cols)
+        if bloom_cols:
+            bloom_fields = t._bloom_fields(bloom_fields, [], files)
         t._commit_new(1, {"version": 1, "action": "create",
                       "partition_cols": partition_cols or [],
                       "schema": df.schema.json(),
                       "stats_cols": stats_cols,
                       "stats": stats, "rows": rows,
+                      **bloom_fields,
+                      **({"constraints": constraints}
+                         if constraints else {}),
                       **({"meta": meta} if meta is not None else {}),
                       "files": files})
         return t
@@ -297,9 +395,38 @@ class MuraTable:
                 return False
         return True
 
+    @staticmethod
+    def _file_survives_lookup(m: dict, f: str, lookup: dict) -> bool:
+        """Equality-lookup pruning from manifest metadata: a file is
+        dropped when its min/max range excludes the value OR its bloom
+        filter proves the value absent. Files lacking either kind of
+        metadata for a column are kept (conservative)."""
+        from mura_spark.sources.bloom import (DEFAULT_BITS, DEFAULT_K,
+                                              might_contain)
+        col_stats = m.get("stats", {}).get(f) or {}
+        for c, v in lookup.items():
+            if v is None:
+                raise ValueError(
+                    f"lookup[{c!r}] is None — use an IS NULL filter; "
+                    f"blooms index values, not nulls")
+            if c in col_stats:
+                mn, mx = col_stats[c]
+                try:
+                    if v < mn or v > mx:
+                        return False
+                except TypeError:
+                    pass  # incomparable types: stats can't prune
+            blooms = m.get("blooms", {}).get(f) or {}
+            if c in blooms and not might_contain(
+                    blooms[c], v, m.get("bloom_bits", DEFAULT_BITS),
+                    m.get("bloom_k", DEFAULT_K)):
+                return False
+        return True
+
     def read(self, version: int | None = None,
              skip: dict | None = None,
-             tag: str | None = None) -> DataFrame:
+             tag: str | None = None,
+             lookup: dict | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest), or of the
         version pinned by ``tag`` (mutually exclusive with version).
 
@@ -316,6 +443,14 @@ class MuraTable:
         optimization, not a filter: surviving files still carry rows
         outside the range, so apply the real predicate on top (which
         Catalyst then also pushes into the surviving footers).
+
+        ``lookup`` is the EQUALITY twin: ``{col: value}`` drops every
+        file whose min/max range excludes the value or whose bloom
+        filter (tracked when the table was created with ``bloom_cols``)
+        proves it absent — the needle-in-100 TB path min/max can't
+        serve on high-NDV unclustered columns. Same contract as
+        ``skip``: pruning only, apply the real ``col = value`` filter
+        on top; false positives cost I/O, never correctness.
         """
         if tag is not None:
             if version is not None:
@@ -327,6 +462,9 @@ class MuraTable:
             stats = m.get("stats", {})
             files = [f for f in files
                      if self._file_survives(stats.get(f), skip)]
+        if lookup:
+            files = [f for f in files
+                     if self._file_survives_lookup(m, f, lookup)]
         return self._read_files(files, m["schema"])
 
     def history(self) -> list[dict]:
@@ -405,16 +543,19 @@ class MuraTable:
         e.g. the incremental view's source watermark."""
         v, prev = self._next_version()
         schema = self._check_schema(df, prev, merge_schema)
-        files = self._write_data(df, prev["partition_cols"] or None)
+        files = self._write_data(df, prev["partition_cols"] or None,
+                                 prev.get("constraints"))
         scols = prev.get("stats_cols", [])
         new_stats, new_rows = self._file_meta(files, scols)
         stats = {**prev.get("stats", {}), **new_stats}
         rows = {**prev.get("rows", {}), **new_rows}
         self._commit_new(v, {"version": v, "action": "append",
+                         **self._carry(prev, "constraints"),
                          "partition_cols": prev["partition_cols"],
                          "schema": schema,
                          "stats_cols": scols, "stats": stats,
                          "rows": rows,
+                         **self._bloom_fields(prev, prev["files"], files),
                          **({"meta": meta} if meta is not None else {}),
                          "files": prev["files"] + files})
         return v
@@ -424,14 +565,17 @@ class MuraTable:
         The manifest schema follows ``df`` — a full replacement may
         reshape freely; historical versions keep their own schema."""
         v, prev = self._next_version()
-        files = self._write_data(df, prev["partition_cols"] or None)
+        files = self._write_data(df, prev["partition_cols"] or None,
+                                 prev.get("constraints"))
         scols = prev.get("stats_cols", [])
         stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "overwrite",
+                         **self._carry(prev, "constraints"),
                          "partition_cols": prev["partition_cols"],
                          "schema": df.schema.json(),
                          "stats_cols": scols,
                          "stats": stats, "rows": rows,
+                         **self._bloom_fields(prev, [], files),
                          **({"meta": meta} if meta is not None else {}),
                          "files": files})
         return v
@@ -456,9 +600,14 @@ class MuraTable:
         differs from its target row's would not see that row (it lives
         in an unread partition) and would insert a duplicate key. Keep
         partition columns functionally dependent on the merge key.
+
+        ``when_matched="ignore"`` keeps matched target rows unchanged
+        (insert-only merge — the SQL ``MERGE`` with no WHEN MATCHED
+        clause).
         """
-        if when_matched not in ("update", "delete"):
-            raise ValueError(f"when_matched must be update|delete, "
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched must be "
+                             f"update|delete|ignore, "
                              f"got {when_matched!r}")
         v, prev = self._next_version()
         pcols = prev["partition_cols"]
@@ -508,7 +657,9 @@ class MuraTable:
                          & F.col("s.__s").isNotNull(), F.lit("matched"))
                    .when(F.col("s.__s").isNotNull(), F.lit("insert"))
                    .otherwise(F.lit("copy")))
-        take_source = status.isin("matched", "insert")
+        take_source = status == F.lit("insert") \
+            if when_matched == "ignore" \
+            else status.isin("matched", "insert")
         out_cols = [F.when(take_source, F.col(f"s.{c}"))
                      .otherwise(F.col(f"t.{c}")).alias(c) for c in cols]
         merged = j.select(*out_cols, status.alias("__status"))
@@ -525,7 +676,8 @@ class MuraTable:
         if not insert_not_matched:
             final = final.where(F.col("__status") != "insert")
         new_files = self._write_data(final.drop("__status"),
-                                     pcols or None)
+                                     pcols or None,
+                                     prev.get("constraints"))
         scols = prev.get("stats_cols", [])
         keep = set(keep_files)
         stats = {f: s for f, s in prev.get("stats", {}).items()
@@ -536,10 +688,13 @@ class MuraTable:
         stats.update(new_stats)
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": "merge",
+                         **self._carry(prev, "constraints"),
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
                          "stats_cols": scols, "stats": stats,
                          "rows": rows,
+                         **self._bloom_fields(prev, keep_files,
+                                              new_files),
                          **({"meta": meta} if meta is not None else {}),
                          "files": keep_files + new_files})
         return MergeStats(
@@ -646,7 +801,8 @@ class MuraTable:
         sub = self._read_files(sorted(touched), prev["schema"])
         n_matched = sub.where(pred).count()
         out = transform(sub, pred)
-        new_files = self._write_data(out, pcols or None)
+        new_files = self._write_data(out, pcols or None,
+                                     prev.get("constraints"))
         scols = prev.get("stats_cols", [])
         stats = {f: s for f, s in prev.get("stats", {}).items()
                  if f in set(keep_files)}
@@ -656,11 +812,14 @@ class MuraTable:
         stats.update(new_stats)
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": action,
+                         **self._carry(prev, "constraints"),
                          "predicate": str(predicate),
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
                          "stats_cols": scols, "stats": stats,
                          "rows": rows,
+                         **self._bloom_fields(prev, keep_files,
+                                              new_files),
                          **({"meta": meta} if meta is not None else {}),
                          "files": keep_files + new_files})
         return v, n_matched, len(touched)
@@ -740,10 +899,12 @@ class MuraTable:
         scols = prev.get("stats_cols", [])
         stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "compact",
+                         **self._carry(prev, "constraints"),
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
                          "stats_cols": scols,
                          "stats": stats, "rows": rows,
+                         **self._bloom_fields(prev, [], files),
                          "files": files})
         return v
 
@@ -756,14 +917,108 @@ class MuraTable:
         v, prev = self._next_version()
         old = self._manifest(version)
         self._commit(v, {"version": v, "action": "restore",
+                         **self._carry(old, "constraints"),
                          "restored_from": version,
                          "partition_cols": old["partition_cols"],
                          "schema": old.get("schema"),
                          "stats_cols": old.get("stats_cols", []),
                          "stats": old.get("stats", {}),
                          "rows": old.get("rows", {}),
+                         **{key: old[key] for key in
+                            ("bloom_cols", "bloom_bits", "bloom_k",
+                             "blooms") if key in old},
                          "files": old["files"]})
         return v
+
+    # ------------------------------------------------------ constraints
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT ... CHECK: register a named SQL predicate
+        every future commit enforces executor-side in the write plan
+        itself (a violating row fails the job with a ``[mura
+        constraint]`` error naming the constraint and the row, and
+        nothing publishes — the Delta CHECK-constraint contract; NULL
+        passes, the SQL rule). Existing rows are validated FIRST with
+        one scan; a table that already violates the predicate refuses.
+        Metadata-only commit: no data is rewritten."""
+        if not re.fullmatch(r"[\w][\w.-]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        v, prev = self._next_version()
+        cons = dict(prev.get("constraints", {}))
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists ({cons[name]!r}) "
+                f"— drop it first to change it")
+        bad = (self.read()
+               .where(~F.coalesce(F.expr(expr).cast("boolean"),
+                                  F.lit(True)))
+               .limit(1).collect())
+        if bad:
+            raise ValueError(
+                f"existing row violates CHECK {name} ({expr}): "
+                f"{bad[0].asDict()!r}")
+        cons[name] = expr
+        self._commit(v, {**self._snapshot_fields(prev), "version": v,
+                         "action": "add_constraint",
+                         "constraints": cons})
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        v, prev = self._next_version()
+        cons = dict(prev.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} "
+                             f"(have {sorted(cons)})")
+        del cons[name]
+        m = {**self._snapshot_fields(prev), "version": v,
+             "action": "drop_constraint"}
+        if cons:
+            m["constraints"] = cons
+        else:
+            m.pop("constraints", None)
+        self._commit(v, m)
+        return v
+
+    def constraints(self) -> dict[str, str]:
+        return dict(self._manifest().get("constraints", {}))
+
+    # ----------------------------------------------------------- clone
+
+    def clone(self, dest_path: str, version: int | None = None,
+              tag: str | None = None) -> "MuraTable":
+        """Zero-copy CLONE: a new independent table at ``dest_path``
+        whose version 1 holds this table's snapshot — data files are
+        HARD-LINKED (same filesystem), so no bytes move and the clone
+        starts at the source's exact layout, stats, blooms, and
+        constraints with zero recompute. The tables then diverge
+        freely: each side's commits write its own files, and each
+        side's :meth:`vacuum` unlinks only its own link (the inode
+        lives until both drop it), so neither can break the other —
+        the dev-branch workflow (clone prod, experiment, throw away).
+        Object-store deployments would use manifest-reference shallow
+        clones (Delta's) instead; hard links are the honest
+        local-filesystem equivalent with none of the dangling-pointer
+        hazard."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self._resolve_tag(tag)
+        m = self._manifest(version)
+        dest = MuraTable(self.spark, dest_path)
+        if dest._versions():
+            raise FileExistsError(
+                f"MuraTable already exists at {dest_path}")
+        for rel in m["files"]:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+        dest._commit(1, {**self._snapshot_fields(m),
+                         "version": 1, "action": "clone",
+                         "cloned_from": {"path": os.path.abspath(
+                             self.path), "version": m["version"]}})
+        return dest
 
     # -------------------------------------------------------------- gc
 

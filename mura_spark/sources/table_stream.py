@@ -218,6 +218,7 @@ from pyspark.sql.datasource import (DataSourceStreamArrowWriter,
 @dataclass
 class _FilesWritten(WriterCommitMessage):
     relpaths: list  # table-relative parquet paths this task wrote
+    blooms: dict = None  # {relpath: {col: b64 bloom}} when tracked
 
 
 class _TableStreamWriter(DataSourceStreamArrowWriter):
@@ -243,11 +244,24 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
                 "streaming append into a PARTITIONED MuraTable is not "
                 "supported — stream into an unpartitioned staging "
                 "table and merge, or drop the partitioning")
+        if m.get("constraints"):
+            raise ValueError(
+                "streaming append into a CONSTRAINED MuraTable is not "
+                "supported (the Arrow sink cannot evaluate SQL CHECK "
+                "predicates) — filter/validate in the stream before "
+                "the sink, or drop the constraints "
+                f"{sorted(m['constraints'])}")
         import uuid as _uuid
         # the writer instance (and its pickled executor copies) spans
         # the whole query: this names the query's commit dir; files
         # stay per-task unique, manifests reference files not dirs
         self._commit_dir_name = f"stream-{_uuid.uuid4().hex}"
+        # bloom config rides the pickled writer so executors can hash
+        # the batches they just wrote (zero extra I/O)
+        self._bloom_cols = m.get("bloom_cols") or []
+        from mura_spark.sources.bloom import DEFAULT_BITS, DEFAULT_K
+        self._bloom_bits = m.get("bloom_bits", DEFAULT_BITS)
+        self._bloom_k = m.get("bloom_k", DEFAULT_K)
 
     def write(self, iterator):
         import uuid as _uuid
@@ -264,7 +278,13 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
         pq.write_table(pa.Table.from_batches(batches),
                        os.path.join(commit_dir, fname))
         rel = os.path.join(tf._DATA_DIR, self._commit_dir_name, fname)
-        return _FilesWritten([rel])
+        blooms = None
+        if self._bloom_cols:
+            from mura_spark.sources.bloom import blooms_from_arrow
+            blooms = {rel: blooms_from_arrow(
+                batches, self._bloom_cols, self._bloom_bits,
+                self._bloom_k)}
+        return _FilesWritten([rel], blooms)
 
     def commit(self, messages, batchId) -> None:
         table = tf.MuraTable.load(None, self.path)
@@ -279,6 +299,16 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
             new_stats, new_rows = table._file_meta(files, scols)
             stats = {**m.get("stats", {}), **new_stats}
             rows = {**m.get("rows", {}), **new_rows}
+            bloom_fields = {}
+            if m.get("bloom_cols"):
+                blooms = dict(m.get("blooms", {}))
+                for msg in messages:
+                    if msg and msg.blooms:
+                        blooms.update(msg.blooms)
+                bloom_fields = {
+                    key: m[key] for key in
+                    ("bloom_cols", "bloom_bits", "bloom_k") if key in m}
+                bloom_fields["blooms"] = blooms
             try:
                 table._commit(m["version"] + 1, {
                     "version": m["version"] + 1,
@@ -286,6 +316,7 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
                     "partition_cols": m["partition_cols"],
                     "schema": m.get("schema"),
                     "stats_cols": scols, "stats": stats, "rows": rows,
+                    **bloom_fields,
                     "stream_batches": {**stamp, self.queryId: batchId},
                     "files": m["files"] + files})
                 return

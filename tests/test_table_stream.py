@@ -137,3 +137,31 @@ def test_stream_sink_refuses_partitioned_target(registered, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start()
          .awaitTermination(60))
+
+
+def test_stream_sink_maintains_bloom_filters(registered, tmp_path):
+    # executors hash the Arrow batches they just wrote (zero extra
+    # I/O); the commit message carries only 16 KiB bitmaps, and
+    # lookup pruning works on stream-landed files immediately
+    spark = registered
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    MuraTable.create(spark, src_path,
+                     _df(spark, [(i, i % 3, f"v{i}") for i in range(30)]))
+    MuraTable.create(spark, dst_path, _df(spark, []),
+                     bloom_cols=["val"])
+    q = (spark.readStream.format("mura_table")
+         .option("path", src_path).load()
+         .writeStream.format("mura_table").option("path", dst_path)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dst = MuraTable.load(spark, dst_path)
+    m = dst._manifest()
+    assert m["action"] == "stream_append"
+    assert all(f in m.get("blooms", {}) for f in m["files"])
+    hit = dst.read(lookup={"val": "v7"})
+    assert 0 < len(hit.inputFiles()) < len(m["files"]) or \
+        len(m["files"]) == 1
+    assert hit.where("val = 'v7'").count() == 1
+    assert dst.read(lookup={"val": "nope"}).count() == 0
