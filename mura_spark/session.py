@@ -128,6 +128,8 @@ class MuraSession:
             dml = self._route_merge(query)
         if dml is None:
             dml = self._route_alter(query)
+        if dml is None:
+            dml = self._route_maintenance(query)
         if dml is not None:
             return dml
         rewritten = re.sub(r"(?i)\bCREATE\s+EXTERNAL\s+TABLE\b",
@@ -326,6 +328,48 @@ class MuraSession:
         return self.spark.createDataFrame(
             [(v, add_name or drop_name)],
             "version long, constraint string")
+
+    _OPTIMIZE_RE = re.compile(
+        r"(?is)^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$")
+    _VACUUM_RE = re.compile(
+        r"(?is)^\s*VACUUM\s+([A-Za-z_]\w*)"
+        r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$")
+
+    def _route_maintenance(self, query: str):
+        """``OPTIMIZE t [ZORDER BY (a, b)]`` -> compaction (Z-order
+        clustered when asked) and ``VACUUM t [RETAIN n VERSIONS]`` ->
+        GC, over registered mura tables (the Delta maintenance DDL);
+        None when neither matches."""
+        mo = self._OPTIMIZE_RE.match(query)
+        mv = None if mo else self._VACUUM_RE.match(query)
+        if mo is None and mv is None:
+            return None
+        name = (mo or mv).group(1)
+        info = self.catalog._tables.get(name) \
+            or self.catalog._tables.get(name.lower())
+        if info is None:
+            return None
+        if info.file_type != "mura":
+            raise ValueError(
+                f"{name!r} is a read-only {info.file_type} external "
+                f"table — OPTIMIZE/VACUUM need a versioned table "
+                f"(register with file_type='mura')")
+        from mura_spark.sources.table_format import MuraTable
+        t = MuraTable.load(self.spark, info.location)
+        if mo:
+            cluster = [c.strip() for c in mo.group(2).split(",")] \
+                if mo.group(2) else None
+            v = t.compact(cluster_by=cluster)
+            self.catalog.create_external_table(
+                info.name, info.location, file_type="mura")
+            return self.spark.createDataFrame(
+                [(v, len(t._manifest()["files"]))],
+                "version long, files long")
+        retain = int(mv.group(2)) if mv.group(2) else 2
+        deleted = t.vacuum(retain_versions=retain)
+        return self.spark.createDataFrame(
+            [(deleted,)], "files_deleted long")
 
     def _route_dml(self, query: str):
         """DELETE/UPDATE statements over registered mura tables; None

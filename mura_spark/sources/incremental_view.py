@@ -2,8 +2,9 @@
 
 An ``IncrementalAggView`` is a MuraTable holding
 ``source.groupBy(keys).agg(...)`` where every aggregate is MERGEABLE
-(sum / count / min / max — avg is sum+count composed at read time), kept
-current by :meth:`refresh`:
+(sum / count / min / max — avg is sum+count composed at read time — and
+approx_distinct, materialized as a Datasketches HLL sketch whose
+partials union losslessly), kept current by :meth:`refresh`:
 
 - **O(delta) when the source history is append-only**: the refresh reads
   ONLY the files added since the last processed source version
@@ -56,9 +57,17 @@ _META_KEY = "incremental_view"
 
 #: aggregate kind -> (initial aggregate fn, combine fn). Combining
 #: partial counts is a SUM; everything else combines with itself.
+#: approx_distinct stores a Datasketches HLL sketch (binary) — the
+#: canonical mergeable-NDV state: partial sketches union losslessly
+#: (register-wise max, associative for one lgConfigK), so an O(delta)
+#: refresh maintains distinct counts no exact counter can maintain
+#: incrementally (exact NDV is not mergeable without keeping the full
+#: value set). read() presents the estimate; read(raw=True) the bytes.
 _AGG_INIT = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)),
-             "min": F.min, "max": F.max}
-_AGG_COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+             "min": F.min, "max": F.max,
+             "approx_distinct": F.hll_sketch_agg}
+_AGG_COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+                "approx_distinct": F.hll_union_agg}
 
 #: source manifest actions whose changes() frames are pure inserts
 _APPEND_ACTIONS = {"create", "append", "stream_append"}
@@ -162,9 +171,24 @@ class IncrementalAggView:
 
     # ----------------------------------------------------------- read
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The materialized aggregate (time travel via ``version``)."""
-        return self.table.read(version=version)
+    def read(self, version: int | None = None,
+             raw: bool = False) -> DataFrame:
+        """The materialized aggregate (time travel via ``version``).
+        ``approx_distinct`` columns materialize as HLL sketch bytes;
+        by default they present as the NDV estimate (bigint) under the
+        same name — pass ``raw=True`` for the sketch bytes (e.g. to
+        union further downstream)."""
+        df = self.table.read(version=version)
+        if raw:
+            return df
+        aggs = {k: tuple(v) for k, v in self._state()["aggs"].items()}
+        sketchy = [out for out, (kind, _c) in aggs.items()
+                   if kind == "approx_distinct"]
+        if not sketchy:
+            return df
+        return df.select(*[
+            F.hll_sketch_estimate(F.col(c)).alias(c) if c in sketchy
+            else F.col(c) for c in df.columns])
 
     # -------------------------------------------------------- refresh
 
@@ -217,7 +241,9 @@ class IncrementalAggView:
             self.table.overwrite(full, meta=new_meta)
             return RefreshResult("full", here, there, reason)
 
-        view_now = self.read()
+        # raw=True: the combine pass unions stored sketch PARTIALS;
+        # estimates are a read-time presentation only
+        view_now = self.read(raw=True)
         delta = self._cast_like(
             self._aggregate(source.changes(here, there), keys, aggs,
                             _AGG_INIT), view_now)

@@ -930,6 +930,34 @@ class MuraTable:
                          "files": old["files"]})
         return v
 
+    def set_bloom_cols(self, bloom_cols: list[str]) -> int:
+        """Retrofit (or drop) bloom-filter tracking on an existing
+        table: builds blooms for EVERY current file in one executor-side
+        pass (O(table) once — the same cost Parquet pays to add bloom
+        columns, but no file rewrites: only manifest metadata changes)
+        and commits metadata-only. Subsequent commits maintain them
+        incrementally. ``[]`` drops tracking."""
+        v, prev = self._next_version()
+        m = {**self._snapshot_fields(prev), "version": v,
+             "action": "set_bloom_cols"}
+        for key in ("bloom_cols", "bloom_bits", "bloom_k", "blooms"):
+            m.pop(key, None)
+        if bloom_cols:
+            from pyspark.sql.types import StructType
+            schema = StructType.fromJson(json.loads(prev["schema"]))
+            self._check_bloom_cols(schema, bloom_cols,
+                                   prev.get("partition_cols"))
+            from mura_spark.sources.bloom import (DEFAULT_BITS,
+                                                  DEFAULT_K,
+                                                  build_blooms)
+            m.update({"bloom_cols": list(bloom_cols),
+                      "bloom_bits": DEFAULT_BITS, "bloom_k": DEFAULT_K,
+                      "blooms": build_blooms(self.spark, self.path,
+                                             prev["files"], bloom_cols,
+                                             DEFAULT_BITS, DEFAULT_K)})
+        self._commit(v, m)
+        return v
+
     # ------------------------------------------------------ constraints
 
     def add_constraint(self, name: str, expr: str) -> int:

@@ -174,3 +174,30 @@ def test_bitmap_unit_properties():
     with pytest.raises(TypeError):
         bitmap_of([1.5], 1 << 10, 5)
     assert DEFAULT_BITS % 8 == 0 and DEFAULT_K >= 1
+
+
+def test_set_bloom_cols_retrofits_existing_table(spark, tmp_path):
+    t = MuraTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(i, f"doc-{i}") for i in range(80)],
+                              "id long, name string")
+        .repartition(4, "id"))
+    assert "blooms" not in t._manifest()
+    # lookup without blooms: conservative, nothing prunable by name
+    assert len(t.read(lookup={"name": "doc-9"}).inputFiles()) == 4
+    v = t.set_bloom_cols(["name"])
+    m = t._manifest()
+    assert m["action"] == "set_bloom_cols" and v == 2
+    assert set(m["blooms"]) == set(m["files"])
+    hit = t.read(lookup={"name": "doc-9"})
+    assert len(hit.inputFiles()) <= 2
+    assert hit.where("name = 'doc-9'").count() == 1
+    # subsequent commits maintain them
+    t.append(spark.createDataFrame([(999, "doc-999")],
+                                   "id long, name string"))
+    m = t._manifest()
+    assert set(m["blooms"]) == set(m["files"])
+    # and [] drops tracking
+    t.set_bloom_cols([])
+    assert "blooms" not in t._manifest()
+    assert len(t.read(lookup={"name": "doc-9"}).inputFiles()) >= 4

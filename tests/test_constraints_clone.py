@@ -183,3 +183,29 @@ def test_sql_alter_constraint_routing(spark, tmp_path):
     from pyspark.errors import AnalysisException
     with pytest.raises(AnalysisException):
         ms.sql("ALTER TABLE nope_t ADD CONSTRAINT c CHECK (k > 0)")
+
+
+def test_sql_optimize_and_vacuum_routing(spark, tmp_path):
+    from mura_spark.session import MuraSession
+    ms = MuraSession(spark)
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _df(spark, BASE))
+    t.append(_df(spark, [(4, 2, "d")]))
+    t.append(_df(spark, [(5, 2, "e")]))
+    ms.create_external_table("maint_t", path, file_type="mura")
+    res = ms.sql("OPTIMIZE maint_t").collect()[0]
+    assert res.version == 4 and res.files == 1
+    assert ms.table("maint_t").count() == 5
+    res = ms.sql("OPTIMIZE maint_t ZORDER BY (k, m)").collect()[0]
+    assert res.version == 5
+    res = ms.sql("VACUUM maint_t RETAIN 1 VERSIONS").collect()[0]
+    assert res.files_deleted > 0
+    # history trimmed to the retained version; data intact
+    assert ms.table("maint_t").count() == 5
+    with pytest.raises(ValueError):
+        MuraTable.load(spark, path).read(version=1)
+    # read-only tables refuse; unregistered fall through to Spark
+    _df(spark, BASE).write.parquet(str(tmp_path / "plain2"))
+    ms.create_external_table("maint_plain", str(tmp_path / "plain2"))
+    with pytest.raises(ValueError, match="read-only parquet"):
+        ms.sql("OPTIMIZE maint_plain")

@@ -294,3 +294,38 @@ def test_incremental_refresh_reads_only_new_source_files(
         assert not (set(files) & baseline), \
             "incremental refresh re-read baseline source files"
     _assert_matches(view, src)
+
+
+def test_approx_distinct_is_mergeable_and_incremental(spark, tmp_path):
+    # HLL sketches are the mergeable-NDV state: an O(delta) refresh
+    # unions partial sketches; the union is register-wise max, so the
+    # incremental result is IDENTICAL to a from-scratch rebuild
+    rows = _rows(*[("a", i, i % 7) for i in range(60)],
+                 *[("b", i, i) for i in range(25)])
+    src = _src(spark, str(tmp_path / "s"), rows)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "v"), src, keys=["g"],
+        aggs={"n": ("count", "k"), "ndv_v": ("approx_distinct", "v")})
+    got = {r.g: r.ndv_v for r in view.read().collect()}
+    # sketches are exact at these cardinalities (sparse mode)
+    assert got == {"a": 7, "b": 25}
+    # raw read exposes the sketch bytes for further unioning
+    raw = view.read(raw=True).schema["ndv_v"].dataType.typeName()
+    assert raw == "binary"
+
+    # append only-new and overlapping values; incremental refresh
+    src.append(spark.createDataFrame(
+        _rows(*[("a", 100 + i, 5 + i) for i in range(10)],
+              ("c", 1, 1)), "g string, k long, v long"))
+    r = view.refresh()
+    assert r.mode == "incremental"
+    got = {r.g: r.ndv_v for r in view.read().collect()}
+    # a: {0..6} + {5..14} = 15 distinct; b untouched; c new group
+    assert got == {"a": 15, "b": 25, "c": 1}
+
+    # incremental state == rebuild state (union is lossless)
+    rebuild = (src.read().groupBy("g")
+               .agg(F.hll_sketch_estimate(F.hll_sketch_agg("v"))
+                    .alias("ndv_v")))
+    want = {r.g: r.ndv_v for r in rebuild.collect()}
+    assert got == want
