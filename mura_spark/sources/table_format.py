@@ -373,8 +373,11 @@ class MuraTable:
             df = (self.spark.read.option("basePath", base)
                   .parquet(*paths))
             have = set(df.columns)
+            # cast pins hive partition-INFERRED types (e.g. "1" -> int)
+            # back to the manifest's contract type; no-op when equal
             df = df.select(*[
-                F.col(f.name) if f.name in have
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields])
             out = df if out is None else out.unionByName(df)

@@ -221,6 +221,21 @@ class _FilesWritten(WriterCommitMessage):
     blooms: dict = None  # {relpath: {col: b64 bloom}} when tracked
 
 
+#: partition-column types the sink can hive-encode with full
+#: round-trip fidelity (str(v) == Spark's own path encoding)
+_STREAM_PCOL_TYPES = ("byte", "short", "integer", "long", "string",
+                      "date")
+
+
+def _hive_segment(col: str, v) -> str:
+    """One ``col=value`` hive path segment (Spark's escapePathName
+    conventions for the characters these restricted types produce)."""
+    import urllib.parse
+    if v is None:
+        return f"{col}={tf._HIVE_NULL}"
+    return f"{col}={urllib.parse.quote(str(v), safe='')}"
+
+
 class _TableStreamWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("mura_table")``: each micro-batch is ONE
     append commit. Executors write their Arrow batches straight to
@@ -229,21 +244,42 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
     stamps it with the micro-batch id — a redelivered batch (sink-side
     replay after a crash between sink commit and checkpoint write) is
     recognized by the stamp and skipped, so the sink is exactly-once.
-    Unpartitioned tables only (a partitioned streaming append would
-    need executor-side hive layout); ``MuraTable.compact`` afterwards
-    restores layout/clustering. Files from failed/aborted tasks are
-    never referenced by a manifest, so ``vacuum`` reclaims them."""
+    PARTITIONED targets get executor-side hive layout: each task splits
+    its batches by partition value and writes one file per touched
+    partition under ``p=v/`` segments (partition columns live in the
+    path, not the file — the layout Spark's own partitionBy produces),
+    so partition pruning works on stream-landed files immediately.
+    Partition column types are restricted to int-like/string/date (the
+    types whose path encoding round-trips exactly); others refuse
+    loudly. ``MuraTable.compact`` afterwards restores file sizing and
+    clustering. Files from failed/aborted tasks are never referenced
+    by a manifest, so ``vacuum`` reclaims them."""
 
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.path = options["path"]
         self.queryId = options.get("queryid", "stream")
         m = _load_manifest(self.path, _latest_version(self.path))
-        if m["partition_cols"]:
-            raise ValueError(
-                "streaming append into a PARTITIONED MuraTable is not "
-                "supported — stream into an unpartitioned staging "
-                "table and merge, or drop the partitioning")
+        self._pcols = m["partition_cols"] or []
+        if self._pcols:
+            from pyspark.sql.types import StructType as _ST
+            tschema = _ST.fromJson(json.loads(m["schema"]))
+            names = {f.name for f in schema.fields}
+            missing = [c for c in self._pcols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"stream schema lacks partition column(s) "
+                    f"{missing} of the target table")
+            bad = [c for c in self._pcols
+                   if tschema[c].dataType.typeName()
+                   not in _STREAM_PCOL_TYPES]
+            if bad:
+                raise ValueError(
+                    f"streaming append supports partition column types "
+                    f"{'/'.join(_STREAM_PCOL_TYPES)}; {bad} of the "
+                    f"target table are not path-round-trip-safe — "
+                    f"stream into an unpartitioned staging table and "
+                    f"merge")
         if m.get("constraints"):
             raise ValueError(
                 "streaming append into a CONSTRAINED MuraTable is not "
@@ -263,28 +299,57 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
         self._bloom_bits = m.get("bloom_bits", DEFAULT_BITS)
         self._bloom_k = m.get("bloom_k", DEFAULT_K)
 
+    def _bloom_for(self, batches) -> dict | None:
+        if not self._bloom_cols:
+            return None
+        from mura_spark.sources.bloom import blooms_from_arrow
+        return blooms_from_arrow(batches, self._bloom_cols,
+                                 self._bloom_bits, self._bloom_k)
+
     def write(self, iterator):
         import uuid as _uuid
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         commit_dir = os.path.join(self.path, tf._DATA_DIR,
                                   self._commit_dir_name)
-        os.makedirs(commit_dir, exist_ok=True)
         batches = [b for b in iterator if b.num_rows]
         if not batches:
             return _FilesWritten([])
-        fname = f"part-{_uuid.uuid4().hex}.parquet"
-        pq.write_table(pa.Table.from_batches(batches),
-                       os.path.join(commit_dir, fname))
-        rel = os.path.join(tf._DATA_DIR, self._commit_dir_name, fname)
-        blooms = None
-        if self._bloom_cols:
-            from mura_spark.sources.bloom import blooms_from_arrow
-            blooms = {rel: blooms_from_arrow(
-                batches, self._bloom_cols, self._bloom_bits,
-                self._bloom_k)}
-        return _FilesWritten([rel], blooms)
+        rels, blooms = [], {}
+        if not self._pcols:
+            groups = [((), pa.Table.from_batches(batches))]
+        else:
+            tbl = pa.Table.from_batches(batches)
+            combos = sorted(
+                {tuple(r[c] for c in self._pcols)
+                 for r in tbl.select(self._pcols).to_pylist()},
+                key=repr)
+            groups = []
+            for combo in combos:
+                mask = None
+                for c, v in zip(self._pcols, combo):
+                    col = tbl[c]
+                    eq = pc.is_null(col) if v is None else \
+                        pc.equal(col, pa.scalar(v, col.type))
+                    mask = eq if mask is None else pc.and_(mask, eq)
+                groups.append(
+                    (combo, tbl.filter(mask).drop_columns(self._pcols)))
+        for combo, sub in groups:
+            segs = [_hive_segment(c, v)
+                    for c, v in zip(self._pcols, combo)]
+            subdir = os.path.join(commit_dir, *segs)
+            os.makedirs(subdir, exist_ok=True)
+            fname = f"part-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(sub, os.path.join(subdir, fname))
+            rel = os.path.join(tf._DATA_DIR, self._commit_dir_name,
+                               *segs, fname)
+            rels.append(rel)
+            b = self._bloom_for(sub.to_batches())
+            if b is not None:
+                blooms[rel] = b
+        return _FilesWritten(rels, blooms or None)
 
     def commit(self, messages, batchId) -> None:
         table = tf.MuraTable.load(None, self.path)

@@ -123,16 +123,58 @@ def test_stream_sink_appends_one_commit_per_batch(registered, tmp_path):
         == [(1, 1, "a"), (2, 2, "b"), (3, 1, "c")]
 
 
-def test_stream_sink_refuses_partitioned_target(registered, tmp_path):
+def test_stream_sink_writes_hive_layout_into_partitioned_target(
+        registered, tmp_path):
+    # executors split their batches by partition value and write one
+    # file per touched partition under p=v/ segments — partition
+    # pruning works on stream-landed files immediately
+    spark = registered
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    MuraTable.create(spark, src_path,
+                     _df(spark, [(1, 1, "a"), (2, 2, "b"), (3, 1, "c"),
+                                 (4, None, "d")]))
+    MuraTable.create(spark, dst_path, _df(spark, [(0, 0, "z")]),
+                     partition_cols=["m"])
+    q = (spark.readStream.format("mura_table")
+         .option("path", src_path).load()
+         .writeStream.format("mura_table").option("path", dst_path)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dst = MuraTable.load(spark, dst_path)
+    got = {(r.k, r.m, r.val) for r in dst.read().collect()}
+    assert got == {(0, 0, "z"), (1, 1, "a"), (2, 2, "b"), (3, 1, "c"),
+                   (4, None, "d")}
+    m = dst._manifest()
+    # every stream-landed file sits under a hive partition segment
+    new = [f for f in m["files"] if "stream-" in f]
+    assert new and all("m=" in f for f in new)
+    # NULL partition values land under the hive null sentinel
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in new)
+    # partition pruning applies to the streamed files: every scan in
+    # the union plan carries a PartitionFilter on m
+    pruned = dst.read().where("m = 2")
+    assert pruned.count() == 1
+    import re
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    fills = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert fills and all("m" in s for s in fills)
+
+
+def test_stream_sink_refuses_unsafe_partition_types(registered,
+                                                    tmp_path):
     spark = registered
     src_path = str(tmp_path / "src")
     dst_path = str(tmp_path / "dst")
     MuraTable.create(spark, src_path, _df(spark, [(1, 1, "a")]))
-    MuraTable.create(spark, dst_path, _df(spark, [(0, 0, "z")]),
-                     partition_cols=["m"])
-    with pytest.raises(Exception, match="PARTITIONED"):
+    df = spark.createDataFrame([(1, 0.5, "a")],
+                               "k long, x double, val string")
+    MuraTable.create(spark, dst_path, df, partition_cols=["x"])
+    with pytest.raises(Exception, match="not path-round-trip-safe"):
         (spark.readStream.format("mura_table")
          .option("path", src_path).load()
+         .selectExpr("k", "cast(k as double) as x", "val")
          .writeStream.format("mura_table").option("path", dst_path)
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start()
