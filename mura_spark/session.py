@@ -182,6 +182,7 @@ class MuraSession:
         r"\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$")
     _WHEN_RE = re.compile(
         r"(?is)WHEN\s+(?:(MATCHED)\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)"
+        r"|(NOT\s+MATCHED\s+BY\s+SOURCE)\s+THEN\s+DELETE"
         r"|(NOT\s+MATCHED)\s+THEN\s+(INSERT\s+\*))")
 
     def _parse_merge_keys(self, on: str, target: str, t_alias,
@@ -228,7 +229,7 @@ class MuraSession:
                 f"{target!r} is a read-only {info.file_type} external "
                 f"table — MERGE needs a versioned table (register "
                 f"with file_type='mura')")
-        when_matched, insert = None, False
+        when_matched, insert, sync_delete = None, False, False
         pos = 0
         for w in self._WHEN_RE.finditer(clauses):
             if clauses[pos:w.start()].strip():
@@ -236,13 +237,19 @@ class MuraSession:
                     f"cannot parse MERGE clause "
                     f"{clauses[pos:w.start()].strip()!r} — supported: "
                     f"WHEN MATCHED THEN UPDATE SET * | DELETE, "
-                    f"WHEN NOT MATCHED THEN INSERT *")
+                    f"WHEN NOT MATCHED THEN INSERT *, "
+                    f"WHEN NOT MATCHED BY SOURCE THEN DELETE")
             pos = w.end()
             if w.group(1):
                 if when_matched is not None:
                     raise ValueError("duplicate WHEN MATCHED clause")
                 when_matched = "delete" \
                     if w.group(2).upper() == "DELETE" else "update"
+            elif w.group(3):
+                if sync_delete:
+                    raise ValueError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE clause")
+                sync_delete = True
             else:
                 if insert:
                     raise ValueError(
@@ -251,7 +258,7 @@ class MuraSession:
         if clauses[pos:].strip():
             raise ValueError(
                 f"cannot parse MERGE clause {clauses[pos:].strip()!r}")
-        if when_matched is None and not insert:
+        if when_matched is None and not insert and not sync_delete:
             raise ValueError("MERGE needs at least one WHEN clause")
         keys = self._parse_merge_keys(on, target, t_alias,
                                       source, s_alias)
@@ -259,7 +266,8 @@ class MuraSession:
         t = MuraTable.load(self.spark, info.location)
         stats = t.merge(self.spark.table(source), key_cols=keys,
                         when_matched=when_matched or "ignore",
-                        insert_not_matched=insert)
+                        insert_not_matched=insert,
+                        sync_delete=sync_delete)
         self.catalog.create_external_table(info.name, info.location,
                                            file_type="mura")
         return self.spark.createDataFrame(

@@ -229,7 +229,25 @@ class MuraTable:
     #: per-commit bookkeeping like action/meta/stream_batches/predicate)
     _SNAPSHOT_KEYS = ("partition_cols", "schema", "stats_cols", "stats",
                       "rows", "files", "bloom_cols", "bloom_bits",
-                      "bloom_k", "blooms", "constraints")
+                      "bloom_k", "blooms", "constraints", "txns")
+
+    def _txn_guard(self, prev: dict,
+                   txn: tuple[str, int] | None) -> tuple[bool, dict]:
+        """Idempotent-writer bookkeeping (Delta's txnAppId/txnVersion):
+        ``txn=("app", n)`` stamps the commit with the application's own
+        monotonically increasing version; a commit whose stamp is <=
+        the app's recorded high-water mark is a REPLAY and must be
+        skipped — the retry-safe contract that lets a pipeline re-run
+        a failed batch blindly without double-appending. Returns
+        ``(skip, manifest_txn_fields)``."""
+        if txn is None:
+            return False, self._carry(prev, "txns")
+        app, ver = txn
+        last = prev.get("txns", {}).get(app)
+        if last is not None and int(ver) <= last:
+            return True, {}
+        return False, {"txns": {**prev.get("txns", {}),
+                                app: int(ver)}}
 
     @classmethod
     def _snapshot_fields(cls, m: dict) -> dict:
@@ -537,14 +555,22 @@ class MuraTable:
         return evolved.json()
 
     def append(self, df: DataFrame, merge_schema: bool = False,
-               meta: dict | None = None) -> int:
+               meta: dict | None = None,
+               txn: tuple[str, int] | None = None) -> int:
         """Commit ``df`` as new rows; returns the new version.
         ``merge_schema=True`` lets ``df`` carry NEW columns (appended
         to the table schema; earlier files read them as NULL).
         ``meta`` rides the manifest (Delta's userMetadata analog) —
         application state that must move atomically with the data,
-        e.g. the incremental view's source watermark."""
+        e.g. the incremental view's source watermark.
+        ``txn=("app_id", n)`` makes the append IDEMPOTENT per
+        application version: a replay (n <= the app's recorded
+        high-water mark) is skipped and the current version returned —
+        the blind-retry contract for batch pipelines."""
         v, prev = self._next_version()
+        skip, txns = self._txn_guard(prev, txn)
+        if skip:
+            return prev["version"]
         schema = self._check_schema(df, prev, merge_schema)
         files = self._write_data(df, prev["partition_cols"] or None,
                                  prev.get("constraints"))
@@ -553,6 +579,7 @@ class MuraTable:
         stats = {**prev.get("stats", {}), **new_stats}
         rows = {**prev.get("rows", {}), **new_rows}
         self._commit_new(v, {"version": v, "action": "append",
+                         **txns,
                          **self._carry(prev, "constraints"),
                          "partition_cols": prev["partition_cols"],
                          "schema": schema,
@@ -563,16 +590,22 @@ class MuraTable:
                          "files": prev["files"] + files})
         return v
 
-    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, meta: dict | None = None,
+                  txn: tuple[str, int] | None = None) -> int:
         """Replace the table's contents (old versions stay readable).
         The manifest schema follows ``df`` — a full replacement may
-        reshape freely; historical versions keep their own schema."""
+        reshape freely; historical versions keep their own schema.
+        ``txn`` as in :meth:`append`."""
         v, prev = self._next_version()
+        skip, txns = self._txn_guard(prev, txn)
+        if skip:
+            return prev["version"]
         files = self._write_data(df, prev["partition_cols"] or None,
                                  prev.get("constraints"))
         scols = prev.get("stats_cols", [])
         stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "overwrite",
+                         **txns,
                          **self._carry(prev, "constraints"),
                          "partition_cols": prev["partition_cols"],
                          "schema": df.schema.json(),
@@ -586,7 +619,9 @@ class MuraTable:
     def merge(self, source: DataFrame, key_cols: list[str],
               when_matched: str = "update",
               insert_not_matched: bool = True,
-              meta: dict | None = None) -> MergeStats:
+              sync_delete: bool = False,
+              meta: dict | None = None,
+              txn: tuple[str, int] | None = None) -> MergeStats:
         """Copy-on-write MERGE with snapshot semantics.
 
         Same row semantics as :func:`mura_spark.sources.merge.merge_into`
@@ -607,12 +642,25 @@ class MuraTable:
         ``when_matched="ignore"`` keeps matched target rows unchanged
         (insert-only merge — the SQL ``MERGE`` with no WHEN MATCHED
         clause).
+
+        ``sync_delete=True`` is ``WHEN NOT MATCHED BY SOURCE THEN
+        DELETE``: target rows whose key is absent from the source are
+        dropped, making the table an exact mirror of the source after
+        the merge (the CDC full-sync shape). This necessarily
+        evaluates the WHOLE target — "absent from the source" cannot
+        be decided inside the source's partitions — so partition
+        pruning is disabled for the commit (a full rewrite, priced
+        accordingly; Delta's NOT MATCHED BY SOURCE scans the full
+        target for the same reason).
         """
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"when_matched must be "
                              f"update|delete|ignore, "
                              f"got {when_matched!r}")
         v, prev = self._next_version()
+        skip, txns = self._txn_guard(prev, txn)
+        if skip:
+            return MergeStats(0, 0, 0, 0)
         pcols = prev["partition_cols"]
         target = self.read()
         if set(target.columns) != set(source.columns):
@@ -629,7 +677,11 @@ class MuraTable:
 
         # unpartitioned: full rewrite, nothing carried by reference
         keep_files = []
-        if pcols:
+        if pcols and sync_delete:
+            pcols_prune = None  # sync must see the WHOLE target
+        else:
+            pcols_prune = pcols
+        if pcols_prune:
             # dimension-sized collect: one row per touched partition
             rows = source.select(*pcols).distinct().collect()
             if not rows:
@@ -678,6 +730,8 @@ class MuraTable:
             final = final.where(F.col("__status") != "matched")
         if not insert_not_matched:
             final = final.where(F.col("__status") != "insert")
+        if sync_delete:
+            final = final.where(F.col("__status") != "copy")
         new_files = self._write_data(final.drop("__status"),
                                      pcols or None,
                                      prev.get("constraints"))
@@ -691,6 +745,7 @@ class MuraTable:
         stats.update(new_stats)
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": "merge",
+                         **txns,
                          **self._carry(prev, "constraints"),
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
@@ -703,11 +758,12 @@ class MuraTable:
         return MergeStats(
             updated=counts.get("matched", 0) if when_matched == "update"
             else 0,
-            deleted=counts.get("matched", 0) if when_matched == "delete"
-            else 0,
+            deleted=(counts.get("matched", 0) if when_matched == "delete"
+                     else 0)
+            + (counts.get("copy", 0) if sync_delete else 0),
             inserted=counts.get("insert", 0) if insert_not_matched
             else 0,
-            copied=counts.get("copy", 0))
+            copied=0 if sync_delete else counts.get("copy", 0))
 
     # ----------------------------------------------------------- tags
 
@@ -815,7 +871,7 @@ class MuraTable:
         stats.update(new_stats)
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": action,
-                         **self._carry(prev, "constraints"),
+                         **self._carry(prev, "constraints", "txns"),
                          "predicate": str(predicate),
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
@@ -902,7 +958,7 @@ class MuraTable:
         scols = prev.get("stats_cols", [])
         stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "compact",
-                         **self._carry(prev, "constraints"),
+                         **self._carry(prev, "constraints", "txns"),
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
                          "stats_cols": scols,
@@ -921,6 +977,7 @@ class MuraTable:
         old = self._manifest(version)
         self._commit(v, {"version": v, "action": "restore",
                          **self._carry(old, "constraints"),
+                         **self._carry(prev, "txns"),
                          "restored_from": version,
                          "partition_cols": old["partition_cols"],
                          "schema": old.get("schema"),

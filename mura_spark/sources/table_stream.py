@@ -378,6 +378,7 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
                 table._commit(m["version"] + 1, {
                     "version": m["version"] + 1,
                     "action": "stream_append",
+                    **({"txns": m["txns"]} if m.get("txns") else {}),
                     "partition_cols": m["partition_cols"],
                     "schema": m.get("schema"),
                     "stats_cols": scols, "stats": stats, "rows": rows,

@@ -105,3 +105,66 @@ def test_merge_multi_key_and_alias_free_on(spark, tmp_path):
     assert (res.rows_updated, res.rows_inserted) == (1, 0)
     got = {(r.k, r.m, r.val) for r in ms.table("mrg_mk").collect()}
     assert got == {(1, 1, "A1"), (2, 1, "b"), (3, 2, "c")}
+
+
+def test_merge_sync_delete_mirrors_source(spark, tmp_path):
+    ms, path = _setup(spark, tmp_path, name="sync_t")
+    # source: update 1, insert 9; keys 2 and 3 are ABSENT -> dropped
+    _df(spark, [(1, 9, "A"), (9, 9, "i")]) \
+        .createOrReplaceTempView("sync_src")
+    res = ms.sql(
+        "MERGE INTO sync_t USING sync_src ON sync_t.k = sync_src.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()[0]
+    assert (res.rows_updated, res.rows_inserted, res.rows_deleted) \
+        == (1, 1, 2)
+    got = {(r.k, r.m, r.val) for r in ms.table("sync_t").collect()}
+    assert got == {(1, 9, "A"), (9, 9, "i")}  # exact mirror
+    # pre-merge snapshot still readable
+    assert MuraTable.load(spark, path).read(version=1).count() == 3
+
+
+def test_merge_sync_delete_scans_whole_partitioned_target(spark,
+                                                          tmp_path):
+    # sync semantics need the WHOLE target: keys in partitions the
+    # source never mentions must still be dropped
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")],
+        "k long, m int, val string")
+    t = MuraTable.create(spark, str(tmp_path / "t"), df,
+                         partition_cols=["m"])
+    src = spark.createDataFrame([(1, 1, "A")],
+                                "k long, m int, val string")
+    stats = t.merge(src, key_cols=["k"], sync_delete=True)
+    assert (stats.updated, stats.deleted, stats.copied) == (1, 2, 0)
+    got = {(r.k, r.m, r.val) for r in t.read().collect()}
+    assert got == {(1, 1, "A")}
+
+
+def test_txn_idempotent_append_and_merge(spark, tmp_path):
+    t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, BASE))
+    v = t.append(_df(spark, [(10, 1, "x")]), txn=("job", 1))
+    assert v == 2 and t.row_count() == 4
+    # blind replay of the same app version: no-op, same version back
+    v = t.append(_df(spark, [(10, 1, "x")]), txn=("job", 1))
+    assert v == 2 and t.row_count() == 4
+    # next app version commits
+    v = t.append(_df(spark, [(11, 1, "y")]), txn=("job", 2))
+    assert v == 3 and t.row_count() == 5
+    # stale replay after progress: still skipped
+    assert t.append(_df(spark, [(10, 1, "x")]), txn=("job", 1)) == 3
+    # independent apps do not interfere
+    assert t.append(_df(spark, [(12, 1, "z")]), txn=("other", 1)) == 4
+    # merge honors the same guard
+    s = t.merge(_df(spark, [(99, 9, "m")]), key_cols=["k"],
+                txn=("job", 2))
+    assert (s.updated, s.inserted) == (0, 0) and t.row_count() == 6
+    s = t.merge(_df(spark, [(99, 9, "m")]), key_cols=["k"],
+                txn=("job", 3))
+    assert s.inserted == 1 and t.row_count() == 7
+    # the high-water mark survives unrelated commits (compact)
+    t.compact()
+    assert t.append(_df(spark, [(10, 1, "x")]),
+                    txn=("job", 3)) == t._manifest()["version"]
+    assert t.row_count() == 7
