@@ -137,6 +137,7 @@ class MuraSession:
         rewritten = re.sub(r"(?i)\bSTORED\s+AS\s+PARQUET\b",
                            "USING parquet", rewritten)
         rewritten = self._rewrite_time_travel(rewritten)
+        rewritten = self._rewrite_table_changes(rewritten)
         return self.spark.sql(rewritten)
 
     _TT_RE = re.compile(
@@ -169,6 +170,32 @@ class MuraSession:
             return view
 
         return self._TT_RE.sub(sub, query)
+
+    _TC_RE = re.compile(
+        r"(?is)\btable_changes\s*\(\s*'([\w]+)'\s*,\s*(\d+)"
+        r"(?:\s*,\s*(\d+))?\s*\)")
+
+    def _rewrite_table_changes(self, query: str) -> str:
+        """Delta's CDF table-valued function: ``table_changes('t',
+        from[, to])`` over a registered mura table becomes a temp view
+        of :meth:`MuraTable.changes_feed` (row-level _change_type /
+        _commit_version), composing with arbitrary SQL. Non-mura names
+        are left for Spark to reject."""
+        from mura_spark.sources.table_format import MuraTable
+
+        def sub(m: "re.Match[str]") -> str:
+            name, lo, hi = m.group(1), int(m.group(2)), m.group(3)
+            info = self.catalog._tables.get(name) \
+                or self.catalog._tables.get(name.lower())
+            if info is None or info.file_type != "mura":
+                return m.group(0)
+            t = MuraTable.load(self.spark, info.location)
+            view = f"{name}__changes_{lo}_{hi or 'latest'}"
+            t.changes_feed(lo, int(hi) if hi else None) \
+             .createOrReplaceTempView(view)
+            return view
+
+        return self._TC_RE.sub(sub, query)
 
     _DELETE_RE = re.compile(
         r"(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)"

@@ -52,6 +52,7 @@ from mura_spark.sources.merge import MergeStats
 
 _LOG_DIR = "_mura_log"
 _DATA_DIR = "_data"
+_CDF_DIR = "_cdf"
 _TAG_DIR = "_mura_tags"
 _V_RE = re.compile(r"^v(\d{8})\.json$")
 
@@ -229,7 +230,8 @@ class MuraTable:
     #: per-commit bookkeeping like action/meta/stream_batches/predicate)
     _SNAPSHOT_KEYS = ("partition_cols", "schema", "stats_cols", "stats",
                       "rows", "files", "bloom_cols", "bloom_bits",
-                      "bloom_k", "blooms", "constraints", "txns")
+                      "bloom_k", "blooms", "constraints", "txns",
+                      "cdf")
 
     def _txn_guard(self, prev: dict,
                    txn: tuple[str, int] | None) -> tuple[bool, dict]:
@@ -306,13 +308,114 @@ class MuraTable:
         try:
             self._commit(version, manifest)
         except CommitConflict:
-            pending = getattr(self, "_pending_commit_dir", None)
-            if pending and os.path.isdir(pending):
-                import shutil
-                shutil.rmtree(pending, ignore_errors=True)
+            import shutil
+            for attr in ("_pending_commit_dir", "_pending_cdf_dir"):
+                pending = getattr(self, attr, None)
+                if pending and os.path.isdir(pending):
+                    shutil.rmtree(pending, ignore_errors=True)
             raise
         finally:
             self._pending_commit_dir = None
+            self._pending_cdf_dir = None
+
+    # ------------------------------------------------------------- cdf
+
+    def _write_cdf(self, df: DataFrame) -> list[str]:
+        """Write a commit's row-level change frame (``_change_type``
+        column included) under ``_cdf/<commit>/``; returns
+        table-relative paths for the manifest's ``cdf_files`` key.
+        CDF files are sidecars: never listed as table data, GC'd by
+        vacuum with the manifests that reference them."""
+        commit_dir = os.path.join(self.path, _CDF_DIR, uuid.uuid4().hex)
+        df.write.mode("error").parquet(commit_dir)
+        self._pending_cdf_dir = commit_dir
+        return [os.path.relpath(p, self.path)
+                for p in _list_part_files(commit_dir)]
+
+    def changes_feed(self, since_version: int,
+                     version: int | None = None) -> DataFrame:
+        """Row-level Change Data Feed (the Delta CDF contract): every
+        row change in ``(since_version, version]`` with
+        ``_change_type`` (insert | update_preimage | update_postimage
+        | delete) and ``_commit_version`` columns — the incremental
+        surface that, unlike :meth:`changes` (file-level, replays
+        rewritten copies), lets a consumer apply EXACT row deltas.
+
+        Insert-only commits (create/append/stream_append) derive their
+        feed from the manifest file diff — no sidecar cost. DML commits
+        (merge/delete/update) read the row-level sidecar written when
+        the table has ``cdf=True`` (create flag or :meth:`set_cdf`);
+        a DML commit made while CDF was off fails the read loudly.
+        Compaction and metadata-only commits change no rows and
+        contribute nothing. ``overwrite``/``restore`` are whole-table
+        replacements — express them as delete+insert yourself from two
+        time-travel reads; the feed refuses them."""
+        from pyspark.sql.types import StructType
+        to_v = version if version is not None \
+            else self._manifest()["version"]
+        out = None
+        prev_files: set = set()
+        for v in range(max(since_version, 1), to_v + 1):
+            m = self._manifest(v)  # raises if vacuumed away
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if v == since_version:
+                prev_files = set(m["files"])
+                continue
+            action = m["action"]
+            frame = None
+            if action in ("create", "append", "stream_append"):
+                new = [f for f in m["files"] if f not in prev_files]
+                frame = (self._read_files(new, m["schema"])
+                         .withColumn("_change_type", F.lit("insert")))
+            elif action in ("merge", "delete", "update"):
+                if "cdf_files" not in m:
+                    raise ValueError(
+                        f"version {v} ({action}) has no row-level CDF "
+                        f"sidecar — it was committed while cdf=False; "
+                        f"enable with set_cdf(True) (or create(..., "
+                        f"cdf=True)) before DML you want to feed")
+                if m["cdf_files"]:
+                    raw = self.spark.read.parquet(
+                        *[os.path.join(self.path, f)
+                          for f in m["cdf_files"]])
+                    frame = raw.select(
+                        *[F.col(f.name).cast(f.dataType).alias(f.name)
+                          for f in schema.fields], "_change_type")
+            elif action in ("overwrite", "restore"):
+                raise ValueError(
+                    f"version {v} is a whole-table {action} — the row "
+                    f"feed refuses it; diff the two snapshots with "
+                    f"time-travel reads instead")
+            # compact / metadata-only commits: no row changes
+            prev_files = set(m["files"])
+            if frame is not None:
+                frame = frame.withColumn("_commit_version",
+                                         F.lit(v).cast("long"))
+                out = frame if out is None else out.unionByName(frame)
+        if out is None:
+            m = self._manifest(to_v)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            empty = StructType(schema.fields)
+            df = self.spark.createDataFrame([], empty)
+            return (df.withColumn("_change_type", F.lit(""))
+                      .withColumn("_commit_version",
+                                  F.lit(0).cast("long")).limit(0))
+        return out
+
+    def set_cdf(self, enabled: bool) -> int:
+        """Toggle row-level CDF sidecar writing for FUTURE DML commits
+        (metadata-only commit). Insert feeds work regardless (derived
+        from manifest diffs); the sidecar is only needed for
+        merge/delete/update."""
+        v, prev = self._next_version()
+        m = {**self._snapshot_fields(prev), "version": v,
+             "action": "set_cdf"}
+        if enabled:
+            m["cdf"] = True
+        else:
+            m.pop("cdf", None)
+        self._commit(v, m)
+        return v
 
     # ------------------------------------------------------- lifecycle
 
@@ -322,6 +425,7 @@ class MuraTable:
                stats_cols: list[str] | None = None,
                bloom_cols: list[str] | None = None,
                constraints: dict | None = None,
+               cdf: bool = False,
                meta: dict | None = None) -> "MuraTable":
         """First commit (version 1) of a new table. ``stats_cols``
         picks the columns whose per-file min/max the manifests track
@@ -331,7 +435,9 @@ class MuraTable:
         :meth:`read`'s ``lookup`` equality pruning; every subsequent
         commit maintains them for its new files. ``constraints``
         (``{name: sql_expr}``) are CHECK constraints every commit
-        enforces in-plan (see :meth:`add_constraint`)."""
+        enforces in-plan (see :meth:`add_constraint`). ``cdf=True``
+        makes DML commits write row-level change sidecars for
+        :meth:`changes_feed`."""
         t = cls(spark, path)
         if t._versions():
             raise FileExistsError(f"MuraTable already exists at {path}")
@@ -357,6 +463,7 @@ class MuraTable:
                       **bloom_fields,
                       **({"constraints": constraints}
                          if constraints else {}),
+                      **({"cdf": True} if cdf else {}),
                       **({"meta": meta} if meta is not None else {}),
                       "files": files})
         return t
@@ -580,7 +687,7 @@ class MuraTable:
         rows = {**prev.get("rows", {}), **new_rows}
         self._commit_new(v, {"version": v, "action": "append",
                          **txns,
-                         **self._carry(prev, "constraints"),
+                         **self._carry(prev, "constraints", "cdf"),
                          "partition_cols": prev["partition_cols"],
                          "schema": schema,
                          "stats_cols": scols, "stats": stats,
@@ -606,7 +713,7 @@ class MuraTable:
         stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "overwrite",
                          **txns,
-                         **self._carry(prev, "constraints"),
+                         **self._carry(prev, "constraints", "cdf"),
                          "partition_cols": prev["partition_cols"],
                          "schema": df.schema.json(),
                          "stats_cols": scols,
@@ -717,7 +824,11 @@ class MuraTable:
             else status.isin("matched", "insert")
         out_cols = [F.when(take_source, F.col(f"s.{c}"))
                      .otherwise(F.col(f"t.{c}")).alias(c) for c in cols]
-        merged = j.select(*out_cols, status.alias("__status"))
+        cdf_on = bool(prev.get("cdf"))
+        pre_cols = [F.col(f"t.{c}").alias(f"__pre_{c}")
+                    for c in cols] if cdf_on else []
+        merged = j.select(*out_cols, *pre_cols,
+                          status.alias("__status"))
         # COW writes only NEW files, so no materialization barrier is
         # needed — the read plan's files are never touched. Cache for
         # the two passes (counts + write) instead.
@@ -725,6 +836,38 @@ class MuraTable:
         counts = {r["__status"]: r["n"] for r in
                   merged.groupBy("__status").agg(F.count("*").alias("n"))
                         .collect()}
+        cdf_fields = {}
+        if cdf_on:
+            pre = [F.col(f"__pre_{c}").alias(c) for c in cols]
+            post = [F.col(c) for c in cols]
+            st = F.col("__status")
+            frames = []
+            matched = merged.where(st == "matched")
+            if when_matched == "update":
+                frames += [
+                    matched.select(*pre).withColumn(
+                        "_change_type", F.lit("update_preimage")),
+                    matched.select(*post).withColumn(
+                        "_change_type", F.lit("update_postimage"))]
+            elif when_matched == "delete":
+                frames.append(matched.select(*pre).withColumn(
+                    "_change_type", F.lit("delete")))
+            if insert_not_matched:
+                frames.append(
+                    merged.where(st == "insert").select(*post)
+                          .withColumn("_change_type", F.lit("insert")))
+            if sync_delete:
+                # copy rows took the target side, so post == preimage
+                frames.append(
+                    merged.where(st == "copy").select(*post)
+                          .withColumn("_change_type", F.lit("delete")))
+            if frames:
+                cdf = frames[0]
+                for fr in frames[1:]:
+                    cdf = cdf.unionByName(fr)
+                cdf_fields = {"cdf_files": self._write_cdf(cdf)}
+            else:
+                cdf_fields = {"cdf_files": []}
         final = merged
         if when_matched == "delete":
             final = final.where(F.col("__status") != "matched")
@@ -732,7 +875,9 @@ class MuraTable:
             final = final.where(F.col("__status") != "insert")
         if sync_delete:
             final = final.where(F.col("__status") != "copy")
-        new_files = self._write_data(final.drop("__status"),
+        drop = ["__status"] + [f"__pre_{c}" for c in cols] \
+            if cdf_on else ["__status"]
+        new_files = self._write_data(final.drop(*drop),
                                      pcols or None,
                                      prev.get("constraints"))
         scols = prev.get("stats_cols", [])
@@ -746,7 +891,8 @@ class MuraTable:
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": "merge",
                          **txns,
-                         **self._carry(prev, "constraints"),
+                         **self._carry(prev, "constraints", "cdf"),
+                         **cdf_fields,
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
                          "stats_cols": scols, "stats": stats,
@@ -860,6 +1006,20 @@ class MuraTable:
         sub = self._read_files(sorted(touched), prev["schema"])
         n_matched = sub.where(pred).count()
         out = transform(sub, pred)
+        cdf_fields = {}
+        if prev.get("cdf"):
+            matched = sub.where(F.coalesce(pred, F.lit(False)))
+            if action == "delete":
+                cdf = matched.withColumn("_change_type",
+                                         F.lit("delete"))
+            else:
+                cdf = (matched.withColumn("_change_type",
+                                          F.lit("update_preimage"))
+                       .unionByName(
+                           transform(matched, pred)
+                           .withColumn("_change_type",
+                                       F.lit("update_postimage"))))
+            cdf_fields = {"cdf_files": self._write_cdf(cdf)}
         new_files = self._write_data(out, pcols or None,
                                      prev.get("constraints"))
         scols = prev.get("stats_cols", [])
@@ -871,7 +1031,9 @@ class MuraTable:
         stats.update(new_stats)
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": action,
-                         **self._carry(prev, "constraints", "txns"),
+                         **self._carry(prev, "constraints", "txns",
+                                       "cdf"),
+                         **cdf_fields,
                          "predicate": str(predicate),
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
@@ -958,7 +1120,8 @@ class MuraTable:
         scols = prev.get("stats_cols", [])
         stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "compact",
-                         **self._carry(prev, "constraints", "txns"),
+                         **self._carry(prev, "constraints", "txns",
+                                       "cdf"),
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
                          "stats_cols": scols,
@@ -977,7 +1140,7 @@ class MuraTable:
         old = self._manifest(version)
         self._commit(v, {"version": v, "action": "restore",
                          **self._carry(old, "constraints"),
-                         **self._carry(prev, "txns"),
+                         **self._carry(prev, "txns", "cdf"),
                          "restored_from": version,
                          "partition_cols": old["partition_cols"],
                          "schema": old.get("schema"),
@@ -1125,21 +1288,27 @@ class MuraTable:
         keep_v = sorted(set(versions[-retain_versions:]) | tagged)
         referenced = set()
         for v in keep_v:
-            referenced.update(self._manifest(v)["files"])
+            m = self._manifest(v)
+            referenced.update(m["files"])
+            referenced.update(m.get("cdf_files", []))
         deleted = 0
-        data_root = os.path.join(self.path, _DATA_DIR)
-        for root, _dirs, files in os.walk(data_root):
-            for f in files:
-                full = os.path.join(root, f)
-                if f.endswith(".parquet") and \
-                        os.path.relpath(full, self.path) not in referenced:
-                    os.unlink(full)
-                    deleted += 1
+        for sub in (_DATA_DIR, _CDF_DIR):
+            root_dir = os.path.join(self.path, sub)
+            for root, _dirs, files in os.walk(root_dir):
+                for f in files:
+                    full = os.path.join(root, f)
+                    if f.endswith(".parquet") and \
+                            os.path.relpath(full, self.path) \
+                            not in referenced:
+                        os.unlink(full)
+                        deleted += 1
         for v in versions:
             if v not in keep_v:
                 os.unlink(os.path.join(self.log_dir, f"v{v:08d}.json"))
         # prune empty commit dirs so directory listings stay bounded
-        for root, dirs, files in os.walk(data_root, topdown=False):
-            if not dirs and not files and root != data_root:
-                os.rmdir(root)
+        for sub in (_DATA_DIR, _CDF_DIR):
+            root_dir = os.path.join(self.path, sub)
+            for root, dirs, files in os.walk(root_dir, topdown=False):
+                if not dirs and not files and root != root_dir:
+                    os.rmdir(root)
         return deleted

@@ -1,0 +1,141 @@
+"""Row-level Change Data Feed (MuraTable.changes_feed): the Delta CDF
+contract — _change_type insert/update_preimage/update_postimage/delete
++ _commit_version per row, derived free for insert-only commits and
+from DML sidecars when cdf=True. Unlike changes() (file-level, replays
+rewritten copies), the feed is EXACT row deltas."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mura_spark.sources.table_format import MuraTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, m int, val string")
+
+
+BASE = [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")]
+
+
+def _feed(t, since, version=None):
+    return sorted(
+        (r._commit_version, r._change_type, r.k, r.m, r.val)
+        for r in t.changes_feed(since, version).collect())
+
+
+def test_insert_feed_from_manifest_diffs(spark, tmp_path):
+    t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, BASE))
+    t.append(_df(spark, [(4, 2, "d")]))
+    # from 0: the create itself feeds as inserts
+    assert _feed(t, 0) == [
+        (1, "insert", 1, 1, "a"), (1, "insert", 2, 1, "b"),
+        (1, "insert", 3, 2, "c"), (2, "insert", 4, 2, "d")]
+    # from 1: only the append
+    assert _feed(t, 1) == [(2, "insert", 4, 2, "d")]
+    # bounded range
+    assert _feed(t, 1, version=1) == []
+
+
+def test_dml_feed_has_pre_and_post_images(spark, tmp_path):
+    t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, BASE),
+                         cdf=True)
+    t.update_where("k = 1", {"val": F.lit("A")})
+    t.delete_where("k = 3")
+    assert _feed(t, 1) == [
+        (2, "update_postimage", 1, 1, "A"),
+        (2, "update_preimage", 1, 1, "a"),
+        (3, "delete", 3, 2, "c")]
+
+
+def test_merge_feed_covers_all_clauses(spark, tmp_path):
+    t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, BASE),
+                         cdf=True)
+    # upsert: update 2, insert 9, sync-delete 1 and 3
+    t.merge(_df(spark, [(2, 9, "B"), (9, 9, "i")]), key_cols=["k"],
+            sync_delete=True)
+    assert _feed(t, 1) == [
+        (2, "delete", 1, 1, "a"),
+        (2, "delete", 3, 2, "c"),
+        (2, "insert", 9, 9, "i"),
+        (2, "update_postimage", 2, 9, "B"),
+        (2, "update_preimage", 2, 1, "b")]
+    # replaying the feed onto version 1 reproduces version 2 exactly
+    v1 = {(r.k, r.m, r.val) for r in t.read(version=1).collect()}
+    feed = t.changes_feed(1).collect()
+    for r in feed:
+        if r._change_type in ("delete", "update_preimage"):
+            v1.discard((r.k, r.m, r.val))
+        if r._change_type in ("insert", "update_postimage"):
+            v1.add((r.k, r.m, r.val))
+    assert v1 == {(r.k, r.m, r.val) for r in t.read().collect()}
+
+
+def test_feed_refuses_without_sidecar_and_for_overwrite(spark,
+                                                        tmp_path):
+    t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, BASE))
+    t.delete_where("k = 1")  # cdf off: no sidecar
+    with pytest.raises(ValueError, match="no row-level CDF sidecar"):
+        t.changes_feed(1).collect()
+    t.set_cdf(True)
+    t.delete_where("k = 2")  # now recorded
+    assert _feed(t, 3) == [(4, "delete", 2, 1, "b")]
+    t.overwrite(_df(spark, [(9, 9, "z")]))
+    with pytest.raises(ValueError, match="whole-table overwrite"):
+        t.changes_feed(3, version=5)
+    # compact contributes nothing (rows unchanged)
+    t2 = MuraTable.create(spark, str(tmp_path / "t2"), _df(spark, BASE),
+                          cdf=True)
+    t2.compact()
+    assert _feed(t2, 1) == []
+
+
+def test_vacuum_gcs_unreferenced_cdf_sidecars(spark, tmp_path):
+    import glob
+    import os
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _df(spark, BASE), cdf=True)
+    t.update_where("k = 1", {"val": F.lit("A")})
+    t.append(_df(spark, [(4, 2, "d")]))
+    t.append(_df(spark, [(5, 2, "e")]))
+    assert glob.glob(os.path.join(path, "_cdf", "*", "*.parquet"))
+    t.vacuum(retain_versions=2)
+    # v2's sidecar is outside the retention window: gone
+    assert not glob.glob(os.path.join(path, "_cdf", "*", "*.parquet"))
+    # retained sidecars survive a vacuum that keeps their version
+    t.update_where("k = 4", {"val": F.lit("D")})
+    t.vacuum(retain_versions=2)
+    assert glob.glob(os.path.join(path, "_cdf", "*", "*.parquet"))
+    assert _feed(t, 4) == [
+        (5, "update_postimage", 4, 2, "D"),
+        (5, "update_preimage", 4, 2, "d")]
+
+
+def test_cdf_flag_survives_commits_and_streaming(spark, tmp_path):
+    t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, BASE),
+                         cdf=True)
+    t.append(_df(spark, [(4, 2, "d")]))
+    t.compact()
+    t.restore(2)
+    assert t._manifest().get("cdf") is True
+    t.set_cdf(False)
+    assert "cdf" not in t._manifest()
+
+
+def test_sql_table_changes_tvf(spark, tmp_path):
+    from mura_spark.session import MuraSession
+    ms = MuraSession(spark)
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _df(spark, BASE), cdf=True)
+    t.update_where("k = 2", {"val": F.lit("B")})
+    ms.create_external_table("cdf_t", path, file_type="mura")
+    rows = ms.sql(
+        "SELECT _change_type, k, val FROM table_changes('cdf_t', 1) "
+        "ORDER BY _change_type").collect()
+    assert [(r._change_type, r.k, r.val) for r in rows] == [
+        ("update_postimage", 2, "B"), ("update_preimage", 2, "b")]
+    # composes with aggregation SQL
+    n = ms.sql("SELECT count(*) AS n FROM table_changes('cdf_t', 0) "
+               "WHERE _change_type = 'insert'").collect()[0].n
+    assert n == 3
