@@ -143,15 +143,27 @@ def build_blooms(spark, table_path: str, files: list[str],
         sel = df.select(F.input_file_name().alias("__f"), *cols)
 
         def gen(it, cols=cols, m_bits=m_bits, k=k):
+            # OR-merge across the WHOLE task before emitting, so the
+            # driver collects (#tasks x cols) bitmaps, not one per
+            # Arrow batch — a task covers one file (or a slice of
+            # one), so the accumulator holds a handful of 16 KiB
+            # arrays regardless of row count
+            acc: dict[tuple[str, str], np.ndarray] = {}
             for pdf in it:
-                fs, cs, bs = [], [], []
                 for f, sub in pdf.groupby("__f", sort=False):
                     for c in cols:
                         vals = sub[c].dropna().unique()
-                        fs.append(f)
-                        cs.append(c)
-                        bs.append(bitmap_of(vals, m_bits, k).tobytes())
-                yield pd.DataFrame({"f": fs, "c": cs, "bits": bs})
+                        bm = bitmap_of(vals, m_bits, k)
+                        key = (f, c)
+                        if key in acc:
+                            acc[key] = np.bitwise_or(acc[key], bm)
+                        else:
+                            acc[key] = bm
+            if acc:
+                yield pd.DataFrame(
+                    {"f": [f for f, _c in acc],
+                     "c": [c for _f, c in acc],
+                     "bits": [bm.tobytes() for bm in acc.values()]})
 
         for row in sel.mapInPandas(
                 gen, schema="f string, c string, bits binary").collect():
