@@ -90,9 +90,15 @@ def _typed_partition_value(raw: str | None, dtype):
 
 
 class _FilesPartition(InputPartition):
-    def __init__(self, file_path: str, part_vals: dict):
+    def __init__(self, file_path: str, part_vals: dict,
+                 ctype: str | None = None, version: int | None = None):
         self.file_path = file_path
         self.part_vals = part_vals  # col -> raw string (hive-decoded)
+        # CDF planning: constant _change_type for insert-derived files
+        # (None = the file itself carries the column, i.e. a DML
+        # sidecar) and the _commit_version stamp
+        self.ctype = ctype
+        self.version = version
 
 
 def _plan_partitions(table_path: str, files: list[str],
@@ -104,6 +110,52 @@ def _plan_partitions(table_path: str, files: list[str],
         out.append(_FilesPartition(os.path.join(table_path, rel), vals))
     # Spark's plugin API requires >= 1 partition per (micro-)batch;
     # an empty diff still plans one no-op task
+    return out or [_FilesPartition("", {})]
+
+
+_INSERT_ACTIONS = ("create", "append", "stream_append")
+
+
+def _plan_cdf_partitions(table_path: str, sv: int,
+                         ev: int) -> list[InputPartition]:
+    """Plan ``(sv, ev]`` as row-level CDF partitions (the planning twin
+    of MuraTable.changes_feed): insert-derived commits plan their new
+    data files with a constant _change_type; DML commits plan their
+    _cdf/ sidecar files (which carry the column); whole-table
+    overwrite/restore refuse; compaction and metadata commits plan
+    nothing. Driver-side cost is manifest reads only."""
+    out: list[InputPartition] = []
+    prev_files = set(_load_manifest(table_path, sv)["files"]) \
+        if sv >= 1 else set()
+    for v in range(sv + 1 if sv >= 1 else 1, ev + 1):
+        m = _load_manifest(table_path, v)
+        action = m["action"]
+        pcols = m["partition_cols"] or []
+        if action in _INSERT_ACTIONS:
+            for rel in m["files"]:
+                if rel in prev_files:
+                    continue
+                vals = dict(zip(pcols,
+                                tf._partition_values(rel, pcols))) \
+                    if pcols else {}
+                out.append(_FilesPartition(
+                    os.path.join(table_path, rel), vals,
+                    ctype="insert", version=v))
+        elif action in ("merge", "delete", "update"):
+            if "cdf_files" not in m:
+                raise ValueError(
+                    f"version {v} ({action}) has no row-level CDF "
+                    f"sidecar — it was committed while cdf=False")
+            for rel in m["cdf_files"]:
+                out.append(_FilesPartition(
+                    os.path.join(table_path, rel), {},
+                    ctype=None, version=v))
+        elif action in ("overwrite", "restore"):
+            raise ValueError(
+                f"version {v} is a whole-table {action} — the change "
+                f"feed refuses it; restart the stream from a later "
+                f"startingVersion")
+        prev_files = set(m["files"])
     return out or [_FilesPartition("", {})]
 
 
@@ -121,9 +173,15 @@ def _read_partition(partition, schema: StructType):
     tbl = pq.read_table(partition.file_path)
     n = tbl.num_rows
     arrays = []
+    version = getattr(partition, "version", None)
+    ctype = getattr(partition, "ctype", None)
     for f in schema.fields:
         at = to_arrow_type(f.dataType)
-        if f.name in partition.part_vals:
+        if f.name == "_commit_version" and version is not None:
+            arrays.append(pa.array([version] * n, type=at))
+        elif f.name == "_change_type" and ctype is not None:
+            arrays.append(pa.array([ctype] * n, type=at))
+        elif f.name in partition.part_vals:
             v = _typed_partition_value(partition.part_vals[f.name],
                                        f.dataType)
             arrays.append(pa.array([v] * n, type=at))
@@ -134,10 +192,16 @@ def _read_partition(partition, schema: StructType):
     yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
 
 
+def _cdf_requested(options) -> bool:
+    return str(options.get("readchangefeed", "")).lower() \
+        in ("true", "1")
+
+
 class _TableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.path = options["path"]
+        self.cdf = _cdf_requested(options)
 
     def initialOffset(self) -> dict:
         # version 0 = nothing consumed; the first batch carries the
@@ -149,6 +213,8 @@ class _TableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         sv, ev = start["version"], end["version"]
+        if self.cdf:
+            return _plan_cdf_partitions(self.path, sv, ev)
         base = set(_load_manifest(self.path, sv)["files"]) if sv else set()
         m = _load_manifest(self.path, ev)
         new = [f for f in m["files"] if f not in base]
@@ -167,8 +233,15 @@ class _TableBatchReader(DataSourceReader):
         self.path = options["path"]
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        self.cdf = _cdf_requested(options)
+        self.starting = int(options.get("startingversion", 0))
+        ev = options.get("endingversion")
+        self.ending = int(ev) if ev is not None else None
 
     def partitions(self):
+        if self.cdf:
+            ev = self.ending or _latest_version(self.path)
+            return _plan_cdf_partitions(self.path, self.starting, ev)
         v = self.version or _latest_version(self.path)
         m = _load_manifest(self.path, v)
         return _plan_partitions(self.path, m["files"],
@@ -180,16 +253,31 @@ class _TableBatchReader(DataSourceReader):
 
 class MuraTableDataSource(DataSource):
     """``format("mura_table")``: batch snapshot / time travel reads and
-    a version-offset streaming tail of a MuraTable."""
+    a version-offset streaming tail of a MuraTable.
+
+    ``option("readChangeFeed", "true")`` (Delta's spelling) switches
+    BOTH the batch reader (``startingVersion``/``endingVersion``
+    options) and the stream reader to the row-level Change Data Feed:
+    rows gain ``_change_type`` / ``_commit_version``, insert commits
+    plan their data files directly, DML commits plan their ``_cdf/``
+    sidecars — a downstream job can maintain an exact incremental
+    mirror (apply deletes/preimages as removals, inserts/postimages as
+    upserts) instead of reprocessing rewritten files."""
 
     @classmethod
     def name(cls):
         return "mura_table"
 
     def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField
         path = self.options["path"]
         m = _load_manifest(path, _latest_version(path))
-        return StructType.fromJson(json.loads(m["schema"]))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if _cdf_requested(self.options):
+            schema = StructType(schema.fields + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False)])
+        return schema
 
     def reader(self, schema):
         return _TableBatchReader(schema, self.options)
