@@ -13,12 +13,22 @@ partials union losslessly), kept current by :meth:`refresh`:
   and upserts via the view table's partition-pruned COW merge. A day's
   ingest into a 100 TB table refreshes the rollup at the cost of the
   day's files, never the table.
-- **Loud fallback otherwise**: any non-append source commit in the
-  unprocessed range (merge / overwrite / compact / restore — their
-  ``changes()`` frames contain rewritten copies, which would double-count)
-  or a vacuumed-away baseline manifest downgrades that refresh to a full
-  recompute of the source snapshot. The refresh result says which mode
-  ran; correctness never depends on the fast path applying.
+- **O(changed rows) under DML too, when retraction is possible**: a
+  range containing merge/delete/update/compact commits refreshes from
+  the source's row-level Change Data Feed — inserts/postimages add,
+  deletes/preimages SUBTRACT — provided every aggregate is
+  subtractable (sum/count; min/max/approx_distinct cannot retract a
+  departed extremum) and the source recorded CDF sidecars. A hidden
+  ``__n`` row-count partial marks groups whose rows are all gone;
+  ``read()`` filters them, so the view equals a from-scratch rebuild.
+- **Loud fallback otherwise**: whole-table source commits
+  (overwrite/restore), non-subtractable aggregates under DML, DML
+  committed while the source had ``cdf=False``, or a vacuumed-away
+  baseline manifest downgrade that refresh to a full recompute of the
+  source snapshot. Metadata-only source commits (constraints, bloom
+  retrofits) change no rows and never break the fast path. The refresh
+  result says which mode ran; correctness never depends on the fast
+  path applying.
 - **Exactly-once by construction**: the new source watermark rides the
   SAME manifest commit as the refreshed data (``meta`` commit metadata,
   the Delta userMetadata pattern). A crash before the commit leaves the
@@ -72,6 +82,15 @@ _AGG_COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
 #: source manifest actions whose changes() frames are pure inserts
 _APPEND_ACTIONS = {"create", "append", "stream_append"}
 
+#: metadata-only actions: the file set is untouched, so a changes()
+#: diff across them is empty and the append fast path stays valid
+_META_ACTIONS = {"add_constraint", "drop_constraint", "set_bloom_cols",
+                 "set_cdf"}
+
+#: actions whose row deltas the CDF expresses exactly (compact feeds
+#: nothing — rows unchanged; DML feeds pre/post images + deletes)
+_ROW_DELTA_ACTIONS = {"merge", "delete", "update", "compact"}
+
 
 @dataclass(frozen=True)
 class RefreshResult:
@@ -111,11 +130,40 @@ class IncrementalAggView:
     @staticmethod
     def _check_aggs(aggs: dict) -> None:
         for out, (kind, _col) in aggs.items():
+            if out.startswith("__"):
+                raise ValueError(
+                    f"aggregate name {out!r} is reserved (double "
+                    f"underscore prefix is maintainer-internal)")
             if kind not in _AGG_INIT:
                 raise ValueError(
                     f"aggregate {out!r}: kind {kind!r} is not mergeable "
                     f"(supported: {sorted(_AGG_INIT)}; express avg as "
                     f"sum+count and divide at read time)")
+
+    @staticmethod
+    def _aggregate_feed(feed: DataFrame, keys: list[str],
+                        aggs: dict) -> DataFrame:
+        """SIGNED partial aggregation of a row-level change feed:
+        inserts/postimages contribute +, deletes/preimages contribute
+        -, so summing the partials into the view applies exact row
+        deltas. Only sum and count are subtractable (min/max/HLL are
+        not — a deleted extremum cannot be retracted from a partial);
+        the caller gates on that."""
+        sign_pos = F.col("_change_type").isin("insert",
+                                              "update_postimage")
+        exprs = []
+        for out, (kind, col) in aggs.items():
+            if kind == "sum":
+                exprs.append(F.sum(F.when(sign_pos, F.col(col))
+                                    .otherwise(-F.col(col)))
+                             .alias(out))
+            elif kind == "count":
+                exprs.append(F.sum(F.when(sign_pos, F.lit(1))
+                                    .otherwise(F.lit(-1)))
+                             .alias(out))
+            else:  # pragma: no cover - gated by the caller
+                raise AssertionError(f"{kind} is not subtractable")
+        return feed.groupBy(*keys).agg(*exprs)
 
     @staticmethod
     def _aggregate(df: DataFrame, keys: list[str], aggs: dict,
@@ -151,6 +199,10 @@ class IncrementalAggView:
         cls._check_aggs(aggs)
         if partition_cols and not set(partition_cols) <= set(keys):
             raise ValueError("partition_cols must be a subset of keys")
+        # hidden row-count partial: lets read() drop groups whose rows
+        # have all been deleted (the CDF fast path never removes view
+        # rows, it zeroes them) and gates that fast path's availability
+        aggs = {**aggs, "__n": ("count", keys[0])}
         src_version = source._manifest()["version"]
         df = cls._aggregate(source.read(version=src_version), keys,
                             aggs, _AGG_INIT)
@@ -181,6 +233,10 @@ class IncrementalAggView:
         df = self.table.read(version=version)
         if raw:
             return df
+        if "__n" in df.columns:
+            # zeroed groups are DELETED groups (the CDF fast path
+            # retracts contributions but never removes rows)
+            df = df.where(F.col("__n") > 0).drop("__n")
         aggs = {k: tuple(v) for k, v in self._state()["aggs"].items()}
         sketchy = [out for out, (kind, _c) in aggs.items()
                    if kind == "approx_distinct"]
@@ -221,19 +277,41 @@ class IncrementalAggView:
             return RefreshResult("noop", here, there)
         new_meta = {_META_KEY: {**state, "source_version": there}}
 
-        reason = ""
+        reason, use_feed = "", False
         try:
             actions = [source._manifest(v)["action"]
                        for v in range(here + 1, there + 1)]
-            bad = [a for a in actions if a not in _APPEND_ACTIONS]
-            if bad:
-                reason = (f"non-append source commit(s) {sorted(set(bad))} "
-                          f"in ({here}, {there}]")
+            extra = [a for a in actions
+                     if a not in _APPEND_ACTIONS | _META_ACTIONS]
+            if extra:
+                subtractable = all(
+                    kind in ("sum", "count")
+                    for kind, _c in aggs.values())
+                if not set(extra) <= _ROW_DELTA_ACTIONS:
+                    reason = (f"whole-table source commit(s) "
+                              f"{sorted(set(extra))} in "
+                              f"({here}, {there}]")
+                elif not (subtractable and "__n" in aggs):
+                    reason = (f"source commit(s) {sorted(set(extra))} "
+                              f"need row-delta retraction, but the "
+                              f"view holds non-subtractable "
+                              f"aggregates (min/max/approx_distinct)")
+                else:
+                    use_feed = True
             # changes() also needs the baseline manifest v{here} itself
             source._manifest(here)
         except ValueError:
             reason = (f"source history ({here}, {there}] partially "
                       f"vacuumed — manifest diff unavailable")
+
+        # the feed plan can itself refuse (DML committed while the
+        # source had cdf=False) — downgrade loudly, never guess
+        feed = None
+        if use_feed and not reason:
+            try:
+                feed = source.changes_feed(here, there)
+            except ValueError as e:
+                reason = str(e)
 
         if reason:
             full = self._aggregate(source.read(version=there), keys,
@@ -245,8 +323,9 @@ class IncrementalAggView:
         # estimates are a read-time presentation only
         view_now = self.read(raw=True)
         delta = self._cast_like(
-            self._aggregate(source.changes(here, there), keys, aggs,
-                            _AGG_INIT), view_now)
+            self._aggregate_feed(feed, keys, aggs) if use_feed
+            else self._aggregate(source.changes(here, there), keys,
+                                 aggs, _AGG_INIT), view_now)
         if not delta.limit(1).count():
             # zero-row delta (e.g. an empty append): still advance the
             # watermark — a commit with no new data files

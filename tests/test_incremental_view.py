@@ -107,7 +107,9 @@ def test_non_append_source_commit_forces_full_refresh(spark, tmp_path):
               insert_not_matched=False)
     r = view.refresh()
     assert r.mode == "full"
-    assert "non-append" in r.reason and "merge" in r.reason
+    # this view holds min/max, so the row-delta retraction path is
+    # unavailable and the merge must force a recompute
+    assert "merge" in r.reason and "non-subtractable" in r.reason
     _assert_matches(view, src)  # the deletion is reflected
 
 
@@ -329,3 +331,93 @@ def test_approx_distinct_is_mergeable_and_incremental(spark, tmp_path):
                     .alias("ndv_v")))
     want = {r.g: r.ndv_v for r in rebuild.collect()}
     assert got == want
+
+
+def test_dml_refresh_via_change_feed_equals_rebuild(spark, tmp_path):
+    # subtractable view (sum/count only) + cdf source: DML commits
+    # refresh at O(changed rows) — and the result equals a rebuild,
+    # including a group whose rows were ALL deleted disappearing
+    src = MuraTable.create(
+        spark, str(tmp_path / "s"),
+        spark.createDataFrame(
+            _rows(("a", 1, 10), ("a", 2, 20), ("b", 3, 5), ("c", 4, 7)),
+            "g string, k long, v long"),
+        cdf=True)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "v"), src, keys=["g"],
+        aggs={"n": ("count", "k"), "total": ("sum", "v")})
+    src.update_where("k = 1", {"v": F.lit(100)})       # a: 10 -> 100
+    src.delete_where("g = 'c'")                        # c: gone
+    src.merge(spark.createDataFrame(_rows(("b", 9, 1)),
+                                    "g string, k long, v long"),
+              key_cols=["g", "k"])                     # b: +1 row
+    r = view.refresh()
+    assert r.mode == "incremental"
+    got = {(row.g, row.n, row.total)
+           for row in view.read().collect()}
+    assert got == {("a", 2, 120), ("b", 2, 6)}  # c filtered out
+    # equals a from-scratch aggregate of the head snapshot
+    want = {(row.g, row.n, row.total) for row in
+            src.read().groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").alias("total")).collect()}
+    assert got == want
+
+
+def test_compact_in_range_stays_incremental(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "s"),
+               _rows(("a", 1, 10), ("b", 2, 7)), cdf=True)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "v"), src, keys=["g"],
+        aggs={"n": ("count", "k"), "total": ("sum", "v")})
+    src.append(spark.createDataFrame(_rows(("a", 5, 5)),
+                                     "g string, k long, v long"))
+    src.compact()  # rewrites files, changes no rows
+    r = view.refresh()
+    assert r.mode == "incremental"
+    got = {(row.g, row.n, row.total) for row in view.read().collect()}
+    assert got == {("a", 2, 15), ("b", 1, 7)}
+
+
+def test_metadata_commits_never_break_fast_path(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "s"),
+               _rows(("a", 1, 10)))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "v"), src, keys=["g"], aggs=AGGS)
+    src.add_constraint("v_pos", "v > 0")
+    src.append(spark.createDataFrame(_rows(("a", 2, 3)),
+                                     "g string, k long, v long"))
+    r = view.refresh()
+    assert r.mode == "incremental" and r.reason == ""
+    _assert_matches(view, src)
+
+
+def test_dml_with_nonsubtractable_aggs_falls_back_loudly(spark,
+                                                         tmp_path):
+    src = _src(spark, str(tmp_path / "s"),
+               _rows(("a", 1, 10), ("a", 2, 20)), cdf=True)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "v"), src, keys=["g"], aggs=AGGS)  # min/max
+    src.delete_where("k = 2")
+    r = view.refresh()
+    assert r.mode == "full" and "non-subtractable" in r.reason
+    _assert_matches(view, src)  # min recomputed correctly
+    # and DML without cdf sidecars also downgrades loudly
+    src2 = _src(spark, str(tmp_path / "s2"),
+                _rows(("a", 1, 10), ("a", 2, 20)))  # cdf OFF
+    view2 = IncrementalAggView.create(
+        spark, str(tmp_path / "v2"), src2, keys=["g"],
+        aggs={"n": ("count", "k"), "total": ("sum", "v")})
+    src2.delete_where("k = 2")
+    r = view2.refresh()
+    assert r.mode == "full" and "no row-level CDF sidecar" in r.reason
+    got = {(x.g, x.n, x.total) for x in view2.read().collect()}
+    assert got == {("a", 1, 10)}
+
+
+def test_reserved_agg_names_refused(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "s"), _rows(("a", 1, 10)))
+    with pytest.raises(ValueError, match="reserved"):
+        IncrementalAggView.create(spark, str(tmp_path / "v"), src,
+                                  keys=["g"],
+                                  aggs={"__n": ("count", "k")})
