@@ -487,3 +487,56 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
                         os.unlink(os.path.join(self.path, rel))
                     except OSError:
                         pass
+
+
+# ------------------------------------------------- CDC replication
+
+def replicate_changes(spark, source_path: str, target, keys: list[str],
+                      checkpoint: str, available_now: bool = True):
+    """APPLY CHANGES INTO (the Delta/DLT replication primitive): tail
+    ``source_path``'s row-level Change Data Feed and keep ``target``
+    (a :class:`MuraTable`) an exact key-wise mirror.
+
+    Per micro-batch: reduce the feed to the FINAL state per key
+    (newest ``_commit_version`` wins; update preimages drop), then
+    upsert the survivors and delete the keys whose final state is a
+    delete — two partition-pruned COW merges. The two commits are not
+    atomic, but restarts are exactly-once anyway: each merge carries an
+    idempotent ``txn`` mark keyed by (query, micro-batch), so a
+    redelivered batch (crash anywhere between the commits and the
+    checkpoint write) skips whatever already landed and applies only
+    what didn't.
+
+    Returns the started ``StreamingQuery`` (``available_now=True``
+    drains the backlog and stops — the batch-job replication shape;
+    ``False`` runs continuously)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def apply_batch(feed, batch_id: int) -> None:
+        final = (feed.where(F.col("_change_type") != "update_preimage")
+                 .withColumn("__rn", F.row_number().over(
+                     Window.partitionBy(*keys)
+                           .orderBy(F.col("_commit_version").desc())))
+                 .where(F.col("__rn") == 1).drop("__rn"))
+        final = final.localCheckpoint(eager=True)  # one pass upstream
+        ups = (final.where(F.col("_change_type") != "delete")
+               .drop("_change_type", "_commit_version"))
+        dels = (final.where(F.col("_change_type") == "delete")
+                .drop("_change_type", "_commit_version"))
+        if ups.limit(1).count():
+            target.merge(ups, key_cols=keys, when_matched="update",
+                         txn=(f"cdc-upsert:{checkpoint}", batch_id))
+        if dels.limit(1).count():
+            target.merge(dels, key_cols=keys, when_matched="delete",
+                         insert_not_matched=False,
+                         txn=(f"cdc-delete:{checkpoint}", batch_id))
+
+    reader = (spark.readStream.format("mura_table")
+              .option("path", source_path)
+              .option("readChangeFeed", "true").load())
+    writer = (reader.writeStream.foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

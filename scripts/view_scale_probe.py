@@ -84,10 +84,18 @@ def main() -> None:
              .withColumn("o_orderkey",
                          F.col("o_orderkey") + F.lit(10**12)))
 
+    # fixed-size DML: deletes land ONLY in the appended delta's key
+    # range, so footer-stats pruning bounds the COW rewrite and the
+    # CDF sidecar regardless of K
+    DML_PRED = (f"o_orderkey >= {10**12} "
+                f"AND o_orderkey < {10**12 + 5000}")
+    SUB_AGGS = {"n_orders": ("count", "o_orderkey"),
+                "total_price_sum": ("sum", "o_totalprice")}
+
     def one_point(k: int, root: str):
         shutil.rmtree(root, ignore_errors=True)
         src = MuraTable.create(spark, os.path.join(root, "src"),
-                               replicated(k))
+                               replicated(k), cdf=True)
         view = IncrementalAggView.create(
             spark, os.path.join(root, "view"), src,
             keys=["o_orderpriority"], aggs=AGGS)
@@ -100,24 +108,41 @@ def main() -> None:
         IncrementalAggView.create(spark, os.path.join(root, "rebuild"),
                                   src, keys=["o_orderpriority"],
                                   aggs=AGGS)
-        return dt_refresh, round(time.monotonic() - t0, 3)
+        dt_rebuild = round(time.monotonic() - t0, 3)
+        # DML law: a subtractable view refreshes a fixed-size DELETE
+        # through the row-level feed at flat cost as the table grows
+        view2 = IncrementalAggView.create(
+            spark, os.path.join(root, "view2"), src,
+            keys=["o_orderpriority"], aggs=SUB_AGGS)
+        src.delete_where(DML_PRED)
+        t0 = time.monotonic()
+        r2 = view2.refresh()
+        dt_dml = round(time.monotonic() - t0, 3)
+        assert r2.mode == "incremental" and not r2.reason, r2
+        return dt_refresh, dt_rebuild, dt_dml
 
     one_point(1, os.path.join(out_root, "warmup"))  # JVM/code warmup
 
-    refresh_s, rebuild_s = {}, {}
+    refresh_s, rebuild_s, dml_refresh_s = {}, {}, {}
     for k in SCALES:
-        refresh_s[k], rebuild_s[k] = one_point(
+        refresh_s[k], rebuild_s[k], dml_refresh_s[k] = one_point(
             k, os.path.join(out_root, f"k{k}"))
 
     kmin, kmax = SCALES[0], SCALES[-1]
     flat = refresh_s[kmax] <= 1.5 * refresh_s[kmin]
+    dml_flat = dml_refresh_s[kmax] <= 1.5 * dml_refresh_s[kmin]
     print(json.dumps({"probe": "view_scale", "ks": SCALES,
                       "refresh_s": refresh_s, "rebuild_s": rebuild_s,
+                      "dml_refresh_s": dml_refresh_s,
                       "refresh_growth":
                           round(refresh_s[kmax] / refresh_s[kmin], 3),
                       "rebuild_growth":
                           round(rebuild_s[kmax] / rebuild_s[kmin], 3),
-                      "flat_law_ok": flat}))
+                      "dml_refresh_growth":
+                          round(dml_refresh_s[kmax]
+                                / dml_refresh_s[kmin], 3),
+                      "flat_law_ok": flat,
+                      "dml_flat_law_ok": dml_flat}))
     shutil.rmtree(out_root, ignore_errors=True)
 
 

@@ -201,3 +201,36 @@ def test_streaming_change_feed_maintains_exact_mirror(spark, tmp_path):
     # and nothing was redelivered: one row per (version, type, key)
     seen = [(r._commit_version, r._change_type, r.k) for r in feed]
     assert len(seen) == len(set(seen))
+
+
+def test_replicate_changes_maintains_mirror(spark, tmp_path):
+    from mura_spark.sources.table_stream import (register,
+                                                 replicate_changes)
+    register(spark)
+    src_path = str(tmp_path / "src")
+    src = MuraTable.create(spark, src_path, _df(spark, BASE), cdf=True)
+    dst = MuraTable.create(spark, str(tmp_path / "dst"),
+                           _df(spark, []))
+    ckpt = str(tmp_path / "ckpt")
+
+    def sync():
+        replicate_changes(spark, src_path, dst, ["k"],
+                          ckpt).awaitTermination(120)
+
+    sync()
+    assert ({tuple(r) for r in dst.read().collect()}
+            == {tuple(r) for r in src.read().collect()})
+    # a mixed DML batch: update, delete, insert — and a key updated
+    # TWICE across versions (newest must win)
+    src.update_where("k = 1", {"val": F.lit("A1")})
+    src.update_where("k = 1", {"val": F.lit("A2")})
+    src.delete_where("k = 3")
+    src.append(_df(spark, [(4, 2, "d")]))
+    sync()
+    assert ({tuple(r) for r in dst.read().collect()}
+            == {(1, 1, "A2"), (2, 1, "b"), (4, 2, "d")})
+    # re-running with the same checkpoint replays nothing
+    v = dst._manifest()["version"]
+    sync()
+    assert dst._manifest()["version"] == v
+    assert dst.row_count() == 3
