@@ -234,3 +234,117 @@ def test_replicate_changes_maintains_mirror(spark, tmp_path):
     sync()
     assert dst._manifest()["version"] == v
     assert dst.row_count() == 3
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KEYS = st.integers(0, 9)
+_CDF_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(_KEYS, min_size=1,
+                                          max_size=3)),
+    st.tuples(st.just("upsert"), st.lists(_KEYS, min_size=1,
+                                          max_size=3, unique=True)),
+    st.tuples(st.just("merge_delete"), st.lists(_KEYS, min_size=1,
+                                                max_size=3,
+                                                unique=True)),
+    st.tuples(st.just("delete_where"), st.lists(_KEYS, min_size=1,
+                                                max_size=3,
+                                                unique=True)),
+    st.tuples(st.just("update_where"), st.lists(_KEYS, min_size=1,
+                                                max_size=3,
+                                                unique=True)),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_CDF_OP, min_size=1, max_size=4),
+       probe=st.integers(0, 100))
+def test_cdf_replay_model(spark, tmp_path_factory, ops, probe):
+    """Model-based CDF invariant: for ANY random DML sequence,
+    multiset-replaying the feed onto version 1 reproduces the head
+    snapshot exactly (and any probed intermediate version) — i.e. the
+    feed is a complete, duplicate-correct account of every row change
+    the table ever made."""
+    from collections import Counter
+    tag = [0]
+
+    def rows(keys):
+        tag[0] += 1
+        return [(k, k % 3, f"t{tag[0]}_{k}") for k in keys]
+
+    path = str(tmp_path_factory.mktemp("cdf") / "t")
+    t = MuraTable.create(spark, path, _df(spark, rows(range(3))),
+                         cdf=True)
+    for op, keys in ops:
+        r = rows(keys)
+        if op == "append":
+            t.append(_df(spark, r))
+        elif op == "upsert":
+            t.merge(_df(spark, r), key_cols=["k"])
+        elif op == "merge_delete":
+            t.merge(_df(spark, r), key_cols=["k"],
+                    when_matched="delete", insert_not_matched=False)
+        elif op == "delete_where":
+            t.delete_where(f"k in ({','.join(map(str, keys))})")
+        else:
+            t.update_where(f"k in ({','.join(map(str, keys))})",
+                           {"val": "concat(val, '!')"})
+    head = t._manifest()["version"]
+
+    def replay_to(v):
+        state = Counter(tuple(r) for r in
+                        t.read(version=1).collect())
+        for r in t.changes_feed(1, v).collect():
+            key = tuple(r)[:-2]
+            if r._change_type in ("delete", "update_preimage"):
+                state[key] -= 1
+            else:
+                state[key] += 1
+        return +state
+
+    assert replay_to(head) == Counter(
+        tuple(r) for r in t.read().collect())
+    mid = 1 + probe % head
+    assert replay_to(mid) == Counter(
+        tuple(r) for r in t.read(version=mid).collect())
+
+
+def test_concurrent_appenders_all_land_exactly_once(spark, tmp_path):
+    """Optimistic concurrency under real contention: racing appenders
+    retry on CommitConflict and every row lands exactly once."""
+    import threading
+
+    from mura_spark.sources.table_format import CommitConflict
+    path = str(tmp_path / "t")
+    MuraTable.create(spark, path, _df(spark, []))
+    errors = []
+
+    def worker(i):
+        try:
+            for j in range(3):
+                df = _df(spark, [(i * 10 + j, i, f"w{i}b{j}")])
+                while True:
+                    try:
+                        MuraTable.load(spark, path).append(df)
+                        break
+                    except CommitConflict:
+                        continue
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = MuraTable.load(spark, path)
+    vals = sorted(r.val for r in t.read().collect())
+    assert vals == sorted(f"w{i}b{j}" for i in range(4)
+                          for j in range(3))
+    assert t.row_count() == 12
+    # every version in the log is readable (no torn commits)
+    assert len(t._versions()) == 13
