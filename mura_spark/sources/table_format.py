@@ -123,6 +123,8 @@ class MuraTable:
     def _commit(self, version: int, manifest: dict) -> None:
         """Atomically publish ``manifest`` as ``version`` (hard-link
         commit point: exactly one writer can win a version number)."""
+        import time
+        manifest.setdefault("ts", round(time.time(), 3))
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir,
                            f".tmp-{uuid.uuid4().hex}.json")
@@ -347,19 +349,22 @@ class MuraTable:
         the table has ``cdf=True`` (create flag or :meth:`set_cdf`);
         a DML commit made while CDF was off fails the read loudly.
         Compaction and metadata-only commits change no rows and
-        contribute nothing. ``overwrite``/``restore`` are whole-table
-        replacements — express them as delete+insert yourself from two
-        time-travel reads; the feed refuses them."""
+        contribute nothing. ``overwrite``/``restore`` feed as a FILE
+        DIFF — rows of dropped files as deletes, rows of added files
+        as inserts (files present in both versions feed nothing, so a
+        restore that undoes one bad commit feeds only the net change;
+        a full overwrite intrinsically feeds the whole table)."""
         from pyspark.sql.types import StructType
         to_v = version if version is not None \
             else self._manifest()["version"]
         out = None
+        prev_m: dict | None = None
         prev_files: set = set()
         for v in range(max(since_version, 1), to_v + 1):
             m = self._manifest(v)  # raises if vacuumed away
             schema = StructType.fromJson(json.loads(m["schema"]))
             if v == since_version:
-                prev_files = set(m["files"])
+                prev_m, prev_files = m, set(m["files"])
                 continue
             action = m["action"]
             frame = None
@@ -382,16 +387,23 @@ class MuraTable:
                         *[F.col(f.name).cast(f.dataType).alias(f.name)
                           for f in schema.fields], "_change_type")
             elif action in ("overwrite", "restore"):
-                raise ValueError(
-                    f"version {v} is a whole-table {action} — the row "
-                    f"feed refuses it; diff the two snapshots with "
-                    f"time-travel reads instead")
+                cur = set(m["files"])
+                dropped = sorted(prev_files - cur)
+                added = [f for f in m["files"] if f not in prev_files]
+                dels = (self._read_files(
+                            dropped,
+                            (prev_m or m)["schema"])
+                        .withColumn("_change_type", F.lit("delete")))
+                ins = (self._read_files(added, m["schema"])
+                       .withColumn("_change_type", F.lit("insert")))
+                frame = dels.unionByName(ins, allowMissingColumns=True)
             # compact / metadata-only commits: no row changes
-            prev_files = set(m["files"])
+            prev_m, prev_files = m, set(m["files"])
             if frame is not None:
                 frame = frame.withColumn("_commit_version",
                                          F.lit(v).cast("long"))
-                out = frame if out is None else out.unionByName(frame)
+                out = frame if out is None else \
+                    out.unionByName(frame, allowMissingColumns=True)
         if out is None:
             m = self._manifest(to_v)
             schema = StructType.fromJson(json.loads(m["schema"]))
@@ -1273,19 +1285,31 @@ class MuraTable:
 
     # -------------------------------------------------------------- gc
 
-    def vacuum(self, retain_versions: int = 2) -> int:
+    def vacuum(self, retain_versions: int = 2,
+               retain_seconds: float | None = None) -> int:
         """Drop manifests older than the newest ``retain_versions`` and
         delete every data file no retained version references. TAGGED
         versions are always retained (manifest and files) regardless of
         the window — a tag is a promise of reproducibility that GC must
-        honor; ``untag`` first to release one. Returns the number of
-        files deleted. This is the ONLY operation that removes data;
-        until it runs, every version is reproducible."""
+        honor; ``untag`` first to release one. ``retain_seconds``
+        ADDITIONALLY keeps every version committed within that many
+        seconds (each commit records its wall-clock ``ts``) — the
+        Delta-style time-based retention that sizes GC to operational
+        realities (longest stream downtime, longest-running reader)
+        instead of a commit count. Returns the number of files deleted.
+        This is the ONLY operation that removes data; until it runs,
+        every version is reproducible."""
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         versions = self._versions()
         tagged = set(self.tags().values())
-        keep_v = sorted(set(versions[-retain_versions:]) | tagged)
+        keep_v = set(versions[-retain_versions:]) | tagged
+        if retain_seconds is not None:
+            import time
+            cutoff = time.time() - retain_seconds
+            keep_v |= {v for v in versions
+                       if self._manifest(v).get("ts", 0) >= cutoff}
+        keep_v = sorted(keep_v)
         referenced = set()
         for v in keep_v:
             m = self._manifest(v)

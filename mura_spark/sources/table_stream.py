@@ -151,10 +151,25 @@ def _plan_cdf_partitions(table_path: str, sv: int,
                     os.path.join(table_path, rel), {},
                     ctype=None, version=v))
         elif action in ("overwrite", "restore"):
-            raise ValueError(
-                f"version {v} is a whole-table {action} — the change "
-                f"feed refuses it; restart the stream from a later "
-                f"startingVersion")
+            # file diff: rows of dropped files feed as deletes, rows
+            # of added files as inserts (common files feed nothing)
+            cur = set(m["files"])
+            for rel in sorted(prev_files - cur):
+                vals = dict(zip(pcols,
+                                tf._partition_values(rel, pcols))) \
+                    if pcols else {}
+                out.append(_FilesPartition(
+                    os.path.join(table_path, rel), vals,
+                    ctype="delete", version=v))
+            for rel in m["files"]:
+                if rel in prev_files:
+                    continue
+                vals = dict(zip(pcols,
+                                tf._partition_values(rel, pcols))) \
+                    if pcols else {}
+                out.append(_FilesPartition(
+                    os.path.join(table_path, rel), vals,
+                    ctype="insert", version=v))
         prev_files = set(m["files"])
     return out or [_FilesPartition("", {})]
 

@@ -72,8 +72,8 @@ def test_merge_feed_covers_all_clauses(spark, tmp_path):
     assert v1 == {(r.k, r.m, r.val) for r in t.read().collect()}
 
 
-def test_feed_refuses_without_sidecar_and_for_overwrite(spark,
-                                                        tmp_path):
+def test_feed_without_sidecar_refuses_and_overwrite_file_diffs(
+        spark, tmp_path):
     t = MuraTable.create(spark, str(tmp_path / "t"), _df(spark, BASE))
     t.delete_where("k = 1")  # cdf off: no sidecar
     with pytest.raises(ValueError, match="no row-level CDF sidecar"):
@@ -81,9 +81,15 @@ def test_feed_refuses_without_sidecar_and_for_overwrite(spark,
     t.set_cdf(True)
     t.delete_where("k = 2")  # now recorded
     assert _feed(t, 3) == [(4, "delete", 2, 1, "b")]
+    # overwrite feeds as a file diff: every old row deletes, every
+    # new row inserts — needs no sidecar (derived from manifests)
     t.overwrite(_df(spark, [(9, 9, "z")]))
-    with pytest.raises(ValueError, match="whole-table overwrite"):
-        t.changes_feed(3, version=5)
+    assert _feed(t, 4) == [(5, "delete", 3, 2, "c"),
+                           (5, "insert", 9, 9, "z")]
+    # restore feeds only the NET file change (common files are silent)
+    t.restore(4)
+    assert _feed(t, 5) == [(6, "delete", 9, 9, "z"),
+                           (6, "insert", 3, 2, "c")]
     # compact contributes nothing (rows unchanged)
     t2 = MuraTable.create(spark, str(tmp_path / "t2"), _df(spark, BASE),
                           cdf=True)
@@ -234,6 +240,11 @@ def test_replicate_changes_maintains_mirror(spark, tmp_path):
     sync()
     assert dst._manifest()["version"] == v
     assert dst.row_count() == 3
+    # a whole-table overwrite streams as file-diff deletes+inserts
+    # and the mirror follows it exactly
+    src.overwrite(_df(spark, [(7, 7, "only")]))
+    sync()
+    assert {tuple(r) for r in dst.read().collect()} == {(7, 7, "only")}
 
 
 from hypothesis import HealthCheck, given, settings
@@ -254,6 +265,10 @@ _CDF_OP = st.one_of(
     st.tuples(st.just("update_where"), st.lists(_KEYS, min_size=1,
                                                 max_size=3,
                                                 unique=True)),
+    st.tuples(st.just("overwrite"), st.lists(_KEYS, min_size=1,
+                                             max_size=3)),
+    st.tuples(st.just("restore"), st.lists(_KEYS, min_size=1,
+                                           max_size=1)),
 )
 
 
@@ -288,6 +303,11 @@ def test_cdf_replay_model(spark, tmp_path_factory, ops, probe):
                     when_matched="delete", insert_not_matched=False)
         elif op == "delete_where":
             t.delete_where(f"k in ({','.join(map(str, keys))})")
+        elif op == "overwrite":
+            t.overwrite(_df(spark, r))
+        elif op == "restore":
+            vs = t._versions()
+            t.restore(vs[keys[0] % len(vs)])
         else:
             t.update_where(f"k in ({','.join(map(str, keys))})",
                            {"val": "concat(val, '!')"})

@@ -440,3 +440,25 @@ def test_restore_rolls_back_by_reference(spark, tmp_path):
     # and vacuum keeps files the restored HEAD references
     t.vacuum(retain_versions=1)
     assert _vals(t.read()) == _vals(_base(spark))
+
+
+def test_time_based_vacuum_retention(spark, tmp_path):
+    import json as _json
+    import os as _os
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _df(spark, [(1, 1, "a")]))
+    t.append(_df(spark, [(2, 1, "b")]))
+    t.append(_df(spark, [(3, 1, "c")]))
+    assert all("ts" in m for m in t.history())
+    # age version 2 artificially: its commit looks a day old
+    p = _os.path.join(path, "_mura_log", "v00000002.json")
+    m = _json.load(open(p))
+    m["ts"] -= 86400
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    # retain_versions=1 would drop v1+v2, but the time window saves
+    # every version committed within the last hour (v1, v3)
+    t.vacuum(retain_versions=1, retain_seconds=3600)
+    assert t._versions() == [1, 3]
+    assert sorted(r.k for r in t.read(version=1).collect()) == [1]
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
