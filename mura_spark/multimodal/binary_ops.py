@@ -145,13 +145,15 @@ def decode_image(payload: bytes):
     numpy array — uint8, except 16-bit PNG which decodes to uint16.
 
     PPM (P6), uncompressed 24-bit BMP, JPEG (baseline SOF0/SOF1 AND
-    progressive SOF2, any chroma subsampling, restart markers), and
-    PNG (complete: every legal depth 1-16, color type, filter, and
-    interlace method) decode for REAL via pure numpy — no media libs
-    needed (JPEG: multimodal/jpeg.decode_jpeg, a full Huffman+IDCT
-    decoder reading its tables from the stream; PNG:
-    multimodal/png.decode_png over stdlib zlib). Remaining exotica
-    (lossless/arithmetic JPEG, RLE BMP, GIF/TIFF/WebP containers) go
+    progressive SOF2, any chroma subsampling, restart markers), PNG
+    (complete: every legal depth 1-16, color type, filter, and
+    interlace method), and GIF (87a/89a: LZW, local/global palettes,
+    interlace, transparency, animation frames) decode for REAL via
+    pure numpy — no media libs needed (JPEG:
+    multimodal/jpeg.decode_jpeg, a full Huffman+IDCT decoder reading
+    its tables from the stream; PNG: multimodal/png.decode_png over
+    stdlib zlib; GIF: multimodal/gif.decode_gif). Remaining exotica
+    (lossless/arithmetic JPEG, RLE BMP, TIFF/WebP containers) go
     through PIL when importable (probed at module load; this container
     normally lacks PIL/libjpeg, but the operator upgrades itself the
     moment the library appears), else raise NotImplementedError.
@@ -171,6 +173,10 @@ def decode_image(payload: bytes):
         from mura_spark.multimodal.png import decode_png
         # full spec coverage: every legal depth/color/interlace combo
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from mura_spark.multimodal.gif import decode_gif
+        # LZW, local/global palettes, interlace, transparency, frames
+        return decode_gif(payload)
     if _PIL_Image is None:
         raise NotImplementedError(
             "this image variant requires PIL, not present in this "
