@@ -20,8 +20,12 @@ def main() -> None:
 
     ms = MuraSession(get_spark("mura-repl"))
     ms.spark.sparkContext.setLogLevel("ERROR")
-    print("mura-spark SQL REPL — CREATE EXTERNAL TABLE / SELECT / EXPLAIN; "
-          "Ctrl-D exits.")
+    print("mura-spark SQL REPL — CREATE EXTERNAL TABLE / SELECT / "
+          "EXPLAIN; versioned tables (file_type='mura') also take "
+          "DELETE / UPDATE / MERGE INTO (incl. WHEN NOT MATCHED BY "
+          "SOURCE), ALTER TABLE ADD/DROP CONSTRAINT, OPTIMIZE "
+          "[ZORDER BY], VACUUM [RETAIN n VERSIONS], t VERSION AS OF n "
+          "/ FOR TAG 'x', table_changes('t', from). Ctrl-D exits.")
     while True:
         try:
             line = input("mura> ").strip()
