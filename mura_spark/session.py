@@ -130,6 +130,8 @@ class MuraSession:
             dml = self._route_alter(query)
         if dml is None:
             dml = self._route_maintenance(query)
+        if dml is None:
+            dml = self._route_table_mgmt(query)
         if dml is not None:
             return dml
         rewritten = re.sub(r"(?i)\bCREATE\s+EXTERNAL\s+TABLE\b",
@@ -363,6 +365,78 @@ class MuraSession:
         return self.spark.createDataFrame(
             [(v, add_name or drop_name)],
             "version long, constraint string")
+
+    _HISTORY_RE = re.compile(
+        r"(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$")
+    _RESTORE_RE = re.compile(
+        r"(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+VERSION\s+"
+        r"AS\s+OF\s+(\d+)\s*;?\s*$")
+    _CLONE_RE = re.compile(
+        r"(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+"
+        r"(?:SHALLOW\s+)?CLONE\s+([A-Za-z_]\w*)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+FOR\s+TAG\s+'([\w.-]+)')?"
+        r"\s+LOCATION\s+'([^']+)'\s*;?\s*$")
+
+    def _mura_table(self, name: str):
+        """Registered mura table handle, or None (caller falls through
+        to Spark); raises for registered-but-read-only tables."""
+        info = self.catalog._tables.get(name) \
+            or self.catalog._tables.get(name.lower())
+        if info is None:
+            return None, None
+        if info.file_type != "mura":
+            raise ValueError(
+                f"{name!r} is a read-only {info.file_type} external "
+                f"table — this statement needs a versioned table "
+                f"(register with file_type='mura')")
+        from mura_spark.sources.table_format import MuraTable
+        return MuraTable.load(self.spark, info.location), info
+
+    def _route_table_mgmt(self, query: str):
+        """``DESCRIBE HISTORY t``, ``RESTORE TABLE t TO VERSION AS OF
+        n``, ``CREATE TABLE dst [SHALLOW] CLONE src [VERSION AS OF n |
+        FOR TAG 'x'] LOCATION 'path'`` (the Delta management DDL);
+        None when no statement matches."""
+        mh = self._HISTORY_RE.match(query)
+        if mh:
+            t, _info = self._mura_table(mh.group(1))
+            if t is None:
+                return None
+            rows = [(m["version"], m["action"],
+                     float(m["ts"]) if "ts" in m else None,
+                     len(m["files"]),
+                     sum(m.get("rows", {}).get(f, 0)
+                         for f in m["files"]))
+                    for m in t.history()]
+            return self.spark.createDataFrame(
+                rows, "version long, action string, ts double, "
+                      "files long, rows long")
+        mr = self._RESTORE_RE.match(query)
+        if mr:
+            t, info = self._mura_table(mr.group(1))
+            if t is None:
+                return None
+            v = t.restore(int(mr.group(2)))
+            self.catalog.create_external_table(info.name, info.location,
+                                               file_type="mura")
+            return self.spark.createDataFrame(
+                [(v, int(mr.group(2)))],
+                "version long, restored_from long")
+        mc = self._CLONE_RE.match(query)
+        if mc:
+            dst, src, ver, tag, location = mc.groups()
+            t, _info = self._mura_table(src)
+            if t is None:
+                return None
+            clone = t.clone(location,
+                            version=int(ver) if ver else None,
+                            tag=tag)
+            self.catalog.create_external_table(dst, location,
+                                               file_type="mura")
+            return self.spark.createDataFrame(
+                [(dst, location, clone.row_count())],
+                "table string, location string, rows long")
+        return None
 
     _OPTIMIZE_RE = re.compile(
         r"(?is)^\s*OPTIMIZE\s+([A-Za-z_]\w*)"

@@ -209,3 +209,42 @@ def test_sql_optimize_and_vacuum_routing(spark, tmp_path):
     ms.create_external_table("maint_plain", str(tmp_path / "plain2"))
     with pytest.raises(ValueError, match="read-only parquet"):
         ms.sql("OPTIMIZE maint_plain")
+
+
+def test_sql_history_restore_clone_routing(spark, tmp_path):
+    from mura_spark.session import MuraSession
+    ms = MuraSession(spark)
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _df(spark, BASE))
+    t.append(_df(spark, [(4, 2, "d")]))
+    t.tag("golden", 1)
+    ms.create_external_table("mgmt_t", path, file_type="mura")
+    # DESCRIBE HISTORY: one row per commit with action/ts/rows
+    hist = ms.sql("DESCRIBE HISTORY mgmt_t").collect()
+    assert [(r.version, r.action) for r in hist] == \
+        [(1, "create"), (2, "append")]
+    assert all(r.ts is not None for r in hist)
+    assert hist[1].rows == 4
+    # RESTORE TABLE ... TO VERSION AS OF
+    res = ms.sql("RESTORE TABLE mgmt_t TO VERSION AS OF 1").collect()[0]
+    assert (res.version, res.restored_from) == (3, 1)
+    assert ms.table("mgmt_t").count() == 3
+    # CREATE TABLE ... CLONE ... LOCATION: registered and readable,
+    # version/tag selection honored
+    dev = str(tmp_path / "dev")
+    res = ms.sql(f"CREATE TABLE mgmt_dev CLONE mgmt_t FOR TAG "
+                 f"'golden' LOCATION '{dev}'").collect()[0]
+    assert res.rows == 3
+    assert ms.table("mgmt_dev").count() == 3
+    res = ms.sql(f"CREATE TABLE mgmt_v2 SHALLOW CLONE mgmt_t "
+                 f"VERSION AS OF 2 LOCATION '{tmp_path / 'v2'}'") \
+        .collect()[0]
+    assert ms.table("mgmt_v2").count() == 4
+    # writes to the clone leave the source untouched
+    ms.sql("DELETE FROM mgmt_dev WHERE k = 1")
+    assert ms.table("mgmt_dev").count() == 2
+    assert ms.table("mgmt_t").count() == 3
+    # unregistered names fall through to Spark's own error
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        ms.sql("DESCRIBE HISTORY nope_t")
