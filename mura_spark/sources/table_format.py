@@ -539,27 +539,39 @@ class MuraTable:
     def _file_survives_lookup(m: dict, f: str, lookup: dict) -> bool:
         """Equality-lookup pruning from manifest metadata: a file is
         dropped when its min/max range excludes the value OR its bloom
-        filter proves the value absent. Files lacking either kind of
-        metadata for a column are kept (conservative)."""
+        filter proves the value absent. A LIST of values is an IN-list
+        lookup — the file survives if ANY value might be present (the
+        batch-fetch shape: pull k documents by id in one read). Files
+        lacking either kind of metadata for a column are kept
+        (conservative)."""
         from mura_spark.sources.bloom import (DEFAULT_BITS, DEFAULT_K,
                                               might_contain)
         col_stats = m.get("stats", {}).get(f) or {}
-        for c, v in lookup.items():
-            if v is None:
+        blooms = m.get("blooms", {}).get(f) or {}
+        bits = m.get("bloom_bits", DEFAULT_BITS)
+        k = m.get("bloom_k", DEFAULT_K)
+        for c, vs in lookup.items():
+            values = vs if isinstance(vs, (list, tuple, set)) else [vs]
+            if not values or any(v is None for v in values):
                 raise ValueError(
-                    f"lookup[{c!r}] is None — use an IS NULL filter; "
-                    f"blooms index values, not nulls")
-            if c in col_stats:
-                mn, mx = col_stats[c]
-                try:
-                    if v < mn or v > mx:
-                        return False
-                except TypeError:
-                    pass  # incomparable types: stats can't prune
-            blooms = m.get("blooms", {}).get(f) or {}
-            if c in blooms and not might_contain(
-                    blooms[c], v, m.get("bloom_bits", DEFAULT_BITS),
-                    m.get("bloom_k", DEFAULT_K)):
+                    f"lookup[{c!r}] contains None (or is empty) — use "
+                    f"an IS NULL filter; blooms index values, not "
+                    f"nulls")
+
+            def value_possible(v) -> bool:
+                if c in col_stats:
+                    mn, mx = col_stats[c]
+                    try:
+                        if v < mn or v > mx:
+                            return False
+                    except TypeError:
+                        pass  # incomparable types: stats can't prune
+                if c in blooms and not might_contain(blooms[c], v,
+                                                     bits, k):
+                    return False
+                return True
+
+            if not any(value_possible(v) for v in values):
                 return False
         return True
 

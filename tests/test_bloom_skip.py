@@ -201,3 +201,22 @@ def test_set_bloom_cols_retrofits_existing_table(spark, tmp_path):
     t.set_bloom_cols([])
     assert "blooms" not in t._manifest()
     assert len(t.read(lookup={"name": "doc-9"}).inputFiles()) >= 4
+
+
+def test_in_list_lookup_prunes_to_union_of_needles(spark, tmp_path):
+    t = _table(spark, tmp_path, ids=range(100))
+    full = len(t.read().inputFiles())
+    # batch fetch: three ids -> at most the union of their files
+    hit = t.read(lookup={"name": ["doc-3", "doc-47", "doc-91"]})
+    assert 0 < len(hit.inputFiles()) <= full
+    got = sorted(r.id for r in hit.where(
+        F.col("name").isin("doc-3", "doc-47", "doc-91")).collect())
+    assert got == [3, 47, 91]
+    # all-absent IN-list prunes everything
+    assert t.read(lookup={"name": ["nope-1", "nope-2"]}) \
+            .inputFiles() == []
+    # None inside a list refuses like a scalar None
+    with pytest.raises(ValueError, match="IS NULL"):
+        t.read(lookup={"name": ["doc-3", None]})
+    with pytest.raises(ValueError, match="empty"):
+        t.read(lookup={"name": []})
