@@ -91,6 +91,10 @@ class MuraTable:
     """Handle to a versioned table rooted at ``path``.
 
     Construct via :meth:`create` (first commit) or :meth:`load`.
+    Handles are not thread-safe (a commit in flight parks its pending
+    dirs on the instance); concurrent writers should each
+    :meth:`load` their own handle — the optimistic manifest commit is
+    what serializes them (see ``CommitConflict``), not the handle.
     """
 
     def __init__(self, spark: SparkSession, path: str):
@@ -353,7 +357,14 @@ class MuraTable:
         DIFF — rows of dropped files as deletes, rows of added files
         as inserts (files present in both versions feed nothing, so a
         restore that undoes one bad commit feeds only the net change;
-        a full overwrite intrinsically feeds the whole table)."""
+        a full overwrite intrinsically feeds the whole table).
+
+        Plan shape: one subtree per fed version (a union chain). For
+        very long ranges (hundreds of commits) prefer the registered
+        reader — ``spark.read.format("mura_table")
+        .option("readChangeFeed", "true").option("startingVersion",
+        n)`` — which plans ONE flat file-level scan regardless of
+        range length (sources/table_stream.py)."""
         from pyspark.sql.types import StructType
         to_v = version if version is not None \
             else self._manifest()["version"]
