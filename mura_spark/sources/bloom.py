@@ -89,9 +89,29 @@ def bitmap_of(values: Iterable, m_bits: int = DEFAULT_BITS,
     return bm
 
 
+def _pack(bm: np.ndarray) -> str:
+    """Manifest encoding of a bitmap: zlib + base64. Blooms loaded
+    well under capacity are mostly zero bytes and compress from 16 KiB
+    to ~100 bytes — the difference between manifests that stay
+    readable at 10^4 files and ones that balloon."""
+    import zlib
+    return base64.b64encode(zlib.compress(bm.tobytes(), 6)) \
+                 .decode("ascii")
+
+
+def _unpack(b64_bitmap: str) -> np.ndarray:
+    import zlib
+    raw = base64.b64decode(b64_bitmap)
+    try:
+        raw = zlib.decompress(raw)
+    except zlib.error:
+        pass  # pre-compression manifests stored the bitmap raw
+    return np.frombuffer(raw, dtype=np.uint8)
+
+
 def might_contain(b64_bitmap: str, value, m_bits: int, k: int) -> bool:
     """False ONLY when the bloom proves ``value`` absent."""
-    bm = np.frombuffer(base64.b64decode(b64_bitmap), dtype=np.uint8)
+    bm = _unpack(b64_bitmap)
     return all(bm[p >> 3] & (1 << (p & 7))
                for p in _bit_positions(value, m_bits, k))
 
@@ -176,8 +196,7 @@ def build_blooms(spark, table_path: str, files: list[str],
 
     out: dict[str, dict[str, str]] = {}
     for (rel, c), bm in merged.items():
-        out.setdefault(rel, {})[c] = base64.b64encode(
-            bm.tobytes()).decode("ascii")
+        out.setdefault(rel, {})[c] = _pack(bm)
     return out
 
 
@@ -197,5 +216,4 @@ def blooms_from_arrow(batches, bloom_cols: list[str],
             vals = [v for v in b.column(c).to_pylist() if v is not None]
             bm = bitmap_of(set(vals), m_bits, k)
             bms[c] = np.bitwise_or(bms[c], bm) if c in bms else bm
-    return {c: base64.b64encode(bm.tobytes()).decode("ascii")
-            for c, bm in bms.items()}
+    return {c: _pack(bm) for c, bm in bms.items()}

@@ -116,9 +116,14 @@ class IncrementalAggView:
     # --------------------------------------------------------- state
 
     def _state(self) -> dict:
-        """Newest commit metadata carrying the view spec + watermark."""
-        for m in reversed(self.table.history()):
-            meta = (m.get("meta") or {}).get(_META_KEY)
+        """Newest commit metadata carrying the view spec + watermark.
+        Walks manifests newest-first and stops at the first hit — the
+        latest commit IS a refresh commit in the steady state, so this
+        reads ONE manifest, not the whole log (a long-lived view
+        accumulates thousands)."""
+        for v in reversed(self.table._versions()):
+            meta = (self.table._manifest(v).get("meta")
+                    or {}).get(_META_KEY)
             if meta is not None:
                 return meta
         raise ValueError(

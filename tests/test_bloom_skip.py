@@ -220,3 +220,18 @@ def test_in_list_lookup_prunes_to_union_of_needles(spark, tmp_path):
         t.read(lookup={"name": ["doc-3", None]})
     with pytest.raises(ValueError, match="empty"):
         t.read(lookup={"name": []})
+
+
+def test_bloom_manifest_encoding_is_compressed_with_raw_fallback():
+    import base64
+
+    from mura_spark.sources.bloom import _pack, _unpack
+    bm = bitmap_of(range(50), DEFAULT_BITS, DEFAULT_K)
+    packed = _pack(bm)
+    # a 50-key bloom in a 16 KiB table is almost all zeros: the
+    # manifest string must be tiny, not ~21 KB of base64
+    assert len(packed) < 2000
+    assert (_unpack(packed) == bm).all()
+    # pre-compression manifests stored raw base64: still readable
+    raw = base64.b64encode(bm.tobytes()).decode()
+    assert (_unpack(raw) == bm).all()
