@@ -284,6 +284,22 @@ class MuraTable:
                 "bloom_k": k, "blooms": blooms}
 
     @staticmethod
+    def _check_bloom_bits(bloom_bits: int | None) -> int:
+        """Validated per-file bloom size in bits (power of two so the
+        double-hash probe walks the whole table; default 2^17 = 16 KiB
+        ≈ 13 k keys at ~1% fpp). Size ~10 bits per expected distinct
+        key per file: a 1 M-distinct-key file wants 2^23 (1 MiB) —
+        compression keeps under-filled blooms cheap in the manifest."""
+        from mura_spark.sources.bloom import DEFAULT_BITS
+        if bloom_bits is None:
+            return DEFAULT_BITS
+        if bloom_bits < 1024 or bloom_bits & (bloom_bits - 1):
+            raise ValueError(
+                f"bloom_bits must be a power of two >= 1024, got "
+                f"{bloom_bits}")
+        return int(bloom_bits)
+
+    @staticmethod
     def _check_bloom_cols(schema, bloom_cols, partition_cols) -> None:
         from mura_spark.sources.bloom import BLOOMABLE_TYPES
         types = {f.name: f.dataType.typeName() for f in schema.fields}
@@ -447,6 +463,7 @@ class MuraTable:
                partition_cols: list[str] | None = None,
                stats_cols: list[str] | None = None,
                bloom_cols: list[str] | None = None,
+               bloom_bits: int | None = None,
                constraints: dict | None = None,
                cdf: bool = False,
                meta: dict | None = None) -> "MuraTable":
@@ -470,9 +487,10 @@ class MuraTable:
         bloom_fields = {}
         if bloom_cols:
             cls._check_bloom_cols(df.schema, bloom_cols, partition_cols)
-            from mura_spark.sources.bloom import DEFAULT_BITS, DEFAULT_K
+            from mura_spark.sources.bloom import DEFAULT_K
             bloom_fields = {"bloom_cols": list(bloom_cols),
-                            "bloom_bits": DEFAULT_BITS,
+                            "bloom_bits": cls._check_bloom_bits(
+                                bloom_bits),
                             "bloom_k": DEFAULT_K}
         files = t._write_data(df, partition_cols, constraints)
         stats, rows = t._file_meta(files, stats_cols)
@@ -1188,7 +1206,8 @@ class MuraTable:
                          "files": old["files"]})
         return v
 
-    def set_bloom_cols(self, bloom_cols: list[str]) -> int:
+    def set_bloom_cols(self, bloom_cols: list[str],
+                       bloom_bits: int | None = None) -> int:
         """Retrofit (or drop) bloom-filter tracking on an existing
         table: builds blooms for EVERY current file in one executor-side
         pass (O(table) once — the same cost Parquet pays to add bloom
@@ -1205,14 +1224,13 @@ class MuraTable:
             schema = StructType.fromJson(json.loads(prev["schema"]))
             self._check_bloom_cols(schema, bloom_cols,
                                    prev.get("partition_cols"))
-            from mura_spark.sources.bloom import (DEFAULT_BITS,
-                                                  DEFAULT_K,
-                                                  build_blooms)
+            from mura_spark.sources.bloom import DEFAULT_K, build_blooms
+            bits = self._check_bloom_bits(bloom_bits)
             m.update({"bloom_cols": list(bloom_cols),
-                      "bloom_bits": DEFAULT_BITS, "bloom_k": DEFAULT_K,
+                      "bloom_bits": bits, "bloom_k": DEFAULT_K,
                       "blooms": build_blooms(self.spark, self.path,
                                              prev["files"], bloom_cols,
-                                             DEFAULT_BITS, DEFAULT_K)})
+                                             bits, DEFAULT_K)})
         self._commit(v, m)
         return v
 

@@ -235,3 +235,28 @@ def test_bloom_manifest_encoding_is_compressed_with_raw_fallback():
     # pre-compression manifests stored raw base64: still readable
     raw = base64.b64encode(bm.tobytes()).decode()
     assert (_unpack(raw) == bm).all()
+
+
+def test_custom_bloom_bits(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"doc-{i}") for i in range(60)],
+                               "id long, name string").repartition(4, "id")
+    t = MuraTable.create(spark, str(tmp_path / "t"), df,
+                         bloom_cols=["name"], bloom_bits=1 << 12)
+    m = t._manifest()
+    assert m["bloom_bits"] == 4096
+    hit = t.read(lookup={"name": "doc-9"})
+    assert hit.where("name = 'doc-9'").count() == 1
+    # maintained at the custom size through appends
+    t.append(spark.createDataFrame([(99, "doc-99x")],
+                                   "id long, name string"))
+    assert (t.read(lookup={"name": "doc-99x"})
+             .where("name = 'doc-99x'").count() == 1)
+    with pytest.raises(ValueError, match="power of two"):
+        MuraTable.create(spark, str(tmp_path / "t2"), df,
+                         bloom_cols=["name"], bloom_bits=3000)
+    # retrofit honors the knob too
+    t3 = MuraTable.create(spark, str(tmp_path / "t3"), df)
+    t3.set_bloom_cols(["name"], bloom_bits=1 << 14)
+    assert t3._manifest()["bloom_bits"] == 1 << 14
+    assert (t3.read(lookup={"name": "doc-5"})
+              .where("name = 'doc-5'").count() == 1)
