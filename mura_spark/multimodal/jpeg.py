@@ -270,6 +270,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                            htables, restart_interval)
             scan = {cid: (td, ta)
                     for cid, td, ta in _parse_sos(seg)["comps"]}
+            missing = [c["id"] for c in frame["comps"]
+                       if c["id"] not in scan]
+            if missing:
+                # T.81 allows baseline frames split across several
+                # sequential scans; this decoder handles the (near-
+                # universal) single-interleaved-scan layout only.
+                # NotImplementedError (not KeyError) so decode_image's
+                # PIL fallback can take over when available.
+                raise NotImplementedError(
+                    f"multi-scan baseline JPEG (first scan lacks "
+                    f"component(s) {missing})")
             return _decode_scan(payload, pos, frame, scan, qtables,
                                 htables, restart_interval)
         # APPn/COM/others: skipped

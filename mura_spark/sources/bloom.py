@@ -127,10 +127,14 @@ def build_blooms(spark, table_path: str, files: list[str],
     """Executor-side bloom build over freshly committed files.
 
     One narrow scan of only the bloom columns (column-pruned parquet
-    read), ``mapInPandas`` emitting a partial bitmap per (Arrow batch,
-    file, column) — fixed-size bitmaps OR-merge, so there is no shuffle,
+    read), ``mapInArrow`` emitting a partial bitmap per (task, file,
+    column) — fixed-size bitmaps OR-merge, so there is no shuffle,
     no groupBy, and no file ever has to fit in one task's memory. The
     driver receives only bitmaps (16 KiB each), never row data.
+    Arrow (not pandas) batches are load-bearing for correctness: the
+    pandas conversion coerces int64-with-nulls to float64, which both
+    rejects NULLs (legal in a bloomable column) and would round ints
+    past 2^53 before hashing.
 
     Returns ``{relpath: {col: base64-bitmap}}``.
     """
@@ -144,7 +148,6 @@ def build_blooms(spark, table_path: str, files: list[str],
         base = os.path.join(table_path, *parts[:2])  # _data/<commit>
         by_base.setdefault(base, []).append(os.path.join(table_path, rel))
 
-    import pandas as pd
     merged: dict[tuple[str, str], np.ndarray] = {}
     for base, paths in sorted(by_base.items()):
         df = spark.read.option("basePath", base).parquet(*paths)
@@ -168,24 +171,30 @@ def build_blooms(spark, table_path: str, files: list[str],
             # Arrow batch — a task covers one file (or a slice of
             # one), so the accumulator holds a handful of 16 KiB
             # arrays regardless of row count
+            import pyarrow as pa
+            import pyarrow.compute as pc
             acc: dict[tuple[str, str], np.ndarray] = {}
-            for pdf in it:
-                for f, sub in pdf.groupby("__f", sort=False):
+            for batch in it:
+                tbl = pa.Table.from_batches([batch])
+                for fval in pc.unique(tbl["__f"]).to_pylist():
+                    sub = tbl.filter(pc.equal(tbl["__f"], fval))
                     for c in cols:
-                        vals = sub[c].dropna().unique()
+                        # to_pylist keeps ints exact and nulls as None
+                        vals = {v for v in sub[c].to_pylist()
+                                if v is not None}
                         bm = bitmap_of(vals, m_bits, k)
-                        key = (f, c)
+                        key = (fval, c)
                         if key in acc:
                             acc[key] = np.bitwise_or(acc[key], bm)
                         else:
                             acc[key] = bm
             if acc:
-                yield pd.DataFrame(
+                yield pa.RecordBatch.from_pydict(
                     {"f": [f for f, _c in acc],
                      "c": [c for _f, c in acc],
                      "bits": [bm.tobytes() for bm in acc.values()]})
 
-        for row in sel.mapInPandas(
+        for row in sel.mapInArrow(
                 gen, schema="f string, c string, bits binary").collect():
             key = (_rel_of_uri(row["f"], table_path), row["c"])
             bm = np.frombuffer(row["bits"], dtype=np.uint8)

@@ -80,11 +80,29 @@ def _partition_values(relpath: str, partition_cols: list[str]) -> tuple:
     """Hive partition values encoded in a data-file path, as strings
     (the manifest's pruning key; Spark re-derives typed values from
     the directory layout at read time). Hive's null sentinel maps back
-    to None so null partitions compare equal to source nulls."""
+    to None so null partitions compare equal to source nulls; %XX
+    escapes (Spark's escapePathName for ':', '#', '%', ... in values)
+    are decoded so the returned strings match the written values."""
+    import urllib.parse
     vals = dict(seg.split("=", 1) for seg in relpath.split(os.sep)
                 if "=" in seg)
     return tuple(None if vals.get(c) in (None, _HIVE_NULL)
-                 else vals[c] for c in partition_cols)
+                 else urllib.parse.unquote(vals[c])
+                 for c in partition_cols)
+
+
+def _partition_str(v) -> str | None:
+    """A Python partition VALUE as the string Spark encodes into hive
+    paths (post-unescape) — the canonical form both sides of a
+    partition-file comparison must use. Booleans are 'true'/'false'
+    (str(True) would be 'True' and never match a path segment);
+    date/datetime use their ISO forms, which equal str() for these
+    types; everything else is str()."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 class MuraTable:
@@ -111,18 +129,28 @@ class MuraTable:
                       if (m := _V_RE.match(f)))
 
     def _manifest(self, version: int | None = None) -> dict:
-        versions = self._versions()
-        if not versions:
-            raise FileNotFoundError(f"no MuraTable log at {self.path}")
         if version is None:
+            versions = self._versions()
+            if not versions:
+                raise FileNotFoundError(
+                    f"no MuraTable log at {self.path}")
             version = versions[-1]
-        if version not in versions:
+        # direct open: O(1) per explicit-version read, so per-version
+        # walks (history, changes_feed, view state) stay O(V) instead
+        # of O(V^2) directory listings
+        try:
+            with open(os.path.join(self.log_dir,
+                                   f"v{version:08d}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            versions = self._versions()
+            if not versions:
+                raise FileNotFoundError(
+                    f"no MuraTable log at {self.path}") from None
             raise ValueError(
                 f"version {version} not in table log (have "
                 f"{versions[0]}..{versions[-1]}; vacuumed versions are "
-                f"gone for good)")
-        with open(os.path.join(self.log_dir, f"v{version:08d}.json")) as f:
-            return json.load(f)
+                f"gone for good)") from None
 
     def _commit(self, version: int, manifest: dict) -> None:
         """Atomically publish ``manifest`` as ``version`` (hard-link
@@ -237,7 +265,7 @@ class MuraTable:
     _SNAPSHOT_KEYS = ("partition_cols", "schema", "stats_cols", "stats",
                       "rows", "files", "bloom_cols", "bloom_bits",
                       "bloom_k", "blooms", "constraints", "txns",
-                      "cdf")
+                      "cdf", "stream_batches")
 
     def _txn_guard(self, prev: dict,
                    txn: tuple[str, int] | None) -> tuple[bool, dict]:
@@ -395,7 +423,7 @@ class MuraTable:
                 continue
             action = m["action"]
             frame = None
-            if action in ("create", "append", "stream_append"):
+            if action in ("create", "append", "stream_append", "clone"):
                 new = [f for f in m["files"] if f not in prev_files]
                 frame = (self._read_files(new, m["schema"])
                          .withColumn("_change_type", F.lit("insert")))
@@ -740,7 +768,8 @@ class MuraTable:
         rows = {**prev.get("rows", {}), **new_rows}
         self._commit_new(v, {"version": v, "action": "append",
                          **txns,
-                         **self._carry(prev, "constraints", "cdf"),
+                         **self._carry(prev, "constraints", "cdf",
+                                       "stream_batches"),
                          "partition_cols": prev["partition_cols"],
                          "schema": schema,
                          "stats_cols": scols, "stats": stats,
@@ -766,7 +795,8 @@ class MuraTable:
         stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "overwrite",
                          **txns,
-                         **self._carry(prev, "constraints", "cdf"),
+                         **self._carry(prev, "constraints", "cdf",
+                                       "stream_batches"),
                          "partition_cols": prev["partition_cols"],
                          "schema": df.schema.json(),
                          "stats_cols": scols,
@@ -856,8 +886,8 @@ class MuraTable:
                     clause = eq if clause is None else clause & eq
                 pred = clause if pred is None else pred | clause
             target = target.where(pred)  # partition-pruned scan
-            touched = {tuple(None if row[c] is None else str(row[c])
-                             for c in pcols) for row in rows}
+            touched = {tuple(_partition_str(row[c]) for c in pcols)
+                       for row in rows}
             keep_files = [
                 f for f in prev["files"]
                 if _partition_values(f, pcols) not in touched]
@@ -944,7 +974,8 @@ class MuraTable:
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": "merge",
                          **txns,
-                         **self._carry(prev, "constraints", "cdf"),
+                         **self._carry(prev, "constraints", "cdf",
+                                       "stream_batches"),
                          **cdf_fields,
                          "partition_cols": pcols,
                          "schema": prev.get("schema"),
@@ -1085,7 +1116,7 @@ class MuraTable:
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": action,
                          **self._carry(prev, "constraints", "txns",
-                                       "cdf"),
+                                       "cdf", "stream_batches"),
                          **cdf_fields,
                          "predicate": str(predicate),
                          "partition_cols": pcols,
@@ -1174,7 +1205,7 @@ class MuraTable:
         stats, rows = self._file_meta(files, scols)
         self._commit_new(v, {"version": v, "action": "compact",
                          **self._carry(prev, "constraints", "txns",
-                                       "cdf"),
+                                       "cdf", "stream_batches"),
                          "partition_cols": prev["partition_cols"],
                          "schema": prev.get("schema"),
                          "stats_cols": scols,
@@ -1193,7 +1224,8 @@ class MuraTable:
         old = self._manifest(version)
         self._commit(v, {"version": v, "action": "restore",
                          **self._carry(old, "constraints"),
-                         **self._carry(prev, "txns", "cdf"),
+                         **self._carry(prev, "txns", "cdf",
+                                       "stream_batches"),
                          "restored_from": version,
                          "partition_cols": old["partition_cols"],
                          "schema": old.get("schema"),
@@ -1318,7 +1350,14 @@ class MuraTable:
             dst = os.path.join(dest_path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.link(src, dst)
-        dest._commit(1, {**self._snapshot_fields(m),
+        snap = self._snapshot_fields(m)
+        # ingest identities are NOT table contents: carrying the
+        # source's idempotent-writer marks or streaming batch stamps
+        # would make the clone silently skip the first batches a
+        # pipeline writes into it under the same app/query id
+        snap.pop("txns", None)
+        snap.pop("stream_batches", None)
+        dest._commit(1, {**snap,
                          "version": 1, "action": "clone",
                          "cloned_from": {"path": os.path.abspath(
                              self.path), "version": m["version"]}})

@@ -113,7 +113,7 @@ def _plan_partitions(table_path: str, files: list[str],
     return out or [_FilesPartition("", {})]
 
 
-_INSERT_ACTIONS = ("create", "append", "stream_append")
+_INSERT_ACTIONS = ("create", "append", "stream_append", "clone")
 
 
 def _plan_cdf_partitions(table_path: str, sv: int,
@@ -343,10 +343,15 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("mura_table")``: each micro-batch is ONE
     append commit. Executors write their Arrow batches straight to
     parquet files under a per-micro-batch commit dir (no shuffle, no
-    driver data); the driver publishes the manifest in ``commit`` and
-    stamps it with the micro-batch id — a redelivered batch (sink-side
-    replay after a crash between sink commit and checkpoint write) is
-    recognized by the stamp and skipped, so the sink is exactly-once.
+    driver data); the driver publishes the manifest in ``commit``.
+    With ``.option("queryid", "<unique pipeline name>")`` the manifest
+    is stamped with the micro-batch id — a redelivered batch
+    (sink-side replay after a crash between sink commit and checkpoint
+    write) is recognized by the stamp and skipped, making the sink
+    exactly-once for that query. The id must be unique per logical
+    pipeline and stable across restarts (Spark does not expose its
+    query id to Python sinks); without one the sink is at-least-once
+    under crash-redelivery, never lossy.
     PARTITIONED targets get executor-side hive layout: each task splits
     its batches by partition value and writes one file per touched
     partition under ``p=v/`` segments (partition columns live in the
@@ -361,7 +366,16 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.path = options["path"]
-        self.queryId = options.get("queryid", "stream")
+        # Replay protection MUST be keyed by a stable per-query
+        # identity, and Spark does not expose the streaming query id
+        # to Python data sources — so exactly-once is opt-in via
+        # .option("queryid", "<unique pipeline name>"). Without it the
+        # sink commits every delivered batch (at-least-once: a crash
+        # between sink commit and checkpoint write can duplicate ONE
+        # batch on restart). A shared default key would be worse than
+        # duplicates: two queries (or a fresh-checkpoint restart)
+        # colliding on the same key silently DROP each other's batches.
+        self.queryId = options.get("queryid")
         m = _load_manifest(self.path, _latest_version(self.path))
         self._pcols = m["partition_cols"] or []
         if self._pcols:
@@ -459,7 +473,8 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
         while True:
             m = table._manifest()
             stamp = m.get("stream_batches", {})
-            if stamp.get(self.queryId) == batchId:
+            if self.queryId is not None and \
+                    stamp.get(self.queryId) == batchId:
                 return  # redelivered micro-batch: already committed
             files = [r for msg in messages if msg
                      for r in msg.relpaths]
@@ -477,16 +492,25 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
                     key: m[key] for key in
                     ("bloom_cols", "bloom_bits", "bloom_k") if key in m}
                 bloom_fields["blooms"] = blooms
+            stamp_fields = {}
+            if self.queryId is not None:
+                stamp_fields = {"stream_batches":
+                                {**stamp, self.queryId: batchId}}
+            elif stamp:
+                stamp_fields = {"stream_batches": stamp}
             try:
                 table._commit(m["version"] + 1, {
                     "version": m["version"] + 1,
                     "action": "stream_append",
-                    **({"txns": m["txns"]} if m.get("txns") else {}),
+                    # table flags ride every commit (cdf/constraints
+                    # added mid-stream must survive the next batch)
+                    **{key: m[key] for key in
+                       ("txns", "cdf", "constraints") if m.get(key)},
                     "partition_cols": m["partition_cols"],
                     "schema": m.get("schema"),
                     "stats_cols": scols, "stats": stats, "rows": rows,
                     **bloom_fields,
-                    "stream_batches": {**stamp, self.queryId: batchId},
+                    **stamp_fields,
                     "files": m["files"] + files})
                 return
             except tf.CommitConflict:

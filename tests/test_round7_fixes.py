@@ -1,0 +1,252 @@
+"""Regression pins for the round-7 self-review findings.
+
+Each test here reproduces a bug the review found in the round-7
+additions and asserts the fix:
+
+- MERGE partition pruning compared ``str(row[c])`` against raw hive
+  path segments, so boolean partition values ('True' vs 'true') and
+  Spark-escaped characters (':' -> '%3A') never matched — the old file
+  of a rewritten partition stayed in the manifest alongside the
+  rewrite, and every read returned the partition's rows twice.
+- ``build_blooms`` ran over pandas batches, where int64-with-nulls
+  coerces to float64: a single NULL in a bloom-tracked int column
+  crashed every subsequent commit, and values past 2^53 would have
+  hashed rounded (false negatives = wrong pruning).
+- The streaming sink stamped replay protection under a SHARED default
+  key, so a second query (or a fresh-checkpoint restart) delivering a
+  matching batchId was silently skipped — data loss. Exactly-once is
+  now opt-in via an explicit ``queryid`` and stamps survive
+  interleaved non-stream commits.
+- ``changes_feed`` ignored the ``clone`` action, so the feed of a
+  cloned table was silently empty; clones also inherited the source's
+  txn/stream stamps, making the clone skip its own first batches.
+- A legal multi-scan BASELINE JPEG (T.81 allows per-component
+  sequential scans) crashed with KeyError instead of routing to the
+  PIL fallback via NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mura_spark.sources.table_format import MuraTable, _partition_values
+
+
+def _df(spark, rows, schema="k long, m int, val string"):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def registered(spark):
+    from mura_spark.sources.table_stream import register
+    register(spark)
+    return spark
+
+
+# ------------------------------------------------ merge partition pruning
+
+
+def test_merge_on_boolean_partition_does_not_duplicate(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, True, "a"), (2, False, "b")],
+             "k long, flag boolean, val string")
+    t = MuraTable.create(spark, path, df, partition_cols=["flag"])
+    src = _df(spark, [(1, True, "a2")],
+              "k long, flag boolean, val string")
+    st = t.merge(src, key_cols=["k"])
+    assert (st.updated, st.inserted) == (1, 0)
+    rows = sorted((r.k, r.flag, r.val) for r in t.read().collect())
+    # the bug kept flag=true's old file by reference AND wrote the
+    # rewrite -> (1, True, 'a') and (1, True, 'a2') both present
+    assert rows == [(1, True, "a2"), (2, False, "b")]
+    assert t.row_count() == 2
+
+
+def test_merge_on_escaped_string_partition_does_not_duplicate(
+        spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a:b", "x"), (2, "c#d", "y")],
+             "k long, part string, val string")
+    t = MuraTable.create(spark, path, df, partition_cols=["part"])
+    # Spark escapes ':' and '#' in hive paths (part=a%3Ab)
+    assert any("%3A" in f for f in t._manifest()["files"])
+    st = t.merge(_df(spark, [(1, "a:b", "x2")],
+                     "k long, part string, val string"),
+                 key_cols=["k"])
+    assert (st.updated, st.inserted) == (1, 0)
+    rows = sorted((r.k, r.part, r.val) for r in t.read().collect())
+    assert rows == [(1, "a:b", "x2"), (2, "c#d", "y")]
+
+
+def test_partition_values_decodes_hive_escapes():
+    assert _partition_values(
+        os.path.join("_data", "c0", "part=a%3Ab", "f.parquet"),
+        ["part"]) == ("a:b",)
+    assert _partition_values(
+        os.path.join("_data", "c0", "flag=true", "f.parquet"),
+        ["flag"]) == ("true",)
+    assert _partition_values(
+        os.path.join("_data", "c0",
+                     "part=__HIVE_DEFAULT_PARTITION__", "f.parquet"),
+        ["part"]) == (None,)
+
+
+# ------------------------------------------------------- bloom + NULLs
+
+
+def test_bloom_column_tolerates_nulls_and_huge_ints(spark, tmp_path):
+    path = str(tmp_path / "t")
+    big = (1 << 60) + 7  # past float64's 2^53 integer exactness
+    df = _df(spark, [(big, 1, "a"), (None, 1, "b"), (5, 2, "c")],
+             "k long, m int, val string")
+    t = MuraTable.create(spark, path, df, bloom_cols=["k"])
+    # a NULL in the bloom column must not break subsequent commits
+    t.append(_df(spark, [(None, 3, "d"), (9, 3, "e")],
+                 "k long, m int, val string"))
+    m = t._manifest()
+    assert all(f in m.get("blooms", {}) for f in m["files"])
+    # the huge int must be found exactly (float64 coercion would have
+    # hashed a rounded value -> unsound pruning)
+    hit = t.read(lookup={"k": big}).where(F.col("k") == big)
+    assert hit.count() == 1
+    assert t.read(lookup={"k": big + 1}).where(
+        F.col("k") == big + 1).count() == 0
+
+
+# ------------------------------------------- stream stamps and carry
+
+
+def test_stream_stamp_survives_interleaved_commits(spark, tmp_path):
+    """A maintenance commit between two micro-batches must carry the
+    replay stamp forward, or redelivery protection silently lapses."""
+    path = str(tmp_path / "t")
+    t = MuraTable.create(spark, path, _df(spark, [(1, 1, "a")]))
+    # simulate a sink commit's stamp
+    v, prev = t._next_version()
+    t._commit(v, {**t._snapshot_fields(prev), "version": v,
+                  "action": "stream_append",
+                  "stream_batches": {"pipe": 4}})
+    t.append(_df(spark, [(2, 2, "b")]))
+    t.compact()
+    t.delete_where("k = 2")
+    t.add_constraint("k_pos", "k > 0")
+    assert t._manifest().get("stream_batches") == {"pipe": 4}
+
+
+def test_clone_drops_ingest_identities(spark, tmp_path):
+    src = MuraTable.create(spark, str(tmp_path / "src"),
+                           _df(spark, [(1, 1, "a")]))
+    src.append(_df(spark, [(2, 2, "b")]), txn=("app", 7))
+    v, prev = src._next_version()
+    src._commit(v, {**src._snapshot_fields(prev), "version": v,
+                    "action": "stream_append",
+                    "stream_batches": {"pipe": 3}})
+    dest = src.clone(str(tmp_path / "dst"))
+    m = dest._manifest()
+    assert "txns" not in m and "stream_batches" not in m
+    # the clone accepts the txn/batch ids the source already consumed
+    dest.append(_df(spark, [(3, 3, "c")]), txn=("app", 1))
+    assert dest.row_count() == 3
+
+
+def test_sink_without_queryid_writes_no_stamp(registered, tmp_path):
+    spark = registered
+    src_path, dst_path = str(tmp_path / "src"), str(tmp_path / "dst")
+    MuraTable.create(spark, src_path, _df(spark, [(1, 1, "a")]))
+    MuraTable.create(spark, dst_path, _df(spark, []))
+    q = (spark.readStream.format("mura_table")
+         .option("path", src_path).load()
+         .writeStream.format("mura_table").option("path", dst_path)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    m = MuraTable.load(spark, dst_path)._manifest()
+    assert m["action"] == "stream_append"
+    assert "stream_batches" not in m
+
+
+def test_sink_with_queryid_stamps_batches(registered, tmp_path):
+    spark = registered
+    src_path, dst_path = str(tmp_path / "src"), str(tmp_path / "dst")
+    MuraTable.create(spark, src_path, _df(spark, [(1, 1, "a")]))
+    MuraTable.create(spark, dst_path, _df(spark, []))
+    q = (spark.readStream.format("mura_table")
+         .option("path", src_path).load()
+         .writeStream.format("mura_table").option("path", dst_path)
+         .option("queryid", "pipe-a")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dst = MuraTable.load(spark, dst_path)
+    assert dst._manifest().get("stream_batches") == {"pipe-a": 0}
+    # two queries with DIFFERENT ids never collide: a second pipeline
+    # delivering its own batch 0 commits instead of being skipped
+    q2 = (spark.readStream.format("mura_table")
+          .option("path", src_path).load()
+          .writeStream.format("mura_table").option("path", dst_path)
+          .option("queryid", "pipe-b")
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert dst.row_count() == 2  # both pipelines' rows landed
+    assert dst._manifest().get("stream_batches") == \
+        {"pipe-a": 0, "pipe-b": 0}
+
+
+# ---------------------------------------------------- clone in the feed
+
+
+def test_changes_feed_covers_clone_snapshot(spark, tmp_path):
+    src = MuraTable.create(spark, str(tmp_path / "src"),
+                           _df(spark, [(1, 1, "a"), (2, 2, "b")]))
+    dest = src.clone(str(tmp_path / "dst"))
+    feed = dest.changes_feed(0)
+    got = sorted((r.k, r._change_type, r._commit_version)
+                 for r in feed.collect())
+    assert got == [(1, "insert", 1), (2, "insert", 1)]
+
+
+def test_cdf_stream_reader_covers_clone(registered, tmp_path):
+    spark = registered
+    src = MuraTable.create(spark, str(tmp_path / "src"),
+                           _df(spark, [(1, 1, "a")]))
+    src.clone(str(tmp_path / "dst"))
+    df = (spark.read.format("mura_table")
+          .option("path", str(tmp_path / "dst"))
+          .option("readChangeFeed", "true").load())
+    assert [(r.k, r._change_type) for r in df.collect()] \
+        == [(1, "insert")]
+
+
+# ------------------------------------------------- jpeg multi-scan guard
+
+
+def _single_component_sos(payload: bytes) -> bytes:
+    """Rewrite the SOS segment of a 3-component baseline JPEG to claim
+    only its first component — the shape of a (legal) multi-scan file's
+    first scan."""
+    i = payload.find(b"\xff\xda")
+    assert i > 0
+    ln = int.from_bytes(payload[i + 2:i + 4], "big")
+    seg = payload[i + 4:i + 2 + ln]
+    ns = seg[0]
+    assert ns == 3
+    first = seg[1:3]
+    tail = seg[1 + 2 * ns:]  # ss, se, ahal
+    new = bytes([1]) + first + tail
+    return (payload[:i + 2] + (len(new) + 2).to_bytes(2, "big")
+            + new + payload[i + 2 + ln:])
+
+
+def test_multi_scan_baseline_raises_not_implemented():
+    from mura_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    payload = _single_component_sos(encode_jpeg(rgb))
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(payload)
