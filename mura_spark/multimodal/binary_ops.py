@@ -522,6 +522,27 @@ def video_frame_stats(df: DataFrame, stride: int = 1,
         .mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
 
 
+def to_rgb8(img):
+    """Canonical (h, w, 3) uint8 view of any :func:`decode_image`
+    output — the normalization every RGB-assuming consumer (resize,
+    aHash, luma sums) must apply: 16-bit samples scale to 8-bit
+    (high byte, the standard conversion; a bare uint8 cast would wrap
+    mod 256), grayscale replicates, alpha channels DROP (alpha is
+    coverage, not color — summing it into luma would make visually
+    identical RGB and RGBA images hash apart)."""
+    import numpy as np
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
+    if img.ndim == 2:
+        return np.stack([img] * 3, axis=-1)
+    ch = img.shape[2]
+    if ch == 2:  # gray + alpha
+        return np.stack([img[:, :, 0]] * 3, axis=-1)
+    if ch == 4:  # RGBA
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """REAL image resize for decodable payloads (PPM/BMP/PIL formats):
     decode → nearest-neighbor resample (integer index mapping — fully
@@ -529,9 +550,7 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     format-agnostic pipeline stub (byte-stride) remains in
     :func:`resize_stub` for undecodable formats."""
     import numpy as np
-    img = decode_image(payload)
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
+    img = to_rgb8(decode_image(payload))
     h, w = img.shape[:2]
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
@@ -548,7 +567,9 @@ def ahash64(df: DataFrame, id_col: str = "id",
     the hash from raw channel values without any float. Images of any
     size are first downsampled to the canonical 8×8 aHash grid by the
     same nearest-neighbor index map as :func:`resize_image` (identity
-    for already-8×8 inputs, so existing oracle hashes are unchanged).
+    for already-8×8 inputs, so existing oracle hashes are unchanged),
+    and normalized to RGB via :func:`to_rgb8` — alpha is dropped, not
+    summed, so identical-looking RGB and RGBA images hash identically.
     Narrow Arrow map over the decoded bytes; blobs never shuffle — only
     the 16-byte signature leaves the map."""
     import numpy as np
@@ -557,9 +578,7 @@ def ahash64(df: DataFrame, id_col: str = "id",
         for pdf in it:
             los, his = [], []
             for payload in pdf[content_col]:
-                arr = decode_image(bytes(payload))
-                if arr.ndim == 2:
-                    arr = np.stack([arr] * 3, axis=-1)
+                arr = to_rgb8(decode_image(bytes(payload)))
                 h, w = arr.shape[:2]
                 if (h, w) != (8, 8):
                     arr = arr[(np.arange(8) * h) // 8][
@@ -744,8 +763,8 @@ def image_luma_sums(df: DataFrame, id_col: str = "id",
             for i, p in zip(pdf[id_col], pdf[content_col]):
                 ids.append(int(i))
                 try:
-                    img = decode_image(bytes(p)).astype("int64")
-                    flat = img.reshape(-1, img.shape[-1])
+                    img = to_rgb8(decode_image(bytes(p))).astype("int64")
+                    flat = img.reshape(-1, 3)
                     luma = (299 * flat[:, 0] + 587 * flat[:, 1]
                             + 114 * flat[:, 2])
                     np_.append(int(flat.shape[0]))

@@ -290,6 +290,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(payload, pos, frame, scan, qtables, htables,
                  restart_interval):
     comps = frame["comps"]
+    if len(comps) == 1:
+        # T.81 §A.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8x8 block rastered over the component's own grid,
+        # and the frame's sampling factors (which only define
+        # multi-component interleave geometry) are ignored. A grayscale
+        # SOF0 declaring h=v=2 would otherwise decode 2x2 block groups
+        # the stream never encoded.
+        comps = [{**comps[0], "h": 1, "v": 1}]
+        frame = {**frame, "comps": comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

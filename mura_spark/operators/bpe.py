@@ -37,7 +37,6 @@ same corpus always learns the same merge table on any cluster layout.
 
 from __future__ import annotations
 
-import re
 from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -46,7 +45,51 @@ from pyspark.sql import functions as F
 #: pre-tokenizer: letter runs, digit runs, single punctuation — the
 #: same pieces bpe_ish_token_count counts (functions/text.py:46)
 _PRETOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
-_PRETOKEN_PY = re.compile(r"[^\W\d_]+|\d+|[^\w\s]", re.UNICODE)
+
+# The encode kernel MUST pretokenize exactly like the JVM training
+# pass or token counts diverge from the learned distribution. Java
+# classes, precisely: \p{L}/\p{N} are the Unicode L*/N* categories and
+# Java's \s is ASCII-only — so '_' is punctuation (stdlib re's \w
+# would swallow it), '½'/'Ⅷ' are number runs (stdlib \d is Nd-only),
+# and NBSP is punctuation, not whitespace. The `regex` module
+# expresses this directly; a unicodedata walk is the exact fallback.
+_ASCII_WS = " \t\n\x0b\f\r"
+try:
+    import regex as _regex
+    _PRETOKEN_MATCHER = _regex.compile(
+        r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}" + _ASCII_WS + r"]")
+
+    def _pretokenize_py(text: str) -> list[str]:
+        return _PRETOKEN_MATCHER.findall(text)
+except ImportError:  # pragma: no cover - regex ships with this env
+    import unicodedata
+
+    def _pretokenize_py(text: str) -> list[str]:
+        out: list[str] = []
+        run: list[str] = []
+        kind = None
+        for ch in text:
+            if ch in _ASCII_WS:
+                if run:
+                    out.append("".join(run))
+                    run, kind = [], None
+                continue
+            cat = unicodedata.category(ch)[0]
+            if cat in ("L", "N"):
+                if cat == kind:
+                    run.append(ch)
+                else:
+                    if run:
+                        out.append("".join(run))
+                    run, kind = [ch], cat
+            else:
+                if run:
+                    out.append("".join(run))
+                    run, kind = [], None
+                out.append(ch)
+        if run:
+            out.append("".join(run))
+        return out
 
 #: end-of-word marker (Sennrich convention): distinguishes "er" inside
 #: a word from "er</w>" ending one, so merges respect word boundaries
@@ -172,7 +215,7 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
             ids, counts, toks = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 doc: list[str] = []
-                for w in _PRETOKEN_PY.findall(str(text).lower()):
+                for w in _pretokenize_py(str(text).lower()):
                     enc = cache.get(w)
                     if enc is None:
                         enc = _encode_word(w, ranks)

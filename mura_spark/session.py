@@ -142,6 +142,28 @@ class MuraSession:
         rewritten = self._rewrite_table_changes(rewritten)
         return self.spark.sql(rewritten)
 
+    #: a single-quoted SQL string literal ('' is the escaped quote)
+    _LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+    @classmethod
+    def _sub_outside_literals(cls, pattern: "re.Pattern[str]", repl,
+                              query: str) -> str:
+        """``pattern.sub`` that refuses matches STARTING inside a
+        string literal — a literal containing the text
+        ``t VERSION AS OF 1`` is data, not syntax, and must not be
+        rewritten (nor register temp views as a side effect). Matches
+        starting outside may still span a literal: ``FOR TAG 'x'`` and
+        ``table_changes('t', ...)`` legitimately consume one."""
+        spans = [m.span() for m in cls._LITERAL_RE.finditer(query)]
+
+        def guarded(m: "re.Match[str]") -> str:
+            s = m.start()
+            if any(a <= s < b for a, b in spans):
+                return m.group(0)
+            return repl(m)
+
+        return pattern.sub(guarded, query)
+
     _TT_RE = re.compile(
         r"(?is)\b([A-Za-z_]\w*)\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
         r"|FOR\s+TAG\s+'([\w.-]+)')")
@@ -171,7 +193,7 @@ class MuraSession:
             df.createOrReplaceTempView(view)
             return view
 
-        return self._TT_RE.sub(sub, query)
+        return self._sub_outside_literals(self._TT_RE, sub, query)
 
     _TC_RE = re.compile(
         r"(?is)\btable_changes\s*\(\s*'([\w]+)'\s*,\s*(\d+)"
@@ -197,7 +219,7 @@ class MuraSession:
              .createOrReplaceTempView(view)
             return view
 
-        return self._TC_RE.sub(sub, query)
+        return self._sub_outside_literals(self._TC_RE, sub, query)
 
     _DELETE_RE = re.compile(
         r"(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)"

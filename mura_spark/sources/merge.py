@@ -20,7 +20,16 @@ partition-scoped cost model those formats implement:
   storage is bounded by them, not the table.
 - **Dynamic partition overwrite commit**: only partitions present in
   the merged frame are replaced (overwrite_partitions); untouched
-  partition directories are never listed, read, or rewritten.
+  partition directories are never listed, read, or rewritten. A
+  touched partition whose rows were ALL deleted is absent from the
+  merged frame — dynamic overwrite would silently keep its old files,
+  so those directories are removed explicitly after the write.
+
+This module also holds the merge CORE shared with the versioned table
+format (``table_format.MuraTable.merge``): source validation, the
+presence-marker full-outer join with row status, and the hive
+partition-value canonicalization — one implementation of the MERGE
+semantics, two commit protocols (in-place here, manifest COW there).
 
 What a real 100 TB deployment gains from a transactional format on top
 of this — atomic multi-partition commit, snapshot isolation, time
@@ -30,10 +39,15 @@ than half-implemented.
 
 from __future__ import annotations
 
+import os
+import urllib.parse
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: hive's directory name for a NULL partition value
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 @dataclass
@@ -43,6 +57,145 @@ class MergeStats:
     deleted: int
     inserted: int
     copied: int  # unmatched target rows in touched partitions, rewritten
+
+
+# ------------------------------------------------- hive value canon
+
+
+def partition_str(v) -> str | None:
+    """A Python partition VALUE as the string Spark encodes into hive
+    paths (post-unescape) — the canonical form both sides of a
+    partition-file comparison must use. Booleans are 'true'/'false'
+    (str(True) would be 'True' and never match a path segment);
+    date/datetime use their ISO forms, which equal str() for these
+    types; everything else is str()."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def hive_partition_values(relpath: str, partition_cols: list[str]) -> tuple:
+    """Hive partition values encoded in a data-file path, as strings
+    (the pruning key; Spark re-derives typed values from the directory
+    layout at read time). Hive's null sentinel maps back to None so
+    null partitions compare equal to source nulls; %XX escapes
+    (Spark's escapePathName for ':', '#', '%', ... in values) are
+    decoded so the returned strings match the written values."""
+    vals = dict(seg.split("=", 1) for seg in relpath.split(os.sep)
+                if "=" in seg)
+    return tuple(None if vals.get(c) in (None, HIVE_NULL)
+                 else urllib.parse.unquote(vals[c])
+                 for c in partition_cols)
+
+
+# --------------------------------------------------------- merge core
+
+
+def check_merge_source(target: DataFrame, source: DataFrame,
+                       key_cols: list[str]) -> DataFrame:
+    """Shared MERGE preconditions: the source must carry exactly the
+    target's columns (returned aligned to the target's order) and at
+    most one row per key — multiple source rows matching one target
+    row make the merge ambiguous, so they raise (the Delta rule),
+    enforced with one aggregation over the source."""
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"source schema {sorted(source.columns)} != target schema "
+            f"{sorted(target.columns)}")
+    source = source.select(*target.columns)
+    dup = (source.groupBy(*key_cols).count()
+                 .where(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"multiple source rows share key "
+            f"{[dup[0][k] for k in key_cols]} — merge is ambiguous "
+            f"(dedupe the source first)")
+    return source
+
+
+def partition_filter(rows, partition_cols: list[str]):
+    """OR-of-ANDs partition predicate from collected source partition
+    rows — typed literals against bare partition columns, the shape
+    partition pruning recognizes (no casts on the column side)."""
+    pred = None
+    for row in rows:
+        clause = None
+        for c in partition_cols:
+            eq = F.col(c).eqNullSafe(F.lit(row[c]))
+            clause = eq if clause is None else clause & eq
+        pred = clause if pred is None else pred | clause
+    return pred
+
+
+def merge_status_frame(target: DataFrame, source: DataFrame,
+                       key_cols: list[str],
+                       take_source_matched: bool = True,
+                       with_preimages: bool = False) -> DataFrame:
+    """The MERGE join both commit protocols share: null-safe full-outer
+    join on the keys with explicit presence markers (so rows whose
+    every data column is NULL still classify), returning the target's
+    columns plus ``__status`` in ('matched', 'insert', 'copy').
+    Matched rows take the source side unless ``take_source_matched``
+    is False (the WHEN MATCHED THEN IGNORE shape, where the caller
+    keeps target values). ``with_preimages`` adds ``__pre_<col>``
+    columns carrying the target side of every row — the CDF
+    pre-image source."""
+    cols = list(target.columns)
+    j = (target.withColumn("__t", F.lit(1)).alias("t")
+               .join(source.withColumn("__s", F.lit(1)).alias("s"),
+                     [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                      for k in key_cols],
+                     "full_outer"))
+    status = (F.when(F.col("t.__t").isNotNull()
+                     & F.col("s.__s").isNotNull(), F.lit("matched"))
+               .when(F.col("s.__s").isNotNull(), F.lit("insert"))
+               .otherwise(F.lit("copy")))
+    take_source = status == F.lit("insert") if not take_source_matched \
+        else status.isin("matched", "insert")
+    out_cols = [F.when(take_source, F.col(f"s.{c}"))
+                 .otherwise(F.col(f"t.{c}")).alias(c) for c in cols]
+    pre_cols = [F.col(f"t.{c}").alias(f"__pre_{c}")
+                for c in cols] if with_preimages else []
+    return j.select(*out_cols, *pre_cols, status.alias("__status"))
+
+
+def _delete_emptied_partitions(target_path: str,
+                               partition_cols: list[str],
+                               emptied: set[tuple]) -> int:
+    """Remove the hive directories of touched partitions whose merged
+    frame holds ZERO rows — dynamic partition overwrite only replaces
+    partitions PRESENT in the output, so a fully-deleted partition's
+    old files would otherwise survive the commit. Directory names are
+    matched by decoded value (escapes, null sentinel), never by
+    re-encoding. Returns the number of partition dirs removed."""
+    import shutil
+    if not emptied:
+        return 0
+    removed = 0
+
+    def rec(base: str, depth: int, vals: tuple):
+        nonlocal removed
+        if depth == len(partition_cols):
+            if vals in emptied:
+                shutil.rmtree(base, ignore_errors=True)
+                removed += 1
+            return
+        prefix = partition_cols[depth] + "="
+        try:
+            names = os.listdir(base)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if not name.startswith(prefix):
+                continue
+            raw = name[len(prefix):]
+            v = None if raw == HIVE_NULL else urllib.parse.unquote(raw)
+            rec(os.path.join(base, name), depth + 1, vals + (v,))
+
+    rec(target_path, 0, ())
+    return removed
 
 
 def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
@@ -66,6 +219,13 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
     the merge ambiguous, so they raise (the Delta rule), enforced with
     one aggregation over the source.
 
+    Partition-pruned matching carries the standard precondition of
+    partitioned upserts (Delta's replaceWhere rule): a key's partition
+    values must be stable — a source row whose partition differs from
+    its target row's would not see that row (it lives in an unread
+    partition) and would insert a duplicate key. Keep partition
+    columns functionally dependent on the merge key.
+
     Returns :class:`MergeStats`; the table at ``target_path`` is
     mutated in place (touched partitions only when ``partition_cols``
     is given, else a full rewrite — partition your mutable tables).
@@ -74,51 +234,18 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
         raise ValueError(f"when_matched must be update|delete, "
                          f"got {when_matched!r}")
     target = spark.read.parquet(target_path)
-    if set(target.columns) != set(source.columns):
-        raise ValueError(
-            f"source schema {sorted(source.columns)} != target schema "
-            f"{sorted(target.columns)} (schema evolution needs a "
-            f"transactional table format)")
-    source = source.select(*target.columns)  # align column order
+    source = check_merge_source(target, source, key_cols)
 
-    dup = (source.groupBy(*key_cols).count()
-                 .where(F.col("count") > 1).limit(1).collect())
-    if dup:
-        raise ValueError(
-            f"multiple source rows share key "
-            f"{[dup[0][k] for k in key_cols]} — merge is ambiguous "
-            f"(dedupe the source first)")
-
+    touched = None
     if partition_cols:
         # dimension-sized collect: one row per touched partition
         touched = (source.select(*partition_cols).distinct().collect())
         if not touched:
             return MergeStats(0, 0, 0, 0)
-        pred = None
-        for row in touched:
-            clause = None
-            for c in partition_cols:
-                eq = F.col(c).eqNullSafe(F.lit(row[c]))
-                clause = eq if clause is None else clause & eq
-            pred = clause if pred is None else pred | clause
-        target = target.where(pred)  # partition-pruned scan
+        # partition-pruned scan
+        target = target.where(partition_filter(touched, partition_cols))
 
-    cols = list(target.columns)
-    # explicit presence markers survive the full-outer join even for
-    # rows whose every data column is NULL
-    j = (target.withColumn("__t", F.lit(1)).alias("t")
-               .join(source.withColumn("__s", F.lit(1)).alias("s"),
-                     [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-                      for k in key_cols],
-                     "full_outer"))
-    status = (F.when(F.col("t.__t").isNotNull()
-                     & F.col("s.__s").isNotNull(), F.lit("matched"))
-               .when(F.col("s.__s").isNotNull(), F.lit("insert"))
-               .otherwise(F.lit("copy")))
-    take_source = status.isin("matched", "insert")
-    out_cols = [F.when(take_source, F.col(f"s.{c}"))
-                 .otherwise(F.col(f"t.{c}")).alias(c) for c in cols]
-    merged = j.select(*out_cols, status.alias("__status"))
+    merged = merge_status_frame(target, source, key_cols)
 
     # materialization barrier: the commit below deletes files this plan
     # reads, so pin the merged rows first (bounded by touched partitions)
@@ -138,6 +265,15 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy(*partition_cols)
               .parquet(target_path))
+        # dynamic overwrite never touches a partition ABSENT from the
+        # output — a touched partition whose rows were all deleted
+        # must have its old directory removed explicitly
+        present = {
+            tuple(partition_str(r[c]) for c in partition_cols)
+            for r in final.select(*partition_cols).distinct().collect()}
+        emptied = {tuple(partition_str(r[c]) for c in partition_cols)
+                   for r in touched} - present
+        _delete_emptied_partitions(target_path, partition_cols, emptied)
     else:
         final.write.mode("overwrite").parquet(target_path)
 

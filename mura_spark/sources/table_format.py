@@ -48,7 +48,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mura_spark.sources.merge import MergeStats
+from mura_spark.sources.merge import (HIVE_NULL, MergeStats,
+                                      check_merge_source,
+                                      hive_partition_values,
+                                      merge_status_frame,
+                                      partition_filter, partition_str)
 
 _LOG_DIR = "_mura_log"
 _DATA_DIR = "_data"
@@ -73,36 +77,12 @@ def _list_part_files(commit_dir: str) -> list[str]:
     return sorted(out)
 
 
-_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
-
-
-def _partition_values(relpath: str, partition_cols: list[str]) -> tuple:
-    """Hive partition values encoded in a data-file path, as strings
-    (the manifest's pruning key; Spark re-derives typed values from
-    the directory layout at read time). Hive's null sentinel maps back
-    to None so null partitions compare equal to source nulls; %XX
-    escapes (Spark's escapePathName for ':', '#', '%', ... in values)
-    are decoded so the returned strings match the written values."""
-    import urllib.parse
-    vals = dict(seg.split("=", 1) for seg in relpath.split(os.sep)
-                if "=" in seg)
-    return tuple(None if vals.get(c) in (None, _HIVE_NULL)
-                 else urllib.parse.unquote(vals[c])
-                 for c in partition_cols)
-
-
-def _partition_str(v) -> str | None:
-    """A Python partition VALUE as the string Spark encodes into hive
-    paths (post-unescape) — the canonical form both sides of a
-    partition-file comparison must use. Booleans are 'true'/'false'
-    (str(True) would be 'True' and never match a path segment);
-    date/datetime use their ISO forms, which equal str() for these
-    types; everything else is str()."""
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
+# hive value canonicalization lives in sources/merge.py (the shared
+# MERGE core); these aliases keep this module's public-ish names for
+# table_stream.py and the tests
+_HIVE_NULL = HIVE_NULL
+_partition_values = hive_partition_values
+_partition_str = partition_str
 
 
 class MuraTable:
@@ -853,17 +833,7 @@ class MuraTable:
             return MergeStats(0, 0, 0, 0)
         pcols = prev["partition_cols"]
         target = self.read()
-        if set(target.columns) != set(source.columns):
-            raise ValueError(
-                f"source schema {sorted(source.columns)} != target "
-                f"schema {sorted(target.columns)}")
-        source = source.select(*target.columns)
-        dup = (source.groupBy(*key_cols).count()
-                     .where(F.col("count") > 1).limit(1).collect())
-        if dup:
-            raise ValueError(
-                f"multiple source rows share key "
-                f"{[dup[0][k] for k in key_cols]} — merge is ambiguous")
+        source = check_merge_source(target, source, key_cols)
 
         # unpartitioned: full rewrite, nothing carried by reference
         keep_files = []
@@ -876,42 +846,21 @@ class MuraTable:
             rows = source.select(*pcols).distinct().collect()
             if not rows:
                 return MergeStats(0, 0, 0, 0)
-            pred = None
-            for row in rows:
-                clause = None
-                for c in pcols:
-                    # typed literal, bare partition column: the shape
-                    # partition pruning recognizes (no casts on c)
-                    eq = F.col(c).eqNullSafe(F.lit(row[c]))
-                    clause = eq if clause is None else clause & eq
-                pred = clause if pred is None else pred | clause
-            target = target.where(pred)  # partition-pruned scan
-            touched = {tuple(_partition_str(row[c]) for c in pcols)
+            # partition-pruned scan (typed literals on bare partition
+            # columns — the shape partition pruning recognizes)
+            target = target.where(partition_filter(rows, pcols))
+            touched = {tuple(partition_str(row[c]) for c in pcols)
                        for row in rows}
             keep_files = [
                 f for f in prev["files"]
                 if _partition_values(f, pcols) not in touched]
 
         cols = list(target.columns)
-        j = (target.withColumn("__t", F.lit(1)).alias("t")
-                   .join(source.withColumn("__s", F.lit(1)).alias("s"),
-                         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-                          for k in key_cols],
-                         "full_outer"))
-        status = (F.when(F.col("t.__t").isNotNull()
-                         & F.col("s.__s").isNotNull(), F.lit("matched"))
-                   .when(F.col("s.__s").isNotNull(), F.lit("insert"))
-                   .otherwise(F.lit("copy")))
-        take_source = status == F.lit("insert") \
-            if when_matched == "ignore" \
-            else status.isin("matched", "insert")
-        out_cols = [F.when(take_source, F.col(f"s.{c}"))
-                     .otherwise(F.col(f"t.{c}")).alias(c) for c in cols]
         cdf_on = bool(prev.get("cdf"))
-        pre_cols = [F.col(f"t.{c}").alias(f"__pre_{c}")
-                    for c in cols] if cdf_on else []
-        merged = j.select(*out_cols, *pre_cols,
-                          status.alias("__status"))
+        merged = merge_status_frame(
+            target, source, key_cols,
+            take_source_matched=(when_matched != "ignore"),
+            with_preimages=cdf_on)
         # COW writes only NEW files, so no materialization barrier is
         # needed — the read plan's files are never touched. Cache for
         # the two passes (counts + write) instead.

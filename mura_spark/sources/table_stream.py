@@ -553,10 +553,17 @@ def replicate_changes(spark, source_path: str, target, keys: list[str],
     from pyspark.sql.window import Window
 
     def apply_batch(feed, batch_id: int) -> None:
+        # newest commit wins; WITHIN one commit a surviving row outranks
+        # a delete — overwrite/restore feed as a file diff, so a key
+        # surviving an overwrite emits delete(old file) + insert(new
+        # file) at the SAME _commit_version, and version-only ordering
+        # would drop it from the mirror nondeterministically
         final = (feed.where(F.col("_change_type") != "update_preimage")
                  .withColumn("__rn", F.row_number().over(
                      Window.partitionBy(*keys)
-                           .orderBy(F.col("_commit_version").desc())))
+                           .orderBy(F.col("_commit_version").desc(),
+                                    (F.col("_change_type") == "delete")
+                                    .cast("int").asc())))
                  .where(F.col("__rn") == 1).drop("__rn"))
         final = final.localCheckpoint(eager=True)  # one pass upstream
         ups = (final.where(F.col("_change_type") != "delete")

@@ -93,9 +93,12 @@ def main() -> None:
 
     mirror = MuraTable.create(spark, os.path.join(work, "mirror"),
                               docs.limit(0))
-    replicate_changes(spark, os.path.join(work, "corpus"), mirror,
-                      ["doc_id"], os.path.join(work, "ckpt")) \
-        .awaitTermination(300)
+    q = replicate_changes(spark, os.path.join(work, "corpus"), mirror,
+                          ["doc_id"], os.path.join(work, "ckpt"))
+    if not q.awaitTermination(300):
+        # don't report metrics from (or rmtree under) a live stream
+        q.stop()
+        raise RuntimeError("CDC mirror did not drain within 300s")
     out["mirror_rows"] = mirror.row_count()
     out["mirror_exact"] = mirror.row_count() == out["clean_rows"]
 

@@ -250,3 +250,154 @@ def test_multi_scan_baseline_raises_not_implemented():
     payload = _single_component_sos(encode_jpeg(rgb))
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(payload)
+
+
+def test_grayscale_sampling_factors_ignored():
+    """T.81: a single-component scan is non-interleaved — a grayscale
+    SOF0 declaring h=v=2 (legal; e.g. a color transcode that kept its
+    sampling factors) must decode like h=v=1, not as 2x2 MCU groups
+    the stream never encoded."""
+    from mura_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (20, 12)).astype(np.uint8)  # not %16
+    payload = bytearray(encode_jpeg(gray, quality=95))
+    i = bytes(payload).find(b"\xff\xc0")
+    assert i > 0 and payload[i + 11] == 0x11
+    base = decode_jpeg(bytes(payload))
+    payload[i + 11] = 0x22  # claim h=v=2 on the only component
+    assert np.array_equal(decode_jpeg(bytes(payload)), base)
+
+
+# ------------------------------------------- RGB normalization (alpha)
+
+
+def test_ahash_ignores_alpha_and_16bit_scales(spark):
+    from mura_spark.multimodal.binary_ops import (ahash64, encode_ppm,
+                                                  to_rgb8)
+    from mura_spark.multimodal.png import encode_png
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    rgba = np.dstack([rgb, rng.randint(0, 256, (8, 8)).astype(np.uint8)])
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(rgb))),
+         (2, bytearray(encode_png(rgba)))],
+        "id long, content binary")
+    got = {r.id: (r.lo, r.hi) for r in ahash64(df).collect()}
+    # identical RGB values -> identical hash, varying alpha or not
+    assert got[1] == got[2]
+    # 16-bit scales by high byte, never wraps mod 256
+    big = np.full((2, 2, 3), 0xFF00, dtype=np.uint16)
+    assert to_rgb8(big).tolist() == np.full((2, 2, 3), 0xFF,
+                                            dtype=np.uint8).tolist()
+
+
+def test_resize_image_handles_rgba_and_16bit():
+    from mura_spark.multimodal.binary_ops import decode_image, resize_image
+    from mura_spark.multimodal.png import encode_png
+    rng = np.random.RandomState(5)
+    rgba = rng.randint(0, 256, (6, 4, 4)).astype(np.uint8)
+    out = decode_image(resize_image(encode_png(rgba), 2, 3))
+    assert out.shape == (3, 2, 3)
+    grad16 = (np.arange(6 * 4 * 3, dtype=np.uint16)
+              .reshape(6, 4, 3) * 600)
+    out16 = decode_image(resize_image(encode_png(grad16), 4, 6))
+    # high-byte scaling: monotone gradient stays monotone (a uint8
+    # wrap would sawtooth)
+    flat = out16.astype(int).sum(axis=2).reshape(-1)
+    assert (np.diff(flat) >= 0).all()
+
+
+# -------------------------------------------- merge_into emptied parts
+
+
+def test_merge_into_delete_removes_emptied_partition(spark, tmp_path):
+    from mura_spark.sources.merge import merge_into
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")])
+    df.write.partitionBy("m").parquet(path)
+    # delete EVERY row of partition m=1
+    st = merge_into(spark, path,
+                    _df(spark, [(1, 1, "a"), (2, 1, "b")]),
+                    key_cols=["k"], partition_cols=["m"],
+                    when_matched="delete", insert_not_matched=False)
+    assert st.deleted == 2
+    rows = [(r.k, r.m, r.val) for r in spark.read.parquet(path).collect()]
+    assert rows == [(3, 2, "c")]
+    assert not [d for d in os.listdir(path) if d == "m=1"]
+
+
+# --------------------------------------- replicate_changes overwrite tie
+
+
+def test_replicate_changes_survives_overwrite(registered, tmp_path):
+    """Overwrite feeds delete(old file) + insert(new file) at the SAME
+    commit version for a surviving key; the mirror must keep it."""
+    from mura_spark.sources.table_stream import replicate_changes
+    spark = registered
+    src = MuraTable.create(spark, str(tmp_path / "src"),
+                           _df(spark, [(1, 1, "a"), (2, 2, "b")]))
+    mirror = MuraTable.create(spark, str(tmp_path / "mir"),
+                              _df(spark, []))
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = replicate_changes(spark, str(tmp_path / "src"), mirror,
+                              ["k"], ck)
+        assert q.awaitTermination(120)
+
+    drain()
+    # overwrite: key 1 survives (new value), key 2 drops, key 4 appears
+    src.overwrite(_df(spark, [(1, 1, "a2"), (4, 4, "d")]))
+    drain()
+    got = sorted((r.k, r.val) for r in mirror.read().collect())
+    assert got == [(1, "a2"), (4, "d")]
+
+
+# --------------------------------------------------- bpe pretokenizer
+
+
+def test_bpe_pretokenizers_agree_on_edge_chars(spark):
+    from mura_spark.operators.bpe import _pretokenize_py, pretokenize
+    cases = ["foo_bar __init__", "x½y Ⅷ 12", "a b",
+             "café-naïve", "3.14_15"]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    jvm = [r[0] for r in
+           df.select(pretokenize(F.lower(F.col("text")))).collect()]
+    for c, j in zip(cases, jvm):
+        assert _pretokenize_py(c.lower()) == j, c
+    # '_' is punctuation on both sides (stdlib \w would swallow it)
+    assert _pretokenize_py("foo_bar") == ["foo", "_", "bar"]
+
+
+def test_bpe_encode_counts_underscore_corpus(spark):
+    from mura_spark.operators.bpe import bpe_encode, train_bpe
+    df = spark.createDataFrame(
+        [(i, "snake_case_name other words here") for i in range(30)],
+        "doc_id long, text string")
+    merges = train_bpe(df, num_merges=20)
+    enc = bpe_encode(df, merges, tokens_out=True).first()
+    # the '_' tokens survive encode (pre-fix they were silently
+    # dropped) and detokenize reconstructs every pre-token
+    from mura_spark.operators.bpe import detokenize
+    assert "_" in "".join(enc.tokens)
+    assert detokenize(list(enc.tokens)) \
+        == "snake _ case _ name other words here"
+    assert enc.n_tokens == len(enc.tokens)
+
+
+# ------------------------------------------- SQL literals stay literal
+
+
+def test_sql_rewrite_ignores_string_literals(spark, tmp_path):
+    from mura_spark import MuraSession
+    ms = MuraSession(spark)
+    path = str(tmp_path / "t")
+    MuraTable.create(spark, path, _df(spark, [(1, 1, "a")]))
+    ms.create_external_table("lit_t", path, file_type="mura")
+    got = ms.sql("SELECT 'lit_t VERSION AS OF 1' AS note").first()
+    assert got.note == "lit_t VERSION AS OF 1"
+    got = ms.sql("SELECT x AS a FROM (SELECT 'table_changes"
+                 "(''lit_t'', 1)' AS x)").first()
+    assert got.a == "table_changes('lit_t', 1)"
+    # the real constructs still rewrite
+    assert ms.sql("SELECT k FROM lit_t VERSION AS OF 1").count() == 1
