@@ -163,6 +163,11 @@ def group_percentiles(df: DataFrame, group_cols: list[str],
     """
     if len(ps) != len(out_names):
         raise ValueError("ps and out_names must align")
+    # percentiles are of the NON-NULL observations (the published
+    # definition); unfiltered NULLs would both inflate n and rank at
+    # engine-dependent ends (Spark NULLS FIRST asc vs DuckDB NULLS
+    # LAST), shifting every (n-1)p position
+    df = df.where(F.col(value_col).isNotNull())
     w_rn = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
     w_n = Window.partitionBy(*group_cols)
     ranked = df.select(*group_cols, F.col(value_col).alias("__v"),
@@ -209,7 +214,8 @@ def sql_group_percentiles(table_expr: str, group_cols: list[str],
         f"WITH ranked AS (SELECT {g}, {value_expr} AS v, "
         f"CAST(ROW_NUMBER() OVER (PARTITION BY {g} "
         f"ORDER BY {value_expr}) - 1 AS BIGINT) AS i, "
-        f"COUNT(*) OVER (PARTITION BY {g}) AS n FROM {table_expr}), "
+        f"COUNT(*) OVER (PARTITION BY {g}) AS n FROM {table_expr} "
+        f"WHERE {value_expr} IS NOT NULL), "
         f"agg AS (SELECT {g}, ANY_VALUE(n) AS n, " + ", ".join(los)
         + f" FROM ranked GROUP BY {g}) "
         f"SELECT {g}, " + ", ".join(sels) + " FROM agg")

@@ -1091,31 +1091,39 @@ def stats_theil_sen_daily(spark, sf):
    "WITH d AS (SELECT CAST(ts AS DATE) AS day, "
    "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents "
    "FROM events GROUP BY 1), "
-   "lagged AS (SELECT cents, "
-   "LAG(cents, 7) OVER (ORDER BY day) AS l7, "
-   "LAG(cents, 1) OVER (ORDER BY day) AS l1 FROM d) "
+   "lagged AS (SELECT a.cents, b7.cents AS l7, b1.cents AS l1 "
+   "FROM d a LEFT JOIN d b7 ON b7.day = a.day - 7 "
+   "LEFT JOIN d b1 ON b1.day = a.day - 1) "
    "SELECT CAST(COUNT(*) AS BIGINT) AS n_scored, "
    "CAST(SUM(abs(cents - l7)) AS DOUBLE) / COUNT(*) AS mae7_cents, "
    "CAST(SUM(abs(cents - l1)) AS DOUBLE) / COUNT(*) AS mae1_cents, "
    "(CAST(SUM(abs(cents - l7)) AS DOUBLE) / COUNT(*) "
    "< CAST(SUM(abs(cents - l1)) AS DOUBLE) / COUNT(*)) AS seasonal_wins "
-   "FROM lagged WHERE l7 IS NOT NULL")
+   "FROM lagged WHERE l7 IS NOT NULL AND l1 IS NOT NULL")
 def events_seasonal_naive_mae(spark, sf):
     """Forecast-baseline backtest over the daily value series: MAE of
-    the seasonal-naive forecast (value a week ago) vs the plain naive
-    (yesterday), scored on the days where both exist — the sanity gate
-    before any real forecasting model ships. Integer cents throughout;
-    the lag window runs over the calendar-bounded daily aggregate."""
-    from pyspark.sql import Window
+    the seasonal-naive forecast (value 7 CALENDAR days ago) vs the
+    plain naive (the previous calendar day), scored on the days where
+    both baselines exist — the sanity gate before any real forecasting
+    model ships. The baselines join on the calendar date, not a
+    row-offset LAG: one missing day would slide a row-lag onto the
+    wrong weekday for every later row, and the 'seasonal' MAE would
+    stop measuring seasonality. Integer cents throughout."""
     ev = table(spark, sf, "events")
     daily = (ev.groupBy(F.to_date("ts").alias("day"))
                .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
                     .cast("bigint").alias("cents")))
-    w = Window.orderBy("day")
-    lagged = daily.select(
-        "cents", F.lag("cents", 7).over(w).alias("l7"),
-        F.lag("cents", 1).over(w).alias("l1"))
-    sc = lagged.filter(F.col("l7").isNotNull())
+    a = daily.select(F.col("day"), F.col("cents"))
+    b7 = daily.select(F.col("day").alias("d7"),
+                      F.col("cents").alias("l7"))
+    b1 = daily.select(F.col("day").alias("d1"),
+                      F.col("cents").alias("l1"))
+    lagged = (a.join(b7, F.date_sub(F.col("day"), 7) == F.col("d7"),
+                     "left")
+               .join(b1, F.date_sub(F.col("day"), 1) == F.col("d1"),
+                     "left"))
+    sc = lagged.filter(F.col("l7").isNotNull()
+                       & F.col("l1").isNotNull())
     mae7 = (F.sum(F.abs(F.col("cents") - F.col("l7"))).cast("double")
             / F.count(F.lit(1)))
     mae1 = (F.sum(F.abs(F.col("cents") - F.col("l1"))).cast("double")
@@ -1784,7 +1792,14 @@ def events_psi_drift(spark, sf):
    "r AS (SELECT daily.d, daily.y, dw.dow_median, "
    "daily.y - dw.dow_median AS res FROM daily "
    "JOIN dw ON daily.d % 7 = dw.dow), "
-   "cells AS (SELECT abs(res) AS a, COUNT(*) AS k FROM r GROUP BY 1), "
+   "rcells AS (SELECT res, COUNT(*) AS k FROM r GROUP BY 1), "
+   "rn AS (SELECT SUM(k) AS n FROM rcells), "
+   "rcum AS (SELECT res, SUM(k) OVER (ORDER BY res) AS gc "
+   "FROM rcells), "
+   "medr AS (SELECT (SELECT MIN(res) FROM rcum CROSS JOIN rn "
+   "WHERE gc >= (n + 1) // 2) AS mr), "
+   "cells AS (SELECT abs(res - medr.mr) AS a, COUNT(*) AS k "
+   "FROM r CROSS JOIN medr GROUP BY 1), "
    "n AS (SELECT SUM(k) AS n FROM cells), "
    "cum AS (SELECT a, SUM(k) OVER (ORDER BY a) AS gc FROM cells), "
    "mad AS (SELECT (SELECT MIN(a) FROM cum CROSS JOIN n "
@@ -1793,16 +1808,20 @@ def events_psi_drift(spark, sf):
    "r.dow_median, "
    "CAST(r.res AS BIGINT) AS residual_cents, "
    "CAST(mad.m AS BIGINT) AS mad_cents, "
-   "CAST(CASE WHEN mad.m > 0 THEN abs(r.res) > 3 * mad.m "
-   "ELSE r.res <> 0 END AS INT) AS is_outlier "
-   "FROM r CROSS JOIN mad")
+   "CAST(CASE WHEN mad.m > 0 THEN abs(r.res - medr.mr) > 3 * mad.m "
+   "ELSE r.res - medr.mr <> 0 END AS INT) AS is_outlier "
+   "FROM r CROSS JOIN mad CROSS JOIN medr")
 def events_anomaly_deseasonalized(spark, sf):
     """Seasonality-aware daily anomaly screen: subtract each
     day-of-week's MEDIAN from the daily total (the weekend dip is not
     an incident — and unlike a dow MEAN, the median baseline is not
     contaminated by the very spike being hunted, so the spike's
-    weekday siblings stay unflagged), then flag |residual| > 3·MAD.
-    Exact integers throughout: dow medians and the MAD both by
+    weekday siblings stay unflagged), then flag
+    |residual − median(residual)| > 3·MAD. The MAD is the PUBLISHED
+    one — median absolute deviation about the residual MEDIAN, not
+    about zero: lower-median dow baselines skew residuals ≥ 0, so the
+    about-zero shortcut misplaces the robust scale. Exact integers
+    throughout: dow medians, the residual median, and the MAD all by
     integer rank selection; zero floats."""
     from pyspark.sql import Window
     ev = table(spark, sf, "events").where(F.col("value").isNotNull())
@@ -1824,7 +1843,19 @@ def events_anomaly_deseasonalized(spark, sf):
     r = (daily.join(F.broadcast(dw), daily["d"] % 7 == dw["dow"])
               .select("d", "y", "dow_median",
                       (F.col("y") - F.col("dow_median")).alias("res")))
-    cells = r.groupBy(F.abs("res").alias("a")) \
+    # median of the residuals (rank selection), THEN deviations about
+    # it — MAD about zero is not the published robust scale
+    rcells = r.groupBy("res").agg(F.count(F.lit(1)).alias("k"))
+    rn = rcells.agg(F.sum("k").alias("n"))
+    rcum = rcells.select(
+        "res", F.sum("k").over(Window.orderBy("res")
+                               .rowsBetween(Window.unboundedPreceding,
+                                            0)).alias("gc"))
+    medr = (rcum.crossJoin(F.broadcast(rn))
+                .filter(F.col("gc") >= F.expr("(n + 1) div 2"))
+                .agg(F.min("res").alias("mr")))
+    r = r.crossJoin(F.broadcast(medr))
+    cells = r.groupBy(F.abs(F.col("res") - F.col("mr")).alias("a")) \
              .agg(F.count(F.lit(1)).alias("k"))
     nn = cells.agg(F.sum("k").alias("n"))
     cum = cells.select(
@@ -1834,9 +1865,9 @@ def events_anomaly_deseasonalized(spark, sf):
     mad = (cum.crossJoin(F.broadcast(nn))
               .filter(F.col("gc") >= F.expr("(n + 1) div 2"))
               .agg(F.min("a").alias("m")))
-    out = (F.when(F.col("m") > 0,
-                  F.abs(F.col("res")) > 3 * F.col("m"))
-            .otherwise(F.col("res") != 0)).cast("int")
+    ctr = F.col("res") - F.col("mr")
+    out = (F.when(F.col("m") > 0, F.abs(ctr) > 3 * F.col("m"))
+            .otherwise(ctr != F.lit(0))).cast("int")
     return (r.crossJoin(F.broadcast(mad))
              .select(F.col("d").alias("day_id"),
                      F.col("y").alias("total_cents"), "dow_median",
@@ -1930,7 +1961,7 @@ def events_type_affinity(spark, sf):
    "WHERE event_type = 'view' GROUP BY 1), "
    "fp AS (SELECT fv.user_id, MIN(e.ts) AS p0 FROM fv "
    "JOIN events e ON e.user_id = fv.user_id "
-   "AND e.event_type = 'purchase' AND e.ts >= fv.v0 GROUP BY 1), "
+   "AND e.event_type = 'purchase' AND e.ts > fv.v0 GROUP BY 1), "
    "d AS (SELECT fv.user_id, "
    "epoch_us(fp.p0) - epoch_us(fv.v0) AS lag_us FROM fv "
    "LEFT JOIN fp ON fv.user_id = fp.user_id), "
@@ -1950,16 +1981,20 @@ def events_funnel_window_sensitivity(spark, sf):
     """Attribution-window sensitivity: view→purchase conversion at 1h,
     6h and 24h windows in ONE pass — the table that settles every
     'our conversion rate depends on the window we picked' argument
-    before anyone re-runs the funnel three times. Per-user first-view
-    and first-subsequent-purchase scalars (no collect_list), then a
-    broadcast 3-row window grid; exact µs lags."""
+    before anyone re-runs the funnel three times. Conversion requires
+    a STRICTLY later purchase (ts > first view) — the same rule as
+    events_funnel / events_time_to_convert / events_conversion_pairs,
+    so this table arbitrates the funnels it claims to. Per-user
+    first-view and first-subsequent-purchase scalars (no
+    collect_list), then a broadcast 3-row window grid; exact µs
+    lags."""
     ev = table(spark, sf, "events")
     fv = (ev.filter(F.col("event_type") == "view")
             .groupBy("user_id").agg(F.min("ts").alias("v0")))
     fp = (fv.join(ev.filter(F.col("event_type") == "purchase")
                     .select("user_id", F.col("ts").alias("pts")),
                   "user_id")
-            .filter(F.col("pts") >= F.col("v0"))
+            .filter(F.col("pts") > F.col("v0"))
             .groupBy("user_id").agg(F.min("pts").alias("p0")))
     d = (fv.join(fp, "user_id", "left")
            .select("user_id",

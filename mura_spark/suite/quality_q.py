@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mura_spark.suite.common import dsum, sql_tokens, table
+from mura_spark.suite.common import sql_tokens, table
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mura_spark.suite.common import dsum, sql_tokens, table
+from mura_spark.functions.quantize import micro
+from mura_spark.suite.common import table
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
@@ -183,10 +184,13 @@ _AB_BUCKET = ("CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) "
    "* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM w")
 def stats_ab_ztest(spark, sf):
     """Two-proportion z-test over a deterministic hash-bucketed A/B
-    split of users (conversion = any purchase) — the experimentation
-    readout. Assignment reuses the portable MD5 bucket convention;
-    the statistic combines exact integer counts with one mirrored
-    double expression (÷, √ only), micro-floored."""
+    split of users. The tested event is HEAVY-BUYER conversion — a
+    user with ≥ 15 purchase events — chosen so rates land mid-range on
+    the synthetic corpus ("any purchase" saturates near 100% there and
+    degenerates the pooled variance); swap the threshold for your own
+    conversion definition. Assignment reuses the portable MD5 bucket
+    convention; the statistic combines exact integer counts with one
+    mirrored double expression (÷, √ only), micro-floored."""
     from mura_spark.functions.hashing import md5_hash48
     from mura_spark.functions.quantize import micro
     ev = table(spark, sf, "events")
@@ -621,11 +625,13 @@ def stats_spearman_qty_discount(spark, sf):
 
 
 @q("stats_power_analysis",
-   "WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-   "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s, "
-   "SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
-   "* CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
-   "AS DECIMAL(38,0))) AS q FROM events), "
+   "WITH u AS (SELECT user_id, "
+   "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS su "
+   "FROM events WHERE value IS NOT NULL GROUP BY user_id), "
+   "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+   "SUM(su) AS s, "
+   "SUM(CAST(su AS DECIMAL(18,0)) * CAST(su AS DECIMAL(18,0))) AS q "
+   "FROM u), "
    "v AS (SELECT n, (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) "
    "* CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
    "/ CAST(n - 1 AS DOUBLE) AS var_cents, "
@@ -639,16 +645,23 @@ def stats_spearman_qty_discount(spark, sf):
    "* var_cents / ((0.05 * mean_cents) * (0.05 * mean_cents))) "
    "AS BIGINT) AS n_per_arm_mde5pct FROM v")
 def stats_power_analysis(spark, sf):
-    """A/B sample-size planner: users-per-arm needed to detect a 2% /
-    5% lift of mean event value at α=.05, power=.80 — the closed-form
-    2(z_α/2+z_β)²σ²/δ² every experimentation platform runs before
-    launch, with σ² measured from the corpus (exact decimal moments,
-    z constants as shared literals, mirrored ceil)."""
-    ev = table(spark, sf, "events")
+    """A/B sample-size planner: USERS-per-arm needed to detect a 2% /
+    5% lift of mean revenue per user at α=.05, power=.80 — the
+    closed-form 2(z_α/2+z_β)²σ²/δ² every experimentation platform runs
+    before launch. The variance is measured at the RANDOMIZATION UNIT
+    (per-user value totals, one row per user): events within a user
+    are correlated, so per-event variance understates the user-grain
+    variance and sizes the experiment underpowered. Per-user sums stay
+    exact integers and their squares exact decimals, so both engines
+    agree bit-for-bit (z constants as shared literals, mirrored
+    ceil)."""
+    ev = table(spark, sf, "events").where(F.col("value").isNotNull())
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
-    m = ev.agg(F.count(F.lit(1)).alias("n"),
-               F.sum(cents).alias("s"),
-               F.sum((cents * cents).cast("decimal(38,0)")).alias("q"))
+    u = (ev.groupBy("user_id").agg(F.sum(cents).alias("su")))
+    sd = F.col("su").cast("decimal(18,0)")
+    m = u.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("su").alias("s"),
+              F.sum(sd * sd).alias("q"))
     nD = F.col("n").cast("double")
     var = ((F.col("q").cast("double")
             - F.col("s").cast("double") * F.col("s").cast("double") / nD)
@@ -790,27 +803,23 @@ def stats_cmh_odds(spark, sf):
    "CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down, "
    "CAST(SUM(brk) AS BIGINT) AS n_runs FROM rn) "
    "SELECT n_up, n_down, n_runs, "
-   "CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1 "
-   "AND 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
-   "* (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
-   "- CAST(n_up + n_down AS DOUBLE)) > 0 THEN "
+   "CASE WHEN n_up + n_down > 1 THEN "
    "CAST(floor((CAST(n_runs AS DOUBLE) "
-   "- (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
-   "/ CAST(n_up + n_down AS DOUBLE) + 1.0)) "
-   "/ sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
-   "* (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
-   "- CAST(n_up + n_down AS DOUBLE)) "
-   "/ (CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE) "
-   "* CAST(n_up + n_down - 1 AS DOUBLE))) * 1000000.0 + 0.5) "
-   "AS BIGINT) END AS z_micro FROM m")
+   "- (2.0 * CAST(n_up + n_down AS DOUBLE) + 1.0) / 3.0) "
+   "/ sqrt((16.0 * CAST(n_up + n_down AS DOUBLE) - 13.0) / 90.0) "
+   "* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM m")
 def stats_runs_test_daily(spark, sf):
-    """Wald–Wolfowitz runs test on the up/down sequence of daily total
-    event value: too FEW runs = momentum/trend, too MANY = mean
+    """Runs-up-and-down test on the sign sequence of daily total event
+    value DIFFERENCES: too FEW runs = momentum/trend, too MANY = mean
     reversion — the randomness check run on any KPI series before
-    fitting trend models to it. Exact daily decimal sums, integer
-    run/sign counts on the tiny day frame; z is one mirrored
-    closed-form expression (μ = 2n₊n₋/n + 1, σ² =
-    2n₊n₋(2n₊n₋−n)/(n²(n−1))), micro-floored."""
+    fitting trend models to it. The null moments are the
+    runs-up-and-down ones — E[R] = (2m+1)/3, Var = (16m−13)/90 for m
+    difference signs — NOT the two-category Wald–Wolfowitz moments:
+    consecutive difference signs of an i.i.d. series agree with
+    probability 1/3, not 1/2, so the dichotomous null (used here
+    before round 7) flags pure noise as mean-reverting at z ≈ +3.5 by
+    ~120 diffs. Exact daily decimal sums, integer run/sign counts on
+    the tiny day frame; one mirrored closed form, micro-floored."""
     from pyspark.sql import Window
     ev = table(spark, sf, "events").where(F.col("value").isNotNull())
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
@@ -829,19 +838,13 @@ def stats_runs_test_daily(spark, sf):
         F.sum(F.when(F.col("sg") == 1, 1).otherwise(0)).alias("n_up"),
         F.sum(F.when(F.col("sg") == -1, 1).otherwise(0)).alias("n_down"),
         F.sum("brk").alias("n_runs"))
-    nu = F.col("n_up").cast("double")
-    nd = F.col("n_down").cast("double")
-    n = (F.col("n_up") + F.col("n_down")).cast("double")
-    nm1 = (F.col("n_up") + F.col("n_down") - F.lit(1)).cast("double")
-    two_ud = F.lit(2.0) * nu * nd
-    var_num = two_ud * (two_ud - n)
-    z = ((F.col("n_runs").cast("double") - (two_ud / n + F.lit(1.0)))
-         / F.sqrt(var_num / (n * n * nm1)))
-    ok = ((F.col("n_up") > 0) & (F.col("n_down") > 0)
-          & (F.col("n_up") + F.col("n_down") > 1) & (var_num > 0))
+    mm = (F.col("n_up") + F.col("n_down")).cast("double")
+    mu = (F.lit(2.0) * mm + F.lit(1.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * mm - F.lit(13.0)) / F.lit(90.0)
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("n_up") + F.col("n_down")) > 1
     return m.select("n_up", "n_down", "n_runs",
-                    F.when(ok, F.floor(z * F.lit(1000000.0) + F.lit(0.5))
-                               .cast("bigint")).alias("z_micro"))
+                    F.when(ok, micro(z)).alias("z_micro"))
 
 
 
@@ -1055,8 +1058,7 @@ def stats_paired_ttest(spark, sf):
         F.floor(F.col("sd") / nD + F.lit(0.5)).cast("bigint")
          .alias("mean_diff_cents"),
         F.when((F.col("n_pairs") > 1) & (var_num > 0),
-               F.floor(t * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
-         .alias("t_micro"))
+               micro(t)).alias("t_micro"))
 
 
 
@@ -1160,8 +1162,7 @@ def stats_dispersion_orders(spark, sf):
     z = (disp - F.lit(1.0)) * F.sqrt((F.col("n") - F.lit(1))
                                      .cast("double") / F.lit(2.0))
     ok = (F.col("n") > 1) & (F.col("s") > 0)
-    mic = lambda x: F.floor(x * F.lit(1000000.0)  # noqa: E731
-                            + F.lit(0.5)).cast("bigint")
+    mic = micro
     return m.select("n", mic(mean).alias("mean_micro"),
                     F.when(ok, mic(disp)).alias("dispersion_micro"),
                     F.when(ok, mic(z)).alias("z_micro"))
@@ -1227,8 +1228,7 @@ def stats_mann_kendall_daily(spark, sf):
                   (F.col("mk_s") + F.lit(1)).cast("double"))
             .otherwise(F.lit(0.0)))
     ok = (F.col("n_days") > 2) & (var > 0)
-    z = F.floor(num / F.sqrt(var) * F.lit(1000000.0) + F.lit(0.5)) \
-         .cast("bigint")
+    z = micro(num / F.sqrt(var))
     return (s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
              .select("n_days", "mk_s", F.when(ok, z).alias("z_micro")))
 
@@ -1370,8 +1370,7 @@ def stats_tost_equivalence(spark, sf):
     margin = F.lit(0.05) * ma
     zl = (diff + margin) / se
     zu = (margin - diff) / se
-    mic = lambda x: F.floor(x * F.lit(1000000.0)  # noqa: E731
-                            + F.lit(0.5)).cast("bigint")
+    mic = micro
     return w.select(
         "na", "nb",
         F.floor(diff + F.lit(0.5)).cast("bigint").alias("diff_cents"),
@@ -1418,10 +1417,8 @@ def stats_circular_time_of_day(spark, sf):
           / F.lit(86400000000.0) * F.lit(6.283185307179586))
     qz = ev.select(
         "event_type",
-        F.floor(F.sin(th) * F.lit(1000000.0) + F.lit(0.5))
-         .cast("bigint").alias("s"),
-        F.floor(F.cos(th) * F.lit(1000000.0) + F.lit(0.5))
-         .cast("bigint").alias("c"))
+        micro(F.sin(th)).alias("s"),
+        micro(F.cos(th)).alias("c"))
     m = qz.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("s").cast("double").alias("ss"),
@@ -1496,9 +1493,7 @@ def stats_cohens_d_value(spark, sf):
     d = ((F.col("sb") / nbD - F.col("sa") / naD) / F.sqrt(pooled))
     ok = (F.col("na") > 1) & (F.col("nb") > 1) & (pooled > 0)
     return w.select("na", "nb",
-                    F.when(ok, F.floor(d * F.lit(1000000.0)
-                                       + F.lit(0.5)).cast("bigint"))
-                     .alias("cohens_d_micro"))
+                    F.when(ok, micro(d)).alias("cohens_d_micro"))
 
 
 

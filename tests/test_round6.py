@@ -1502,9 +1502,14 @@ def test_script_mismatch_engineered(spark, tmp_path):
 
 
 def test_power_analysis_hand_computed(spark, tmp_path):
+    # the randomization unit is the USER: users 1..4 each total
+    # 10/12/8/10 dollars across a DIFFERENT number of events, so a
+    # per-event computation would see 6 rows and a smaller variance
     import math
-    rows = [(i, "2024-01-01T00:00:00", 1, "view", v, "{}")
-            for i, v in enumerate([10.0, 12.0, 8.0, 10.0])]
+    per_user = {1: [10.0], 2: [6.0, 6.0], 3: [8.0], 4: [4.0, 6.0]}
+    rows = [(eid, "2024-01-01T00:00:00", uid, "view", v, "{}")
+            for eid, (uid, v) in enumerate(
+                (u, v) for u, vs in per_user.items() for v in vs)]
     out = str(tmp_path / "mini")
     (spark.createDataFrame(
         rows, "event_id long, ts string, user_id long, event_type "
@@ -1513,7 +1518,7 @@ def test_power_analysis_hand_computed(spark, tmp_path):
         .coalesce(1).write.parquet(f"{out}/events.parquet"))
     from mura_spark.suite import SPARK_QUERIES
     r = SPARK_QUERIES["stats_power_analysis"](spark, out).first()
-    # cents: 1000,1200,800,1000 -> mean 1000, var = (40000+0+40000)/3
+    # user cents: 1000,1200,800,1000 -> mean 1000, var=(40000+0+40000)/3
     assert (r.n, r.mean_cents) == (4, 1000)
     var = 80000 / 3
     z2 = (1.959964 + 0.841621) ** 2
@@ -2022,10 +2027,35 @@ def test_runs_test_engineered(spark, tmp_path):
     from mura_spark.suite import SPARK_QUERIES
     r = SPARK_QUERIES["stats_runs_test_daily"](spark, out).first()
     assert (r.n_up, r.n_down, r.n_runs) == (3, 2, 5)
-    mu = 2 * 3 * 2 / 5 + 1
-    var = 2 * 3 * 2 * (2 * 3 * 2 - 5) / (5 * 5 * 4)
+    # runs-up-and-down null over m = 5 difference signs (NOT the
+    # dichotomous Wald-Wolfowitz moments: consecutive diff signs of an
+    # i.i.d. series agree w.p. 1/3, so E[R] = (2m+1)/3)
+    mu = (2 * 5 + 1) / 3
+    var = (16 * 5 - 13) / 90
     z = (5 - mu) / math.sqrt(var)
     assert r.z_micro == math.floor(z * 1e6 + 0.5)
+    assert r.z_micro > 0  # strict alternation = mean reversion
+
+
+def test_runs_test_white_noise_calibrated(spark, tmp_path):
+    """An i.i.d. random series must NOT flag: the pre-fix dichotomous
+    null had mu ~ m/2 + 1 instead of (2m+1)/3, biasing z by ~ +3.5 at
+    ~120 diffs on pure noise."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    vals = rng.uniform(1.0, 9.0, 128)
+    rows = [(i, f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}T00:00:00",
+             1, "click", float(v), "{}") for i, v in enumerate(vals)]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type "
+              "string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1).write.parquet(f"{out}/events.parquet"))
+    from mura_spark.suite import SPARK_QUERIES
+    r = SPARK_QUERIES["stats_runs_test_daily"](spark, out).first()
+    assert r.n_up + r.n_down > 100
+    assert abs(r.z_micro) < 2_500_000  # |z| < 2.5 on noise
 
 
 def test_order_totals_engineered(spark, tmp_path):
