@@ -30,8 +30,9 @@ MERSENNE_P = 4294967311
 #: Number of MinHash permutations (k = BANDS * ROWS_PER_BAND).
 NUM_PERM = 32
 #: LSH banding: 16 bands × 2 rows → candidate threshold ≈ (1/16)^(1/2) ≈ 0.25,
-#: i.e. near-certain recall at Jaccard ≥ 0.8 (miss prob < 1e-11 per pair) at
-#: the cost of more candidates to verify. At larger scale, shift to 8×4.
+#: i.e. near-certain recall at Jaccard ≥ 0.8 (miss prob (1 − J²)¹⁶: ≈ 8e-8
+#: at exactly J = 0.8, < 3e-12 from J ≥ 0.9) at the cost of more candidates
+#: to verify. At larger scale, shift to 8×4.
 BANDS = 16
 ROWS_PER_BAND = 2
 

@@ -12,8 +12,10 @@ Four families, all shuffle-disciplined for the 100 TB case:
   exactness while shrinking the candidate space.
 - **MinHash-LSH** — k=32 permutations, 16 bands × 2 rows, candidates from
   band-bucket equi-joins, then *exact* Jaccard verification of candidates.
-  Miss probability per true pair at J ≥ 0.8 is < 1e-11, so on any realistic
-  data the verified output equals the brute-force answer.
+  Miss probability per true pair is (1 − J²)¹⁶ — ≈ 8e-8 at exactly
+  J = 0.8, < 3e-12 from J ≥ 0.9 — so the verified output equals the
+  brute-force answer unless a corpus holds ~10⁷+ pairs sitting exactly
+  at the threshold (raise bands or lower the band threshold there).
 - **SimHash** — 48-bit signatures over shingle hashes; banded into
   ``hd_max + 1`` segments so any pair within Hamming distance ``hd_max``
   shares a whole band (pigeonhole) → blocking is lossless; the Hamming
@@ -364,8 +366,9 @@ def minhash_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
     signatures are zero-shuffle narrow maps, so the only corpus-sized
     shuffle is the band-bucket equi-join over 16 short keys per doc
     (vs the prefix-shingle join of the exact path). Same banding as the
-    self-join (16×2: miss probability < 1e-11 per true pair at J ≥ 0.8),
-    so the verified output equals the exact join on any realistic corpus
+    self-join (16×2: miss probability (1 − J²)¹⁶ per true pair — ≈ 8e-8
+    at exactly J = 0.8, < 3e-12 from J ≥ 0.9), so the verified output
+    equals the exact join on any realistic corpus
     (pinned in pytest). Output: (id_a = left id, id_b = right id, jaccard).
     """
     def banded(df, alias):
@@ -581,8 +584,9 @@ def minhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     """MinHash-LSH candidates + exact-Jaccard verification.
 
     Output: (id_a, id_b, jaccard) for verified pairs ≥ threshold. Because
-    candidates are verified exactly, precision is 1.0; recall at J ≥ 0.8
-    with 16×2 banding is 1 - ~1e-11 per pair.
+    candidates are verified exactly, precision is 1.0; per-pair recall
+    with 16×2 banding is 1 − (1 − J²)¹⁶: ~1 − 8e-8 at exactly J = 0.8,
+    1 − 3e-12 from J ≥ 0.9.
     """
     sets = shingle_sets(df, id_col, text_col, n)  # un-persisted: see jaccard
     sigs = minhash_signatures(df, id_col, text_col, n)

@@ -30,6 +30,16 @@ def funnel_steps(events: DataFrame, user_col: str, type_col: str,
     (number of steps completed). ``max_span_seconds`` additionally requires
     every step to land within that many seconds of step 1.
 
+    ``max_span_seconds`` is FIRST-TOUCH ANCHORED: the window opens at
+    the user's globally earliest step-1 event and never re-anchors, so
+    a user whose first step-1 was a stray visit long before the real
+    sequence does NOT convert even if a later step-1 starts a
+    qualifying in-window run. That is the deliberate convention here
+    (one scalar per step per user — no per-user event scan); the
+    any-anchor alternative ("converts if ANY step-1 occurrence starts
+    an in-window sequence") needs a sequential per-user pass — see
+    streaming/stateful.py's CEP operator for that shape.
+
     Plan: one ``groupBy(user)`` per step over events pre-filtered to that
     step's type, each joined to the survivors of the previous step — k
     small user-keyed shuffles, never a per-user event sort or list.

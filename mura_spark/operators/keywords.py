@@ -1,12 +1,17 @@
 """RAKE keyword extraction (Rose et al. 2010) re-expressed relationally.
 
-Candidate phrases are the maximal runs of non-stopword tokens (the
-stopwords act as phrase delimiters — the islands trick: a running count
-of stopword positions is constant exactly on a run); each word scores
-``deg(w)/freq(w)`` where every occurrence contributes its phrase's
-length to ``deg``; a phrase scores the sum of its member words' scores.
-The classic zero-training keyphrase extractor a corpus pipeline runs
-for topic inventories and index terms.
+Candidate phrases are the maximal runs of non-stopword tokens, where
+BOTH stopwords AND punctuation/sentence boundaries act as phrase
+delimiters (Rose et al.'s phrase-delimiter set — a phrase must never
+span "dog. The cat"): punctuation runs are rewritten to a sentinel
+delimiter token before tokenization, which also strips attached
+punctuation from words ('dog.' scores as 'dog'). The islands trick (a
+running count of delimiter positions is constant exactly on a run)
+then cuts the runs; each word scores ``deg(w)/freq(w)`` where every
+occurrence contributes its phrase's length to ``deg``; a phrase scores
+the sum of its member words' scores. The classic zero-training
+keyphrase extractor a corpus pipeline runs for topic inventories and
+index terms.
 
 Determinism: word scores are one correctly-rounded double division of
 exact integers, micro-quantized BEFORE the phrase sum; phrase text is
@@ -20,21 +25,37 @@ vocabulary-scale equi-joins, never broadcast by assumption.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mura_spark.functions import text as TX
+#: sentinel token punctuation runs become — a phrase delimiter that can
+#: never occur in the cleaned text (all punctuation is rewritten away)
+DELIM = "¶"
+
+#: non-word, non-whitespace runs (letters L*, numbers N*, explicit ASCII
+#: whitespace — spelled out so Java and RE2 agree exactly)
+_PUNCT_RE = r"[^\p{L}\p{N} \t\n\x0b\f\r]+"
+_WS_RE = r"[ \t\n\x0b\f\r]+"
+
+
+def rake_tokens(text: Column) -> Column:
+    """RAKE tokenization: lowercase, rewrite punctuation runs to the
+    sentinel delimiter token, split on whitespace, drop empties. The
+    identical expression is rendered in SQL by the oracle twin."""
+    punct = F.regexp_replace(F.lower(text), _PUNCT_RE, f" {DELIM} ")
+    return F.filter(F.split(punct, _WS_RE), lambda x: x != "")
 
 
 def rake_keywords(df: DataFrame, id_col: str, text_col: str,
                   stopwords: list[str], k: int = 20) -> DataFrame:
     """Top-``k`` RAKE keyphrases over the corpus:
     ``(phrase, n_occ, score_micro)``."""
-    toks = TX.tokens(F.col(text_col))
+    toks = rake_tokens(F.col(text_col))
     tok = df.select(
         F.col(id_col).alias("__doc"),
         F.posexplode(toks).alias("__pos", "__term"))
-    st = F.when(F.col("__term").isin(stopwords), 1).otherwise(0)
+    st = F.when(F.col("__term").isin(list(stopwords) + [DELIM]), 1) \
+          .otherwise(0)
     wdoc = (Window.partitionBy("__doc").orderBy("__pos")
                   .rowsBetween(Window.unboundedPreceding, 0))
     ph = tok.select("__doc", "__pos", "__term", st.alias("__st"),

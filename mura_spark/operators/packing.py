@@ -14,7 +14,7 @@ Two standard semantics, both deterministic and oracle-verifiable:
   window gives each document its stream offset, and the chunks it overlaps
   are a closed integer range — one shuffle (the per-shard window) plus an
   explode of that range.
-- :func:`pack_greedy` — **whole-document first-fit** (fine-tuning): walk the
+- :func:`pack_greedy` — **whole-document next-fit** (fine-tuning): walk the
   shard in ascending-id order, accumulate documents into the current
   sequence, open a new sequence when the next document would overflow the
   budget. Inherently sequential per shard, so it runs as one Arrow-batched
@@ -112,7 +112,16 @@ def chunk_overlap(df: DataFrame, id_col: str, size_col: str,
 
 def pack_greedy(df: DataFrame, id_col: str, size_col: str, budget: int,
                 n_shards: int = 8) -> DataFrame:
-    """Whole-document first-fit packing.
+    """Whole-document NEXT-FIT packing (streaming concat-and-cut).
+
+    Next-fit, not first-fit: only the currently open sequence is
+    considered — an overflowing document closes it forever and opens a
+    new one, which is the standard streaming packer for LLM data
+    pipelines (single pass, O(1) state, order-preserving). Classic
+    first-fit revisits earlier sequences with remaining room for a
+    tighter fill at the cost of O(open sequences) state and loss of
+    document order; choose a bin-packing library offline if fill
+    percentage matters more than streaming.
 
     Output: (id, shard, seq_id, seq_fill) — seq_id is the 0-based sequence
     within the shard, seq_fill the running token count of that sequence

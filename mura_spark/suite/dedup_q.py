@@ -5,7 +5,9 @@ side uses the scalable blocked operators from mura_spark.operators.dedup.
 They agree exactly because every blocking strategy used is lossless
 (shared-shingle join, AllPairs prefix, SimHash pigeonhole bands) or has
 negligible miss probability with exact verification (MinHash at 16×2 bands:
-< 1e-11 per true pair at J ≥ 0.8).
+(1 − J²)¹⁶ per true pair — ≈ 8e-8 at exactly J = 0.8, < 3e-12 from
+J ≥ 0.9 — immaterial at test scale; at 100 TB with millions of borderline
+pairs, raise the band count).
 """
 
 from __future__ import annotations
@@ -91,7 +93,8 @@ def dedup_jaccard_pairs(spark, sf):
 @q("dedup_minhash_pairs", _JACCARD_PAIRS.format(t=0.8))
 def dedup_minhash_pairs(spark, sf):
     """MinHash-LSH candidates + exact verification — same oracle as the
-    exact join (recall at these parameters is 1 - ~1e-11 per pair)."""
+    exact join (per-pair recall 1 − (1 − J²)¹⁶: ~1 − 8e-8 at exactly
+    J = 0.8, 1 − 3e-12 from J ≥ 0.9)."""
     d = table(spark, sf, "documents")
     return dedup.minhash_dup_pairs(d, "doc_id", "text", threshold=0.8)
 

@@ -328,8 +328,9 @@ def graph_degree_assortativity(spark, sf):
     (assortative, r>0) or to the periphery (disassortative, r<0)? The
     network-topology summary completing the degree / triangle /
     clustering-coefficient / modularity family. Degrees from one edge
-    rollup, broadcast-joined back; exact decimal moments; the
-    Spearman-family closed form."""
+    rollup, broadcast-joined back; exact decimal moments; the Pearson
+    product-moment closed form (Newman's assortativity coefficient —
+    NOT a rank/Spearman statistic)."""
     e = _copurchase_edges(spark, sf)
     deg = (e.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("d")))

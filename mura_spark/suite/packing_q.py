@@ -2,7 +2,7 @@
 the layout step of a training-data pipeline). Spark side is
 mura_spark.operators.packing; oracles render the identical integer
 arithmetic — a window + generate_series for concat-and-chunk, a recursive
-CTE walking each shard in document order for whole-doc first-fit.
+CTE walking each shard in document order for whole-doc next-fit.
 """
 
 from __future__ import annotations
@@ -78,7 +78,7 @@ def pack_train_chunks(spark, sf):
    "  FROM s JOIN p ON s.shard = p.shard AND s.rn = p.rn + 1) "
    "SELECT doc_id, shard, seq_id, seq_fill FROM p")
 def pack_train_greedy(spark, sf):
-    """Whole-document first-fit packing (fine-tuning layout): documents
+    """Whole-document next-fit packing (fine-tuning layout): documents
     accumulate into a sequence until the next one would overflow the
     budget; oracle is a recursive CTE replaying the same in-order walk."""
     return packing.pack_greedy(_sized_docs(spark, sf), "doc_id", "sz",

@@ -347,23 +347,31 @@ def text_remove_boilerplate(spark, sf):
 
 
 _MIX_W = {"en": 0.4, "zh": 0.2, "de": 0.15, "fr": 0.15, "es": 0.1}
-_MIX_WT = ("CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2 "
-           "WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1 "
-           "ELSE 0.0 END")
+# the weight table is explicit VALUES (not a CASE over observed langs)
+# so a weighted stratum ABSENT from the corpus still contributes
+# n_total = 0 and forces T = 0 — the operator's documented
+# "infeasible -> all-zero plan" semantics; a counts-driven CASE would
+# silently re-plan over the present strata only and diverge from Spark
 _MIX_CTE = (
+    "wts AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.2), "
+    "('de', 0.15), ('fr', 0.15), ('es', 0.1)) AS wv(lang, wt)), "
     "counts AS (SELECT lang, COUNT(*) AS n_total FROM documents "
     "GROUP BY lang), "
-    f"w AS (SELECT lang, n_total, {_MIX_WT} AS wt FROM counts), "
-    "t AS (SELECT MIN(n_total / wt) AS t FROM w WHERE wt > 0)")
+    "w AS (SELECT wts.lang, CAST(COALESCE(counts.n_total, 0) AS BIGINT) "
+    "AS n_total, CAST(wts.wt AS DOUBLE) AS wt "
+    "FROM wts LEFT JOIN counts ON wts.lang = counts.lang), "
+    "t AS (SELECT MIN(n_total / wt) AS t FROM w)")
 
 
 @q("sample_mixture_plan",
    f"WITH {_MIX_CTE} "
-   "SELECT lang, n_total, wt * t / n_total AS keep_rate, "
-   "CAST(floor(wt * t / n_total * 1000 + 0.5) AS BIGINT) "
-   "AS bucket_threshold, "
+   "SELECT lang, n_total, "
+   "CASE WHEN n_total > 0 THEN wt * t / n_total ELSE 0.0 END "
+   "AS keep_rate, "
+   "CAST(floor(CASE WHEN n_total > 0 THEN wt * t / n_total "
+   "ELSE 0.0 END * 1000 + 0.5) AS BIGINT) AS bucket_threshold, "
    "CAST(floor(wt * t + 0.5) AS BIGINT) AS n_expected "
-   "FROM w CROSS JOIN t WHERE wt > 0")
+   "FROM w CROSS JOIN t")
 def sample_mixture_plan(spark, sf):
     """Target-mixture planning (the "40% en / 20% zh / ..." data-mixing
     step): per-language keep-rates for the largest downsample-only corpus
@@ -379,7 +387,7 @@ def sample_mixture_plan(spark, sf):
 @q("sample_mixture_apply",
    f"WITH {_MIX_CTE} "
    "SELECT doc_id, lang FROM documents JOIN w USING (lang) CROSS JOIN t "
-   "WHERE wt > 0 AND "
+   "WHERE "
    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) "
    "% 1000 < CAST(floor(wt * t / n_total * 1000 + 0.5) AS BIGINT)")
 def sample_mixture_apply(spark, sf):
@@ -397,8 +405,9 @@ def sample_mixture_apply(spark, sf):
    "WITH b AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), "
    "[i / 10.0 for i in range(1, 10)]) AS bnds FROM documents) "
    "SELECT doc_id, n_chars, "
-   "len(list_filter(bnds, x -> CAST(n_chars AS DOUBLE) > x)) AS bin "
-   "FROM documents CROSS JOIN b")
+   "CASE WHEN n_chars IS NULL THEN NULL "
+   "ELSE len(list_filter(bnds, x -> CAST(n_chars AS DOUBLE) > x)) END "
+   "AS bin FROM documents CROSS JOIN b")
 def sample_curriculum_bins(spark, sf):
     """Curriculum difficulty deciles by document length: equi-depth bin =
     count of interior exact quantile boundaries below the value. NOT a
@@ -684,11 +693,16 @@ def pipeline_attrition_report(spark, sf):
    "CAST(SUM(p_wc * p_mwl * p_stop) AS BIGINT) AS pass_all "
    "FROM r GROUP BY source")
 def text_gopher_rules(spark, sf):
-    """Gopher-style document quality rules (Rae et al. 2021 §A1.1:
-    word-count bounds, mean-word-length band, minimum stop-word
-    evidence), reported as per-source pass rates — the audit that sizes
-    a rule-based pretraining filter before it runs. Every rule is an
-    integer inequality (mean-word-length 3.0–4.2 is spelled
+    """Gopher-STYLE document quality rules (the rule SHAPES of Rae et
+    al. 2021 §A1.1 — word-count bounds, mean-word-length band, minimum
+    stop-word evidence — with thresholds ADAPTED to this fixture's
+    short synthetic documents: word count 30–80 vs the paper's
+    50–100,000, mean word length 3.0–4.2 vs the paper's 3–10, stopword
+    evidence ≥ 2 occurrences from a 5-word list vs the paper's ≥ 2
+    distinct of 8; size a real pre-filter from the paper's constants,
+    not these), reported as per-source pass rates — the audit that
+    sizes a rule-based pretraining filter before it runs. Every rule
+    is an integer inequality (mean-word-length 3.0–4.2 is spelled
     ``3n ≤ Σchars`` and ``5·Σchars ≤ 21·n``), so there is no float
     anywhere; Σchars derives from the single-spaced normalized length
     rather than a per-token list sum. One scan, one map-side-combined
@@ -1237,13 +1251,20 @@ def text_hapax_rate(spark, sf):
 
 _RAKE_STOP = TX.LANG_STOPWORDS["en"]
 _RAKE_IN = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+# RAKE tokenization twin (operators.keywords.rake_tokens): punctuation
+# runs become the '¶' delimiter token — phrases must not span sentence
+# boundaries, and 'dog.' must score as 'dog'
+_RAKE_TOKS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N} \\t\\n\\x0b\\f\\r]+', ' ¶ ', 'g'), "
+    "'[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')")
 
 
 @q("text_rake_keywords",
-   f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term, "
-   f"unnest(range(1, len({_TOKS}) + 1)) AS pos FROM documents), "
+   f"WITH tok AS (SELECT doc_id, unnest({_RAKE_TOKS}) AS term, "
+   f"unnest(range(1, len({_RAKE_TOKS}) + 1)) AS pos FROM documents), "
    f"m AS (SELECT doc_id, pos, term, CASE WHEN term IN ({_RAKE_IN}) "
-   "THEN 1 ELSE 0 END AS st FROM tok), "
+   "OR term = '¶' THEN 1 ELSE 0 END AS st FROM tok), "
    "ph AS (SELECT doc_id, pos, term, st, SUM(st) OVER (PARTITION BY "
    "doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS pk FROM m), "
    "w AS (SELECT doc_id, pk, pos, term FROM ph WHERE st = 0), "
@@ -1280,17 +1301,21 @@ def text_rake_keywords(spark, sf):
    "top AS (SELECT term, df, s, q FROM m CROSS JOIN nd "
    "ORDER BY s DESC, term ASC LIMIT 50) "
    "SELECT term, df, s AS n_occ, "
-   "CAST(floor((CAST(q AS DOUBLE) * (SELECT CAST(ndocs AS DOUBLE) "
-   "FROM nd) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - 1.0) "
+   "CAST(floor((CAST(q AS DOUBLE) / CAST(s AS DOUBLE) "
+   "- CAST(s AS DOUBLE) / (SELECT CAST(ndocs AS DOUBLE) FROM nd)) "
    "* 1000000.0 + 0.5) AS BIGINT) AS burst_micro "
    "FROM top")
 def text_term_burstiness(spark, sf):
-    """Burstiness of the top-50 corpus terms: the variance-to-mean
-    shape ``q·D/s² − 1`` over per-document counts (0-count docs
-    included analytically — the identity needs only Σc, Σc², D).
-    Function words spread evenly (≈ uniform), content words clump in
-    few documents (high burst) — the content-word detector beside
-    TF-IDF. Exact integer moments; one mirrored division per term."""
+    """Burstiness of the top-50 corpus terms: the Fano factor
+    (variance-to-mean ratio, index of dispersion) of the per-document
+    counts with 0-count docs included analytically —
+    ``Var/mean = q/s − s/D`` from only Σc, Σc², D. Poisson scatter
+    gives 1, even spreading (function words) < 1, clumping content
+    words ≫ 1 — and unlike the squared coefficient of variation
+    ``q·D/s² − 1`` (which scales with the corpus size D and inverts
+    rare-vs-common comparisons), the Fano scale is
+    corpus-size-stable. Exact integer moments; one mirrored division
+    per term."""
     d = table(spark, sf, "documents")
     toks = d.select("doc_id",
                     F.explode(TX.tokens(F.col("text"))).alias("term"))
@@ -1304,9 +1329,8 @@ def text_term_burstiness(spark, sf):
     top = (m.crossJoin(F.broadcast(nd))
             .orderBy(F.col("s").desc(), F.col("term").asc())
             .limit(50))
-    burst = (F.col("q").cast("double") * F.col("ndocs").cast("double")
-             / (F.col("s").cast("double") * F.col("s").cast("double"))
-             - F.lit(1.0))
+    burst = (F.col("q").cast("double") / F.col("s").cast("double")
+             - F.col("s").cast("double") / F.col("ndocs").cast("double"))
     return top.select(
         "term", "df", F.col("s").alias("n_occ"),
         F.floor(burst * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
@@ -1537,7 +1561,8 @@ def text_quality_gains(spark, sf):
    "th AS (SELECT n_cal, q_rank, (SELECT MIN(nc) FROM cum "
    "WHERE gc >= q_rank) AS threshold_nc FROM qr), "
    "te AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test, "
-   "CAST(SUM(CASE WHEN nc <= (SELECT threshold_nc FROM th) THEN 1 "
+   "CAST(SUM(CASE WHEN (SELECT threshold_nc FROM th) IS NULL "
+   "OR nc <= (SELECT threshold_nc FROM th) THEN 1 "
    "ELSE 0 END) AS BIGINT) AS n_covered FROM sp WHERE cal = 0) "
    "SELECT t.n_cal, CAST(t.q_rank AS BIGINT) AS q_rank, "
    "t.threshold_nc, e.n_test, e.n_covered, "
@@ -1570,17 +1595,25 @@ def text_conformal_threshold(spark, sf):
               .alias("gc"))
     qr = nn.select("n_cal",
                    F.expr("((n_cal + 1) * 9 + 9) div 10").alias("q_rank"))
+    # conditional MIN, not filter-then-agg: when q_rank > n_cal (tiny
+    # calibration half — ceil((n+1)(1-alpha)) can exceed n), no cell
+    # reaches the rank and a filtered frame would be EMPTY, silently
+    # dropping the output row; here threshold_nc is NULL instead,
+    # which coverage below reads as the split-CP "+inf: cover
+    # everything" convention
     th = (cum.crossJoin(F.broadcast(qr))
-             .filter(F.col("gc") >= F.col("q_rank"))
              .groupBy("n_cal", "q_rank")
-             .agg(F.min("nc").alias("threshold_nc")))
+             .agg(F.min(F.when(F.col("gc") >= F.col("q_rank"),
+                               F.col("nc"))).alias("threshold_nc")))
     te = (sp.filter(~F.col("cal"))
             .crossJoin(F.broadcast(th))
             .agg(F.first("n_cal").alias("n_cal"),
                  F.first("q_rank").alias("q_rank"),
                  F.first("threshold_nc").alias("threshold_nc"),
                  F.count(F.lit(1)).alias("n_test"),
-                 F.sum(F.when(F.col("nc") <= F.col("threshold_nc"), 1)
+                 F.sum(F.when(F.col("threshold_nc").isNull()
+                              | (F.col("nc") <= F.col("threshold_nc")),
+                              1)
                         .otherwise(0)).alias("n_covered")))
     cov = (F.floor(F.col("n_covered").cast("double")
                    / F.col("n_test").cast("double")

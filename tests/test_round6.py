@@ -1313,17 +1313,22 @@ def test_survival_km_engineered(spark, tmp_path):
 
 
 def test_term_burstiness_engineered(spark, tmp_path):
-    # "zzz" clumps in one doc (bursty); "aa" spread evenly (flat)
-    docs = [("aa zzz zzz zzz zzz", "en", "s"), ("aa x", "en", "s"),
+    # "zzz" clumps in one doc (bursty); "aa" spread evenly (flat);
+    # "bb" discriminates the Fano factor (q/s - s/D) from the squared
+    # coefficient of variation (q*D/s^2 - 1) the query once computed
+    docs = [("aa zzz zzz zzz zzz bb", "en", "s"), ("aa x bb", "en", "s"),
             ("aa y", "en", "s"), ("aa w", "en", "s")]
     sf = _mini_docs(spark, tmp_path, docs)
     from mura_spark.suite import SPARK_QUERIES
     got = {r.term: r for r in
            SPARK_QUERIES["text_term_burstiness"](spark, sf).collect()}
-    # aa: c=1 in 4 docs -> q=4, s=4, D=4 -> burst = 4*4/16 - 1 = 0
+    # aa: c=1 in 4 docs -> q=4, s=4, D=4 -> Fano = 4/4 - 4/4 = 0
     assert got["aa"].burst_micro == 0 and got["aa"].df == 4
-    # zzz: c=4 in 1 doc -> q=16, s=4, D=4 -> 16*4/16 - 1 = 3
+    # zzz: c=4 in 1 doc -> q=16, s=4, D=4 -> 16/4 - 4/4 = 3
     assert got["zzz"].burst_micro == 3000000 and got["zzz"].df == 1
+    # bb: c=1 in 2 of 4 docs -> q=2, s=2 -> 2/2 - 2/4 = 0.5 (the CV^2
+    # form would report 1.0 here — scale-dependent and wrong)
+    assert got["bb"].burst_micro == 500000 and got["bb"].df == 2
 
 
 def test_xml_roundtrip_preserves_types(spark, tmp_path):

@@ -385,7 +385,56 @@ def test_bpe_encode_counts_underscore_corpus(spark):
     assert enc.n_tokens == len(enc.tokens)
 
 
-# ------------------------------------------- SQL literals stay literal
+# --------------------------------------- mixture plan absent stratum
+
+
+def test_mixture_plan_absent_stratum_matches_oracle(spark, tmp_path):
+    """A weighted language absent from the corpus must force T = 0 (the
+    operator's documented infeasible semantics) in BOTH engines — the
+    oracle used to re-plan over the present strata only."""
+    import duckdb
+    rows = [(i, "text " * 5, ["en", "zh", "de", "fr"][i % 4], "s", 25)
+            for i in range(40)]  # no 'es' documents
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import ORACLE_SQL, SPARK_QUERIES
+    got = {r.lang: r for r in
+           SPARK_QUERIES["sample_mixture_plan"](spark, out).collect()}
+    assert set(got) == {"en", "zh", "de", "fr", "es"}
+    assert all(r.bucket_threshold == 0 and r.n_expected == 0
+               for r in got.values())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{out}/documents.parquet/*.parquet'")
+    exp = {r[0]: r for r in
+           con.execute(ORACLE_SQL["sample_mixture_plan"]).fetchall()}
+    assert set(exp) == set(got)
+    for lang, r in got.items():
+        assert (r.n_total, r.bucket_threshold, r.n_expected) \
+            == (exp[lang][1], exp[lang][3], exp[lang][4])
+    # and the apply step keeps nothing under an infeasible plan
+    assert SPARK_QUERIES["sample_mixture_apply"](spark, out).count() == 0
+    assert con.execute(ORACLE_SQL["sample_mixture_apply"]) \
+              .fetchall() == []
+
+
+# --------------------------------------------- RAKE phrase delimiters
+
+
+def test_rake_punctuation_delimits_phrases(spark):
+    from mura_spark.operators.keywords import rake_keywords
+    df = spark.createDataFrame(
+        [(1, "big dog. the cat"), (2, "big dog. the cat")],
+        "doc_id long, text string")
+    got = {r.phrase for r in
+           rake_keywords(df, "doc_id", "text", ["the"], k=10).collect()}
+    # the sentence boundary splits the phrase and strips the dot:
+    # candidates are 'big dog' and 'cat' — never 'big dog.' / a
+    # sentence-spanning phrase
+    assert got == {"big dog", "cat"}
 
 
 def test_sql_rewrite_ignores_string_literals(spark, tmp_path):
