@@ -39,9 +39,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     the largest value. ``value_cols`` are the right columns to carry over;
     ``on`` and ``tiebreak`` are carried automatically as
     ``{on}{suffix}`` / ``{tiebreak}{suffix}``. Left rows with no match get
-    nulls (left-outer semantics).
+    nulls (left-outer semantics). NULL semantics follow the predicate:
+    a right row with a NULL ``on`` or ``by`` can never satisfy
+    ``right[on] <= left[on]`` / the group equality, so it is dropped
+    before the union (asc-nulls-first window ordering would otherwise
+    sort it before EVERY left row and match it); a left row with a
+    NULL ``on`` matches nothing.
     """
     carry = list(dict.fromkeys([on, tiebreak] + value_cols))
+    right = right.where(F.col(on).isNotNull() & F.col(by).isNotNull())
     # the whole matched right row travels as ONE struct: per-column
     # last(ignorenulls) would backfill a null value column from an OLDER
     # right row, mixing columns across rows

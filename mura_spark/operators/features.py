@@ -23,19 +23,27 @@ def target_encode_loo(df: DataFrame, group_cols: list[str],
     ``target_col`` computed WITHOUT the row itself —
     ``(Σ_group − x) / (n_group − 1)`` — the leakage-safe form (plain
     group-mean encoding leaks each row's own label into its feature;
-    LOO is the standard fix). Singleton groups encode NULL rather than
-    a self-derived value.
+    LOO is the standard fix). ``n`` counts NON-NULL labels only (a
+    NULL-labeled row contributes nothing to the sum, so counting it in
+    the denominator would bias every encoding toward 0); a row whose
+    OTHER-rows label count is zero — singleton groups, or any row in a
+    group whose only label is its own — encodes NULL rather than a
+    self-derived or fabricated value. NULL-labeled rows themselves
+    encode the group's full mean over the labeled rows (nothing of
+    their own to leave out).
 
     One window shuffle on the group key; the subtraction happens at row
     grain, so no second pass or join-back. Exact: integer/decimal sum
     and count, one correctly-rounded double division per row.
     """
     w = Window.partitionBy(*group_cols)
-    n = F.count(F.lit(1)).over(w)
+    n = F.count(target_col).over(w)  # non-null labels only
     s = F.sum(target_col).over(w)
-    loo = ((s - F.col(target_col)).cast("double")
-           / (n - F.lit(1)).cast("double"))
-    return df.withColumn(out_col, F.when(n > 1, loo))
+    self_labeled = F.col(target_col).isNotNull().cast("int")
+    n_others = n - self_labeled
+    loo = ((s - F.coalesce(F.col(target_col), F.lit(0)))
+           .cast("double") / n_others.cast("double"))
+    return df.withColumn(out_col, F.when(n_others > 0, loo))
 
 
 def rank_auc(df: DataFrame, score_col: str, label_col: str,

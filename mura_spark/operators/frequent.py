@@ -32,10 +32,15 @@ from pyspark.sql import functions as F
 
 
 def heavy_hitters(df: DataFrame, col: str, num: int, den: int) -> DataFrame:
-    """(value, n_occ) for every value of ``col`` whose occurrence count
-    satisfies ``den * count >= num * total_rows`` — exact, deterministic
-    under any input partitioning. ``num/den`` is the share threshold as an
-    integer ratio (e.g. 5/1000 = every value covering ≥ 0.5% of rows)."""
+    """(value, n_occ) for every NON-NULL value of ``col`` whose occurrence
+    count satisfies ``den * count >= num * total_rows`` — exact,
+    deterministic under any input partitioning. ``num/den`` is the share
+    threshold as an integer ratio (e.g. 5/1000 = every value covering
+    ≥ 0.5% of rows). NULL is never reported even when its share exceeds
+    the threshold (a frequent NULL is a data-quality finding, not a
+    heavy hitter — audit it with ``profile``'s null-rate report), but
+    NULL rows DO count in ``total_rows``, so every value's share is of
+    the whole column."""
     if num <= 0 or den <= 0:
         raise ValueError("num and den must be positive")
     # One scalar to the driver; no values cross. approx_row_count is EXACT

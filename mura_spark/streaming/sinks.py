@@ -56,11 +56,21 @@ def apply_cdc_batches(stream: DataFrame, table_path: str, keys: list[str],
 def _merge_into(spark: SparkSession, batch: DataFrame, table_path: str,
                 keys: list[str], version_col: str) -> DataFrame:
     """Current table state merged with one batch (collected eagerly — the
-    overwrite below invalidates the files the merge reads from)."""
-    try:
-        current = spark.read.parquet(table_path)
-    except Exception:  # first batch: table does not exist yet
-        return batch.localCheckpoint(eager=True)
+    overwrite below invalidates the files the merge reads from).
+
+    Only a MISSING table means first-batch: any other read failure
+    (corrupt footer from a crashed overwrite, transient IO) must
+    surface — falling back to the bare batch would silently replace
+    the accumulated table with one micro-batch, losing every key the
+    batch doesn't carry. And the first batch still needs the keep-
+    latest reduction: under availableNow the entire initial load can
+    arrive as one batch holding several versions of a key."""
+    import os
+    if not os.path.exists(table_path):
+        empty = spark.createDataFrame([], batch.schema)
+        return upsert_latest(empty, batch, keys, version_col) \
+            .localCheckpoint(eager=True)
+    current = spark.read.parquet(table_path)
     merged = upsert_latest(current, batch, keys, version_col)
     # materialize BEFORE the overwrite truncates the input files
     return merged.localCheckpoint(eager=True)
@@ -104,11 +114,16 @@ def maintain_rollup_batches(stream: DataFrame, state_path: str,
     from mura_spark.operators.incremental import merge_states, partial_state
 
     def apply(batch: DataFrame, batch_id: int) -> None:
+        # only a MISSING marker means fresh checkpoint; an unreadable
+        # or partial one (crash mid-write would be possible with a
+        # truncating open - see the atomic os.replace below) must
+        # surface rather than trigger the rebuild branch, which would
+        # wipe accumulated state while the source resumes mid-stream
         last = None
         try:
             with open(marker) as fh:
                 last = int(fh.read().strip())
-        except (OSError, ValueError):
+        except FileNotFoundError:
             pass
         if last is not None and batch_id <= last:
             return
@@ -119,20 +134,31 @@ def maintain_rollup_batches(stream: DataFrame, state_path: str,
             # whatever a previous checkpoint left behind
             merged = new
         else:
-            # scope the fallback to the read only: a merge failure
-            # (schema drift, wrong keys) must surface, never silently
-            # replace accumulated state with one batch's partials
-            try:
+            # missing state dir (marker exists but state was removed
+            # out-of-band) restarts from this batch; any OTHER read
+            # failure — corrupt footer from a crashed overwrite,
+            # transient IO — must surface, never silently replace
+            # accumulated state with one batch's partials
+            if os.path.exists(state_path):
                 current = spark.read.parquet(state_path)
-            except Exception:  # marker exists but state was removed
+            else:
                 current = None
             merged = (merge_states([current, new], keys)
                       if current is not None else new)
         # materialize BEFORE the overwrite truncates the input files
         merged.localCheckpoint(eager=True).write.mode("overwrite") \
               .parquet(state_path)
-        with open(marker, "w") as fh:
+        # atomic marker publish: a truncating open("w") killed between
+        # truncate and flush would leave an EMPTY marker, which a
+        # restart would read as "fresh checkpoint" and rebuild from one
+        # batch; temp-write + os.replace can only ever expose the old
+        # or the new complete marker
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(str(batch_id))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker)
 
     writer = (stream.writeStream
               .foreachBatch(apply)

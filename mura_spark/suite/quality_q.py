@@ -759,10 +759,16 @@ def profile_join_cardinality(spark, sf):
 # ------------------------------------------------------- round-6r additions
 
 @q("feature_target_encode_loo",
+   # n counts NON-NULL labels (COUNT(col), not COUNT(*)) and the row's
+   # own label subtracts only if present — mirrors the operator's
+   # NULL-label semantics exactly
    "SELECT doc_id, lang, source, n_chars, "
-   "CASE WHEN COUNT(*) OVER w > 1 THEN "
-   "CAST(SUM(n_chars) OVER w - n_chars AS DOUBLE) "
-   "/ CAST(COUNT(*) OVER w - 1 AS DOUBLE) END AS loo_nchars "
+   "CASE WHEN COUNT(n_chars) OVER w "
+   "- CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END > 0 THEN "
+   "CAST(SUM(n_chars) OVER w - COALESCE(n_chars, 0) AS DOUBLE) "
+   "/ CAST(COUNT(n_chars) OVER w "
+   "- CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE) END "
+   "AS loo_nchars "
    "FROM documents WINDOW w AS (PARTITION BY lang, source)")
 def feature_target_encode_loo(spark, sf):
     """Leakage-safe leave-one-out target encoding of (lang, source)

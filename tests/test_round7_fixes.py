@@ -421,6 +421,66 @@ def test_mixture_plan_absent_stratum_matches_oracle(spark, tmp_path):
               .fetchall() == []
 
 
+# ----------------------------------------------- asof NULL semantics
+
+
+def test_asof_join_never_matches_null_timestamps(spark):
+    from mura_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, "A", "2024-01-01 00:05:00")],
+        "lid long, k string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(101, "A", None, 9.0), (102, "A", "2024-01-01 00:10:00", 8.0),
+         (103, None, "2024-01-01 00:01:00", 7.0)],
+        "rid long, k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    r = asof_join(left, right, on="ts", by="k", tiebreak="rid",
+                  value_cols=["v"]).first()
+    # NULL-ts and NULL-key right rows can never satisfy the predicate:
+    # the only in-group right row is at 00:10 (> left ts) -> no match
+    assert r.rid_matched is None and r.v_matched is None
+
+
+# ------------------------------------------- LOO encoding NULL labels
+
+
+def test_target_encode_loo_counts_nonnull_labels(spark):
+    from mura_spark.operators.features import target_encode_loo
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", None), (3, "h", 4.0), (4, "h", 6.0)],
+        "id long, g string, y double")
+    got = {r.id: r.loo for r in
+           target_encode_loo(df, ["g"], "y", "loo").collect()}
+    # id=1: the only OTHER label in g is NULL -> no evidence -> NULL
+    # (the row-count denominator would fabricate (10-10)/(2-1) = 0.0)
+    assert got[1] is None
+    # id=2 (NULL label): full mean over labeled rows of its group
+    assert got[2] == 10.0
+    assert got[3] == 6.0 and got[4] == 4.0
+
+
+# --------------------------------------- CDC sink first-batch dedup
+
+
+def test_cdc_sink_first_batch_keeps_latest(spark, tmp_path):
+    from mura_spark.streaming.sinks import apply_cdc_batches
+    src = str(tmp_path / "src")
+    # one file => availableNow delivers the WHOLE initial load as one
+    # batch containing two versions of key 1
+    spark.createDataFrame(
+        [(1, "a", 1), (1, "a2", 2), (2, "b", 1)],
+        "id long, val string, v long").coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema("id long, val string, v long")
+              .parquet(src))
+    q = apply_cdc_batches(stream, str(tmp_path / "tbl"), ["id"], "v",
+                          str(tmp_path / "ck"), available_now=True)
+    q.awaitTermination(120)
+    rows = sorted((r.id, r.val, r.v) for r in
+                  spark.read.parquet(str(tmp_path / "tbl")).collect())
+    assert rows == [(1, "a2", 2), (2, "b", 1)]
+
+
 # --------------------------------------------- RAKE phrase delimiters
 
 
