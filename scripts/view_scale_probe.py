@@ -131,18 +131,24 @@ def main() -> None:
     kmin, kmax = SCALES[0], SCALES[-1]
     flat = refresh_s[kmax] <= 1.5 * refresh_s[kmin]
     dml_flat = dml_refresh_s[kmax] <= 1.5 * dml_refresh_s[kmin]
-    print(json.dumps({"probe": "view_scale", "ks": SCALES,
-                      "refresh_s": refresh_s, "rebuild_s": rebuild_s,
-                      "dml_refresh_s": dml_refresh_s,
-                      "refresh_growth":
-                          round(refresh_s[kmax] / refresh_s[kmin], 3),
-                      "rebuild_growth":
-                          round(rebuild_s[kmax] / rebuild_s[kmin], 3),
-                      "dml_refresh_growth":
-                          round(dml_refresh_s[kmax]
-                                / dml_refresh_s[kmin], 3),
-                      "flat_law_ok": flat,
-                      "dml_flat_law_ok": dml_flat}))
+    result = {"probe": "view_scale", "ks": SCALES,
+              "refresh_s": refresh_s, "rebuild_s": rebuild_s,
+              "dml_refresh_s": dml_refresh_s,
+              "refresh_growth":
+                  round(refresh_s[kmax] / refresh_s[kmin], 3),
+              "rebuild_growth":
+                  round(rebuild_s[kmax] / rebuild_s[kmin], 3),
+              "dml_refresh_growth":
+                  round(dml_refresh_s[kmax]
+                        / dml_refresh_s[kmin], 3),
+              "flat_law_ok": flat,
+              "dml_flat_law_ok": dml_flat}
+    print(json.dumps(result))
+    # per-round artifact next to SCALELAW.json (the pair-mining law):
+    # a reviewer reads the committed numbers, not a transcript
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "VIEWSCALE.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
     shutil.rmtree(out_root, ignore_errors=True)
 
 
