@@ -168,20 +168,23 @@ def build_blooms(spark, table_path: str, files: list[str],
         def gen(it, cols=cols, m_bits=m_bits, k=k):
             # OR-merge across the WHOLE task before emitting, so the
             # driver collects (#tasks x cols) bitmaps, not one per
-            # Arrow batch — a task covers one file (or a slice of
-            # one), so the accumulator holds a handful of 16 KiB
-            # arrays regardless of row count
+            # Arrow batch. ONE group_by pass per batch (a per-file
+            # filter loop would rescan the batch once per distinct
+            # file — tasks routinely coalesce many small files under
+            # maxPartitionBytes). to_pylist keeps ints exact and
+            # nulls as None — the pandas conversion would coerce
+            # int64-with-nulls to float64.
             import pyarrow as pa
-            import pyarrow.compute as pc
             acc: dict[tuple[str, str], np.ndarray] = {}
             for batch in it:
                 tbl = pa.Table.from_batches([batch])
-                for fval in pc.unique(tbl["__f"]).to_pylist():
-                    sub = tbl.filter(pc.equal(tbl["__f"], fval))
-                    for c in cols:
-                        # to_pylist keeps ints exact and nulls as None
-                        vals = {v for v in sub[c].to_pylist()
-                                if v is not None}
+                agg = tbl.group_by("__f").aggregate(
+                    [(c, "list") for c in cols])
+                files = agg["__f"].to_pylist()
+                for c in cols:
+                    col_lists = agg[f"{c}_list"].to_pylist()
+                    for fval, lst in zip(files, col_lists):
+                        vals = {v for v in lst if v is not None}
                         bm = bitmap_of(vals, m_bits, k)
                         key = (fval, c)
                         if key in acc:

@@ -161,40 +161,79 @@ def merge_status_frame(target: DataFrame, source: DataFrame,
     return j.select(*out_cols, *pre_cols, status.alias("__status"))
 
 
-def _delete_emptied_partitions(target_path: str,
-                               partition_cols: list[str],
+def _typed_partition_dir_value(raw: str, dtype):
+    """A decoded hive directory value parsed back to the partition
+    column's Python type, so comparisons against collected row values
+    are TYPED — string rendering differs between Java (directory
+    names: Double.toString gives '1.0E-7') and Python (str gives
+    '1e-07'), but float('1.0E-7') == 1e-07 exactly because Java's
+    shortest-round-trip rendering parses back to the same double."""
+    t = dtype.simpleString()
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    if t == "date":
+        import datetime
+        return datetime.date.fromisoformat(raw)
+    if t.startswith("timestamp"):
+        import datetime
+        return datetime.datetime.fromisoformat(raw)
+    if t.startswith("decimal"):
+        from decimal import Decimal
+        return Decimal(raw)
+    return raw
+
+
+def _delete_emptied_partitions(spark, target_path: str,
+                               partition_fields: list,
                                emptied: set[tuple]) -> int:
     """Remove the hive directories of touched partitions whose merged
     frame holds ZERO rows — dynamic partition overwrite only replaces
     partitions PRESENT in the output, so a fully-deleted partition's
     old files would otherwise survive the commit. Directory names are
-    matched by decoded value (escapes, null sentinel), never by
-    re-encoding. Returns the number of partition dirs removed."""
-    import shutil
+    decoded and parsed back to the column TYPE before comparing
+    (string comparison would miss Java-vs-Python float/timestamp
+    renderings), and listing/deletion run through Hadoop's FileSystem
+    so URI table paths (file:/, hdfs://, s3a://) work exactly like
+    the write that preceded them. Returns the number of partition
+    dirs removed."""
     if not emptied:
         return 0
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     removed = 0
 
-    def rec(base: str, depth: int, vals: tuple):
+    def rec(jpath, depth: int, vals: tuple):
         nonlocal removed
-        if depth == len(partition_cols):
+        if depth == len(partition_fields):
             if vals in emptied:
-                shutil.rmtree(base, ignore_errors=True)
+                fs.delete(jpath, True)
                 removed += 1
             return
-        prefix = partition_cols[depth] + "="
-        try:
-            names = os.listdir(base)
-        except FileNotFoundError:
-            return
-        for name in names:
+        field = partition_fields[depth]
+        prefix = field.name + "="
+        for status in fs.listStatus(jpath):
+            if not status.isDirectory():
+                continue
+            name = status.getPath().getName()
             if not name.startswith(prefix):
                 continue
             raw = name[len(prefix):]
-            v = None if raw == HIVE_NULL else urllib.parse.unquote(raw)
-            rec(os.path.join(base, name), depth + 1, vals + (v,))
+            if raw == HIVE_NULL:
+                v = None
+            else:
+                try:
+                    v = _typed_partition_dir_value(
+                        urllib.parse.unquote(raw), field.dataType)
+                except (ValueError, ArithmeticError):
+                    continue  # unparseable dir: keep it (conservative)
+            rec(status.getPath(), depth + 1, vals + (v,))
 
-    rec(target_path, 0, ())
+    rec(root, 0, ())
     return removed
 
 
@@ -267,13 +306,16 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
               .parquet(target_path))
         # dynamic overwrite never touches a partition ABSENT from the
         # output — a touched partition whose rows were all deleted
-        # must have its old directory removed explicitly
+        # must have its old directory removed explicitly. TYPED values
+        # on both sides (collected rows are already typed; dir names
+        # parse back through the column type).
         present = {
-            tuple(partition_str(r[c]) for c in partition_cols)
+            tuple(r[c] for c in partition_cols)
             for r in final.select(*partition_cols).distinct().collect()}
-        emptied = {tuple(partition_str(r[c]) for c in partition_cols)
+        emptied = {tuple(r[c] for c in partition_cols)
                    for r in touched} - present
-        _delete_emptied_partitions(target_path, partition_cols, emptied)
+        pfields = [final.schema[c] for c in partition_cols]
+        _delete_emptied_partitions(spark, target_path, pfields, emptied)
     else:
         final.write.mode("overwrite").parquet(target_path)
 

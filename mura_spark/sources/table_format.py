@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mura_spark.sources.merge import (HIVE_NULL, MergeStats,
+                                      _typed_partition_dir_value,
                                       check_merge_source,
                                       hive_partition_values,
                                       merge_status_frame,
@@ -849,11 +850,28 @@ class MuraTable:
             # partition-pruned scan (typed literals on bare partition
             # columns — the shape partition pruning recognizes)
             target = target.where(partition_filter(rows, pcols))
-            touched = {tuple(partition_str(row[c]) for c in pcols)
-                       for row in rows}
-            keep_files = [
-                f for f in prev["files"]
-                if _partition_values(f, pcols) not in touched]
+            # TYPED comparison: directory strings are Java-rendered
+            # ('1.0E-7') while collected rows are Python values; both
+            # sides meet at the parsed type (see merge.py). A file
+            # whose dir value doesn't parse stays by reference.
+            ptypes = {c: target.schema[c].dataType for c in pcols}
+            touched = {tuple(row[c] for c in pcols) for row in rows}
+
+            def _typed_of(f: str):
+                out = []
+                for c, raw in zip(pcols, _partition_values(f, pcols)):
+                    if raw is None:
+                        out.append(None)
+                        continue
+                    try:
+                        out.append(_typed_partition_dir_value(
+                            raw, ptypes[c]))
+                    except (ValueError, ArithmeticError):
+                        return None  # unparseable: keep the file
+                return tuple(out)
+
+            keep_files = [f for f in prev["files"]
+                          if _typed_of(f) not in touched]
 
         cols = list(target.columns)
         cdf_on = bool(prev.get("cdf"))

@@ -472,6 +472,19 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
         table = tf.MuraTable.load(None, self.path)
         while True:
             m = table._manifest()
+            if m.get("constraints"):
+                # a constraint added MID-STREAM (the init guard rejects
+                # constrained tables up front): the Arrow sink cannot
+                # evaluate SQL CHECK predicates, and publishing
+                # unvalidated rows under a manifest that asserts the
+                # CHECK would break "nothing publishes on violation" —
+                # fail the batch loudly instead
+                raise ValueError(
+                    f"CHECK constraint(s) {sorted(m['constraints'])} "
+                    f"were added to {self.path} while this stream was "
+                    f"running — the streaming sink cannot validate "
+                    f"them; stop the stream, validate/filter upstream, "
+                    f"or drop the constraints")
             stamp = m.get("stream_batches", {})
             if self.queryId is not None and \
                     stamp.get(self.queryId) == batchId:
@@ -502,10 +515,11 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
                 table._commit(m["version"] + 1, {
                     "version": m["version"] + 1,
                     "action": "stream_append",
-                    # table flags ride every commit (cdf/constraints
-                    # added mid-stream must survive the next batch)
+                    # table flags ride every commit (cdf added
+                    # mid-stream must survive the next batch;
+                    # constraints are refused above)
                     **{key: m[key] for key in
-                       ("txns", "cdf", "constraints") if m.get(key)},
+                       ("txns", "cdf") if m.get(key)},
                     "partition_cols": m["partition_cols"],
                     "schema": m.get("schema"),
                     "stats_cols": scols, "stats": stats, "rows": rows,

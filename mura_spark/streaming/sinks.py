@@ -24,6 +24,17 @@ from pyspark.sql import DataFrame, SparkSession
 from mura_spark.operators.upsert import upsert_latest
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Hadoop's FileSystem so URI table paths
+    (file:/, hdfs://, s3a://) resolve exactly like Spark's own reader —
+    os.path.exists would be False for every URI, which here would mean
+    'first batch' and silently overwrite the accumulated table."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def apply_cdc_batches(stream: DataFrame, table_path: str, keys: list[str],
                       version_col: str, checkpoint_dir: str,
                       partition_cols: list[str] | None = None,
@@ -65,8 +76,7 @@ def _merge_into(spark: SparkSession, batch: DataFrame, table_path: str,
     batch doesn't carry. And the first batch still needs the keep-
     latest reduction: under availableNow the entire initial load can
     arrive as one batch holding several versions of a key."""
-    import os
-    if not os.path.exists(table_path):
+    if not _fs_exists(spark, table_path):
         empty = spark.createDataFrame([], batch.schema)
         return upsert_latest(empty, batch, keys, version_col) \
             .localCheckpoint(eager=True)
@@ -139,7 +149,7 @@ def maintain_rollup_batches(stream: DataFrame, state_path: str,
             # failure — corrupt footer from a crashed overwrite,
             # transient IO — must surface, never silently replace
             # accumulated state with one batch's partials
-            if os.path.exists(state_path):
+            if _fs_exists(spark, state_path):
                 current = spark.read.parquet(state_path)
             else:
                 current = None

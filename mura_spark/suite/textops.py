@@ -1595,16 +1595,18 @@ def text_conformal_threshold(spark, sf):
               .alias("gc"))
     qr = nn.select("n_cal",
                    F.expr("((n_cal + 1) * 9 + 9) div 10").alias("q_rank"))
-    # conditional MIN, not filter-then-agg: when q_rank > n_cal (tiny
-    # calibration half — ceil((n+1)(1-alpha)) can exceed n), no cell
-    # reaches the rank and a filtered frame would be EMPTY, silently
-    # dropping the output row; here threshold_nc is NULL instead,
-    # which coverage below reads as the split-CP "+inf: cover
-    # everything" convention
-    th = (cum.crossJoin(F.broadcast(qr))
-             .groupBy("n_cal", "q_rank")
-             .agg(F.min(F.when(F.col("gc") >= F.col("q_rank"),
-                               F.col("nc"))).alias("threshold_nc")))
+    # conditional MIN through a GLOBAL agg, not filter-then-agg or a
+    # keyed groupBy: when q_rank > n_cal (tiny calibration half —
+    # ceil((n+1)(1-alpha)) can exceed n) no cell reaches the rank, and
+    # when the calibration half is EMPTY, cum has no rows at all; a
+    # filtered frame or keyed groupBy would silently drop the output
+    # row in both cases, while a global agg always returns exactly one
+    # row with threshold_nc NULL — which coverage below reads as the
+    # split-CP "+inf: cover everything" convention
+    thr = (cum.crossJoin(F.broadcast(qr))
+              .agg(F.min(F.when(F.col("gc") >= F.col("q_rank"),
+                                F.col("nc"))).alias("threshold_nc")))
+    th = qr.crossJoin(F.broadcast(thr))
     te = (sp.filter(~F.col("cal"))
             .crossJoin(F.broadcast(th))
             .agg(F.first("n_cal").alias("n_cal"),

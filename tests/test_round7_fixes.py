@@ -223,6 +223,133 @@ def test_cdf_stream_reader_covers_clone(registered, tmp_path):
         == [(1, "insert")]
 
 
+# ----------------------------- adversarial pass on this session's fixes
+
+
+def test_merge_into_delete_on_double_partition(spark, tmp_path):
+    """Java renders double dirs as '1.0E-7' while Python str gives
+    '1e-07' — the emptied-partition walk must compare TYPED values."""
+    from mura_spark.sources.merge import merge_into
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1e-07, "a"), (2, 15000000.0, "b")],
+                               "k long, p double, val string")
+    df.write.partitionBy("p").parquet(path)
+    dirs = [d for d in os.listdir(path) if d.startswith("p=")]
+    assert any("E" in d for d in dirs), dirs  # Java scientific form
+    st = merge_into(spark, path,
+                    spark.createDataFrame([(1, 1e-07, "a")],
+                                          "k long, p double, val string"),
+                    key_cols=["k"], partition_cols=["p"],
+                    when_matched="delete", insert_not_matched=False)
+    assert st.deleted == 1
+    rows = [(r.k, r.p) for r in spark.read.parquet(path).collect()]
+    assert rows == [(2, 15000000.0)]
+
+
+def test_mura_merge_on_double_partition_no_duplicates(spark, tmp_path):
+    """MuraTable.merge's keep-files set must also compare typed
+    partition values, or the Java-rendered dir is 'untouched' and its
+    old file rides next to the rewrite."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1e-07, "a"), (2, 0.5, "b")],
+                               "k long, p double, val string")
+    t = MuraTable.create(spark, path, df, partition_cols=["p"])
+    st = t.merge(spark.createDataFrame([(1, 1e-07, "a2")],
+                                       "k long, p double, val string"),
+                 key_cols=["k"])
+    assert (st.updated, st.inserted) == (1, 0)
+    rows = sorted((r.k, r.val) for r in t.read().collect())
+    assert rows == [(1, "a2"), (2, "b")]
+    assert t.row_count() == 2
+
+
+def test_sql_rewrite_handles_backslash_escaped_literals(spark, tmp_path):
+    from mura_spark import MuraSession
+    ms = MuraSession(spark)
+    MuraTable.create(spark, str(tmp_path / "t"),
+                     _df(spark, [(1, 1, "a")]))
+    ms.create_external_table("bs_t", str(tmp_path / "t"),
+                             file_type="mura")
+    got = ms.sql(
+        "SELECT 'don\\'t read bs_t VERSION AS OF 1 twice' AS msg"
+    ).first()
+    assert got.msg == "don't read bs_t VERSION AS OF 1 twice"
+
+
+def test_cdc_sink_accepts_uri_table_path(spark, tmp_path):
+    """os.path.exists is False for every URI — the sink must resolve
+    paths through Hadoop's FileSystem or each batch overwrites the
+    accumulated table as 'first batch'."""
+    from mura_spark.streaming.sinks import apply_cdc_batches
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a", 1)], "id long, val string, v long") \
+         .coalesce(1).write.parquet(src)
+    tbl_uri = "file:" + str(tmp_path / "tbl")
+
+    def run(ck):
+        stream = (spark.readStream
+                  .schema("id long, val string, v long").parquet(src))
+        q = apply_cdc_batches(stream, tbl_uri, ["id"], "v",
+                              str(tmp_path / ck), available_now=True)
+        q.awaitTermination(120)
+
+    run("ck1")
+    spark.createDataFrame([(2, "b", 1)], "id long, val string, v long") \
+         .coalesce(1).write.mode("append").parquet(src)
+    run("ck1")
+    rows = sorted((r.id, r.val) for r in
+                  spark.read.parquet(tbl_uri).collect())
+    # pre-fix, the second batch would have REPLACED the table with
+    # just (2, 'b'); key 1 must survive
+    assert rows == [(1, "a"), (2, "b")]
+
+
+def test_stream_sink_refuses_mid_stream_constraint(registered, tmp_path):
+    from mura_spark.sources.table_stream import _TableStreamWriter
+    spark = registered
+    dst = str(tmp_path / "dst")
+    t = MuraTable.create(spark, dst, _df(spark, [(1, 1, "a")]))
+    from pyspark.sql.types import _parse_datatype_string
+    w = _TableStreamWriter(
+        _parse_datatype_string("k long, m int, val string"),
+        {"path": dst})
+    t.add_constraint("k_pos", "k > 0")
+    with pytest.raises(ValueError, match="added to .* while this"):
+        w.commit([], 0)
+
+
+def test_conformal_empty_calibration_matches_oracle(spark, tmp_path):
+    """All documents landing in the evaluation half (empty calibration)
+    must yield ONE row with the cover-everything convention in BOTH
+    engines — the Spark side used to emit zero rows."""
+    import duckdb
+    from mura_spark.operators.sampling import hash_bucket
+    # find doc ids whose hash bucket is >= 500 (evaluation half)
+    cand = spark.range(0, 400).select(
+        F.col("id"), hash_bucket(F.col("id")).alias("b"))
+    ids = [r.id for r in cand.where("b >= 500").limit(12).collect()]
+    assert len(ids) >= 8
+    rows = [(int(i), "some plain text for scoring here", "en", "s", 33)
+            for i in ids]
+    out = str(tmp_path / "mini")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+        .coalesce(1).write.parquet(f"{out}/documents.parquet"))
+    from mura_spark.suite import ORACLE_SQL, SPARK_QUERIES
+    got = SPARK_QUERIES["text_conformal_threshold"](spark, out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.threshold_nc is None
+    assert r.n_test == len(ids) and r.n_covered == len(ids)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{out}/documents.parquet/*.parquet'")
+    exp = con.execute(ORACLE_SQL["text_conformal_threshold"]).fetchall()
+    assert len(exp) == 1
+    assert (r.n_test, r.n_covered) == (exp[0][3], exp[0][4])
+
+
 # ------------------------------------------------- jpeg multi-scan guard
 
 
