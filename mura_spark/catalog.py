@@ -40,7 +40,14 @@ def _ns_timestamp_columns(location: str) -> list[str]:
         return []
     target = location
     if os.path.isdir(location):
-        inside = sorted(glob.glob(os.path.join(location, "*.parquet")))
+        # recursive: hive-partitioned tables keep their files under
+        # key=value subdirectories — a top-level-only glob would find
+        # nothing and silently expose TIMESTAMP(NANOS) columns as raw
+        # nano-long BIGINTs (nanosAsLong is pinned session-wide)
+        inside = sorted(glob.glob(os.path.join(location, "*.parquet"))) \
+            or sorted(glob.glob(os.path.join(location, "**",
+                                             "*.parquet"),
+                      recursive=True))
         if not inside:
             return []
         target = inside[0]

@@ -82,9 +82,16 @@ def col(name: str) -> Column:
 
 def col_index(df, i: int) -> Column:
     """``Column(usize)`` — positional reference (logicalplan.rs:30-31).
-    Spark resolution is name-based, so position is resolved at the API edge
-    against the DataFrame's schema, exactly once."""
-    return F.col(df.columns[i])
+    Spark resolution is name-based, so position is resolved at the API
+    edge against the DataFrame's schema, exactly once. The name is
+    BACKTICK-QUOTED before resolution — a bare ``F.col(df.columns[i])``
+    PARSES the name, so a legal column called ``a.b`` would resolve as
+    struct access (the reference's ``schema.field(idx)``,
+    logicalplan.rs, is purely ordinal and has no such hazard).
+    Duplicate column names remain ambiguous under Spark's name-based
+    resolution; keep names unique when using positional references."""
+    name = df.columns[i]
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def lit(value) -> Column:

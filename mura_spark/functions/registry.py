@@ -123,8 +123,17 @@ def _ngrams_udtf():
     @udtf(returnType="pos int, ngram string")
     class MuraNgrams:
         def eval(self, text: str, n: int):
-            toks = " ".join((text or "").lower().split()).split(" ")
-            for i in range(max(len(toks) - n + 1, 0)):
+            # same windowing contract as shingle_list/shingles:
+            # max(len-n+1, 1) — a document SHORTER than n yields its
+            # full text as ONE gram, never zero rows (a SQL LATERAL
+            # pipeline must count the same grams as the kernel path);
+            # tokenization mirrors normalize() (explicit ASCII
+            # whitespace class, not str.split's any-Unicode-space)
+            import re
+            norm = re.sub(r"[ \t\n\x0b\f\r]+", " ",
+                          (text or "").lower()).strip(" ")
+            toks = norm.split(" ")
+            for i in range(max(len(toks) - n + 1, 1)):
                 yield i, " ".join(toks[i:i + n])
 
     return MuraNgrams

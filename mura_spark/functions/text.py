@@ -131,16 +131,21 @@ def avg_token_len(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Punctuation chars / total chars — a standard quality signal."""
+    """Punctuation chars / total chars — a standard quality signal.
+    NULL for empty text (the 0/0 case): ANSI division would abort the
+    whole query on one empty document, and the DuckDB oracle's
+    division by zero yields NULL."""
     n = F.length(text)
     p = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    return p.cast("double") / n
+    return F.when(n > 0, p.cast("double") / n)
 
 
 def digit_ratio(text: Column) -> Column:
+    """Digit chars / total chars; NULL for empty text (see
+    punct_ratio)."""
     n = F.length(text)
     d = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
-    return d.cast("double") / n
+    return F.when(n > 0, d.cast("double") / n)
 
 
 def stopword_count(toks: Column, words: list[str]) -> Column:

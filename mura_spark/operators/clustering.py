@@ -353,20 +353,16 @@ def pq_topk_adc(queries: DataFrame, corpus: DataFrame, k: int,
                              F.lit(s).alias("__ss"),
                              F.col("cluster").alias("__code"))
         codes = part if codes is None else codes.unionAll(part)
-        # recover the final centroids: quantized mean of members
-        q = quantize_vectors(sliced, corpus_id, "__sub")
-        members = assign.select(F.col(corpus_id).alias("__vid"), "cluster")
-        comp = (members.join(q, "__vid")
-                       .select("cluster",
-                               F.posexplode("__v").alias("pos", "x")))
-        cent = (comp.groupBy("cluster", "pos")
-                    .agg(F.floor(F.sum("x").cast("double")
-                                 / F.count(F.lit(1))).alias("c"))
-                    .groupBy("cluster")
-                    .agg(F.transform(F.array_sort(F.collect_list(
-                            F.struct("pos", "c"))), lambda t: t["c"])
-                         .alias("__cvec"))
-                    .select(F.lit(s).alias("__ss"), "cluster", "__cvec"))
+        # the LUT must hold the c_{N-1} CODEBOOK the assignment scored
+        # against (kmeans_centroids) — NOT the mean of the final
+        # assignment's members, which is one extra Lloyd update: a
+        # row's code is the argmin under c_{N-1}, so measuring adist
+        # to c_N would score rows against centroids they were never
+        # assigned to
+        cent = (kmeans_centroids(sliced, corpus_id, "__sub", n_codes,
+                                 iterations)
+                .select(F.lit(s).alias("__ss"), "cluster",
+                        F.col("__c").alias("__cvec")))
         luts.append(cent)
     centroids = luts[0]
     for more in luts[1:]:

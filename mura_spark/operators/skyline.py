@@ -42,7 +42,16 @@ def skyline_min_max(df: DataFrame, x_col: str, y_col: str,
     Returns one row per surviving (x, y) cell: ``(x, y, count_alias[,
     rep_alias])`` where ``rep_alias`` is ``min(rep_col)`` — the
     deterministic representative row key for the cell.
+
+    Rows with a NULL ``x`` or ``y`` do not participate: dominance is
+    UNKNOWN against a NULL coordinate, so the NOT-EXISTS definition
+    neither dominates with nor eliminates such rows — but the sweep's
+    asc ordering would put a NULL-x cell FIRST and let its y kill
+    genuine skyline members. Filtering matches the oracle's effective
+    treatment of comparisons (and drops NULL cells from the output,
+    where a NULL coordinate is not a Pareto point in any case).
     """
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     aggs = [F.count(F.lit(1)).alias(count_alias)]
     if rep_col is not None:
         aggs.append(F.min(rep_col).alias(rep_alias))
@@ -84,7 +93,9 @@ def sql_skyline_min_max(table_expr: str, x_expr: str, y_expr: str,
     return (
         f"WITH cells AS (SELECT {x_expr} AS x, {y_expr} AS y, "
         f"COUNT(*) AS {count_alias}{rep_sel} "
-        f"FROM {table_expr} GROUP BY 1, 2) "
+        f"FROM {table_expr} "
+        f"WHERE {x_expr} IS NOT NULL AND {y_expr} IS NOT NULL "
+        f"GROUP BY 1, 2) "
         f"SELECT x AS {x_expr}, y AS {y_expr}, {count_alias}{rep_out} "
         "FROM cells c WHERE NOT EXISTS ("
         "SELECT 1 FROM cells d WHERE d.x <= c.x AND d.y >= c.y "

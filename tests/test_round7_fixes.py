@@ -350,6 +350,101 @@ def test_conformal_empty_calibration_matches_oracle(spark, tmp_path):
     assert (r.n_test, r.n_covered) == (exp[0][3], exp[0][4])
 
 
+# ------------------------------- core-library audit (pass 7) findings
+
+
+def test_text_ratios_null_on_empty_text(spark):
+    """One empty document must not abort a corpus-wide quality scan
+    under ANSI (DIVIDE_BY_ZERO); NULL matches the oracle's 0/0."""
+    from mura_spark.functions.text import digit_ratio, punct_ratio
+    df = spark.createDataFrame([("",), ("a1b!",)], "text string")
+    rows = df.select(punct_ratio(F.col("text")).alias("p"),
+                     digit_ratio(F.col("text")).alias("d")).collect()
+    assert rows[0].p is None and rows[0].d is None
+    assert rows[1].p == 0.25 and rows[1].d == 0.25
+
+
+def test_skyline_ignores_null_coordinates(spark):
+    from mura_spark.operators.skyline import skyline_min_max
+    df = spark.createDataFrame(
+        [(1, None, 100.0), (2, 0.0, 50.0), (3, 5.0, 200.0)],
+        "id long, x double, y double")
+    got = sorted((r.x, r.y) for r in
+                 skyline_min_max(df, "x", "y").collect())
+    # (0.0, 50) is a genuine Pareto point; the NULL-x cell must
+    # neither dominate it nor appear in the output
+    assert got == [(0.0, 50.0), (5.0, 200.0)]
+
+
+def test_catalog_fixes_ns_timestamps_in_partitioned_dirs(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mura_spark import MuraSession
+    base = tmp_path / "t" / "part=a"
+    base.mkdir(parents=True)
+    tbl = pa.table({"ts": pa.array([1_700_000_000_000_000_000],
+                                   type=pa.timestamp("ns")),
+                    "v": pa.array([1])})
+    pq.write_table(tbl, str(base / "f.parquet"))
+    ms = MuraSession(spark)
+    ms.create_external_table("nspart_t", str(tmp_path / "t"))
+    row = ms.sql("SELECT ts FROM nspart_t").first()
+    import datetime
+    assert isinstance(row.ts, datetime.datetime)  # not a raw nano long
+
+
+def test_mura_ngrams_udtf_matches_kernel_contract(spark):
+    from mura_spark.functions.registry import register_all
+    register_all(spark)
+    # shorter than n -> the full text as ONE gram, like shingle_list
+    rows = spark.sql("SELECT * FROM mura_ngrams('hello', 3)").collect()
+    assert [(r.pos, r.ngram) for r in rows] == [(0, "hello")]
+    rows = spark.sql(
+        "SELECT * FROM mura_ngrams('A  b\tc d', 3)").collect()
+    assert [r.ngram for r in rows] == ["a b c", "b c d"]
+
+
+def test_col_index_is_ordinal(spark):
+    from mura_spark.expressions import col_index
+    df = spark.createDataFrame([(1, 2)], ["x", "a.b"])
+    # a name-parsing resolution would read `a`.`b` as struct access
+    assert df.select(col_index(df, 1).alias("v")).first().v == 2
+
+
+def test_pq_adc_scores_against_assignment_codebook(spark):
+    """adist must measure to the c_{N-1} codebook the codes were
+    assigned under, so a vector equal to its centroid has adist 0."""
+    from mura_spark.operators.clustering import (kmeans_assign,
+                                                 kmeans_centroids,
+                                                 pq_topk_adc)
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(0, 1) for _ in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    out = pq_topk_adc(emb.limit(3).withColumnRenamed(
+                          "vec_id", "query_id"),
+                      emb, 5, n_subspaces=2, dim=8, n_codes=4,
+                      iterations=2)
+    got = out.collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    # cross-check one subspace: the LUT distance of a corpus row to
+    # its own code's centroid equals kmeans_assign's reported dist
+    sub = emb.select("vec_id", F.slice("embedding", 1, 4)
+                     .alias("embedding"))
+    a = kmeans_assign(sub, "vec_id", "embedding", 4, 2)
+    c = kmeans_centroids(sub, "vec_id", "embedding", 4, 2)
+    from mura_spark.operators.clustering import (_sqdist,
+                                                 quantize_vectors)
+    q = quantize_vectors(sub, "vec_id", "embedding")
+    j = (a.join(q, a["vec_id"] == q["__vid"])
+          .join(c, "cluster")
+          .select("dist", _sqdist(F.col("__v"), F.col("__c"))
+                  .alias("lut_d")))
+    assert all(r.dist == r.lut_d for r in j.collect())
+
+
 # ------------------------------------------------- jpeg multi-scan guard
 
 
