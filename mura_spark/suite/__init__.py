@@ -35,91 +35,17 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
             multimodal_q, relational, tpch_more, tpch_ps]
 
 # Registry order == the order the driver verifies queries in, and the driver
-# checks only the FIRST 50 entries per round. Round-7 rotation: the whole
-# round-6 window came back green in CORRECTNESS_r06 (50/50 hash-match), so
+# checks only the FIRST 50 entries per round. Round-8 rotation: the whole
+# round-7 window came back green in CORRECTNESS_r07 (50/50 hash-match), so
 # it rotates out and the window is filled entirely from the head of the
-# round-6 overflow that sat at positions 51+ last round (rounds 5v..6g,
-# oldest first, exactly as the round-6 plan ordered them) — never-driver-
+# round-7 overflow that sat at positions 51+ last round (rounds 6h..6jj,
+# oldest first, exactly as the round-7 plan ordered them) — never-driver-
 # verified queries always outrank re-verification. The remaining overflow
-# (122 queries) stays contiguous at positions 51+ = rounds 8 and 9 of
-# windows. The 5 rows-only approximate queries stay pinned to the registry
-# tail (their driver-facing signal is their deterministic companions).
+# (72 queries) stays contiguous at positions 51+ = round 9's window plus
+# 22 for round 10. The 5 rows-only approximate queries stay pinned to the
+# registry tail (their driver-facing signal is their deterministic
+# companions).
 _PRIORITY = [
-    # round-5v: modern SQL surfaces — VARIANT semi-structured path,
-    # correlated LATERAL top-n, null-safe equi-join
-    "events_variant_extract", "join_lateral_topn", "join_null_safe",
-    # round-5w: sequential smoothing + IGNORE NULLS carry-forward
-    "events_ewma_daily", "events_locf_purchase",
-    # round-5x: last-touch attribution + shuffle-key skew diagnostic
-    "events_attribution_last_touch", "profile_key_skew",
-    # round-5y: embedding anisotropy summary + PCA projection
-    "emb_explained_variance", "emb_pca_project",
-    # round-5z: trigram-posting substring search + cohort LTV
-    "search_substring_trigram", "orders_cohort_ltv",
-    # round-5aa: truncation-eval + capped sessionization
-    "emb_matryoshka_agreement", "events_sessionize_capped",
-    # round-5bb: classifier-shaped quality scoring + deterministic mode
-    "text_quality_logistic", "agg_mode",
-    # round-5cc: robust outlier fence, bot screen, nth_value window
-    "events_outlier_iqr", "events_bot_screen", "window_nth_value",
-    # round-5dd: experiment guardrail + leakage-safe temporal split
-    "events_ab_srm_check", "sample_split_temporal",
-    # round-5ee: common-component-removal diagnostic
-    "emb_abtt_residual",
-    # round-5ff: mergeable bitmap distinct + deterministic label propagation
-    "agg_bitmap_distinct", "graph_label_propagation",
-    # round-5gg: sorted-neighborhood blocking + numeric RANGE frames
-    "dedup_sorted_neighborhood", "window_range_numeric",
-    # round-5hh: the last TPC-H shape (Q12 over available columns)
-    "q12_priority_lines",
-    # round-5ii: per-source pipeline attrition funnel
-    "pipeline_attrition_report",
-    # round-6a: remaining window-family surfaces (NTILE, ratio-to-
-    # report), schema-evolution union-by-name, and the skyline operator
-    "window_ntile", "window_ratio_to_report", "setop_union_byname",
-    "parts_skyline",
-    # round-6b: rule-based quality filtering (Gopher), char-entropy
-    # quality signal, Zipf rank-frequency diagnostic
-    "text_gopher_rules", "text_char_entropy", "text_zipf_slope",
-    # round-6c: remaining ranking window (CUME_DIST) + boolean
-    # aggregates, linear-interpolation gap fill, deterministic Poisson
-    # bootstrap, token-budget-capped sampling
-    "window_cume_dist", "agg_boolean_profile",
-    "events_interpolate_linear", "stats_bootstrap_ci",
-    "sample_token_budget",
-    # round-6d: classifier evaluation (confusion matrix, calibration),
-    # trending top-k by day-over-day growth, embedding isotropy
-    # histogram, order-to-ship latency rollup
-    "text_langid_confusion", "text_quality_calibration",
-    "events_trending_topk", "emb_pair_cosine_histogram",
-    "orders_ship_latency",
-    # round-6e: span-level exact-substring duplication audit (Lee et al.
-    # ExactSubstr re-expressed relationally) + tokenizer fertility
-    "text_dup_spans", "text_token_fertility",
-    # round-6f: regex pattern matching over event sequences, the NOT IN
-    # null trap (null-aware anti join), LIMIT/OFFSET pagination
-    "events_pattern_regex", "subquery_not_in", "sort_offset_page",
-    # round-6g: streaming CEP (view->purchase detector) batch twin
-    "events_conversion_pairs",
-]
-
-# ROUND-8 ROTATION PLAN: assuming CORRECTNESS_r07 comes back green for
-# this window, round 8's window takes the FIRST 50 of _NEXT_WINDOW below
-# (round-6h..6ww), and round 9 takes the rest (72). After the debt drains,
-# backfill by staleness: (a) the r1-only greens displaced in round 5
-# (join_cross_small, setop_union, setop_intersect, window_topk_per_group,
-# window_running_sum, q6_revenue_change, q10_returned_items,
-# q14_promo_share, q18_large_orders, agg_rollup, agg_cube, subquery_scalar,
-# subquery_exists, subquery_correlated_scalar, setop_except, agg_pivot,
-# agg_median, date_functions), (b) the remaining r1-only cohort, (c) the
-# r3 cohort (text_* / sample_* / pack_train_* / csv_roundtrip), oldest
-# first. tests/test_registry.py enforces the overflow contiguity.
-
-#: Queries landed AFTER the 50-slot window was already full of
-#: never-verified entries: first in line for round 8's window (positions
-#: 51+ now). All are locally oracle-green; this is the driver-window
-#: overflow the rotation tests bound to at most one more round.
-_NEXT_WINDOW = [
     # round-6h: robust scale (MAD) + spend-inequality Gini
     "events_mad_by_type", "orders_gini_spend",
     # round-6i: exact distinct under ROLLUP (Expand x two-phase
@@ -179,8 +105,30 @@ _NEXT_WINDOW = [
     "stats_spearman_qty_discount", "emb_dim_variance",
     # round-6ii: event debouncing + PIT trailing-window features
     "events_debounce", "feature_trailing_windows",
-    # round-6jj: triplet-accuracy embedding eval + velocity screen
-    "emb_triplet_accuracy", "events_velocity_screen",
+    # round-6jj (first half): triplet-accuracy embedding eval
+    "emb_triplet_accuracy",
+]
+
+# ROUND-9 ROTATION PLAN: assuming CORRECTNESS_r08 comes back green for
+# this window, round 9's window takes the FIRST 50 of _NEXT_WINDOW below
+# (round-6jj..6ggg), and round 10 takes the remaining 22 plus 28 backfill
+# re-verification slots by staleness: (a) the r1-only greens displaced in
+# round 5 (join_cross_small, setop_union, setop_intersect,
+# window_topk_per_group, window_running_sum, q6_revenue_change,
+# q10_returned_items, q14_promo_share, q18_large_orders, agg_rollup,
+# agg_cube, subquery_scalar, subquery_exists, subquery_correlated_scalar,
+# setop_except, agg_pivot, agg_median, date_functions), (b) the remaining
+# r1-only cohort, (c) the r3 cohort (text_* / sample_* / pack_train_* /
+# csv_roundtrip), oldest first. tests/test_registry.py enforces the
+# overflow contiguity.
+
+#: Queries landed AFTER the 50-slot window was already full of
+#: never-verified entries: first in line for round 9's window (positions
+#: 51+ now). All are locally oracle-green; this is the driver-window
+#: overflow the rotation tests bound to at most one more round.
+_NEXT_WINDOW = [
+    # round-6jj (second half): velocity screen
+    "events_velocity_screen",
     # round-6kk: script-label audit + A/B power planner
     "text_script_mismatch", "stats_power_analysis",
     # round-6ll: SRE burn-rate monitor + feature hashing
