@@ -227,6 +227,10 @@ _NEXT_WINDOW = [
     "stats_ljung_box_daily",
     # round-6bbbb: personalized churn-risk dormancy flags
     "orders_churn_risk_flags",
+    # round-8a: the versioned-table format's first driver row — time
+    # travel + COW DELETE snapshot reconciliation (the r7 MuraTable
+    # stack was pytest-only until this)
+    "table_time_travel_roundtrip",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

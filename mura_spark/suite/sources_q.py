@@ -308,6 +308,54 @@ def source_compaction_report(spark, sf):
                   .crossJoin(F.broadcast(rows)))
 
 
+# ------------------------------------------------------- round-8a addition
+
+@q("table_time_travel_roundtrip",
+   "SELECT 'v0' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+   "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_f_orders, "
+   f"{sql_dsum('o_totalprice')} AS total_price FROM orders "
+   "UNION ALL "
+   "SELECT 'head' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+   "CAST(0 AS BIGINT) AS n_f_orders, "
+   f"{sql_dsum('o_totalprice')} AS total_price FROM orders "
+   "WHERE o_orderstatus <> 'F'")
+def table_time_travel_roundtrip(spark, sf):
+    """Versioned-table (MuraTable) time travel under DML — the executed
+    descendant of mura's declared-but-unwired CreateTable IR
+    (reference ``src/planner/logicalplan.rs:260-272``): create a table
+    from ``orders``, copy-on-write DELETE the 'F' slice (version 1),
+    then read ``VERSION AS OF 0`` beside the head and roll both up.
+    The oracle replays the two logical snapshots straight off the
+    parquet ground truth — the table format's commit log, manifest
+    file-listing, and COW rewrite must all be invisible in the result.
+    Scratch table is rebuilt per run (idempotent, like every /tmp
+    round-trip in this module); commits are O(touched files), reads
+    are O(manifest), so the same pipeline holds at 100 TB where the
+    delete rewrites only the files containing 'F' rows."""
+    import shutil
+
+    from mura_spark.sources.table_format import MuraTable
+    src = (table(spark, sf, "orders")
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    path = "/tmp/mura_suite_table_tt"
+    shutil.rmtree(path, ignore_errors=True)
+    t = MuraTable.create(spark, path, src)
+    t.delete_where(F.col("o_orderstatus") == "F")
+    snap = lambda df, name, f_expr: (  # noqa: E731
+        df.agg(F.count(F.lit(1)).alias("n_orders"),
+               f_expr.alias("n_f_orders"),
+               F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("total_price"))
+          .select(F.lit(name).alias("snapshot"), "n_orders",
+                  "n_f_orders", "total_price"))
+    v0 = snap(t.read(version=1), "v0",  # create commits as version 1
+              F.sum(F.when(F.col("o_orderstatus") == "F", 1)
+                     .otherwise(0)))
+    head = snap(t.read(), "head", F.lit(0).cast("bigint"))
+    return v0.unionAll(head)
+
+
 @q("source_federated_join",
    "SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) "
    "AS n_nations, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
