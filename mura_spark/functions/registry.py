@@ -120,6 +120,9 @@ def _ngrams_udtf():
     SQL-surface completeness, not the 100 TB hot path."""
     from pyspark.sql.functions import udtf
 
+    import re
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # compiled once per executor
+
     @udtf(returnType="pos int, ngram string")
     class MuraNgrams:
         def eval(self, text: str, n: int):
@@ -129,9 +132,7 @@ def _ngrams_udtf():
             # pipeline must count the same grams as the kernel path);
             # tokenization mirrors normalize() (explicit ASCII
             # whitespace class, not str.split's any-Unicode-space)
-            import re
-            norm = re.sub(r"[ \t\n\x0b\f\r]+", " ",
-                          (text or "").lower()).strip(" ")
+            norm = ws.sub(" ", (text or "").lower()).strip(" ")
             toks = norm.split(" ")
             for i in range(max(len(toks) - n + 1, 1)):
                 yield i, " ".join(toks[i:i + n])

@@ -55,44 +55,26 @@ def _sqdist(a, b):
 
 def kmeans_scored(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", k: int = 8,
-                  iterations: int = 2) -> DataFrame:
+                  iterations: int = 2,
+                  centroids: DataFrame | None = None) -> DataFrame:
     """The final-round point×centroid distance frame ``(__vid,
     cluster, __d)`` — every surviving centroid's exact fixed-point
     squared L2 per vector (k rows per point). :func:`kmeans_assign` is
     its per-point argmin; silhouette-style diagnostics need the full
     frame (nearest AND second-nearest). Mirrors the ``s{N}`` CTE of
-    :func:`sql_kmeans_ctes`."""
+    :func:`sql_kmeans_ctes`.
+
+    Pass ``centroids`` (a :func:`kmeans_centroids` table) to score
+    against an already-trained codebook instead of re-running Lloyd —
+    the PQ encoder needs both the assignment and the codebook, and
+    k-means being deterministic makes the reuse exact, not approximate.
+    """
     q = quantize_vectors(df, id_col, vec_col)
-    centroids = (q.orderBy("__vid").limit(k)
-                  .select(F.row_number().over(Window.orderBy("__vid"))
-                          .alias("__rn"), "__v")
-                  .select((F.col("__rn") - 1).cast("int").alias("cluster"),
-                          F.col("__v").alias("__c")))
-    for it in range(iterations):
-        scored = (q.join(F.broadcast(centroids))
-                    .select("__vid", "cluster",
-                            _sqdist(F.col("__v"), F.col("__c"))
-                            .alias("__d")))
-        if it == iterations - 1:
-            return scored
-        assign = (scored.groupBy("__vid")
-                        .agg(F.min(F.struct("__d", "cluster"))
-                              .alias("__best"))
-                        .select("__vid",
-                                F.col("__best.cluster").alias("cluster"),
-                                F.col("__best.__d").alias("dist")))
-        comp = (assign.join(q, "__vid")
-                      .select("cluster", F.posexplode("__v")
-                              .alias("pos", "x")))
-        upd = (comp.groupBy("cluster", "pos")
-                   .agg(F.floor(F.sum("x").cast("double")
-                                / F.count(F.lit(1))).alias("c")))
-        centroids = (upd.groupBy("cluster")
-                        .agg(F.transform(
-                                F.array_sort(F.collect_list(
-                                    F.struct("pos", "c"))),
-                                lambda s: s["c"]).alias("__c")))
-    raise AssertionError("unreachable")  # pragma: no cover
+    if centroids is None:
+        centroids = kmeans_centroids(df, id_col, vec_col, k, iterations)
+    return (q.join(F.broadcast(centroids))
+             .select("__vid", "cluster",
+                     _sqdist(F.col("__v"), F.col("__c")).alias("__d")))
 
 
 def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
@@ -136,15 +118,17 @@ def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
 
 def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", k: int = 8,
-                  iterations: int = 2) -> DataFrame:
+                  iterations: int = 2,
+                  centroids: DataFrame | None = None) -> DataFrame:
     """Deterministic k-means: assignments after ``iterations`` rounds of
     Lloyd's algorithm from the k-lowest-id initialization.
     Output: (id_col, cluster: int, dist: bigint — squared fixed-point L2
     to the final centroid). Clusters that lose all members simply drop
     out of later rounds (both engines agree: the assignment is an inner
-    join against the surviving centroid set).
+    join against the surviving centroid set). ``centroids`` as in
+    :func:`kmeans_scored` — assign against a pre-trained codebook.
     """
-    scored = kmeans_scored(df, id_col, vec_col, k, iterations)
+    scored = kmeans_scored(df, id_col, vec_col, k, iterations, centroids)
     return (scored.groupBy("__vid")
                   .agg(F.min(F.struct("__d", "cluster")).alias("__best"))
                   .select(F.col("__vid").alias(id_col),
@@ -347,23 +331,22 @@ def pq_topk_adc(queries: DataFrame, corpus: DataFrame, k: int,
         sliced = corpus.select(F.col(corpus_id),
                                F.slice(F.col(vec_col), s * width + 1, width)
                                 .alias("__sub"))
+        # the LUT must hold the c_{N-1} CODEBOOK the assignment scores
+        # against — NOT the mean of the final assignment's members,
+        # which is one extra Lloyd update: a row's code is the argmin
+        # under c_{N-1}, so measuring adist to c_N would score rows
+        # against centroids they were never assigned to. Training runs
+        # ONCE per sub-space; the assignment reuses the codebook.
+        codebook = kmeans_centroids(sliced, corpus_id, "__sub", n_codes,
+                                    iterations)
         assign = kmeans_assign(sliced, corpus_id, "__sub", n_codes,
-                               iterations)
+                               iterations, centroids=codebook)
         part = assign.select(F.col(corpus_id).alias("neighbor_id"),
                              F.lit(s).alias("__ss"),
                              F.col("cluster").alias("__code"))
         codes = part if codes is None else codes.unionAll(part)
-        # the LUT must hold the c_{N-1} CODEBOOK the assignment scored
-        # against (kmeans_centroids) — NOT the mean of the final
-        # assignment's members, which is one extra Lloyd update: a
-        # row's code is the argmin under c_{N-1}, so measuring adist
-        # to c_N would score rows against centroids they were never
-        # assigned to
-        cent = (kmeans_centroids(sliced, corpus_id, "__sub", n_codes,
-                                 iterations)
-                .select(F.lit(s).alias("__ss"), "cluster",
-                        F.col("__c").alias("__cvec")))
-        luts.append(cent)
+        luts.append(codebook.select(F.lit(s).alias("__ss"), "cluster",
+                                    F.col("__c").alias("__cvec")))
     centroids = luts[0]
     for more in luts[1:]:
         centroids = centroids.unionAll(more)

@@ -142,12 +142,14 @@ class MuraSession:
         rewritten = self._rewrite_table_changes(rewritten)
         return self.spark.sql(rewritten)
 
-    #: a single-quoted SQL string literal — both escape conventions:
-    #: doubled quote ('') per ANSI AND backslash escapes (\' \\ ...)
-    #: per Spark's default parser; missing the backslash form would
-    #: split 'don\'t ...' into two spans and leave its middle
+    #: a SQL string literal — single-quoted AND double-quoted (Spark's
+    #: default parser treats "..." as a string, not an identifier), each
+    #: with both escape conventions: doubled quote (''/"") per ANSI AND
+    #: backslash escapes (\' \" \\ ...) per Spark; missing either form
+    #: would split a literal into two spans and leave its middle
     #: unprotected from the rewrites
-    _LITERAL_RE = re.compile(r"'(?:[^'\\]|\\.|'')*'")
+    _LITERAL_RE = re.compile(
+        r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"")
 
     @classmethod
     def _sub_outside_literals(cls, pattern: "re.Pattern[str]", repl,

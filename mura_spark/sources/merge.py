@@ -199,7 +199,22 @@ def _delete_emptied_partitions(spark, target_path: str,
     renderings), and listing/deletion run through Hadoop's FileSystem
     so URI table paths (file:/, hdfs://, s3a://) work exactly like
     the write that preceded them. Returns the number of partition
-    dirs removed."""
+    dirs removed.
+
+    Atomicity: this runs AFTER the dynamic-overwrite commit —
+    in-place parquet merge is non-transactional by nature, so a crash
+    in the window between the write and this cleanup leaves the
+    emptied partitions' stale files readable until the merge is
+    re-run (re-running is safe: the cleanup is idempotent). Pipelines
+    needing an atomic commit point should merge through
+    :class:`~mura_spark.sources.table_format.MuraTable`, whose
+    manifest swap is single-file-atomic.
+
+    Listing cost: each directory level lists once, but the walk only
+    DESCENDS into values that are a prefix of some emptied partition
+    — sibling partitions never have their subtrees listed, keeping
+    the promise that untouched partition directories' contents are
+    never enumerated."""
     if not emptied:
         return 0
     jvm = spark._jvm
@@ -214,6 +229,7 @@ def _delete_emptied_partitions(spark, target_path: str,
                 fs.delete(jpath, True)
                 removed += 1
             return
+        admissible = {t[depth] for t in emptied if t[:depth] == vals}
         field = partition_fields[depth]
         prefix = field.name + "="
         for status in fs.listStatus(jpath):
@@ -231,6 +247,8 @@ def _delete_emptied_partitions(spark, target_path: str,
                         urllib.parse.unquote(raw), field.dataType)
                 except (ValueError, ArithmeticError):
                     continue  # unparseable dir: keep it (conservative)
+            if v not in admissible:
+                continue  # not on a path to any emptied partition
             rec(status.getPath(), depth + 1, vals + (v,))
 
     rec(root, 0, ())

@@ -376,6 +376,19 @@ class _TableStreamWriter(DataSourceStreamArrowWriter):
         # duplicates: two queries (or a fresh-checkpoint restart)
         # colliding on the same key silently DROP each other's batches.
         self.queryId = options.get("queryid")
+        if self.queryId is None:
+            # Pipelines written before queryid existed ran with a
+            # SHARED default replay key (exactly-once-ish, but
+            # cross-query lossy); on upgrade they silently become
+            # at-least-once. Make the downgrade discoverable instead
+            # of silent — once per writer instance, at plan time.
+            import warnings
+            warnings.warn(
+                "mura_table sink without .option('queryid', ...): "
+                "crash-redelivered micro-batches are committed again "
+                "(at-least-once). Set a stable per-pipeline queryid "
+                "for exactly-once replay protection.",
+                stacklevel=2)
         m = _load_manifest(self.path, _latest_version(self.path))
         self._pcols = m["partition_cols"] or []
         if self._pcols:

@@ -732,3 +732,23 @@ def test_sql_rewrite_ignores_string_literals(spark, tmp_path):
     assert got.a == "table_changes('lit_t', 1)"
     # the real constructs still rewrite
     assert ms.sql("SELECT k FROM lit_t VERSION AS OF 1").count() == 1
+
+
+def test_sql_rewrite_ignores_double_quoted_literals(spark, tmp_path):
+    # Spark's default parser (spark.sql.ansi.doubleQuotedIdentifiers
+    # off) treats "..." as a STRING literal, so the guard must protect
+    # double-quoted spans exactly like single-quoted ones
+    from mura_spark import MuraSession
+    ms = MuraSession(spark)
+    path = str(tmp_path / "t")
+    MuraTable.create(spark, path, _df(spark, [(1, 1, "a")]))
+    ms.create_external_table("dq_t", path, file_type="mura")
+    got = ms.sql('SELECT "dq_t VERSION AS OF 1" AS note').first()
+    assert got.note == "dq_t VERSION AS OF 1"
+    # escaped quotes inside the literal must not break the span
+    got = ms.sql('SELECT "a\\" dq_t VERSION AS OF 1" AS note').first()
+    assert got.note == 'a" dq_t VERSION AS OF 1'
+    # and no side-effect temp view was registered by the guard path
+    assert not any(v.name.startswith("dq_t__v")
+                   for v in spark.catalog.listTables())
+    assert ms.sql("SELECT k FROM dq_t VERSION AS OF 1").count() == 1
