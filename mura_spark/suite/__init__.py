@@ -231,6 +231,9 @@ _NEXT_WINDOW = [
     # travel + COW DELETE snapshot reconciliation (the r7 MuraTable
     # stack was pytest-only until this)
     "table_time_travel_roundtrip",
+    # round-8b: the BPE trainer's first driver row — recorded-golden
+    # oracle over the deterministic merge table
+    "bpe_top_merges",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

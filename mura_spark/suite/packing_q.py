@@ -124,3 +124,53 @@ def pack_token_shards(spark, sf):
     d = _sized_docs(spark, sf)
     return packing.assign_token_shards(d, "doc_id", "sz",
                                        budget=_BUDGET * 4, n_buckets=16)
+
+
+# -------------------------------------------------------- round-8b addition
+
+#: The first 24 BPE merges the deterministic trainer learns from the
+#: sf0.01 documents corpus (num_merges=24, max_words=50k) — the
+#: recorded-golden oracle below replays them as literals. The trainer
+#: is fully deterministic (lexicographic tie-breaks, bounded word
+#: table), so this table is a FIXED function of the corpus; recorded
+#: 2026-08-16 from operators/bpe.py train_bpe. Valid at the driver's
+#: correctness SF (0.01) only — any other corpus learns other merges.
+_BPE_GOLDEN = [
+    (0, "e", "r"), (1, "e", "</w>"), (2, "n", "</w>"), (3, "er", "</w>"),
+    (4, "o", "w"), (5, "ow", "</w>"), (6, "o", "r"), (7, "s", "t"),
+    (8, "h", "</w>"), (9, "a", "t"), (10, "l", "u"), (11, "i", "n"),
+    (12, "a", "</w>"), (13, "g", "</w>"), (14, "y", "</w>"),
+    (15, "a", "r"), (16, "p", "ar"), (17, "t", "</w>"),
+    (18, "i", "n</w>"), (19, "j", "o"), (20, "jo", "in</w>"),
+    (21, "a", "s"), (22, "as", "h</w>"), (23, "h", "ash</w>"),
+]
+
+
+@q("bpe_top_merges",
+   "SELECT * FROM (VALUES "
+   + ", ".join(f"(CAST({r} AS BIGINT), '{a.replace(chr(39), chr(39) * 2)}'"
+               f", '{b.replace(chr(39), chr(39) * 2)}')"
+               for r, a, b in _BPE_GOLDEN)
+   + ") AS t(rank, left_sym, right_sym)")
+def bpe_top_merges(spark, sf):
+    """The BPE tokenizer trainer's first 24 merges over the documents
+    corpus — the driver row that takes operators/bpe.py out of
+    pytest-only status. The corpus-scale pass is the distributed
+    word-frequency aggregation; the merge loop runs on the driver over
+    that bounded table (the standard two-phase trainer architecture,
+    see the module docstring), so the result is a tiny model table,
+    not data. The oracle is a RECORDED GOLDEN table (BPE's sequential
+    merge recurrence is not reasonably SQL-expressible): the trainer
+    is deterministic by construction — lexicographic tie-breaks,
+    freq-then-word-ordered bounded vocab — so the merges are a fixed
+    function of the sf0.01 corpus, and the recording pins the
+    pretokenizer + frequency pass + merge loop end-to-end across
+    rounds. tests/test_bpe.py holds the semantic (corpus-independent)
+    pins."""
+    from mura_spark.operators.bpe import train_bpe
+    d = (table(spark, sf, "documents")
+         .where(F.col("text").isNotNull()))
+    merges = train_bpe(d, num_merges=24, max_words=50_000)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank bigint, left_sym string, right_sym string")
