@@ -128,30 +128,52 @@ def pack_token_shards(spark, sf):
 
 # -------------------------------------------------------- round-8b addition
 
-#: The first 24 BPE merges the deterministic trainer learns from the
-#: sf0.01 documents corpus (num_merges=24, max_words=50k) — the
-#: recorded-golden oracle below replays them as literals. The trainer
-#: is fully deterministic (lexicographic tie-breaks, bounded word
-#: table), so this table is a FIXED function of the corpus; recorded
-#: 2026-08-16 from operators/bpe.py train_bpe. Valid at the driver's
-#: correctness SF (0.01) only — any other corpus learns other merges.
-_BPE_GOLDEN = [
-    (0, "e", "r"), (1, "e", "</w>"), (2, "n", "</w>"), (3, "er", "</w>"),
-    (4, "o", "w"), (5, "ow", "</w>"), (6, "o", "r"), (7, "s", "t"),
-    (8, "h", "</w>"), (9, "a", "t"), (10, "l", "u"), (11, "i", "n"),
-    (12, "a", "</w>"), (13, "g", "</w>"), (14, "y", "</w>"),
-    (15, "a", "r"), (16, "p", "ar"), (17, "t", "</w>"),
-    (18, "i", "n</w>"), (19, "j", "o"), (20, "jo", "in</w>"),
-    (21, "a", "s"), (22, "as", "h</w>"), (23, "h", "ash</w>"),
-]
+#: The first 24 BPE merges the deterministic trainer learns from each
+#: test corpus (num_merges=24, max_words=50k) — the recorded-golden
+#: oracle below replays the right table by corpus identity. The
+#: trainer is fully deterministic (lexicographic tie-breaks, bounded
+#: freq-then-word-ordered vocab), so each table is a FIXED function of
+#: its corpus; recorded 2026-08-16 from operators/bpe.py train_bpe.
+#: Keyed on SUM(n_chars) (doc COUNT collides: sf0.001 and sf0.01 both
+#: hold 500 docs). A corpus not recorded here makes the oracle return
+#: zero rows — a loud count mismatch, never a silent pass.
+_BPE_GOLDEN = {
+    # key = SUM(n_chars) of documents: sf0.001 / sf0.01 / sf0.1
+    153156: [("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+             ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+             ("l", "u"), ("i", "n"), ("y", "</w>"), ("a", "r"),
+             ("p", "ar"), ("g", "</w>"), ("a", "s"), ("h", "</w>"),
+             ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+             ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+             ("co", "lu")],
+    149174: [("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+             ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+             ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+             ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+             ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+             ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"),
+             ("h", "ash</w>")],
+    1485576: [("e", "</w>"), ("e", "r"), ("i", "n"), ("o", "r"),
+              ("s", "t"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+              ("t", "a"), ("l", "u"), ("a", "r"), ("p", "ar"),
+              ("n", "</w>"), ("g", "</w>"), ("t", "</w>"),
+              ("h", "</w>"), ("y", "</w>"), ("p", "</w>"),
+              ("u", "p</w>"), ("k", "</w>"), ("par", "k</w>"),
+              ("s", "park</w>"), ("d", "ow</w>"),
+              ("in", "dow</w>")],
+}
 
 
 @q("bpe_top_merges",
-   "SELECT * FROM (VALUES "
-   + ", ".join(f"(CAST({r} AS BIGINT), '{a.replace(chr(39), chr(39) * 2)}'"
-               f", '{b.replace(chr(39), chr(39) * 2)}')"
-               for r, a, b in _BPE_GOLDEN)
-   + ") AS t(rank, left_sym, right_sym)")
+   "SELECT rank, left_sym, right_sym FROM (VALUES "
+   + ", ".join(
+       f"(CAST({key} AS BIGINT), CAST({r} AS BIGINT), "
+       f"'{a.replace(chr(39), chr(39) * 2)}', "
+       f"'{b.replace(chr(39), chr(39) * 2)}')"
+       for key, merges in _BPE_GOLDEN.items()
+       for r, (a, b) in enumerate(merges))
+   + ") AS t(corpus_key, rank, left_sym, right_sym) "
+   "WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)")
 def bpe_top_merges(spark, sf):
     """The BPE tokenizer trainer's first 24 merges over the documents
     corpus — the driver row that takes operators/bpe.py out of
@@ -163,10 +185,10 @@ def bpe_top_merges(spark, sf):
     merge recurrence is not reasonably SQL-expressible): the trainer
     is deterministic by construction — lexicographic tie-breaks,
     freq-then-word-ordered bounded vocab — so the merges are a fixed
-    function of the sf0.01 corpus, and the recording pins the
-    pretokenizer + frequency pass + merge loop end-to-end across
-    rounds. tests/test_bpe.py holds the semantic (corpus-independent)
-    pins."""
+    function of each corpus; the recording (one golden table per test
+    SF, selected by corpus identity) pins the pretokenizer + frequency
+    pass + merge loop end-to-end across rounds. tests/test_bpe.py
+    holds the semantic (corpus-independent) pins."""
     from mura_spark.operators.bpe import train_bpe
     d = (table(spark, sf, "documents")
          .where(F.col("text").isNotNull()))
