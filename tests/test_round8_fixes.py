@@ -241,6 +241,126 @@ def _daily_value_events(tmp_path, spark, series):
     return _mini_events(spark, tmp_path, rows)
 
 
+def _mini_lineitem(spark, tmp_path, rows):
+    """(qty, price_dollars, discount) -> sf dir with lineitem.parquet."""
+    df = spark.createDataFrame(
+        [(i, float(q), float(p), float(d)) for i, (q, p, d)
+         in enumerate(rows)],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double")
+    out = str(tmp_path / "minili")
+    df.coalesce(1).write.mode("overwrite") \
+      .parquet(f"{out}/lineitem.parquet")
+    return out
+
+
+def _corr_rows():
+    rs = np.random.RandomState(3)
+    x = rs.randint(1, 50, 60)
+    z = rs.randint(0, 11, 60)                      # discount %
+    noise = rs.randint(-300, 301, 60)
+    y = 10000 + 100 * x - 150 * z + noise          # price cents
+    return [(int(xi), round(yi / 100.0, 2), zi / 100.0)
+            for xi, yi, zi in zip(x, y, z)]
+
+
+# ------------------------------------------- Mahalanobis outlier screen
+
+
+def test_mahalanobis_counts_match_numpy(spark, tmp_path):
+    from mura_spark.suite import SPARK_QUERIES
+    rows = _corr_rows()
+    # two jointly-weird points no univariate fence would flag
+    rows += [(49, 5.00, 0.00), (1, 200.00, 0.00)]
+    sf = _mini_lineitem(spark, tmp_path, rows)
+    r = SPARK_QUERIES["stats_mahalanobis_outliers"](spark, sf) \
+        .collect()[0]
+    x = np.array([q for q, _, _ in rows], float)
+    y = np.array([round(p * 100) for _, p, _ in rows], float)
+    pts = np.column_stack([x, y])
+    mu = pts.mean(axis=0)
+    cov = np.cov(pts.T, ddof=1)
+    inv = np.linalg.inv(cov)
+    d = pts - mu
+    md2 = np.einsum("ij,jk,ik->i", d, inv, d)
+    assert r.n_rows == len(rows)
+    assert r.n_out95 == int((md2 > 5.991465).sum())
+    assert r.n_out99 == int((md2 > 9.21034).sum())
+    assert r.n_out95 >= 2  # the planted pair is caught
+
+
+# ------------------------------------------------- partial correlation
+
+
+def test_partial_corr_matches_numpy(spark, tmp_path):
+    from mura_spark.suite import SPARK_QUERIES
+    rows = _corr_rows()
+    sf = _mini_lineitem(spark, tmp_path, rows)
+    r = SPARK_QUERIES["stats_partial_corr"](spark, sf).collect()[0]
+    x = np.array([q for q, _, _ in rows], float)
+    y = np.array([round(p * 100) for _, p, _ in rows], float)
+    z = np.array([round(d * 100) for _, _, d in rows], float)
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    want = (rxy - rxz * ryz) / math.sqrt((1 - rxz ** 2)
+                                         * (1 - ryz ** 2))
+    assert r.n_rows == len(rows)
+    assert abs(r.rxy_micro - _micro(rxy)) <= 3
+    assert abs(r.partial_rxy_z_micro - _micro(want)) <= 3
+    # direction: z (discount) depresses y, so netting it out must
+    # STRENGTHEN the x-y association, not weaken it
+    assert r.partial_rxy_z_micro > r.rxy_micro
+
+
+# ------------------------------------------------------- Qini curve
+
+
+def _hash_variant(uid):
+    import hashlib
+    h = hashlib.md5(str(uid).encode()).hexdigest()[:12]
+    return int(h, 16) % 1000 % 2
+
+
+def test_qini_curve_matches_published_cumulative_uplift(spark,
+                                                        tmp_path):
+    import pandas as pd
+    from mura_spark.suite import SPARK_QUERIES
+    d0 = dt.datetime(2024, 4, 1, 12)
+    rows, users = [], []
+    for uid in range(1, 201):
+        variant = _hash_variant(uid)
+        conv = 1 if (variant == 1 and uid > 140) else 0  # top-spend lift
+        rows.append((d0, uid, "view", float(uid)))       # sp = uid*100
+        if conv:
+            rows += [(d0, uid, "purchase", 0.00)] * 15
+        users.append((uid, uid * 100, variant, conv))
+    sf = _mini_events(spark, tmp_path, rows)
+    got = {r.decile: r for r in
+           SPARK_QUERIES["stats_qini_curve"](spark, sf).collect()}
+    u = pd.DataFrame(users, columns=["uid", "sp", "variant", "conv"])
+    # decile boundaries: ceil(i*n/10)-th smallest spend, i = 1..9
+    bounds = [sorted(u.sp)[(i * len(u) + 9) // 10 - 1]
+              for i in range(1, 10)]
+    u["decile"] = u.sp.apply(lambda s: sum(s > b for b in bounds))
+    ct_n = cc_n = ct_c = cc_c = 0
+    for dec in sorted(u.decile.unique(), reverse=True):
+        g = u[u.decile == dec]
+        ct_n += int((g.variant == 1).sum())
+        cc_n += int((g.variant == 0).sum())
+        ct_c += int(g[g.variant == 1].conv.sum())
+        cc_c += int(g[g.variant == 0].conv.sum())
+        # published Qini: cumulative treated conversions minus the
+        # control conversions scaled to the treated exposure
+        want = _micro(ct_c - cc_c * ct_n / cc_n) if cc_n else None
+        assert got[dec].qini_micro == want, dec
+    # direction: lift was planted in treated top spenders only, so the
+    # full-population cumulative uplift is strictly positive and the
+    # top decile already shows it
+    assert got[9].qini_micro > 0
+    assert got[0].qini_micro > 0
+
+
 def test_adf_rejects_bounded_series_not_random_walk(spark, tmp_path):
     from mura_spark.suite import SPARK_QUERIES
     rs = np.random.RandomState(7)
