@@ -351,6 +351,9 @@ BENCH_QUERIES = [
     "audit_event_disorder",
     "stats_ljung_box_daily",
     "orders_churn_risk_flags",
+    # round-8 additions
+    "table_time_travel_roundtrip",
+    "bpe_top_merges",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

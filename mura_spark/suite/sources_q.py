@@ -331,8 +331,10 @@ def table_time_travel_roundtrip(spark, sf):
     file-listing, and COW rewrite must all be invisible in the result.
     Scratch table is rebuilt per run (idempotent, like every /tmp
     round-trip in this module); commits are O(touched files), reads
-    are O(manifest), so the same pipeline holds at 100 TB where the
-    delete rewrites only the files containing 'F' rows."""
+    are O(manifest). The table partitions on o_orderstatus, so the
+    DELETE's pruned match scan touches only the 'F' partition's files
+    and every other partition rides by reference — the exact shape
+    that keeps this pipeline O(touched-partition) at 100 TB."""
     import shutil
 
     from mura_spark.sources.table_format import MuraTable
@@ -340,7 +342,8 @@ def table_time_travel_roundtrip(spark, sf):
            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
     path = "/tmp/mura_suite_table_tt"
     shutil.rmtree(path, ignore_errors=True)
-    t = MuraTable.create(spark, path, src)
+    t = MuraTable.create(spark, path, src,
+                         partition_cols=["o_orderstatus"])
     t.delete_where(F.col("o_orderstatus") == "F")
     snap = lambda df, name, f_expr: (  # noqa: E731
         df.agg(F.count(F.lit(1)).alias("n_orders"),
