@@ -218,6 +218,131 @@ def test_eb_shrinkage_matches_beta_binomial_mom(spark, tmp_path):
             < abs(got["small_hi"].shrunk_micro - pm["small_hi"]))
 
 
+# ------------------------------------------------- Mann-Kendall
+
+
+def test_mann_kendall_matches_published_tie_corrected_test(spark,
+                                                           tmp_path):
+    from mura_spark.suite import SPARK_QUERIES
+    vals = [1.00, 2.00, 3.00, 2.00, 2.00, 5.00, 4.00, 6.00]
+    rows = [(dt.datetime(2024, 5, 1, 10) + dt.timedelta(days=i), 1,
+             "purchase", v) for i, v in enumerate(vals)]
+    sf = _mini_events(spark, tmp_path, rows)
+    r = SPARK_QUERIES["stats_mann_kendall_daily"](spark, sf).collect()[0]
+    y = [round(v * 100) for v in vals]
+    n = len(y)
+    s = sum((yj > yi) - (yj < yi)
+            for i, yi in enumerate(y) for yj in y[i + 1:])
+    from collections import Counter
+    tie = sum(t * (t - 1) * (2 * t + 5)
+              for t in Counter(y).values() if t > 1)
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    num = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+    assert (r.n_days, r.mk_s) == (n, s)
+    assert r.z_micro == _micro(num / math.sqrt(var))
+    assert s > 0  # the engineered series trends up
+
+
+# ------------------------------------------------- Hill tail index
+
+
+def test_hill_tail_index_matches_order_statistic_replica(spark,
+                                                         tmp_path):
+    from mura_spark.suite import SPARK_QUERIES
+    # Pareto-ish positive values incl. deliberate ties spanning the
+    # k=100 boundary
+    rs = np.random.RandomState(11)
+    vals = np.round(10.0 * (1.0 - rs.rand(400)) ** (-1.0 / 1.5), 2)
+    vals = np.clip(vals, 0.01, 5000.0)
+    rows = [(dt.datetime(2024, 6, 1, 8) + dt.timedelta(minutes=i), 1,
+             "view", float(v)) for i, v in enumerate(vals)]
+    sf = _mini_events(spark, tmp_path, rows)
+    r = SPARK_QUERIES["stats_hill_tail_index"](spark, sf).collect()[0]
+    cents = sorted((round(v * 100) for v in vals), reverse=True)
+    xk1 = cents[100]                       # the (k+1)-th order statistic
+    terms = [math.floor(math.log(c / xk1) * 1e6 + 0.5)
+             for c in cents[:100]]
+    hill = math.floor(sum(terms) / 100.0 + 0.5)
+    assert (r.k_order, r.xk_cents) == (100, xk1)
+    assert r.hill_micro == hill
+    assert r.alpha_micro == math.floor(1e12 / hill + 0.5)
+    # direction: the generator's true tail index is 1.5; Hill on 400
+    # samples should land in the right neighborhood
+    assert 0.9e6 < r.alpha_micro < 2.4e6
+
+
+# ------------------------------------------------- circular statistics
+
+
+def test_circular_time_of_day_wraps_midnight(spark, tmp_path):
+    from mura_spark.suite import SPARK_QUERIES
+    base = dt.datetime(2024, 7, 1)
+    rows = (
+        # type a: 23:00 and 01:00 -> circular mean 00:00, R = cos 15deg
+        [(base.replace(hour=23), 1, "a", 1.0),
+         (base.replace(hour=1), 2, "a", 1.0)]
+        # type b: all at 12:00 -> mean 12, R = 1
+        + [(base.replace(hour=12), 3, "b", 1.0)] * 4)
+    sf = _mini_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in
+           SPARK_QUERIES["stats_circular_time_of_day"](spark, sf)
+           .collect()}
+    two_pi = 6.283185307179586
+
+    def replica(hours):
+        ss = sum(math.floor(math.sin(h / 24.0 * two_pi) * 1e6 + 0.5)
+                 for h in hours)
+        sc = sum(math.floor(math.cos(h / 24.0 * two_pi) * 1e6 + 0.5)
+                 for h in hours)
+        ang = math.atan2(ss, sc)
+        if ang < 0:
+            ang += two_pi
+        return (math.floor(ang / two_pi * 24.0 * 1e6 + 0.5),
+                math.floor(math.hypot(ss, sc) / (1e6 * len(hours))
+                           * 1e6 + 0.5))
+    mh_a, r_a = replica([23, 1])
+    mh_b, r_b = replica([12] * 4)
+    assert (got["a"].mean_hour_micro, got["a"].r_micro) == (mh_a, r_a)
+    assert (got["b"].mean_hour_micro, got["b"].r_micro) == (mh_b, r_b)
+    # the published behavior the arithmetic mean gets wrong: 23:00 and
+    # 01:00 average to midnight (0h), not noon; R = cos(15deg)
+    assert got["a"].mean_hour_micro == 0
+    assert abs(got["a"].r_micro - _micro(math.cos(math.radians(15.0)))) <= 2
+    assert (got["b"].mean_hour_micro, got["b"].r_micro) \
+        == (12_000_000, 1_000_000)
+
+
+# ------------------------------------------------- TOST equivalence
+
+
+def test_tost_equivalence_matches_welch_replica(spark, tmp_path):
+    from mura_spark.suite import SPARK_QUERIES
+    d0 = dt.datetime(2024, 8, 1, 9)
+    rows, arms = [], {0: [], 1: []}
+    for uid in range(1, 161):
+        # spend independent of the hash variant: arms differ only by
+        # sampling noise -> equivalence should be DECLARED
+        spend = 100.0 + (uid % 7)
+        rows.append((d0, uid, "purchase", spend))
+        arms[_hash_variant(uid)].append(round(spend * 100))
+    sf = _mini_events(spark, tmp_path, rows)
+    r = SPARK_QUERIES["stats_tost_equivalence"](spark, sf).collect()[0]
+    a, b = arms[0], arms[1]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = (sum(x * x for x in a) - sum(a) ** 2 / na) / (na - 1)
+    vb = (sum(x * x for x in b) - sum(b) ** 2 / nb) / (nb - 1)
+    se = math.sqrt(va / na + vb / nb)
+    diff, margin = mb - ma, 0.05 * ma
+    assert (r.na, r.nb) == (na, nb)
+    assert r.diff_cents == math.floor(diff + 0.5)
+    assert abs(r.z_lower_micro - _micro((diff + margin) / se)) <= 3
+    assert abs(r.z_upper_micro - _micro((margin - diff) / se)) <= 3
+    want_eq = int((diff + margin) / se > 1.644854
+                  and (margin - diff) / se > 1.644854)
+    assert r.is_equivalent == want_eq == 1
+
+
 # ------------------------------------------------- ADF unit root
 
 
