@@ -392,7 +392,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    out.update(_regression_check(timings))
+    r1_ref = _r1_reference()
+    out.update(_regression_check(timings, r1_ref))
     # Full per-query history goes to its own file: the driver ledger
     # keeps only the LAST 2000 stdout bytes, so a 280-query line gets
     # its head truncated and lands unparsed ("parsed": null in
@@ -402,9 +403,15 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     compact = dict(out)
-    ref = _r1_reference()
-    compact["queries"] = {q: t for q, t in timings.items()
-                          if not ref or q in ref}
+    if r1_ref:
+        compact["queries"] = {q: t for q, t in timings.items()
+                              if q in r1_ref}
+    else:
+        # No r1 reference: printing all ~300 timings would re-create the
+        # >2000-byte stdout truncation this compaction exists to fix —
+        # keep the slowest 25 instead (the judge's plan-audit subset).
+        compact["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     compact["n_queries_total"] = len(timings)
     compact["full"] = "BENCH_FULL.json"
     flags = compact.get("regression_flags")
@@ -423,27 +430,20 @@ def _r1_reference() -> dict:
         return {}
 
 
-def _regression_check(timings: dict[str, float]) -> dict:
-    """Per-query tripwire vs the round-1 reference measurements.
+def _flag_outliers(timings: dict[str, float], ref: dict,
+                   label: str) -> tuple[dict, float]:
+    """Drift-normalized per-query outliers vs a reference timing table.
 
-    Machine-load drift is uniform across queries while a code regression is
-    per-query, so each query is compared against BENCH_r01 *relative to the
-    run's median ratio*: queries more than 1.5× slower after removing the
-    common drift factor are named on stderr. The round-1-subset total ratio
-    (the judge's 2×-of-BASELINE gate tracks this) is returned for the
-    output line so every bench run states it explicitly.
+    Machine-load drift is uniform across queries while a code regression
+    is per-query, so each query is compared *relative to the run's median
+    ratio*: queries more than 1.5× slower after removing the common drift
+    factor are named on stderr. Returns (flags, median drift); ({}, 0.0)
+    when there is no usable overlap.
     """
-    ref_path = os.path.join(REPO, "BENCH_r01.json")
-    if not os.path.exists(ref_path):
-        return {}
-    try:
-        with open(ref_path) as fh:
-            ref = json.load(fh)["parsed"]["queries"]
-    except Exception:
-        return {}
-    common = {q: t for q, t in timings.items() if q in ref and ref[q] > 0}
+    common = {q: t for q, t in timings.items()
+              if q in ref and ref[q] > 0}
     if not common:
-        return {}
+        return {}, 0.0
     ratios = sorted(t / ref[q] for q, t in common.items())
     drift = ratios[len(ratios) // 2]  # median = environment drift estimate
     # No floor on drift: on a uniformly *faster* machine a code regression
@@ -452,14 +452,47 @@ def _regression_check(timings: dict[str, float]) -> dict:
     flagged = {q: round(t / ref[q], 2) for q, t in common.items()
                if t / ref[q] > 1.5 * drift and t - ref[q] > 0.3}
     for q, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
-        print(f"REGRESSION? {q}: {timings[q]:.2f}s = {r}x of r1 "
+        print(f"REGRESSION? {q}: {timings[q]:.2f}s = {r}x of {label} "
               f"(median drift {drift:.2f}x)", file=sys.stderr)
-    r1_total = sum(ref[q] for q in common)
-    return {
-        "r1_subset_ratio": round(sum(common.values()) / r1_total, 3),
-        "median_drift_vs_r1": round(drift, 3),
-        "regression_flags": flagged,
-    }
+    return flagged, drift
+
+
+def _regression_check(timings: dict[str, float], r1_ref: dict) -> dict:
+    """Per-query tripwire vs round 1 AND vs the last settled full table.
+
+    Two baselines, two jobs: the round-1 subset total ratio feeds the
+    judge's 2×-of-BASELINE gate (only ~60 queries existed then), while
+    BENCH_BASE.json — the committed round-8 full table, ~320 queries —
+    catches a regression in any query added since round 1. Flags from
+    both are merged (max ratio wins on overlap).
+    """
+    out = {}
+    flags = {}
+    if r1_ref:
+        r1_flags, drift = _flag_outliers(timings, r1_ref, "r1")
+        common = {q: t for q, t in timings.items()
+                  if q in r1_ref and r1_ref[q] > 0}
+        if common:
+            r1_total = sum(r1_ref[q] for q in common)
+            out["r1_subset_ratio"] = round(
+                sum(common.values()) / r1_total, 3)
+            out["median_drift_vs_r1"] = round(drift, 3)
+        flags.update(r1_flags)
+    try:
+        with open(os.path.join(REPO, "BENCH_BASE.json")) as fh:
+            base = json.load(fh)
+        base_ref, base_round = base["queries"], base.get("base_round")
+    except Exception:
+        base_ref, base_round = {}, None
+    if base_ref:
+        base_flags, base_drift = _flag_outliers(
+            timings, base_ref, f"r{base_round}")
+        out["median_drift_vs_base"] = round(base_drift, 3)
+        out["base_round"] = base_round
+        for q, r in base_flags.items():
+            flags[q] = max(r, flags.get(q, 0.0))
+    out["regression_flags"] = flags
+    return out
 
 
 if __name__ == "__main__":

@@ -35,98 +35,17 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
             multimodal_q, relational, tpch_more, tpch_ps]
 
 # Registry order == the order the driver verifies queries in, and the driver
-# checks only the FIRST 50 entries per round. Round-8 rotation: the whole
-# round-7 window came back green in CORRECTNESS_r07 (50/50 hash-match), so
+# checks only the FIRST 50 entries per round. Round-9 rotation: the whole
+# round-8 window came back green in CORRECTNESS_r08 (50/50 hash-match), so
 # it rotates out and the window is filled entirely from the head of the
-# round-7 overflow that sat at positions 51+ last round (rounds 6h..6jj,
-# oldest first, exactly as the round-7 plan ordered them) — never-driver-
-# verified queries always outrank re-verification. The remaining overflow
-# (72 queries) stays contiguous at positions 51+ = round 9's window plus
-# 22 for round 10. The 5 rows-only approximate queries stay pinned to the
-# registry tail (their driver-facing signal is their deterministic
-# companions).
+# overflow that sat at positions 51+ last round (rounds 6jj..6jjj, oldest
+# first, exactly as the round-8 plan ordered them) — never-driver-verified
+# queries always outrank re-verification. The remaining overflow (24
+# queries: the 6kkk..6bbbb residue plus the two judge-ordered round-8
+# additions) stays contiguous at positions 51+ for round 10. The 5
+# rows-only approximate queries stay pinned to the registry tail (their
+# driver-facing signal is their deterministic companions).
 _PRIORITY = [
-    # round-6h: robust scale (MAD) + spend-inequality Gini
-    "events_mad_by_type", "orders_gini_spend",
-    # round-6i: exact distinct under ROLLUP (Expand x two-phase
-    # distinct) + ANSI TRY_* scalar escape hatches
-    "events_count_distinct_rollup", "scalar_try_functions",
-    # round-6j: contrastive hard-negative mining
-    "emb_hard_negatives",
-    # round-6k: categorical drift monitor over time
-    "orders_priority_mix_drift",
-    # round-6l: Adamic-Adar link prediction + Jensen-Shannon
-    # language-pair divergence
-    "graph_adamic_adar", "text_js_divergence",
-    # round-6m: perceptual-hash image dedup (real decode, banded
-    # Hamming join)
-    "mm_phash_pairs",
-    # round-6n: acoustic fingerprint dedup (energy-delta chain)
-    "mm_audio_fingerprint_pairs",
-    # round-6o: multimodal dedup pipeline rollup
-    "pipeline_mm_dedup_report",
-    # round-6p: privacy release gate + join-size pre-flight
-    "audit_k_anonymity", "profile_join_cardinality",
-    # round-6q: CUSUM change-point series + sweep-line peak concurrency
-    "stats_cusum_shift", "events_peak_concurrency",
-    # round-6r: leakage-safe LOO target encoding + exact rank AUC
-    "feature_target_encode_loo", "stats_auc_length",
-    # round-6s: robust trend + forecast-baseline backtest
-    "stats_theil_sen_daily", "events_seasonal_naive_mae",
-    # round-6t: O(n) embedding diversity + bigram LM quality filter
-    "emb_diversity_mean_cosine", "text_bigram_logloss",
-    # round-6u: Python DataSource plugin + _metadata file lineage
-    "source_python_datasource", "source_file_lineage",
-    # round-6v: information-theoretic association + dense-id gap audit
-    "stats_mutual_information", "audit_sequence_gaps",
-    # round-6w: weighted exact quantile + gaps-and-islands streaks
-    "stats_weighted_median_spend", "events_activity_streaks",
-    # round-6x: reciprocal best-match pairing + hapax vocabulary health
-    "emb_mutual_nn", "text_hapax_rate",
-    # round-6y: behavioral entropy + local clustering coefficient
-    "events_user_type_entropy", "graph_clustering_coeff",
-    # round-6z: multiple regression in one pass + quartile migration
-    "stats_ols2_lineitem", "orders_quartile_migration",
-    # round-6aa: real-decode video shot-boundary detection
-    "mm_scene_changes",
-    # round-6bb: RAKE keyphrase extraction
-    "text_rake_keywords",
-    # round-6cc: Wilson proportion CI + Markov entropy rate
-    "stats_wilson_error_rate", "events_sequence_entropy_rate",
-    # round-6dd: CUPED variance-reduced A/B readout + modularity
-    "events_ab_cuped", "graph_modularity",
-    # round-6ee: omnibus mean test + robust variance-homogeneity test
-    "stats_anova_value_by_type", "stats_brown_forsythe",
-    # round-6ff: survival analysis + term burstiness
-    "events_survival_km", "text_term_burstiness",
-    # round-6gg: native XML source + encoding-damage audit
-    "xml_roundtrip", "text_mojibake_audit",
-    # round-6hh: rank correlation + embedding dimension health
-    "stats_spearman_qty_discount", "emb_dim_variance",
-    # round-6ii: event debouncing + PIT trailing-window features
-    "events_debounce", "feature_trailing_windows",
-    # round-6jj (first half): triplet-accuracy embedding eval
-    "emb_triplet_accuracy",
-]
-
-# ROUND-9 ROTATION PLAN: assuming CORRECTNESS_r08 comes back green for
-# this window, round 9's window takes the FIRST 50 of _NEXT_WINDOW below
-# (round-6jj..6ggg), and round 10 takes the remaining 22 plus 28 backfill
-# re-verification slots by staleness: (a) the r1-only greens displaced in
-# round 5 (join_cross_small, setop_union, setop_intersect,
-# window_topk_per_group, window_running_sum, q6_revenue_change,
-# q10_returned_items, q14_promo_share, q18_large_orders, agg_rollup,
-# agg_cube, subquery_scalar, subquery_exists, subquery_correlated_scalar,
-# setop_except, agg_pivot, agg_median, date_functions), (b) the remaining
-# r1-only cohort, (c) the r3 cohort (text_* / sample_* / pack_train_* /
-# csv_roundtrip), oldest first. tests/test_registry.py enforces the
-# overflow contiguity.
-
-#: Queries landed AFTER the 50-slot window was already full of
-#: never-verified entries: first in line for round 9's window (positions
-#: 51+ now). All are locally oracle-green; this is the driver-window
-#: overflow the rotation tests bound to at most one more round.
-_NEXT_WINDOW = [
     # round-6jj (second half): velocity screen
     "events_velocity_screen",
     # round-6kk: script-label audit + A/B power planner
@@ -191,6 +110,30 @@ _NEXT_WINDOW = [
     # round-6jjj: hash-checked IVF recall@10 (exactly-measured ANN
     # quality)
     "ann_ivf_recall_at10",
+]
+
+# ROUND-10 ROTATION PLAN: assuming CORRECTNESS_r09 comes back green for
+# this window, round 10's window takes ALL 24 of _NEXT_WINDOW below
+# (round-6kkk..6bbbb residue + the two judge-ordered round-8 additions +
+# any judge-ordered round-9 additions appended at the tail), draining the
+# never-driver-verified debt to zero, plus backfill re-verification slots
+# by staleness: (a) the r1-only greens displaced in round 5
+# (join_cross_small, setop_union, setop_intersect, window_topk_per_group,
+# window_running_sum, q6_revenue_change, q10_returned_items,
+# q14_promo_share, q18_large_orders, agg_rollup, agg_cube,
+# subquery_scalar, subquery_exists, subquery_correlated_scalar,
+# setop_except, agg_pivot, agg_median, date_functions), (b) the remaining
+# r1-only cohort, (c) the r3 cohort (text_* / sample_* / pack_train_* /
+# csv_roundtrip), oldest first. tests/test_registry.py enforces the
+# overflow contiguity.
+
+#: Queries landed AFTER the 50-slot window was already full of
+#: never-verified entries: first in line for round 10's window (positions
+#: 51+ now). All are locally oracle-green; this is the driver-window
+#: overflow the rotation tests bound to at most one more round. NEW
+#: queries (judge-ordered only, under the addition freeze) append at the
+#: TAIL to keep the debt contiguous.
+_NEXT_WINDOW = [
     # round-6kkk: exactly-measured PQ asymmetric-distance recall
     "ann_pq_adc_recall_at10",
     # round-6lll: Hill heavy-tail index + rich-club coefficient

@@ -324,8 +324,9 @@ def table_time_travel_roundtrip(spark, sf):
     """Versioned-table (MuraTable) time travel under DML — the executed
     descendant of mura's declared-but-unwired CreateTable IR
     (reference ``src/planner/logicalplan.rs:260-272``): create a table
-    from ``orders``, copy-on-write DELETE the 'F' slice (version 1),
-    then read ``VERSION AS OF 0`` beside the head and roll both up.
+    from ``orders``, copy-on-write DELETE the 'F' slice, then read the
+    pre-DELETE snapshot (version 1 — create's commit) beside the head
+    and roll both up ('v0' in the output is a label, not a version id).
     The oracle replays the two logical snapshots straight off the
     parquet ground truth — the table format's commit log, manifest
     file-listing, and COW rewrite must all be invisible in the result.
