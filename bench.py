@@ -354,6 +354,8 @@ BENCH_QUERIES = [
     # round-8 additions
     "table_time_travel_roundtrip",
     "bpe_top_merges",
+    "table_changes_replay",
+    "table_stream_sink_roundtrip",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

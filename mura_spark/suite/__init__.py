@@ -177,6 +177,12 @@ _NEXT_WINDOW = [
     # round-8b: the BPE trainer's first driver row — recorded-golden
     # oracle over the deterministic merge table
     "bpe_top_merges",
+    # round-9a: the CDF stack's first driver row — row-level
+    # table_changes TVF replay vs a ground-truth delta replay
+    "table_changes_replay",
+    # round-9b: the streaming sink's first driver row — exactly-once
+    # mura_table->mura_table stream with time-travel readback
+    "table_stream_sink_roundtrip",
 ]
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -360,6 +360,156 @@ def table_time_travel_roundtrip(spark, sf):
     return v0.unionAll(head)
 
 
+# ------------------------------------------------------- round-9a addition
+
+_CDF_ROLLUP = ("CAST(COUNT(*) AS BIGINT) AS n_rows, "
+               + sql_dsum("o_totalprice") + " AS total_price")
+
+@q("table_changes_replay",
+   "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+   "FROM orders), "
+   "v1r AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0), "
+   "insr AS (SELECT * FROM base WHERE o_orderkey % 3 = 0), "
+   "delr AS (SELECT * FROM base WHERE o_orderstatus = 'F'), "
+   "prer AS (SELECT * FROM base WHERE o_orderstatus = 'P'), "
+   "postr AS (SELECT o_orderkey, o_orderstatus, "
+   "o_totalprice + 1.0 AS o_totalprice FROM prer), "
+   "headr AS (SELECT o_orderkey, o_orderstatus, "
+   "CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1.0 "
+   "ELSE o_totalprice END AS o_totalprice FROM base "
+   "WHERE o_orderstatus <> 'F') "
+   f"SELECT 'v1' AS label, {_CDF_ROLLUP} FROM v1r "
+   f"UNION ALL SELECT 'ct:insert', {_CDF_ROLLUP} FROM insr "
+   f"UNION ALL SELECT 'ct:delete', {_CDF_ROLLUP} FROM delr "
+   f"UNION ALL SELECT 'ct:update_preimage', {_CDF_ROLLUP} FROM prer "
+   f"UNION ALL SELECT 'ct:update_postimage', {_CDF_ROLLUP} FROM postr "
+   f"UNION ALL SELECT 'head', {_CDF_ROLLUP} FROM headr "
+   f"UNION ALL SELECT 'replay', {_CDF_ROLLUP} FROM headr")
+def table_changes_replay(spark, sf):
+    """Row-level Change Data Feed replay — the Delta-CDF contract on a
+    MuraTable (the versioned-table descendant of mura's CreateTable
+    IR, reference ``src/planner/logicalplan.rs:260-272``): create with
+    ``cdf=True`` from a 2/3 slice of orders, then a mixed DML batch —
+    append the remaining third, COW DELETE the 'F' slice, UPDATE the
+    'P' slice (+$1) — and read the feed back through the SQL
+    ``table_changes('t', 1)`` TVF. The result pins (a) each
+    _change_type's row count and value mass, and (b) the CDF's core
+    algebraic promise: v1 + inserts + postimages − preimages − deletes
+    == head, computed entirely in exact DECIMAL before the terminal
+    double cast ('replay' row) next to the directly-read 'head' row.
+    The oracle replays the same logical deltas straight off the
+    parquet ground truth, so the sidecar write path, the manifest
+    file-diff path (the insert feed), and the TVF rewrite must all be
+    value-invisible. Feed cost is O(changed rows), never a table scan:
+    insert feeds are manifest file diffs, DML feeds read only the
+    sidecar files of their commits."""
+    import shutil
+
+    from mura_spark.session import MuraSession
+    from mura_spark.sources.table_format import MuraTable
+    src = (table(spark, sf, "orders")
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    path = "/tmp/mura_suite_table_cdf"
+    shutil.rmtree(path, ignore_errors=True)
+    t = MuraTable.create(spark, path,
+                         src.filter(F.col("o_orderkey") % 3 != 0),
+                         cdf=True)
+    t.append(src.filter(F.col("o_orderkey") % 3 == 0))
+    t.delete_where(F.col("o_orderstatus") == "F")
+    t.update_where(F.col("o_orderstatus") == "P",
+                   {"o_totalprice": "o_totalprice + 1.0"})
+    ms = MuraSession(spark)
+    ms.create_external_table("cdf_orders", path, file_type="mura")
+    ms.sql("SELECT _change_type AS ct, o_totalprice "
+           "FROM table_changes('cdf_orders', 1)") \
+      .createOrReplaceTempView("__mura_cdf_feed")
+    t.read(version=1).createOrReplaceTempView("__mura_cdf_v1")
+    t.read().createOrReplaceTempView("__mura_cdf_head")
+    dec = "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+    return spark.sql(
+        f"WITH v1 AS (SELECT COUNT(*) AS n, {dec} AS s "
+        "FROM __mura_cdf_v1), "
+        f"f AS (SELECT ct, COUNT(*) AS n, {dec} AS s "
+        "FROM __mura_cdf_feed GROUP BY ct), "
+        "d AS (SELECT SUM(CASE WHEN ct IN ('insert', "
+        "'update_postimage') THEN n ELSE -n END) AS dn, "
+        "SUM(CASE WHEN ct IN ('insert', 'update_postimage') "
+        "THEN s ELSE -s END) AS ds FROM f), "
+        f"h AS (SELECT COUNT(*) AS n, {dec} AS s FROM __mura_cdf_head) "
+        "SELECT 'v1' AS label, CAST(n AS BIGINT) AS n_rows, "
+        "CAST(s AS DOUBLE) AS total_price FROM v1 "
+        "UNION ALL SELECT CONCAT('ct:', ct), CAST(n AS BIGINT), "
+        "CAST(s AS DOUBLE) FROM f "
+        "UNION ALL SELECT 'head', CAST(n AS BIGINT), "
+        "CAST(s AS DOUBLE) FROM h "
+        "UNION ALL SELECT 'replay', CAST(v1.n + d.dn AS BIGINT), "
+        "CAST(v1.s + d.ds AS DOUBLE) FROM v1 CROSS JOIN d")
+
+
+# ------------------------------------------------------- round-9b addition
+
+@q("table_stream_sink_roundtrip",
+   "SELECT 'pass1' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   + sql_dsum("o_totalprice") + " AS total_price FROM orders "
+   "WHERE o_orderkey % 2 = 0 "
+   "UNION ALL "
+   "SELECT 'head' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   + sql_dsum("o_totalprice") + " AS total_price FROM orders")
+def table_stream_sink_roundtrip(spark, sf):
+    """Structured-Streaming sink path of the versioned-table format,
+    end to end: a mura_table→mura_table stream (readStream over the
+    source table's commit log, writeStream through the Arrow sink that
+    publishes one ``stream_append`` commit per micro-batch) run three
+    times with ``availableNow`` — first landing the even-key half of
+    orders, then the odd-key delta after an append to the source, then
+    a no-new-data pass that must commit NOTHING (exactly-once: the
+    checkpoint offset log + per-query batch stamps make redelivery
+    idempotent). 'pass1' reads the post-first-pass snapshot by version
+    (time travel over stream-landed commits); 'head' reads the final
+    table — duplicate or lost rows in any pass would shift either
+    rollup off the parquet ground truth the oracle reads. Executors
+    write data files directly (no driver data path); the driver
+    appends file references only, so a 1000-executor stream commits
+    O(files) metadata per batch."""
+    import shutil
+
+    from mura_spark.sources.table_format import MuraTable
+    from mura_spark.sources.table_stream import register
+    register(spark)
+    root = "/tmp/mura_suite_stream_sink"
+    shutil.rmtree(root, ignore_errors=True)
+    src_path, dst_path, ckpt = (f"{root}/src", f"{root}/dst",
+                                f"{root}/ckpt")
+    src = (table(spark, sf, "orders")
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    t_src = MuraTable.create(spark, src_path,
+                             src.filter(F.col("o_orderkey") % 2 == 0))
+    MuraTable.create(spark, dst_path, src.limit(0))
+
+    def run_pass():
+        qr = (spark.readStream.format("mura_table")
+              .option("path", src_path).load()
+              .writeStream.format("mura_table")
+              .option("path", dst_path)
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        qr.awaitTermination(300)
+
+    run_pass()
+    dst = MuraTable.load(spark, dst_path)
+    v_pass1 = dst._manifest()["version"]
+    t_src.append(src.filter(F.col("o_orderkey") % 2 != 0))
+    run_pass()
+    run_pass()  # no new offsets: must be a zero-commit no-op
+    rollup = lambda df, name: (  # noqa: E731
+        df.agg(F.count(F.lit(1)).alias("n_rows"),
+               F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("total_price"))
+          .select(F.lit(name).alias("label"), "n_rows", "total_price"))
+    return rollup(dst.read(version=v_pass1), "pass1") \
+        .unionAll(rollup(dst.read(), "head"))
+
+
 @q("source_federated_join",
    "SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) "
    "AS n_nations, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
