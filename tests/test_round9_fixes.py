@@ -341,3 +341,165 @@ def test_train_bpe_matches_first_principles_replica(spark, sf_dir):
 
     got = train_bpe(docs, num_merges=num_merges)
     assert got == expected
+
+
+# -------------------------------------------------- pinball loss
+
+
+def _percentile_micro(vals, p):
+    """(n−1)·p linearly-interpolated percentile (Hyndman–Fan type 7 —
+    the definition group_percentiles spells out), micro-floored."""
+    s = sorted(vals)
+    pos = (len(s) - 1) * p
+    k = math.floor(pos)
+    lo = s[k]
+    hi = s[k + 1] if k + 1 < len(s) else lo
+    return math.floor((lo + (hi - lo) * (pos - k)) * 1000000.0 + 0.5)
+
+
+def test_pinball_loss_matches_replica(spark, tmp_path):
+    """Published pinball loss L_q(y,ŷ) = q(y−ŷ)⁺ + (1−q)(ŷ−y)⁺,
+    10×-scaled to integers, at the type-7 p50/p90 — one type with
+    exact order-statistic positions (n=11), one that interpolates on
+    both quantiles (n=14)."""
+    from mura_spark.suite import SPARK_QUERIES
+    rng = random.Random(907)
+    per_type = {"click": [rng.randint(100, 99999) / 100.0
+                          for _ in range(11)],
+                "view": [rng.randint(100, 99999) / 100.0
+                         for _ in range(14)]}
+    rows, eid = [], 0
+    for et, vals in per_type.items():
+        for v in vals:
+            eid += 1
+            rows.append((eid, f"2024-01-{1 + eid % 28:02d}T00:00:00",
+                         1, et, v))
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in
+           SPARK_QUERIES["stats_pinball_quantile_eval"](spark, sf)
+           .collect()}
+    for et, vals in per_type.items():
+        vm = [math.floor(v * 1000000.0 + 0.5) for v in vals]
+        p50 = _percentile_micro(vals, 0.5)
+        p90 = _percentile_micro(vals, 0.9)
+        l50 = sum(5 * (x - p50) if x >= p50 else 5 * (p50 - x)
+                  for x in vm)
+        l90 = sum(9 * (x - p90) if x >= p90 else (p90 - x)
+                  for x in vm)
+        r = got[et]
+        assert r.n_events == len(vals)
+        assert r.pinball_p50_x10 == l50
+        assert r.pinball_p90_x10 == l90
+        # median property: no data value achieves a lower q=.5 loss
+        # than the reported p50 (the quantile must MINIMIZE its loss)
+        for cand in vm:
+            alt = sum(5 * abs(x - cand) for x in vm)
+            assert l50 <= alt
+
+
+# -------------------------------------------------- Simpson screen
+
+
+def test_simpson_screen_flags_engineered_reversal(spark, tmp_path):
+    """Classic Simpson construction: en docs are LONGER than non-en
+    inside BOTH sources, yet shorter pooled (source mix confounds).
+    Inside source a the en SUM is smaller while the en MEAN is larger,
+    so a sum-comparison mirror bug flips that stratum's sign."""
+    from mura_spark.suite import SPARK_QUERIES
+    docs = ([("en", "a", 1000)] * 2 + [("de", "a", 900)] * 8
+            + [("en", "b", 200)] * 8 + [("de", "b", 100)] * 2
+            + [("de", "c", 500)] * 3)  # no en docs: NULL-sign stratum
+    out = str(tmp_path / "minidocs")
+    (spark.createDataFrame(
+        [(i, "x", lang, src, n) for i, (lang, src, n)
+         in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet"))
+    got = {r.source: r for r in
+           SPARK_QUERIES["stats_simpson_screen"](spark, out).collect()}
+    # replica of the cross-multiplied mean-gap signs
+    cells = {}
+    for lang, src, n in docs:
+        nt, st, nc, sc = cells.get(src, (0, 0, 0, 0))
+        if lang == "en":
+            nt, st = nt + 1, st + n
+        else:
+            nc, sc = nc + 1, sc + n
+        cells[src] = (nt, st, nc, sc)
+    ont = sum(v[0] for v in cells.values())
+    ost = sum(v[1] for v in cells.values())
+    onc = sum(v[2] for v in cells.values())
+    osc = sum(v[3] for v in cells.values())
+    sgn = lambda x: (x > 0) - (x < 0)  # noqa: E731
+    overall = sgn(ost * onc - osc * ont)
+    assert overall == -1  # pooled: en reads SHORTER
+    for src, (nt, st, nc, sc) in cells.items():
+        r = got[src]
+        assert (r.n_treat, r.n_ctrl) == (nt, nc)
+        assert r.overall_sign == overall
+        if nt > 0 and nc > 0:
+            s = sgn(st * nc - sc * nt)
+            assert r.stratum_sign == s
+            assert r.is_reversed == int(s * overall == -1)
+        else:
+            assert r.stratum_sign is None and r.is_reversed is None
+    # both populated strata reverse against the pooled sign
+    assert got["a"].is_reversed == 1 and got["b"].is_reversed == 1
+    # mean/sum divergence really present in source a
+    assert cells["a"][1] < cells["a"][3]  # en SUM smaller ...
+    assert cells["a"][1] * cells["a"][2] > cells["a"][3] * cells["a"][0]
+
+
+# -------------------------------------------------- k-means silhouette
+
+
+def test_kmeans_silhouette_matches_replica(spark):
+    """Full first-principles replica of the deterministic k-means +
+    simplified silhouette (quantize to the 1e-6 grid, init = k
+    lowest-id vectors, Lloyd with floor-mean centroid updates,
+    s = (√b−√a)/max(√a,√b) micro-floored before the per-cluster
+    mean) on seeded vectors forming three loose blobs."""
+    from mura_spark.operators.clustering import kmeans_silhouette
+    rng = random.Random(908)
+    centers = [[0.8, 0.8, -0.2, 0.1, 0.0],
+               [-0.7, 0.1, 0.7, -0.3, 0.2],
+               [0.1, -0.8, -0.6, 0.5, -0.4]]
+    vecs = []
+    for i in range(30):
+        c = centers[i % 3]
+        vecs.append((i, [round(x + rng.uniform(-0.25, 0.25), 6)
+                         for x in c]))
+    df = spark.createDataFrame(vecs, "vec_id long, "
+                                     "embedding array<double>")
+    got = {r.cluster: (r.n_points, r.mean_silhouette_micro) for r in
+           kmeans_silhouette(df, k=3, iterations=2).collect()}
+
+    sqd = lambda a, b: sum((x - y) * (x - y)  # noqa: E731
+                           for x, y in zip(a, b))
+    q = {i: [math.floor(x * 1e6) for x in v] for i, v in vecs}
+    cent = {c: q[vid] for c, vid in enumerate(sorted(q)[:3])}
+    for _ in range(1):  # iterations − 1 Lloyd rounds
+        assign = {vid: min((sqd(v, cv), c)
+                           for c, cv in cent.items())[1]
+                  for vid, v in q.items()}
+        cent = {}
+        for c in set(assign.values()):
+            members = [q[v] for v, a in assign.items() if a == c]
+            cent[c] = [math.floor(float(sum(col)) / len(members))
+                       for col in zip(*members)]
+    per_cluster = {}
+    for vid, v in q.items():
+        ds = sorted((sqd(v, cv), c) for c, cv in cent.items())
+        da, ca = ds[0]
+        db = min(d for d, c in ds if c != ca)
+        sa, sb = math.sqrt(float(da)), math.sqrt(float(db))
+        mx = max(sa, sb)
+        sm = math.floor((sb - sa) / mx * 1e6 + 0.5) if mx > 0 else 0
+        per_cluster.setdefault(ca, []).append(sm)
+    exp = {c: (len(v), math.floor(float(sum(v)) / len(v) + 0.5))
+           for c, v in per_cluster.items()}
+    assert got == exp
+    # the blobs are real: every cluster's mean silhouette is positive
+    assert all(v[1] > 0 for v in exp.values())
