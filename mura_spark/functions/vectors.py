@@ -29,13 +29,19 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 for zero vectors rather than null/NaN.
-    Clamped to [-1, 1]: rounding can push identical vectors to 1+2⁻⁵²
-    (and DuckDB's list_cosine_similarity clamps, which the oracle
-    comparisons rely on)."""
+    """Cosine similarity; 0.0 for zero vectors rather than null/NaN,
+    NULL when either input array is NULL. Clamped to [-1, 1]: rounding
+    can push identical vectors to 1+2⁻⁵² (and DuckDB's
+    list_cosine_similarity clamps, which the oracle comparisons rely
+    on). The clamp is a when-chain, NOT least/greatest — Spark's
+    least/greatest SKIP null arguments, which would silently turn a
+    null input's NULL similarity into -1.0 ("maximally dissimilar"), a
+    data-corrupting default for any ranking built on top."""
     denom = norm(a) * norm(b)
     raw = F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
-    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    return (F.when(raw < -1.0, F.lit(-1.0))
+             .when(raw > 1.0, F.lit(1.0))
+             .otherwise(raw))
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -110,20 +116,29 @@ def quantize_roundtrip_stats(df, id_col: str, vec_col: str):
 
     def kernel(batches):
         for pdf in batches:
-            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if vecs.size == 0:
-                yield pd.DataFrame({id_col: pdf[id_col], "scale": 0.0,
-                                    "q_l1": np.int64(0), "max_err": 0.0})
-                continue
-            scale = np.abs(vecs).max(axis=1) / 127.0
-            safe = np.where(scale == 0.0, 1.0, scale)
-            q = np.clip(np.floor(vecs / safe[:, None] + 0.5), -127, 127)
-            q[scale == 0.0, :] = 0.0
-            err = np.abs(q * scale[:, None] - vecs).max(axis=1)
+            # a NULL vector yields NULL stats, row kept — the row-wise
+            # NULL-propagation contract (like emb_normalize), matching
+            # the SQL twin where every list function of NULL is NULL
+            mask = pdf[vec_col].notna().to_numpy()
+            n = len(pdf)
+            scale_o = np.full(n, None, dtype=object)
+            l1_o = np.full(n, None, dtype=object)
+            err_o = np.full(n, None, dtype=object)
+            if mask.any():
+                vecs = np.stack(
+                    pdf[vec_col][mask].to_numpy()).astype(np.float64)
+                scale = np.abs(vecs).max(axis=1) / 127.0
+                safe = np.where(scale == 0.0, 1.0, scale)
+                q = np.clip(np.floor(vecs / safe[:, None] + 0.5),
+                            -127, 127)
+                q[scale == 0.0, :] = 0.0
+                err = np.abs(q * scale[:, None] - vecs).max(axis=1)
+                scale_o[mask] = scale
+                l1_o[mask] = np.abs(q).sum(axis=1).astype(np.int64)
+                err_o[mask] = err
             yield pd.DataFrame({
-                id_col: pdf[id_col], "scale": scale,
-                "q_l1": np.abs(q).sum(axis=1).astype(np.int64),
-                "max_err": err})
+                id_col: pdf[id_col], "scale": scale_o,
+                "q_l1": l1_o, "max_err": err_o})
 
     return ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
         kernel,

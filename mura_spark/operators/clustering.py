@@ -38,8 +38,14 @@ SCALE = 1_000_000.0
 
 
 def quantize_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, v: array<bigint>) — components on the 1e-6 integer grid."""
-    return df.select(
+    """(id, v: array<bigint>) — components on the 1e-6 integer grid.
+
+    NULL vectors are dropped at this ingress: a null embedding has no
+    geometry to cluster or score, and letting it through would seat it
+    in the codebook (k-lowest-id init) or rank its NULL distances at
+    engine-dependent window positions (Spark orders NULLS FIRST asc,
+    DuckDB NULLS LAST). Mirrored by the WHERE in sql_kmeans_ctes."""
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__vid"),
         F.transform(F.col(vec_col),
                     lambda x: F.floor(x.cast("double") * F.lit(SCALE)))
@@ -191,7 +197,8 @@ def sql_kmeans_ctes(k: int = 8, iterations: int = 2,
     parts = [
         f"{p}q AS (SELECT {id_col} AS vid, "
         f"list_transform(CAST({vec_expr} AS DOUBLE[]), "
-        f"x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS v FROM {table})",
+        f"x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS v FROM {table} "
+        f"WHERE {vec_expr} IS NOT NULL)",
         f"{p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 "
         f"AS INT) AS cluster, v FROM (SELECT vid, v FROM {p}q "
         f"ORDER BY vid LIMIT {k}))",

@@ -59,6 +59,17 @@ def _auto_band_bits(n: int) -> int:
                + math.ceil(math.log2(n / _AUTO_BASE_N)))
 
 
+def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """ANN/pair operators consider only rows with a non-null vector — a
+    null embedding carries no geometry to score or index, so it can
+    never produce a match (the data contract row-wise transforms like
+    emb_normalize intentionally do NOT share: those NULL-propagate).
+    Without this ingress guard a single null row kills the whole job at
+    the first numpy ``np.stack`` kernel — on a 100 TB corpus that is a
+    guaranteed outage, not an edge case."""
+    return df.where(F.col(vec_col).isNotNull())
+
+
 def _paired_cosine(dot_col, norm_a, norm_b):
     """cosine from a pair dot + precomputed per-row norms. Identical
     arithmetic to functions.vectors.cosine (dot / (sqrt·sqrt), clamped) —
@@ -66,7 +77,11 @@ def _paired_cosine(dot_col, norm_a, norm_b):
     instead of 3), not the values, so oracle bit-exactness is preserved."""
     denom = norm_a * norm_b
     raw = F.when(denom == 0, F.lit(0.0)).otherwise(dot_col / denom)
-    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    # when-chain clamp, not least/greatest: those skip NULL arguments
+    # and would fold a NULL similarity to -1.0 (see vectors.cosine)
+    return (F.when(raw < -1.0, F.lit(-1.0))
+             .when(raw > 1.0, F.lit(1.0))
+             .otherwise(raw))
 
 
 def _hyperplanes(dim: int, count: int = LSH_PLANES,
@@ -117,6 +132,8 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
     ascending neighbor id for determinism.
     Output: (query_id, neighbor_id, rank, sim).
     """
+    queries = _drop_null_vectors(queries, vec_col)
+    corpus = _drop_null_vectors(corpus, vec_col)
     q = F.broadcast(queries.select(F.col(query_id).alias("__qid"),
                                    F.col(vec_col).alias("__qvec"),
                                    norm(F.col(vec_col)).alias("__qn")))
@@ -199,6 +216,8 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
     ``corpus_rows`` is a caller-supplied sizing hint; without it the count
     comes from Parquet footer metadata (no scan job) when the corpus is
     file-backed, and only falls back to a full ``count()`` otherwise."""
+    queries = _drop_null_vectors(queries, vec_col)
+    corpus = _drop_null_vectors(corpus, vec_col)
     if dim is None:
         first = queries.select(vec_col).first()
         if first is None:  # no queries → empty result, correct schema
@@ -263,7 +282,7 @@ def _blocked_exact_pairs(df: DataFrame, threshold: float, id_col: str,
         F.struct(F.lit(i).alias("ba"), F.lit(j).alias("bb"))
         for i, j in pair_keys])
     blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
-    df = ensure_min_partitions(df)
+    df = ensure_min_partitions(_drop_null_vectors(df, vec_col))
     tagged = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         blk.alias("__blk"))
@@ -417,6 +436,8 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
     (higher n_probe/centroid-count/refine_iters trade recall for cost).
     Output schema matches :func:`topk_bruteforce`.
     """
+    queries = _drop_null_vectors(queries, vec_col)
+    corpus = _drop_null_vectors(corpus, vec_col)
     seed_rows = (corpus.orderBy(F.col(corpus_id).asc()).limit(n_centroids)
                  .select(vec_col).collect())
     centroids = [list(r[0]) for r in seed_rows]
@@ -461,6 +482,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
     the reference implementation 'blocked' is verified against.
     Output: (id_a, id_b, sim).
     """
+    df = _drop_null_vectors(df, vec_col)
     if method == "blocked":
         return _blocked_exact_pairs(df, threshold, id_col, vec_col)
     df = ensure_min_partitions(df)
@@ -792,7 +814,8 @@ def mean_pairwise_cosine(df: DataFrame, vec_col: str,
                 "sd": [(q * q).sum(axis=1).sum()],
                 "s": [q.sum(axis=0)]})
 
-    partials = ensure_min_partitions(df.select(vec_col)).mapInPandas(
+    partials = ensure_min_partitions(
+        _drop_null_vectors(df, vec_col).select(vec_col)).mapInPandas(
         kernel, "n bigint, sd bigint, s array<bigint>")
     one = partials.agg(
         F.coalesce(F.sum("n"), F.lit(0).cast("bigint")).alias("n_vecs"),
@@ -847,7 +870,7 @@ def mutual_nearest_neighbors(df: DataFrame, id_col: str = "vec_id",
         F.struct(F.lit(i).alias("ba"), F.lit(j).alias("bb"))
         for i, j in pair_keys])
     blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
-    dfm = ensure_min_partitions(df)
+    dfm = ensure_min_partitions(_drop_null_vectors(df, vec_col))
     tagged = dfm.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         blk.alias("__blk"))

@@ -113,11 +113,12 @@ _PRIORITY = [
 ]
 
 # ROUND-10 ROTATION PLAN: assuming CORRECTNESS_r09 comes back green for
-# this window, round 10's window takes ALL 24 of _NEXT_WINDOW below
-# (round-6kkk..6bbbb residue + the two judge-ordered round-8 additions +
-# any judge-ordered round-9 additions appended at the tail), draining the
-# never-driver-verified debt to zero, plus backfill re-verification slots
-# by staleness: (a) the r1-only greens displaced in round 5
+# this window, round 10's window takes ALL 26 of _NEXT_WINDOW below
+# (22 round-6kkk..6bbbb residue + the two judge-ordered round-8
+# additions + the two judge-ordered round-9 additions at the tail),
+# draining the never-driver-verified debt to zero, plus 24 backfill
+# re-verification slots by staleness: (a) the r1-only greens displaced
+# in round 5
 # (join_cross_small, setop_union, setop_intersect, window_topk_per_group,
 # window_running_sum, q6_revenue_change, q10_returned_items,
 # q14_promo_share, q18_large_orders, agg_rollup, agg_cube,

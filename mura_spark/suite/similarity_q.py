@@ -36,7 +36,8 @@ _COS = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
    f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim, "
    f"ROW_NUMBER() OVER (PARTITION BY q.vec_id "
    f"ORDER BY {_COS} DESC, c.vec_id ASC) AS rnk "
-   f"FROM embeddings q JOIN embeddings c ON q.vec_id < {_NQ}) "
+   f"FROM embeddings q JOIN embeddings c ON q.vec_id < {_NQ} "
+   f"AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL) "
    f"WHERE rnk <= {_K}")
 def ann_topk_bruteforce(spark, sf):
     """Exact cosine top-10 for 10 probe vectors against the full corpus.
@@ -75,7 +76,8 @@ def ann_topk_ivf(spark, sf):
    f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim, "
    f"ROW_NUMBER() OVER (PARTITION BY q.vec_id "
    f"ORDER BY {_COS} DESC, c.vec_id ASC) AS rnk "
-   f"FROM embeddings q JOIN embeddings c ON q.vec_id < {_NQ}) "
+   f"FROM embeddings q JOIN embeddings c ON q.vec_id < {_NQ} "
+   f"AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL) "
    f"WHERE rnk <= {_K}")
 def ann_topk_lsh_exhaustive(spark, sf):
     """topk_lsh in single-bucket mode: every corpus row is a candidate for
@@ -92,7 +94,8 @@ def ann_topk_lsh_exhaustive(spark, sf):
    f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim, "
    f"ROW_NUMBER() OVER (PARTITION BY q.vec_id "
    f"ORDER BY {_COS} DESC, c.vec_id ASC) AS rnk "
-   f"FROM embeddings q JOIN embeddings c ON q.vec_id < {_NQ}) "
+   f"FROM embeddings q JOIN embeddings c ON q.vec_id < {_NQ} "
+   f"AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL) "
    f"WHERE rnk <= {_K}")
 def ann_topk_ivf_fullprobe(spark, sf):
     """topk_ivf probing ALL inverted lists (n_probe = n_centroids): the
@@ -186,7 +189,8 @@ _KNN_COS = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
    f"c.label AS nb_label, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
    f"ORDER BY {_KNN_COS} DESC, c.vec_id ASC) AS rnk "
    f"FROM embeddings q JOIN embeddings c "
-   f"ON q.vec_id < 50 AND c.vec_id >= 50), "
+   f"ON q.vec_id < 50 AND c.vec_id >= 50 "
+   f"AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL), "
    "votes AS (SELECT query_id, true_label, nb_label, COUNT(*) AS votes "
    "FROM ranked WHERE rnk <= 10 GROUP BY 1, 2, 3) "
    "SELECT query_id, true_label, nb_label AS pred_label, votes FROM "
@@ -778,7 +782,7 @@ def _pq_recall_oracle() -> str:
         f"fq AS (SELECT vec_id AS vid, "
         f"list_transform(CAST(embedding AS DOUBLE[]), "
         f"x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS v "
-        f"FROM embeddings)",
+        f"FROM embeddings WHERE embedding IS NOT NULL)",
         # ADC: query subvectors vs each candidate's CODEBOOK entry
         f"adc AS (SELECT q0.vid AS qid, a0.vid AS nid, "
         f"{sq.format(a='q0.v', b='cc0.v')} "
