@@ -67,8 +67,14 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str,
     pass over the data; pass guards.DEFAULT_DOMAIN_BUDGET (or any
     ceiling) when the score column's domain is not pinned by
     construction.
+
+    Rows with a NULL score or NULL label are excluded first — the
+    published complete-observations rule (a NULL label is unknown, not
+    negative; a NULL score has no rank position).
     """
     from mura_spark.operators.guards import guarded_scalar
+    df = df.where(F.col(score_col).isNotNull()
+                  & F.col(label_col).isNotNull())
     cells = (df.groupBy(F.col(score_col).alias("__s"))
                .agg(F.sum(F.when(F.col(label_col), 1).otherwise(0))
                      .alias("__p"),
@@ -120,7 +126,13 @@ def quartile_migration(df: DataFrame, key_col: str, period_col: str,
 
     Plan: one (key, period) reduction is the caller's job; here one
     window shuffle per period partition + one key-grain equi join.
+
+    Rows with a NULL period or NULL value are excluded: a NULL value
+    has no quantile position (engines rank NULLs at opposite ends) and
+    a NULL period can never match any period+1.
     """
+    df = df.where(F.col(value_col).isNotNull()
+                  & F.col(period_col).isNotNull())
     w = (Window.partitionBy(period_col)
                .orderBy(F.col(value_col).asc(), F.col(key_col).asc()))
     tiled = df.select(key_col, period_col,

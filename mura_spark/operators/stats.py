@@ -623,7 +623,12 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     x-rank window's SORT KEY (evaluated per row before the global sort
     shuffles), so an over-budget frame fails loudly before the
     single-task rank pass, at the cost of one extra counting pass.
+
+    Rows with a NULL in either variable are excluded first — the
+    published complete-observations rule (ranking NULLs would place
+    them at engine-dependent ends and shift every rank).
     """
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     cnt = df.agg(F.count(F.lit(1)).alias("__n_rows"))
     base = df.crossJoin(F.broadcast(cnt))
     xg = guarded_scalar(F.col(x_col), F.col("__n_rows"), row_budget,

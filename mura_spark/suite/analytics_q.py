@@ -1187,7 +1187,8 @@ def graph_clustering_coeff(spark, sf):
    "AS yr, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
    "AS BIGINT) AS spend_cents FROM orders GROUP BY 1, 2), "
    "tiled AS (SELECT o_custkey, yr, NTILE(4) OVER (PARTITION BY yr "
-   "ORDER BY spend_cents ASC, o_custkey ASC) AS tile FROM per) "
+   "ORDER BY spend_cents ASC, o_custkey ASC) AS tile FROM per "
+   "WHERE yr IS NOT NULL AND spend_cents IS NOT NULL) "
    "SELECT CAST(a.tile AS INT) AS tile_from, "
    "CAST(b.tile AS INT) AS tile_to, "
    "CAST(COUNT(*) AS BIGINT) AS n_moves FROM tiled a JOIN tiled b "

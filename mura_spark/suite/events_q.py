@@ -446,7 +446,9 @@ def events_value_histogram(spark, sf):
    "WITH b AS (SELECT quantile_cont(CAST(value AS DOUBLE), [0.01, 0.99]) "
    "AS bnds FROM events) "
    "SELECT event_id, value, "
-   "least(greatest(CAST(value AS DOUBLE), bnds[1]), bnds[2]) AS value_clip "
+   "CASE WHEN value IS NOT NULL THEN "
+   "least(greatest(CAST(value AS DOUBLE), bnds[1]), bnds[2]) END "
+   "AS value_clip "
    "FROM events CROSS JOIN b")
 def events_winsorize(spark, sf):
     """Outlier clipping of the event metric to its corpus [p01, p99] — the
@@ -533,7 +535,9 @@ def agg_udaf_gmean(spark, sf):
    "quantile_cont(CAST(value AS DOUBLE), [0.05, 0.95]) AS bnds "
    "FROM events GROUP BY event_type) "
    "SELECT event_id, e.event_type, value, "
-   "least(greatest(CAST(value AS DOUBLE), bnds[1]), bnds[2]) AS value_clip "
+   "CASE WHEN value IS NOT NULL THEN "
+   "least(greatest(CAST(value AS DOUBLE), bnds[1]), bnds[2]) END "
+   "AS value_clip "
    "FROM events e JOIN b ON e.event_type = b.event_type")
 def events_winsorize_by_type(spark, sf):
     """Per-segment outlier clipping: each event type clamps to ITS OWN
@@ -878,7 +882,7 @@ def events_interpolate_linear(spark, sf):
    "WHERE prev_n IS NOT NULL AND prev_n > 0), "
    "r AS (SELECT day, event_type, n, prev_n, growth_micro, "
    "row_number() OVER (PARTITION BY day ORDER BY growth_micro DESC, "
-   "event_type ASC) AS rk FROM g) "
+   "event_type ASC NULLS FIRST) AS rk FROM g) "
    "SELECT day, event_type, n, prev_n, growth_micro, rk FROM r "
    "WHERE rk <= 3")
 def events_trending_topk(spark, sf):
@@ -1316,17 +1320,17 @@ def events_survival_km(spark, sf):
 # ------------------------------------------------------- round-6ii additions
 
 @q("events_debounce",
-   "WITH t AS (SELECT event_id, user_id, event_type, ts, value, "
-   "lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, "
-   "event_id) AS prev_ts FROM events), "
-   "kept AS (SELECT * FROM t WHERE prev_ts IS NULL "
-   "OR CAST(floor(epoch(ts)) AS BIGINT) "
-   "- CAST(floor(epoch(prev_ts)) AS BIGINT) > 5) "
-   "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, "
-   "(SELECT CAST(COUNT(*) AS BIGINT) FROM events e2 "
-   "WHERE e2.event_type = kept.event_type) - CAST(COUNT(*) AS BIGINT) "
+   "WITH t AS (SELECT event_type, value, "
+   "(lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, "
+   "event_id) IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) "
+   "- CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id, event_type "
+   "ORDER BY ts, event_id))) AS BIGINT) > 5) AS keep FROM events) "
+   "SELECT event_type, "
+   "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+   "CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) "
    "AS n_debounced, "
-   f"{sql_dsum('value')} AS kept_value FROM kept GROUP BY event_type")
+   f"{sql_dsum('CASE WHEN keep THEN value END')} AS kept_value "
+   "FROM t GROUP BY event_type")
 def events_debounce(spark, sf):
     """Debounce rapid repeats: drop events of the same (user, type)
     arriving ≤ 5s after the previous one — the double-click /
@@ -1334,26 +1338,26 @@ def events_debounce(spark, sf):
     aggregation (the id-level twin is events_dedup_replay, which
     drops EXACT redeliveries; debouncing drops DISTINCT events that
     are semantically repeats). One (user, type) window; integer
-    epoch-second gaps."""
+    epoch-second gaps. Kept and debounced counts come from one
+    conditional rollup over the flagged rows — no kept-vs-total
+    self-join (an inner join on event_type would also silently drop
+    a NULL type group: NULL keys never equi-match)."""
     from pyspark.sql import Window
     ev = table(spark, sf, "events")
     w = (Window.partitionBy("user_id", "event_type")
                .orderBy("ts", "event_id"))
+    prev = F.lag("ts").over(w)
     gap = (F.floor(F.unix_timestamp("ts"))
-           - F.floor(F.unix_timestamp(F.lag("ts").over(w))))
-    t = ev.select("event_type", "value",
-                  F.lag("ts").over(w).alias("prev_ts"),
-                  gap.alias("__gap"))
-    kept = t.filter(F.col("prev_ts").isNull() | (F.col("__gap") > 5))
-    tot = (ev.groupBy("event_type")
-             .agg(F.count(F.lit(1)).alias("__all")))
-    return (kept.groupBy("event_type")
-                .agg(F.count(F.lit(1)).alias("n_kept"),
-                     dsum("value").alias("kept_value"))
-                .join(tot, "event_type")
-                .select("event_type", "n_kept",
-                        (F.col("__all") - F.col("n_kept"))
-                         .alias("n_debounced"), "kept_value"))
+           - F.floor(F.unix_timestamp(prev)))
+    keep = prev.isNull() | (gap > 5)
+    t = ev.select("event_type", "value", keep.alias("__keep"))
+    return (t.groupBy("event_type")
+             .agg(F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+                   .alias("n_kept"),
+                  F.sum(F.when(F.col("__keep"), 0).otherwise(1))
+                   .alias("n_debounced"),
+                  dsum(F.when(F.col("__keep"), F.col("value")))
+                   .alias("kept_value")))
 
 
 @q("feature_trailing_windows",

@@ -269,7 +269,9 @@ def case_when_buckets(spark, sf):
 @q("scalar_functions",
    "SELECT o_orderkey, upper(o_orderpriority) AS prio_upper, "
    "length(o_orderpriority) AS prio_len, substr(o_orderpriority, 1, 1) AS prio_code, "
-   "concat(o_orderstatus, '-', o_orderpriority) AS status_prio, "
+   # || null-propagates like Spark's concat; DuckDB's concat() SKIPS
+   # NULL arguments and would fabricate 'F-' for a NULL priority
+   "o_orderstatus || '-' || o_orderpriority AS status_prio, "
    "year(o_orderdate) AS order_year, month(o_orderdate) AS order_month, "
    "abs(o_totalprice - 200000) AS dist_from_200k, "
    "floor(o_totalprice) AS price_floor, ceil(o_totalprice) AS price_ceil "
@@ -535,7 +537,8 @@ def window_topk_per_group(spark, sf):
 @q("window_running_sum",
    "SELECT o_custkey, o_orderkey, "
    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
-   "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+   "(PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, "
+   "o_orderkey ASC "
    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
    "AS running_total FROM orders")
 def window_running_sum(spark, sf):
@@ -556,7 +559,7 @@ def window_running_sum(spark, sf):
    "first_value(o_totalprice) OVER w AS first_price, "
    "CAST(ntile(4) OVER w AS INT) AS quartile "
    "FROM orders WINDOW w AS (PARTITION BY o_custkey "
-   "ORDER BY o_orderdate ASC, o_orderkey ASC)")
+   "ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC)")
 def window_lead_lag(spark, sf):
     """Navigation window functions (lag/lead/first_value/ntile) over each
     customer's order history — deterministic frame via the unique
@@ -802,9 +805,11 @@ def join_right_outer(spark, sf):
 @q("window_percent_rank",
    "SELECT c_custkey, c_mktsegment, "
    "CAST(floor(percent_rank() OVER (PARTITION BY c_mktsegment "
-   "ORDER BY c_acctbal) * 1000000.0 + 0.5) AS BIGINT) AS pr_micro, "
+   "ORDER BY c_acctbal NULLS FIRST) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS pr_micro, "
    "CAST(floor(cume_dist() OVER (PARTITION BY c_mktsegment "
-   "ORDER BY c_acctbal) * 1000000.0 + 0.5) AS BIGINT) AS cd_micro "
+   "ORDER BY c_acctbal NULLS FIRST) * 1000000.0 + 0.5) AS BIGINT) "
+   "AS cd_micro "
    "FROM customer")
 def window_percent_rank(spark, sf):
     """percent_rank + cume_dist (the relative-rank window gap after
@@ -971,7 +976,8 @@ def window_range_numeric(spark, sf):
 
 @q("window_ntile",
    "WITH t AS (SELECT c_mktsegment, ntile(4) OVER (PARTITION BY "
-   "c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile, "
+   "c_mktsegment ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC) "
+   "AS quartile, "
    "c_acctbal FROM customer) "
    "SELECT c_mktsegment, quartile, COUNT(*) AS n, "
    "MIN(c_acctbal) AS bal_lo, MAX(c_acctbal) AS bal_hi, "
@@ -1079,7 +1085,7 @@ def parts_skyline(spark, sf):
 @q("window_cume_dist",
    "WITH t AS (SELECT o_orderpriority, "
    "cume_dist() OVER (PARTITION BY o_orderpriority "
-   "ORDER BY o_totalprice) AS cd FROM orders) "
+   "ORDER BY o_totalprice NULLS FIRST) AS cd FROM orders) "
    "SELECT o_orderpriority, COUNT(*) AS n, "
    "CAST(SUM(CAST(floor(cd * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) "
    "AS sum_cd_micro, "

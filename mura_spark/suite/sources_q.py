@@ -162,7 +162,10 @@ def source_python_datasource(spark, sf):
 
 
 @q("source_file_lineage",
-   "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   # NULL partition values land in the hive default-partition segment
+   # on disk — the path-parsed audit sees that token, not a NULL
+   "SELECT COALESCE(lang, '__HIVE_DEFAULT_PARTITION__') AS lang, "
+   "CAST(COUNT(*) AS BIGINT) AS n_rows, "
    "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources "
    "FROM documents GROUP BY 1")
 def source_file_lineage(spark, sf):

@@ -349,7 +349,8 @@ def stats_bootstrap_ci(spark, sf):
    "WITH cells AS (SELECT n_chars AS s, "
    "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p, "
    "SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n "
-   "FROM documents GROUP BY 1), "
+   "FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL "
+   "GROUP BY 1), "
    "pref AS (SELECT p, n, 2 * p * coalesce(SUM(n) OVER (ORDER BY s "
    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + p * n AS c "
    "FROM cells), "
@@ -596,7 +597,8 @@ def stats_brown_forsythe(spark, sf):
    "+ COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rx, "
    "2 * RANK() OVER (ORDER BY l_discount) "
    "+ COUNT(*) OVER (PARTITION BY l_discount) - 1 AS ry "
-   "FROM lineitem), "
+   "FROM lineitem WHERE l_quantity IS NOT NULL "
+   "AND l_discount IS NOT NULL), "
    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
    "CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
    "CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy, "

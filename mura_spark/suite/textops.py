@@ -550,7 +550,10 @@ def text_readability(spark, sf):
 
 
 @q("sample_group_kfold",
-   "SELECT CAST(CAST('0x' || substr(md5('0|' || CAST(source AS VARCHAR)), "
+   # NULL provenance is its own group: concat_ws skips the NULL (and
+   # its separator), so the salt alone is hashed — mirrored here
+   "SELECT CAST(CAST('0x' || substr(md5(CASE WHEN source IS NULL "
+   "THEN '0' ELSE '0|' || CAST(source AS VARCHAR) END), "
    "1, 12) AS BIGINT) % 5 AS INT) AS fold, COUNT(*) AS n_docs, "
    "COUNT(DISTINCT source) AS n_groups, "
    "CAST(SUM(n_chars) AS BIGINT) AS total_chars "

@@ -88,9 +88,12 @@ def q10_returned_items(spark, sf):
 
 
 @q("q14_promo_share",
-   "SELECT CAST(100.0 * "
+   # both factors cast to DOUBLE before the arithmetic: DuckDB parses
+   # 100.0 as DECIMAL and its decimal multiply/divide rounds at a
+   # different point than Spark's double chain (2-ulp drift)
+   "SELECT 100.0 * CAST("
    f"SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END) "
-   f"/ SUM({_DISC_PRICE}) AS DOUBLE) AS promo_share, "
+   f"AS DOUBLE) / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_share, "
    "COUNT(*) AS n_lines "
    "FROM lineitem JOIN part ON l_partkey = p_partkey "
    "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
@@ -106,8 +109,8 @@ def q14_promo_share(spark, sf):
     promo = F.when(F.col("p_type") == "PROMO", _disc_price()) \
              .otherwise(F.lit(0).cast("decimal(18,4)"))
     return joined.agg(
-        (F.lit(100.0) * F.sum(promo) / F.sum(_disc_price()))
-        .cast("double").alias("promo_share"),
+        (F.lit(100.0) * F.sum(promo).cast("double")
+         / F.sum(_disc_price()).cast("double")).alias("promo_share"),
         F.count(F.lit(1)).alias("n_lines"))
 
 
