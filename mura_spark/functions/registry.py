@@ -132,7 +132,9 @@ def _ngrams_udtf():
             # pipeline must count the same grams as the kernel path);
             # tokenization mirrors normalize() (explicit ASCII
             # whitespace class, not str.split's any-Unicode-space)
-            norm = ws.sub(" ", (text or "").lower()).strip(" ")
+            if text is None:
+                return  # LATERAL over NULL input joins to no rows
+            norm = ws.sub(" ", text.lower()).strip(" ")
             toks = norm.split(" ")
             for i in range(max(len(toks) - n + 1, 1)):
                 yield i, " ".join(toks[i:i + n])

@@ -209,7 +209,9 @@ def fingerprint(text: Column) -> Column:
     list — invariant to word order and repetition (catches scramble-style
     near-dups as *exact* fingerprint collisions)."""
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
-    return F.md5(canon)
+    # concat_ws never returns NULL (a NULL array folds to ''), which
+    # would stamp every null document with md5('') — NULL-propagate
+    return F.when(text.isNotNull(), F.md5(canon))
 
 
 def rolling_hash(text: Column) -> Column:

@@ -60,7 +60,9 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     produce model features; containers here have no media libs, so this is a
     deterministic byte-histogram: fraction of bytes in each of 16 buckets.
     Swap this single function for a real decoder in production."""
-    if payload is None or len(payload) == 0:
+    if payload is None:
+        return None  # NULL payload -> NULL features (not a zero vector)
+    if len(payload) == 0:
         return [0.0] * FEATURE_DIM
     counts = [0] * FEATURE_DIM
     for b in payload:
@@ -259,7 +261,7 @@ def extract_features(df: DataFrame, id_col: str = "id",
                     (m or {}).get("modality") if isinstance(m, dict) else
                     getattr(m, "modality", None)
                     for m in pdf[meta_name]],
-                "n_bytes": [len(p) if p is not None else 0
+                "n_bytes": [len(p) if p is not None else None
                             for p in pdf[content_name]],
                 "features": [_fake_decode_features(p)
                              for p in pdf[content_name]],
@@ -322,10 +324,12 @@ def frame_sample_plan(df: DataFrame, every_n: int,
     would extract (0, every_n, 2·every_n, …) from metadata only — no byte
     touch, fully JVM-side. Pairs with a real decoder downstream."""
     n_frames = F.col(f"{meta_col}.n_frames")
-    idxs = F.when(
-        n_frames.isNotNull() & (n_frames > 0),
-        F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-    ).otherwise(F.array().cast("array<int>"))
+    # unknown frame count (NULL metadata) -> NULL plan, not an empty
+    # one: element_at over a fabricated empty array throws under ANSI,
+    # and "no frames known" is not the same fact as "zero frames"
+    idxs = (F.when(n_frames.isNotNull() & (n_frames > 0),
+                   F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
+             .when(n_frames.isNotNull(), F.array().cast("array<int>")))
     return df.withColumn("sample_frames", idxs)
 
 

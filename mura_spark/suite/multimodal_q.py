@@ -102,7 +102,8 @@ def mm_resize(spark, sf):
 @q("mm_frame_sample",
    "SELECT doc_id, CAST((n_chars % 120) + 1 AS INT) AS n_frames, "
    "CAST((n_chars % 120) // 7 + 1 AS INT) AS n_sampled, "
-   "CAST(0 AS INT) AS first_frame, "
+   "CAST(CASE WHEN n_chars IS NOT NULL THEN 0 END AS INT) "
+   "AS first_frame, "
    "CAST(7 * ((n_chars % 120) // 7) AS INT) AS last_frame "
    "FROM documents")
 def mm_frame_sample(spark, sf):
@@ -127,7 +128,7 @@ def mm_frame_sample(spark, sf):
 
 @q("mm_image_stats",
    "WITH pxt AS (SELECT doc_id, substr(text, 1, 48) AS px FROM documents "
-   "WHERE n_chars >= 48) "
+   "WHERE n_chars >= 48 AND text IS NOT NULL) "
    "SELECT doc_id, 4 AS width, 4 AS height, "
    "list_avg([ascii(px[3*j+1]) for j in range(0, 16)]) AS mean_r, "
    "list_avg([ascii(px[3*j+2]) for j in range(0, 16)]) AS mean_g, "
@@ -142,7 +143,7 @@ def mm_image_stats(spark, sf):
     are bit-exact on both engines (multimodal.binary_ops.decode_image /
     image_stats — no stub in this path)."""
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 48)
+         .filter((F.col("n_chars") >= 48) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"),
                  F.concat(F.lit(b"P6\n4 4\n255\n"),
                           F.substring("text", 1, 48).cast("binary"))
@@ -163,7 +164,7 @@ def _wav_header_48() -> bytes:
 
 @q("mm_audio_stats",
    "WITH pxt AS (SELECT doc_id, substr(text, 1, 48) AS px FROM documents "
-   "WHERE n_chars >= 48), "
+   "WHERE n_chars >= 48 AND text IS NOT NULL), "
    "smp AS (SELECT doc_id, [ascii(px[2*j+1]) + 256 * ascii(px[2*j+2]) "
    "for j in range(0, 24)] AS s FROM pxt) "
    "SELECT doc_id, 24 AS n_samples, 8000 AS sample_rate, "
@@ -181,7 +182,7 @@ def mm_audio_stats(spark, sf):
     bit-exact cross-engine (multimodal.binary_ops.audio_stats — no stub
     in this path)."""
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 48)
+         .filter((F.col("n_chars") >= 48) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"),
                  F.concat(F.lit(_wav_header_48()),
                           F.substring("text", 1, 48).cast("binary"))
@@ -192,7 +193,7 @@ def mm_audio_stats(spark, sf):
 
 @q("mm_video_frame_stats",
    "WITH pxt AS (SELECT doc_id, substr(text, 1, 48) AS px FROM documents "
-   "WHERE n_chars >= 48), f AS ("
+   "WHERE n_chars >= 48 AND text IS NOT NULL), f AS ("
    "SELECT doc_id, 0 AS frame_idx, "
    "list_avg([ascii(px[i]) for i in range(1, 17)]) AS mean_luma FROM pxt "
    "UNION ALL SELECT doc_id, 2, "
@@ -209,7 +210,7 @@ def mm_video_frame_stats(spark, sf):
     header = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n"
     frame = F.lit(b"FRAME\n")
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 48)
+         .filter((F.col("n_chars") >= 48) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"),
                  F.concat(
                      F.lit(header),
@@ -223,7 +224,7 @@ def mm_video_frame_stats(spark, sf):
 
 @q("mm_phash_pairs",
    "WITH img AS (SELECT doc_id, substr(text, 1, 192) AS px "
-   "FROM documents WHERE n_chars >= 192), "
+   "FROM documents WHERE n_chars >= 192 AND text IS NOT NULL), "
    "s AS (SELECT doc_id, [ascii(px[3*j+1]) + ascii(px[3*j+2]) "
    "+ ascii(px[3*j+3]) for j in range(0, 64)] AS ss FROM img), "
    "h AS (SELECT doc_id, "
@@ -256,7 +257,7 @@ def mm_phash_pairs(spark, sf):
     Arrow map (blobs never shuffle); candidates are a band equi-join;
     verification is two XOR popcounts per candidate."""
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 192)
+         .filter((F.col("n_chars") >= 192) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"),
                  F.concat(F.lit(b"P6\n8 8\n255\n"),
                           F.substring("text", 1, 192).cast("binary"))
@@ -296,7 +297,7 @@ def _wav_header(n_bytes: int) -> bytes:
 
 @q("mm_audio_fingerprint_pairs",
    "WITH pxt AS (SELECT doc_id, substr(text, 1, 128) AS px "
-   "FROM documents WHERE n_chars >= 128), "
+   "FROM documents WHERE n_chars >= 128 AND text IS NOT NULL), "
    "smp AS (SELECT doc_id, [ascii(px[2*j+1]) + 256 * ascii(px[2*j+2]) "
    "for j in range(0, 64)] AS s FROM pxt), "
    "en AS (SELECT doc_id, [CAST(s[2*i+1] AS BIGINT) * s[2*i+1] "
@@ -324,7 +325,7 @@ def mm_audio_fingerprint_pairs(spark, sf):
     Arrow map (audio bytes never shuffle); candidates are a band
     equi-join; verify is one XOR popcount."""
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 128)
+         .filter((F.col("n_chars") >= 128) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"),
                  F.concat(F.lit(_wav_header(128)),
                           F.substring("text", 1, 128).cast("binary"))
@@ -348,7 +349,7 @@ def mm_audio_fingerprint_pairs(spark, sf):
 
 @q("pipeline_mm_dedup_report",
    "WITH img AS (SELECT doc_id, source, substr(text, 1, 192) AS px "
-   "FROM documents WHERE n_chars >= 192), "
+   "FROM documents WHERE n_chars >= 192 AND text IS NOT NULL), "
    "s AS (SELECT doc_id, source, [ascii(px[3*j+1]) + ascii(px[3*j+2]) "
    "+ ascii(px[3*j+3]) for j in range(0, 64)] AS ss FROM img), "
    "h AS (SELECT doc_id, source, "
@@ -375,7 +376,7 @@ def pipeline_mm_dedup_report(spark, sf):
     one narrow Arrow map + one source-grain distinct-count. The
     pair-level view is mm_phash_pairs; this is its rollup twin."""
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 192)
+         .filter((F.col("n_chars") >= 192) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"), "source",
                  F.concat(F.lit(b"P6\n8 8\n255\n"),
                           F.substring("text", 1, 192).cast("binary"))
@@ -397,7 +398,7 @@ def pipeline_mm_dedup_report(spark, sf):
 
 @q("mm_scene_changes",
    "WITH pxt AS (SELECT doc_id, substr(text, 1, 96) AS px "
-   "FROM documents WHERE n_chars >= 96), "
+   "FROM documents WHERE n_chars >= 96 AND text IS NOT NULL), "
    "d AS (SELECT doc_id, unnest(range(1, 6)) AS j, px FROM pxt), "
    "sad AS (SELECT doc_id, j, CAST(list_sum([abs(ascii(px[j*16+i]) "
    "- ascii(px[(j-1)*16+i])) for i in range(1, 17)]) AS BIGINT) "
@@ -422,7 +423,7 @@ def mm_scene_changes(spark, sf):
         parts += [frame,
                   F.substring("text", j * 16 + 1, 16).cast("binary")]
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 96)
+         .filter((F.col("n_chars") >= 96) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"),
                  F.concat(*parts).alias("content")))
     return (MM.scene_changes(d, threshold_sad=500)
@@ -431,7 +432,7 @@ def mm_scene_changes(spark, sf):
 
 @q("mm_audio_vad_segments",
    "WITH pxt AS (SELECT doc_id, substr(text, 1, 48) AS px "
-   "FROM documents WHERE n_chars >= 48), "
+   "FROM documents WHERE n_chars >= 48 AND text IS NOT NULL), "
    "fr AS (SELECT doc_id, unnest(range(0, 6)) AS j, px FROM pxt), "
    "en AS (SELECT doc_id, j, CAST(list_sum([ascii(px[8*j+2*i+1]) "
    "+ 256 * ascii(px[8*j+2*i+2]) for i in range(0, 4)]) AS BIGINT) "
@@ -460,7 +461,7 @@ def mm_audio_vad_segments(spark, sf):
     The oracle rebuilds energies from byte values and finds runs with
     the islands window."""
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 48)
+         .filter((F.col("n_chars") >= 48) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"),
                  F.concat(F.lit(_wav_header_48()),
                           F.substring("text", 1, 48).cast("binary"))
@@ -473,7 +474,7 @@ def mm_audio_vad_segments(spark, sf):
 
 @q("mm_brightness_by_source",
    "WITH pxt AS (SELECT doc_id, source, substr(text, 1, 48) AS px "
-   "FROM documents WHERE n_chars >= 48), "
+   "FROM documents WHERE n_chars >= 48 AND text IS NOT NULL), "
    "l AS (SELECT source, "
    "CAST(list_sum([299 * ascii(px[3*j+1]) + 587 * ascii(px[3*j+2]) "
    "+ 114 * ascii(px[3*j+3]) for j in range(0, 16)]) AS BIGINT) "
@@ -490,7 +491,7 @@ def mm_brightness_by_source(spark, sf):
     the rollup order-independent; one terminal division per source
     (multimodal.binary_ops.image_luma_sums)."""
     d = (table(spark, sf, "documents")
-         .filter(F.col("n_chars") >= 48)
+         .filter((F.col("n_chars") >= 48) & F.col("text").isNotNull())
          .select(F.col("doc_id").alias("id"), "source",
                  F.concat(F.lit(b"P6\n4 4\n255\n"),
                           F.substring("text", 1, 48).cast("binary"))

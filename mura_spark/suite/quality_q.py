@@ -179,9 +179,11 @@ def text_tvd_by_source(spark, sf):
    f"WITH q AS (SELECT doc_id, source, "
    f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS v "
    "FROM documents) "
+   # NULLS FIRST = Spark's ASC default: an unknown (NULL-text) quality
+   # score ranks lowest, the conservative don't-select default
    "SELECT doc_id, source, CAST(floor(percent_rank() OVER ("
-   "PARTITION BY source ORDER BY v ASC, doc_id ASC) * 1e6 + 0.5) "
-   "AS BIGINT) AS pr_micro FROM q")
+   "PARTITION BY source ORDER BY v ASC NULLS FIRST, doc_id ASC) "
+   "* 1e6 + 0.5) AS BIGINT) AS pr_micro FROM q")
 def text_quality_qnorm(spark, sf):
     """Percent-rank quality normalization within each source — raw
     quality scores aren't comparable across sources, so mixture

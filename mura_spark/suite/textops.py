@@ -144,7 +144,10 @@ _BIGRAMS = (f"[array_to_string({_TOKS}[i:i+1], ' ') "
             f"for i in range(1, greatest(len({_TOKS}) - 1, 1) + 1)]")
 
 @q("text_repetition",
-   f"WITH g AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM documents), "
+   # text IS NOT NULL mirrors the kernel's skip: DuckDB greatest(NULL,1)
+   # is 1 (greatest skips NULLs), so a null doc would fabricate one gram
+   f"WITH g AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM documents "
+   "WHERE text IS NOT NULL), "
    "c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2), "
    "m AS (SELECT doc_id, MAX(cnt) AS mx, SUM(cnt) AS tot FROM c GROUP BY 1) "
    "SELECT d.doc_id, CAST(m.mx AS DOUBLE) / m.tot AS top_bigram_frac, "
@@ -1475,7 +1478,8 @@ def text_ks_drift_by_source(spark, sf):
 
 @q("text_quality_gains",
    f"WITH s AS (SELECT lang, CAST(floor({_LOGIT_SCORE_SQL} * 1000000.0 "
-   "+ 0.5) AS BIGINT) AS sm FROM documents), "
+   "+ 0.5) AS BIGINT) AS sm FROM documents "
+   "WHERE text IS NOT NULL), "
    "cells AS (SELECT sm, COUNT(*) AS k FROM s GROUP BY 1), "
    "nn AS (SELECT SUM(k) AS n FROM cells), "
    "cum AS (SELECT sm, SUM(k) OVER (ORDER BY sm) AS gc FROM cells), "
@@ -1508,7 +1512,7 @@ def text_quality_gains(spark, sf):
     interpolation); cumulatives run on the 10-row decile frame."""
     from pyspark.sql import Window
     from mura_spark.functions.quantize import micro
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents").where(F.col("text").isNotNull())
     s = d.select(micro(_logit_score()).alias("sm"),
                  F.when(F.col("lang") == "en", 1).otherwise(0)
                   .alias("pos"))
@@ -1553,7 +1557,8 @@ def text_quality_gains(spark, sf):
 
 @q("text_conformal_threshold",
    f"WITH s AS (SELECT doc_id, CAST(floor({_LOGIT_SCORE_SQL} "
-   "* 1000000.0 + 0.5) AS BIGINT) AS sm FROM documents), "
+   "* 1000000.0 + 0.5) AS BIGINT) AS sm FROM documents "
+   "WHERE text IS NOT NULL), "
    "sp AS (SELECT doc_id, 1000000 - sm AS nc, "
    f"CASE WHEN ({sql_hash48('CAST(doc_id AS VARCHAR)')}) % 1000 < 500 "
    "THEN 1 ELSE 0 END AS cal FROM s), "
@@ -1585,7 +1590,7 @@ def text_conformal_threshold(spark, sf):
     from pyspark.sql import Window
     from mura_spark.functions.quantize import micro
     from mura_spark.operators.sampling import hash_bucket
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents").where(F.col("text").isNotNull())
     sp = d.select(
         (F.lit(1000000) - micro(_logit_score())).alias("nc"),
         (hash_bucket(F.col("doc_id")) < 500).alias("cal"))
