@@ -315,12 +315,16 @@ _MAT_NQ = 200  # probe panel: all-queries doubles work 25x for the same readout
    f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
    f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, "
    f"c.vec_id ASC) AS rnk FROM embeddings q JOIN embeddings c "
-   f"ON c.vec_id <> q.vec_id AND q.vec_id < {_MAT_NQ}) WHERE rnk = 1), "
+   f"ON c.vec_id <> q.vec_id AND q.vec_id < {_MAT_NQ} "
+   f"AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL) "
+   f"WHERE rnk = 1), "
    f"t AS (SELECT query_id, neighbor_id FROM ("
    f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
    f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS32} DESC, "
    f"c.vec_id ASC) AS rnk FROM embeddings q JOIN embeddings c "
-   f"ON c.vec_id <> q.vec_id AND q.vec_id < {_MAT_NQ}) WHERE rnk = 1) "
+   f"ON c.vec_id <> q.vec_id AND q.vec_id < {_MAT_NQ} "
+   f"AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL) "
+   f"WHERE rnk = 1) "
    f"SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, "
    f"CAST(SUM(CASE WHEN f.neighbor_id = t.neighbor_id THEN 1 ELSE 0 END) "
    f"AS BIGINT) AS n_agree, "

@@ -29,14 +29,20 @@ def test_extract_features_schema_and_shape(media):
     assert out.schema == MM.FEATURE_SCHEMA
     rows = {r.id: r for r in out.collect()}
     assert len(rows) == 4
-    assert all(len(r.features) == MM.FEATURE_DIM for r in rows.values())
+    # NULL payload (id 3) -> NULL features; every decoded row is
+    # fixed-width
+    assert rows[3].features is None
+    assert all(len(r.features) == MM.FEATURE_DIM
+               for i, r in rows.items() if i != 3)
 
 
 def test_feature_determinism_and_values(media):
     rows = {r.id: r for r in MM.extract_features(media).collect()}
     assert rows[1].features[0] == 1.0          # all bytes in bucket 0
     assert rows[2].features[15] == 1.0         # all bytes in bucket 15
-    assert rows[3].n_bytes == 0 and rows[3].features == [0.0] * MM.FEATURE_DIM
+    # NULL payload: NULL stats, row kept — not a zero histogram (a
+    # fabricated all-zeros vector would read as a real decoded asset)
+    assert rows[3].n_bytes is None and rows[3].features is None
     assert all(abs(f - 1 / 16) < 1e-12 for f in rows[4].features)  # uniform
     again = {r.id: r for r in MM.extract_features(media).collect()}
     assert all(rows[i].features == again[i].features for i in rows)
@@ -67,7 +73,9 @@ def test_frame_sample_plan(media):
     out = {r.id: r.sample_frames
            for r in MM.frame_sample_plan(media, every_n=10).collect()}
     assert out[3] == [0, 10, 20]   # 25 frames, every 10th
-    assert out[1] == []            # no frame count → empty plan
+    assert out[1] is None          # unknown frame count → NULL plan
+    # (an empty plan is reserved for a KNOWN zero frame count;
+    # fabricating one for missing metadata throws in ANSI element_at)
 
 
 def test_resize_stub_plumbing(spark):
