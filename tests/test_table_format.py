@@ -462,3 +462,35 @@ def test_time_based_vacuum_retention(spark, tmp_path):
     assert t._versions() == [1, 3]
     assert sorted(r.k for r in t.read(version=1).collect()) == [1]
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_null_partition_value_roundtrip_and_dml(spark, tmp_path):
+    """A NULL partition value must behave like any other partition:
+    round-trip as NULL (hive default-partition segment on disk),
+    prune-match in DML, and survive appends — the NULL-injection gate
+    exempts partition columns (scripts/make_null_data.py), so this is
+    the format-level pin for that surface."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "b", 30.0)],
+        "k long, p string, v double")
+    t = MuraTable.create(spark, path, df, partition_cols=["p"])
+    assert sorted((r.k, r.p) for r in t.read().collect()) \
+        == [(1, "a"), (2, None), (3, "b")]
+    # appending more NULL-partition rows lands in the same segment
+    t.append(spark.createDataFrame([(4, None, 40.0)],
+                                   "k long, p string, v double"))
+    assert t.row_count() == 4
+    # update inside the NULL partition only
+    v, n_upd, n_files = t.update_where(F.col("p").isNull(),
+                                       {"v": "v + 1.0"})
+    assert n_upd == 2
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[2] == 21.0 and got[4] == 41.0 and got[1] == 10.0
+    # COW delete of the NULL partition touches only its files
+    v, n_del, _ = t.delete_where(F.col("p").isNull())
+    assert n_del == 2
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
+    # the pre-delete snapshot still shows the NULL-partition rows
+    assert sorted(r.k for r in t.read(version=v - 1).collect()) \
+        == [1, 2, 3, 4]
