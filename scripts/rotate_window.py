@@ -34,25 +34,45 @@ sys.path.insert(0, REPO)
 
 def main() -> int:
     from mura_spark.suite import ORACLE_SQL, SPARK_QUERIES
-    green = set()
+    last_green: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(REPO,
                                               "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("hash_match") and not row.get("err"):
-                    green.add(name)
+                    last_green[name] = rnd  # sorted() → newest round wins
     reg = list(SPARK_QUERIES)
-    debt = [n for n in reg if n in ORACLE_SQL and n not in green]
+    debt = [n for n in reg if n in ORACLE_SQL and n not in last_green]
     window = reg[:50]
-    if all(n in debt for n in window):
+    if len(debt) >= 50 and all(n in debt for n in window):
         print(f"# window already all-never-verified; debt={len(debt)} "
               f"(no rotation needed)")
         return 1
-    new_priority, new_next = debt[:50], debt[50:]
-    print(f"# debt: {len(debt)} never-driver-verified oracled queries")
+    new_priority = debt[:50]
+    backfill = []
+    if len(new_priority) < 50:
+        # debt fits in one window: fill the remaining slots with
+        # re-verification backfill, STALEST first (oldest last-green
+        # round, then registry order) — the ordering
+        # tests/test_registry.py::test_window_prefers_stalest_rows pins
+        verified = [n for n in reg
+                    if n in ORACLE_SQL and n in last_green]
+        by_staleness = sorted(
+            range(len(verified)),
+            key=lambda i: (last_green[verified[i]], i))
+        backfill = [verified[i] for i in
+                    by_staleness[:50 - len(new_priority)]]
+        new_priority = new_priority + backfill
+    new_next = debt[50:]
+    print(f"# debt: {len(debt)} never-driver-verified oracled queries"
+          + (f" + {len(backfill)} stalest-green backfill slots"
+             if backfill else ""))
     print(f"# new _PRIORITY ({len(new_priority)}):")
     for n in new_priority:
-        print(f'    "{n}",')
+        tag = f"  # backfill ({last_green[n]})" if n in set(backfill) \
+            else ""
+        print(f'    "{n}",{tag}')
     print(f"# new _NEXT_WINDOW ({len(new_next)}):")
     for n in new_next:
         print(f'    "{n}",')
