@@ -727,10 +727,14 @@ def events_hourly_autocorr(spark, sf):
 # ------------------------------------------------------- round-5u additions
 
 @q("orders_monthly_growth",
+   # a NULL order date has no calendar position: it must not form an
+   # "unknown month" bucket inside the MoM lag chain (the engines also
+   # order a NULL month at opposite ends of the window)
    "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) "
    "AS month, "
    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
-   "COUNT(*) AS n_orders FROM orders GROUP BY 1), "
+   "COUNT(*) AS n_orders FROM orders "
+   "WHERE o_orderdate IS NOT NULL GROUP BY 1), "
    "w AS (SELECT month, revenue, n_orders, "
    "lag(revenue) OVER (ORDER BY month) AS prev FROM m) "
    "SELECT month, revenue, n_orders, "
@@ -744,7 +748,8 @@ def orders_monthly_growth(spark, sf):
     month / zero base."""
     from pyspark.sql import Window
     from mura_spark.functions.quantize import micro
-    o = table(spark, sf, "orders")
+    o = table(spark, sf, "orders").where(
+        F.col("o_orderdate").isNotNull())
     m = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
           .agg(dsum("o_totalprice").alias("revenue"),
                F.count(F.lit(1)).alias("n_orders")))

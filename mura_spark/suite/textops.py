@@ -926,7 +926,7 @@ _QUALITY_PASS_SQL = (
    f"WITH s AS (SELECT CAST(floor({_QUALITY_SCORE_SQL} * 1000000.0 "
    "+ 0.5) AS BIGINT) AS score_micro, "
    f"CASE WHEN {_QUALITY_PASS_SQL} THEN 1 ELSE 0 END AS pass "
-   "FROM documents), "
+   "FROM documents WHERE text IS NOT NULL), "
    "b AS (SELECT least(CAST(floor(score_micro / 100000.0) AS BIGINT), "
    "9) AS bin, score_micro, pass FROM s) "
    "SELECT bin, COUNT(*) AS n, "
@@ -944,7 +944,9 @@ def text_quality_calibration(spark, sf):
     difference cannot flip a bin across engines. One scan, all-JVM
     expressions, ≤10 output groups combined map-side."""
     from mura_spark.functions.quantize import micro
-    d = table(spark, sf, "documents")
+    # scorer family convention (gains/conformal/calibration): only
+    # scoreable documents — a NULL text has no score and no rule label
+    d = table(spark, sf, "documents").where(F.col("text").isNotNull())
     t = TX.tokens(F.col("text"))
     dr = TX.distinct_token_ratio(F.col("text"))
     sr = TX.stopword_ratio(F.col("text"))
