@@ -484,11 +484,15 @@ def _regression_check(timings: dict[str, float], r1_ref: dict) -> dict:
         with open(os.path.join(REPO, "BENCH_BASE.json")) as fh:
             base = json.load(fh)
         base_ref, base_round = base["queries"], base.get("base_round")
+        if base_round is None:
+            base_round = "base"  # label fallback for an unlabeled base
     except Exception:
         base_ref, base_round = {}, None
     if base_ref:
+        base_label = (f"r{base_round}" if isinstance(base_round, int)
+                      else str(base_round))
         base_flags, base_drift = _flag_outliers(
-            timings, base_ref, f"r{base_round}")
+            timings, base_ref, base_label)
         out["median_drift_vs_base"] = round(base_drift, 3)
         out["base_round"] = base_round
         for q, r in base_flags.items():

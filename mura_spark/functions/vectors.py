@@ -127,6 +127,17 @@ def quantize_roundtrip_stats(df, id_col: str, vec_col: str):
             if mask.any():
                 vecs = np.stack(
                     pdf[vec_col][mask].to_numpy()).astype(np.float64)
+                if vecs.shape[1] == 0:
+                    # zero-length vectors: scale 0, empty-sum stats
+                    # (np.max over axis 1 of shape (n,0) would raise)
+                    scale_o[mask] = 0.0
+                    l1_o[mask] = np.zeros(
+                        int(mask.sum()), dtype=np.int64)
+                    err_o[mask] = 0.0
+                    yield pd.DataFrame({
+                        id_col: pdf[id_col], "scale": scale_o,
+                        "q_l1": l1_o, "max_err": err_o})
+                    continue
                 scale = np.abs(vecs).max(axis=1) / 127.0
                 safe = np.where(scale == 0.0, 1.0, scale)
                 q = np.clip(np.floor(vecs / safe[:, None] + 0.5),

@@ -339,12 +339,16 @@ def table_time_travel_roundtrip(spark, sf):
     DELETE's pruned match scan touches only the 'F' partition's files
     and every other partition rides by reference — the exact shape
     that keeps this pipeline O(touched-partition) at 100 TB."""
+    import os
     import shutil
 
     from mura_spark.sources.table_format import MuraTable
     src = (table(spark, sf, "orders")
            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
-    path = "/tmp/mura_suite_table_tt"
+    # per-sf scratch: concurrent sweeps at different scale factors
+    # must not corrupt each other's versioned table
+    path = ("/tmp/mura_suite_table_tt_"
+            + os.path.basename(os.path.normpath(sf)))
     shutil.rmtree(path, ignore_errors=True)
     t = MuraTable.create(spark, path, src,
                          partition_cols=["o_orderstatus"])
@@ -406,13 +410,17 @@ def table_changes_replay(spark, sf):
     value-invisible. Feed cost is O(changed rows), never a table scan:
     insert feeds are manifest file diffs, DML feeds read only the
     sidecar files of their commits."""
+    import os
     import shutil
 
     from mura_spark.session import MuraSession
     from mura_spark.sources.table_format import MuraTable
     src = (table(spark, sf, "orders")
            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
-    path = "/tmp/mura_suite_table_cdf"
+    # per-sf scratch: two sweeps at different scale factors (or the
+    # driver + a local sweep) must not corrupt each other's table
+    path = ("/tmp/mura_suite_table_cdf_"
+            + os.path.basename(os.path.normpath(sf)))
     shutil.rmtree(path, ignore_errors=True)
     t = MuraTable.create(spark, path,
                          src.filter(F.col("o_orderkey") % 3 != 0),
@@ -474,12 +482,15 @@ def table_stream_sink_roundtrip(spark, sf):
     write data files directly (no driver data path); the driver
     appends file references only, so a 1000-executor stream commits
     O(files) metadata per batch."""
+    import os
     import shutil
 
     from mura_spark.sources.table_format import MuraTable
     from mura_spark.sources.table_stream import register
     register(spark)
-    root = "/tmp/mura_suite_stream_sink"
+    # per-sf scratch (same reason as table_changes_replay above)
+    root = ("/tmp/mura_suite_stream_sink_"
+            + os.path.basename(os.path.normpath(sf)))
     shutil.rmtree(root, ignore_errors=True)
     src_path, dst_path, ckpt = (f"{root}/src", f"{root}/dst",
                                 f"{root}/ckpt")
@@ -494,9 +505,17 @@ def table_stream_sink_roundtrip(spark, sf):
               .option("path", src_path).load()
               .writeStream.format("mura_table")
               .option("path", dst_path)
+              # stable per-pipeline id → micro-batch replay stamps →
+              # exactly-once (the docstring's claim; also the sink's
+              # documented contract — without it, at-least-once)
+              .option("queryid", "mura_suite_stream_sink_roundtrip")
               .option("checkpointLocation", ckpt)
               .trigger(availableNow=True).start())
-        qr.awaitTermination(300)
+        if not qr.awaitTermination(300):
+            qr.stop()
+            raise TimeoutError(
+                "stream sink pass did not finish within 300s; "
+                "stopping instead of reading a half-landed table")
 
     run_pass()
     dst = MuraTable.load(spark, dst_path)

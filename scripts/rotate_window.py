@@ -26,6 +26,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -34,14 +35,19 @@ sys.path.insert(0, REPO)
 
 def main() -> int:
     from mura_spark.suite import ORACLE_SQL, SPARK_QUERIES
-    last_green: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(REPO,
-                                              "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path)
+
+    def round_no(path: str) -> int:
+        # numeric, not lexicographic: 'r100' must outrank 'r99'
+        return int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+                       key=round_no):
+        rnd = round_no(path)
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("hash_match") and not row.get("err"):
-                    last_green[name] = rnd  # sorted() → newest round wins
+                    last_green[name] = rnd  # numeric sort → newest wins
     reg = list(SPARK_QUERIES)
     debt = [n for n in reg if n in ORACLE_SQL and n not in last_green]
     window = reg[:50]
@@ -70,8 +76,8 @@ def main() -> int:
              if backfill else ""))
     print(f"# new _PRIORITY ({len(new_priority)}):")
     for n in new_priority:
-        tag = f"  # backfill ({last_green[n]})" if n in set(backfill) \
-            else ""
+        tag = (f"  # backfill (r{last_green[n]:02d})"
+               if n in set(backfill) else "")
         print(f'    "{n}",{tag}')
     print(f"# new _NEXT_WINDOW ({len(new_next)}):")
     for n in new_next:

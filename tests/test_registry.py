@@ -13,6 +13,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -109,12 +110,18 @@ def test_window_prefers_stalest_rows():
     oldest round present, when any such query exists."""
     reg, _ = _registry()
     rounds = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path)
+    # numeric round sort: 'r100' must outrank 'r99' (lexicographic would
+    # silently mis-rank once round numbers reach three digits)
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(
+            re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    for path in paths:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("hash_match") and not row.get("err"):
-                    rounds[name] = rnd  # sorted() → ends at newest round
+                    rounds[name] = rnd  # numeric sort → ends at newest
     if not rounds:
         return
     newest = max(rounds.values())

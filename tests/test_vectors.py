@@ -58,6 +58,19 @@ def test_quantize_kernel_bit_identical_to_hof(spark, sf_dir):
     assert kern == hof   # exact equality, doubles included
 
 
+def test_quantize_roundtrip_zero_length_vectors(spark):
+    """A batch of non-null ZERO-LENGTH vectors must yield scale=0 /
+    q_l1=0 / max_err=0 rows (not a zero-size-reduction ValueError),
+    and NULL vectors still propagate NULL stats alongside them."""
+    df = spark.createDataFrame([(1, []), (2, None), (3, [])],
+                               "id int, v array<float>")
+    out = {r.id: (r.scale, r.q_l1, r.max_err) for r in
+           V.quantize_roundtrip_stats(df, "id", "v").collect()}
+    assert out[1] == (0.0, 0, 0.0)
+    assert out[2] == (None, None, None)
+    assert out[3] == (0.0, 0, 0.0)
+
+
 def test_normalize_unit_norm(spark):
     df = _vec_df(spark, [(1, [3.0, 4.0]), (2, [0.0, 0.0])])
     out = {r.id: r for r in df.select(
