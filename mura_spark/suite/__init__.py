@@ -37,15 +37,16 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
 # Registry order == the order the driver verifies queries in, and the driver
 # checks only the FIRST 50 entries per round. Round-10 rotation: the whole
 # round-9 window came back green in CORRECTNESS_r09 (50/50 hash-match), so
-# it rotates out and the window takes ALL 26 remaining never-driver-verified
-# queries (the 6kkk..6bbbb residue plus the judge-ordered round-8/round-9
-# additions) — this drains the never-verified debt to ZERO — plus 24
-# re-verification backfill slots filled STALEST-FIRST (oldest last-green
-# ledger, then registry order), exactly as scripts/rotate_window.py
-# computes: 18 rows last green in CORRECTNESS_r01 and 6 rows last green in
-# CORRECTNESS_r03. The 5 rows-only approximate queries stay pinned to the
-# registry tail (their driver-facing signal is their deterministic
-# companions).
+# it rotates out and the window takes ALL 28 never-driver-verified
+# queries (the 6kkk..6bbbb residue, the judge-ordered round-8/round-9
+# additions, and the two round-10 additions) — this drains the
+# never-verified debt to ZERO — plus 22 re-verification backfill slots
+# filled STALEST-FIRST (oldest last-green ledger, then registry order),
+# exactly as scripts/rotate_window.py computes: 18 rows last green in
+# CORRECTNESS_r01 and 4 rows last green in CORRECTNESS_r03 (the two
+# displaced r03 rows re-enter via the staleness policy below). The 5
+# rows-only approximate queries stay pinned to the registry tail (their
+# driver-facing signal is their deterministic companions).
 #
 # ROUND-11+ STALENESS POLICY (the debt is zero after this window lands, so
 # every future window is pure re-verification unless new rows are added):
@@ -107,6 +108,14 @@ _PRIORITY = [
     # round-9b: the streaming sink's first driver row — exactly-once
     # mura_table->mura_table stream with time-travel readback
     "table_stream_sink_roundtrip",
+    # round-10a: the incremental materialized view's first driver row —
+    # O(delta) refresh through BOTH fast paths (append file-diff + CDF
+    # retraction), result == DuckDB's from-scratch rollup of the same
+    # logical end state; the refresh modes ride as pinned literals
+    "view_incremental_refresh",
+    # round-10b: the SQL MERGE INTO router's first driver row — upsert
+    # rollup + exact updated/deleted/inserted stats vs set algebra
+    "merge_upsert_sql",
     # ---- stalest-green backfill (24 rows; 9 rounds of engine change
     # since the r01 cohort was last driver-checked) ----
     "join_cross_small",  # backfill (r01)
@@ -131,14 +140,14 @@ _PRIORITY = [
     "text_quality",  # backfill (r03)
     "text_langid",  # backfill (r03)
     "text_fingerprint",  # backfill (r03)
-    "text_quality_filter",  # backfill (r03)
-    "text_scrub_pii",  # backfill (r03)
 ]
 
-#: Never-driver-verified overflow: EMPTY as of round 10 — the window above
-#: absorbs the last 26 debt rows. New queries (the addition freeze is
-#: lifted now that the debt is zero) append here and take the next
-#: window's head.
+#: Never-driver-verified overflow: EMPTY — the round-10 window above
+#: absorbs the last 26 pre-existing debt rows AND the two round-10
+#: additions (view_incremental_refresh, merge_upsert_sql), which
+#: displaced the two least-stale backfill slots per the
+#: never-verified-outranks-backfill rule. Future new queries append
+#: here and take the next window's head.
 _NEXT_WINDOW = []
 
 #: The approximate/rows-only queries: pinned to the registry tail (see

@@ -532,6 +532,149 @@ def table_stream_sink_roundtrip(spark, sf):
         .unionAll(rollup(dst.read(), "head"))
 
 
+# ------------------------------------------------------ round-10 additions
+
+@q("view_incremental_refresh",
+   "WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+   "CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders), "
+   "final AS (SELECT o_orderpriority, "
+   "CASE WHEN o_orderstatus = 'P' "
+   "THEN CAST(p + 1.00 AS DECIMAL(18,2)) ELSE p END AS p "
+   "FROM base WHERE o_orderstatus <> 'F') "
+   "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+   "CAST(SUM(p) AS DOUBLE) AS total_price, "
+   "'incremental' AS refresh_append, 'incremental' AS refresh_dml "
+   "FROM final GROUP BY o_orderpriority")
+def view_incremental_refresh(spark, sf):
+    """IncrementalAggView end to end — the O(delta) materialized
+    rollup over a versioned table (the maintenance layer above mura's
+    CreateTable IR, reference ``src/planner/logicalplan.rs:260-272``):
+    create a cdf-enabled source from a 2/3 slice of orders, build the
+    view (groupBy o_orderpriority: count + exact-decimal sum), then
+    drive BOTH incremental paths — (1) append the remaining third and
+    refresh (manifest file-diff: reads only the new files, no table
+    scan), (2) COW DELETE the 'F' slice + UPDATE the 'P' slice (+$1)
+    and refresh again (row-level CDF retraction: deletes/preimages
+    subtract, inserts/postimages add — legal because both aggregates
+    are subtractable). The result carries each refresh's mode as a
+    literal column pinned to 'incremental' in the oracle, so ANY
+    silent downgrade to a full recompute hash-mismatches; the values
+    themselves must equal DuckDB's from-scratch rollup of the same
+    logical end state. A day's ingest into a 100 TB table refreshes
+    at the cost of the day's files — this query is that contract."""
+    import os
+    import shutil
+
+    from mura_spark.sources.incremental_view import IncrementalAggView
+    from mura_spark.sources.table_format import MuraTable
+    base = (table(spark, sf, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                     .alias("p")))
+    root = ("/tmp/mura_suite_view_refresh_"
+            + os.path.basename(os.path.normpath(sf)))
+    shutil.rmtree(root, ignore_errors=True)
+    src = MuraTable.create(spark, f"{root}/src",
+                           base.filter(F.col("o_orderkey") % 3 != 0),
+                           cdf=True)
+    view = IncrementalAggView.create(
+        spark, f"{root}/view", src, keys=["o_orderpriority"],
+        aggs={"n_orders": ("count", "o_orderkey"),
+              "total_price": ("sum", "p")})
+    src.append(base.filter(F.col("o_orderkey") % 3 == 0))
+    r1 = view.refresh()  # append-only: manifest file-diff path
+    src.delete_where(F.col("o_orderstatus") == "F")
+    src.update_where(F.col("o_orderstatus") == "P",
+                     {"p": "CAST(p + 1.00 AS DECIMAL(18,2))"})
+    r2 = view.refresh()  # DML: row-level CDF retraction path
+    return view.read().select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_price").cast("double").alias("total_price"),
+        F.lit(r1.mode).alias("refresh_append"),
+        F.lit(r2.mode).alias("refresh_dml"))
+
+
+@q("merge_upsert_sql",
+   "WITH base AS (SELECT o_orderkey, o_orderstatus, "
+   "CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders), "
+   "final AS ("
+   "SELECT o_orderstatus, p FROM base "
+   "WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0 "
+   "UNION ALL SELECT o_orderstatus, CAST(p + 10.00 AS DECIMAL(18,2)) "
+   "FROM base WHERE o_orderkey % 2 = 0) "
+   "SELECT 'st:' || o_orderstatus AS label, "
+   "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(SUM(p) AS DOUBLE) AS total_price FROM final GROUP BY 1 "
+   "UNION ALL SELECT 'stat:version', CAST(2 AS BIGINT), "
+   "CAST(NULL AS DOUBLE) "
+   "UNION ALL SELECT 'stat:updated', (SELECT CAST(COUNT(*) AS BIGINT) "
+   "FROM base WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0), "
+   "CAST(NULL AS DOUBLE) "
+   "UNION ALL SELECT 'stat:deleted', CAST(0 AS BIGINT), "
+   "CAST(NULL AS DOUBLE) "
+   "UNION ALL SELECT 'stat:inserted', (SELECT CAST(COUNT(*) AS BIGINT) "
+   "FROM base WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0), "
+   "CAST(NULL AS DOUBLE)")
+def merge_upsert_sql(spark, sf):
+    """SQL ``MERGE INTO`` through the session's DML router
+    (``session.py::_route_merge`` — the upsert verb mura's CreateTable
+    IR implies but never wired, reference
+    ``src/planner/logicalplan.rs:260-272``): register a versioned
+    table holding the 2/3 o_orderkey slice of orders, MERGE the
+    even-key half (prices bumped +$10) with ``WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *``, then read the
+    merged table back. The result pins (a) the per-status rollup of
+    the merged relation against DuckDB computing the same upsert in
+    set algebra, and (b) the router's stats row — version stamp and
+    exact updated/deleted/inserted counts, which would shift if the
+    matched/not-matched split ever misclassified a row. The merge
+    underneath is a partition-pruned COW join (O(touched files)),
+    never a table rewrite."""
+    import os
+    import shutil
+
+    from mura_spark.session import MuraSession
+    from mura_spark.sources.table_format import MuraTable
+    base = (table(spark, sf, "orders")
+            .select("o_orderkey", "o_orderstatus",
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                     .alias("p")))
+    path = ("/tmp/mura_suite_merge_upsert_"
+            + os.path.basename(os.path.normpath(sf)))
+    shutil.rmtree(path, ignore_errors=True)
+    MuraTable.create(spark, path,
+                     base.filter(F.col("o_orderkey") % 3 != 0))
+    ms = MuraSession(spark)
+    ms.create_external_table("merge_orders", path, file_type="mura")
+    (base.filter(F.col("o_orderkey") % 2 == 0)
+         .withColumn("p", (F.col("p") + F.lit(10.00))
+                     .cast("decimal(18,2)"))
+         .createOrReplaceTempView("merge_updates"))
+    stats = ms.sql(
+        "MERGE INTO merge_orders AS t USING merge_updates AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    rollup = (MuraTable.load(spark, path).read()
+              .groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                   F.sum("p").cast("double").alias("total_price"))
+              .select(F.concat(F.lit("st:"), "o_orderstatus")
+                      .alias("label"), "n_rows", "total_price"))
+    nul = F.lit(None).cast("double").alias("total_price")
+    statrows = None
+    for lbl, c in [("stat:version", "version"),
+                   ("stat:updated", "rows_updated"),
+                   ("stat:deleted", "rows_deleted"),
+                   ("stat:inserted", "rows_inserted")]:
+        row = stats.select(F.lit(lbl).alias("label"),
+                           F.col(c).cast("bigint").alias("n_rows"),
+                           nul)
+        statrows = row if statrows is None else statrows.unionAll(row)
+    return rollup.unionAll(statrows)
+
+
 @q("source_federated_join",
    "SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) "
    "AS n_nations, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
