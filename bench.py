@@ -464,9 +464,11 @@ def _regression_check(timings: dict[str, float], r1_ref: dict) -> dict:
 
     Two baselines, two jobs: the round-1 subset total ratio feeds the
     judge's 2×-of-BASELINE gate (only ~60 queries existed then), while
-    BENCH_BASE.json — the committed round-8 full table, ~320 queries —
-    catches a regression in any query added since round 1. Flags from
-    both are merged (max ratio wins on overlap).
+    BENCH_BASE.json — the committed LAST-SETTLED full table (round 9 as
+    of now; re-point it each round from BENCH_FULL.json so the drift
+    check tracks one-round deltas) — catches a regression in any query
+    added since round 1. Flags from both are merged (max ratio wins on
+    overlap).
     """
     out = {}
     flags = {}

@@ -675,6 +675,125 @@ def merge_upsert_sql(spark, sf):
     return rollup.unionAll(statrows)
 
 
+@q("table_constraints_gate",
+   "WITH sel AS (SELECT l_quantity FROM lineitem "
+   "WHERE l_orderkey % 4 IN (1, 2)) "
+   "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+   "CAST(2 AS BIGINT) AS version, CAST(1 AS INT) AS n_constraints, "
+   "CAST(1 AS INT) AS bad_append_rejected, "
+   "CAST(1 AS INT) AS bad_constraint_refused FROM sel")
+def table_constraints_gate(spark, sf):
+    """CHECK constraints as write-time data-quality gates (the Delta
+    CHECK contract on the versioned descendant of mura's CreateTable
+    IR, reference ``src/planner/logicalplan.rs:260-272``): create with
+    ``CHECK (l_quantity > 0)`` from one lineitem slice, append a
+    clean slice (passes — NULL quantities pass too, the SQL rule),
+    then (a) attempt a violating append, which must fail the job
+    executor-side WITHOUT publishing (version and rollup stand), and
+    (b) attempt to ADD a constraint existing rows already violate,
+    which must refuse after its one validation scan. The result pins
+    the surviving table's exact rollup + version + constraint count
+    against the parquet ground truth, plus both rejection flags — a
+    constraint gate that silently let either write through would
+    shift the rollup or the version."""
+    import os
+    import shutil
+
+    from mura_spark.sources.table_format import MuraTable
+    li = (table(spark, sf, "lineitem")
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").cast("decimal(18,2)")
+                   .alias("l_quantity"),
+                  F.col("l_extendedprice").cast("decimal(18,2)")
+                   .alias("l_extendedprice")))
+    path = ("/tmp/mura_suite_constraints_"
+            + os.path.basename(os.path.normpath(sf)))
+    shutil.rmtree(path, ignore_errors=True)
+    t = MuraTable.create(
+        spark, path, li.filter(F.col("l_orderkey") % 4 == 1),
+        constraints={"qty_positive": "l_quantity > 0"})
+    t.append(li.filter(F.col("l_orderkey") % 4 == 2))
+    bad_append = 0
+    try:
+        t.append(li.filter(F.col("l_orderkey") % 4 == 2).limit(50)
+                   .withColumn("l_quantity",
+                               F.lit(-5).cast("decimal(18,2)")))
+    except Exception as e:  # noqa: BLE001 — the gate marker is the pin
+        bad_append = int("[mura constraint]" in str(e))
+    bad_add = 0
+    try:
+        t.add_constraint("price_floor", "l_extendedprice > 1000000.0")
+    except ValueError as e:
+        bad_add = int("existing row violates" in str(e))
+    return (t.read()
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum("l_quantity").cast("double").alias("sum_qty"))
+             .select("n_rows", "sum_qty",
+                     F.lit(t._manifest()["version"]).cast("bigint")
+                      .alias("version"),
+                     F.lit(len(t.constraints())).cast("int")
+                      .alias("n_constraints"),
+                     F.lit(bad_append).cast("int")
+                      .alias("bad_append_rejected"),
+                     F.lit(bad_add).cast("int")
+                      .alias("bad_constraint_refused")))
+
+
+@q("table_clone_divergence",
+   "WITH base AS (SELECT p_partkey, p_size, "
+   "CAST(p_retailprice AS DECIMAL(18,2)) AS p FROM part), "
+   "src_head AS (SELECT p FROM base WHERE p_size >= 10), "
+   "clone_head AS (SELECT CASE WHEN p_size > 40 "
+   "THEN CAST(p + 5.00 AS DECIMAL(18,2)) ELSE p END AS p FROM base), "
+   "clone_v1 AS (SELECT p FROM base) "
+   "SELECT 'src_head' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(SUM(p) AS DOUBLE) AS total_price FROM src_head "
+   "UNION ALL SELECT 'clone_head', CAST(COUNT(*) AS BIGINT), "
+   "CAST(SUM(p) AS DOUBLE) FROM clone_head "
+   "UNION ALL SELECT 'clone_v1', CAST(COUNT(*) AS BIGINT), "
+   "CAST(SUM(p) AS DOUBLE) FROM clone_v1")
+def table_clone_divergence(spark, sf):
+    """Zero-copy CLONE independence (Delta shallow-clone semantics via
+    hard links — the dev-branch workflow): build a two-commit source
+    from part, clone it, then mutate BOTH sides — COW DELETE small
+    parts on the source, COW UPDATE (+$5 on large parts) on the clone.
+    The result pins three rollups against parquet ground truth: the
+    source head (delete applied, clone's update invisible), the clone
+    head (update applied, source's delete invisible), and the clone's
+    version 1 (the clone's own time travel still reaches the shared
+    snapshot). Any sharing leak — a clone commit touching source
+    manifests, or a COW rewrite mutating a hard-linked file in place
+    instead of writing a new one — shifts a rollup. No bytes move at
+    clone time (O(files) metadata), so branching a 100 TB table is
+    free."""
+    import os
+    import shutil
+
+    from mura_spark.sources.table_format import MuraTable
+    p = (table(spark, sf, "part")
+         .select("p_partkey", "p_size",
+                 F.col("p_retailprice").cast("decimal(18,2)")
+                  .alias("p")))
+    root = ("/tmp/mura_suite_clone_"
+            + os.path.basename(os.path.normpath(sf)))
+    shutil.rmtree(root, ignore_errors=True)
+    src = MuraTable.create(spark, f"{root}/src",
+                           p.filter(F.col("p_partkey") % 2 == 0))
+    src.append(p.filter(F.col("p_partkey") % 2 == 1))
+    clone = src.clone(f"{root}/clone")
+    src.delete_where(F.col("p_size") < 10)
+    clone.update_where(F.col("p_size") > 40,
+                       {"p": "CAST(p + 5.00 AS DECIMAL(18,2))"})
+    rollup = lambda df, name: (  # noqa: E731
+        df.agg(F.count(F.lit(1)).alias("n_rows"),
+               F.sum("p").cast("double").alias("total_price"))
+          .select(F.lit(name).alias("label"), "n_rows", "total_price"))
+    return (rollup(src.read(), "src_head")
+            .unionAll(rollup(clone.read(), "clone_head"))
+            .unionAll(rollup(clone.read(version=1), "clone_v1")))
+
+
 @q("source_federated_join",
    "SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) "
    "AS n_nations, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
