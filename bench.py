@@ -356,6 +356,11 @@ BENCH_QUERIES = [
     "bpe_top_merges",
     "table_changes_replay",
     "table_stream_sink_roundtrip",
+    # round-10 additions
+    "view_incremental_refresh",
+    "merge_upsert_sql",
+    "table_constraints_gate",
+    "table_clone_divergence",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM
