@@ -361,6 +361,7 @@ BENCH_QUERIES = [
     "merge_upsert_sql",
     "table_constraints_gate",
     "table_clone_divergence",
+    "table_lifecycle_maintenance",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

@@ -37,13 +37,13 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
 # Registry order == the order the driver verifies queries in, and the driver
 # checks only the FIRST 50 entries per round. Round-10 rotation: the whole
 # round-9 window came back green in CORRECTNESS_r09 (50/50 hash-match), so
-# it rotates out and the window takes ALL 30 never-driver-verified
+# it rotates out and the window takes ALL 31 never-driver-verified
 # queries (the 6kkk..6bbbb residue, the judge-ordered round-8/round-9
-# additions, and the four round-10 additions) — this drains the
-# never-verified debt to ZERO — plus 20 re-verification backfill slots
+# additions, and the five round-10 additions) — this drains the
+# never-verified debt to ZERO — plus 19 re-verification backfill slots
 # filled STALEST-FIRST (oldest last-green ledger, then registry order),
 # exactly as scripts/rotate_window.py computes: 18 rows last green in
-# CORRECTNESS_r01 and 2 rows last green in CORRECTNESS_r03 (the four
+# CORRECTNESS_r01 and 1 row last green in CORRECTNESS_r03 (the five
 # displaced r03 rows re-enter via the staleness policy below). The 5
 # rows-only approximate queries stay pinned to the registry tail (their
 # driver-facing signal is their deterministic companions).
@@ -59,7 +59,7 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
 # tests/test_registry.py::test_window_prefers_stalest_rows enforces the
 # ordering mechanically.
 _PRIORITY = [
-    # ---- never-driver-verified debt (30 rows — drains to zero) ----
+    # ---- never-driver-verified debt (31 rows — drains to zero) ----
     # round-6kkk: exactly-measured PQ asymmetric-distance recall
     "ann_pq_adc_recall_at10",
     # round-6lll: Hill heavy-tail index + rich-club coefficient
@@ -123,7 +123,10 @@ _PRIORITY = [
     # neither leaks into the other, clone time-travel reaches the
     # shared snapshot
     "table_clone_divergence",
-    # ---- stalest-green backfill (20 rows; 9 rounds of engine change
+    # round-10e: the maintenance lifecycle — compact (layout-only),
+    # tag, restore (undoes an incident), vacuum (tag retention honored)
+    "table_lifecycle_maintenance",
+    # ---- stalest-green backfill (19 rows; 9 rounds of engine change
     # since the r01 cohort was last driver-checked) ----
     "join_cross_small",  # backfill (r01)
     "setop_union",  # backfill (r01)
@@ -144,14 +147,14 @@ _PRIORITY = [
     "subquery_exists",  # backfill (r01)
     "subquery_correlated_scalar",  # backfill (r01)
     "text_token_stats",  # backfill (r03)
-    "text_quality",  # backfill (r03)
 ]
 
 #: Never-driver-verified overflow: EMPTY — the round-10 window above
-#: absorbs the last 26 pre-existing debt rows AND the four round-10
+#: absorbs the last 26 pre-existing debt rows AND the five round-10
 #: additions (view_incremental_refresh, merge_upsert_sql,
-#: table_constraints_gate, table_clone_divergence), which displaced
-#: the four least-stale backfill slots per the
+#: table_constraints_gate, table_clone_divergence,
+#: table_lifecycle_maintenance), which displaced the five
+#: least-stale backfill slots per the
 #: never-verified-outranks-backfill rule. Future new queries append
 #: here and take the next window's head.
 _NEXT_WINDOW = []

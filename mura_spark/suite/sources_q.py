@@ -794,6 +794,68 @@ def table_clone_divergence(spark, sf):
             .unionAll(rollup(clone.read(version=1), "clone_v1")))
 
 
+@q("table_lifecycle_maintenance",
+   "WITH base AS (SELECT c_custkey, "
+   "CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer), "
+   "tagged AS (SELECT bal FROM base WHERE c_custkey % 3 IN (0, 1)) "
+   "SELECT 'head' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(SUM(bal) AS DOUBLE) AS total_bal, CAST(6 AS BIGINT) "
+   "AS version, CAST(1 AS INT) AS vacuum_reclaimed FROM base "
+   "UNION ALL SELECT 'tagged', CAST(COUNT(*) AS BIGINT), "
+   "CAST(SUM(bal) AS DOUBLE), CAST(6 AS BIGINT), CAST(1 AS INT) "
+   "FROM tagged")
+def table_lifecycle_maintenance(spark, sf):
+    """The versioned table's maintenance lifecycle in one pinned
+    sequence — compact, tag, restore, vacuum (the operational verbs
+    above mura's CreateTable IR, reference
+    ``src/planner/logicalplan.rs:260-272``): build customer in three
+    commits (small files), TAG the two-commit snapshot, COMPACT the
+    full table (layout-only: the rollup must not move), then simulate
+    an incident (+$1000 on every balance) and RESTORE the pre-incident
+    version (a metadata commit referencing the compacted files — no
+    data copied), and finally VACUUM down to 2 retained versions. The
+    result pins: the head rollup == the ORIGINAL parquet ground truth
+    (compact changed nothing, restore undid the incident), the tagged
+    snapshot still readable AFTER vacuum with its exact two-slice
+    rollup (tag retention is GC's hard promise), the version counter
+    (create+append+append+compact+update+restore = 6), and that
+    vacuum actually reclaimed files (the incident's COW rewrite and
+    the pre-compact third append become unreferenced). At 100 TB:
+    compact bounds manifest growth, restore is O(1) metadata, vacuum
+    is the only byte-deleting operation and tags carve reproducible
+    training snapshots out of its retention window."""
+    import os
+    import shutil
+
+    from mura_spark.sources.table_format import MuraTable
+    c = (table(spark, sf, "customer")
+         .select("c_custkey",
+                 F.col("c_acctbal").cast("decimal(18,2)").alias("bal")))
+    path = ("/tmp/mura_suite_lifecycle_"
+            + os.path.basename(os.path.normpath(sf)))
+    shutil.rmtree(path, ignore_errors=True)
+    t = MuraTable.create(spark, path,
+                         c.filter(F.col("c_custkey") % 3 == 0))
+    t.append(c.filter(F.col("c_custkey") % 3 == 1))          # v2
+    t.tag("baseline", version=2)
+    t.append(c.filter(F.col("c_custkey") % 3 == 2))          # v3
+    t.compact(target_files=2)                                # v4
+    t.update_where(F.lit(True),                              # v5
+                   {"bal": "CAST(bal + 1000.00 AS DECIMAL(18,2))"})
+    t.restore(4)                                             # v6
+    reclaimed = t.vacuum(retain_versions=2)
+    version = t._manifest()["version"]
+    rollup = lambda df, name: (  # noqa: E731
+        df.agg(F.count(F.lit(1)).alias("n_rows"),
+               F.sum("bal").cast("double").alias("total_bal"))
+          .select(F.lit(name).alias("label"), "n_rows", "total_bal",
+                  F.lit(version).cast("bigint").alias("version"),
+                  F.lit(int(reclaimed > 0)).cast("int")
+                   .alias("vacuum_reclaimed")))
+    return (rollup(t.read(), "head")
+            .unionAll(rollup(t.read(tag="baseline"), "tagged")))
+
+
 @q("source_federated_join",
    "SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) "
    "AS n_nations, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
