@@ -362,6 +362,8 @@ BENCH_QUERIES = [
     "table_constraints_gate",
     "table_clone_divergence",
     "table_lifecycle_maintenance",
+    "table_bloom_lookup_skipping",
+    "table_schema_evolution",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

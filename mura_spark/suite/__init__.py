@@ -37,14 +37,14 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
 # Registry order == the order the driver verifies queries in, and the driver
 # checks only the FIRST 50 entries per round. Round-10 rotation: the whole
 # round-9 window came back green in CORRECTNESS_r09 (50/50 hash-match), so
-# it rotates out and the window takes ALL 31 never-driver-verified
+# it rotates out and the window takes ALL 33 never-driver-verified
 # queries (the 6kkk..6bbbb residue, the judge-ordered round-8/round-9
-# additions, and the five round-10 additions) — this drains the
-# never-verified debt to ZERO — plus 19 re-verification backfill slots
+# additions, and the seven round-10 additions) — this drains the
+# never-verified debt to ZERO — plus 17 re-verification backfill slots
 # filled STALEST-FIRST (oldest last-green ledger, then registry order),
-# exactly as scripts/rotate_window.py computes: 18 rows last green in
-# CORRECTNESS_r01 and 1 row last green in CORRECTNESS_r03 (the five
-# displaced r03 rows re-enter via the staleness policy below). The 5
+# exactly as scripts/rotate_window.py computes: all 17 last green in
+# CORRECTNESS_r01 (the displaced r03 rows re-enter via the staleness
+# policy below). The 5
 # rows-only approximate queries stay pinned to the registry tail (their
 # driver-facing signal is their deterministic companions).
 #
@@ -126,7 +126,15 @@ _PRIORITY = [
     # round-10e: the maintenance lifecycle — compact (layout-only),
     # tag, restore (undoes an incident), vacuum (tag retention honored)
     "table_lifecycle_maintenance",
-    # ---- stalest-green backfill (19 rows; 9 rounds of engine change
+    # round-10f: bloom-filter equality pruning on the versioned table —
+    # lookup rollup vs ground truth + pinned prunes-at-all and
+    # prunes-strictly-more-than-minmax flags
+    "table_bloom_lookup_skipping",
+    # round-10g: ADD-COLUMN schema evolution — pre-evolution files read
+    # the new column as typed NULL; unmerged-new-column and
+    # type-change refusals ride as pinned flags
+    "table_schema_evolution",
+    # ---- stalest-green backfill (17 rows; 9 rounds of engine change
     # since the r01 cohort was last driver-checked) ----
     "join_cross_small",  # backfill (r01)
     "setop_union",  # backfill (r01)
@@ -145,8 +153,6 @@ _PRIORITY = [
     "date_functions",  # backfill (r01)
     "subquery_scalar",  # backfill (r01)
     "subquery_exists",  # backfill (r01)
-    "subquery_correlated_scalar",  # backfill (r01)
-    "text_token_stats",  # backfill (r03)
 ]
 
 #: Never-driver-verified overflow: EMPTY — the round-10 window above

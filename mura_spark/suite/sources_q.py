@@ -856,6 +856,182 @@ def table_lifecycle_maintenance(spark, sf):
             .unionAll(rollup(t.read(tag="baseline"), "tagged")))
 
 
+@q("table_bloom_lookup_skipping",
+   "WITH o AS (SELECT o_orderkey, o_custkey, "
+   "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), "
+   "mid AS (SELECT (MIN(o_custkey) + MAX(o_custkey)) // 2 AS m FROM o), "
+   "spread AS (SELECT o_custkey, "
+   "COUNT(DISTINCT o_orderkey % 4) AS ns FROM o GROUP BY 1), "
+   "best AS (SELECT MIN(ns) AS mn FROM spread), "
+   "needle AS (SELECT COALESCE("
+   "(SELECT MAX(o_custkey) FROM spread, best, mid "
+   "WHERE ns = mn AND o_custkey <= m), "
+   "(SELECT MIN(o_custkey) FROM spread, best WHERE ns = mn)) AS k) "
+   "SELECT CAST(n.k AS BIGINT) AS needle_custkey, "
+   "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(SUM(o.price) AS DOUBLE) AS total_price, "
+   "CAST(4 AS INT) AS files_total, "
+   "CAST(1 AS INT) AS pruned_by_bloom, "
+   "CAST(1 AS INT) AS bloom_beats_minmax "
+   "FROM o, needle n WHERE o.o_custkey = n.k GROUP BY 1")
+def table_bloom_lookup_skipping(spark, sf):
+    """Per-file bloom-filter equality pruning — the needle-in-100 TB
+    read path on the versioned descendant of mura's CreateTable IR
+    (reference ``src/planner/logicalplan.rs:260-272``): write orders
+    as FOUR one-file commits sliced by ``o_orderkey % 4`` with a
+    bloom filter tracked on ``o_custkey`` (high-NDV, UNCLUSTERED —
+    every file's min/max spans nearly the full custkey range, so
+    footer stats alone cannot prune an equality probe). The needle is
+    chosen deterministically on BOTH engines as a custkey touching
+    the FEWEST slices (preferring the largest such key at or below
+    the key-range midpoint, else the smallest), so at least one file
+    holds no row for it. The result pins the
+    lookup-read's rollup against raw-parquet ground truth (bloom
+    pruning must never drop the true file) plus two audited flags:
+    the manifest-level lookup pruned at least one file, and it pruned
+    STRICTLY more than min/max range skipping alone — the bloom
+    earning its 16 KiB. At 100 TB the lookup answers from driver-side
+    manifest metadata before the engine lists or opens anything."""
+    import os
+    import shutil
+
+    from mura_spark.sources.table_format import MuraTable
+    o = (table(spark, sf, "orders")
+         .select("o_orderkey", "o_custkey",
+                 F.col("o_totalprice").cast("decimal(18,2)")
+                  .alias("price")))
+    mid = o.agg(F.floor((F.min("o_custkey") + F.max("o_custkey")) / 2)
+                 .alias("m")).collect()[0]["m"]
+    spread = (o.groupBy("o_custkey")
+               .agg(F.countDistinct(F.col("o_orderkey") % 4)
+                     .alias("ns")))
+    mn = spread.agg(F.min("ns").alias("mn")).collect()[0]["mn"]
+    cand = spread.filter(F.col("ns") == mn).agg(
+        F.max(F.when(F.col("o_custkey") <= mid, F.col("o_custkey")))
+         .alias("a"),
+        F.min("o_custkey").alias("b")).collect()[0]
+    needle = cand["a"] if cand["a"] is not None else cand["b"]
+    # NULL-safe slice routing: a NULL orderkey still lands in a file
+    # (slice 0) so the table holds every source row
+    slice_of = F.coalesce(F.col("o_orderkey") % 4, F.lit(0))
+    path = ("/tmp/mura_suite_bloom_"
+            + os.path.basename(os.path.normpath(sf)))
+    shutil.rmtree(path, ignore_errors=True)
+    t = MuraTable.create(spark, path,
+                         o.filter(slice_of == 0).repartition(1),
+                         bloom_cols=["o_custkey"])
+    for i in (1, 2, 3):
+        t.append(o.filter(slice_of == i).repartition(1))
+    m = t._manifest()
+    files = m["files"]
+    range_surv = [f for f in files if MuraTable._file_survives(
+        m.get("stats", {}).get(f), {"o_custkey": (needle, needle)})]
+    look_surv = [f for f in files if MuraTable._file_survives_lookup(
+        m, f, {"o_custkey": needle})]
+    return (t.read(lookup={"o_custkey": needle})
+             .filter(F.col("o_custkey") == needle)
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum("price").cast("double").alias("total_price"))
+             .select(F.lit(needle).cast("bigint")
+                      .alias("needle_custkey"),
+                     "n_rows", "total_price",
+                     F.lit(len(files)).cast("int").alias("files_total"),
+                     F.lit(int(len(look_surv) < len(files)))
+                      .cast("int").alias("pruned_by_bloom"),
+                     F.lit(int(len(look_surv) < len(range_surv)))
+                      .cast("int").alias("bloom_beats_minmax")))
+
+
+@q("table_schema_evolution",
+   "WITH li AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS qty, "
+   "CAST(l_discount AS DECIMAL(18,2)) AS disc, "
+   "COALESCE(l_orderkey % 3, 0) AS s FROM lineitem), "
+   "evolved AS (SELECT qty, CASE WHEN s = 1 THEN disc END AS disc "
+   "FROM li) "
+   "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(SUM(qty) AS DOUBLE) AS sum_qty, "
+   "CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_null_disc, CAST(SUM(disc) AS DOUBLE) AS sum_disc, "
+   "CAST(3 AS BIGINT) AS version, CAST(3 AS INT) AS n_cols, "
+   "CAST(1 AS INT) AS unmerged_refused, "
+   "CAST(1 AS INT) AS type_change_refused FROM evolved")
+def table_schema_evolution(spark, sf):
+    """ADD-COLUMN schema evolution (the Delta mergeSchema rule on the
+    versioned descendant of mura's CreateTable IR, reference
+    ``src/planner/logicalplan.rs:260-272``): create lineitem with
+    (l_orderkey, qty), evolve by appending a slice that CARRIES a new
+    ``disc`` column under ``merge_schema=True``, then append a third
+    slice that fills ``disc`` with typed NULL (post-evolution frames
+    must carry every table column). Files written before the
+    evolution read the new column as typed NULL — the head rollup
+    pins exactly which rows carry a discount against raw-parquet
+    ground truth. Two gate refusals ride as pinned flags: a new
+    column WITHOUT merge_schema must refuse, and a type-changed
+    column must refuse even WITH it (evolution is add-only). Both
+    refusals happen in schema validation BEFORE any file is written,
+    so the version counter (create + 2 surviving appends = 3) is
+    itself a pin that failed commits published nothing. At 100 TB an
+    evolution rewrites zero bytes — old files are reinterpreted, not
+    migrated."""
+    import os
+    import shutil
+
+    from mura_spark.sources.table_format import MuraTable
+    li = (table(spark, sf, "lineitem")
+          .select("l_orderkey",
+                  F.col("l_quantity").cast("decimal(18,2)")
+                   .alias("qty"),
+                  F.col("l_discount").cast("decimal(18,2)")
+                   .alias("disc"),
+                  F.coalesce(F.col("l_orderkey") % 3, F.lit(0))
+                   .alias("s")))
+    path = ("/tmp/mura_suite_evolve_"
+            + os.path.basename(os.path.normpath(sf)))
+    shutil.rmtree(path, ignore_errors=True)
+    t = MuraTable.create(spark, path,
+                         li.filter(F.col("s") == 0)
+                           .select("l_orderkey", "qty"))
+    unmerged_refused = 0
+    try:
+        t.append(li.filter(F.col("s") == 1)
+                   .select("l_orderkey", "qty", "disc"))
+    except ValueError as e:
+        unmerged_refused = int("merge_schema" in str(e))
+    t.append(li.filter(F.col("s") == 1)                     # v2
+               .select("l_orderkey", "qty", "disc"),
+             merge_schema=True)
+    type_change_refused = 0
+    try:
+        t.append(li.filter(F.col("s") == 2)
+                   .select("l_orderkey",
+                           F.col("qty").cast("double").alias("qty"),
+                           "disc"),
+                 merge_schema=True)
+    except ValueError as e:
+        type_change_refused = int("type changes are not supported"
+                                  in str(e))
+    t.append(li.filter(F.col("s") == 2)                     # v3
+               .select("l_orderkey", "qty",
+                       F.lit(None).cast("decimal(18,2)")
+                        .alias("disc")))
+    head = t.read()
+    return (head.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").cast("double").alias("sum_qty"),
+                F.sum(F.when(F.col("disc").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_null_disc"),
+                F.sum("disc").cast("double").alias("sum_disc"))
+            .select("n_rows", "sum_qty", "n_null_disc", "sum_disc",
+                    F.lit(t._manifest()["version"]).cast("bigint")
+                     .alias("version"),
+                    F.lit(len(head.columns)).cast("int")
+                     .alias("n_cols"),
+                    F.lit(unmerged_refused).cast("int")
+                     .alias("unmerged_refused"),
+                    F.lit(type_change_refused).cast("int")
+                     .alias("type_change_refused")))
+
+
 @q("source_federated_join",
    "SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) "
    "AS n_nations, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
