@@ -364,6 +364,7 @@ BENCH_QUERIES = [
     "table_lifecycle_maintenance",
     "table_bloom_lookup_skipping",
     "table_schema_evolution",
+    "table_txn_idempotent_writes",
 ]
 
 #: Per-query timing = min of N_ROUNDS runs (steady-state; local-mode JVM

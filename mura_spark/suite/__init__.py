@@ -37,12 +37,12 @@ _MODULES = [textops, packing_q, sources_q, dedup_q, similarity_q, events_q,
 # Registry order == the order the driver verifies queries in, and the driver
 # checks only the FIRST 50 entries per round. Round-10 rotation: the whole
 # round-9 window came back green in CORRECTNESS_r09 (50/50 hash-match), so
-# it rotates out and the window takes ALL 33 never-driver-verified
+# it rotates out and the window takes ALL 34 never-driver-verified
 # queries (the 6kkk..6bbbb residue, the judge-ordered round-8/round-9
-# additions, and the seven round-10 additions) — this drains the
-# never-verified debt to ZERO — plus 17 re-verification backfill slots
+# additions, and the eight round-10 additions) — this drains the
+# never-verified debt to ZERO — plus 16 re-verification backfill slots
 # filled STALEST-FIRST (oldest last-green ledger, then registry order),
-# exactly as scripts/rotate_window.py computes: all 17 last green in
+# exactly as scripts/rotate_window.py computes: all 16 last green in
 # CORRECTNESS_r01 (the displaced r03 rows re-enter via the staleness
 # policy below). The 5
 # rows-only approximate queries stay pinned to the registry tail (their
@@ -134,7 +134,11 @@ _PRIORITY = [
     # the new column as typed NULL; unmerged-new-column and
     # type-change refusals ride as pinned flags
     "table_schema_evolution",
-    # ---- stalest-green backfill (17 rows; 9 rounds of engine change
+    # round-10h: idempotent transactional writes — txn-stamped replays
+    # of append AND overwrite must commit nothing (the batch
+    # exactly-once contract; the streaming-sink row pins the stream one)
+    "table_txn_idempotent_writes",
+    # ---- stalest-green backfill (16 rows; 9 rounds of engine change
     # since the r01 cohort was last driver-checked) ----
     "join_cross_small",  # backfill (r01)
     "setop_union",  # backfill (r01)
@@ -152,7 +156,6 @@ _PRIORITY = [
     "agg_median",  # backfill (r01)
     "date_functions",  # backfill (r01)
     "subquery_scalar",  # backfill (r01)
-    "subquery_exists",  # backfill (r01)
 ]
 
 #: Never-driver-verified overflow: EMPTY — the round-10 window above

@@ -1032,6 +1032,68 @@ def table_schema_evolution(spark, sf):
                      .alias("type_change_refused")))
 
 
+@q("table_txn_idempotent_writes",
+   "WITH base AS (SELECT c_custkey, "
+   "CAST(c_acctbal AS DECIMAL(18,2)) AS bal, "
+   "c_custkey % 4 AS s FROM customer) "
+   "SELECT 'head' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+   "CAST(SUM(bal) AS DOUBLE) AS total_bal, CAST(4 AS BIGINT) "
+   "AS version, CAST(2 AS INT) AS n_replays_skipped "
+   "FROM base WHERE s IN (0, 2, 3) "
+   "UNION ALL SELECT 'pre_overwrite', CAST(COUNT(*) AS BIGINT), "
+   "CAST(SUM(bal) AS DOUBLE), CAST(4 AS BIGINT), CAST(2 AS INT) "
+   "FROM base WHERE s IN (0, 1)")
+def table_txn_idempotent_writes(spark, sf):
+    """Idempotent transactional writes — the blind-retry exactly-once
+    contract for BATCH pipelines (Delta's txnAppId/txnVersion on the
+    versioned descendant of mura's CreateTable IR, reference
+    ``src/planner/logicalplan.rs:260-272``; the streaming sink row
+    pins the same promise for streams): every commit carries the
+    application's own monotonic version, and a commit stamped at or
+    below the app's recorded high-water mark is a REPLAY that must
+    commit NOTHING. The sequence: create (v1), append slice 1 as
+    txn('etl', 1) (v2), REPLAY txn('etl', 1) with different data —
+    skipped; overwrite with slices 2+3 as txn('etl', 2) (v3), REPLAY
+    txn('etl', 2) — skipped; append slice 0 as txn('etl', 3) (v4).
+    The result pins the head rollup (slices 0, 2, 3 — each exactly
+    once: a replay that slipped through would double rows), the
+    pre-overwrite snapshot via time travel (slices 0, 1), the version
+    counter (4 — skipped replays are not commits), and the two
+    skip flags. At 100 TB this is what makes a failed orchestrator
+    retry safe without any external dedup bookkeeping."""
+    import os
+    import shutil
+
+    from mura_spark.sources.table_format import MuraTable
+    c = (table(spark, sf, "customer")
+         .select("c_custkey",
+                 F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+                 (F.col("c_custkey") % 4).alias("s")))
+    path = ("/tmp/mura_suite_txn_"
+            + os.path.basename(os.path.normpath(sf)))
+    shutil.rmtree(path, ignore_errors=True)
+    t = MuraTable.create(spark, path, c.filter(F.col("s") == 0))
+    v2 = t.append(c.filter(F.col("s") == 1), txn=("etl", 1))
+    replay_a = t.append(c.filter(F.col("s") == 2), txn=("etl", 1))
+    skip_append = int(replay_a == v2)
+    v3 = t.overwrite(c.filter(F.col("s").isin(2, 3)), txn=("etl", 2))
+    replay_o = t.overwrite(c.filter(F.col("s") == 0), txn=("etl", 2))
+    skip_overwrite = int(replay_o == v3)
+    t.append(c.filter(F.col("s") == 0), txn=("etl", 3))      # v4
+    version = t._manifest()["version"]
+    n_skipped = skip_append + skip_overwrite
+    rollup = lambda df, name: (  # noqa: E731
+        df.agg(F.count(F.lit(1)).alias("n_rows"),
+               F.sum("bal").cast("double").alias("total_bal"))
+          .select(F.lit(name).alias("label"), "n_rows", "total_bal",
+                  F.lit(version).cast("bigint").alias("version"),
+                  F.lit(n_skipped).cast("int")
+                   .alias("n_replays_skipped")))
+    return (rollup(t.read().drop("s"), "head")
+            .unionAll(rollup(t.read(version=2).drop("s"),
+                             "pre_overwrite")))
+
+
 @q("source_federated_join",
    "SELECT r.r_name, CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) "
    "AS n_nations, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
