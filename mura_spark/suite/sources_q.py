@@ -912,7 +912,10 @@ def table_bloom_lookup_skipping(spark, sf):
         F.min("o_custkey").alias("b")).collect()[0]
     needle = cand["a"] if cand["a"] is not None else cand["b"]
     # NULL-safe slice routing: a NULL orderkey still lands in a file
-    # (slice 0) so the table holds every source row
+    # (slice 0) so the table holds every source row. repartition(1)
+    # pins a one-file-per-commit layout so the pruning-audit flags are
+    # deterministic — production commits write many files, and both
+    # bloom and min/max pruning are per-file regardless of layout.
     slice_of = F.coalesce(F.col("o_orderkey") % 4, F.lit(0))
     path = ("/tmp/mura_suite_bloom_"
             + os.path.basename(os.path.normpath(sf)))
