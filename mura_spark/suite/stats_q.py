@@ -1757,10 +1757,15 @@ def _deming_sql() -> str:
         "CAST(floor(((cyy - cxx) + sqrt((cyy - cxx) * (cyy - cxx) "
         "+ 4.0 * cxy * cxy)) / (2.0 * cxy) * 1000000.0 + 0.5) "
         "AS BIGINT) END AS slope_micro, "
+        # centi, not micro: the intercept's magnitude (slope * mean x,
+        # ~1e9 cents on the TPC-H scales) would need 16 significant
+        # digits at micro precision — beyond IEEE double entirely, so
+        # the two engines' last-ulp decimal->double differences broke
+        # the sf0.1 hash. Centi keeps ~12 digits (~900x error margin).
         "CASE WHEN cxy <> 0.0 THEN "
         "CAST(floor((my - ((cyy - cxx) + sqrt((cyy - cxx) * (cyy - cxx) "
-        "+ 4.0 * cxy * cxy)) / (2.0 * cxy) * mx) * 1000000.0 + 0.5) "
-        "AS BIGINT) END AS intercept_micro FROM c")
+        "+ 4.0 * cxy * cxy)) / (2.0 * cxy) * mx) * 100.0 + 0.5) "
+        "AS BIGINT) END AS intercept_centi FROM c")
 
 
 
