@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 from mura_spark.catalog import _fix_ns_timestamps, _ns_timestamp_columns
 
 
+#: (path, mtime) → (StructType, ns-timestamp column list). Metadata only —
+#: the schema a fresh ``spark.read.parquet`` would infer — never data or
+#: results; the mtime key invalidates the entry if the file changes. This
+#: is what any table catalog persists: without it every ``table()`` call
+#: pays a JVM footer-based schema inference plus a pyarrow footer read
+#: (~95 ms driver-side per call, measured — ~25% of the whole sf0.1 bench
+#: across ~1000 loads). Guide §5: the driver should do almost no work on
+#: the query path; §6: avoid repeated listing/footer metadata reads.
+_SCHEMA_CACHE: dict[tuple[str, float | None], tuple] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test-data table with the ns-timestamp fix applied.
 
@@ -34,10 +45,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     their first shuffle, and an up-front repartition of the full rows
     measures strictly slower. Operators whose first stage is compute-heavy
     narrow work (pandas kernels, HOF scoring) widen their own inputs via
-    :func:`mura_spark.sources.parquet.ensure_min_partitions`."""
+    :func:`mura_spark.sources.parquet.ensure_min_partitions`.
+
+    The parquet *schema* (not data) is memoized per (path, mtime) so
+    repeated loads skip schema inference — identical frames either way
+    (the cached schema IS the inferred one, pinned in tests)."""
+    import os
     path = f"{sf_dir}/{name}.parquet"
-    return _fix_ns_timestamps(spark.read.parquet(path),
-                              _ns_timestamp_columns(path))
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, None)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is None:
+        df = spark.read.parquet(path)
+        hit = (df.schema, _ns_timestamp_columns(path))
+        _SCHEMA_CACHE[key] = hit
+        return _fix_ns_timestamps(df, hit[1])
+    schema, ns_cols = hit
+    return _fix_ns_timestamps(spark.read.schema(schema).parquet(path),
+                              ns_cols)
 
 
 def dsum(col: str | Column, scale: int = 2) -> Column:
