@@ -543,9 +543,17 @@ class MuraTable:
             base = os.path.join(self.path, *parts[:2])  # _data/<commit>
             by_commit.setdefault(base, []).append(
                 os.path.join(self.path, rel))
+        # the manifest schema restricted to columns this commit's files
+        # can serve: an explicit reader schema skips the per-commit
+        # footer schema inference (a driver-side round per commit per
+        # read — guide §5/§6), and the reader itself fills columns the
+        # files predate with typed NULLs, which the select below pins
+        # anyway. Partition columns resolve from the hive layout under
+        # basePath exactly as with the inferred path.
         out = None
         for base, paths in sorted(by_commit.items()):
-            df = (self.spark.read.option("basePath", base)
+            df = (self.spark.read.schema(schema)
+                  .option("basePath", base)
                   .parquet(*paths))
             have = set(df.columns)
             # cast pins hive partition-INFERRED types (e.g. "1" -> int)
