@@ -46,6 +46,16 @@ LSH_BANDS = 4
 _AUTO_BASE_N = 2000
 _AUTO_MAX_BITS = 12
 
+#: Corpus size at which embedding_dup_pairs switches from the direct band
+#: self-join (vectors ride the candidate join — cheapest while the whole
+#: corpus broadcasts and nothing big shuffles) to the proxy shape
+#: (candidate mining on (id, band) only, vectors re-attached by id —
+#: guide §8). Interleaved A/B at jittered replication (r10): direct wins
+#: 2.6× at 2 k vectors, parity at 16 k, and the proxy's payload-shuffle
+#: saving grows linearly in n while its extra-stage cost stays constant,
+#: so the crossover sits just past the measured parity point.
+_PAIRS_PROXY_MIN_N = 32768
+
 
 def _auto_band_bits(n: int) -> int:
     """Band width (bits) for a corpus of n vectors: 4 at ≤2k, +1 per
@@ -233,6 +243,16 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
         band_bits = _auto_band_bits(corpus_rows if corpus_rows is not None
                                     else approx_row_count(corpus))
     planes = _hyperplanes(dim, n_bands * band_bits, seed)
+    # Vectors ride the band join here DELIBERATELY: the query panel is
+    # small by contract (a batch of probes — the same bound
+    # topk_bruteforce's broadcast relies on), so the planner broadcasts
+    # the query side and the corpus streams through the join unshuffled;
+    # the candidate `distinct` is bounded by |queries| × bucketmates.
+    # The guide-§8 "proxy candidates then re-attach vectors by id"
+    # restructure was implemented and interleave-A/B-measured (r10):
+    # 1.6 s → 6.5 s at a 16 k corpus — the re-attach joins add real
+    # shuffles where the current shape has none. Rejected; see
+    # embedding_dup_pairs for the self-join case where it DOES win.
     q = (_with_bands(queries.select(F.col(query_id).alias("__qid"),
                                     F.col(vec_col).alias("__qvec")),
                      "__qvec", planes, n_bands)
@@ -503,22 +523,51 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
         # Sizing count from the hint / parquet footers, not a full scan.
         # band_bits=0 = degenerate single-bucket mode: exhaustive candidates
         # through the same band join, exact output (see _with_bands).
+        n = corpus_rows if corpus_rows is not None else approx_row_count(df)
         if band_bits is None:
-            band_bits = _auto_band_bits(corpus_rows if corpus_rows is not None
-                                        else approx_row_count(df))
+            band_bits = _auto_band_bits(n)
         planes = _hyperplanes(len(first[0]), LSH_BANDS * band_bits)
         banded = _with_bands(df.select(id_col, vec_col), vec_col, planes)
-        ea = banded.select(F.col(id_col).alias("id_a"),
-                           F.col(vec_col).alias("__va"),
-                           norm(F.col(vec_col)).alias("__na"),
-                           F.explode("__bands").alias("bk"))
-        eb = banded.select(F.col(id_col).alias("id_b"),
-                           F.col(vec_col).alias("__vb"),
-                           norm(F.col(vec_col)).alias("__nb"),
-                           F.explode("__bands").alias("bk"))
-        pairs = (ea.join(eb, "bk").filter(F.col("id_a") < F.col("id_b"))
-                   .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
-                   .distinct())
+        if n >= _PAIRS_PROXY_MIN_N:
+            # Large corpus — candidate mining moves (id, band_key)
+            # proxies only (guide §8: every shuffle but the last moves
+            # a lightweight proxy): the band self-join and the pair
+            # `distinct` never touch a vector, and the full vectors
+            # re-attach afterwards through two id-keyed joins, so each
+            # vector crosses the network once per attach join instead
+            # of riding every band replica through the candidate join
+            # AND its distinct. Identical pair set (ids unique per the
+            # vec_id key contract) and identical cosine arithmetic —
+            # only the shuffle payload changes. Below the threshold the
+            # direct shape wins instead: the whole corpus broadcasts,
+            # nothing big shuffles, and the proxy shape's three extra
+            # stages are pure overhead (interleaved A/B at sf0.1:
+            # 1.6 s vs 4.2 s at 2 k rows, parity at 16 k, proxy ahead
+            # beyond — the fixed stage cost is constant while the
+            # payload-shuffle saving grows linearly in n).
+            ea = banded.select(F.col(id_col).alias("id_a"),
+                               F.explode("__bands").alias("bk"))
+            eb = ea.select(F.col("id_a").alias("id_b"), "bk")
+            cand = (ea.join(eb, "bk")
+                      .filter(F.col("id_a") < F.col("id_b"))
+                      .select("id_a", "id_b").distinct())
+            pairs = (cand.join(a, "id_a").join(b, "id_b")
+                         .select("id_a", "id_b",
+                                 "__va", "__vb", "__na", "__nb"))
+        else:
+            ea = banded.select(F.col(id_col).alias("id_a"),
+                               F.col(vec_col).alias("__va"),
+                               norm(F.col(vec_col)).alias("__na"),
+                               F.explode("__bands").alias("bk"))
+            eb = banded.select(F.col(id_col).alias("id_b"),
+                               F.col(vec_col).alias("__vb"),
+                               norm(F.col(vec_col)).alias("__nb"),
+                               F.explode("__bands").alias("bk"))
+            pairs = (ea.join(eb, "bk")
+                       .filter(F.col("id_a") < F.col("id_b"))
+                       .select("id_a", "id_b",
+                               "__va", "__vb", "__na", "__nb")
+                       .distinct())
     else:
         raise ValueError(f"unknown method {method!r}")
     return (pairs.select("id_a", "id_b",

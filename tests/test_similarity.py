@@ -124,6 +124,30 @@ def test_embedding_dup_methods_agree_on_high_threshold(spark):
     assert lsh == exact
 
 
+def test_lsh_proxy_shape_bit_identical_to_direct(spark):
+    """embedding_dup_pairs switches to a proxy candidate-mining shape
+    (ids+bands shuffled, vectors re-attached by id) above
+    _PAIRS_PROXY_MIN_N. Same band_bits + flipped corpus_rows must give
+    bit-identical pairs and sims — only the shuffle payload may differ."""
+    import random
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, list(v)) for i, v in enumerate(base[:8])]  # exact dups
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(method="lsh", band_bits=4)
+    direct = {(r.id_a, r.id_b): r.sim
+              for r in similarity.embedding_dup_pairs(
+                  df, 0.5, corpus_rows=len(rows), **kw).collect()}
+    proxy = {(r.id_a, r.id_b): r.sim
+             for r in similarity.embedding_dup_pairs(
+                 df, 0.5,
+                 corpus_rows=similarity._PAIRS_PROXY_MIN_N + 1,
+                 **kw).collect()}
+    assert len(direct) >= 8
+    assert proxy == direct
+
+
 def test_blocked_pairs_bit_identical_to_exact(embeddings):
     """The blocked applyInPandas path must reproduce the HOF 'exact' path
     bit-for-bit (same pairs, same sim doubles) — the property the oracle
