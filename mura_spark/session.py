@@ -39,6 +39,12 @@ DEFAULT_CONF: dict[str, str] = {
     # ANSI on: cast overflow / bad parse errors match the DuckDB oracle's
     # strictness (SURVEY.md §5 item 4).
     "spark.sql.ansi.enabled": "true",
+    # spark.sql.join.preferSortMergeJoin deliberately stays at its
+    # default (true): a global shuffled-hash preference was A/B-measured
+    # both ways — it helped the exploded-candidate dedup joins (~0.65×)
+    # but regressed the PCA/stats/LPA shapes (1.3–2.5×) and the full
+    # bench net was negative. Targeted shuffle_hash hints on the joins
+    # where it measurably wins live in operators/dedup.py instead.
     # Read TIMESTAMP(NANOS) parquet columns as nano-longs instead of failing;
     # the catalog converts them back to (µs-truncated) timestamps on load.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
