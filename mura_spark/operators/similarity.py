@@ -129,6 +129,38 @@ def _partial_topk(scored: DataFrame, k: int, query_id: str) -> DataFrame:
     return scored.mapInPandas(kernel, schema=scored.schema)
 
 
+def _partial_topk_multi(scored: DataFrame, k: int, query_id: str,
+                        sim_cols: list[str]) -> DataFrame:
+    """:func:`_partial_topk` generalized to several similarity columns
+    scored in ONE pass: per input partition keep, for each query id, the
+    top-k rows under EVERY sim column (union, deduped on neighbor_id —
+    ≤ k·len(sim_cols) rows per query per partition). Each metric's
+    global top-k is a subset of its per-partition top-k, so a downstream
+    per-metric window over this pool ranks identically to one fed by a
+    dedicated single-metric pass — while the corpus crosses the Python
+    boundary once instead of once per metric (guide §4.1)."""
+    import pandas as pd
+
+    cols = scored.columns
+
+    def kernel(batches):
+        carry = None
+        for pdf in batches:
+            pool = (pdf if carry is None
+                    else pd.concat((carry, pdf), ignore_index=True))
+            keep = [
+                pool.sort_values([sc, "neighbor_id"],
+                                 ascending=[False, True])
+                    .groupby(query_id, sort=False).head(k)
+                for sc in sim_cols]
+            carry = (pd.concat(keep, ignore_index=True)
+                       .drop_duplicates(subset=[query_id, "neighbor_id"]))
+        if carry is not None:
+            yield carry[cols]
+
+    return scored.mapInPandas(kernel, schema=scored.schema)
+
+
 def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
                     query_id: str = "query_id", corpus_id: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

@@ -337,26 +337,80 @@ def emb_matryoshka_agreement(spark, sf):
     exact nearest neighbor under the FIRST-32-DIM prefix agree with the
     full-64-dim neighbor? The standard cost/quality readout before
     shipping truncated embeddings (half the index, how much retrieval
-    drift). Two brute-force top-1 passes share the broadcast-probe /
-    partial-top-k plan; the final agreement is a dimension-sized join."""
-    e = table(spark, sf, "embeddings")
+    drift).
 
-    def top1(corpus):
-        q1 = (corpus.filter(F.col("vec_id") < _MAT_NQ)
-                    .select(F.col("vec_id").alias("query_id"),
-                            "embedding"))
-        nb = similarity.topk_bruteforce(q1, corpus, 2)
-        return (nb.filter(F.col("neighbor_id") != F.col("query_id"))
-                  .groupBy("query_id")
-                  .agg(F.min_by("neighbor_id", "rank").alias("nb")))
+    ONE corpus pass scores both metrics per (query, neighbor) pair —
+    the broadcast-probe join and the Python-boundary crossing happen
+    once instead of once per metric (guide §4.1), and the two ranking
+    windows share one partition key, so the pooled candidates shuffle
+    once (guide §2.4). Arithmetic is per-metric identical to the former
+    two topk_bruteforce passes (same paired-cosine expressions, same
+    tie order), and each metric's global top-2 survives the shared
+    partial-top-k pool by the subset property — so the picked neighbors,
+    and therefore the agreement row, are bit-identical."""
+    from pyspark.sql.window import Window
 
-    full = top1(e)
-    trunc = top1(e.withColumn("embedding", F.slice("embedding", 1, 32)))
-    j = (full.withColumnRenamed("nb", "nb_full")
-             .join(trunc.withColumnRenamed("nb", "nb_tr"), "query_id"))
+    from mura_spark.functions.quantize import micro
+    from mura_spark.functions.vectors import dot, norm
+    from mura_spark.operators.similarity import (_drop_null_vectors,
+                                                 _paired_cosine,
+                                                 _partial_topk_multi)
+    from mura_spark.sources.parquet import ensure_min_partitions
+
+    e = _drop_null_vectors(table(spark, sf, "embeddings"), "embedding")
+    tr = F.slice("embedding", 1, 32)
+    q1 = F.broadcast(
+        e.filter(F.col("vec_id") < _MAT_NQ)
+         .select(F.col("vec_id").alias("__qid"),
+                 F.col("embedding").alias("__qv"),
+                 norm(F.col("embedding")).alias("__qn"),
+                 tr.alias("__qv32"), norm(tr).alias("__qn32")))
+    c = ensure_min_partitions(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm(F.col("embedding")).alias("__cn"),
+        tr.alias("__cv32"), norm(tr).alias("__cn32"))
+    scored = q1.join(c).select(
+        F.col("__qid").alias("query_id"), "neighbor_id",
+        _paired_cosine(dot(F.col("__qv"), F.col("__cv")),
+                       F.col("__qn"), F.col("__cn")).alias("sim_full"),
+        _paired_cosine(dot(F.col("__qv32"), F.col("__cv32")),
+                       F.col("__qn32"), F.col("__cn32")).alias("sim_tr"))
+    pooled = _partial_topk_multi(scored, 2, "query_id",
+                                 ["sim_full", "sim_tr"])
+    wf = (Window.partitionBy("query_id")
+                .orderBy(F.col("sim_full").desc(),
+                         F.col("neighbor_id").asc()))
+    wt = (Window.partitionBy("query_id")
+                .orderBy(F.col("sim_tr").desc(),
+                         F.col("neighbor_id").asc()))
+    ranked = (pooled.withColumn("rkf", F.row_number().over(wf))
+                    .withColumn("rkt", F.row_number().over(wt)))
+
+    # ONE aggregate picks both neighbors (a per-metric filter+groupBy
+    # branch pair would re-execute the whole scored join per branch —
+    # Catalyst does not reuse the un-exchanged broadcast-join subtree;
+    # measured 4 MapInPandas nodes in the branched plan). Ranks are
+    # unique per query, so min over the conditional (rank, neighbor)
+    # struct IS min_by(neighbor, rank) over the qualifying rows; rows
+    # failing the condition contribute NULL, which min skips. The
+    # not-null filter reproduces the former inner join's semantics
+    # (a query needs a qualifying row under BOTH metrics).
+    def qual(rank_col):
+        return ((F.col(rank_col) <= 2)
+                & (F.col("neighbor_id") != F.col("query_id")))
+
+    j = (ranked.groupBy("query_id")
+               .agg(F.min(F.when(qual("rkf"),
+                                 F.struct("rkf", "neighbor_id")))
+                     .getField("neighbor_id").alias("nb_full"),
+                    F.min(F.when(qual("rkt"),
+                                 F.struct("rkt", "neighbor_id")))
+                     .getField("neighbor_id").alias("nb_tr"))
+               .filter(F.col("nb_full").isNotNull()
+                       & F.col("nb_tr").isNotNull()))
     agree = F.sum((F.col("nb_full") == F.col("nb_tr")).cast("int")) \
              .cast("bigint")
-    from mura_spark.functions.quantize import micro
     return j.agg(F.count(F.lit(1)).alias("n_queries"),
                  agree.alias("n_agree"),
                  micro(agree.cast("double")
