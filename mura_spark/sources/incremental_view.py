@@ -331,7 +331,15 @@ class IncrementalAggView:
             self._aggregate_feed(feed, keys, aggs) if use_feed
             else self._aggregate(source.changes(here, there), keys,
                                  aggs, _AGG_INIT), view_now)
-        if not delta.limit(1).count():
+        # materialize the delta ONCE: it is consumed three more times
+        # below (touched-keys distinct, the combine union, and the
+        # merge's ambiguity check) — without the checkpoint each
+        # consumer re-aggregates the change files, and the emptiness
+        # probe alone costs a full delta pass. The checkpoint is
+        # key-count-bounded (one row per touched group), never
+        # delta-row-sized.
+        delta = delta.localCheckpoint(eager=True)
+        if not delta.head(1):
             # zero-row delta (e.g. an empty append): still advance the
             # watermark — a commit with no new data files
             self.table.append(view_now.limit(0), meta=new_meta)

@@ -888,12 +888,31 @@ class MuraTable:
             take_source_matched=(when_matched != "ignore"),
             with_preimages=cdf_on)
         # COW writes only NEW files, so no materialization barrier is
-        # needed — the read plan's files are never touched. Cache for
-        # the two passes (counts + write) instead.
-        merged = merged.localCheckpoint(eager=True)
-        counts = {r["__status"]: r["n"] for r in
-                  merged.groupBy("__status").agg(F.count("*").alias("n"))
-                        .collect()}
+        # ever needed for correctness — the read plan's files are never
+        # touched. With CDF on, the merged frame has TWO consumers (the
+        # sidecar write + the data write), so cache it and count from
+        # the cached copy; without CDF the data write is the ONLY
+        # consumer, so the status counts ride it as an observed metric
+        # and the merge is a single pass (no checkpoint job, no count
+        # job — the observation node sits under the status filters).
+        obs = None
+        if cdf_on:
+            merged = merged.localCheckpoint(eager=True)
+            counts = {r["__status"]: r["n"] for r in
+                      merged.groupBy("__status")
+                            .agg(F.count("*").alias("n")).collect()}
+        else:
+            from pyspark.sql import Observation
+            obs = Observation()
+            st = F.col("__status")
+            merged = merged.observe(
+                obs,
+                F.sum(F.when(st == "matched", 1).otherwise(0))
+                 .alias("matched"),
+                F.sum(F.when(st == "insert", 1).otherwise(0))
+                 .alias("insert"),
+                F.sum(F.when(st == "copy", 1).otherwise(0))
+                 .alias("copy"))
         cdf_fields = {}
         if cdf_on:
             pre = [F.col(f"__pre_{c}").alias(c) for c in cols]
@@ -938,6 +957,9 @@ class MuraTable:
         new_files = self._write_data(final.drop(*drop),
                                      pcols or None,
                                      prev.get("constraints"))
+        if obs is not None:
+            counts = {k: int(v) for k, v in obs.get.items()
+                      if v is not None}
         scols = prev.get("stats_cols", [])
         keep = set(keep_files)
         stats = {f: s for f, s in prev.get("stats", {}).items()
@@ -1063,8 +1085,28 @@ class MuraTable:
             return prev["version"], 0, 0
         keep_files = [f for f in prev["files"] if f not in touched]
         sub = self._read_files(sorted(touched), prev["schema"])
-        n_matched = sub.where(pred).count()
-        out = transform(sub, pred)
+        # the matched-row count no longer costs its own full pre-pass
+        # over the rewrite set:
+        #  - DELETE: n_matched == touched-input rows − survivor rows,
+        #    and both ends are manifest/footer metadata (prev["rows"]
+        #    + the _file_meta pass the commit does anyway) — zero
+        #    extra jobs. An observed metric would NOT survive here:
+        #    DELETE-all folds the rewrite to Filter(false) and
+        #    PropagateEmptyRelation prunes the CollectMetrics node
+        #    with it, leaving the Observation permanently empty.
+        #  - UPDATE: row count is preserved, so the count rides the
+        #    write job as an observed metric under the transform
+        #    (a pure select — never empty-collapsed).
+        obs = None
+        if action == "delete":
+            out = transform(sub, pred)
+        else:
+            from pyspark.sql import Observation
+            obs = Observation()
+            out = transform(
+                sub.observe(obs, F.sum(F.when(pred, 1).otherwise(0))
+                                  .alias("n_matched")),
+                pred)
         cdf_fields = {}
         if prev.get("cdf"):
             matched = sub.where(F.coalesce(pred, F.lit(False)))
@@ -1087,6 +1129,15 @@ class MuraTable:
         rows = {f: n for f, n in prev.get("rows", {}).items()
                 if f in set(keep_files)}
         new_stats, new_rows = self._file_meta(new_files, scols)
+        if obs is not None:
+            n_matched = int(obs.get["n_matched"] or 0)
+        else:
+            in_rows = prev.get("rows", {})
+            if all(f in in_rows for f in touched):
+                n_matched = (sum(in_rows[f] for f in touched)
+                             - sum(new_rows.values()))
+            else:  # pre-row-tracking files: count the touched inputs
+                n_matched = sub.count() - sum(new_rows.values())
         stats.update(new_stats)
         rows.update(new_rows)
         self._commit_new(v, {"version": v, "action": action,
