@@ -886,16 +886,22 @@ def ann_pq_adc_recall_at10(spark, sf):
     sub = lambda lo: e.select("vec_id", F.slice(  # noqa: E731
         "embedding", lo, 32).alias("embedding"))
     s0, s1 = sub(1), sub(33)
-    a0 = kmeans_assign(s0, "vec_id", "embedding", 8, 2) \
+    # train each subspace codebook ONCE and assign against it —
+    # kmeans_assign(centroids=...) is documented exact reuse (k-means
+    # here is deterministic), so this halves the Lloyd subtrees (4 -> 2)
+    # without touching a single distance or tie-break
+    cb0 = kmeans_centroids(s0, "vec_id", "embedding", 8, 2)
+    cb1 = kmeans_centroids(s1, "vec_id", "embedding", 8, 2)
+    a0 = kmeans_assign(s0, "vec_id", "embedding", 8, 2, centroids=cb0) \
         .select(F.col("vec_id").alias("nid"),
                 F.col("cluster").alias("c0"))
-    a1 = kmeans_assign(s1, "vec_id", "embedding", 8, 2) \
+    a1 = kmeans_assign(s1, "vec_id", "embedding", 8, 2, centroids=cb1) \
         .select(F.col("vec_id").alias("nid"),
                 F.col("cluster").alias("c1"))
-    cc0 = kmeans_centroids(s0, "vec_id", "embedding", 8, 2) \
-        .select(F.col("cluster").alias("c0"), F.col("__c").alias("v0"))
-    cc1 = kmeans_centroids(s1, "vec_id", "embedding", 8, 2) \
-        .select(F.col("cluster").alias("c1"), F.col("__c").alias("v1"))
+    cc0 = cb0.select(F.col("cluster").alias("c0"),
+                     F.col("__c").alias("v0"))
+    cc1 = cb1.select(F.col("cluster").alias("c1"),
+                     F.col("__c").alias("v1"))
     q0 = (quantize_vectors(s0, "vec_id", "embedding")
           .filter(F.col("__vid") < _NQ)
           .select(F.col("__vid").alias("qid"), F.col("__v").alias("q0")))
