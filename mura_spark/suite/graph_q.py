@@ -90,13 +90,16 @@ def graph_assoc_rules(spark, sf):
 #: (the engine otherwise re-derives it per recursion round — the same
 #: re-evaluation trap sql_kcore documents); the Spark side gets the
 #: equivalent by checkpointing the edge list BEFORE the recursive query.
+#: {hint} steers the per-iteration physical join of the recursive
+#: member on the Spark side only (the oracle formats it empty, keeping
+#: the DuckDB string byte-identical). Hints are semantics-free.
 _BFS_SQL = (
     "WITH RECURSIVE "
     "s AS (SELECT MIN(src) AS root FROM {edges}), "
     "walk(node, depth) AS ("
     "SELECT root, 0 FROM s "
     "UNION ALL "
-    "SELECT DISTINCT e.dst, w.depth + 1 FROM walk w "
+    "SELECT {hint}DISTINCT e.dst, w.depth + 1 FROM walk w "
     "JOIN {edges} e ON e.src = w.node WHERE w.depth < 3) "
     "SELECT node, CAST(MIN(depth) AS BIGINT) AS depth "
     "FROM walk GROUP BY node")
@@ -108,7 +111,7 @@ _BFS_EDGES = ("(SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
 
 
 _BFS_ORACLE = ("WITH RECURSIVE e AS MATERIALIZED " + _BFS_EDGES + ", "
-               + _BFS_SQL.format(edges="e")
+               + _BFS_SQL.format(edges="e", hint="")
                  .replace("WITH RECURSIVE ", "", 1))
 
 
@@ -131,7 +134,16 @@ def graph_bfs_reach(spark, sf):
     edges = (graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
                   .localCheckpoint(eager=True))
     edges.createOrReplaceTempView("__mura_bfs_edges")
-    return spark.sql(_BFS_SQL.format(edges="__mura_bfs_edges"))
+    # SHUFFLE_HASH(w): hash-build the (small) frontier, stream the
+    # edges — measured idle, 5-trial interleaved medians at sf0.1:
+    # no hint 4.94 s (the per-iteration replan against the
+    # localCheckpoint's carried under-estimate broadcasts the EDGE
+    # list), SHUFFLE_HASH(w) 2.18 s, BROADCAST(w) 1.33 s but rejected:
+    # a forced frontier broadcast is bounded only by |V| — wrong at
+    # 100 TB; shuffle-hash stays partition-bounded at any graph size
+    # (scripts/bfs_hint_probe.py).
+    return spark.sql(_BFS_SQL.format(
+        edges="__mura_bfs_edges", hint="/*+ SHUFFLE_HASH(w) */ "))
 
 
 # ------------------------------------------------------- round-5ff addition

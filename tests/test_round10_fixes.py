@@ -226,3 +226,43 @@ def test_cluster_balance_matches_replica(spark, tmp_path):
     assert r.k_used < 8
     # blob 2 (12/40) survives intact as the largest cluster
     assert r.max_share_micro == 300000
+
+
+def test_bfs_recursive_hint_is_spark_side_only_and_result_free(
+        spark, tmp_path):
+    """The SHUFFLE_HASH(w) hint on graph_bfs_reach's recursive member
+    (optimization round 10) must (a) never leak into the DuckDB oracle
+    string — the {hint} slot formats empty there, keeping the twin
+    byte-identical to the pre-hint rendering — and (b) be result-free:
+    the hinted query returns exactly what the hint-free rendering
+    returns on a graph engineered so every recursion depth (0..3) is
+    exercised and one node sits just past the depth cap."""
+    from mura_spark.operators import graph
+    from mura_spark.suite import SPARK_QUERIES
+    from mura_spark.suite.common import table
+    from mura_spark.suite.graph_q import _BFS_ORACLE, _BFS_SQL
+
+    assert "/*+" not in _BFS_ORACLE
+
+    # chain of co-purchase hops: parts 10-11-12-13-14; 14 is 4 hops
+    # from the root (min part = 10) and must NOT be reached
+    rows = [(1, 10), (1, 11), (2, 11), (2, 12),
+            (3, 12), (3, 13), (4, 13), (4, 14)]
+    (spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(str(tmp_path / "lineitem.parquet")))
+    sf = str(tmp_path)
+
+    got = sorted(map(tuple,
+                     SPARK_QUERIES["graph_bfs_reach"](spark, sf)
+                     .collect()))
+
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+                  .localCheckpoint(eager=True))
+    edges.createOrReplaceTempView("__bfs_hintfree_edges")
+    unhinted = sorted(map(tuple, spark.sql(
+        _BFS_SQL.format(edges="__bfs_hintfree_edges", hint=""))
+        .collect()))
+
+    assert got == unhinted == [(10, 0), (11, 1), (12, 2), (13, 3)]
