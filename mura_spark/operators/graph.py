@@ -120,10 +120,20 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     deg = degrees(edges)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(float(1.0 - damping))
+    # shuffle_hash on the node-sized sides of both per-iteration joins:
+    # the localCheckpoint'd edge list carries the basket-local explode
+    # shape's size UNDER-estimate (see cooccurrence_edges), so each
+    # iteration otherwise re-plans a broadcast build — measured idle,
+    # interleaved 5-trial medians at sf0.1 (scripts in /tmp probes,
+    # recorded in OPTIMIZATION_r10.md): no hints 8.76 s, contrib-join
+    # hint 4.86 s, both hints 4.27 s; results collect()-identical.
+    # Hash-building the |V|-bounded side and streaming the edges is
+    # also the correct 100 TB posture (a broadcast build is not).
     for _ in range(iterations):
         contrib = (edges.join(ranks.withColumnRenamed("node", "src")
                                    .join(deg.withColumnRenamed("node", "src"),
-                                         "src"),
+                                         "src")
+                                   .hint("shuffle_hash"),
                               "src")
                    .select(F.col("dst").alias("node"),
                            F.floor(F.col("rank") / F.col("out_degree")
@@ -131,7 +141,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                            .cast("decimal(38,0)").alias("__c")))
         summed = (contrib.groupBy("node")
                          .agg((F.sum("__c").cast("double") / F.lit(1e14))
-                              .alias("__s")))
+                              .alias("__s"))
+                         .hint("shuffle_hash"))
         ranks = (nodes.join(summed, "node", "left")
                       .select("node",
                               (base + F.lit(damping)
