@@ -246,10 +246,19 @@ def graph_adamic_adar(spark, sf):
         F.count(F.lit(1)).alias("d"))
     zok = deg.where(F.col("d") <= 64)
     e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("z"))
-    e2 = e.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    # shuffle_hash on the |E|-sized sides of the two-hop join and the
+    # adjacency anti-join: the basket-local explode's carried size
+    # under-estimate otherwise makes Catalyst BROADCAST the edge list
+    # (the pagerank/BFS/LPA mechanism) — a |E|-bounded build that is both
+    # the local loser (interleaved A/B at sf0.1, 5 trials: median
+    # 6.06 → 4.18 s, results identical; scripts/adamic_adar_hint_probe.py)
+    # and a 100 TB hazard. Hints are semantics-free.
+    e2 = (e.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+           .hint("shuffle_hash"))
     cand = (e1.join(zok.select("z"), "z").join(e2, "z")
               .where(F.col("u") < F.col("v")))
-    adj = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    adj = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .hint("shuffle_hash"))
     nonadj = cand.join(adj, ["u", "v"], "left_anti")
     term = F.floor(F.lit(1.0) / F.log(F.col("d").cast("double"))
                    * F.lit(1000000000.0) + F.lit(0.5)).cast("bigint")
