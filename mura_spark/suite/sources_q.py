@@ -900,16 +900,24 @@ def table_bloom_lookup_skipping(spark, sf):
          .select("o_orderkey", "o_custkey",
                  F.col("o_totalprice").cast("decimal(18,2)")
                   .alias("price")))
-    mid = o.agg(F.floor((F.min("o_custkey") + F.max("o_custkey")) / 2)
-                 .alias("m")).collect()[0]["m"]
+    # Needle selection in ONE driver action (was three): the key-range
+    # midpoint can be computed over `spread` instead of `o` (the groupBy
+    # key set contains every distinct custkey, and min/max ignore NULLs
+    # identically), so the global (mn, mid) row rides a broadcast
+    # cross-join back onto spread and one collect picks the needle.
+    # Exchange reuse dedupes the shared spread subtree within the action.
+    # Needle value identical to the three-action form by construction.
     spread = (o.groupBy("o_custkey")
                .agg(F.countDistinct(F.col("o_orderkey") % 4)
                      .alias("ns")))
-    mn = spread.agg(F.min("ns").alias("mn")).collect()[0]["mn"]
-    cand = spread.filter(F.col("ns") == mn).agg(
-        F.max(F.when(F.col("o_custkey") <= mid, F.col("o_custkey")))
-         .alias("a"),
-        F.min("o_custkey").alias("b")).collect()[0]
+    glob = spread.agg(
+        F.min("ns").alias("mn"),
+        F.floor((F.min("o_custkey") + F.max("o_custkey")) / 2).alias("m"))
+    cand = (spread.crossJoin(F.broadcast(glob))
+                  .filter(F.col("ns") == F.col("mn"))
+                  .agg(F.max(F.when(F.col("o_custkey") <= F.col("m"),
+                                    F.col("o_custkey"))).alias("a"),
+                       F.min("o_custkey").alias("b")).collect()[0])
     needle = cand["a"] if cand["a"] is not None else cand["b"]
     # NULL-safe slice routing: a NULL orderkey still lands in a file
     # (slice 0) so the table holds every source row. repartition(1)
