@@ -762,17 +762,25 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     # inter ≤ 1 + (__m − __pos), while containment ≥ t needs
     # inter ≥ t·|S_c|. The witness occurrence always passes; extra
     # occurrences it prunes only shrink the distinct/verify input.
-    contained = (ex2.withColumn("__pos", F.row_number().over(w))
-                    .withColumn("__m", F.count(F.lit(1)).over(wcnt))
-                    .filter(F.col("__pos") <= prefix_len)
+    pos = (ex2.withColumn("__pos", F.row_number().over(w))
+              .withColumn("__m", F.count(F.lit(1)).over(wcnt)))
+    contained = (pos.filter(F.col("__pos") <= prefix_len)
                     .select(F.col(id_col).alias("contained_id"),
                             F.col("n_shingles").alias("__nc"),
                             F.col("__pos").alias("__pc"),
                             F.col("__m").alias("__mc"), "shingle"))
-    container = ex2.select(F.col(id_col).alias("container_id"), "shingle")
-    pos_ok = ((1 + F.col("__mc") - F.col("__pc")).cast("double")
-              >= F.lit(threshold) * F.col("__nc").cast("double")
-              - F.lit(1e-9))
+    # The container side probes through the SAME position frame (the
+    # window subtree is shared — the static plan has fewer exchanges
+    # than the un-windowed container had), which makes the container
+    # bound available too: intersection elements rank after the
+    # globally-first common shingle in BOTH docs' pruned orders.
+    container = pos.select(F.col(id_col).alias("container_id"),
+                           F.col("__pos").alias("__po"),
+                           F.col("__m").alias("__mo"), "shingle")
+    req = F.lit(threshold) * F.col("__nc").cast("double") - F.lit(1e-9)
+    pos_ok = (((1 + F.col("__mc") - F.col("__pc")).cast("double") >= req)
+              & ((1 + F.col("__mo") - F.col("__po")).cast("double")
+                 >= req))
     cand = (contained.join(container, "shingle")
                      .filter((F.col("contained_id")
                               != F.col("container_id")) & pos_ok)
