@@ -9,6 +9,16 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side materialization cost). Timings are per-query wall clock after a
 shared session warm-up query.
+
+Scaling note for the driver's low-core probe: the session master is
+``local[$SPARK_GRAFT_CPUS]`` (mura_spark/session.py reads the env var into
+both the master and spark.sql.shuffle.partitions), and the printed JSON
+echoes the *resolved* ``master`` and ``sc.defaultParallelism`` so the
+contract is checkable from the output alone. At sf0.1 most headline rows
+are sub-second and driver/per-job-latency-bound — job scheduling and plan
+analysis dominate executor compute — so 8-core vs 32-core wall times are
+expected to sit near 1.0 for those rows; compute-bound rows (the dedup
+pair miners, the graph iterations) are where core count shows.
 """
 
 from __future__ import annotations
@@ -378,7 +388,13 @@ def main() -> None:
     from mura_spark.suite import SPARK_QUERIES
 
     spark = get_spark("mura-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL, not ERROR: a handful of fixture rows intentionally exercise
+    # REJECTED commits (constraint gate, idempotent-write replay), and at
+    # ERROR level their expected task aborts print full stacks into the
+    # bench ledger, masquerading as failures. A *real* failure still
+    # surfaces loudly: the query raises into Python, the bench crashes
+    # with a traceback, and the driver records rc != 0.
+    spark.sparkContext.setLogLevel("FATAL")
 
     # warm the JVM/codegen paths once (not timed)
     SPARK_QUERIES["scan_region"](spark, sf_dir).count()
@@ -402,6 +418,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # prove the env contract from the output alone: the resolved
+        # master (built from $SPARK_GRAFT_CPUS in session.get_spark) and
+        # the parallelism the scheduler actually runs with
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "sf_dir": sf_dir,
     }
     r1_ref = _r1_reference()
     out.update(_regression_check(timings, r1_ref))
