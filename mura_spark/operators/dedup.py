@@ -195,6 +195,29 @@ def _length_compatible(threshold: float) -> Column:
     return lo >= F.ceil(F.lit(threshold) * hi)
 
 
+def _ppjoin_positional_ok(required: Column, *sides: tuple[str, str]) -> Column:
+    """The PPJoin positional-filter predicate ``ubound ≥ required`` with
+    ``ubound = 1 + min over sides of (m − p)`` (``m`` = the doc's pruned
+    set size, ``p`` = the occurrence's rare-first rank) — single-sourced
+    so the exactness-critical bound formula cannot drift between the
+    self-join, cross-corpus, and containment variants.
+
+    Float safety: ``ubound`` is an exact small integer, but ``required``
+    is computed in doubles (e.g. t·(n_a+n_b)/(1+t)) and can land a few
+    ulps ABOVE its real value; comparing raw could drop an exact-boundary
+    pair. The slack is RELATIVE (required·(1−1e-12)), so it tracks the
+    magnitude of the rounding error at any document size — an absolute
+    slack (the old 1e-9) stops covering double rounding once the operands
+    exceed ~1e7 shingles. 1e-12 is ≥ 3 decimal orders above the ~1e-16
+    relative error of the two or three roundings involved, and far below
+    the gap to the next attainable integer bound, so it can neither drop
+    a true pair nor admit anything the exact verify would keep anyway
+    (false keeps are harmless by construction)."""
+    bounds = [F.col(m) - F.col(p) for m, p in sides]
+    ub = bounds[0] if len(bounds) == 1 else F.least(*bounds)
+    return (1 + ub).cast("double") >= required * F.lit(1.0 - 1e-12)
+
+
 def _verify_jaccard_cross(left_sets: DataFrame, right_sets: DataFrame,
                           id_col: str, candidates: DataFrame,
                           threshold: float) -> DataFrame:
@@ -315,15 +338,14 @@ def jaccard_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         # bound cannot reach the requirement are dropped; the first common
         # occurrence of every true pair always passes, so filter-then-
         # distinct keeps every true pair. False keeps are harmless (exact
-        # verification follows). The 1e-9 slack keeps float rounding from
-        # ever dropping a boundary pair; measured 310k → 125k candidates
-        # at t=0.5 on the sf0.1 corpus (2.5×), results identical.
-        ubound = (1 + F.least(F.col("__ma") - F.col("__pa"),
-                              F.col("__mb") - F.col("__pb"))).cast("double")
+        # verification follows). Float-boundary handling lives in
+        # _ppjoin_positional_ok; measured 310k → 125k candidates at t=0.5
+        # on the sf0.1 corpus (2.5×), results identical.
         required = (F.lit(threshold)
                     * (F.col("n_a") + F.col("n_b")).cast("double")
                     / F.lit(1.0 + threshold))
-        extra = ubound >= required - F.lit(1e-9)
+        extra = _ppjoin_positional_ok(required, ("__ma", "__pa"),
+                                      ("__mb", "__pb"))
     else:
         probe = ex
         a = probe.select(F.col(id_col).alias("id_a"),
@@ -400,15 +422,14 @@ def jaccard_cross_pairs(left: DataFrame, right: DataFrame, id_col: str,
     # pair bounds inter ≤ 1 + min(__ma − __pa, __mb − __pb), and J ≥ t
     # needs inter ≥ t·(n_a + n_b)/(1 + t); that witness occurrence always
     # passes, so filter-then-distinct keeps every true pair.
-    ubound = (1 + F.least(F.col("__ma") - F.col("__pa"),
-                          F.col("__mb") - F.col("__pb"))).cast("double")
     required = (F.lit(threshold)
                 * (F.col("n_a") + F.col("n_b")).cast("double")
                 / F.lit(1.0 + threshold))
     cand = (prefix(lex, "id_a", "n_a", "__pa", "__ma")
             .join(prefix(rex, "id_b", "n_b", "__pb", "__mb"), "shingle")
             .filter(_length_compatible(threshold)
-                    & (ubound >= required - F.lit(1e-9)))
+                    & _ppjoin_positional_ok(required, ("__ma", "__pa"),
+                                            ("__mb", "__pb")))
             .select("id_a", "id_b").distinct())
     return _verify_jaccard_cross(ls, rs, id_col, cand, threshold)
 
@@ -777,10 +798,9 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     container = pos.select(F.col(id_col).alias("container_id"),
                            F.col("__pos").alias("__po"),
                            F.col("__m").alias("__mo"), "shingle")
-    req = F.lit(threshold) * F.col("__nc").cast("double") - F.lit(1e-9)
-    pos_ok = (((1 + F.col("__mc") - F.col("__pc")).cast("double") >= req)
-              & ((1 + F.col("__mo") - F.col("__po")).cast("double")
-                 >= req))
+    req = F.lit(threshold) * F.col("__nc").cast("double")
+    pos_ok = _ppjoin_positional_ok(req, ("__mc", "__pc"),
+                                   ("__mo", "__po"))
     cand = (contained.join(container, "shingle")
                      .filter((F.col("contained_id")
                               != F.col("container_id")) & pos_ok)

@@ -345,6 +345,27 @@ def test_positional_filter_keeps_boundary_exact_pairs(spark):
     assert (1, 2) not in at_08          # below threshold stays dropped
 
 
+def test_cross_positional_filter_keeps_boundary_exact_pairs(spark):
+    """jaccard_cross_pairs' positional filter at the float boundary: a
+    (left, right) pair with Jaccard EXACTLY the threshold must survive.
+    Same corpus split as the self-join pin: J = 1/2 exactly at t=0.5,
+    and the 4/5-exact pair pins t=0.8 across corpora too."""
+    from mura_spark.operators.dedup import jaccard_cross_pairs
+    left = spark.createDataFrame(
+        [(1, "a b c"), (3, "t1 t2 t3 t4 t5 t6 t7")], ["doc_id", "text"])
+    right = spark.createDataFrame(
+        [(2, "a b c d"), (4, "t1 t2 t3 t4 t5 t6")], ["doc_id", "text"])
+    at_05 = {(r.id_a, r.id_b): r.jaccard
+             for r in jaccard_cross_pairs(left, right, "doc_id", "text",
+                                          threshold=0.5).collect()}
+    assert at_05[(1, 2)] == 0.5
+    at_08 = {(r.id_a, r.id_b): r.jaccard
+             for r in jaccard_cross_pairs(left, right, "doc_id", "text",
+                                          threshold=0.8).collect()}
+    assert at_08[(3, 4)] == 0.8
+    assert (1, 2) not in at_08
+
+
 def test_containment_positional_filter_boundary(spark):
     """Contained-side positional filter keeps a containment == threshold
     pair: doc 1 has 10 shingles, 9 of them inside doc 2 → exactly 0.9."""
