@@ -351,17 +351,22 @@ class MuraTable:
 
     # ------------------------------------------------------------- cdf
 
-    def _write_cdf(self, df: DataFrame) -> list[str]:
+    def _write_cdf(self, df: DataFrame) -> dict:
         """Write a commit's row-level change frame (``_change_type``
-        column included) under ``_cdf/<commit>/``; returns
-        table-relative paths for the manifest's ``cdf_files`` key.
-        CDF files are sidecars: never listed as table data, GC'd by
-        vacuum with the manifests that reference them."""
+        column included) under ``_cdf/<commit>/``; returns the manifest
+        fields: ``cdf_files`` (table-relative paths) and ``cdf_schema``
+        (the written frame's exact schema, so :meth:`changes_feed` can
+        read the sidecar with an explicit schema instead of paying a
+        footer-inference Spark job per fed commit — the same
+        schema-in-the-log posture Delta takes). CDF files are sidecars:
+        never listed as table data, GC'd by vacuum with the manifests
+        that reference them."""
         commit_dir = os.path.join(self.path, _CDF_DIR, uuid.uuid4().hex)
         df.write.mode("error").parquet(commit_dir)
         self._pending_cdf_dir = commit_dir
-        return [os.path.relpath(p, self.path)
-                for p in _list_part_files(commit_dir)]
+        return {"cdf_files": [os.path.relpath(p, self.path)
+                              for p in _list_part_files(commit_dir)],
+                "cdf_schema": df.schema.json()}
 
     def changes_feed(self, since_version: int,
                      version: int | None = None) -> DataFrame:
@@ -416,7 +421,14 @@ class MuraTable:
                         f"enable with set_cdf(True) (or create(..., "
                         f"cdf=True)) before DML you want to feed")
                 if m["cdf_files"]:
-                    raw = self.spark.read.parquet(
+                    reader = self.spark.read
+                    if m.get("cdf_schema"):
+                        # explicit sidecar schema from the manifest —
+                        # skips a footer-inference Spark job per fed
+                        # commit (pre-cdf_schema manifests fall back)
+                        reader = reader.schema(StructType.fromJson(
+                            json.loads(m["cdf_schema"])))
+                    raw = reader.parquet(
                         *[os.path.join(self.path, f)
                           for f in m["cdf_files"]])
                     frame = raw.select(
@@ -800,7 +812,8 @@ class MuraTable:
               insert_not_matched: bool = True,
               sync_delete: bool = False,
               meta: dict | None = None,
-              txn: tuple[str, int] | None = None) -> MergeStats:
+              txn: tuple[str, int] | None = None,
+              source_unique: bool = False) -> MergeStats:
         """Copy-on-write MERGE with snapshot semantics.
 
         Same row semantics as :func:`mura_spark.sources.merge.merge_into`
@@ -842,7 +855,8 @@ class MuraTable:
             return MergeStats(0, 0, 0, 0)
         pcols = prev["partition_cols"]
         target = self.read()
-        source = check_merge_source(target, source, key_cols)
+        source = check_merge_source(target, source, key_cols,
+                                    source_unique=source_unique)
 
         # unpartitioned: full rewrite, nothing carried by reference
         keep_files = []
@@ -942,7 +956,7 @@ class MuraTable:
                 cdf = frames[0]
                 for fr in frames[1:]:
                     cdf = cdf.unionByName(fr)
-                cdf_fields = {"cdf_files": self._write_cdf(cdf)}
+                cdf_fields = self._write_cdf(cdf)
             else:
                 cdf_fields = {"cdf_files": []}
         final = merged
@@ -1120,7 +1134,7 @@ class MuraTable:
                            transform(matched, pred)
                            .withColumn("_change_type",
                                        F.lit("update_postimage"))))
-            cdf_fields = {"cdf_files": self._write_cdf(cdf)}
+            cdf_fields = self._write_cdf(cdf)
         new_files = self._write_data(out, pcols or None,
                                      prev.get("constraints"))
         scols = prev.get("stats_cols", [])
